@@ -16,6 +16,12 @@ object SparkEntry {
   private def modules: Seq[Seq[(String, (SparkSession, String) => DataFrame, Option[String])]] =
     Seq(
       CoreQueries.entries,
+      ext.Temporal.entries,
+      ext.Dedup.entries,
+      ext.Similarity.entries,
+      ext.TextAnalysis.entries,
+      ext.JsonProps.entries,
+      ext.Multimodal.entries,
     )
 
   private lazy val all = modules.flatten

@@ -1,0 +1,196 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.functions.TextHash._
+
+/** Deduplication operators (SURVEY.md §2 C1/C2): exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard.
+  *
+  * Scale design: every stage is a groupBy/join on bounded keys — never an
+  * all-pairs comparison over the corpus. MinHash signatures are linear in
+  * corpus size; LSH band buckets turn near-dup search into an equi-join on
+  * (band, bandKey); only within-bucket candidate pairs (tiny by
+  * construction) are verified exactly. The exact Jaccard query (q28) is
+  * intentionally bounded to a fixed doc_id prefix — it is the ground-truth
+  * oracle for the LSH path, not the scale path.
+  */
+object Dedup {
+
+  /** Library operator: exact dedup keeping the lowest-id row per key.
+    * Deterministic, unlike dropDuplicates (which keeps an arbitrary row). */
+  def exactByKey(df: DataFrame, key: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- C1
+  /** Exact duplicate grouping by full text: one hash shuffle on the text
+    * (at 100 TB: group on xxhash64(text) first, verify within group). */
+  def q24DedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dups"))
+      .select(col("doc_id"), col("dups"), length(col("text")).as("text_len"))
+      .orderBy(col("doc_id"))
+
+  val q24Sql: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS dups, length(text) AS text_len
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C2: MinHash signatures
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(shingles3(split(col("text"), " ")))).as("g"))
+
+  private val shinglesCte =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |tri AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("tk")}) AS g FROM toks)""".stripMargin
+
+  /** 16-permutation MinHash signature over 3-word shingles. Linear scan +
+    * one aggregation keyed by (doc, permutation); the 16-row hash table is
+    * broadcast. */
+  def q25MinHashSig(s: SparkSession, dir: String): DataFrame = {
+    val hs = s.range(16).select(col("id").cast("int").as("h"))
+    docShingles(s, dir)
+      .withColumn("tv", tokval(col("g")))
+      .crossJoin(broadcast(hs))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(minhashTerm(col("tv"), col("h"))).as("minh"))
+      .orderBy(col("doc_id"), col("h"))
+  }
+
+  val q25Sql: String =
+    s"""WITH $shinglesCte,
+       |tv AS (SELECT doc_id, ${tokvalSql("g")} AS tv FROM tri),
+       |hs AS (SELECT h FROM range(16) t(h))
+       |SELECT doc_id, h, min(${minhashTermSql("tv", "h")}) AS minh
+       |FROM tv CROSS JOIN hs GROUP BY doc_id, h ORDER BY doc_id, h""".stripMargin
+
+  // ---------------------------------------------------------------- C2: LSH candidate pairs + verify
+  /** MinHash-LSH near-dup pipeline: signature → 4 bands × 4 rows → bucket
+    * equi-join → exact shingle-Jaccard verification of candidates only.
+    * The band key packs 4 minhash values with base-31 weights (integer,
+    * cross-engine). Output is every candidate pair with its exact Jaccard.
+    */
+  def q26LshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = q25MinHashSig(s, dir)
+    val bandKey = sum(col("minh") *
+      when(col("h") % 4 === 0, 1L).when(col("h") % 4 === 1, 31L)
+        .when(col("h") % 4 === 2, 961L).otherwise(29791L)).as("bkey")
+    val buckets = sig.groupBy(col("doc_id"), (col("h") / 4).cast("int").as("band")).agg(bandKey)
+    val cands = buckets.as("b1")
+      .join(buckets.as("b2"),
+        col("b1.band") === col("b2.band") && col("b1.bkey") === col("b2.bkey") &&
+        col("b1.doc_id") < col("b2.doc_id"))
+      .select(col("b1.doc_id").as("d1"), col("b2.doc_id").as("d2"))
+      .distinct()
+    val tri = docShingles(s, dir)
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(tri.as("ta"), col("ta.doc_id") === col("d1"))
+      .join(tri.as("tb"), col("tb.doc_id") === col("d2") && col("ta.g") === col("tb.g"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    cands
+      .join(inter, Seq("d1", "d2"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") / (col("s1") + col("s2") - col("inter")), 4).as("jacc"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q26Sql: String =
+    s"""WITH $shinglesCte,
+       |tv AS (SELECT doc_id, ${tokvalSql("g")} AS tv FROM tri),
+       |hs AS (SELECT h FROM range(16) t(h)),
+       |sig AS (SELECT doc_id, h, min(${minhashTermSql("tv", "h")}) AS minh
+       |        FROM tv CROSS JOIN hs GROUP BY doc_id, h),
+       |buckets AS (SELECT doc_id, h // 4 AS band,
+       |        sum(minh * (CASE h % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS bkey
+       |        FROM sig GROUP BY doc_id, band),
+       |cands AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+       |        FROM buckets b1 JOIN buckets b2
+       |          ON b1.band = b2.band AND b1.bkey = b2.bkey AND b1.doc_id < b2.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+       |inter AS (SELECT d1, d2, count(*) AS inter FROM cands
+       |        JOIN tri ta ON ta.doc_id = d1 JOIN tri tb ON tb.doc_id = d2 AND ta.g = tb.g
+       |        GROUP BY d1, d2)
+       |SELECT c.d1, c.d2,
+       |  round(coalesce(i.inter, 0)::DOUBLE / (s1.sz + s2.sz - coalesce(i.inter, 0)), 4) AS jacc
+       |FROM cands c LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+       |JOIN sizes s1 ON s1.doc_id = c.d1 JOIN sizes s2 ON s2.doc_id = c.d2
+       |ORDER BY c.d1, c.d2""".stripMargin
+
+  // ---------------------------------------------------------------- C2: SimHash
+  /** 16-bit SimHash over word occurrences (weighted by multiplicity): per
+    * (doc, bit), sign of the weighted contribution sum; bits packed to one
+    * long. Linear — one explode + two aggregations. */
+  def q27SimHash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("tv", tokval(col("tok")))
+    val bits = s.range(16).select(col("id").cast("int").as("j"))
+    toks.crossJoin(broadcast(bits))
+      .withColumn("contrib",
+        when((col("tv") * (col("j") * 2 + 3)) % 65536 >= 32768, 1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("csum"))
+      .withColumn("bitval",
+        when(col("csum") > 0, expr("CAST(shiftleft(1, j) AS BIGINT)")).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bitval")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q27Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tv AS (SELECT doc_id, ${tokvalSql("tok")} AS tv FROM toks),
+       |bits AS (SELECT j FROM range(16) t(j)),
+       |c AS (SELECT doc_id, j,
+       |        sum(CASE WHEN (tv * (j * 2 + 3)) % 65536 >= 32768 THEN 1 ELSE -1 END) AS csum
+       |      FROM tv CROSS JOIN bits GROUP BY doc_id, j)
+       |SELECT doc_id, sum(CASE WHEN csum > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C2: exact n-gram Jaccard (bounded ground truth)
+  /** Exact 3-gram Jaccard over a bounded doc_id prefix — the ground-truth
+    * twin of q26. The bound keeps the pair space constant as the corpus
+    * scales; full-corpus near-dup always goes through LSH. */
+  def q28TrigramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val tri = docShingles(s, dir).filter(col("doc_id") < 200)
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    tri.as("a").join(tri.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), Seq("d2"))
+      .withColumn("jacc", round(col("inter").cast("double") / (col("s1") + col("s2") - col("inter")), 4))
+      .filter(col("jacc") >= 0.05)
+      .select(col("d1"), col("d2"), col("inter"), col("jacc"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q28Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id < 200),
+       |tri AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("tk")}) AS g FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |          FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT d1, d2, inter,
+       |  round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) AS jacc
+       |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) >= 0.05
+       |ORDER BY d1, d2""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q24_dedup_exact",     q24DedupExact _,     Some(q24Sql)),
+    ("q25_minhash_sig",     q25MinHashSig _,     Some(q25Sql)),
+    ("q26_lsh_pairs",       q26LshPairs _,       Some(q26Sql)),
+    ("q27_simhash",         q27SimHash _,        Some(q27Sql)),
+    ("q28_trigram_jaccard", q28TrigramJaccard _, Some(q28Sql)),
+  )
+}

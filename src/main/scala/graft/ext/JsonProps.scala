@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.tables.Tables
+
+/** Semi-structured / JSON column access (SURVEY.md §2 C5).
+  *
+  * The reference drops undeclared trace keys at ingest
+  * (trace-converter.py:116); the extension keeps them reachable as a JSON
+  * string column and provides typed extraction. get_json_object /
+  * from_json are codegen'd builtins — the extraction runs inside the scan
+  * stage, and Catalyst prunes the struct fields actually referenced.
+  */
+object JsonProps {
+
+  /** Typed view over a JSON-string column. */
+  def typed(df: DataFrame, jsonCol: String, schema: StructType): DataFrame =
+    df.withColumn("__props", from_json(col(jsonCol), schema))
+
+  // ---------------------------------------------------------------- C5
+  /** Extract props.k per event, aggregate per event_type. */
+  def q36JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"), min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"), round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  val q36Sql: String =
+    """SELECT event_type, count(k) AS n_k, min(k) AS min_k, max(k) AS max_k,
+      |  round(avg(k), 4) AS avg_k
+      |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Structured from_json extraction filtered on the typed field —
+    * demonstrates schema-on-read with predicate on the extracted value. */
+  def q37JsonFilter(s: SparkSession, dir: String): DataFrame =
+    typed(Tables.events(s, dir), "props", StructType(Seq(StructField("k", IntegerType))))
+      .filter(col("__props.k") >= 90)
+      .select(col("event_id"), col("event_type"), col("__props.k").as("k"))
+      .orderBy(col("event_id"))
+
+  val q37Sql: String =
+    """SELECT event_id, event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      |FROM events WHERE CAST(json_extract(props, '$.k') AS INTEGER) >= 90
+      |ORDER BY event_id""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q36_json_extract", q36JsonExtract _, Some(q36Sql)),
+    ("q37_json_filter",  q37JsonFilter _,  Some(q37Sql)),
+  )
+}

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Multimodal (binary) column plumbing (SURVEY.md §2 Tier C / builder
+  * prompt): image/audio/video payloads ride as opaque `binary` columns with
+  * typed metadata; decode / feature-extraction runs partition-local.
+  *
+  * The container has no media codecs, so [[decodeStub]] is a clearly-marked
+  * deterministic fake — but the Spark-side plumbing (schema, batch shape,
+  * partition-local execution, feature vector output) is real and tested.
+  * At 100 TB the pattern is: binary column in parquet (so column pruning
+  * skips the bytes unless referenced), `repartition` to bound task input
+  * size, `mapPartitions` so any native decoder initializes once per
+  * partition rather than once per row.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + metadata, as it would land from ingestion. */
+  case class MediaRow(media_id: Long, mime: String, payload: Array[Byte])
+
+  /** Fixed-shape decoded features (stand-in for image embeddings / audio
+    * frames). Deterministic fake: byte histogram moments. */
+  case class MediaFeatures(media_id: Long, mime: String, n_bytes: Int,
+                           feature: Array[Float])
+
+  /** STUB decode: a real build would call an image/audio codec here (the
+    * container ships none). Deterministic byte-level moments keep the
+    * pipeline testable end-to-end. Partition-local: one decoder init per
+    * partition, rows streamed — the shape a JNI/FFI codec needs. */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+    // decoder init would happen here, once per partition
+    rows.map { r =>
+      val bs = r.payload
+      val n = math.max(bs.length, 1)
+      val mean = bs.map(_ & 0xff).sum.toFloat / n
+      val mx = if (bs.isEmpty) 0f else (bs.map(_ & 0xff).max).toFloat
+      val mn = if (bs.isEmpty) 0f else (bs.map(_ & 0xff).min).toFloat
+      MediaFeatures(r.media_id, r.mime, bs.length, Array(mean, mn, mx, n.toFloat))
+    }
+  }
+
+  /** Full pipeline: DataFrame with a binary column → partition-local decode
+    * → typed features. */
+  def extractFeatures(df: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import df.sparkSession.implicits._
+    df.mapPartitions(decodeStub)
+  }
+
+  // ---------------------------------------------------------------- queries entry
+  /** Binary-column metadata projection over documents-as-blobs: the
+    * metadata/pruning half of the multimodal story, fully SQL-expressible
+    * (byte lengths via octet_length on both engines). */
+  def q38BinaryMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("octet_length(text)").as("n_bytes"),
+        length(col("text")).as("n_chars_m"),
+        lit("text/plain").as("mime"),
+        (expr("octet_length(text)").cast("long") * 2654435761L % 1000003L).as("fake_feature"))
+      .orderBy(col("doc_id"))
+
+  val q38Sql: String =
+    """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, length(text) AS n_chars_m,
+      |  'text/plain' AS mime,
+      |  (octet_length(text::BLOB) * 2654435761) % 1000003 AS fake_feature
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q38_binary_meta", q38BinaryMeta _, Some(q38Sql)),
+  )
+}

@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Vector similarity search over ArrayType(FloatType) embeddings
+  * (SURVEY.md §2 C3): brute-force cosine top-k as the exact baseline, and
+  * a random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Dot products / norms use the higher-order functions zip_with +
+  * aggregate (codegen'd, no UDF). Floats are cast to double inside the
+  * lambda so arithmetic matches the DuckDB oracle exactly.
+  *
+  * Scale design: the query set is broadcast, so brute force is a map-only
+  * scan of the corpus followed by a per-query top-k (row_number over a
+  * 5-partition window here; a TypedImperativeAggregate heap would remove
+  * even that shuffle — noted for a later round). The LSH variant prunes
+  * the corpus to same-bucket candidates before scoring, turning top-k into
+  * an equi-join — the 100 TB path.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm in double precision. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  // ---------------------------------------------------------------- C3: norms
+  def q29EmbedNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), round(norm(col("embedding")), 4).as("nrm"))
+      .orderBy(col("vec_id"))
+
+  val q29Sql: String =
+    """SELECT vec_id, label, round(sqrt(sum(x * x)), 4) AS nrm
+      |FROM (SELECT vec_id, label, unnest(embedding)::DOUBLE AS x FROM embeddings) t
+      |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- C3: exact kNN
+  /** Brute-force cosine top-10 for query vectors (vec_id < 5): broadcast
+    * the queries, scan the corpus once, rank per query. */
+  def q30KnnExact(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qe"), col("embedding")) /
+        (norm(col("qe")) * norm(col("embedding"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 5).as("cos"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val q30Sql: String =
+    """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
+      |            FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.x * b.x) AS dot
+      |         FROM ex a JOIN ex b ON a.i = b.i
+      |         WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id GROUP BY 1, 2),
+      |cos AS (SELECT q_id, d.vec_id, d.dot / (na.nrm * nb.nrm) AS c
+      |        FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.vec_id),
+      |r AS (SELECT q_id, vec_id, c,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM cos)
+      |SELECT q_id, rn, vec_id, round(c, 5) AS cos FROM r WHERE rn <= 10
+      |ORDER BY q_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- C3: LSH-bucketed ANN
+  /** 8-plane random-hyperplane LSH: each vector hashes to a 256-bucket
+    * signature; neighbors are scored only within the query's bucket.
+    * Plane weights are integer pseudo-randoms so both engines derive the
+    * identical planes. Corpus-side work is linear; candidate scoring is an
+    * equi-join on the bucket id.
+    */
+  def q31AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    // (vec_id, pos, x): pos is 0-based; DuckDB subscripts are 1-based → d = pos + 1
+    val ex = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val planes = s.range(8).select(col("id").cast("int").as("j"))
+    val sig = ex.crossJoin(broadcast(planes))
+      .withColumn("wt",
+        ((col("j") * 64 + col("pos") + 1).cast("long") * 2654435761L) % 2000003L - 1000001L)
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("x") * col("wt")).as("sdot"))
+      .withColumn("bit", when(col("sdot") > 0, expr("CAST(shiftleft(1, j) AS BIGINT)")).otherwise(0L))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+    val withB = emb.join(sig, "vec_id")
+    val q = withB.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+    val scored = withB.join(q, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qe"), col("embedding")) /
+        (norm(col("qe")) * norm(col("embedding"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 5).as("cos"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val q31Sql: String =
+    """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding)::DOUBLE AS x
+      |            FROM embeddings),
+      |planes AS (SELECT j FROM range(8) t(j)),
+      |sig AS (SELECT vec_id, j, sum(x * (((j * 64 + d) * 2654435761) % 2000003 - 1000001)) AS sdot
+      |        FROM ex CROSS JOIN planes GROUP BY vec_id, j),
+      |buck AS (SELECT vec_id, sum(CASE WHEN sdot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+      |         FROM sig GROUP BY vec_id),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+      |qs AS (SELECT vec_id AS q_id, bucket FROM buck WHERE vec_id < 5),
+      |cand AS (SELECT q.q_id, b.vec_id FROM qs q JOIN buck b ON b.bucket = q.bucket
+      |         WHERE b.vec_id <> q.q_id),
+      |dots AS (SELECT c.q_id, c.vec_id, sum(a.x * b.x) AS dot
+      |         FROM cand c JOIN ex a ON a.vec_id = c.q_id JOIN ex b ON b.vec_id = c.vec_id AND b.d = a.d
+      |         GROUP BY c.q_id, c.vec_id),
+      |cos AS (SELECT q_id, d.vec_id, d.dot / (na.nrm * nb.nrm) AS c
+      |        FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.vec_id),
+      |r AS (SELECT q_id, vec_id, c,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM cos)
+      |SELECT q_id, rn, vec_id, round(c, 5) AS cos FROM r WHERE rn <= 5
+      |ORDER BY q_id, rn""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
+    ("q30_knn_exact",  q30KnnExact _,  Some(q30Sql)),
+    ("q31_ann_lsh",    q31AnnLsh _,    Some(q31Sql)),
+  )
+}

@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Temporal operators Spark has no single built-in for: as-of join, interval
+  * (range) join, gap-based sessionization (SURVEY.md §2 joins row + C6).
+  *
+  * The as-of join is expressed as a window scan rather than a point lookup:
+  * shuffle once on the partition key, sort within partitions by time, and
+  * carry the last matching right-side value forward. That is O(n log n) per
+  * key with no per-row probing — the formulation that survives 100 TB,
+  * unlike a correlated subquery (which is what the DuckDB oracle uses,
+  * correct but quadratic).
+  */
+object Temporal {
+
+  /** Generic as-of lookup within one stream: for every `probe`-typed row,
+    * the greatest `ref`-typed timestamp of the same key strictly before it.
+    * rowsBetween(-∞, -1) + orderBy(ts) ≡ "latest ref with ref.ts < probe.ts"
+    * given unique timestamps per key.
+    */
+  def asOfLast(df: DataFrame, keyCol: String, tsCol: String,
+               isRef: Column, refValue: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__asof", max(when(isRef, refValue)).over(w))
+  }
+
+  // ------------------------------------------------------------------ as-of
+  /** For each error event: the most recent click by the same user strictly
+    * before it. One shuffle on user_id; no self-join.
+    */
+  def q21AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("error", "click"))
+    asOfLast(ev, "user_id", "ts",
+             col("event_type") === "click", col("ts"))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("__asof").as("prev_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val q21Sql: String =
+    """SELECT e.event_id, e.user_id, e.ts,
+      |  (SELECT max(c.ts) FROM events c
+      |   WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts < e.ts) AS prev_click_ts
+      |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin
+
+  // ------------------------------------------------------------------ range join
+  /** Interval join: purchases within 24 h after a signup by the same user.
+    * The equi-key (user_id) makes this a shuffled hash/sort-merge join with
+    * the range predicate as a post-filter — NOT a broadcast-nested-loop.
+    * At 100 TB, bucketing both sides by user_id removes even that shuffle.
+    */
+  def q22RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("signup_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+              col("ts").as("purchase_ts"), col("value"))
+    su.join(pu,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("signup_id"), col("purchase_id"), col("user_id"),
+              col("signup_ts"), col("purchase_ts"), col("value"))
+      .orderBy(col("signup_id"), col("purchase_id"))
+  }
+
+  val q22Sql: String =
+    """SELECT s.event_id AS signup_id, p.event_id AS purchase_id, s.user_id,
+      |  s.ts AS signup_ts, p.ts AS purchase_ts, p.value
+      |FROM events s JOIN events p
+      |  ON s.user_id = p.user_id AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
+      |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+      |ORDER BY signup_id, purchase_id""".stripMargin
+
+  // ------------------------------------------------------------------ sessionize
+  /** Gap-based sessionization (30-minute inactivity gap) using the built-in
+    * session_window operator — the exact same operator drives the streaming
+    * rollup path with watermarks. Single shuffle on (user_id).
+    */
+  def q23Sessionize(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"),
+           min(col("ts")).as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n"), col("sv"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q23Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTES
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n, round(sum(value), 2) AS sv
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q21_asof_join",  q21AsOfJoin _,  Some(q21Sql)),
+    ("q22_range_join", q22RangeJoin _, Some(q22Sql)),
+    ("q23_sessionize", q23Sessionize _, Some(q23Sql)),
+  )
+}

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.functions.TextHash._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2 C4):
+  * language-ID heuristic, quality scoring, token statistics, document
+  * fingerprinting.
+  *
+  * All per-document metrics use higher-order array functions (filter /
+  * transform / aggregate) instead of explode-and-reaggregate, so they are
+  * one codegen'd map stage with zero shuffles — the shape that scans
+  * 100 TB of documents at parquet speed. Only the corpus-wide term
+  * statistics (q34) explode, and those aggregate map-side first.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "an", "of", "and", "to", "in")
+  private val stopSqlList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // ---------------------------------------------------------------- C4: language ID
+  /** Stopword-ratio language heuristic (n-gram-class heuristic over the
+    * token stream). Pure map stage. */
+  def q32LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nstop = size(filter(toks, t => t.isInCollection(stopwords)))
+    val ratio = nstop.cast("double") / size(toks)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        when(ratio >= 0.03, lit("en")).otherwise(lit("other")).as("lang_pred"),
+        round(ratio, 4).as("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q32Sql: String =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN ratio >= 0.03 THEN 'en' ELSE 'other' END AS lang_pred,
+       |  round(ratio, 4) AS stop_ratio
+       |FROM (SELECT doc_id, lang,
+       |        len(list_filter(string_split(text, ' '), t -> list_contains($stopSqlList, t)))::DOUBLE
+       |          / len(string_split(text, ' ')) AS ratio
+       |      FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C4: quality scoring
+  /** Length / vocabulary-diversity quality score in [0,1]. Pure map stage. */
+  def q33QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
+    val lenScore = least(nTok.cast("double") / 200.0, lit(1.0))
+    val avgWordLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nTok.as("n_tok"),
+        round(avgWordLen, 4).as("avg_word_len"),
+        round(uniqRatio, 4).as("uniq_ratio"),
+        round(lenScore * 0.5 + uniqRatio * 0.5, 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q33Sql: String =
+    """SELECT doc_id, n_tok,
+      |  round((n_chars - (n_tok - 1))::DOUBLE / n_tok, 4) AS avg_word_len,
+      |  round(uniq::DOUBLE / n_tok, 4) AS uniq_ratio,
+      |  round(least(n_tok::DOUBLE / 200.0, 1.0) * 0.5 + (uniq::DOUBLE / n_tok) * 0.5, 4) AS quality
+      |FROM (SELECT doc_id, length(text) AS n_chars,
+      |        len(string_split(text, ' ')) AS n_tok,
+      |        len(list_distinct(string_split(text, ' '))) AS uniq
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C4: corpus term stats
+  /** Corpus-wide term frequencies, top 50. Explode → partial (map-side)
+    * count → final count: the only shuffle carries one row per distinct
+    * term per partition. */
+  def q34TokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("docs"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(50)
+
+  val q34Sql: String =
+    """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- C4: fingerprint
+  /** Position-weighted polynomial fingerprint (rolling-hash family), all
+    * integer arithmetic mod 1e9+7 so both engines agree bit-for-bit.
+    * Computed entirely with higher-order functions — no explode. */
+  def q35Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    // 31^(i mod 8) position weights, i 0-based (≡ DuckDB's 1-based (i-1) mod 8)
+    val terms = transform(toks, (t, i) =>
+      (tokval(t) * element_at(
+        typedLit(Seq(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)),
+        (i % 8) + 1)) % FpM)
+    val fp = aggregate(terms, lit(0L), (acc, x) => (acc + x) % FpM)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fp.as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q35Sql: String =
+    s"""SELECT doc_id,
+       |  sum((${tokvalSql("tok")} *
+       |    (CASE (i - 1) % 8 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 WHEN 3 THEN 29791
+       |     WHEN 4 THEN 923521 WHEN 5 THEN 28629151 WHEN 6 THEN 887503681 ELSE 27512614111 END)) % $FpM) % $FpM AS fp
+       |FROM (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+       |        unnest(string_split(text, ' ')) AS tok FROM documents) t
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q32_lang_id",       q32LangId _,       Some(q32Sql)),
+    ("q33_quality_score", q33QualityScore _, Some(q33Sql)),
+    ("q34_token_stats",   q34TokenStats _,   Some(q34Sql)),
+    ("q35_fingerprint",   q35Fingerprint _,  Some(q35Sql)),
+  )
+}

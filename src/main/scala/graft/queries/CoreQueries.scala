@@ -391,6 +391,16 @@ object CoreQueries {
       |  CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ------------------------------------------------------------------- B9 at scale
+  /** HLL++ approximate distinct — the 100 TB replacement for q09's exact
+    * countDistinct (no oracle: HLL implementations differ across engines,
+    * so the driver records a rows-only check). */
+  def q39ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+
   /** name → (query fn, oracle SQL). */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_time_filter",     q01TimeFilter _,     Some(q01Sql)),
@@ -413,5 +423,6 @@ object CoreQueries {
     ("q18_case_agg",        q18CaseAgg _,        Some(q18Sql)),
     ("q19_having",          q19Having _,         Some(q19Sql)),
     ("q20_string_fns",      q20StringFns _,      Some(q20Sql)),
+    ("q39_approx_distinct", q39ApproxDistinct _, None),
   )
 }
