@@ -95,8 +95,11 @@ object TextAnalysis {
   def q35Fingerprint(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     // 31^(i mod 8) position weights, i 0-based (≡ DuckDB's 1-based (i-1) mod 8)
+    // tokval is reduced mod 1000003 before the position weight so the
+    // product stays far below int64 overflow (DuckDB errors on overflow
+    // where Spark would silently wrap).
     val terms = transform(toks, (t, i) =>
-      (tokval(t) * element_at(
+      ((tokval(t) % 1000003L) * element_at(
         typedLit(Seq(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)),
         (i % 8) + 1)) % FpM)
     val fp = aggregate(terms, lit(0L), (acc, x) => (acc + x) % FpM)
@@ -107,7 +110,7 @@ object TextAnalysis {
 
   val q35Sql: String =
     s"""SELECT doc_id,
-       |  sum((${tokvalSql("tok")} *
+       |  sum(((${tokvalSql("tok")} % 1000003) *
        |    (CASE (i - 1) % 8 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 WHEN 3 THEN 29791
        |     WHEN 4 THEN 923521 WHEN 5 THEN 28629151 WHEN 6 THEN 887503681 ELSE 27512614111 END)) % $FpM) % $FpM AS fp
        |FROM (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,

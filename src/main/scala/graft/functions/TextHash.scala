@@ -21,14 +21,16 @@ object TextHash {
   /** Large prime modulus for document fingerprints. */
   val FpM = 1000000007L
 
-  /** tokval(t) = ascii(first) * 65536 + ascii(last) * 256 + length. */
+  /** tokval(t) = Knuth-scrambled (first code point, last code point,
+    * length). The multiplicative scramble gives avalanche so structurally
+    * similar tokens ("tok30"/"qqq30") land far apart in hash space. */
   def tokval(t: Column): Column =
-    (ascii(t) * lit(65536L) + ascii(substring(t, -1, 1)) * lit(256L) + length(t))
-      .cast("long")
+    ((ascii(t) * lit(65536L) + ascii(substring(t, -1, 1)) * lit(256L) + length(t))
+      .cast("long") * lit(2654435761L)) % lit(MinHashP)
 
   /** SQL fragment computing the same tokval for a token expression. */
   def tokvalSql(t: String): String =
-    s"(ascii($t) * 65536 + ascii(substr($t, length($t), 1)) * 256 + length($t))"
+    s"(((ascii($t) * 65536 + ascii(substr($t, length($t), 1)) * 256 + length($t)) * 2654435761) % ${MinHashP})"
 
   /** MinHash permutation h: min over tokens of (a_h * tokval + b_h) mod P,
     * with a_h/b_h derived from the permutation index by Knuth's

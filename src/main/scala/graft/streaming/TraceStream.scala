@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ingest.TraceIngest
+import graft.schema.TraceSchema
+import graft.store.TraceStore
+
+/** Structured-Streaming ingest (SURVEY.md §2 A1-A4, A11, A13; §3 E1).
+  *
+  * The reference's pipeline — inotifywait on close_write → one python
+  * process per rotated file → HTTP INSERT → delete on success
+  * (/root/reference/entrypoint.sh:18-29,
+  * /root/reference/trace-converter.py:109-130) — maps onto the file
+  * source's contract: a newly visible file is a new unit of data, each
+  * micro-batch commits atomically, and the checkpoint replaces
+  * delete-on-success with exactly-once bookkeeping (strictly stronger
+  * than the reference's at-least-once manual delete).
+  *
+  * Scale: file listing is driver-side but incremental (maxFilesPerTrigger
+  * bounds a batch); parse/normalize run on executors; the sink append
+  * partitions by month so a year of backlog still lands as 12 directories
+  * with batch-sized files.
+  */
+object TraceStream {
+
+  final case class Config(
+    watchDir: String,
+    tablePath: String,
+    checkpointDir: String,
+    maxFilesPerTrigger: Int = 64,
+    deleteOnSuccess: Boolean = false,   // A13: the reference's --delete-logs
+    trigger: Trigger = Trigger.AvailableNow())
+
+  /** Streaming source over the watched directory (A1): new rotated
+    * *.json files become micro-batch input. */
+  def source(spark: SparkSession, cfg: Config): DataFrame =
+    spark.readStream
+      .schema(TraceSchema.raw)
+      .option("pathGlobFilter", "*.json")            // A3 suffix filter
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .option("cleanSource", if (cfg.deleteOnSuccess) "delete" else "off")
+      .json(cfg.watchDir)
+
+  /** Full ingest query: source → normalize → partitioned store append.
+    * foreachBatch gives the same commit unit as the reference's
+    * one-file-one-INSERT (A11) while keeping the store writer shared with
+    * the batch path. */
+  def start(spark: SparkSession, cfg: Config): StreamingQuery =
+    TraceIngest.normalize(source(spark, cfg))
+      .writeStream
+      .queryName("trace-ingest")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TraceStore.append(batch, cfg.tablePath)
+      }
+      .start()
+
+  /** Sentinel-file shutdown (A4): the reference exits its watch loop when
+    * `sim-completed` appears (/root/reference/entrypoint.sh:22-24). Polls
+    * between micro-batches; returns when stopped. */
+  def runUntilSentinel(q: StreamingQuery, sentinel: java.nio.file.Path,
+                       pollMillis: Long = 500): Unit = {
+    while (q.isActive && !java.nio.file.Files.exists(sentinel)) {
+      q.awaitTermination(pollMillis)
+    }
+    if (q.isActive) q.stop()
+    q.awaitTermination()
+  }
+
+  /** Streaming hourly rollup with watermark (B7 streaming form): the
+    * materialized-view TODO of the reference
+    * (/root/reference/README.md:231-236) as a live windowed aggregate. */
+  def hourlyRollup(spark: SparkSession, cfg: Config): DataFrame =
+    TraceIngest.normalize(source(spark, cfg))
+      .withWatermark("Time", "1 hour")
+      .groupBy(window(col("Time"), "1 hour"), col("Type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("Type"), col("n"))
+}

@@ -1,0 +1,91 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture tests for the Tier C operators: prove the LSH near-dup
+  * path and the kNN path actually find what they should (the driver's
+  * testdata has no planted near-dups, so recall is asserted here). */
+class ExtSpec extends SparkSpec {
+
+  /** Build a docs dir shaped like the driver's documents table. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("docs")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+
+  test("LSH pairs find a planted near-duplicate with high jaccard") {
+    val nearDup = base.replace("tok30", "tokX")              // 1 word differs
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")   // unrelated
+    val dir = docsDir(Seq((1L, base), (2L, nearDup), (3L, other)))
+    val pairs = Dedup.q26LshPairs(spark, dir).collect()
+    val p = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p.isDefined, s"expected (1,2) in ${pairs.mkString(",")}")
+    assert(p.get.getDouble(2) > 0.8)
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("exact dedup groups identical texts") {
+    val dir = docsDir(Seq((1L, base), (2L, base), (3L, "unique words here")))
+    val got = Dedup.q24DedupExact(spark, dir).collect()
+    assert(got.length == 2)
+    assert(got.find(_.getLong(0) == 1L).get.getLong(1) == 2) // dups count
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val dir = docsDir(Seq((1L, base), (2L, base.replace("tok30", "tokX")),
+                          (3L, (1 to 60).map(i => s"qqq$i").mkString(" "))))
+    val sh = Dedup.q27SimHash(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bits(x: Long) = java.lang.Long.bitCount(x)
+    assert(bits(sh(1L) ^ sh(2L)) <= bits(sh(1L) ^ sh(3L)))
+  }
+
+  test("exactByKey keeps the lowest id deterministically") {
+    import spark.implicits._
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "b")).toDF("id", "k")
+    val got = Dedup.exactByKey(df, "k", "id").orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  /** Build an embeddings dir shaped like the driver's table. */
+  private def vecsDir(rows: Seq[(Long, Seq[Float])]): String = {
+    import spark.implicits._
+    val dir = tmpDir("vecs")
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("exact kNN ranks an identical vector first with cosine 1") {
+    val v = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val orth = Seq.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)
+    val dir = vecsDir(Seq((0L, v), (10L, v.map(x => x * 2f)), (11L, orth)))
+    val got = Similarity.q30KnnExact(spark, dir)
+      .filter(col("q_id") === 0).orderBy("rn").collect()
+    assert(got(0).getLong(2) == 10L)      // scaled copy = cosine 1
+    assert(got(0).getDouble(3) == 1.0)
+  }
+
+  test("as-of join picks the latest prior click") {
+    import spark.implicits._
+    val dir = tmpDir("ev")
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:20:00"), 7L, "error", 1.0, "{}"),
+      (4L, ts("2024-01-01 09:00:00"), 8L, "error", 1.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Temporal.q21AsOfJoin(spark, dir).orderBy("event_id").collect()
+    assert(got(0).getTimestamp(3) == ts("2024-01-01 10:10:00")) // latest click
+    assert(got(1).isNullAt(3))                                   // no prior click
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import graft.schema.TraceSchema
+
+/** Pins SURVEY.md §1.4 time semantics + A6 projection + nullable ID. */
+class IngestSpec extends SparkSpec {
+
+  private def writeFixture(dir: String): Unit = {
+    // Extra keys (As/Transition/Locality) must be dropped; one line lacks ID.
+    val lines = Seq(
+      """{"Severity": 10, "Machine": "127.0.0.1:4500", "LogGroup": "default", "Time": 1557761852.941, "Type": "Role", "ID": "92f2ac1d4ebb1f2d", "As": "MasterServer", "Transition": "Begin"}""",
+      """{"Severity": 20, "Machine": "127.0.0.1:4501", "LogGroup": "default", "Time": 1557761853.499, "Type": "MachineMetrics", "Locality": "zz"}""",
+      """{"Severity": 40, "Machine": "127.0.0.1:4502", "LogGroup": "g2", "Time": 1557761854.0, "Type": "Net2SlowTaskTrace", "ID": "0000000000000001"}""",
+    )
+    Files.write(Paths.get(dir, "trace.127.0.0.1.4500.1.2.json"),
+      lines.mkString("\n").getBytes)
+    // non-.json files must be ignored (A3)
+    Files.write(Paths.get(dir, "trace.partial.tmp"), "garbage".getBytes)
+  }
+
+  test("batch ingest: projection, time truncation, nullability") {
+    val dir = tmpDir("ingest")
+    writeFixture(dir)
+    val df = TraceIngest.readBatch(spark, dir)
+    // JSON sources always report nullable fields; the target's declared
+    // non-nullability is enforced by normalize's filters, checked below.
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+           TraceSchema.target.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(df.filter(
+      df.col("Severity").isNull || df.col("Machine").isNull ||
+      df.col("Time").isNull || df.col("Type").isNull).count() == 0)
+    val rows = df.orderBy("Time").collect()
+    assert(rows.length == 3)
+    // §1.4: fractional seconds truncate toward zero (1557761852.941 → ...52)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    assert(fmt.format(rows(0).getTimestamp(3)) == "2019-05-13 15:37:32")
+    assert(fmt.format(rows(1).getTimestamp(3)) == "2019-05-13 15:37:33")
+    // ID nullable: second line had none
+    assert(rows(1).isNullAt(5))
+    assert(rows(0).getString(5) == "92f2ac1d4ebb1f2d")
+  }
+
+  test("toJsonEachRow round-trips the declared schema") {
+    val dir = tmpDir("ingest2")
+    writeFixture(dir)
+    val df = TraceIngest.readBatch(spark, dir)
+    val json = TraceIngest.toJsonEachRow(df).collect()
+    assert(json.length == 3)
+    assert(json.forall(_.contains("\"Severity\":")))
+  }
+
+  test("summary counts rows and non-nulls per column") {
+    val dir = tmpDir("ingest3")
+    writeFixture(dir)
+    val s = TraceIngest.summary(TraceIngest.readBatch(spark, dir)).collect()(0)
+    assert(s.getLong(s.fieldIndex("n_rows")) == 3)
+    assert(s.getLong(s.fieldIndex("nn_ID")) == 2)
+    assert(s.getLong(s.fieldIndex("nn_Machine")) == 3)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.store
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Store layout contract (SURVEY.md §1.5): month partitions, sorted files,
+  * pruning. */
+class StoreSpec extends SparkSpec {
+
+  private def mkBatch() = {
+    import spark.implicits._
+    Seq(
+      (10, "m1", "default", Timestamp.valueOf("2019-05-13 15:37:32"), "Role", Option("a")),
+      (20, "m2", "default", Timestamp.valueOf("2019-06-01 00:00:00"), "Metrics", None),
+      (30, "m1", "default", Timestamp.valueOf("2019-05-20 10:00:00"), "Role", Option("b")),
+    ).toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID")
+  }
+
+  test("append writes Hive-style ym partitions sorted by Time") {
+    val path = tmpDir("store")
+    TraceStore.append(mkBatch(), path)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("ym=201905", "ym=201906"))
+    val may = TraceStore.read(spark, path).filter(col("ym") === "201905")
+      .orderBy("Time").select("Severity").collect().map(_.getInt(0))
+    assert(may.toSeq == Seq(10, 30))
+  }
+
+  test("timeRange prunes to the matching month partitions") {
+    val path = tmpDir("store2")
+    TraceStore.append(mkBatch(), path)
+    val got = TraceStore.timeRange(spark, path,
+      Timestamp.valueOf("2019-05-01 00:00:00"), Timestamp.valueOf("2019-06-01 00:00:00"))
+    assert(got.count() == 2)
+    // partition filter must appear in the plan (pruning, not post-filter)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ym"))
+  }
+
+  test("appends are additive (micro-batch commit unit)") {
+    val path = tmpDir("store3")
+    TraceStore.append(mkBatch(), path)
+    TraceStore.append(mkBatch(), path)
+    assert(TraceStore.read(spark, path).count() == 6)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import graft.store.TraceStore
+
+/** End-to-end streaming ingest smoke (SURVEY.md §5.2 item 5): rotated
+  * files → micro-batches → partitioned store, with checkpoint-based
+  * incremental restart (the reference's delete-on-success ack, A13, made
+  * exactly-once) and sentinel shutdown (A4). */
+class StreamSpec extends SparkSpec {
+
+  private def writeTrace(dir: String, name: String, t0: Long, n: Int): Unit = {
+    val lines = (0 until n).map { i =>
+      s"""{"Severity": 10, "Machine": "127.0.0.1:4500", "LogGroup": "default", "Time": ${t0 + i}.25, "Type": "Role", "ID": "id$i"}"""
+    }
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes)
+  }
+
+  test("AvailableNow drains rotated files into the partitioned table") {
+    val watch = tmpDir("watch"); val table = tmpDir("table"); val ckpt = tmpDir("ckpt")
+    writeTrace(watch, "trace.1.json", 1557761852L, 5)
+    writeTrace(watch, "trace.2.json", 1557761900L, 7)
+    Files.write(Paths.get(watch, "notatrace.txt"), "skip me".getBytes)
+
+    val cfg = TraceStream.Config(watch, table, ckpt)
+    val q = TraceStream.start(spark, cfg)
+    q.awaitTermination()
+    assert(TraceStore.read(spark, table).count() == 12)
+
+    // restart with one new file: checkpoint must replay only the new one
+    writeTrace(watch, "trace.3.json", 1557762000L, 3)
+    val q2 = TraceStream.start(spark, cfg)
+    q2.awaitTermination()
+    assert(TraceStore.read(spark, table).count() == 15)
+  }
+
+  test("sentinel file stops a continuous query (A4)") {
+    val watch = tmpDir("watch2"); val table = tmpDir("table2"); val ckpt = tmpDir("ckpt2")
+    writeTrace(watch, "trace.1.json", 1557761852L, 2)
+    val cfg = TraceStream.Config(watch, table, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+    val q = TraceStream.start(spark, cfg)
+    val sentinel = Paths.get(watch, "sim-completed")
+    new Thread(() => { Thread.sleep(1500); Files.write(sentinel, Array.emptyByteArray) }).start()
+    TraceStream.runUntilSentinel(q, sentinel)
+    assert(!q.isActive)
+    assert(TraceStore.read(spark, table).count() == 2)
+  }
+}
