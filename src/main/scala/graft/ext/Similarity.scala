@@ -84,18 +84,21 @@ object Similarity {
     */
   def q31AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // (vec_id, pos, x): pos is 0-based; DuckDB subscripts are 1-based → d = pos + 1
-    val ex = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .withColumn("x", col("x").cast("double"))
-    val planes = s.range(8).select(col("id").cast("int").as("j"))
-    val sig = ex.crossJoin(broadcast(planes))
-      .withColumn("wt",
-        ((col("j") * 64 + col("pos") + 1).cast("long") * 2654435761L) % 2000003L - 1000001L)
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("x") * col("wt")).as("sdot"))
-      .withColumn("bit", when(col("sdot") > 0, expr("CAST(shiftleft(1, j) AS BIGINT)")).otherwise(0L))
-      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
-    val withB = emb.join(sig, "vec_id")
+    // The 8×64 plane weights are deterministic integers, so they are built
+    // driver-side and the whole signature becomes one per-row expression —
+    // zero shuffles for the corpus-side hashing (vs explode+groupBy, which
+    // shuffled 8M intermediate rows at sf0.1). DuckDB subscripts are
+    // 1-based → d runs 1..64.
+    val planes: Seq[Seq[Double]] = (0 until 8).map { j =>
+      (1 to 64).map(d => (((j * 64 + d).toLong * 2654435761L) % 2000003L - 1000001L).toDouble)
+    }
+    val bucketExpr = planes.zipWithIndex.map { case (w, j) =>
+      val sdot = aggregate(
+        zip_with(col("embedding"), typedLit(w), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(sdot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withB = emb.withColumn("bucket", bucketExpr)
     val q = withB.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
     val scored = withB.join(q, "bucket")
