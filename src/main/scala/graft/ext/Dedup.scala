@@ -54,24 +54,24 @@ object Dedup {
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |tri AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("tk")}) AS g FROM toks)""".stripMargin
 
-  /** MinHash signature rows (doc_id, h, minh), h ∈ 0..15, over 3-word
-    * shingles. Explode + broadcast-16 + partial-agg min: every operator is
-    * codegen'd (an array-lambda formulation is shuffle-free but runs
-    * interpreted — measured 6× slower; a custom codegen Expression could
-    * get both, tracked for a later round). The shuffle carries only
-    * 16 rows × docs after map-side combine. */
-  private def sigRows(s: SparkSession, tri: DataFrame): DataFrame = {
-    val hs = s.range(16).select(col("id").cast("int").as("h"))
-    tri
-      .withColumn("tv", tokval(col("g")))
-      .crossJoin(broadcast(hs))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(minhashTerm(col("tv"), col("h"))).as("minh"))
-  }
+  /** Per-document MinHash signature via the native codegen expression
+    * [[graft.functions.MinHashSigExpr]]: one compiled pass over the shingle
+    * array, map-only — signs 100 TB at scan speed with zero shuffles.
+    * (Both built-in formulations lose: explode+groupBy shuffles
+    * 16×|shingles| rows; array lambdas run interpreted, measured 6×
+    * slower. This is the SURVEY.md §7.3 custom-Expression case.) */
+  private def withSig(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhash_shingle_sig(col("tk")).as("sig"))
 
   /** 16-permutation MinHash signature over 3-word shingles. */
   def q25MinHashSig(s: SparkSession, dir: String): DataFrame =
-    sigRows(s, docShingles(s, dir)).orderBy(col("doc_id"), col("h"))
+    withSig(s, dir)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("h", "minh")))
+      .orderBy(col("doc_id"), col("h"))
 
   val q25Sql: String =
     s"""WITH $shinglesCte,
@@ -87,34 +87,34 @@ object Dedup {
     * cross-engine). Output is every candidate pair with its exact Jaccard.
     */
   def q26LshPairs(s: SparkSession, dir: String): DataFrame = {
-    // Band b packs sig[4b..4b+3] with base-31 weights into one key; docs
-    // sharing any (band, key) are candidates. The shingle table feeds both
-    // the signatures and the exact verification — persist so the corpus is
-    // shingled once (at 100 TB: checkpoint to parquet between stages).
-    val tri = docShingles(s, dir).persist()
-    val sig = sigRows(s, tri)
-    val bandKey = sum(col("minh") *
-      when(col("h") % 4 === 0, 1L).when(col("h") % 4 === 1, 31L)
-        .when(col("h") % 4 === 2, 961L).otherwise(29791L)).as("bkey")
-    val buckets = sig.groupBy(col("doc_id"), (col("h") / 4).cast("int").as("band")).agg(bandKey)
+    // Band b packs sig[4b..4b+3] with base-31 weights into one key — a
+    // per-row expression over the signature array; docs sharing any
+    // (band, key) are candidates. Only the bucket equi-join and the exact
+    // verification of the (tiny) candidate set shuffle.
+    val bandKeys = transform(sequence(lit(0), lit(3)), b =>
+      element_at(col("sig"), b * 4 + 1) +
+      element_at(col("sig"), b * 4 + 2) * 31L +
+      element_at(col("sig"), b * 4 + 3) * 961L +
+      element_at(col("sig"), b * 4 + 4) * 29791L)
+    val buckets = withSig(s, dir)
+      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
+      .persist()   // both sides of the self-join below
     val cands = buckets.as("b1")
       .join(buckets.as("b2"),
         col("b1.band") === col("b2.band") && col("b1.bkey") === col("b2.bkey") &&
         col("b1.doc_id") < col("b2.doc_id"))
       .select(col("b1.doc_id").as("d1"), col("b2.doc_id").as("d2"))
       .distinct()
-    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(tri.as("ta"), col("ta.doc_id") === col("d1"))
-      .join(tri.as("tb"), col("tb.doc_id") === col("d2") && col("ta.g") === col("tb.g"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    // Exact verification: join the candidate pairs back to the (tiny set
+    // of) texts and run the one-pass Jaccard kernel per pair — no corpus
+    // shingle explosion, no shingle-equality shuffle.
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
     cands
-      .join(inter, Seq("d1", "d2"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), Seq("d2"))
+      .join(toks.select(col("doc_id").as("d1"), col("tk").as("tk1")), Seq("d1"))
+      .join(toks.select(col("doc_id").as("d2"), col("tk").as("tk2")), Seq("d2"))
       .select(col("d1"), col("d2"),
-        round(col("inter").cast("double") / (col("s1") + col("s2") - col("inter")), 4).as("jacc"))
+        round(graft.functions.GraftFunctions.jaccard_shingles(col("tk1"), col("tk2")), 4).as("jacc"))
       .orderBy(col("d1"), col("d2"))
   }
 

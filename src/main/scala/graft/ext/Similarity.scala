@@ -52,8 +52,8 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot(col("qe"), col("embedding")) /
-        (norm(col("qe")) * norm(col("embedding"))))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
@@ -84,27 +84,17 @@ object Similarity {
     */
   def q31AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // The 8×64 plane weights are deterministic integers, so they are built
-    // driver-side and the whole signature becomes one per-row expression —
-    // zero shuffles for the corpus-side hashing (vs explode+groupBy, which
-    // shuffled 8M intermediate rows at sf0.1). DuckDB subscripts are
-    // 1-based → d runs 1..64.
-    val planes: Seq[Seq[Double]] = (0 until 8).map { j =>
-      (1 to 64).map(d => (((j * 64 + d).toLong * 2654435761L) % 2000003L - 1000001L).toDouble)
-    }
-    val bucketExpr = planes.zipWithIndex.map { case (w, j) =>
-      val sdot = aggregate(
-        zip_with(col("embedding"), typedLit(w), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(sdot > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val withB = emb.withColumn("bucket", bucketExpr)
+    // Bucket hashing is one compiled pass per row (LshBucketExpr kernel) —
+    // zero shuffles for the corpus side; the plane weights are the same
+    // deterministic integers the DuckDB oracle derives.
+    val withB = emb.withColumn("bucket",
+      graft.functions.GraftFunctions.lsh_bucket(col("embedding")))
     val q = withB.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
     val scored = withB.join(q, "bucket")
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot(col("qe"), col("embedding")) /
-        (norm(col("qe")) * norm(col("embedding"))))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)

@@ -1,0 +1,253 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels called from both interpreted eval and generated code.
+  * Loops run in index order, so double arithmetic is bit-identical to the
+  * DuckDB oracle's ordered unnest formulation. */
+object ExprKernels {
+
+  private val P = TextHash.MinHashP
+  private val K = 16
+  private val A: Array[Long] = Array.tabulate(K)(h => ((h * 2654435761L) % 1000003L) * 2 + 1)
+  private val B: Array[Long] = Array.tabulate(K)(h => h * 40503L + 17L)
+
+  /** Same value as [[TextHash.tokval]] (ascii-first/ascii-last/length,
+    * Knuth-scrambled mod 2^31-1). */
+  def tokval(s: UTF8String): Long = {
+    val str = s.toString
+    if (str.isEmpty) 0L
+    else {
+      val first = str.codePointAt(0).toLong
+      val last = str.codePointBefore(str.length).toLong
+      val len = str.codePointCount(0, str.length).toLong
+      ((first * 65536L + last * 256L + len) * 2654435761L) % P
+    }
+  }
+
+  /** One-pass 16-permutation MinHash over the 3-token shingles of a token
+    * array, without materializing shingle strings: tokval of the shingle
+    * "wᵢ wᵢ₊₁ wᵢ₊₂" only needs (first char of wᵢ, last char of wᵢ₊₂,
+    * total length + 2), and min over the shingle multiset equals min over
+    * the distinct set — so per-token (first, last, len) triples are
+    * precomputed once and the shingle loop is pure arithmetic. Returns an
+    * empty array for docs with fewer than 3 tokens. */
+  def minhashShingleSig(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val first = new Array[Long](n); val last = new Array[Long](n); val len = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val str = toks.getUTF8String(i).toString
+      if (str.isEmpty) { first(i) = 0; last(i) = 0; len(i) = 0 }
+      else {
+        first(i) = str.codePointAt(0).toLong
+        last(i) = str.codePointBefore(str.length).toLong
+        len(i) = str.codePointCount(0, str.length).toLong
+      }
+      i += 1
+    }
+    val mins = Array.fill(K)(Long.MaxValue)
+    i = 0
+    while (i <= n - 3) {
+      val tv = ((first(i) * 65536L + last(i + 2) * 256L +
+                 (len(i) + len(i + 1) + len(i + 2) + 2L)) * 2654435761L) % P
+      var h = 0
+      while (h < K) {
+        val v = (A(h) * tv + B(h)) % P
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Exact distinct-3-gram Jaccard between two token arrays (the LSH
+    * verification kernel): builds the shingle string sets exactly as the
+    * relational formulation does. */
+  def jaccardShingles(a: ArrayData, b: ArrayData): Double = {
+    def shingleSet(t: ArrayData): java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      val n = t.numElements()
+      var i = 0
+      while (i <= n - 3) {
+        s.add(t.getUTF8String(i).toString + " " + t.getUTF8String(i + 1).toString +
+          " " + t.getUTF8String(i + 2).toString)
+        i += 1
+      }
+      s
+    }
+    val sa = shingleSet(a); val sb = shingleSet(b)
+    var inter = 0
+    val it = sb.iterator()
+    while (it.hasNext) if (sa.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** One-pass 16-permutation MinHash over a string array. */
+  def minhashSig(arr: ArrayData): ArrayData = {
+    val mins = Array.fill(K)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val tv = tokval(arr.getUTF8String(i))
+      var h = 0
+      while (h < K) {
+        val v = (A(h) * tv + B(h)) % P
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 8-plane random-hyperplane LSH bucket over a float array. Plane
+    * weights are the same integer pseudo-randoms the DuckDB oracle
+    * derives: w(j,d) = ((j*64+d) * 2654435761) % 2000003 - 1000001 with
+    * 1-based d. */
+  def lshBucket(v: ArrayData): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < 8) {
+      var sdot = 0.0
+      var d = 0
+      while (d < n) {
+        val wt = (((j * 64 + d + 1).toLong * 2654435761L) % 2000003L - 1000001L).toDouble
+        sdot += v.getFloat(d).toDouble * wt
+        d += 1
+      }
+      if (sdot > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  /** Fused cosine similarity over two float arrays, accumulating in double
+    * in index order (dot and both norms in a single pass). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** MinHash signature as a native Catalyst expression (SURVEY.md §7.3: the
+  * one Tier C operator where built-ins can't express the semantics
+  * efficiently — a higher-order-function formulation runs interpreted, an
+  * explode formulation shuffles). One compiled pass, map-only.
+  */
+case class MinHashSigExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.minhashSig(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.minhashSig($c)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** MinHash signature over 3-token shingles of a token array, shingling
+  * fused into the hash loop (no shingle strings materialized). */
+case class MinHashShingleSigExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.minhashShingleSig(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.minhashShingleSig($c)")
+  override protected def withNewChildInternal(c: Expression): MinHashShingleSigExpr = copy(child = c)
+  override def prettyName: String = "minhash_shingle_sig"
+}
+
+/** Exact distinct-3-gram Jaccard between two token arrays. */
+case class JaccardShinglesExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.jaccardShingles(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.jaccardShingles($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardShinglesExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_shingles"
+}
+
+/** Random-hyperplane LSH bucket id (8 planes packed to a long) over
+  * ArrayType(FloatType). */
+case class LshBucketExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.lshBucket(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.lshBucket($c)")
+  override protected def withNewChildInternal(c: Expression): LshBucketExpr = copy(child = c)
+  override def prettyName: String = "lsh_bucket"
+}
+
+/** Fused cosine similarity (dot + both norms in one compiled pass) over
+  * ArrayType(FloatType) embeddings — replaces three interpreted
+  * higher-order aggregates. */
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Column-API and SQL surface for the native expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.graftshim.Shim.{column, expression}
+
+  def minhash_sig(c: Column): Column = column(MinHashSigExpr(expression(c)))
+  def minhash_shingle_sig(c: Column): Column = column(MinHashShingleSigExpr(expression(c)))
+  def jaccard_shingles(a: Column, b: Column): Column =
+    column(JaccardShinglesExpr(expression(a), expression(b)))
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSimExpr(expression(a), expression(b)))
+  def lsh_bucket(c: Column): Column = column(LshBucketExpr(expression(c)))
+
+  /** Register SQL names in a session (for spark.sql users). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSigExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_shingle_sig", es => MinHashShingleSigExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_shingles", es => JaccardShinglesExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_bucket", es => LshBucketExpr(es.head), "scala_udf")
+  }
+}
+
+/** spark.sql.extensions entry point: injects the native functions into any
+  * session built with `.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinHashSigExpr(es.head)))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimExpr].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSimExpr(es(0), es(1))))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.functions.TextHash._
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -13,27 +14,27 @@ object Scratch {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-30s ${(System.nanoTime()-t0)/1e9}%.2f s  rows=$n")
     }
-    val emb = graft.tables.Tables.embeddings(spark, dir)
-    time("scan")(emb.count())
-    val planes: Seq[Seq[Double]] = (0 until 8).map { j =>
-      (1 to 64).map(d => (((j * 64 + d).toLong * 2654435761L) % 2000003L - 1000001L).toDouble)
-    }
-    val bucketExpr = planes.zipWithIndex.map { case (w, j) =>
-      val sdot = aggregate(zip_with(col("embedding"), typedLit(w), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(sdot > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val withB = emb.withColumn("bucket", bucketExpr)
-    time("bucket-only")(withB.count())
-    val q = withB.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
-    val joined = withB.join(q, "bucket").filter(col("vec_id") =!= col("q_id"))
-    time("join-candidates")(joined.count())
-    val scored = joined.withColumn("cos",
-      graft.ext.Similarity.dot(col("qe"), col("embedding")) /
-      (graft.ext.Similarity.norm(col("qe")) * graft.ext.Similarity.norm(col("embedding"))))
-    time("scored")(scored.count())
-    time("full-q31")(graft.ext.Similarity.q31AnnLsh(spark, dir).count())
+    val docs = graft.tables.Tables.documents(spark, dir)
+    time("docs-scan")(docs.count())
+    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val tris = tk.select(col("doc_id"), array_distinct(shingles3(col("tk"))).as("tris"))
+      .filter(size(col("tris")) > 0)
+    time("tris")(tris.count())
+    val sig = tris.select(col("doc_id"), graft.functions.GraftFunctions.minhash_sig(col("tris")).as("sig"))
+    time("sig-expr")(sig.count())
+    time("sig-expr-again")(sig.count())
+    val bandKeys = transform(sequence(lit(0), lit(3)), b =>
+      element_at(col("sig"), b * 4 + 1) +
+      element_at(col("sig"), b * 4 + 2) * 31L +
+      element_at(col("sig"), b * 4 + 3) * 961L +
+      element_at(col("sig"), b * 4 + 4) * 29791L)
+    val buckets = sig.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
+    time("buckets")(buckets.count())
+    val cands = buckets.as("b1").join(buckets.as("b2"),
+        col("b1.band") === col("b2.band") && col("b1.bkey") === col("b2.bkey") &&
+        col("b1.doc_id") < col("b2.doc_id"))
+      .select(col("b1.doc_id").as("d1"), col("b2.doc_id").as("d2")).distinct()
+    time("cands")(cands.count())
     time("full-q26")(graft.ext.Dedup.q26LshPairs(spark, dir).count())
     spark.stop()
   }
