@@ -37,10 +37,8 @@ object CoreQueries {
     * are pushed to parquet.
     */
   def q01TimeFilter(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .filter(col("ts") >= ts("2024-01-10 00:00:00") &&
-              col("ts") <  ts("2024-01-20 00:00:00") &&
-              col("event_type") === "error")
+    Tables.eventsInRange(s, dir, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+      .filter(col("event_type") === "error")
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .orderBy(col("event_id"))
 

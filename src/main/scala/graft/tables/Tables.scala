@@ -34,6 +34,25 @@ object Tables {
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
+  /** events with a time-range predicate applied to the RAW nanosecond
+    * column before conversion: the nanos→timestamp expression blocks
+    * parquet pushdown of post-conversion timestamp predicates (the scan
+    * would read every row group), while a plain long comparison pushes to
+    * row-group min/max stats. Bounds are whole-second UTC timestamps, so
+    * ns and truncated-µs ranges select identical rows. */
+  def eventsInRange(s: SparkSession, d: String, fromUtc: String, toUtc: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = apply(s, d, "events")
+    def ns(t: String): Long =
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    if (df.schema("ts").dataType == LongType)
+      df.filter(col("ts") >= ns(fromUtc) && col("ts") < ns(toUtc))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      df.filter(col("ts") >= to_timestamp(lit(fromUtc)) && col("ts") < to_timestamp(lit(toUtc)))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
