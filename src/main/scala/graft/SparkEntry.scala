@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, ExtendedQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +16,7 @@ object SparkEntry {
   private def modules: Seq[Seq[(String, (SparkSession, String) => DataFrame, Option[String])]] =
     Seq(
       CoreQueries.entries,
+      ExtendedQueries.entries,
       ext.Temporal.entries,
       ext.Dedup.entries,
       ext.Similarity.entries,

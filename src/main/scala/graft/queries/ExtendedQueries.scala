@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Second wave of SURVEY.md §2 category coverage: cube, pivot, exact
+  * percentiles, array functions, date functions, statistical aggregates.
+  * Same discipline as CoreQueries: codegen'd builtins, deterministic total
+  * ORDER BY, rounded floating aggregates, DuckDB-oracle parity.
+  */
+object ExtendedQueries {
+
+  // ------------------------------------------------------------------- cube
+  /** CUBE over (event_type, hour): all four grouping sets in one Expand +
+    * single hash aggregate — one shuffle regardless of set count. */
+  def q40Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("hr0", hour(col("ts")))
+      .cube(col("event_type"), col("hr0"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("et"),
+              coalesce(col("hr0"), lit(-1)).as("hr"), col("n"), col("sv"))
+      .orderBy(col("et"), col("hr"))
+
+  val q40Sql: String =
+    """SELECT coalesce(event_type, 'ALL') AS et, coalesce(hr0, -1) AS hr,
+      |  count(*) AS n, round(sum(value), 2) AS sv
+      |FROM (SELECT event_type, hour(ts) AS hr0, value FROM events) t
+      |GROUP BY CUBE(event_type, hr0)
+      |ORDER BY et, hr""".stripMargin
+
+  // ------------------------------------------------------------------- pivot
+  /** Pivot event counts per user: one scan, one shuffle, the type
+    * dimension becomes columns (values enumerated so the plan needs no
+    * pre-pass). */
+  def q41Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  val q41Sql: String =
+    """SELECT user_id,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------- percentiles
+  /** Exact interpolated percentiles (median / p90). At 100 TB use
+    * approx_percentile (t-digest) — exact percentile needs a per-group
+    * sort; kept exact here for oracle parity. */
+  def q42Percentile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"),
+           round(expr("percentile(value, 0.9)"), 4).as("p90"),
+           count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val q42Sql: String =
+    """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med,
+      |  round(quantile_cont(value, 0.9), 4) AS p90, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------- array fns
+  /** Array scalar functions over tokenized docs (first/last element,
+    * sorted slice) — all codegen'd, no explode. */
+  def q43ArrayFns(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        element_at(col("tk"), 1).as("first_tok"),
+        element_at(col("tk"), -1).as("last_tok"),
+        size(col("tk")).as("n_tok"),
+        array_join(slice(array_sort(col("tk")), 1, 3), "|").as("top3"))
+      .orderBy(col("doc_id"))
+
+  val q43Sql: String =
+    """SELECT doc_id, tk[1] AS first_tok, tk[-1] AS last_tok,
+      |  len(tk) AS n_tok, array_to_string(list_sort(tk)[1:3], '|') AS top3
+      |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------- date fns
+  def q44DateFns(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        datediff(to_date(lit("2001-09-01")), to_date(col("o_orderdate"))).as("age_days"))
+      .orderBy(col("o_orderkey"))
+
+  val q44Sql: String =
+    """SELECT o_orderkey, year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+      |  month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01') AS age_days
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------- statistical aggs
+  /** Single-pass moment aggregates (stddev/variance/corr/covar) — the
+    * streaming-friendly formulation both engines share. */
+  def q45Stats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+           round(var_samp(col("l_quantity")), 4).as("var_qty"),
+           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q45Sql: String =
+    """SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q40_cube",       q40Cube _,       Some(q40Sql)),
+    ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
+    ("q42_percentile", q42Percentile _, Some(q42Sql)),
+    ("q43_array_fns",  q43ArrayFns _,   Some(q43Sql)),
+    ("q44_date_fns",   q44DateFns _,    Some(q44Sql)),
+    ("q45_stats",      q45Stats _,      Some(q45Sql)),
+  )
+}
