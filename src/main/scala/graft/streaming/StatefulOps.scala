@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators (SURVEY.md §2 checklist "stateful
+  * streaming ops"; C1/C6 in streaming form).
+  *
+  * State is partitioned by key and bounded by watermark/timeout, so the
+  * state store grows with live keys only — the shape that holds on an
+  * unbounded 100 TB/day stream.
+  */
+object StatefulOps {
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              n: Long, sv: Double)
+
+  /** Streaming exact dedup (C1): state bounded by the watermark horizon —
+    * the streaming analogue of re-ingested trace files being tolerated by
+    * the reference's at-least-once delivery (SURVEY §3 E1). */
+  def dedupStream(df: DataFrame, tsCol: String, delay: String, keys: String*): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Custom gap-based sessionization with explicit state
+    * (flatMapGroupsWithState): emits a session when the gap closes it or
+    * the event-time timeout fires. The built-in session_window (q23) covers
+    * the aggregate case; this is the arbitrary-state escape hatch. */
+  def sessionize(ds: Dataset[Ev], gapMinutes: Int): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fn(key: Long, events: Iterator[Ev],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      if (state.hasTimedOut) {
+        val s = state.get
+        out ::= SessionOut(key, new Timestamp(s.start), s.n, s.sum)
+        state.remove()
+      } else {
+        val evs = events.toSeq.sortBy(_.ts.getTime)
+        var st = state.getOption
+        evs.foreach { e =>
+          val t = e.ts.getTime
+          st match {
+            case Some(s) if t - s.last <= gapMs =>
+              st = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+            case Some(s) =>
+              out ::= SessionOut(key, new Timestamp(s.start), s.n, s.sum)
+              st = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              st = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        st.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+      }
+      out.reverseIterator
+    }
+
+    ds.withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Stateful streaming: watermark-bounded dedup + custom session state. */
+class StatefulSpec extends SparkSpec {
+
+  import StatefulOps._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dropDuplicatesWithinWatermark removes re-delivered rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = dedupStream(in.toDF(), "ts", "1 hour", "user_id", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData(Ev(1, ts("2024-01-01 10:00:00"), 1.0),
+               Ev(1, ts("2024-01-01 10:00:00"), 1.0),   // duplicate in-batch
+               Ev(2, ts("2024-01-01 10:01:00"), 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(1, ts("2024-01-01 10:00:00"), 1.0))   // re-delivery next batch
+    q.processAllAvailable()
+    val n = spark.table("dedup_out").count()
+    q.stop()
+    assert(n == 2)
+  }
+
+  test("flatMapGroupsWithState emits closed sessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    // session 1: two events 10 min apart; then a 2-hour gap closes it
+    in.addData(Ev(7, ts("2024-01-01 10:00:00"), 1.0),
+               Ev(7, ts("2024-01-01 10:10:00"), 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(7, ts("2024-01-01 12:30:00"), 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").as[SessionOut].collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows(0).user_id == 7 && rows(0).n == 2 && rows(0).sv == 3.0)
+    assert(rows(0).session_start == ts("2024-01-01 10:00:00"))
+  }
+}
