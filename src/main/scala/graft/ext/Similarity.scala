@@ -124,9 +124,65 @@ object Similarity {
       |SELECT q_id, rn, vec_id, round(c, 5) AS cos FROM r WHERE rn <= 5
       |ORDER BY q_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- C3: IVF-style ANN
+  /** IVF-flavoured ANN: a small deterministic centroid set (every 400th
+    * vector — production would k-means; the partition/search shape is
+    * identical), each vector assigned to its best-cosine cell, neighbor
+    * search confined to the query's cell. Assignment is a broadcast of the
+    * centroid set + per-row fused-cosine argmax; the cell join is an
+    * equi-join — both sides scale linearly. */
+  def q46IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_sim
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") % 400 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val cells = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine_sim(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    val q = cells.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cell"))
+    val scored = cells.join(q, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine_sim(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 5).as("cos"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val q46Sql: String =
+    """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
+      |            FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+      |cents AS (SELECT vec_id AS c_id FROM embeddings WHERE vec_id % 400 = 0),
+      |cdots AS (SELECT a.vec_id, c.c_id, sum(a.x * b.x) AS dot
+      |          FROM ex a CROSS JOIN cents c JOIN ex b ON b.vec_id = c.c_id AND b.i = a.i
+      |          GROUP BY a.vec_id, c.c_id),
+      |ccos AS (SELECT cd.vec_id, cd.c_id, cd.dot / (n1.nrm * n2.nrm) AS cc
+      |         FROM cdots cd JOIN norms n1 ON n1.vec_id = cd.vec_id
+      |         JOIN norms n2 ON n2.vec_id = cd.c_id),
+      |cells AS (SELECT vec_id, c_id AS cell FROM (
+      |            SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, c_id) AS rn
+      |            FROM ccos) t WHERE rn = 1),
+      |qs AS (SELECT vec_id AS q_id, cell FROM cells WHERE vec_id < 5),
+      |cand AS (SELECT q.q_id, c.vec_id FROM qs q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.q_id),
+      |dots AS (SELECT cd.q_id, cd.vec_id, sum(a.x * b.x) AS dot
+      |         FROM cand cd JOIN ex a ON a.vec_id = cd.q_id JOIN ex b ON b.vec_id = cd.vec_id AND b.i = a.i
+      |         GROUP BY cd.q_id, cd.vec_id),
+      |cos AS (SELECT d.q_id, d.vec_id, d.dot / (na.nrm * nb.nrm) AS c
+      |        FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.vec_id),
+      |r AS (SELECT q_id, vec_id, c,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM cos)
+      |SELECT q_id, rn, vec_id, round(c, 5) AS cos FROM r WHERE rn <= 5
+      |ORDER BY q_id, rn""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
     ("q30_knn_exact",  q30KnnExact _,  Some(q30Sql)),
     ("q31_ann_lsh",    q31AnnLsh _,    Some(q31Sql)),
+    ("q46_ivf_ann",    q46IvfAnn _,    Some(q46Sql)),
   )
 }
