@@ -34,11 +34,18 @@ object Multimodal {
     // decoder init would happen here, once per partition
     rows.map { r =>
       val bs = r.payload
+      // single pass, Long accumulator (an Int sum overflows past ~16 MB)
+      var sum = 0L; var mx = 0; var mn = 255
+      var i = 0
+      while (i < bs.length) {
+        val v = bs(i) & 0xff
+        sum += v; if (v > mx) mx = v; if (v < mn) mn = v
+        i += 1
+      }
       val n = math.max(bs.length, 1)
-      val mean = bs.map(_ & 0xff).sum.toFloat / n
-      val mx = if (bs.isEmpty) 0f else (bs.map(_ & 0xff).max).toFloat
-      val mn = if (bs.isEmpty) 0f else (bs.map(_ & 0xff).min).toFloat
-      MediaFeatures(r.media_id, r.mime, bs.length, Array(mean, mn, mx, n.toFloat))
+      val mean = (sum.toDouble / n).toFloat
+      val (fmn, fmx) = if (bs.isEmpty) (0f, 0f) else (mn.toFloat, mx.toFloat)
+      MediaFeatures(r.media_id, r.mime, bs.length, Array(mean, fmn, fmx, n.toFloat))
     }
   }
 

@@ -24,7 +24,13 @@ object Temporal {
     */
   def asOfLast(df: DataFrame, keyCol: String, tsCol: String,
                isRef: Column, refValue: Column): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    // Tiebreak: at equal timestamps probe rows sort BEFORE ref rows, so
+    // the strictly-preceding frame never sees a simultaneous ref — exact
+    // "ref.ts < probe.ts" semantics even with duplicate timestamps
+    // (max() over the refs is order-independent, so this is fully
+    // deterministic).
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), isRef.cast("int"))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__asof", max(when(isRef, refValue)).over(w))
   }

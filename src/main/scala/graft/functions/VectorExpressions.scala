@@ -56,7 +56,12 @@ object ExprKernels {
     val mins = Array.fill(K)(Long.MaxValue)
     i = 0
     while (i <= n - 3) {
-      val tv = ((first(i) * 65536L + last(i + 2) * 256L +
+      // Empty edge tokens: the materialized shingle "w1 w2 w3" would then
+      // start/end with the space separator, so the string formulation (and
+      // the DuckDB oracle) sees ascii 32 — mirror that here.
+      val f = if (len(i) == 0) 32L else first(i)
+      val l = if (len(i + 2) == 0) 32L else last(i + 2)
+      val tv = ((f * 65536L + l * 256L +
                  (len(i) + len(i + 1) + len(i + 2) + 2L)) * 2654435761L) % P
       var h = 0
       while (h < K) {
@@ -240,14 +245,18 @@ object GraftFunctions {
   * session built with `.withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[MinHashSigExpr].getName, "minhash_sig"),
-      (es: Seq[Expression]) => MinHashSigExpr(es.head)))
-    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[CosineSimExpr].getName, "cosine_sim"),
-      (es: Seq[Expression]) => CosineSimExpr(es(0), es(1))))
+    def inject(name: String, cls: Class[_], b: Seq[Expression] => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), b))
+    inject("minhash_sig", classOf[MinHashSigExpr], es => MinHashSigExpr(es.head))
+    inject("minhash_shingle_sig", classOf[MinHashShingleSigExpr],
+      es => MinHashShingleSigExpr(es.head))
+    inject("jaccard_shingles", classOf[JaccardShinglesExpr],
+      es => JaccardShinglesExpr(es(0), es(1)))
+    inject("cosine_sim", classOf[CosineSimExpr], es => CosineSimExpr(es(0), es(1)))
+    inject("lsh_bucket", classOf[LshBucketExpr], es => LshBucketExpr(es.head))
   }
 }

@@ -31,7 +31,8 @@ object TraceIngest {
   def normalize(raw: DataFrame): DataFrame =
     raw
       .filter(col("Severity").isNotNull && col("Severity") >= 0 &&
-              col("Time").isNotNull)
+              col("Time").isNotNull && col("Machine").isNotNull &&
+              col("LogGroup").isNotNull && col("Type").isNotNull)
       .select(
         col("Severity").cast("int").as("Severity"),
         col("Machine"),

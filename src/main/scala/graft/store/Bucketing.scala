@@ -26,7 +26,7 @@ object Bucketing {
 
   /** Join two bucketed tables on their bucket key — shuffle-free when both
     * were written with the same bucket count on the join key. */
-  def cocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
-                  key: String): DataFrame =
+  def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 }

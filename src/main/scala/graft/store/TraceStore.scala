@@ -21,15 +21,21 @@ import graft.schema.TraceSchema
   */
 object TraceStore {
 
-  /** Append a normalized batch to the partitioned table path. Partition
-    * count scales with batch size so a 1000-executor cluster writes in
-    * parallel while a trace-file-sized batch stays a single file per
-    * month. */
-  def append(df: DataFrame, tablePath: String): Unit = {
+  /** Append a normalized batch to the partitioned table path.
+    *
+    * `splitsPerMonth` bounds write parallelism per month partition: the
+    * default 1 mirrors the reference's whole-batch-per-INSERT contract
+    * (one file per month per micro-batch, no small files); a backfill on a
+    * large cluster passes executor-count-sized splits so a single hot
+    * month does not serialize onto one task. */
+  def append(df: DataFrame, tablePath: String, splitsPerMonth: Int = 1): Unit = {
     val withYm = df.withColumn(TraceSchema.PartitionCol,
       date_format(col("Time"), "yyyyMM"))
-    withYm
-      .repartition(col(TraceSchema.PartitionCol))
+    val parted =
+      if (splitsPerMonth <= 1) withYm.repartition(col(TraceSchema.PartitionCol))
+      else withYm.repartition(col(TraceSchema.PartitionCol),
+        pmod(xxhash64(col("Time")), lit(splitsPerMonth.toLong)))
+    parted
       .sortWithinPartitions(col("Time"))
       .write
       .mode("append")
@@ -47,8 +53,13 @@ object TraceStore {
     * listing files. */
   def timeRange(spark: SparkSession, tablePath: String,
                 from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
+    // ym bounds must be derived in the SAME zone date_format used at write
+    // time (the session time zone), or month-boundary rows silently fall
+    // outside the pruned partitions.
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
     val fmt = new java.text.SimpleDateFormat("yyyyMM")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(tz))
     read(spark, tablePath)
       .filter(col(TraceSchema.PartitionCol) >= fmt.format(from) &&
               col(TraceSchema.PartitionCol) <= fmt.format(to) &&

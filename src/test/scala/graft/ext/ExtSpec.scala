@@ -88,4 +88,19 @@ class ExtSpec extends SparkSpec {
     assert(got(0).getTimestamp(3) == ts("2024-01-01 10:10:00")) // latest click
     assert(got(1).isNullAt(3))                                   // no prior click
   }
+
+  test("as-of join excludes a ref at the exact probe timestamp (strict <)") {
+    import spark.implicits._
+    val dir = tmpDir("ev2")
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, ts("2024-01-01 09:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"), // same ts as error
+      (3L, ts("2024-01-01 10:00:00"), 7L, "error", 1.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Temporal.q21AsOfJoin(spark, dir).collect()
+    // oracle semantics: c.ts < e.ts strictly → the 09:00 click, not 10:00
+    assert(got(0).getTimestamp(3) == ts("2024-01-01 09:00:00"))
+  }
 }

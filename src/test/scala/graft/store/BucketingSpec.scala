@@ -17,7 +17,7 @@ class BucketingSpec extends SparkSpec {
       Bucketing.writeBucketed(
         graft.tables.Tables.lineitem(spark, dir)
           .withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 8)
-      val joined = Bucketing.cocatedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      val joined = Bucketing.colocatedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
       assert(joined.count() == graft.tables.Tables.lineitem(spark, dir).count())
