@@ -179,8 +179,31 @@ object Similarity {
       |SELECT q_id, rn, vec_id, round(c, 5) AS cos FROM r WHERE rn <= 5
       |ORDER BY q_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- C3: kNN via heap aggregate
+  /** Same result as q30, but top-k selection runs through the heap
+    * aggregate [[graft.functions.TopK]] instead of a ranking window: the
+    * shuffle carries k-bounded partial buffers per (query, partition)
+    * rather than every scored pair — the formulation that survives a
+    * 100 TB corpus. Oracle: identical to q30's. */
+  def q47KnnTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_sim
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine_sim(col("qe"), col("embedding")))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopK.top_k(10)(col("cos"), col("vec_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rn"),
+              col("e._2").as("vec_id"), round(col("e._1"), 5).as("cos"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
+    ("q47_knn_topk",   q47KnnTopK _,   Some(q30Sql)),
     ("q30_knn_exact",  q30KnnExact _,  Some(q30Sql)),
     ("q31_ann_lsh",    q31AnnLsh _,    Some(q31Sql)),
     ("q46_ivf_ann",    q46IvfAnn _,    Some(q46Sql)),

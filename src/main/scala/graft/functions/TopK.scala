@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Heap-based top-k aggregate (SURVEY.md §7.3: the TypedImperativeAggregate
+  * candidate for kNN, realized as a typed Aggregator — the engine's
+  * UDAF surface).
+  *
+  * Scale rationale: a window `row_number() ≤ k` must sort every group's
+  * full candidate list (O(n log n) per group, full shuffle of all rows).
+  * The heap aggregate keeps only k entries per partition per group —
+  * partial aggregation ships k-bounded buffers (O(n log k) work, O(k)
+  * shuffle per group), which is the difference between shuffling 100 TB of
+  * scored pairs and shuffling k rows per query vector.
+  *
+  * Ordering ties break on the smaller id, matching the window formulation
+  * `ORDER BY score DESC, id`.
+  */
+object TopK {
+
+  type Entry = (Double, Long)   // (score, id)
+
+  final case class Buf(var entries: List[Entry])
+
+  private def better(a: Entry, b: Entry): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  class TopKAgg(k: Int) extends Aggregator[Entry, Buf, Seq[Entry]] {
+    override def zero: Buf = Buf(Nil)
+
+    private def insert(es: List[Entry], e: Entry): List[Entry] = {
+      val merged = (e :: es).sortWith(better).take(k)
+      merged
+    }
+
+    override def reduce(b: Buf, e: Entry): Buf = {
+      // cheap reject: full buffer and e worse than current minimum
+      if (b.entries.size >= k && better(b.entries.last, e)) b
+      else { b.entries = insert(b.entries, e); b }
+    }
+
+    override def merge(x: Buf, y: Buf): Buf = {
+      x.entries = (x.entries ++ y.entries).sortWith(better).take(k)
+      x
+    }
+
+    override def finish(b: Buf): Seq[Entry] = b.entries
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Seq[Entry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
+  }
+
+  /** Untyped (DataFrame) form: `top_k(10)(col("score"), col("id"))` →
+    * array<struct<_1: double, _2: bigint>> of the k best, sorted
+    * best-first. */
+  def top_k(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKAgg(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+}

@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash._
+
+/** Property-style tests (SURVEY.md §5.2 item 3), seeded-random inputs:
+  * the fused native kernels must equal the relational formulations that
+  * mirror the DuckDB oracle — on arbitrary token lists (including empty
+  * tokens from double spaces) and arbitrary float vectors. */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+
+  private def randToken(): String = {
+    val n = rnd.nextInt(8) // 0 → empty token (the double-space edge)
+    (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+  }
+
+  private def randDocs(nDocs: Int): Seq[(Long, Seq[String])] =
+    (0 until nDocs).map { i =>
+      val n = 3 + rnd.nextInt(38)
+      (i.toLong, (1 to n).map(_ => randToken()))
+    }
+
+  test("fused minhash kernel == relational shingle formulation (100 random docs)") {
+    import spark.implicits._
+    val docs = randDocs(100).toDF("doc_id", "tk")
+    // kernel path
+    val kernel = docs.select(col("doc_id"),
+        GraftFunctions.minhash_shingle_sig(col("tk")).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("h", "minh")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // relational path (the formulation the DuckDB oracle mirrors)
+    val rel = docs
+      .select(col("doc_id"), explode(array_distinct(shingles3(col("tk")))).as("g"))
+      .withColumn("tv", tokval(col("g")))
+      .crossJoin(broadcast(spark.range(16).select(col("id").cast("int").as("h"))))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(minhashTerm(col("tv"), col("h"))).as("minh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(kernel.size == rel.size)
+    rel.foreach { case (k, v) =>
+      assert(kernel(k) == v, s"mismatch at $k: kernel=${kernel.get(k)} rel=$v")
+    }
+  }
+
+  test("jaccard kernel == relational distinct-shingle jaccard (random pairs)") {
+    import spark.implicits._
+    val docs = randDocs(30)
+    def shingleSet(tk: Seq[String]): Set[String] =
+      tk.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val pairs = for (a <- docs; b <- docs if a._1 < b._1) yield (a, b)
+    val df = pairs.map { case (a, b) => (a._1, b._1, a._2, b._2) }
+      .toDF("d1", "d2", "tk1", "tk2")
+      .select(col("d1"), col("d2"),
+        GraftFunctions.jaccard_shingles(col("tk1"), col("tk2")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.foreach { case (a, b) =>
+      val sa = shingleSet(a._2); val sb = shingleSet(b._2)
+      val union = (sa ++ sb).size
+      val expected = if (union == 0) 0.0 else (sa & sb).size.toDouble / union
+      assert(df((a._1, b._1)) == expected)
+    }
+  }
+
+  test("cosine kernel == higher-order-function formulation (exact doubles)") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(64)((rnd.nextFloat() - 0.5f)),
+                 Seq.fill(64)((rnd.nextFloat() - 0.5f)))
+    }.toDF("id", "a", "b")
+    val got = vecs.select(col("id"),
+      GraftFunctions.cosine_sim(col("a"), col("b")).as("k"),
+      (graft.ext.Similarity.dot(col("a"), col("b")) /
+        (graft.ext.Similarity.norm(col("a")) * graft.ext.Similarity.norm(col("b")))).as("r"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"id=${r.getLong(0)}: kernel=${r.getDouble(1)} hof=${r.getDouble(2)}"))
+  }
+
+  test("time normalization truncates fractional epoch seconds (random)") {
+    import spark.implicits._
+    val ts = (0 until 200).map(_ => rnd.nextDouble() * 4.0e9)
+    val got = ts.toDF("Time")
+      .select(col("Time").cast("long").cast("timestamp").cast("long").as("sec"))
+      .collect().map(_.getLong(0))
+    ts.zip(got).foreach { case (t, s) => assert(s == t.toLong) }
+  }
+
+  test("exactByKey is idempotent") {
+    import spark.implicits._
+    val df = (0 until 300).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(20).toString))
+      .toDF("id", "k")
+    val once = graft.ext.Dedup.exactByKey(df, "k", "id")
+    val twice = graft.ext.Dedup.exactByKey(once, "k", "id")
+    assert(once.orderBy("id").collect().toSeq == twice.orderBy("id").collect().toSeq)
+  }
+}
