@@ -44,9 +44,14 @@ object TraceStore {
       .parquet(tablePath)
   }
 
-  /** Read the stored table; time predicates prune ym partitions first. */
-  def read(spark: SparkSession, tablePath: String): DataFrame =
+  /** Read the stored table; time predicates prune ym partitions first.
+    * Partition-column type inference is disabled so ym keeps its declared
+    * STRING type (inference would read ym=201905 back as int, breaking the
+    * schema contract mirrored in the DDL). */
+  def read(spark: SparkSession, tablePath: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     spark.read.parquet(tablePath)
+  }
 
   /** Month-pruned time-range scan (B1): the partition filter on ym is
     * derivable from the Time range, and Catalyst prunes directories before

@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape assertions: the optimizations the 100 TB story depends on
+  * must be visible in the physical plan, not just hoped for. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01 pushes the raw-ns time range into the parquet scan") {
+    val p = plan("q01_time_filter")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"))
+  }
+
+  test("q10 star join broadcasts all three dimensions") {
+    val p = plan("q10_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q08 top-N compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q08_topn")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q05 aggregation is partial+final (map-side combine)") {
+    val p = plan("q05_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q30 scan reads only the referenced columns") {
+    val p = SparkEntry.queries("q20_string_fns")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema") && !p.contains("p_retailprice"))
+  }
+}
