@@ -125,6 +125,70 @@ object ExtendedQueries {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------------- window analytics pack
+  /** lead / first_value / ntile over per-customer order history — the
+    * remaining analytic-window shapes (lag/running-sum live in q16). */
+  def q48WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("next_order", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("first_price", first(col("o_totalprice")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("quartile", ntile(4).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("next_order"),
+              col("first_price"), col("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q48Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  lead(o_orderkey, 1) OVER w AS next_order,
+      |  first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+      |  ntile(4) OVER w AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------- SQL entry point
+  /** The spark.sql(...) lifecycle (SURVEY.md §3, entry point 4): tables
+    * registered as views, the query parsed/optimized/executed by Catalyst
+    * from SQL text — same engine, same oracle discipline. */
+  def q49SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS rev
+      FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  val q49Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS rev
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------------- salted join through the gate
+  /** The skew-salted join (ext.Skew) producing byte-identical results to
+    * the plain join the oracle runs — proving the rewrite is semantics-
+    * preserving through the driver's own gate. */
+  def q50SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Skew.saltedJoin(
+        Tables.orders(s, dir),
+        Tables.customer(s, dir).withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey", 4, "o_orderkey")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy(col("c_nationkey"))
+
+  val q50Sql: String =
+    """SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -132,5 +196,8 @@ object ExtendedQueries {
     ("q43_array_fns",  q43ArrayFns _,   Some(q43Sql)),
     ("q44_date_fns",   q44DateFns _,    Some(q44Sql)),
     ("q45_stats",      q45Stats _,      Some(q45Sql)),
+    ("q48_window_analytics", q48WindowAnalytics _, Some(q48Sql)),
+    ("q49_sql_surface",      q49SqlSurface _,      Some(q49Sql)),
+    ("q50_salted_join",      q50SaltedJoin _,      Some(q50Sql)),
   )
 }
