@@ -23,25 +23,44 @@ object TopK {
 
   final case class Buf(var entries: List[Entry])
 
-  private def better(a: Entry, b: Entry): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** Total order even for NaN scores: java.lang.Double.compare ranks NaN
+    * above every value, matching how Spark's window sort (and the DuckDB
+    * oracle) order NaN — so q47 and q30 agree on degenerate cosines too. */
+  private def better(a: Entry, b: Entry): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   class TopKAgg(k: Int) extends Aggregator[Entry, Buf, Seq[Entry]] {
     override def zero: Buf = Buf(Nil)
 
+    /** Single-pass insertion into the sorted (best-first) bounded list:
+      * O(k) per accepted element, no re-sort. For the small k of top-k
+      * queries a sorted list beats a heap's constant factors; the shuffle
+      * bound (k entries per partition per group) is what matters at
+      * scale. */
     private def insert(es: List[Entry], e: Entry): List[Entry] = {
-      val merged = (e :: es).sortWith(better).take(k)
-      merged
+      val (pre, post) = es.span(better(_, e))
+      (pre ::: e :: post).take(k)
     }
 
     override def reduce(b: Buf, e: Entry): Buf = {
-      // cheap reject: full buffer and e worse than current minimum
-      if (b.entries.size >= k && better(b.entries.last, e)) b
+      if (b.entries.lengthCompare(k) >= 0 && better(b.entries.last, e)) b
       else { b.entries = insert(b.entries, e); b }
     }
 
     override def merge(x: Buf, y: Buf): Buf = {
-      x.entries = (x.entries ++ y.entries).sortWith(better).take(k)
+      // both inputs sorted best-first: linear merge, cap at k
+      val out = List.newBuilder[Entry]
+      var (a, b) = (x.entries, y.entries)
+      var n = 0
+      while (n < k && (a.nonEmpty || b.nonEmpty)) {
+        if (b.isEmpty || (a.nonEmpty && better(a.head, b.head))) {
+          out += a.head; a = a.tail
+        } else { out += b.head; b = b.tail }
+        n += 1
+      }
+      x.entries = out.result()
       x
     }
 

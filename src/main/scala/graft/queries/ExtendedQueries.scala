@@ -158,11 +158,18 @@ object ExtendedQueries {
   def q49SqlSurface(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_v")
     Tables.customer(s, dir).createOrReplaceTempView("customer_v")
-    s.sql("""
-      SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS rev
-      FROM orders_v JOIN customer_v ON o_custkey = c_custkey
-      WHERE o_orderstatus = 'F'
-      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    try
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS rev
+        FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    finally {
+      // spark.sql resolves the plan eagerly, so the views can be dropped
+      // before execution — no session-global leakage
+      s.catalog.dropTempView("orders_v")
+      s.catalog.dropTempView("customer_v")
+    }
   }
 
   val q49Sql: String =

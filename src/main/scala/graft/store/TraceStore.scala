@@ -45,13 +45,16 @@ object TraceStore {
   }
 
   /** Read the stored table; time predicates prune ym partitions first.
-    * Partition-column type inference is disabled so ym keeps its declared
-    * STRING type (inference would read ym=201905 back as int, breaking the
-    * schema contract mirrored in the DDL). */
-  def read(spark: SparkSession, tablePath: String): DataFrame = {
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    spark.read.parquet(tablePath)
-  }
+    * The schema is declared explicitly so ym keeps its contractual STRING
+    * type (partition-type inference would read ym=201905 back as int) —
+    * without touching any session-global configuration. */
+  def read(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        TraceSchema.target.fields :+
+        org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
+          org.apache.spark.sql.types.StringType)))
+      .parquet(tablePath)
 
   /** Month-pruned time-range scan (B1): the partition filter on ym is
     * derivable from the Time range, and Catalyst prunes directories before

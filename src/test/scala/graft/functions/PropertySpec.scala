@@ -10,22 +10,25 @@ import graft.functions.TextHash._
   * tokens from double spaces) and arbitrary float vectors. */
 class PropertySpec extends SparkSpec {
 
-  private val rnd = new scala.util.Random(42)
+  // a fresh seeded Random per test: each test's inputs are reproducible
+  // standalone, independent of suite execution order
+  private def newRnd() = new scala.util.Random(42)
 
-  private def randToken(): String = {
+  private def randToken(rnd: scala.util.Random): String = {
     val n = rnd.nextInt(8) // 0 → empty token (the double-space edge)
     (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
   }
 
-  private def randDocs(nDocs: Int): Seq[(Long, Seq[String])] =
+  private def randDocs(rnd: scala.util.Random, nDocs: Int): Seq[(Long, Seq[String])] =
     (0 until nDocs).map { i =>
       val n = 3 + rnd.nextInt(38)
-      (i.toLong, (1 to n).map(_ => randToken()))
+      (i.toLong, (1 to n).map(_ => randToken(rnd)))
     }
 
   test("fused minhash kernel == relational shingle formulation (100 random docs)") {
     import spark.implicits._
-    val docs = randDocs(100).toDF("doc_id", "tk")
+    val rnd = newRnd()
+    val docs = randDocs(rnd, 100).toDF("doc_id", "tk")
     // kernel path
     val kernel = docs.select(col("doc_id"),
         GraftFunctions.minhash_shingle_sig(col("tk")).as("sig"))
@@ -47,7 +50,8 @@ class PropertySpec extends SparkSpec {
 
   test("jaccard kernel == relational distinct-shingle jaccard (random pairs)") {
     import spark.implicits._
-    val docs = randDocs(30)
+    val rnd = newRnd()
+    val docs = randDocs(rnd, 30)
     def shingleSet(tk: Seq[String]): Set[String] =
       tk.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
     val pairs = for (a <- docs; b <- docs if a._1 < b._1) yield (a, b)
@@ -66,6 +70,7 @@ class PropertySpec extends SparkSpec {
 
   test("cosine kernel == higher-order-function formulation (exact doubles)") {
     import spark.implicits._
+    val rnd = newRnd()
     val vecs = (0 until 50).map { i =>
       (i.toLong, Seq.fill(64)((rnd.nextFloat() - 0.5f)),
                  Seq.fill(64)((rnd.nextFloat() - 0.5f)))
@@ -81,6 +86,7 @@ class PropertySpec extends SparkSpec {
 
   test("time normalization truncates fractional epoch seconds (random)") {
     import spark.implicits._
+    val rnd = newRnd()
     val ts = (0 until 200).map(_ => rnd.nextDouble() * 4.0e9)
     val got = ts.toDF("Time")
       .select(col("Time").cast("long").cast("timestamp").cast("long").as("sec"))
@@ -90,6 +96,7 @@ class PropertySpec extends SparkSpec {
 
   test("exactByKey is idempotent") {
     import spark.implicits._
+    val rnd = newRnd()
     val df = (0 until 300).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(20).toString))
       .toDF("id", "k")
     val once = graft.ext.Dedup.exactByKey(df, "k", "id")

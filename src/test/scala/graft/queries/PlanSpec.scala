@@ -32,9 +32,13 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
-  test("q30 scan reads only the referenced columns") {
-    val p = SparkEntry.queries("q20_string_fns")(spark, dir)
-      .queryExecution.executedPlan.toString
+  test("q20 scan reads only the referenced part columns") {
+    val p = plan("q20_string_fns")
     assert(p.contains("ReadSchema") && !p.contains("p_retailprice"))
+  }
+
+  test("q30 scan prunes the unused label column from embeddings") {
+    val p = plan("q30_knn_exact")
+    assert(p.contains("ReadSchema") && !p.contains("label"))
   }
 }
