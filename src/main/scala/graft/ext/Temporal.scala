@@ -112,8 +112,25 @@ object Temporal {
       |SELECT user_id, min(ts) AS session_start, count(*) AS n, round(sum(value), 2) AS sv
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  /** Same semantics as q21 through the native merge-based physical
+    * operator (graft.plans.AsOfJoinExec): one forward pass per
+    * co-partition, O(1) state — vs the window formulation's per-key
+    * buffering. Oracle: identical to q21's. */
+  def q51AsOfNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoin(errors, clicks, "user_id", "c_user", "ts", "c_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("c_ts").as("prev_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q21_asof_join",  q21AsOfJoin _,  Some(q21Sql)),
+    ("q51_asof_native", q51AsOfNative _, Some(q21Sql)),
     ("q22_range_join", q22RangeJoin _, Some(q22Sql)),
     ("q23_sessionize", q23Sessionize _, Some(q23Sql)),
   )

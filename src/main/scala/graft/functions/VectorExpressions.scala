@@ -258,5 +258,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => JaccardShinglesExpr(es(0), es(1)))
     inject("cosine_sim", classOf[CosineSimExpr], es => CosineSimExpr(es(0), es(1)))
     inject("lsh_bucket", classOf[LshBucketExpr], es => LshBucketExpr(es.head))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
