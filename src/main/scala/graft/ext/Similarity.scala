@@ -201,11 +201,65 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // ---------------------------------------------------------------- C3: multi-probe ANN
+  /** Multi-probe variant of q31: each query also probes the 8 buckets at
+    * Hamming distance 1 from its own (flip one hyperplane bit), recovering
+    * most of the recall single-bucket LSH loses on weakly-clustered data
+    * while still scoring only ~9/256 of the corpus. Probe expansion is a
+    * 9-row explode on the (tiny) query side; the candidate lookup stays an
+    * equi-join on the bucket id. */
+  def q52AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{cosine_sim, lsh_bucket}
+    val emb = Tables.embeddings(s, dir)
+    val withB = emb.withColumn("bucket", lsh_bucket(col("embedding")))
+    // probe j = -1 keeps the home bucket; j in 0..7 flips plane j's bit
+    val q = withB.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+      .crossJoin(broadcast(s.range(-1, 8).select(col("id").cast("int").as("j"))))
+      .select(col("q_id"), col("qe"),
+        when(col("j") === -1, col("bucket"))
+          .otherwise(expr("CAST(bucket ^ shiftleft(1, j) AS BIGINT)")).as("bucket"))
+    val scored = withB.join(q, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine_sim(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos"), 5).as("cos"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val q52Sql: String =
+    """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding)::DOUBLE AS x
+      |            FROM embeddings),
+      |planes AS (SELECT j FROM range(8) t(j)),
+      |sig AS (SELECT vec_id, j, sum(x * (((j * 64 + d) * 2654435761) % 2000003 - 1000001)) AS sdot
+      |        FROM ex CROSS JOIN planes GROUP BY vec_id, j),
+      |buck AS (SELECT vec_id, sum(CASE WHEN sdot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+      |         FROM sig GROUP BY vec_id),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+      |qs AS (SELECT b.vec_id AS q_id,
+      |         CASE WHEN p.j = -1 THEN b.bucket ELSE xor(b.bucket, (1::BIGINT << p.j)) END AS bucket
+      |       FROM buck b CROSS JOIN (SELECT unnest(range(-1, 8)) AS j) p
+      |       WHERE b.vec_id < 5),
+      |cand AS (SELECT DISTINCT q.q_id, b.vec_id FROM qs q JOIN buck b ON b.bucket = q.bucket
+      |         WHERE b.vec_id <> q.q_id),
+      |dots AS (SELECT c.q_id, c.vec_id, sum(a.x * b.x) AS dot
+      |         FROM cand c JOIN ex a ON a.vec_id = c.q_id JOIN ex b ON b.vec_id = c.vec_id AND b.d = a.d
+      |         GROUP BY c.q_id, c.vec_id),
+      |cos AS (SELECT q_id, d.vec_id, d.dot / (na.nrm * nb.nrm) AS c
+      |        FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.vec_id),
+      |r AS (SELECT q_id, vec_id, c,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM cos)
+      |SELECT q_id, rn, vec_id, round(c, 5) AS cos FROM r WHERE rn <= 5
+      |ORDER BY q_id, rn""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
     ("q47_knn_topk",   q47KnnTopK _,   Some(q30Sql)),
     ("q30_knn_exact",  q30KnnExact _,  Some(q30Sql)),
     ("q31_ann_lsh",    q31AnnLsh _,    Some(q31Sql)),
     ("q46_ivf_ann",    q46IvfAnn _,    Some(q46Sql)),
+    ("q52_ann_multiprobe", q52AnnMultiprobe _, Some(q52Sql)),
   )
 }

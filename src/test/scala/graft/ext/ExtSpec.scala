@@ -63,6 +63,23 @@ class ExtSpec extends SparkSpec {
     dir
   }
 
+  test("multi-probe ANN recalls clustered neighbors (planted clusters)") {
+    val rnd = new scala.util.Random(7)
+    // 10 well-separated cluster centers, 20 members each, small noise
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.toSeq.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val dir = vecsDir(rows)
+    val exact = Similarity.q30KnnExact(spark, dir).filter(col("rn") <= 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe = Similarity.q52AnnMultiprobe(spark, dir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (probe & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"multi-probe recall $recall too low on clustered data")
+  }
+
   test("exact kNN ranks an identical vector first with cosine 1") {
     val v = Seq.tabulate(8)(i => (i + 1).toFloat)
     val orth = Seq.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)
