@@ -35,6 +35,24 @@ class StreamSpec extends SparkSpec {
     assert(TraceStore.read(spark, table).count() == 15)
   }
 
+  test("streaming hourly rollup aggregates per (hour, Type) with watermark") {
+    val watch = tmpDir("watch3"); val ckpt = tmpDir("ckpt3")
+    // 1557761852 ≈ 15:37 UTC; add events in two different hours
+    writeTrace(watch, "trace.1.json", 1557761852L, 4)        // hour 15
+    writeTrace(watch, "trace.2.json", 1557765452L, 6)        // hour 16
+    val cfg = TraceStream.Config(watch, tmpDir("unused"), ckpt)
+    val q = TraceStream.hourlyRollup(spark, cfg)
+      .writeStream.format("memory").queryName("rollup_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("rollup_out")
+      .orderBy("hour_start").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("2019-05-13 15:00:00.0", "Role", 4L),
+      ("2019-05-13 16:00:00.0", "Role", 6L)))
+  }
+
   test("sentinel file stops a continuous query (A4)") {
     val watch = tmpDir("watch2"); val table = tmpDir("table2"); val ckpt = tmpDir("ckpt2")
     writeTrace(watch, "trace.1.json", 1557761852L, 2)
