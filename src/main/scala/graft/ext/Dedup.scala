@@ -153,15 +153,19 @@ object Dedup {
     * sum over the token array, bits packed to a long. Map-only: SimHashes
     * 100 TB at scan speed with zero shuffles. */
   def q27SimHash(s: SparkSession, dir: String): DataFrame = {
+    // token hashes bound once as an attribute — the 16 bit-planes below
+    // reuse them with pure arithmetic (tokval re-scans the token's chars,
+    // so inlining it would cost 16× the string work)
     val simhash = (0 until 16).map { j =>
       val csum = aggregate(
-        transform(col("tk"), t =>
-          when((tokval(t) * (2 * j + 3)) % 65536 >= 32768, 1L).otherwise(-1L)),
+        transform(col("tvs"), tv =>
+          when((tv * (2 * j + 3)) % 65536 >= 32768, 1L).otherwise(-1L)),
         lit(0L), (acc, x) => acc + x)
       when(csum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), transform(col("tk"), t => tokval(t)).as("tvs"))
       .select(col("doc_id"), simhash.as("simhash"))
       .orderBy(col("doc_id"))
   }

@@ -21,16 +21,36 @@ object TextHash {
   /** Large prime modulus for document fingerprints. */
   val FpM = 1000000007L
 
-  /** tokval(t) = Knuth-scrambled (first code point, last code point,
-    * length). The multiplicative scramble gives avalanche so structurally
-    * similar tokens ("tok30"/"qqq30") land far apart in hash space. */
-  def tokval(t: Column): Column =
-    ((ascii(t) * lit(65536L) + ascii(substring(t, -1, 1)) * lit(256L) + length(t))
-      .cast("long") * lit(2654435761L)) % lit(MinHashP)
+  /** Base-31-cycle position weights, 31^(i mod 8), shared by tokval and
+    * the document fingerprint. */
+  val PosW: Seq[Long] =
+    Seq(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)
 
-  /** SQL fragment computing the same tokval for a token expression. */
+  /** Polynomial character sum: Σ char_i · 31^((i-1) mod 8) over every
+    * character of the token (1-based i). Earlier rounds used only
+    * (first char, last char, length) — a uniform-prefix vocabulary
+    * ("w1x","w2x",…) collapsed that to a handful of values and made every
+    * LSH bucket collide (quadratic blowup at 50k docs), hence the full
+    * scan. Bounded: |t| ≤ ~1000 chars × 65535 × 31^7 ≈ 1.8e18 < 2^63. */
+  def polysum(t: Column): Column =
+    aggregate(
+      transform(split(t, ""), (c, i) =>
+        ascii(c).cast("long") * element_at(typedLit(PosW), (i % 8) + 1)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** tokval(t) = Knuth-scrambled polynomial char hash mod 2^31-1. */
+  def tokval(t: Column): Column =
+    ((polysum(t) % lit(MinHashP)) * lit(2654435761L)) % lit(MinHashP)
+
+  private val posWCase =
+    "CASE (i - 1) % 8 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 WHEN 3 THEN 29791 " +
+    "WHEN 4 THEN 923521 WHEN 5 THEN 28629151 WHEN 6 THEN 887503681 ELSE 27512614111 END"
+
+  /** SQL fragment computing the same tokval for a token expression
+    * (DuckDB: per-character list ops; coalesce covers the empty token). */
   def tokvalSql(t: String): String =
-    s"(((ascii($t) * 65536 + ascii(substr($t, length($t), 1)) * 256 + length($t)) * 2654435761) % ${MinHashP})"
+    s"((((coalesce(list_sum(list_transform(range(1, length($t) + 1), " +
+    s"i -> unicode($t[i]) * ($posWCase)))::BIGINT, 0)) % ${MinHashP}) * 2654435761) % ${MinHashP})"
 
   /** MinHash permutation h: min over tokens of (a_h * tokval + b_h) mod P,
     * with a_h/b_h derived from the permutation index by Knuth's

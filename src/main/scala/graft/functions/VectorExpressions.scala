@@ -18,18 +18,25 @@ object ExprKernels {
   private val A: Array[Long] = Array.tabulate(K)(h => ((h * 2654435761L) % 1000003L) * 2 + 1)
   private val B: Array[Long] = Array.tabulate(K)(h => h * 40503L + 17L)
 
-  /** Same value as [[TextHash.tokval]] (ascii-first/ascii-last/length,
-    * Knuth-scrambled mod 2^31-1). */
-  def tokval(s: UTF8String): Long = {
-    val str = s.toString
-    if (str.isEmpty) 0L
-    else {
-      val first = str.codePointAt(0).toLong
-      val last = str.codePointBefore(str.length).toLong
-      val len = str.codePointCount(0, str.length).toLong
-      ((first * 65536L + last * 256L + len) * 2654435761L) % P
+  private val W: Array[Long] = TextHash.PosW.toArray
+
+  /** Polynomial char sum starting at cycle phase `phase` (chars indexed by
+    * UTF-16 unit — identical to per-character indexing for BMP text; the
+    * oracle corpus is ASCII). */
+  private def polysum(str: String, phase: Int): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < str.length) {
+      sum += str.charAt(i).toLong * W((phase + i) % 8)
+      i += 1
     }
+    sum
   }
+
+  /** Same value as [[TextHash.tokval]]: Knuth-scrambled polynomial char
+    * hash mod 2^31-1. */
+  def tokval(s: UTF8String): Long =
+    ((polysum(s.toString, 0) % P) * 2654435761L) % P
 
   /** One-pass 16-permutation MinHash over the 3-token shingles of a token
     * array, without materializing shingle strings: tokval of the shingle
@@ -41,28 +48,33 @@ object ExprKernels {
   def minhashShingleSig(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     if (n < 3) return new GenericArrayData(Array.emptyLongArray)
-    val first = new Array[Long](n); val last = new Array[Long](n); val len = new Array[Long](n)
+    // The shingle's polynomial hash decomposes by position phase: each
+    // token's char sum is precomputed under all 8 weight phases, so the
+    // shingle loop is pure arithmetic (no string re-scans, no shingle
+    // strings materialized) while exactly matching polysum("w1 w2 w3").
+    val phases = Array.ofDim[Long](n, 8)
+    val lens = new Array[Int](n)
     var i = 0
     while (i < n) {
       val str = toks.getUTF8String(i).toString
-      if (str.isEmpty) { first(i) = 0; last(i) = 0; len(i) = 0 }
-      else {
-        first(i) = str.codePointAt(0).toLong
-        last(i) = str.codePointBefore(str.length).toLong
-        len(i) = str.codePointCount(0, str.length).toLong
-      }
+      lens(i) = str.length
+      var ph = 0
+      while (ph < 8) { phases(i)(ph) = polysum(str, ph); ph += 1 }
       i += 1
     }
     val mins = Array.fill(K)(Long.MaxValue)
     i = 0
     while (i <= n - 3) {
-      // Empty edge tokens: the materialized shingle "w1 w2 w3" would then
-      // start/end with the space separator, so the string formulation (and
-      // the DuckDB oracle) sees ascii 32 — mirror that here.
-      val f = if (len(i) == 0) 32L else first(i)
-      val l = if (len(i + 2) == 0) 32L else last(i + 2)
-      val tv = ((f * 65536L + l * 256L +
-                 (len(i) + len(i + 1) + len(i + 2) + 2L)) * 2654435761L) % P
+      val l1 = lens(i); val l2 = lens(i + 1)
+      // "w1 w2 w3": w1 at phase 0; space at 1-based pos l1+1 → weight
+      // W(l1 % 8); w2 starts phase (l1+1) % 8; second space weight
+      // W((l1+l2+1) % 8); w3 starts phase (l1+l2+2) % 8.
+      val poly = phases(i)(0) +
+        32L * W(l1 % 8) +
+        phases(i + 1)((l1 + 1) % 8) +
+        32L * W((l1 + l2 + 1) % 8) +
+        phases(i + 2)((l1 + l2 + 2) % 8)
+      val tv = ((poly % P) * 2654435761L) % P
       var h = 0
       while (h < K) {
         val v = (A(h) * tv + B(h)) % P

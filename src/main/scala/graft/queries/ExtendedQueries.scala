@@ -178,6 +178,27 @@ object ExtendedQueries {
       |WHERE o_orderstatus = 'F'
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------------------------------------------- summary stats (A15)
+  /** One-pass dataset profile — the reference's data.info() diagnostic
+    * (trace-converter.py:122) as a single aggregate over the events
+    * stand-in: row count, per-column non-null counts, cardinalities,
+    * value range. */
+  def q53SummaryStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("user_id")).as("nn_user_id"),
+           count(col("props")).as("nn_props"),
+           countDistinct(col("event_type")).as("n_types"),
+           countDistinct(col("user_id")).as("n_users"),
+           round(min(col("value")), 2).as("min_value"),
+           round(max(col("value")), 2).as("max_value"))
+
+  val q53Sql: String =
+    """SELECT count(*) AS n_rows, count(user_id) AS nn_user_id, count(props) AS nn_props,
+      |  count(DISTINCT event_type) AS n_types, count(DISTINCT user_id) AS n_users,
+      |  round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+      |FROM events""".stripMargin
+
   // ------------------------------------------------------------------- salted join through the gate
   /** The skew-salted join (ext.Skew) producing byte-identical results to
     * the plain join the oracle runs — proving the rewrite is semantics-
@@ -204,6 +225,7 @@ object ExtendedQueries {
     ("q44_date_fns",   q44DateFns _,    Some(q44Sql)),
     ("q45_stats",      q45Stats _,      Some(q45Sql)),
     ("q48_window_analytics", q48WindowAnalytics _, Some(q48Sql)),
+    ("q53_summary_stats",    q53SummaryStats _,    Some(q53Sql)),
     ("q49_sql_surface",      q49SqlSurface _,      Some(q49Sql)),
     ("q50_salted_join",      q50SaltedJoin _,      Some(q50Sql)),
   )
