@@ -102,27 +102,37 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  val q31Sql: String =
-    """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding)::DOUBLE AS x
+  /** CTE chain shared by the LSH oracles (q31/q52): per-dimension unnest,
+    * hyperplane signatures → buckets, norms. One definition so the plane
+    * weights can never diverge between the two oracles. */
+  private val lshCtes: String =
+    """ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding)::DOUBLE AS x
       |            FROM embeddings),
       |planes AS (SELECT j FROM range(8) t(j)),
       |sig AS (SELECT vec_id, j, sum(x * (((j * 64 + d) * 2654435761) % 2000003 - 1000001)) AS sdot
       |        FROM ex CROSS JOIN planes GROUP BY vec_id, j),
       |buck AS (SELECT vec_id, sum(CASE WHEN sdot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
       |         FROM sig GROUP BY vec_id),
-      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
-      |qs AS (SELECT vec_id AS q_id, bucket FROM buck WHERE vec_id < 5),
-      |cand AS (SELECT q.q_id, b.vec_id FROM qs q JOIN buck b ON b.bucket = q.bucket
-      |         WHERE b.vec_id <> q.q_id),
-      |dots AS (SELECT c.q_id, c.vec_id, sum(a.x * b.x) AS dot
-      |         FROM cand c JOIN ex a ON a.vec_id = c.q_id JOIN ex b ON b.vec_id = c.vec_id AND b.d = a.d
-      |         GROUP BY c.q_id, c.vec_id),
-      |cos AS (SELECT q_id, d.vec_id, d.dot / (na.nrm * nb.nrm) AS c
-      |        FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.vec_id),
-      |r AS (SELECT q_id, vec_id, c,
-      |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM cos)
-      |SELECT q_id, rn, vec_id, round(c, 5) AS cos FROM r WHERE rn <= 5
-      |ORDER BY q_id, rn""".stripMargin
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id)""".stripMargin
+
+  /** Shared scoring tail: cosine over the candidate pairs, top-k. */
+  private def lshScoreSql(k: Int): String =
+    s"""dots AS (SELECT c.q_id, c.vec_id, sum(a.x * b.x) AS dot
+       |         FROM cand c JOIN ex a ON a.vec_id = c.q_id JOIN ex b ON b.vec_id = c.vec_id AND b.d = a.d
+       |         GROUP BY c.q_id, c.vec_id),
+       |cos AS (SELECT q_id, d.vec_id, d.dot / (na.nrm * nb.nrm) AS c
+       |        FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.vec_id),
+       |r AS (SELECT q_id, vec_id, c,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM cos)
+       |SELECT q_id, rn, vec_id, round(c, 5) AS cos FROM r WHERE rn <= $k
+       |ORDER BY q_id, rn""".stripMargin
+
+  val q31Sql: String =
+    s"""WITH $lshCtes,
+       |qs AS (SELECT vec_id AS q_id, bucket FROM buck WHERE vec_id < 5),
+       |cand AS (SELECT q.q_id, b.vec_id FROM qs q JOIN buck b ON b.bucket = q.bucket
+       |         WHERE b.vec_id <> q.q_id),
+       |${lshScoreSql(5)}""".stripMargin
 
   // ---------------------------------------------------------------- C3: IVF-style ANN
   /** IVF-flavoured ANN: a small deterministic centroid set (every 400th
@@ -230,29 +240,14 @@ object Similarity {
   }
 
   val q52Sql: String =
-    """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding)::DOUBLE AS x
-      |            FROM embeddings),
-      |planes AS (SELECT j FROM range(8) t(j)),
-      |sig AS (SELECT vec_id, j, sum(x * (((j * 64 + d) * 2654435761) % 2000003 - 1000001)) AS sdot
-      |        FROM ex CROSS JOIN planes GROUP BY vec_id, j),
-      |buck AS (SELECT vec_id, sum(CASE WHEN sdot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
-      |         FROM sig GROUP BY vec_id),
-      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
-      |qs AS (SELECT b.vec_id AS q_id,
-      |         CASE WHEN p.j = -1 THEN b.bucket ELSE xor(b.bucket, (1::BIGINT << p.j)) END AS bucket
-      |       FROM buck b CROSS JOIN (SELECT unnest(range(-1, 8)) AS j) p
-      |       WHERE b.vec_id < 5),
-      |cand AS (SELECT DISTINCT q.q_id, b.vec_id FROM qs q JOIN buck b ON b.bucket = q.bucket
-      |         WHERE b.vec_id <> q.q_id),
-      |dots AS (SELECT c.q_id, c.vec_id, sum(a.x * b.x) AS dot
-      |         FROM cand c JOIN ex a ON a.vec_id = c.q_id JOIN ex b ON b.vec_id = c.vec_id AND b.d = a.d
-      |         GROUP BY c.q_id, c.vec_id),
-      |cos AS (SELECT q_id, d.vec_id, d.dot / (na.nrm * nb.nrm) AS c
-      |        FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.vec_id),
-      |r AS (SELECT q_id, vec_id, c,
-      |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM cos)
-      |SELECT q_id, rn, vec_id, round(c, 5) AS cos FROM r WHERE rn <= 5
-      |ORDER BY q_id, rn""".stripMargin
+    s"""WITH $lshCtes,
+       |qs AS (SELECT b.vec_id AS q_id,
+       |         CASE WHEN p.j = -1 THEN b.bucket ELSE xor(b.bucket, (1::BIGINT << p.j)) END AS bucket
+       |       FROM buck b CROSS JOIN (SELECT unnest(range(-1, 8)) AS j) p
+       |       WHERE b.vec_id < 5),
+       |cand AS (SELECT DISTINCT q.q_id, b.vec_id FROM qs q JOIN buck b ON b.bucket = q.bucket
+       |         WHERE b.vec_id <> q.q_id),
+       |${lshScoreSql(5)}""".stripMargin
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * The driver's correctness gate replays every query in DuckDB, so hash
   * functions must be expressible identically in both engines. Built-in
-  * hashes differ (Spark xxhash64/murmur vs DuckDB hash), so we define the
-  * token value from primitives both engines share: first/last code point
-  * and length. Collisions only weaken (never break) the MinHash/SimHash
+  * hashes differ (Spark xxhash64/murmur vs DuckDB hash), so the token
+  * value is a position-weighted polynomial over every character —
+  * expressible in DuckDB as per-character list operations, and strong
+  * enough that structured vocabularies don't collide (see [[polysum]]).
+  * Residual collisions only weaken (never break) the MinHash/SimHash
   * approximations, and the exact-verification stages behind them are
   * collision-proof.
   */

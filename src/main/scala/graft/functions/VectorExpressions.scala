@@ -39,12 +39,13 @@ object ExprKernels {
     ((polysum(s.toString, 0) % P) * 2654435761L) % P
 
   /** One-pass 16-permutation MinHash over the 3-token shingles of a token
-    * array, without materializing shingle strings: tokval of the shingle
-    * "wᵢ wᵢ₊₁ wᵢ₊₂" only needs (first char of wᵢ, last char of wᵢ₊₂,
-    * total length + 2), and min over the shingle multiset equals min over
-    * the distinct set — so per-token (first, last, len) triples are
-    * precomputed once and the shingle loop is pure arithmetic. Returns an
-    * empty array for docs with fewer than 3 tokens. */
+    * array, without materializing shingle strings: the shingle's
+    * polynomial char hash decomposes by position phase (each token's char
+    * sum is precomputed under all 8 weight phases), and min over the
+    * shingle multiset equals min over the distinct set — so the shingle
+    * loop is pure arithmetic while exactly matching
+    * tokval("wᵢ wᵢ₊₁ wᵢ₊₂"). Returns an empty array for docs with fewer
+    * than 3 tokens. */
   def minhashShingleSig(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     if (n < 3) return new GenericArrayData(Array.emptyLongArray)

@@ -30,6 +30,18 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTs: Expression, rightTs: Expression)
   extends BinaryNode {
+  // The exec reads keys/timestamps as raw 8-byte words; any other type
+  // would produce silently wrong joins, so fail fast at plan build.
+  require(leftKey.dataType == org.apache.spark.sql.types.LongType &&
+          rightKey.dataType == org.apache.spark.sql.types.LongType,
+    s"as-of join keys must be LongType, got ${leftKey.dataType}/${rightKey.dataType}")
+  private def tsOk(e: Expression) = e.dataType match {
+    case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+  require(tsOk(leftTs) && tsOk(rightTs),
+    s"as-of join timestamps must be TimestampType or LongType, got ${leftTs.dataType}/${rightTs.dataType}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan =
@@ -138,7 +150,17 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    // Same-lineage inputs (self-as-of) share exprIds; the analyzer's
+    // DeduplicateRelations rewrites the right child but not this custom
+    // node's key/ts expressions — re-alias the right side with fresh
+    // exprIds up front so both resolve consistently.
+    val rPlan0 = right.queryExecution.analyzed
+    val rPlan: LogicalPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).nonEmpty)
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          rPlan0.output.map(a =>
+            org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlan0)
+      else rPlan0
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))

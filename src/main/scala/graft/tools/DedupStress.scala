@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
 object DedupStress {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(50000)
+    require(nDocs >= 1000, s"need at least 1000 docs (500 planted pairs), got $nDocs")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

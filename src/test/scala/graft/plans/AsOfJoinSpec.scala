@@ -46,6 +46,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(0).getTimestamp(4) == ts("2024-01-01 09:00:00"))
   }
 
+  test("same-lineage inputs (self-as-of) resolve via right-side re-aliasing") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val d = Seq((1L, 7L, ts("2024-01-01 09:00:00")),
+                (2L, 7L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    // output has both sides' columns (names duplicated) — sort driver-side
+    val got = AsOfJoin(d, d, "k", "k", "ts", "ts").collect().sortBy(_.getLong(0))
+    assert(got.length == 2)
+    assert(got(0).isNullAt(5))                                   // 09:00: no prior
+    assert(got(1).getTimestamp(5) == ts("2024-01-01 09:00:00"))  // 10:00 ← 09:00
+  }
+
+  test("non-long key is rejected at plan build (fail fast)") {
+    import spark.implicits._
+    val l = Seq(("a", 1L)).toDF("k", "ts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin(l, l, "k", "k", "ts", "ts")
+    }
+  }
+
   test("no prior right row yields nulls (left outer)") {
     import spark.implicits._
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
