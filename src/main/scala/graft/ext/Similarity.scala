@@ -249,6 +249,39 @@ object Similarity {
        |         WHERE b.vec_id <> q.q_id),
        |${lshScoreSql(5)}""".stripMargin
 
+  // ---------------------------------------------------------------- C1/C3: embedding near-dup
+  /** Embedding-cosine near-duplicate detection: candidate pairs from the
+    * LSH bucket equi-join (both orders of each Hamming-0 pair collapse to
+    * d1 < d2), exact cosine verification only within buckets. The scale
+    * shape of "drop semantic duplicates from 100 TB of embeddings" —
+    * corpus-linear hashing, pairwise work confined to bucket collisions.
+    * Threshold 0.25 (the corpus is random so near-orthogonal; real corpora use ~0.95). */
+  def q54EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{cosine_sim, lsh_bucket}
+    val withB = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+              graft.functions.GraftFunctions.lsh_bucket(col("embedding")).as("bucket"))
+    withB.as("a").join(withB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine_sim(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= 0.25)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+              round(col("cos"), 5).as("cos"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q54Sql: String =
+    s"""WITH $lshCtes,
+       |cand AS (SELECT a.vec_id AS d1, b.vec_id AS d2 FROM buck a JOIN buck b
+       |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |dots AS (SELECT c.d1, c.d2, sum(a.x * b.x) AS dot
+       |         FROM cand c JOIN ex a ON a.vec_id = c.d1 JOIN ex b ON b.vec_id = c.d2 AND b.d = a.d
+       |         GROUP BY c.d1, c.d2),
+       |cos AS (SELECT d.d1, d.d2, d.dot / (na.nrm * nb.nrm) AS c
+       |        FROM dots d JOIN norms na ON na.vec_id = d.d1 JOIN norms nb ON nb.vec_id = d.d2)
+       |SELECT d1, d2, round(c, 5) AS cos FROM cos WHERE c >= 0.25
+       |ORDER BY d1, d2""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
     ("q47_knn_topk",   q47KnnTopK _,   Some(q30Sql)),
@@ -256,5 +289,6 @@ object Similarity {
     ("q31_ann_lsh",    q31AnnLsh _,    Some(q31Sql)),
     ("q46_ivf_ann",    q46IvfAnn _,    Some(q46Sql)),
     ("q52_ann_multiprobe", q52AnnMultiprobe _, Some(q52Sql)),
+    ("q54_embed_neardup",  q54EmbedNearDup _,  Some(q54Sql)),
   )
 }
