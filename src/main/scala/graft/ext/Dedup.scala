@@ -177,7 +177,7 @@ object Dedup {
        |c AS (SELECT doc_id, j,
        |        sum(CASE WHEN (tv * (j * 2 + 3)) % 65536 >= 32768 THEN 1 ELSE -1 END) AS csum
        |      FROM tv CROSS JOIN bits GROUP BY doc_id, j)
-       |SELECT doc_id, sum(CASE WHEN csum > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+       |SELECT doc_id, sum(CASE WHEN csum > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- C2: exact n-gram Jaccard (bounded ground truth)

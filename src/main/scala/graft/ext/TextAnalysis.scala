@@ -110,9 +110,9 @@ object TextAnalysis {
 
   val q35Sql: String =
     s"""SELECT doc_id,
-       |  sum(((${tokvalSql("tok")} % 1000003) *
+       |  (sum(((${tokvalSql("tok")} % 1000003) *
        |    (CASE (i - 1) % 8 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 WHEN 3 THEN 29791
-       |     WHEN 4 THEN 923521 WHEN 5 THEN 28629151 WHEN 6 THEN 887503681 ELSE 27512614111 END)) % $FpM) % $FpM AS fp
+       |     WHEN 4 THEN 923521 WHEN 5 THEN 28629151 WHEN 6 THEN 887503681 ELSE 27512614111 END)) % $FpM) % $FpM)::BIGINT AS fp
        |FROM (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
        |        unnest(string_split(text, ' ')) AS tok FROM documents) t
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin

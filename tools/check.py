@@ -39,6 +39,15 @@ def main():
             print(f"FAIL {name}: cols got={list(got.columns)} exp={list(exp.columns)}"); n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows got={len(got)} exp={len(exp)}"); n_fail += 1; continue
+        # Driver hashes formatted values, so an int64 Spark column vs a
+        # float64 DuckDB column (e.g. HUGEINT sum through fetchdf) fails
+        # there even when numerically equal. Mirror that strictness.
+        dtype_bad = [c for c in got.columns
+                     if np.issubdtype(got[c].dtype, np.integer) != np.issubdtype(exp[c].dtype, np.integer)]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype family mismatch in "
+                  f"{[(c, str(got[c].dtype), str(exp[c].dtype)) for c in dtype_bad]}")
+            n_fail += 1; continue
         diff_cols = []
         for c in got.columns:
             g, e = got[c], exp[c]
