@@ -23,6 +23,7 @@ object SparkEntry {
       ext.TextAnalysis.entries,
       ext.JsonProps.entries,
       ext.Multimodal.entries,
+      ext.Curation.entries,
     )
 
   private lazy val all = modules.flatten

@@ -1,0 +1,169 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Corpus-curation operators for a training-data pipeline (SURVEY.md §2
+  * Tier C, beyond the reference's surface): repetition-based quality
+  * signals, deterministic stratified sampling, tf-idf-style salient-term
+  * extraction, and PII-shaped pattern masking.
+  *
+  * Scale design: the per-document signals (q56 map side, q59) are pure
+  * map stages over the document scan — zero shuffles, they run at parquet
+  * scan speed on 100 TB. The term-statistics queries (q56 top-token, q58)
+  * shuffle only (doc_id)- or (token)-keyed partial aggregates with
+  * map-side combine; the document-frequency table (q58) is broadcast, so
+  * the corpus-sized side never reshuffles for the join.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- C4: repetition / boilerplate signal
+  /** Gopher-style repetition quality signals: duplicate-bigram fraction
+    * (higher-order functions, map-only) and most-frequent-token fraction
+    * (explode + two keyed partial aggregates). High values flag
+    * boilerplate or degenerate generations for filtering. */
+  def q56Repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    // tk is bound to an attribute before indexing (element_at on a raw
+    // split(...) expression re-evaluates the split per access)
+    val bigrams = transform(sequence(lit(1), size(col("tk")) - 1), i =>
+      concat(element_at(col("tk"), i), lit(" "), element_at(col("tk"), i + 1)))
+    val mapSide = base.select(col("doc_id"), size(col("tk")).as("n_tok"), bigrams.as("big"))
+      .select(col("doc_id"), col("n_tok"),
+        round(lit(1.0) - size(array_distinct(col("big"))).cast("double") / size(col("big")), 4)
+          .as("dup_bigram_frac"))
+    val top = base.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+    mapSide.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("dup_bigram_frac"),
+        round(col("top_cnt").cast("double") / col("n_tok"), 4).as("top_tok_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q56Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |t2 AS (SELECT doc_id, tk,
+      |         list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS big
+      |       FROM toks WHERE len(tk) >= 2),
+      |map_side AS (SELECT doc_id, len(tk) AS n_tok,
+      |         round(1.0::DOUBLE - len(list_distinct(big))::DOUBLE / len(big), 4) AS dup_bigram_frac
+      |       FROM t2),
+      |top AS (SELECT doc_id, max(c) AS top_cnt FROM (
+      |         SELECT doc_id, tok, count(*) AS c
+      |         FROM (SELECT doc_id, unnest(tk) AS tok FROM toks WHERE len(tk) >= 2) u
+      |         GROUP BY doc_id, tok) g
+      |       GROUP BY doc_id)
+      |SELECT m.doc_id, m.n_tok, m.dup_bigram_frac,
+      |       round(top_cnt::DOUBLE / n_tok, 4) AS top_tok_frac
+      |FROM map_side m JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- sampling: deterministic stratified k-per-stratum
+  /** Deterministic stratified sample: k docs per source, chosen by a
+    * per-row hash order (reproducible across runs and engines — no RNG).
+    * This is the mixture-control primitive of a training-data pipeline:
+    * per-source quotas instead of global random sampling. One shuffle
+    * keyed by the stratum; the rank cutoff happens within each partition. */
+  def q57StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = (col("doc_id") * 1103515245L + 12345L) % 2147483647L
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("rn"), col("doc_id"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  val q57Sql: String =
+    """SELECT source, rn, doc_id FROM (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 5 ORDER BY source, rn""".stripMargin
+
+  // ---------------------------------------------------------------- C4: salient terms (tf-idf-style)
+  /** Top-3 salient terms per document, scored by tf · N / df — the
+    * rational idf variant (instead of ln(N/df)) so the score is a single
+    * IEEE division of exact integers, bit-identical across engines;
+    * the ranking is idf-monotone for fixed tf. df is a term-keyed
+    * aggregate broadcast to the tf side: the corpus-sized tf table never
+    * reshuffles for the join. */
+  def q58TopTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * col("n_docs") / col("df"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val q58Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, rn, tok, tf, df, score FROM (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+      |         round(tf.tf * n.n_docs / dfreq.df, 6) AS score,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |           ORDER BY round(tf.tf * n.n_docs / dfreq.df, 6) DESC, tf.tok) AS rn
+      |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n) t
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- PII-shaped masking
+  /** Pattern-class masking with per-class hit counts: the scrubbing
+    * primitive of a data pipeline. Email and number classes exercise the
+    * real PII shapes (zero hits on this synthetic corpus — the counts
+    * prove it); the vocabulary class demonstrates masking on patterns the
+    * corpus does contain. Patterns are restricted to the regex subset
+    * shared by Java and RE2 (no backrefs/lookarounds). Pure map stage. */
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val numPat   = "\\b[0-9]+\\b"
+  private val maskPat  = "\\b(customer|value)\\b"
+
+  def q59PiiMask(s: SparkSession, dir: String): DataFrame = {
+    val masked =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit(emailPat), lit("[EMAIL]")),
+          lit(numPat), lit("[NUM]")),
+        lit(maskPat), lit("[MASK]"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(emailPat)).as("n_email"),
+        regexp_count(col("text"), lit(numPat)).as("n_num"),
+        regexp_count(col("text"), lit(maskPat)).as("n_mask"),
+        substring(masked, 1, 80).as("masked_prefix"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q59Sql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$emailPat')) AS n_email,
+       |  len(regexp_extract_all(text, '$numPat')) AS n_num,
+       |  len(regexp_extract_all(text, '$maskPat')) AS n_mask,
+       |  substr(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$emailPat', '[EMAIL]', 'g'), '$numPat', '[NUM]', 'g'),
+       |    '$maskPat', '[MASK]', 'g'), 1, 80) AS masked_prefix
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q56_repetition",        q56Repetition _,       Some(q56Sql)),
+    ("q57_stratified_sample", q57StratifiedSample _, Some(q57Sql)),
+    ("q58_top_terms",         q58TopTerms _,         Some(q58Sql)),
+    ("q59_pii_mask",          q59PiiMask _,          Some(q59Sql)),
+  )
+}

@@ -86,7 +86,12 @@ object Dedup {
     * The band key packs 4 minhash values with base-31 weights (integer,
     * cross-engine). Output is every candidate pair with its exact Jaccard.
     */
-  def q26LshPairs(s: SparkSession, dir: String): DataFrame = {
+  def q26LshPairs(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir).orderBy(col("d1"), col("d2"))
+
+  /** LSH candidate generation + exact verification, shared by q26 (pair
+    * listing) and q55 (cluster resolution). Returns (d1, d2, jacc). */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     // Band b packs sig[4b..4b+3] with base-31 weights into one key — a
     // per-row expression over the signature array; docs sharing any
     // (band, key) are candidates. Only the bucket equi-join and the exact
@@ -122,11 +127,12 @@ object Dedup {
       .join(toks.select(col("doc_id").as("d2"), col("tk").as("tk2")), Seq("d2"))
       .select(col("d1"), col("d2"),
         round(graft.functions.GraftFunctions.jaccard_shingles(col("tk1"), col("tk2")), 4).as("jacc"))
-      .orderBy(col("d1"), col("d2"))
   }
 
-  val q26Sql: String =
-    s"""WITH $shinglesCte,
+  /** Oracle CTE chain ending at `verified(d1, d2, jacc)` — the SQL twin of
+    * [[verifiedPairs]], shared by q26Sql and q55Sql. */
+  private val verifiedCte: String =
+    s"""$shinglesCte,
        |tv AS (SELECT doc_id, ${tokvalSql("g")} AS tv FROM tri),
        |hs AS (SELECT h FROM range(16) t(h)),
        |sig AS (SELECT doc_id, h, min(${minhashTermSql("tv", "h")}) AS minh
@@ -140,12 +146,14 @@ object Dedup {
        |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
        |inter AS (SELECT d1, d2, count(*) AS inter FROM cands
        |        JOIN tri ta ON ta.doc_id = d1 JOIN tri tb ON tb.doc_id = d2 AND ta.g = tb.g
-       |        GROUP BY d1, d2)
-       |SELECT c.d1, c.d2,
+       |        GROUP BY d1, d2),
+       |verified AS (SELECT c.d1, c.d2,
        |  round(coalesce(i.inter, 0)::DOUBLE / (s1.sz + s2.sz - coalesce(i.inter, 0)), 4) AS jacc
        |FROM cands c LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
-       |JOIN sizes s1 ON s1.doc_id = c.d1 JOIN sizes s2 ON s2.doc_id = c.d2
-       |ORDER BY c.d1, c.d2""".stripMargin
+       |JOIN sizes s1 ON s1.doc_id = c.d1 JOIN sizes s2 ON s2.doc_id = c.d2)""".stripMargin
+
+  val q26Sql: String =
+    s"WITH $verifiedCte\nSELECT d1, d2, jacc FROM verified ORDER BY d1, d2"
 
   // ---------------------------------------------------------------- C2: SimHash
   /** 16-bit SimHash over word occurrences (weighted by multiplicity),
@@ -210,11 +218,82 @@ object Dedup {
        |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) >= 0.05
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- C2: cluster resolution (the dedup "keep" step)
+  /** Library operator: connected components by iterative min-label
+    * propagation over an edge list — the step that turns near-dup PAIRS
+    * into dedup CLUSTERS (A~B, B~C ⇒ {A,B,C} even when A~C was never a
+    * candidate pair).
+    *
+    * Scale design: the iteration runs only over the near-dup subgraph
+    * (nodes that appear in at least one edge), which is a small fraction
+    * of the corpus by construction. Each round is one shuffle keyed by
+    * node id; rounds = component diameter (near-dup clusters are
+    * near-cliques, so 2–3 in practice; hard cap documents the bound).
+    * Per-round persistence keeps lineage from growing exponentially; the
+    * final labels are localCheckpoint'ed so every intermediate cache can
+    * be dropped before returning. Returns (node, cluster). */
+  def connectedComponents(pairs: DataFrame, a: String, b: String, maxIters: Int = 20): DataFrame = {
+    val sym = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+    val edges = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).persist()
+    labels.count()
+    val persisted = scala.collection.mutable.Buffer[DataFrame](edges, labels)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.node"))
+        .groupBy(col("e.src").as("node")).agg(min(col("l.lbl")).as("nlbl"))
+      val step = labels.withColumnRenamed("lbl", "old")
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("old"),
+          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
+        .persist()
+      persisted += step
+      changed = step.filter(col("lbl") < col("old")).count()
+      labels = step.select(col("node"), col("lbl"))
+      iter += 1
+    }
+    val out = labels.select(col("node"), col("lbl").as("cluster")).localCheckpoint(true)
+    persisted.foreach(_.unpersist(false))
+    out
+  }
+
+  /** End-to-end near-dup cluster resolution: LSH pairs (jacc ≥ 0.5) →
+    * connected components → per-doc cluster id, cluster size, and the
+    * keep flag (lowest doc_id per cluster survives). This is the final
+    * step of MinHash dedup a training-data pipeline actually acts on. */
+  def q55DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = verifiedPairs(s, dir).filter(col("jacc") >= 0.5).select(col("d1"), col("d2"))
+    val comp = connectedComponents(edges, "d1", "d2")
+    val sizes = comp.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    comp.join(sizes, Seq("cluster"))
+      .select(col("node").as("doc_id"), col("cluster"), col("csize"),
+        when(col("node") === col("cluster"), lit(1)).otherwise(lit(0)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q55Sql: String =
+    s"""WITH RECURSIVE $verifiedCte,
+       |e AS (SELECT d1, d2 FROM verified WHERE jacc >= 0.5
+       |      UNION ALL SELECT d2, d1 FROM verified WHERE jacc >= 0.5),
+       |reach AS (SELECT d1 AS n, d1 AS r FROM e
+       |          UNION
+       |          SELECT e.d1, re.r FROM e JOIN reach re ON re.n = e.d2),
+       |comp AS (SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n),
+       |cs AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY cluster)
+       |SELECT c.doc_id, c.cluster, cs.csize,
+       |       CASE WHEN c.doc_id = c.cluster THEN 1 ELSE 0 END AS keep
+       |FROM comp c JOIN cs USING (cluster)
+       |ORDER BY c.doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_dedup_exact",     q24DedupExact _,     Some(q24Sql)),
     ("q25_minhash_sig",     q25MinHashSig _,     Some(q25Sql)),
     ("q26_lsh_pairs",       q26LshPairs _,       Some(q26Sql)),
     ("q27_simhash",         q27SimHash _,        Some(q27Sql)),
     ("q28_trigram_jaccard", q28TrigramJaccard _, Some(q28Sql)),
+    ("q55_dedup_clusters",  q55DedupClusters _,  Some(q55Sql)),
   )
 }
