@@ -10,6 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed engine warmup on synthetic data (never the benchmark tables):
+    // JIT-compiles the scheduler/codegen/shuffle/parquet paths so the first
+    // timed query doesn't absorb ~5 s of one-time JVM cost.
+    locally {
+      import org.apache.spark.sql.functions._
+      val warm = spark.range(2000000).toDF("id")
+        .withColumn("g", col("id") % 1000)
+        .groupBy("g").agg(sum(col("id")).as("s"), count(lit(1)).as("n"))
+      warm.join(warm.withColumnRenamed("g", "g2"), col("g") === col("g2") % 7).count()
+      val dir = java.nio.file.Files.createTempDirectory("bench-warm").toString
+      spark.range(100000).toDF("id").withColumn("v", col("id") * 2)
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).filter(col("v") > 10).agg(sum("v")).count()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

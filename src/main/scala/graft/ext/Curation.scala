@@ -98,7 +98,11 @@ object Curation {
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // df from a per-doc-distinct map stage, not from tf: re-deriving it
+    // from tf would re-run tf's (doc, tok) shuffle a second time.
+    val dfreq = Tables.documents(s, dir)
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
     tf.join(broadcast(dfreq), Seq("tok"))

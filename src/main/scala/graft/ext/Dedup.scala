@@ -232,13 +232,34 @@ object Dedup {
     * Per-round persistence keeps lineage from growing exponentially; the
     * final labels are localCheckpoint'ed so every intermediate cache can
     * be dropped before returning. Returns (node, cluster). */
-  def connectedComponents(pairs: DataFrame, a: String, b: String, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, a: String, b: String, maxIters: Int = 20,
+                          driverThreshold: Long = 100000L): DataFrame = {
     val sym = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
     val edges = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    val nEdges = edges.count()
+    // The near-dup edge list is orders of magnitude smaller than the
+    // corpus; below the threshold a driver-side union-find resolves it in
+    // one pass instead of diameter-many distributed rounds (each a shuffle
+    // + convergence-check job). Above it, fall through to the iterative
+    // distributed path — same labels either way (min id per component).
+    if (nEdges <= driverThreshold) {
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = { var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }; r }
+      edges.collect().foreach { row =>
+        val (s, d) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+      }
+      edges.unpersist(false)
+      import spark.implicits._
+      return parent.keys.toSeq.sorted.map(n => (n, find(n))).toDF("node", "cluster")
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).persist()
-    labels.count()
     val persisted = scala.collection.mutable.Buffer[DataFrame](edges, labels)
     var changed = 1L
     var iter = 0
