@@ -14,8 +14,9 @@ import graft.tables.Tables
   * map stages over the document scan — zero shuffles, they run at parquet
   * scan speed on 100 TB. The term-statistics queries (q56 top-token, q58)
   * shuffle only (doc_id)- or (token)-keyed partial aggregates with
-  * map-side combine; the document-frequency table (q58) is broadcast, so
-  * the corpus-sized side never reshuffles for the join.
+  * map-side combine; the document-frequency join (q58) is left to AQE,
+  * which broadcasts it when the vocabulary is small enough and falls back
+  * to a token-keyed shuffle join when it is not.
   */
 object Curation {
 
@@ -91,9 +92,7 @@ object Curation {
   /** Top-3 salient terms per document, scored by tf · N / df — the
     * rational idf variant (instead of ln(N/df)) so the score is a single
     * IEEE division of exact integers, bit-identical across engines;
-    * the ranking is idf-monotone for fixed tf. df is a term-keyed
-    * aggregate broadcast to the tf side: the corpus-sized tf table never
-    * reshuffles for the join. */
+    * the ranking is idf-monotone for fixed tf. */
   def q58TopTerms(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -105,7 +104,10 @@ object Curation {
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
-    tf.join(broadcast(dfreq), Seq("tok"))
+    // No forced broadcast on dfreq: a 100 TB corpus has a vocabulary far
+    // beyond broadcast size, so the hint would OOM the driver. AQE
+    // broadcasts at runtime when the aggregated df table turns out small.
+    tf.join(dfreq, Seq("tok"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", round(col("tf") * col("n_docs") / col("df"), 6))
       .withColumn("rn", row_number().over(w))

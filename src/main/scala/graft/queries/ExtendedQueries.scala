@@ -217,6 +217,82 @@ object ExtendedQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // ------------------------------------------------------------------- SQL-surface pack: subquery shapes
+  /** Correlated scalar subquery (Catalyst decorrelates it into an
+    * aggregate + join — no per-row re-execution): orders at least 1.5× the
+    * customer's own average. The threshold is rounded so both engines
+    * compare against the identical double. */
+  def q60CorrelatedSubq(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    try
+      s.sql("""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders_v o
+        WHERE o_totalprice > round(1.5 * (
+          SELECT avg(o_totalprice) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey), 4)
+        ORDER BY o_orderkey""")
+    finally s.catalog.dropTempView("orders_v")
+  }
+
+  val q60Sql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      |FROM orders o
+      |WHERE o_totalprice > round(1.5 * (
+      |  SELECT avg(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey), 4)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT (top-2 orders per
+    * nation) — the per-group-top-n shape written as SQL the way an
+    * analyst would; Catalyst plans the correlation as a domain join. */
+  def q61LateralTopn(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+    try
+      s.sql("""
+        SELECT n_name, l.o_orderkey, round(l.o_totalprice, 2) AS price
+        FROM nation_v, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+          WHERE c_nationkey = n_nationkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        ORDER BY n_name, l.o_orderkey""")
+    finally Seq("orders_v", "customer_v", "nation_v").foreach(s.catalog.dropTempView)
+  }
+
+  val q61Sql: String =
+    """SELECT n_name, l.o_orderkey, round(l.o_totalprice, 2) AS price
+      |FROM nation, LATERAL (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+      |ORDER BY n_name, l.o_orderkey""".stripMargin
+
+  /** Deterministic argmax: the top event per type in one aggregate pass
+    * (no window sort) via lexicographic max over a (value, id, user)
+    * struct — the id makes ties impossible, so both engines pick the same
+    * row. */
+  def q62Argmax(s: SparkSession, dir: String): DataFrame = {
+    val key = struct(col("value").as("v"), col("event_id").as("id"), col("user_id").as("u"))
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(max(key).as("m"))
+      .select(col("event_type"),
+        col("m.u").as("top_user"), col("m.id").as("top_event"),
+        round(col("m.v"), 2).as("top_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q62Sql: String =
+    """SELECT event_type,
+      |  max(struct_pack(v := value, id := event_id, u := user_id)).u AS top_user,
+      |  max(struct_pack(v := value, id := event_id, u := user_id)).id AS top_event,
+      |  round(max(struct_pack(v := value, id := event_id, u := user_id)).v, 2) AS top_value
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -228,5 +304,8 @@ object ExtendedQueries {
     ("q53_summary_stats",    q53SummaryStats _,    Some(q53Sql)),
     ("q49_sql_surface",      q49SqlSurface _,      Some(q49Sql)),
     ("q50_salted_join",      q50SaltedJoin _,      Some(q50Sql)),
+    ("q60_correlated_subq",  q60CorrelatedSubq _,  Some(q60Sql)),
+    ("q61_lateral_topn",     q61LateralTopn _,     Some(q61Sql)),
+    ("q62_argmax",           q62Argmax _,          Some(q62Sql)),
   )
 }

@@ -25,6 +25,32 @@ object StatefulOps {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming NEAR-dup suppression (C2 in streaming form): drops an
+    * arriving document when a MinHash-similar one was already seen inside
+    * the watermark horizon. The key is one LSH band (the first 4 of the
+    * 16 minhash coordinates) — the AND-construction with a single band,
+    * so suppression is precision-biased: 4 coordinates must all agree
+    * (P ≈ jacc⁴ per doc pair, ≈ 2/3 at jacc 0.9; identical texts always
+    * hit). Documents too short to shingle fall back to exact-text keys.
+    * State is one key per live document, bounded by the watermark — this
+    * is the ingest-time guard; corpus-wide resolution stays batch (q55). */
+  def nearDupStream(docs: DataFrame, textCol: String, tsCol: String, delay: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tk = split(col(textCol), " ")
+    val sig = graft.functions.GraftFunctions.minhash_shingle_sig(col("__tk"))
+    val bandKey = concat_ws(":",
+      element_at(col("__sig"), 1), element_at(col("__sig"), 2),
+      element_at(col("__sig"), 3), element_at(col("__sig"), 4))
+    docs
+      .withColumn("__tk", tk)
+      .withColumn("__sig", when(size(col("__tk")) >= 3, sig).otherwise(lit(null)))
+      .withColumn("__ndkey",
+        when(col("__sig").isNotNull, bandKey).otherwise(concat(lit("raw:"), col(textCol))))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__ndkey")
+      .drop("__tk", "__sig", "__ndkey")
+  }
+
   /** Custom gap-based sessionization with explicit state
     * (flatMapGroupsWithState): emits a session when the gap closes it or
     * the event-time timeout fires. The built-in session_window (q23) covers

@@ -49,4 +49,27 @@ class StatefulSpec extends SparkSpec {
     assert(rows(0).user_id == 7 && rows(0).n == 2 && rows(0).sv == 3.0)
     assert(rows(0).session_start == ts("2024-01-01 10:00:00"))
   }
+
+  test("nearDupStream suppresses minhash-identical re-arrivals, passes novel docs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val q = StatefulOps.nearDupStream(
+        in.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, base, ts("2024-01-01 10:00:00")),
+               (2L, other, ts("2024-01-01 10:00:30")),
+               (3L, "hi", ts("2024-01-01 10:00:40")))      // short-doc fallback
+    q.processAllAvailable()
+    in.addData((4L, base, ts("2024-01-01 10:01:00")),      // exact re-arrival: same sig
+               (5L, "hi", ts("2024-01-01 10:01:10")))      // short-doc exact dup
+    q.processAllAvailable()
+    val kept = spark.table("neardup_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(kept == Seq(1L, 2L, 3L))
+  }
 }
