@@ -12,8 +12,17 @@ import org.apache.spark.sql.types.LongType
   * `.explain("formatted")`: `PushedFilters`, `ReadSchema`).
   */
 object Tables {
+  /** Per-(session, path) relation cache — the catalog role: each
+    * spark.read.parquet re-lists the directory and re-reads footers to
+    * build a fresh InMemoryFileIndex, which at ~60 queries × ~2 tables
+    * each is pure repeated driver work. Cached analyzed relations share
+    * one file index. (Test fixtures overwrite parquet dirs in place, so
+    * tests bypass the cache via fresh paths — tmpDir is unique per use.) */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((System.identityHashCode(spark), s"$dir/$name.parquet"),
+      { case (_, p) => spark.read.parquet(p) })
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
