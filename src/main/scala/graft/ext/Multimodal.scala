@@ -56,6 +56,59 @@ object Multimodal {
     df.mapPartitions(decodeStub)
   }
 
+  /** One sampled video frame: payload slice + position metadata. */
+  case class MediaFrame(media_id: Long, frame_idx: Int, offset: Long,
+                        frame: Array[Byte])
+
+  /** STUB frame sampling (video → every k-th frame): a real build parses
+    * the container's seek table; the stub treats the payload as fixed-size
+    * frames. The Spark shape is the real thing — a generator (UDTF-style
+    * flatMap) that expands one row into many, partition-local so a
+    * demuxer would initialize once per partition. */
+  def sampleFramesStub(rows: Iterator[MediaRow], frameBytes: Int,
+                       everyNth: Int): Iterator[MediaFrame] = {
+    // demuxer init would happen here, once per partition
+    rows.flatMap { r =>
+      val n = r.payload.length / frameBytes
+      (0 until n).by(everyNth).iterator.map { f =>
+        val off = f.toLong * frameBytes
+        MediaFrame(r.media_id, f, off,
+          r.payload.slice(off.toInt, off.toInt + frameBytes))
+      }
+    }
+  }
+
+  /** Frame-sample pipeline over a bounded-size repartition: numPartitions
+    * bounds per-task payload volume (the knob that keeps task input ≈
+    * constant as the corpus grows — at 100 TB this is a repartition on a
+    * size-aware key, not a fixed count). */
+  def sampleFrames(df: Dataset[MediaRow], frameBytes: Int, everyNth: Int,
+                   numPartitions: Int): Dataset[MediaFrame] = {
+    import df.sparkSession.implicits._
+    df.repartition(numPartitions)
+      .mapPartitions(rs => sampleFramesStub(rs, frameBytes, everyNth))
+  }
+
+  /** STUB resize: a real build decodes + rescales pixels; the stub scales
+    * the feature vector's shape metadata. Demonstrates the batched
+    * execution contract (the Scala analogue of a pandas-UDF batch): rows
+    * are processed `batchSize` at a time through one call, the shape a
+    * vectorized/FFI kernel needs, while the iterator keeps streaming —
+    * no whole-partition materialization. */
+  def resizeBatched(df: Dataset[MediaFeatures], targetDim: Int,
+                    batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import df.sparkSession.implicits._
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // one vectorized kernel call per batch would happen here
+        batch.map { f =>
+          val out = java.util.Arrays.copyOf(f.feature, targetDim)
+          f.copy(feature = out)
+        }
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- queries entry
   /** Binary-column metadata projection over documents-as-blobs: the
     * metadata/pruning half of the multimodal story, fully SQL-expressible

@@ -24,6 +24,31 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2).n_bytes == 0)                     // empty payload safe
   }
 
+  test("frame sampling expands videos to every k-th frame with offsets") {
+    import spark.implicits._
+    // 10 "frames" of 4 bytes each
+    val payload = (0 until 40).map(_.toByte).toArray
+    val vids = Seq(MediaRow(7L, "video/mp4", payload),
+                   MediaRow(8L, "video/mp4", Array[Byte](1, 2))).toDS()
+    val frames = sampleFrames(vids, frameBytes = 4, everyNth = 3, numPartitions = 2)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.offset)).toSeq ==
+      Seq((7L, 0, 0L), (7L, 3, 12L), (7L, 6, 24L), (7L, 9, 36L)))
+    assert(frames(1).frame.toSeq == Seq[Byte](12, 13, 14, 15))
+    assert(!frames.exists(_.media_id == 8L))   // sub-frame payload → no frames
+  }
+
+  test("batched resize keeps ids and reshapes features") {
+    import spark.implicits._
+    val feats = (1L to 150L).map(i =>
+      MediaFeatures(i, "image/png", 4, Array(i.toFloat, 2f, 3f, 4f))).toDS()
+    val out = resizeBatched(feats, targetDim = 2, batchSize = 64)
+      .collect().sortBy(_.media_id)
+    assert(out.length == 150)
+    assert(out.forall(_.feature.length == 2))
+    assert(out(41).feature(0) == 42.0f)
+  }
+
   test("SQL surface: registered native functions work via spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val cos = spark.sql(

@@ -41,4 +41,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("q30_knn_exact")
     assert(p.contains("ReadSchema") && !p.contains("label"))
   }
+
+  test("q62 argmax is a partial+final aggregate, not a window sort") {
+    val p = plan("q62_argmax")
+    assert(!p.contains("Window"))
+    assert("HashAggregate|SortAggregate".r.findAllIn(p).size >= 2)
+  }
 }
