@@ -117,10 +117,34 @@ object TextAnalysis {
        |        unnest(string_split(text, ' ')) AS tok FROM documents) t
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C4: BPE-ish regex tokenization
+  /** Token counting under two tokenizers: whitespace (the q34 baseline)
+    * and a BPE-ish regex that splits letter runs / digit runs / punctuation
+    * clusters — the class-based pre-tokenization BPE vocabularies start
+    * from. Pattern kept to the Java∩RE2 regex subset. Pure map stage. */
+  private val bpePat = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+  def q64BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val re = regexp_extract_all(col("text"), lit(bpePat), lit(0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(ws).as("n_ws"), size(re).as("n_re"))
+      .withColumn("ratio", round(col("n_re").cast("double") / col("n_ws"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val q64Sql: String =
+    s"""SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
+       |  len(regexp_extract_all(text, '$bpePat')) AS n_re,
+       |  round(len(regexp_extract_all(text, '$bpePat'))::DOUBLE
+       |        / len(string_split(text, ' ')), 4) AS ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q32_lang_id",       q32LangId _,       Some(q32Sql)),
     ("q33_quality_score", q33QualityScore _, Some(q33Sql)),
     ("q34_token_stats",   q34TokenStats _,   Some(q34Sql)),
     ("q35_fingerprint",   q35Fingerprint _,  Some(q35Sql)),
+    ("q64_bpe_tokens",    q64BpeTokens _,    Some(q64Sql)),
   )
 }

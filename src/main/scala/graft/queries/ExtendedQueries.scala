@@ -293,6 +293,28 @@ object ExtendedQueries {
       |FROM events WHERE value IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form behind q17 rollup / q40
+    * cube) through the typed Dataset API, with grouping() flags exposed —
+    * one Expand + single aggregate pass, no per-set re-scan. */
+  def q63GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val st = col("o_orderstatus"); val pr = col("o_orderpriority")
+    Tables.orders(s, dir)
+      .groupingSets(Seq(Seq(st, pr), Seq(st), Seq.empty), st, pr)
+      .agg(grouping(st).cast("int").multiply(1).plus(grouping(pr).cast("int").multiply(2)).as("gid"),
+        count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+      .select(coalesce(st, lit("ALL")).as("status"), coalesce(pr, lit("ALL")).as("prio"),
+        col("gid"), col("n"), col("rev"))
+      .orderBy(col("gid"), col("status"), col("prio"))
+  }
+
+  val q63Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
+      |  grouping(o_orderstatus)::INT + 2 * grouping(o_orderpriority)::INT AS gid,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, status, prio""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -307,5 +329,6 @@ object ExtendedQueries {
     ("q60_correlated_subq",  q60CorrelatedSubq _,  Some(q60Sql)),
     ("q61_lateral_topn",     q61LateralTopn _,     Some(q61Sql)),
     ("q62_argmax",           q62Argmax _,          Some(q62Sql)),
+    ("q63_grouping_sets",    q63GroupingSets _,    Some(q63Sql)),
   )
 }
