@@ -31,7 +31,14 @@ object TraceStream {
     checkpointDir: String,
     maxFilesPerTrigger: Int = 64,
     deleteOnSuccess: Boolean = false,   // A13: the reference's --delete-logs
-    trigger: Trigger = Trigger.AvailableNow())
+    trigger: Trigger = Trigger.AvailableNow(),
+    /** Write parallelism per month partition. A micro-batch of rotated
+      * files usually lands in 1–2 months, so the store default of 1 would
+      * serialize the whole batch's sort+zstd+write onto one core; a few
+      * splits keep the commit parallel while files stay batch-sized (the
+      * small-file/small-insert contract still holds: ≤ splits files per
+      * month per commit). */
+    splitsPerMonth: Int = 8)
 
   /** Streaming source over the watched directory (A1): new rotated
     * *.json files become micro-batch input. */
@@ -54,7 +61,7 @@ object TraceStream {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        TraceStore.append(batch, cfg.tablePath)
+        TraceStore.append(batch, cfg.tablePath, cfg.splitsPerMonth)
       }
       .start()
 

@@ -37,6 +37,21 @@ object IngestBench {
         sb.toString.getBytes)
     }
 
+    // Untimed warmup on synthetic data: the first JSON parse and first
+    // parquet-sort-write in a JVM pay ~2.5 s of JIT/codegen; a pipeline
+    // ingesting rotated files runs warm, so the steady-state rate is the
+    // meaningful number (cold-start is one rotation period, once).
+    locally {
+      val wdir = Files.createTempDirectory("ibench-warm").toString
+      Files.write(Paths.get(wdir, "w.json"),
+        (0 until 2000).map(i =>
+          s"""{"Severity": 10, "Machine": "w", "LogGroup": "g", "Time": $i.5, "Type": "W", "ID": "w$i"}""")
+          .mkString("\n").getBytes)
+      val wtab = Files.createTempDirectory("ibench-warmtab").toString
+      graft.store.TraceStore.append(
+        graft.ingest.TraceIngest.readBatch(spark, wdir), wtab, 8)
+    }
+
     val total = nFiles.toLong * rowsPerFile
     val t0 = System.nanoTime()
     val q = TraceStream.start(spark,
