@@ -102,9 +102,10 @@ object Dedup {
       element_at(col("sig"), b * 4 + 3) * 961L +
       element_at(col("sig"), b * 4 + 4) * 29791L)
     // buckets feeds both sides of the self-join; persist for the join,
-    // eagerly materialize the (tiny) candidate set, then unpersist so no
-    // corpus-sized cache outlives this query. (At 100 TB: checkpoint the
-    // signature table to parquet instead of caching.)
+    // eagerly materialize the (tiny) candidate set via localCheckpoint,
+    // then unpersist so NO cache — corpus-sized or otherwise — outlives
+    // this call even though the returned plan still reads the candidates.
+    // (At 100 TB: checkpoint the signature table to parquet instead.)
     val buckets = withSig(s, dir)
       .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
       .persist()
@@ -114,8 +115,7 @@ object Dedup {
         col("b1.doc_id") < col("b2.doc_id"))
       .select(col("b1.doc_id").as("d1"), col("b2.doc_id").as("d2"))
       .distinct()
-      .persist()
-    cands.count()        // force while buckets is cached
+      .localCheckpoint(true)   // forces while buckets is cached
     buckets.unpersist()
     // Exact verification: join the candidate pairs back to the (tiny set
     // of) texts and run the one-pass Jaccard kernel per pair — no corpus
