@@ -70,7 +70,10 @@ object Curation {
     * per-source quotas instead of global random sampling. One shuffle
     * keyed by the stratum; the rank cutoff happens within each partition. */
   def q57StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val h = (col("doc_id") * 1103515245L + 12345L) % 2147483647L
+    // reduce mod 2^31-1 BEFORE multiplying: 64-bit ids times a 31-bit
+    // constant would overflow Long, which throws under ANSI mode (Spark 4
+    // default) and errors in DuckDB. (id % m) * 48271 stays < 2^47.
+    val h = (col("doc_id") % 2147483647L) * 48271L % 2147483647L
     val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), h.as("h"))
@@ -84,7 +87,7 @@ object Curation {
     """SELECT source, rn, doc_id FROM (
       |  SELECT doc_id, source,
       |         row_number() OVER (PARTITION BY source
-      |           ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id) AS rn
+      |           ORDER BY (doc_id % 2147483647) * 48271 % 2147483647, doc_id) AS rn
       |  FROM documents) t
       |WHERE rn <= 5 ORDER BY source, rn""".stripMargin
 

@@ -243,7 +243,8 @@ object Dedup {
     // one pass instead of diameter-many distributed rounds (each a shuffle
     // + convergence-check job). Above it, fall through to the iterative
     // distributed path — same labels either way (min id per component).
-    if (nEdges <= driverThreshold) {
+    // (nEdges counts the symmetrized list, 2× the undirected pairs.)
+    if (nEdges <= 2 * driverThreshold) {
       val spark = pairs.sparkSession
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = { var r = x
@@ -261,24 +262,29 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).persist()
     val persisted = scala.collection.mutable.Buffer[DataFrame](edges, labels)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.node"))
-        .groupBy(col("e.src").as("node")).agg(min(col("l.lbl")).as("nlbl"))
-      val step = labels.withColumnRenamed("lbl", "old")
-        .join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("old"),
-          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
-        .persist()
-      persisted += step
-      changed = step.filter(col("lbl") < col("old")).count()
-      labels = step.select(col("node"), col("lbl"))
-      iter += 1
-    }
-    val out = labels.select(col("node"), col("lbl").as("cluster")).localCheckpoint(true)
-    persisted.foreach(_.unpersist(false))
-    out
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        val nbrMin = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.node"))
+          .groupBy(col("e.src").as("node")).agg(min(col("l.lbl")).as("nlbl"))
+        val step = labels.withColumnRenamed("lbl", "old")
+          .join(nbrMin, Seq("node"), "left")
+          .select(col("node"), col("old"),
+            least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
+          .persist()
+        persisted += step
+        changed = step.filter(col("lbl") < col("old")).count()
+        labels = step.select(col("node"), col("lbl"))
+        iter += 1
+      }
+      // Unconverged labels are WRONG labels (a component reported as
+      // several clusters) — fail loudly rather than return them.
+      require(changed == 0,
+        s"connectedComponents did not converge in $maxIters rounds " +
+        s"(component diameter exceeds the cap); raise maxIters")
+      labels.select(col("node"), col("lbl").as("cluster")).localCheckpoint(true)
+    } finally persisted.foreach(_.unpersist(false))
   }
 
   /** End-to-end near-dup cluster resolution: LSH pairs (jacc ≥ 0.5) →

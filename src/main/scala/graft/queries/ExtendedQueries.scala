@@ -300,7 +300,7 @@ object ExtendedQueries {
     val st = col("o_orderstatus"); val pr = col("o_orderpriority")
     Tables.orders(s, dir)
       .groupingSets(Seq(Seq(st, pr), Seq(st), Seq.empty), st, pr)
-      .agg(grouping(st).cast("int").multiply(1).plus(grouping(pr).cast("int").multiply(2)).as("gid"),
+      .agg((grouping(st).cast("int") + grouping(pr).cast("int") * 2).as("gid"),
         count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
       .select(coalesce(st, lit("ALL")).as("status"), coalesce(pr, lit("ALL")).as("prio"),
         col("gid"), col("n"), col("rev"))

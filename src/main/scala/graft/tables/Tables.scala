@@ -18,11 +18,11 @@ object Tables {
     * each is pure repeated driver work. Cached analyzed relations share
     * one file index. (Test fixtures overwrite parquet dirs in place, so
     * tests bypass the cache via fresh paths — tmpDir is unique per use.) */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((System.identityHashCode(spark), s"$dir/$name.parquet"),
-      { case (_, p) => spark.read.parquet(p) })
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

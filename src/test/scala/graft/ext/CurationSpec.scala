@@ -27,6 +27,30 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("distributed min-label propagation matches union-find on a chained graph") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4) + pair 10-11 + triangle 20-21-22
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+                    (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("d1", "d2")
+    val viaDriver = Dedup.connectedComponents(edges, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaIteration = Dedup.connectedComponents(edges, "d1", "d2", driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+                       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(viaDriver == expected)
+    assert(viaIteration == expected)
+  }
+
+  test("unconverged distributed propagation fails loudly instead of returning wrong labels") {
+    import spark.implicits._
+    val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("d1", "d2")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "d1", "d2", maxIters = 2, driverThreshold = 0L)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("dedup clusters merge transitive near-dups and keep the lowest id") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val dir = docsDir(Seq(
