@@ -282,6 +282,46 @@ object Similarity {
        |SELECT d1, d2, round(c, 5) AS cos FROM cos WHERE c >= 0.25
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- C3: centroid refinement (k-means step)
+  /** One Lloyd iteration over the IVF coarse quantizer: assign every
+    * vector to its nearest centroid (broadcast centroids + fused cosine
+    * argmax — map-only over the corpus), then recompute each centroid as
+    * the element-wise mean of its cell (posexplode → (cell, dim)-keyed
+    * partial aggregate → re-assembled array). Both stages scale linearly
+    * in corpus size; iterations are driver-looped like any Lloyd solver.
+    * Returns (c_id, centroid, n_members). */
+  def kmeansStep(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_sim
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val cells = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids.select(col("c_id"), col("ce"))))
+      .withColumn("ccos", cosine_sim(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id"))
+    cells
+      .select(col("c_id"), col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("c_id"), col("d"))
+      .agg(avg(col("x")).as("m"), countDistinct(col("vec_id")).as("nm"))
+      .groupBy(col("c_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m").cast("float")).as("ce"),
+        max(col("nm")).as("n_members"))
+  }
+
+  /** Driver-looped Lloyd refinement (the k-means training loop the IVF
+    * index needs): each round is one kmeansStep; the loop is bounded, and
+    * the (small) centroid set is localCheckpoint'ed per round so lineage
+    * does not stack across iterations. */
+  def kmeansRefine(emb: DataFrame, initial: DataFrame, iters: Int): DataFrame = {
+    var cents = initial.select(col("c_id"), col("ce"))
+    (0 until iters).foreach { _ =>
+      cents = kmeansStep(emb, cents)
+        .select(col("c_id"), col("ce")).localCheckpoint(true)
+    }
+    cents
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
     ("q47_knn_topk",   q47KnnTopK _,   Some(q30Sql)),

@@ -80,6 +80,36 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"multi-probe recall $recall too low on clustered data")
   }
 
+  test("kmeans refinement recovers planted cluster means from poor init") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(2)(Array.fill(8)(rnd.nextGaussian().toFloat * 3f))
+    val rows = (0 until 120).map { i =>
+      val c = centers(i % 2)
+      (i.toLong, c.toSeq.map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    }
+    val dir = vecsDir(rows)
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    // init = two arbitrary members of the SAME planted cluster 0: a
+    // useful refinement must still split the data into both clusters
+    val init = emb.filter(col("vec_id").isin(0L, 2L))
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val refined = Similarity.kmeansRefine(emb, init, iters = 4)
+    val last = Similarity.kmeansStep(emb, refined).collect()
+    assert(last.length == 2)
+    val sizes = last.map(_.getAs[Long]("n_members")).sorted.toSeq
+    assert(sizes == Seq(60L, 60L), s"cells split unevenly: $sizes")
+    // each refined centroid sits on one planted mean (cosine ≈ 1)
+    def cos(a: scala.collection.Seq[Float], b: scala.collection.Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val cents = last.map(_.getAs[scala.collection.Seq[Float]]("ce"))
+    centers.foreach { c =>
+      assert(cents.exists(ce => cos(ce, c.toSeq) > 0.995))
+    }
+  }
+
   test("exact kNN ranks an identical vector first with cosine 1") {
     val v = Seq.tabulate(8)(i => (i + 1).toFloat)
     val orth = Seq.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)
