@@ -51,6 +51,23 @@ object StatefulOps {
       .drop("__tk", "__sig", "__ndkey")
   }
 
+  /** Stream-stream interval join (event correlation — click within a
+    * window after its impression). Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark derives a state
+    * retention horizon for each side: state holds only rows still inside
+    * watermark + interval, never the full streams. Column names must be
+    * disjoint (rename before calling). */
+  def intervalJoin(lhs: DataFrame, rhs: DataFrame,
+                   keyL: String, keyR: String, tsL: String, tsR: String,
+                   delay: String, within: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    lhs.withWatermark(tsL, delay)
+      .join(rhs.withWatermark(tsR, delay),
+        col(keyL) === col(keyR) &&
+        col(tsL) >= col(tsR) &&
+        col(tsL) <= col(tsR) + expr(s"interval $within"))
+  }
+
   /** Custom gap-based sessionization with explicit state
     * (flatMapGroupsWithState): emits a session when the gap closes it or
     * the event-time timeout fires. The built-in session_window (q23) covers

@@ -50,6 +50,28 @@ class StatefulSpec extends SparkSpec {
     assert(rows(0).session_start == ts("2024-01-01 10:00:00"))
   }
 
+  test("stream-stream interval join correlates clicks to a bounded window after impressions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val q = StatefulOps.intervalJoin(
+        clicks.toDF().toDF("c_ad", "c_ts"), imps.toDF().toDF("i_ad", "i_ts"),
+        "c_ad", "i_ad", "c_ts", "i_ts", delay = "1 hour", within = "10 minutes")
+      .select("c_ad", "c_ts", "i_ts")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append).start()
+    imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    clicks.addData(
+      (1L, ts("2024-01-01 10:05:00")),   // within 10 min → match
+      (2L, ts("2024-01-01 10:30:00")),   // 30 min later → no match
+      (3L, ts("2024-01-01 10:01:00")))   // never impressed → no match
+    q.processAllAvailable()
+    val got = spark.table("ij_out").collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    q.stop()
+    assert(got.toSeq == Seq((1L, ts("2024-01-01 10:05:00"))))
+  }
+
   test("nearDupStream suppresses minhash-identical re-arrivals, passes novel docs") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
