@@ -42,6 +42,26 @@ class CurationSpec extends SparkSpec {
     assert(viaIteration == expected)
   }
 
+  test("both components paths agree on random graphs (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 2 + rnd.nextInt(30)
+      val edges = (0 until n).map(_ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("d1", "d2")
+        val viaDriver = Dedup.connectedComponents(df, "d1", "d2")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val viaIter = Dedup.connectedComponents(df, "d1", "d2", maxIters = 40,
+            driverThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(viaDriver == viaIter, s"paths disagree on edges $edges")
+      }
+    }
+  }
+
   test("unconverged distributed propagation fails loudly instead of returning wrong labels") {
     import spark.implicits._
     val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("d1", "d2")
