@@ -48,8 +48,26 @@ object JsonProps {
       |FROM events WHERE CAST(json_extract(props, '$.k') AS INTEGER) >= 90
       |ORDER BY event_id""".stripMargin
 
+  /** Semi-structured access through Spark 4's VARIANT type (parse once,
+    * typed extraction from the binary-encoded value) — the modern path
+    * for schema-flexible props columns, vs q36's per-access string
+    * re-parse via get_json_object. Aggregates k into coarse buckets. */
+  def q66Variant(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'int')"))
+      .groupBy(expr("k div 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("k_bucket"))
+
+  val q66Sql: String =
+    """SELECT json_extract(props, '$.k')::INT // 10 AS k_bucket,
+      |  count(*) AS n, min(json_extract(props, '$.k')::INT) AS min_k,
+      |  max(json_extract(props, '$.k')::INT) AS max_k
+      |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q36_json_extract", q36JsonExtract _, Some(q36Sql)),
     ("q37_json_filter",  q37JsonFilter _,  Some(q37Sql)),
+    ("q66_variant",      q66Variant _,     Some(q66Sql)),
   )
 }

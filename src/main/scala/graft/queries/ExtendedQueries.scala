@@ -315,6 +315,36 @@ object ExtendedQueries {
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       |ORDER BY gid, status, prio""".stripMargin
 
+  /** TPC-H Q3 (shipping priority) shape: 3-way fact join with a
+    * broadcastable customer-segment filter, group on the fine key, top-10
+    * by revenue. The classic OLAP dashboard query over this schema. */
+  def q67ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = "1998-06-01"
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+  }
+
+  val q67Sql: String =
+    """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, o_orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -330,5 +360,6 @@ object ExtendedQueries {
     ("q61_lateral_topn",     q61LateralTopn _,     Some(q61Sql)),
     ("q62_argmax",           q62Argmax _,          Some(q62Sql)),
     ("q63_grouping_sets",    q63GroupingSets _,    Some(q63Sql)),
+    ("q67_shipping_priority", q67ShippingPriority _, Some(q67Sql)),
   )
 }
