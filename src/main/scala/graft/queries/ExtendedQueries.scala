@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
@@ -345,6 +346,34 @@ object ExtendedQueries {
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  /** Time-based rolling aggregate: RANGE frame over event time (the
+    * window shape q16/q48's ROWS frames don't cover). The frame key is
+    * exact integer microseconds on both engines — DuckDB's epoch() returns
+    * fractional-second DOUBLEs and Spark's unix_timestamp truncates, so
+    * either would put boundary rows in different frames. Partitioned by
+    * user: per-key state, no global ordering. */
+  def q68RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-3600000000L, 0L)   // 1 hour in microseconds
+    Tables.events(s, dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("ts"), col("value"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("roll_1h", round(sum(col("value")).over(w), 2))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .select(col("user_id"), col("ts"), col("roll_1h"), col("n_1h"))
+      .orderBy(col("user_id"), col("ts"))
+  }
+
+  val q68Sql: String =
+    """SELECT user_id, ts,
+      |  round(sum(value) OVER w, 2) AS roll_1h,
+      |  count(*) OVER w AS n_1h
+      |FROM events WHERE user_id < 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -361,5 +390,6 @@ object ExtendedQueries {
     ("q62_argmax",           q62Argmax _,          Some(q62Sql)),
     ("q63_grouping_sets",    q63GroupingSets _,    Some(q63Sql)),
     ("q67_shipping_priority", q67ShippingPriority _, Some(q67Sql)),
+    ("q68_rolling_window",    q68RollingWindow _,    Some(q68Sql)),
   )
 }
