@@ -171,35 +171,35 @@ object Curation {
 
   // ---------------------------------------------------------------- quality gate: percentile-threshold filtering
   /** The curation decision itself: keep documents at or above the 25th
-    * quality percentile *within their language* (per-stratum gating, so a
-    * low-resource language is not wiped out by a high-resource one's
-    * distribution). percent_rank is rank-arithmetic — engine-exact, no
-    * float quantile interpolation to drift. One shuffle keyed by lang. */
+    * quality percentile *within their language*, with a stratum floor —
+    * languages with fewer than 8 documents pass through whole, so the
+    * gate cannot wipe out a low-resource language (a 1-doc language has
+    * percent_rank 0 and a bare threshold would delete it entirely).
+    * The quality metric is [[TextAnalysis.qualityCol]] — the SAME
+    * definition the reporting query (q33) surfaces, never a fork.
+    * percent_rank is rank-arithmetic — engine-exact, no float quantile
+    * interpolation to drift. One shuffle keyed by lang. */
   def q65QualityGate(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
-    val quality = round(
-      least(nTok.cast("double") / 200.0, lit(1.0)) * 0.5 + uniqRatio * 0.5, 4)
     val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
+    val wn = Window.partitionBy(col("lang"))
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), quality.as("quality"))
+      .select(col("doc_id"), col("lang"), TextAnalysis.qualityCol.as("quality"))
       .withColumn("pr", round(percent_rank().over(w), 4))
-      .filter(col("pr") >= 0.25)
+      .withColumn("n_lang", count(lit(1)).over(wn))
+      .filter(col("pr") >= 0.25 || col("n_lang") < 8)
       .select(col("doc_id"), col("lang"), col("quality"), col("pr"))
       .orderBy(col("doc_id"))
   }
 
   val q65Sql: String =
-    """SELECT doc_id, lang, quality, pr FROM (
-      |  SELECT doc_id, lang, quality,
-      |         round(percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id), 4) AS pr
-      |  FROM (SELECT doc_id, lang,
-      |          round(least(len(string_split(text, ' '))::DOUBLE / 200.0, 1.0) * 0.5
-      |            + len(list_distinct(string_split(text, ' ')))::DOUBLE
-      |              / len(string_split(text, ' ')) * 0.5, 4) AS quality
-      |        FROM documents) q) t
-      |WHERE pr >= 0.25 ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, lang, quality, pr FROM (
+       |  SELECT doc_id, lang, quality,
+       |         round(percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id), 4) AS pr,
+       |         count(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM (SELECT doc_id, lang,
+       |          ${TextAnalysis.qualitySqlExpr} AS quality
+       |        FROM documents) q) t
+       |WHERE pr >= 0.25 OR n_lang < 8 ORDER BY doc_id""".stripMargin
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q56_repetition",        q56Repetition _,       Some(q56Sql)),

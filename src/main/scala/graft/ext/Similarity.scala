@@ -146,11 +146,7 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     val cents = emb.filter(col("vec_id") % 400 === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val cells = emb.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosine_sim(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    val cells = assignCells(emb, cents).withColumnRenamed("c_id", "cell")
     val q = cells.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cell"))
     val scored = cells.join(q, "cell")
@@ -282,42 +278,55 @@ object Similarity {
        |SELECT d1, d2, round(c, 5) AS cos FROM cos WHERE c >= 0.25
        |ORDER BY d1, d2""".stripMargin
 
-  // ---------------------------------------------------------------- C3: centroid refinement (k-means step)
-  /** One Lloyd iteration over the IVF coarse quantizer: assign every
-    * vector to its nearest centroid (broadcast centroids + fused cosine
-    * argmax — map-only over the corpus), then recompute each centroid as
-    * the element-wise mean of its cell (posexplode → (cell, dim)-keyed
-    * partial aggregate → re-assembled array). Both stages scale linearly
-    * in corpus size; iterations are driver-looped like any Lloyd solver.
-    * Returns (c_id, centroid, n_members). */
-  def kmeansStep(emb: DataFrame, centroids: DataFrame): DataFrame = {
+  // ---------------------------------------------------------------- C3: centroid assignment + refinement
+  /** Nearest-centroid cell assignment — the ONE definition shared by the
+    * IVF index (q46) and the k-means trainer, so the two can never
+    * disagree on scoring or tie-breaking. Broadcast centroids + fused
+    * cosine argmax: map-only over the corpus.
+    * Input centroids: (c_id, ce). Returns (vec_id, embedding, c_id). */
+  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.cosine_sim
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val cells = emb.select(col("vec_id"), col("embedding"))
+    emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids.select(col("c_id"), col("ce"))))
       .withColumn("ccos", cosine_sim(col("embedding"), col("ce")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id"))
-    cells
-      .select(col("c_id"), col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+  }
+
+  /** One Lloyd iteration over the IVF coarse quantizer: [[assignCells]],
+    * then recompute each non-empty cell's centroid as the element-wise
+    * mean (posexplode → (cell, dim)-keyed partial aggregate → re-assembled
+    * array; each member contributes exactly one row per (cell, dim), so a
+    * plain count is the member count). Cells that attracted no vectors
+    * emit no row here — [[kmeansRefine]] carries their centroid forward.
+    * Returns (c_id, ce, n_members). */
+  def kmeansStep(emb: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(emb, centroids)
+      .select(col("c_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("c_id"), col("d"))
-      .agg(avg(col("x")).as("m"), countDistinct(col("vec_id")).as("nm"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("nm"))
       .groupBy(col("c_id"))
       .agg(
         transform(array_sort(collect_list(struct(col("d"), col("m")))),
           s => s.getField("m").cast("float")).as("ce"),
         max(col("nm")).as("n_members"))
-  }
 
   /** Driver-looped Lloyd refinement (the k-means training loop the IVF
     * index needs): each round is one kmeansStep; the loop is bounded, and
     * the (small) centroid set is localCheckpoint'ed per round so lineage
-    * does not stack across iterations. */
+    * does not stack across iterations. A centroid whose cell went empty
+    * keeps its previous position (standard Lloyd practice) — k never
+    * silently shrinks across rounds. */
   def kmeansRefine(emb: DataFrame, initial: DataFrame, iters: Int): DataFrame = {
     var cents = initial.select(col("c_id"), col("ce"))
     (0 until iters).foreach { _ =>
-      cents = kmeansStep(emb, cents)
-        .select(col("c_id"), col("ce")).localCheckpoint(true)
+      val stepped = kmeansStep(emb, cents)
+        .select(col("c_id"), col("ce").as("ce_new"))
+      cents = cents.withColumnRenamed("ce", "ce_old")
+        .join(stepped, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("ce_new"), col("ce_old")).as("ce"))
+        .localCheckpoint(true)
     }
     cents
   }

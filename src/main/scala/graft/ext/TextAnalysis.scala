@@ -45,31 +45,45 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- C4: quality scoring
+  /** THE corpus quality definition, shared by the reporting query (q33)
+    * and the curation gate (q65) so the gate can never filter on a
+    * different metric than the one surfaced: rounded
+    * 0.5·min(n_tok/200, 1) + 0.5·uniq_ratio over a `text` column. */
+  def qualityCol: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
+    round(least(nTok.cast("double") / 200.0, lit(1.0)) * 0.5 + uniqRatio * 0.5, 4)
+  }
+
+  /** DuckDB twin of [[qualityCol]]. */
+  val qualitySqlExpr: String =
+    """round(least(len(string_split(text, ' '))::DOUBLE / 200.0, 1.0) * 0.5
+      |            + len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |              / len(string_split(text, ' ')) * 0.5, 4)""".stripMargin
+
   /** Length / vocabulary-diversity quality score in [0,1]. Pure map stage. */
   def q33QualityScore(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
-    val lenScore = least(nTok.cast("double") / 200.0, lit(1.0))
     val avgWordLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
     Tables.documents(s, dir)
       .select(col("doc_id"), nTok.as("n_tok"),
         round(avgWordLen, 4).as("avg_word_len"),
         round(uniqRatio, 4).as("uniq_ratio"),
-        round(lenScore * 0.5 + uniqRatio * 0.5, 4).as("quality"))
+        qualityCol.as("quality"))
       .orderBy(col("doc_id"))
   }
 
   val q33Sql: String =
-    """SELECT doc_id, n_tok,
-      |  round((n_chars - (n_tok - 1))::DOUBLE / n_tok, 4) AS avg_word_len,
-      |  round(uniq::DOUBLE / n_tok, 4) AS uniq_ratio,
-      |  round(least(n_tok::DOUBLE / 200.0, 1.0) * 0.5 + (uniq::DOUBLE / n_tok) * 0.5, 4) AS quality
-      |FROM (SELECT doc_id, length(text) AS n_chars,
-      |        len(string_split(text, ' ')) AS n_tok,
-      |        len(list_distinct(string_split(text, ' '))) AS uniq
-      |      FROM documents) t
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+       |  round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+       |        / len(string_split(text, ' ')), 4) AS avg_word_len,
+       |  round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+       |        / len(string_split(text, ' ')), 4) AS uniq_ratio,
+       |  $qualitySqlExpr AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- C4: corpus term stats
   /** Corpus-wide term frequencies, top 50. Explode → partial (map-side)

@@ -38,7 +38,10 @@ case class ShingleGeneratorExpr(tokens: Expression, n: Int)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    tokens.dataType match {
+    if (n < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_gen requires n >= 1, got $n")
+    else tokens.dataType match {
       case ArrayType(StringType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
@@ -55,9 +58,15 @@ case class ShingleGeneratorExpr(tokens: Expression, n: Int)
       (0 to arr.numElements() - n).iterator.map { i =>
         sb.setLength(0)
         var j = 0
+        var first = true
         while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(arr.getUTF8String(i + j).toString)
+          // null elements are skipped, matching concat_ws / shingles3
+          val t = arr.getUTF8String(i + j)
+          if (t != null) {
+            if (!first) sb.append(' ')
+            sb.append(t.toString)
+            first = false
+          }
           j += 1
         }
         InternalRow(i, UTF8String.fromString(sb.toString))

@@ -83,6 +83,22 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 3L, 1), (2L, 1L, 3L, 0), (3L, 1L, 3L, 0)))
   }
 
+  test("quality gate's stratum floor protects low-resource languages") {
+    import spark.implicits._
+    val dir = tmpDir("qg")
+    val rich = (1L to 20L).map(i =>
+      (i, (1 to (10 + i.toInt)).map(j => s"w${i}_$j").mkString(" "), "en"))
+    val rare = Seq((100L, "lone zh doc words here", "zh"))
+    (rich ++ rare).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = Curation.q65QualityGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.contains((100L, "zh")), "single-doc language must survive the gate")
+    val enKept = kept.count(_._2 == "en")
+    assert(enKept < 20 && enKept >= 14, s"en gate should trim ~25%: kept $enKept")
+  }
+
   test("repetition signals flag degenerate docs") {
     val varied = (1 to 50).map(i => s"w$i").mkString(" ")
     val loop = Seq.fill(25)("spam ham").mkString(" ")  // 2 distinct bigrams

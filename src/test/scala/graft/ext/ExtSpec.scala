@@ -110,6 +110,20 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("kmeans keeps an empty cell's centroid instead of shrinking k") {
+    import spark.implicits._
+    val v = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val orth = Seq.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)
+    // every vector sits on v; the orthogonal centroid attracts nothing
+    val dir = vecsDir((0 until 10).map(i => (i.toLong, v.map(x => x * (1f + 0.01f * i)))))
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val init = Seq((0L, v), (1L, orth)).toDF("c_id", "ce")
+    val refined = Similarity.kmeansRefine(emb, init, iters = 3).collect()
+    assert(refined.length == 2, "k must not shrink when a cell goes empty")
+    val kept = refined.find(_.getLong(0) == 1L).get.getAs[scala.collection.Seq[Float]]("ce")
+    assert(kept == orth, "empty cell keeps its previous centroid")
+  }
+
   test("exact kNN ranks an identical vector first with cosine 1") {
     val v = Seq.tabulate(8)(i => (i + 1).toFloat)
     val orth = Seq.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)

@@ -31,6 +31,26 @@ class ShingleGeneratorSpec extends SparkSpec {
     assert(viaGen == viaHof)
   }
 
+  test("null array elements are skipped like concat_ws, not NPE'd") {
+    import spark.implicits._
+    val df = Seq(1).toDF("i").select(
+      ShingleGenerator.shingle_gen(
+        array(lit("a"), lit(null).cast("string"), lit("b"), lit("c")), 2)
+        .as(Seq("pos", "shingle")))
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((0, "a"), (1, "b"), (2, "b c")))
+  }
+
+  test("n < 1 is rejected at analysis, not silently mis-evaluated") {
+    import spark.implicits._
+    val df = Seq(1).toDF("i")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(ShingleGenerator.shingle_gen(array(lit("a"), lit("b")), 0)
+        .as(Seq("pos", "shingle"))).collect()
+    }
+    assert(e.getMessage.contains("n >= 1") || e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("generator is planned as Generate with pruned input") {
     import spark.implicits._
     val df = Seq((1L, "a b c d")).toDF("id", "text")
