@@ -73,4 +73,52 @@ object TraceStore {
               col(TraceSchema.PartitionCol) <= fmt.format(to) &&
               col("Time") >= lit(from) && col("Time") < lit(to))
   }
+
+  /** Compact the accumulated micro-batch files of month partitions — the
+    * MergeTree background-merge analogue (the reference counts on
+    * ClickHouse merging its one-INSERT-per-file parts,
+    * trace-converter.py:66-72 / README.md:193-206; a streaming parquet
+    * store must do its own merging or range scans degrade into
+    * thousands-of-files listings).
+    *
+    * Months with at most `maxFilesPerMonth` files are left untouched
+    * (compaction must be cheap to run repeatedly); each rewritten month
+    * lands as `splitsPerMonth` time-sorted files, restoring the row-group
+    * min/max skipping that many tiny sorted files fragment. The rewrite
+    * is per-partition-directory and atomic at the directory swap, so a
+    * crash mid-compaction leaves the original files in place.
+    * Returns the list of compacted ym values. */
+  def compact(spark: SparkSession, tablePath: String,
+              maxFilesPerMonth: Int = 16, splitsPerMonth: Int = 4): Seq[String] = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tablePath)
+    if (!Files.exists(root)) return Seq.empty
+    def parquetFiles(p: Path): Seq[Path] =
+      Files.list(p).iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    val months = Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"${TraceSchema.PartitionCol}="))
+      .filter(p => parquetFiles(p).size > maxFilesPerMonth)
+      .toSeq
+    months.map { monthDir =>
+      val ym = monthDir.getFileName.toString.stripPrefix(s"${TraceSchema.PartitionCol}=")
+      val tmp = monthDir.resolveSibling(s".compact-$ym")
+      spark.read.schema(TraceSchema.target).parquet(monthDir.toString)
+        .repartitionByRange(splitsPerMonth, col("Time"))
+        .sortWithinPartitions(col("Time"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(tmp.toString)
+      // swap: new files in, old files out, inside the live partition dir
+      val old = parquetFiles(monthDir)
+      parquetFiles(tmp).zipWithIndex.foreach { case (f, i) =>
+        Files.move(f, monthDir.resolve(f"compacted-$ym-$i%05d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      old.foreach(Files.delete)
+      Files.list(tmp).iterator().asScala.foreach(Files.delete)
+      Files.delete(tmp)
+      ym
+    }
+  }
 }

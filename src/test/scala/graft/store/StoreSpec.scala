@@ -44,4 +44,24 @@ class StoreSpec extends SparkSpec {
     TraceStore.append(mkBatch(), path)
     assert(TraceStore.read(spark, path).count() == 6)
   }
+
+  test("compact merges many micro-batch files, preserves rows, skips small months") {
+    val path = tmpDir("store4")
+    (1 to 20).foreach(_ => TraceStore.append(mkBatch(), path))   // 20 files/month
+    def nFiles(ym: String) =
+      new java.io.File(s"$path/ym=$ym").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(nFiles("201905") == 20)
+    val before = TraceStore.read(spark, path).orderBy("Time", "Severity")
+      .collect().map(_.toSeq)
+    val compacted = TraceStore.compact(spark, path, maxFilesPerMonth = 16,
+      splitsPerMonth = 2)
+    assert(compacted.sorted == Seq("201905", "201906"))
+    assert(nFiles("201905") <= 2 && nFiles("201906") <= 2)
+    val after = TraceStore.read(spark, path).orderBy("Time", "Severity")
+      .collect().map(_.toSeq)
+    assert(after.toSeq == before.toSeq)        // lossless rewrite
+    // second run is a no-op: both months are now under the threshold
+    assert(TraceStore.compact(spark, path, maxFilesPerMonth = 16).isEmpty)
+  }
 }
