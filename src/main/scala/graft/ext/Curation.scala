@@ -201,6 +201,58 @@ object Curation {
        |        FROM documents) q) t
        |WHERE pr >= 0.25 OR n_lang < 8 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- the composed pipeline
+  /** End-to-end corpus curation — the operators above composed the way a
+    * training-data pipeline actually runs them:
+    *
+    *   1. near-dup resolution: LSH pairs → connected components → keep
+    *      the lowest doc_id per cluster (q55's semantics);
+    *   2. quality gate: per-language percent_rank threshold with the
+    *      low-resource stratum floor (q65's semantics);
+    *   3. per-source quota: deterministic hash-ordered k per source
+    *      (q57's semantics, quota = `perSource`).
+    *
+    * Stage order matters and is the standard one: dedup before quality
+    * (so a duplicated high-quality doc can't occupy several quota slots),
+    * quality before sampling (so quotas are filled with gated docs).
+    * Returns the curated documents plus per-stage survivor counts. */
+  def curateCorpus(s: SparkSession, dir: String, perSource: Int = 20)
+      : (DataFrame, Map[String, Long]) = {
+    val docs = Tables.documents(s, dir)
+    val n0 = docs.count()
+
+    // 1. drop near-dup non-representatives
+    val clusters = Dedup.q55DedupClusters(s, dir)
+      .select(col("doc_id"), col("keep"))
+    val deduped = docs.join(clusters, Seq("doc_id"), "left")
+      .filter(col("keep").isNull || col("keep") === 1)
+      .drop("keep")
+    val n1 = deduped.count()
+
+    // 2. quality gate (same formula + floor as q65, over the deduped set)
+    val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
+    val wn = Window.partitionBy(col("lang"))
+    val gated = deduped
+      .withColumn("quality", TextAnalysis.qualityCol)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("n_lang", count(lit(1)).over(wn))
+      .filter(col("pr") >= 0.25 || col("n_lang") < 8)
+      .drop("pr", "n_lang")
+    val n2 = gated.count()
+
+    // 3. per-source quota
+    val h = (col("doc_id") % 2147483647L) * 48271L % 2147483647L
+    val ws = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+    val sampled = gated
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= perSource)
+      .drop("rn")
+    val n3 = sampled.count()
+
+    (sampled, Map("input" -> n0, "after_dedup" -> n1,
+                  "after_quality" -> n2, "after_quota" -> n3))
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q56_repetition",        q56Repetition _,       Some(q56Sql)),
     ("q57_stratified_sample", q57StratifiedSample _, Some(q57Sql)),

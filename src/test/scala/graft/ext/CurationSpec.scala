@@ -133,6 +133,22 @@ class CurationSpec extends SparkSpec {
     assert(top1.getLong(4) == 1L)  // df: doc 1 only
   }
 
+  test("curateCorpus composes dedup, gating and quotas with monotone survivor counts") {
+    val got = Curation.curateCorpus(spark, "/root/testdata/sf0.001", perSource = 3)
+    val (curated, stats) = got
+    assert(stats("input") >= stats("after_dedup"))
+    assert(stats("after_dedup") >= stats("after_quality"))
+    assert(stats("after_quality") >= stats("after_quota"))
+    assert(stats("after_quota") == curated.count())
+    // quota honored per source
+    val bySrc = curated.groupBy("source").count().collect()
+    assert(bySrc.forall(_.getLong(1) <= 3))
+    // deterministic end-to-end
+    val again = Curation.curateCorpus(spark, "/root/testdata/sf0.001", perSource = 3)
+    assert(again._1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+           curated.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("pii mask rewrites pattern classes and counts hits") {
     val dir = docsDir(Seq(
       (1L, "mail bob@example.com and 12345 for customer care", "s")))
