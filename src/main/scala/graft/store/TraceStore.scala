@@ -74,6 +74,17 @@ object TraceStore {
               col("Time") >= lit(from) && col("Time") < lit(to))
   }
 
+  /** Union view over per-cluster tables — the reference runs one
+    * converter per FDB cluster, each writing its own table
+    * (`CLICKHOUSE_TABLE`, /root/reference/README.md:55-62); fleet-wide
+    * queries are a UNION ALL of those tables. Here: one store path per
+    * cluster, read with a cluster tag. Partition pruning still applies
+    * per branch (each union leg keeps its own ym directory filters). */
+  def readMulti(spark: SparkSession, clusters: Map[String, String]): DataFrame =
+    clusters.toSeq.sortBy(_._1).map { case (cluster, path) =>
+      read(spark, path).withColumn("cluster", lit(cluster))
+    }.reduce(_.unionAll(_))
+
   /** Compact the accumulated micro-batch files of month partitions — the
     * MergeTree background-merge analogue (the reference counts on
     * ClickHouse merging its one-INSERT-per-file parts,

@@ -45,6 +45,20 @@ class StoreSpec extends SparkSpec {
     assert(TraceStore.read(spark, path).count() == 6)
   }
 
+  test("readMulti unions per-cluster tables with a cluster tag") {
+    val p1 = tmpDir("cl1"); val p2 = tmpDir("cl2")
+    TraceStore.append(mkBatch(), p1)
+    TraceStore.append(mkBatch().limit(1), p2)
+    val all = TraceStore.readMulti(spark, Map("prod" -> p1, "staging" -> p2))
+    assert(all.count() == 4)
+    val byCluster = all.groupBy("cluster").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCluster == Map("prod" -> 3L, "staging" -> 1L))
+    // month pruning still works through the union
+    val may = all.filter(col("ym") === "201905")
+    assert(may.count() == 3)
+  }
+
   test("compact merges many micro-batch files, preserves rows, skips small months") {
     val path = tmpDir("store4")
     (1 to 20).foreach(_ => TraceStore.append(mkBatch(), path))   // 20 files/month
