@@ -69,11 +69,16 @@ object Curation {
     * This is the mixture-control primitive of a training-data pipeline:
     * per-source quotas instead of global random sampling. One shuffle
     * keyed by the stratum; the rank cutoff happens within each partition. */
+  /** THE deterministic per-row sampling hash, shared by q57 and the
+    * composed pipeline. Reduce mod 2^31-1 BEFORE multiplying: 64-bit ids
+    * times a 31-bit constant would overflow Long, which throws under ANSI
+    * mode (Spark 4 default) and errors in DuckDB. (id % m) * 48271 stays
+    * < 2^47. */
+  private def sampleHash: org.apache.spark.sql.Column =
+    (col("doc_id") % 2147483647L) * 48271L % 2147483647L
+
   def q57StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    // reduce mod 2^31-1 BEFORE multiplying: 64-bit ids times a 31-bit
-    // constant would overflow Long, which throws under ANSI mode (Spark 4
-    // default) and errors in DuckDB. (id % m) * 48271 stays < 2^47.
-    val h = (col("doc_id") % 2147483647L) * 48271L % 2147483647L
+    val h = sampleHash
     val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), h.as("h"))
@@ -179,17 +184,25 @@ object Curation {
     * definition the reporting query (q33) surfaces, never a fork.
     * percent_rank is rank-arithmetic — engine-exact, no float quantile
     * interpolation to drift. One shuffle keyed by lang. */
-  def q65QualityGate(s: SparkSession, dir: String): DataFrame = {
+  /** THE quality-gate transform, shared by q65 and the composed pipeline
+    * (q65's rounded-pr comparison included — a fork here would let the
+    * pipeline drop boundary docs the pinned operator keeps). Adds
+    * `quality` and `pr`, filters to survivors. */
+  private[ext] def qualityGate(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
     val wn = Window.partitionBy(col("lang"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), TextAnalysis.qualityCol.as("quality"))
+    docs
+      .withColumn("quality", TextAnalysis.qualityCol)
       .withColumn("pr", round(percent_rank().over(w), 4))
       .withColumn("n_lang", count(lit(1)).over(wn))
       .filter(col("pr") >= 0.25 || col("n_lang") < 8)
+      .drop("n_lang")
+  }
+
+  def q65QualityGate(s: SparkSession, dir: String): DataFrame =
+    qualityGate(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), col("quality"), col("pr"))
       .orderBy(col("doc_id"))
-  }
 
   val q65Sql: String =
     s"""SELECT doc_id, lang, quality, pr FROM (
@@ -221,32 +234,32 @@ object Curation {
     val docs = Tables.documents(s, dir)
     val n0 = docs.count()
 
-    // 1. drop near-dup non-representatives
+    // 1. drop near-dup non-representatives. Intermediates are persisted so
+    // each stage computes once across its count and the next stage (and
+    // released before returning — the final result is quota-bounded, so
+    // localCheckpoint keeps it alive without the corpus-sized caches).
     val clusters = Dedup.q55DedupClusters(s, dir)
       .select(col("doc_id"), col("keep"))
     val deduped = docs.join(clusters, Seq("doc_id"), "left")
       .filter(col("keep").isNull || col("keep") === 1)
       .drop("keep")
+      .persist()
     val n1 = deduped.count()
 
-    // 2. quality gate (same formula + floor as q65, over the deduped set)
-    val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
-    val wn = Window.partitionBy(col("lang"))
-    val gated = deduped
-      .withColumn("quality", TextAnalysis.qualityCol)
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("n_lang", count(lit(1)).over(wn))
-      .filter(col("pr") >= 0.25 || col("n_lang") < 8)
-      .drop("pr", "n_lang")
+    // 2. quality gate — the SAME transform as q65 (shared helper,
+    // rounded-pr comparison included), over the deduped set
+    val gated = qualityGate(deduped).drop("quality", "pr").persist()
     val n2 = gated.count()
 
     // 3. per-source quota
-    val h = (col("doc_id") % 2147483647L) * 48271L % 2147483647L
-    val ws = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+    val ws = Window.partitionBy(col("source")).orderBy(sampleHash, col("doc_id"))
     val sampled = gated
       .withColumn("rn", row_number().over(ws))
       .filter(col("rn") <= perSource)
       .drop("rn")
+      .localCheckpoint(true)
+    deduped.unpersist(false)
+    gated.unpersist(false)
     val n3 = sampled.count()
 
     (sampled, Map("input" -> n0, "after_dedup" -> n1,

@@ -80,10 +80,12 @@ object TraceStore {
     * queries are a UNION ALL of those tables. Here: one store path per
     * cluster, read with a cluster tag. Partition pruning still applies
     * per branch (each union leg keeps its own ym directory filters). */
-  def readMulti(spark: SparkSession, clusters: Map[String, String]): DataFrame =
+  def readMulti(spark: SparkSession, clusters: Map[String, String]): DataFrame = {
+    require(clusters.nonEmpty, "readMulti needs at least one cluster -> path mapping")
     clusters.toSeq.sortBy(_._1).map { case (cluster, path) =>
       read(spark, path).withColumn("cluster", lit(cluster))
     }.reduce(_.unionAll(_))
+  }
 
   /** Compact the accumulated micro-batch files of month partitions — the
     * MergeTree background-merge analogue (the reference counts on
@@ -95,9 +97,21 @@ object TraceStore {
     * Months with at most `maxFilesPerMonth` files are left untouched
     * (compaction must be cheap to run repeatedly); each rewritten month
     * lands as `splitsPerMonth` time-sorted files, restoring the row-group
-    * min/max skipping that many tiny sorted files fragment. The rewrite
-    * is per-partition-directory and atomic at the directory swap, so a
-    * crash mid-compaction leaves the original files in place.
+    * min/max skipping that many tiny sorted files fragment.
+    *
+    * Swap protocol (safe for a live table with concurrent APPENDS):
+    *  1. capture the month's file list FIRST; only exactly those files
+    *     are read, and later deleted — a file appended concurrently is
+    *     neither rewritten nor touched;
+    *  2. rewrite to a temp dir; install under attempt-unique names (so a
+    *     re-compaction can never collide with a previous run's output);
+    *  3. a manifest written before the install records the delete-set and
+    *     the install pairs; a crash at any point is repaired by the next
+    *     compact() call — it completes a manifest whose installs finished
+    *     writing, or rolls the attempt back, so no rows are ever lost and
+    *     duplicates cannot survive recovery. (Between install and delete,
+    *     readers may transiently see a row twice — run compaction in the
+    *     maintenance cadence, not against latency-critical readers.)
     * Returns the list of compacted ym values. */
   def compact(spark: SparkSession, tablePath: String,
               maxFilesPerMonth: Int = 16, splitsPerMonth: Int = 4): Seq[String] = {
@@ -105,31 +119,79 @@ object TraceStore {
     import scala.jdk.CollectionConverters._
     val root = Paths.get(tablePath)
     if (!Files.exists(root)) return Seq.empty
-    def parquetFiles(p: Path): Seq[Path] =
-      Files.list(p).iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
-    val months = Files.list(root).iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(s"${TraceSchema.PartitionCol}="))
-      .filter(p => parquetFiles(p).size > maxFilesPerMonth)
-      .toSeq
-    months.map { monthDir =>
-      val ym = monthDir.getFileName.toString.stripPrefix(s"${TraceSchema.PartitionCol}=")
-      val tmp = monthDir.resolveSibling(s".compact-$ym")
-      spark.read.schema(TraceSchema.target).parquet(monthDir.toString)
-        .repartitionByRange(splitsPerMonth, col("Time"))
-        .sortWithinPartitions(col("Time"))
-        .write.mode("overwrite").option("compression", "zstd")
-        .parquet(tmp.toString)
-      // swap: new files in, old files out, inside the live partition dir
-      val old = parquetFiles(monthDir)
-      parquetFiles(tmp).zipWithIndex.foreach { case (f, i) =>
-        Files.move(f, monthDir.resolve(f"compacted-$ym-$i%05d.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
-      }
-      old.foreach(Files.delete)
-      Files.list(tmp).iterator().asScala.foreach(Files.delete)
-      Files.delete(tmp)
-      ym
+
+    def listDir(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
     }
+    def parquetFiles(p: Path): Seq[Path] =
+      listDir(p).filter(_.toString.endsWith(".parquet"))
+    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+      listDir(p).foreach(Files.deleteIfExists)
+      Files.deleteIfExists(p)
+    }
+
+    val monthDirs = listDir(root).filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith(s"${TraceSchema.PartitionCol}="))
+
+    // ---- crash recovery: finish or roll back a previous attempt
+    monthDirs.foreach { monthDir =>
+      val marker = monthDir.resolve("_compact_manifest")
+      if (Files.exists(marker)) {
+        val lines = Files.readAllLines(marker).asScala
+        val tmp = monthDir.resolveSibling(lines.head)
+        val (installs, deletes) = lines.tail.partition(_.startsWith("install\t"))
+        // manifest is only written after the temp rewrite succeeded, so
+        // completing it is always safe: finish pending moves, then deletes
+        installs.foreach { l =>
+          val Array(_, from, to) = l.split('\t')
+          val src = tmp.resolve(from)
+          if (Files.exists(src))
+            Files.move(src, monthDir.resolve(to), StandardCopyOption.ATOMIC_MOVE)
+        }
+        deletes.foreach(l => Files.deleteIfExists(monthDir.resolve(l.stripPrefix("delete\t"))))
+        Files.delete(marker)
+        deleteTree(tmp)
+      }
+    }
+    // after recovery no marker references any temp dir — remaining
+    // .compact-* dirs are orphans of fully-installed attempts (crash after
+    // manifest deletion); safe to clear under the single-writer
+    // maintenance assumption
+    listDir(root).filter(_.getFileName.toString.startsWith(".compact-"))
+      .foreach(deleteTree)
+
+    monthDirs
+      .map(d => (d, parquetFiles(d)))               // capture-first file set
+      .filter(_._2.size > maxFilesPerMonth)
+      .map { case (monthDir, old) =>
+        val ym = monthDir.getFileName.toString.stripPrefix(s"${TraceSchema.PartitionCol}=")
+        val attempt = java.util.UUID.randomUUID().toString.take(8)
+        val tmpName = s".compact-$ym-$attempt"
+        val tmp = monthDir.resolveSibling(tmpName)
+        deleteTree(tmp)
+        spark.read.schema(TraceSchema.target)
+          .parquet(old.map(_.toString): _*)          // exactly the captured files
+          .repartitionByRange(splitsPerMonth, col("Time"))
+          .sortWithinPartitions(col("Time"))
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(tmp.toString)
+        val installs = parquetFiles(tmp).zipWithIndex.map { case (f, i) =>
+          (f.getFileName.toString, f"compacted-$ym-$attempt-$i%05d.parquet")
+        }
+        val marker = monthDir.resolve("_compact_manifest")
+        Files.write(marker,
+          (tmpName +:
+           (installs.map { case (a, b) => s"install\t$a\t$b" } ++
+            old.map(p => s"delete\t${p.getFileName}"))).mkString("\n").getBytes)
+        installs.foreach { case (from, to) =>
+          Files.move(tmp.resolve(from), monthDir.resolve(to),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+        old.foreach(Files.deleteIfExists)
+        Files.delete(marker)
+        deleteTree(tmp)
+        ym
+      }
   }
 }

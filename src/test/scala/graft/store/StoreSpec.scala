@@ -78,4 +78,49 @@ class StoreSpec extends SparkSpec {
     // second run is a no-op: both months are now under the threshold
     assert(TraceStore.compact(spark, path, maxFilesPerMonth = 16).isEmpty)
   }
+
+  test("re-compacting a regrown month keeps every row (no name collisions)") {
+    val path = tmpDir("store5")
+    (1 to 6).foreach(_ => TraceStore.append(mkBatch(), path))
+    TraceStore.compact(spark, path, maxFilesPerMonth = 4, splitsPerMonth = 2)
+    assert(TraceStore.read(spark, path).count() == 18)
+    // month regrows past the threshold, including the compacted-* files
+    (1 to 6).foreach(_ => TraceStore.append(mkBatch(), path))
+    TraceStore.compact(spark, path, maxFilesPerMonth = 4, splitsPerMonth = 2)
+    assert(TraceStore.read(spark, path).count() == 36)
+    TraceStore.compact(spark, path, maxFilesPerMonth = 4, splitsPerMonth = 2)
+    assert(TraceStore.read(spark, path).count() == 36)
+  }
+
+  test("a crashed compaction attempt is completed from its manifest") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = tmpDir("store6")
+    TraceStore.append(mkBatch(), path)            // 201905: 2 rows, 201906: 1
+    val monthDir = Paths.get(path, "ym=201905")
+    val old = Files.list(monthDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    // fabricate the post-rewrite, pre-install crash state: temp output
+    // exists, manifest written, nothing installed yet
+    val tmpName = ".compact-201905-testattempt"
+    val tmp = monthDir.resolveSibling(tmpName)
+    spark.read.schema(graft.schema.TraceSchema.target)
+      .parquet(old.map(_.toString): _*)
+      .coalesce(1).sortWithinPartitions(org.apache.spark.sql.functions.col("Time"))
+      .write.option("compression", "zstd").parquet(tmp.toString)
+    val installs = Files.list(tmp).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.zipWithIndex
+      .map { case (f, i) => s"install\t${f.getFileName}\tcompacted-201905-testattempt-$i.parquet" }
+    val deletes = old.map(p => s"delete\t${p.getFileName}")
+    Files.write(monthDir.resolve("_compact_manifest"),
+      (tmpName +: (installs ++ deletes)).mkString("\n").getBytes)
+    // recovery runs at the head of the next compact() call
+    TraceStore.compact(spark, path, maxFilesPerMonth = 1000)
+    assert(!Files.exists(monthDir.resolve("_compact_manifest")))
+    assert(!Files.exists(tmp))
+    val after = Files.list(monthDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).map(_.getFileName.toString).toSeq
+    assert(after.forall(_.startsWith("compacted-201905-testattempt")), after.toString)
+    assert(TraceStore.read(spark, path).count() == 3)   // no loss, no dupes
+  }
 }
