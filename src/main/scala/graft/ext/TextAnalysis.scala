@@ -154,11 +154,27 @@ object TextAnalysis {
        |        / len(string_split(text, ' ')), 4) AS ratio
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C4: heavy hitters (sketch — scale path for q34)
+  /** Corpus heavy hitters via the Misra-Gries sketch
+    * ([[graft.functions.FreqSketch]]): k-bounded buffers per partition
+    * instead of one shuffled row per distinct term. Like q39's HLL this is
+    * a sketch — counts are order-dependent, so the entry is rows-only (no
+    * hash oracle); the membership guarantee is spec-pinned instead. */
+  def q69HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val fi = graft.functions.FreqSketch.frequent_items(32)
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(fi(col("tok")).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("rank", "e")))
+      .select(col("rank"), col("e._1").as("tok"), col("e._2").as("approx_count"))
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q32_lang_id",       q32LangId _,       Some(q32Sql)),
     ("q33_quality_score", q33QualityScore _, Some(q33Sql)),
     ("q34_token_stats",   q34TokenStats _,   Some(q34Sql)),
     ("q35_fingerprint",   q35Fingerprint _,  Some(q35Sql)),
     ("q64_bpe_tokens",    q64BpeTokens _,    Some(q64Sql)),
+    ("q69_heavy_hitters", q69HeavyHitters _, None),
   )
 }
