@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.schema.TraceSchema
 
@@ -62,4 +62,34 @@ object TraceIngest {
     df.select(
       count(lit(1)).as("n_rows") +:
       df.columns.map(c => count(col(c)).as(s"nn_$c")): _*)
+
+  /** IPv4 `a.b.c.d[:port]` → numeric (for prefix/range matching). Null on
+    * anything that is not a well-formed dotted quad. */
+  def ipv4ToLong(ipPort: Column): Column = {
+    val ip = split(ipPort, ":").getItem(0)
+    val parts = split(ip, "\\.")
+    when(ip.rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$"),
+      parts.getItem(0).cast("long") * 16777216L +
+      parts.getItem(1).cast("long") * 65536L +
+      parts.getItem(2).cast("long") * 256L +
+      parts.getItem(3).cast("long"))
+      .otherwise(lit(null).cast("long"))
+  }
+
+  /** Dictionary enrichment by IP block — the reference's own TODO
+    * ("dictionaries, IP types", /root/reference/README.md:231-233) in
+    * Spark form. `blocks` rows are (cidr_start, cidr_end, payload…) with
+    * numeric inclusive bounds; the dictionary is broadcast and the match
+    * is a range predicate, so the trace side stays map-only — the B10
+    * dimension-join shape with an interval key instead of an equi key.
+    * Rows with no matching block (or unparsable machines) keep null
+    * payloads (left join). */
+  def enrichByIpBlock(traces: DataFrame, blocks: DataFrame): DataFrame = {
+    val ipn = ipv4ToLong(col("Machine"))
+    traces.withColumn("__ipn", ipn)
+      .join(broadcast(blocks),
+        col("__ipn") >= col("cidr_start") && col("__ipn") <= col("cidr_end"),
+        "left")
+      .drop("cidr_start", "cidr_end", "__ipn")
+  }
 }

@@ -60,4 +60,25 @@ class IngestSpec extends SparkSpec {
     assert(s.getLong(s.fieldIndex("nn_ID")) == 2)
     assert(s.getLong(s.fieldIndex("nn_Machine")) == 3)
   }
+
+  test("ip-block dictionary enrichment tags machines, leaves strays null") {
+    import spark.implicits._
+    val traces = Seq("10.0.1.5:4500", "10.0.2.9:4500", "192.168.0.1:1", "not-an-ip")
+      .toDF("Machine")
+    // 10.0.1.0/24 = rack-a, 10.0.2.0/24 = rack-b
+    val blocks = Seq(
+      (10L * 16777216 + 0 * 65536 + 1 * 256, 10L * 16777216 + 0 * 65536 + 1 * 256 + 255, "rack-a"),
+      (10L * 16777216 + 0 * 65536 + 2 * 256, 10L * 16777216 + 0 * 65536 + 2 * 256 + 255, "rack-b"),
+    ).toDF("cidr_start", "cidr_end", "rack")
+    val got = TraceIngest.enrichByIpBlock(traces, blocks)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("10.0.1.5:4500") == Some("rack-a"))
+    assert(got("10.0.2.9:4500") == Some("rack-b"))
+    assert(got("192.168.0.1:1") == None)
+    assert(got("not-an-ip") == None)
+    // the dictionary side is broadcast: trace side must not shuffle
+    val plan = TraceIngest.enrichByIpBlock(traces, blocks)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
 }
