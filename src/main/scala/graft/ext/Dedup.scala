@@ -315,6 +315,44 @@ object Dedup {
        |FROM comp c JOIN cs USING (cluster)
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C2/C4: decontamination (overlap vs a reference set)
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` 3-gram shingles with a PROBE set (the eval/benchmark
+    * texts) — the train/test-overlap guard of a training-data pipeline.
+    * Unlike near-dup dedup (corpus × corpus), this is corpus × small
+    * reference set: distinct probe shingles are a bounded dictionary, so
+    * the join is an equi-join against a broadcastable side and the corpus
+    * never self-joins. Shingle-level (not token-level) matching keeps the
+    * overlap signal phrase-shaped, the standard n-gram decontamination
+    * scheme. */
+  def contaminated(docs: DataFrame, probes: DataFrame, minShared: Long): DataFrame = {
+    def sh(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(array_distinct(shingles3(col("tk")))).as("g"))
+    val probeShingles = sh(probes).select(col("g")).distinct()
+    sh(docs)
+      .join(broadcast(probeShingles), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Oracle-checked form: probes = doc_id < 10, corpus = the rest,
+    * contamination threshold 5 shared shingles. */
+  def q70Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(s, dir)
+    contaminated(all.filter(col("doc_id") >= 10), all.filter(col("doc_id") < 10), 5L)
+      .orderBy(col("doc_id"))
+  }
+
+  val q70Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |tri AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("tk")}) AS g FROM toks),
+       |probe AS (SELECT DISTINCT g FROM tri WHERE doc_id < 10)
+       |SELECT t.doc_id, count(*) AS n_shared
+       |FROM tri t JOIN probe p ON t.g = p.g
+       |WHERE t.doc_id >= 10
+       |GROUP BY t.doc_id HAVING count(*) >= 5 ORDER BY t.doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_dedup_exact",     q24DedupExact _,     Some(q24Sql)),
     ("q25_minhash_sig",     q25MinHashSig _,     Some(q25Sql)),
@@ -322,5 +360,6 @@ object Dedup {
     ("q27_simhash",         q27SimHash _,        Some(q27Sql)),
     ("q28_trigram_jaccard", q28TrigramJaccard _, Some(q28Sql)),
     ("q55_dedup_clusters",  q55DedupClusters _,  Some(q55Sql)),
+    ("q70_decontaminate",   q70Decontaminate _,  Some(q70Sql)),
   )
 }

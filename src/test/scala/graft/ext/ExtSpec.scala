@@ -32,6 +32,19 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("decontamination flags docs overlapping the probe set, spares clean ones") {
+    import spark.implicits._
+    val bench = "the quick brown fox jumps over the lazy dog again and again"
+    val leaked = s"prefix words then $bench plus a suffix"          // contains bench
+    val clean = (1 to 20).map(i => s"c$i").mkString(" ")
+    val probes = Seq((1L, bench)).toDF("doc_id", "text")
+    val docs = Seq((10L, leaked), (11L, clean)).toDF("doc_id", "text")
+    val got = Dedup.contaminated(docs, probes, minShared = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(10L) && got(10L) >= 5)
+    assert(!got.contains(11L))
+  }
+
   test("exact dedup groups identical texts") {
     val dir = docsDir(Seq((1L, base), (2L, base), (3L, "unique words here")))
     val got = Dedup.q24DedupExact(spark, dir).collect()
