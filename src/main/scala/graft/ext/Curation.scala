@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
@@ -264,6 +264,52 @@ object Curation {
 
     (sampled, Map("input" -> n0, "after_dedup" -> n1,
                   "after_quality" -> n2, "after_quota" -> n3))
+  }
+
+  // ---------------------------------------------------------------- sequence packing
+  /** One packed training sequence: member docs + fill accounting. */
+  final case class Pack(pack_id: Long, doc_ids: Seq[Long], n_tokens: Long,
+                        fill: Double)
+
+  /** Greedy sequence packing: batch documents into fixed token budgets
+    * (the step that turns a curated corpus into trainer-shaped examples;
+    * greedy first-fit-on-sorted-stream is the standard approximation).
+    * Docs longer than the budget become single-doc packs (the trainer
+    * truncates).
+    *
+    * Determinism & scale: packing is order-dependent, so the stream is
+    * range-partitioned and sorted by doc_id first — the same corpus packs
+    * identically on any cluster size with fixed `numPartitions`. Packing
+    * itself is partition-local (mapPartitions, zero further shuffles);
+    * pack ids are partition-offset based, so they are stable too. */
+  def packSequences(docs: DataFrame, budget: Int, numPartitions: Int): Dataset[Pack] = {
+    import docs.sparkSession.implicits._
+    val perPartitionCap = 1L << 40
+    docs
+      .select(col("doc_id").cast("long"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .repartitionByRange(numPartitions, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var packIdx = 0L
+        var members = List.empty[Long]
+        var used = 0L
+        val out = scala.collection.mutable.Buffer.empty[Pack]
+        def flush(): Unit = if (members.nonEmpty) {
+          out += Pack(pid * perPartitionCap + packIdx, members.reverse,
+            used, math.min(used.toDouble / budget, 1.0))
+          packIdx += 1; members = Nil; used = 0L
+        }
+        it.foreach { case (id, n) =>
+          if (used > 0 && used + n > budget) flush()
+          members = id :: members
+          used += n
+          if (used >= budget) flush()   // over-budget singleton or exact fit
+        }
+        flush()
+        out.iterator
+      }
   }
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

@@ -133,6 +133,25 @@ class CurationSpec extends SparkSpec {
     assert(top1.getLong(4) == 1L)  // df: doc 1 only
   }
 
+  test("sequence packing covers every doc once within budget, deterministically") {
+    import spark.implicits._
+    // token counts 1..40 over 40 docs; budget 64
+    val rows = (1L to 40L).map(i => (i, (1 to i.toInt).map(j => s"t$j").mkString(" "), "s"))
+    val dir = docsDir(rows)
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val packs = Curation.packSequences(docs, budget = 64, numPartitions = 4).collect()
+    val covered = packs.flatMap(_.doc_ids).sorted.toSeq
+    assert(covered == (1L to 40L).toSeq)                      // exactly once
+    packs.foreach { p =>
+      assert(p.n_tokens <= 64 || p.doc_ids.length == 1, p.toString)
+      assert(p.fill > 0.0 && p.fill <= 1.0)
+    }
+    assert(packs.map(_.pack_id).distinct.length == packs.length)
+    val again = Curation.packSequences(docs, budget = 64, numPartitions = 4).collect()
+    assert(again.map(p => (p.pack_id, p.doc_ids)).sortBy(_._1).toSeq ==
+           packs.map(p => (p.pack_id, p.doc_ids)).sortBy(_._1).toSeq)
+  }
+
   test("curateCorpus composes dedup, gating and quotas with monotone survivor counts") {
     val got = Curation.curateCorpus(spark, "/root/testdata/sf0.001", perSource = 3)
     val (curated, stats) = got
