@@ -266,6 +266,39 @@ object Curation {
                   "after_quality" -> n2, "after_quota" -> n3))
   }
 
+  // ---------------------------------------------------------------- mixture interleaving
+  /** Deterministic weighted mixture: stride-schedule documents so any
+    * prefix of the global order holds sources in ≈ the target weight
+    * ratio (position key = per-source rank / weight — the classic stride
+    * trick; heavier sources get denser keys). This is how a trainer
+    * consumes a multi-source corpus without a shuffled materialization.
+    * The key is one IEEE division of exact integers per row — engine-
+    * exact — and the order is totalized by (key, source, rank). Emits the
+    * first 100 positions. */
+  def q71Mixture(s: SparkSession, dir: String): DataFrame = {
+    val w3 = col("source").isin("src0", "src1", "src2")
+    val weight = when(w3, lit(3.0)).otherwise(lit(1.0))
+    val wr = Window.partitionBy(col("source")).orderBy(sampleHash, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("pos_key", col("rn") / weight)
+      .orderBy(col("pos_key"), col("source"), col("rn"))
+      .limit(100)
+      .select(col("doc_id"), col("source"), col("rn"),
+        round(col("pos_key"), 4).as("pos_key"))
+  }
+
+  val q71Sql: String =
+    """SELECT doc_id, source, rn, round(pos_key, 4) AS pos_key FROM (
+      |  SELECT doc_id, source, rn,
+      |         rn::DOUBLE / (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3.0 ELSE 1.0 END)::DOUBLE AS pos_key
+      |  FROM (SELECT doc_id, source,
+      |          row_number() OVER (PARTITION BY source
+      |            ORDER BY (doc_id % 2147483647) * 48271 % 2147483647, doc_id) AS rn
+      |        FROM documents) r) t
+      |ORDER BY pos_key, source, rn LIMIT 100""".stripMargin
+
   // ---------------------------------------------------------------- sequence packing
   /** One packed training sequence: member docs + fill accounting. */
   final case class Pack(pack_id: Long, doc_ids: Seq[Long], n_tokens: Long,
@@ -318,5 +351,6 @@ object Curation {
     ("q58_top_terms",         q58TopTerms _,         Some(q58Sql)),
     ("q59_pii_mask",          q59PiiMask _,          Some(q59Sql)),
     ("q65_quality_gate",      q65QualityGate _,      Some(q65Sql)),
+    ("q71_mixture",           q71Mixture _,          Some(q71Sql)),
   )
 }
