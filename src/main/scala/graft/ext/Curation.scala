@@ -310,17 +310,19 @@ object Curation {
     * Docs longer than the budget become single-doc packs (the trainer
     * truncates).
     *
-    * Determinism & scale: packing is order-dependent, so the stream is
-    * range-partitioned and sorted by doc_id first — the same corpus packs
-    * identically on any cluster size with fixed `numPartitions`. Packing
-    * itself is partition-local (mapPartitions, zero further shuffles);
-    * pack ids are partition-offset based, so they are stable too. */
+    * Determinism & scale: packing is order-dependent, so rows are
+    * partitioned by an explicit doc_id formula (hash-mod — NOT
+    * repartitionByRange, whose sampled boundaries vary run to run) and
+    * sorted by doc_id — the same corpus packs identically on any cluster
+    * size with fixed `numPartitions`. Packing itself is partition-local
+    * (mapPartitions, zero further shuffles); pack ids are
+    * partition-offset based, so they are stable too. */
   def packSequences(docs: DataFrame, budget: Int, numPartitions: Int): Dataset[Pack] = {
     import docs.sparkSession.implicits._
     val perPartitionCap = 1L << 40
     docs
       .select(col("doc_id").cast("long"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .repartitionByRange(numPartitions, col("doc_id"))
+      .repartition(numPartitions, pmod(col("doc_id"), lit(numPartitions.toLong)))
       .sortWithinPartitions(col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { it =>

@@ -45,10 +45,15 @@ object Dedup {
     * the raw split(...) expression into shingles3 would re-evaluate the
     * full split for every element_at access (O(doc_len²) per doc — 9×
     * slower at sf0.1). */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** THE doc→distinct-3-gram-shingles expansion (one definition for the
+    * near-dup path and decontamination; `shinglesCte` is its SQL twin). */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(array_distinct(shingles3(col("tk")))).as("g"))
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(s, dir))
 
   private val shinglesCte =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -326,11 +331,8 @@ object Dedup {
     * overlap signal phrase-shaped, the standard n-gram decontamination
     * scheme. */
   def contaminated(docs: DataFrame, probes: DataFrame, minShared: Long): DataFrame = {
-    def sh(df: DataFrame) = df
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), explode(array_distinct(shingles3(col("tk")))).as("g"))
-    val probeShingles = sh(probes).select(col("g")).distinct()
-    sh(docs)
+    val probeShingles = shinglesOf(probes).select(col("g")).distinct()
+    shinglesOf(docs)
       .join(broadcast(probeShingles), Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -345,8 +347,7 @@ object Dedup {
   }
 
   val q70Sql: String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-       |tri AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("tk")}) AS g FROM toks),
+    s"""WITH $shinglesCte,
        |probe AS (SELECT DISTINCT g FROM tri WHERE doc_id < 10)
        |SELECT t.doc_id, count(*) AS n_shared
        |FROM tri t JOIN probe p ON t.g = p.g

@@ -22,35 +22,41 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object FreqSketch {
 
-  final case class Buf(var counters: Map[String, Long])
+  // mutable buffer: the reduce path runs once per token, so per-row
+  // immutable-map rebuilds would dominate the scan this sketch exists to
+  // keep cheap (kryo serializes the HashMap between stages fine)
+  final case class Buf(counters: scala.collection.mutable.HashMap[String, Long])
 
   class FreqAgg(k: Int) extends Aggregator[String, Buf, Seq[(String, Long)]] {
-    override def zero: Buf = Buf(Map.empty)
+    override def zero: Buf = Buf(scala.collection.mutable.HashMap.empty)
 
     override def reduce(b: Buf, item: String): Buf = {
       val c = b.counters
-      if (c.contains(item)) b.counters = c.updated(item, c(item) + 1L)
-      else if (c.size < k) b.counters = c.updated(item, 1L)
-      else {
-        // decrement-all step; drop zeros
-        b.counters = c.flatMap { case (i, n) =>
-          if (n > 1L) Some(i -> (n - 1L)) else None
-        }
+      c.get(item) match {
+        case Some(n) => c.update(item, n + 1L)
+        case None if c.size < k => c.update(item, 1L)
+        case None =>
+          // decrement-all step; drop zeros, in place
+          val dead = List.newBuilder[String]
+          c.foreach { case (i, n) =>
+            if (n > 1L) c.update(i, n - 1L) else dead += i
+          }
+          dead.result().foreach(c.remove)
       }
       b
     }
 
     override def merge(a: Buf, b: Buf): Buf = {
-      val summed = b.counters.foldLeft(a.counters) { case (acc, (i, n)) =>
-        acc.updated(i, acc.getOrElse(i, 0L) + n)
-      }
-      if (summed.size <= k) a.counters = summed
-      else {
+      val c = a.counters
+      b.counters.foreach { case (i, n) => c.update(i, c.getOrElse(i, 0L) + n) }
+      if (c.size > k) {
         // subtract the (k+1)-th largest count from everyone, keep positives
-        val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
-        a.counters = summed.flatMap { case (i, n) =>
-          if (n > cut) Some(i -> (n - cut)) else None
+        val cut = c.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        val dead = List.newBuilder[String]
+        c.foreach { case (i, n) =>
+          if (n > cut) c.update(i, n - cut) else dead += i
         }
+        dead.result().foreach(c.remove)
       }
       a
     }
