@@ -374,6 +374,41 @@ object ExtendedQueries {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts""".stripMargin
 
+  /** Robust outlier detection per group: median absolute deviation
+    * (median-of-|x − median|), flagging values beyond 3·MAD — the
+    * data-quality screen that survives the heavy tails that wreck
+    * mean/stddev rules. Two grouped exact percentiles + one re-join;
+    * at 100 TB swap `percentile` for `approx_percentile` (t-digest,
+    * fixed memory) — same plan shape. */
+  def q72Outliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(round(first(col("med")), 4).as("med"), round(first(col("mad")), 4).as("mad"),
+        sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_out"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val q72Sql: String =
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |             FROM events GROUP BY event_type),
+      |dev AS (SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+      |        FROM events e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      |        FROM dev GROUP BY event_type)
+      |SELECT d.event_type, round(max(d.med), 4) AS med, round(max(m.mad), 4) AS mad,
+      |       (sum(CASE WHEN d.ad > 3.0 * m.mad THEN 1 ELSE 0 END))::BIGINT AS n_out,
+      |       count(*) AS n
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -391,5 +426,6 @@ object ExtendedQueries {
     ("q63_grouping_sets",    q63GroupingSets _,    Some(q63Sql)),
     ("q67_shipping_priority", q67ShippingPriority _, Some(q67Sql)),
     ("q68_rolling_window",    q68RollingWindow _,    Some(q68Sql)),
+    ("q72_outliers",          q72Outliers _,         Some(q72Sql)),
   )
 }
