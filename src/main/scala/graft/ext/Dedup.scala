@@ -354,6 +354,38 @@ object Dedup {
        |WHERE t.doc_id >= 10
        |GROUP BY t.doc_id HAVING count(*) >= 5 ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C2: fuzzy (edit-distance) matching
+  /** Fuzzy record matching by edit distance — the record-linkage flavor
+    * of dedup (typo'd names), complementing the shingle/Jaccard path
+    * (re-ordered phrases). Bounded to a key prefix like q28: the exact
+    * all-pairs form is the ground truth; the scale path blocks first
+    * (length band + first-char here, LSH for text) so candidate pairs
+    * stay near-linear, then verifies with the same levenshtein. */
+  def q73FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_partkey") < 100)
+      .select(col("p_partkey"), col("p_name"))
+    p.as("a").join(p.as("b"),
+        col("a.p_partkey") < col("b.p_partkey") &&
+        // blocking: candidates must agree on first letter and ±3 length
+        substring(col("a.p_name"), 1, 1) === substring(col("b.p_name"), 1, 1) &&
+        abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3)
+      .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy(col("k1"), col("k2"))
+  }
+
+  val q73Sql: String =
+    """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+      |       levenshtein(a.p_name, b.p_name) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_partkey < b.p_partkey
+      | AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+      | AND abs(length(a.p_name) - length(b.p_name)) <= 3
+      |WHERE a.p_partkey < 100 AND b.p_partkey < 100
+      |  AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY k1, k2""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_dedup_exact",     q24DedupExact _,     Some(q24Sql)),
     ("q25_minhash_sig",     q25MinHashSig _,     Some(q25Sql)),
@@ -362,5 +394,6 @@ object Dedup {
     ("q28_trigram_jaccard", q28TrigramJaccard _, Some(q28Sql)),
     ("q55_dedup_clusters",  q55DedupClusters _,  Some(q55Sql)),
     ("q70_decontaminate",   q70Decontaminate _,  Some(q70Sql)),
+    ("q73_fuzzy_match",     q73FuzzyMatch _,     Some(q73Sql)),
   )
 }
