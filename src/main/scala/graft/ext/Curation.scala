@@ -347,6 +347,26 @@ object Curation {
       }
   }
 
+  // ---------------------------------------------------------------- shard export
+  /** Materialize a curated corpus as row-bounded JSONL shards — the
+    * trainer-facing output format (each shard a standalone NDJSON file a
+    * loader can stream independently). The per-file row bound is enforced
+    * by the writer itself (`maxRecordsPerFile` splits files at the bound
+    * regardless of partitioning); the repartition merely spreads rows by
+    * doc_id hash so parallel writers stay busy and shard sizes even out.
+    * Returns the shard file count. */
+  def exportShards(docs: DataFrame, outDir: String, rowsPerShard: Long): Int = {
+    val n = docs.count()
+    val parts = math.max(1, math.ceil(n.toDouble / rowsPerShard).toInt)
+    docs
+      .repartition(parts, col("doc_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerShard)
+      .json(outDir)
+    new java.io.File(outDir).listFiles()
+      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q56_repetition",        q56Repetition _,       Some(q56Sql)),
     ("q57_stratified_sample", q57StratifiedSample _, Some(q57Sql)),

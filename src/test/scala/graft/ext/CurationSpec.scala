@@ -168,6 +168,26 @@ class CurationSpec extends SparkSpec {
            curated.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("shard export writes row-bounded JSONL files that round-trip") {
+    val rows = (1L to 100L).map(i => (i, s"text $i", s"src${i % 4}"))
+    val dir = docsDir(rows)
+    val out = tmpDir("shards")
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val nShards = Curation.exportShards(docs, out, rowsPerShard = 25)
+    assert(nShards >= 4 && nShards <= 8, s"got $nShards shards")
+    // the writer-enforced bound holds for every file
+    new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      .foreach { f =>
+        val lines = scala.io.Source.fromFile(f).getLines().size
+        assert(lines <= 25, s"${f.getName} has $lines rows")
+      }
+    val back = spark.read.json(out)
+    assert(back.count() == 100)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 100L).toSeq)
+  }
+
   test("pii mask rewrites pattern classes and counts hits") {
     val dir = docsDir(Seq(
       (1L, "mail bob@example.com and 12345 for customer care", "s")))
