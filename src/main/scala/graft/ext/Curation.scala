@@ -356,15 +356,27 @@ object Curation {
     * doc_id hash so parallel writers stay busy and shard sizes even out.
     * Returns the shard file count. */
   def exportShards(docs: DataFrame, outDir: String, rowsPerShard: Long): Int = {
-    val n = docs.count()
-    val parts = math.max(1, math.ceil(n.toDouble / rowsPerShard).toInt)
-    docs
-      .repartition(parts, col("doc_id"))
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", rowsPerShard)
-      .json(outDir)
-    new java.io.File(outDir).listFiles()
-      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    require(rowsPerShard > 0, s"rowsPerShard must be positive, got $rowsPerShard")
+    // persist across the two actions (count, write) so an expensive
+    // upstream pipeline (e.g. curateCorpus output) is not evaluated twice
+    docs.persist()
+    try {
+      val n = docs.count()
+      val parts = math.max(1, math.ceil(n.toDouble / rowsPerShard).toInt)
+      docs
+        .repartition(parts, col("doc_id"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rowsPerShard)
+        .json(outDir)
+    } finally docs.unpersist(false)
+    // count shards through the Hadoop FS API — outDir may be a URI or a
+    // remote filesystem the writer accepted but java.io.File cannot see
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count { st =>
+      val name = st.getPath.getName
+      name.startsWith("part-") && !name.endsWith(".crc")
+    }
   }
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

@@ -386,14 +386,22 @@ object ExtendedQueries {
       .agg(expr("percentile(value, 0.5)").as("med"))
     val dev = ev.join(broadcast(med), Seq("event_type"))
       .withColumn("ad", abs(col("value") - col("med")))
-    val mad = dev.groupBy(col("event_type"))
-      .agg(expr("percentile(ad, 0.5)").as("mad"))
-    dev.join(broadcast(mad), Seq("event_type"))
-      .groupBy(col("event_type"))
-      .agg(round(first(col("med")), 4).as("med"), round(first(col("mad")), 4).as("mad"),
-        sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_out"),
-        count(lit(1)).as("n"))
-      .orderBy(col("event_type"))
+    // dev feeds both the mad aggregate and the final screen: persist so
+    // the events scan + med join run once, not twice; the final result is
+    // 1 row per type, so an eager localCheckpoint lets the corpus-sized
+    // cache go before returning.
+    dev.persist()
+    try {
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(round(first(col("med")), 4).as("med"), round(first(col("mad")), 4).as("mad"),
+          sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_out"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true)
+    } finally dev.unpersist(false)
   }
 
   val q72Sql: String =

@@ -179,7 +179,7 @@ class CurationSpec extends SparkSpec {
     new java.io.File(out).listFiles()
       .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
       .foreach { f =>
-        val lines = scala.io.Source.fromFile(f).getLines().size
+        val lines = scala.util.Using.resource(scala.io.Source.fromFile(f))(_.getLines().size)
         assert(lines <= 25, s"${f.getName} has $lines rows")
       }
     val back = spark.read.json(out)
