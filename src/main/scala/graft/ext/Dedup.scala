@@ -323,14 +323,20 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val q55Sql: String =
-    s"""WITH RECURSIVE $verifiedCte,
+  /** CTE chain ending at `comp(doc_id, cluster)` — the SQL twin of
+    * verifiedPairs + connectedComponents, shared by q55Sql and q79Sql.
+    * Must run under WITH RECURSIVE (the `reach` closure). */
+  private val clusterCtes: String =
+    s"""$verifiedCte,
        |e AS (SELECT d1, d2 FROM verified WHERE jacc >= 0.5
        |      UNION ALL SELECT d2, d1 FROM verified WHERE jacc >= 0.5),
        |reach AS (SELECT d1 AS n, d1 AS r FROM e
        |          UNION
        |          SELECT e.d1, re.r FROM e JOIN reach re ON re.n = e.d2),
-       |comp AS (SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n),
+       |comp AS (SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n)""".stripMargin
+
+  val q55Sql: String =
+    s"""WITH RECURSIVE $clusterCtes,
        |cs AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY cluster)
        |SELECT c.doc_id, c.cluster, cs.csize,
        |       CASE WHEN c.doc_id = c.cluster THEN 1 ELSE 0 END AS keep
@@ -403,6 +409,113 @@ object Dedup {
       |  AND levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY k1, k2""".stripMargin
 
+  // ---------------------------------------------------------------- C2: sub-document (span-level) dedup
+  /** Repeated-span detection at sub-document granularity: chunk each
+    * document into consecutive 8-token spans and measure, per document,
+    * the fraction of its spans that also occur verbatim in ANOTHER
+    * document — the chunk-level approximation of exact-substring dedup
+    * (boilerplate headers, license blocks, copy-paste). Chunking is a
+    * pure map stage; the only shuffle groups span hashes (at 100 TB,
+    * group on a span hash, not the span text, and verify within group).
+    * Spans repeated only within one document don't count — this measures
+    * cross-document contamination, intra-doc repetition is q56. */
+  def q77SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val tk = col("tk")
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(tk) >= 8)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), (size(tk) / 8).cast("int") - 1),
+        i => array_join(slice(tk, i * 8 + 1, lit(8)), " "))).as("chunk"))
+    val spread = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(spread, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", round(col("n_dup").cast("double") / col("n_spans"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val q77Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 8),
+      |ex AS (SELECT doc_id, generate_subscripts(tk, 1) AS i, unnest(tk) AS tok,
+      |              len(tk) AS n FROM toks),
+      |chunks AS (SELECT doc_id, (i - 1) // 8 AS ci, string_agg(tok, ' ' ORDER BY i) AS chunk
+      |           FROM ex WHERE (i - 1) // 8 < n // 8 GROUP BY doc_id, ci, n),
+      |spread AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk)
+      |SELECT c.doc_id, count(*) AS n_spans,
+      |       (sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END))::BIGINT AS n_dup,
+      |       round(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_frac
+      |FROM chunks c JOIN spread s USING (chunk)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C2: bloom-filter decontamination (scale path for q70)
+  /** Decontamination with a Bloom pre-screen: build a Bloom filter over
+    * the probe set's distinct shingles (driver-side, broadcast in the
+    * filter closure — the manual form of Spark's own runtime bloom
+    * filters), drop ~99% of corpus shingles before the exact equi-join
+    * verifies the survivors. The result is EXACTLY the exact-join answer
+    * — the bloom layer only prunes, false positives are caught by the
+    * verify join — which is what makes this oracle-checkable. At 100 TB
+    * the bloom screen is what keeps the shuffled corpus-side volume
+    * proportional to the (tiny) contaminated fraction rather than the
+    * corpus shingle count. */
+  def q78BloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(s, dir)
+    val probeShingles = shinglesOf(all.filter(col("doc_id") % 50 === 0))
+      .select(col("g")).distinct()
+    val bf = probeShingles.stat.bloomFilter("g", 200000L, 0.01)
+    val mightContain = udf((g: String) => g != null && bf.mightContain(g))
+    shinglesOf(all.filter(col("doc_id") % 50 =!= 0))
+      .filter(mightContain(col("g")))
+      .join(broadcast(probeShingles), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val q78Sql: String =
+    s"""WITH $shinglesCte,
+       |probe AS (SELECT DISTINCT g FROM tri WHERE doc_id % 50 = 0)
+       |SELECT t.doc_id, count(*) AS n_shared
+       |FROM tri t JOIN probe p ON t.g = p.g
+       |WHERE t.doc_id % 50 <> 0
+       |GROUP BY t.doc_id HAVING count(*) >= 3 ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C2: canonical selection (quality-aware keep)
+  /** Canonical-document selection: within each near-dup cluster keep the
+    * HIGHEST-QUALITY member (ties → lowest doc_id), not the arbitrary
+    * lowest id — the quality-aware form of q55's keep flag, using THE
+    * shared corpus quality definition ([[TextAnalysis.qualityCol]]) so
+    * curation can never select on a different metric than it reports.
+    * One argmax aggregate per cluster (lexicographic struct max — no
+    * window sort), over the near-dup subgraph only. */
+  def q79CanonicalSelect(s: SparkSession, dir: String): DataFrame = {
+    val edges = verifiedPairs(s, dir).filter(col("jacc") >= 0.5)
+      .select(col("d1"), col("d2"))
+    val comp = connectedComponents(edges, "d1", "d2")
+    val qual = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.qualityCol.as("q"))
+    comp.join(qual, col("node") === col("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"),
+        max(struct(col("q").as("q"), (-col("node")).as("negid"))).as("best"))
+      .select(col("cluster"), col("csize"),
+        (-col("best.negid")).as("canonical"), col("best.q").as("quality"))
+      .orderBy(col("cluster"))
+  }
+
+  val q79Sql: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |q AS (SELECT doc_id, ${TextAnalysis.qualitySqlExpr} AS q FROM documents),
+       |b AS (SELECT c.cluster, count(*) AS csize,
+       |        max(struct_pack(q := q.q, negid := -c.doc_id)) AS best
+       |      FROM comp c JOIN q ON q.doc_id = c.doc_id GROUP BY c.cluster)
+       |SELECT cluster, csize, -(best.negid) AS canonical, best.q AS quality
+       |FROM b ORDER BY cluster""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_dedup_exact",     q24DedupExact _,     Some(q24Sql)),
     ("q25_minhash_sig",     q25MinHashSig _,     Some(q25Sql)),
@@ -412,5 +525,8 @@ object Dedup {
     ("q55_dedup_clusters",  q55DedupClusters _,  Some(q55Sql)),
     ("q70_decontaminate",   q70Decontaminate _,  Some(q70Sql)),
     ("q73_fuzzy_match",     q73FuzzyMatch _,     Some(q73Sql)),
+    ("q77_span_dedup",      q77SpanDedup _,      Some(q77Sql)),
+    ("q78_bloom_decontam",  q78BloomDecontam _,  Some(q78Sql)),
+    ("q79_canonical_select", q79CanonicalSelect _, Some(q79Sql)),
   )
 }

@@ -331,6 +331,47 @@ object Similarity {
     cents
   }
 
+  // ---------------------------------------------------------------- C3: contrastive hard-negative mining
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-5 most-similar vectors with a DIFFERENT label — the
+    * highest-value negatives for embedding-model training. Same broadcast
+    * query-set + corpus-scan shape as exact kNN (q30); the label
+    * inequality prunes before ranking, so the per-query window is
+    * negatives-only. At 100 TB the corpus side goes through the ANN bucket
+    * path (q31/q46) first, then this same rank-after-filter. */
+  def q76HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("label").as("q_label"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("label"), round(col("cos"), 5).as("cos"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val q76Sql: String =
+    """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
+      |            FROM embeddings),
+      |lab AS (SELECT vec_id, label FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.x * b.x) AS dot
+      |         FROM ex a JOIN ex b ON a.i = b.i
+      |         WHERE a.vec_id < 5 GROUP BY 1, 2),
+      |cos AS (SELECT q_id, d.vec_id, d.dot / (na.nrm * nb.nrm) AS c
+      |        FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.vec_id),
+      |fil AS (SELECT c.q_id, c.vec_id, lb.label, c.c
+      |        FROM cos c JOIN lab lq ON lq.vec_id = c.q_id JOIN lab lb ON lb.vec_id = c.vec_id
+      |        WHERE lb.label <> lq.label),
+      |r AS (SELECT q_id, vec_id, label, c,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM fil)
+      |SELECT q_id, rn, vec_id, label, round(c, 5) AS cos FROM r WHERE rn <= 5
+      |ORDER BY q_id, rn""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
     ("q47_knn_topk",   q47KnnTopK _,   Some(q30Sql)),
@@ -339,5 +380,6 @@ object Similarity {
     ("q46_ivf_ann",    q46IvfAnn _,    Some(q46Sql)),
     ("q52_ann_multiprobe", q52AnnMultiprobe _, Some(q52Sql)),
     ("q54_embed_neardup",  q54EmbedNearDup _,  Some(q54Sql)),
+    ("q76_hard_negatives", q76HardNegatives _, Some(q76Sql)),
   )
 }

@@ -169,6 +169,66 @@ object TextAnalysis {
       .select(col("rank"), col("e._1").as("tok"), col("e._2").as("approx_count"))
   }
 
+  // ---------------------------------------------------------------- C4: BPE merge induction
+  /** The core BPE *training* step: count adjacent token pairs across the
+    * corpus and rank the top merge candidates (q64 is the tokenizer
+    * *application* side; this is how its vocabulary is learned). Adjacent
+    * pairs come from zipping the token array with its own tail — a pure
+    * map stage; the only shuffle carries one row per distinct pair per
+    * partition (map-side partial count). At 100 TB this is the per-merge
+    * inner loop of distributed BPE training. */
+  def q74BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val tk = col("tk")
+    val pairs = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(tk) >= 2)
+      .select(explode(zip_with(
+        slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("pair"))
+    pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+  }
+
+  val q74Sql: String =
+    """WITH ex AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+      |              unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT a.tok || ' ' || b.tok AS pair, count(*) AS n
+      |FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------- C4: token-rarity scoring
+  /** Corpus-relative rarity score per document: how unusual a document's
+    * vocabulary is against corpus document frequencies — the
+    * importance-weighting signal for rare-knowledge upsampling. Score is
+    * n_tok·N / Σ df(tok): a single division of exact integers (harmonic
+    * mean of df/N), so both engines agree bit-for-bit — no logs, which are
+    * not bit-portable across engines. The df dictionary is
+    * vocabulary-sized (≪ corpus), broadcast so the exploded token stream
+    * never shuffles. */
+  def q75TokenRarity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dfreq = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tok.join(broadcast(dfreq), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("df")).as("sum_df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("n_tok").cast("double") * col("n_docs") / col("sum_df"), 4).as("rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q75Sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+      |agg AS (SELECT t.doc_id, count(*) AS n_tok, sum(d.df) AS sum_df
+      |        FROM tok t JOIN dfq d USING (tok) GROUP BY t.doc_id)
+      |SELECT doc_id, n_tok,
+      |  round(n_tok::DOUBLE * (SELECT count(*) FROM documents) / sum_df, 4) AS rarity
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q32_lang_id",       q32LangId _,       Some(q32Sql)),
     ("q33_quality_score", q33QualityScore _, Some(q33Sql)),
@@ -176,5 +236,7 @@ object TextAnalysis {
     ("q35_fingerprint",   q35Fingerprint _,  Some(q35Sql)),
     ("q64_bpe_tokens",    q64BpeTokens _,    Some(q64Sql)),
     ("q69_heavy_hitters", q69HeavyHitters _, None),
+    ("q74_bpe_merges",    q74BpeMerges _,    Some(q74Sql)),
+    ("q75_token_rarity",  q75TokenRarity _,  Some(q75Sql)),
   )
 }

@@ -417,6 +417,78 @@ object ExtendedQueries {
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 
+  /** Incremental rollup maintenance, gate-proven: the daily rollup is
+    * built as TWO increments (event_id parity split standing in for two
+    * micro-batches) merged with [[graft.store.TraceStore.mergeRollups]],
+    * and the oracle is the one-shot GROUP BY over all rows — proving
+    * per-batch materialized-view maintenance (the reference's
+    * SummingMergeTree TODO) agrees with recomputation. Measures are the
+    * decomposable ones (sum, count); round(…, 2) absorbs the one extra
+    * double reassociation the two-step sum introduces. */
+  def q80IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), to_date(col("ts")).as("day"),
+        col("event_type"), col("value"))
+    def roll(df: DataFrame): DataFrame =
+      df.groupBy(col("day"), col("event_type"))
+        .agg(sum(col("value")).as("sv"), count(lit(1)).as("n"))
+    graft.store.TraceStore.mergeRollups(
+        roll(ev.filter(col("event_id") % 2 === 0)),
+        roll(ev.filter(col("event_id") % 2 =!= 0)),
+        Seq("day", "event_type"), Seq("sv", "n"))
+      .select(col("day"), col("event_type"), round(col("sv"), 2).as("sv"), col("n"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val q80Sql: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |  round(sum(value), 2) AS sv, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** ANALYZE-style column profiling in ONE scan: per-column null count,
+    * distinct count, min / max for the numeric columns of events, unpivoted
+    * to one row per column. The single wide aggregate is the
+    * statistics-collection pass a catalog runs before planning (row counts
+    * + NDVs drive join reordering / broadcast choices); at 100 TB swap the
+    * exact distincts for approx_count_distinct — same single-scan shape. */
+  def q81Profile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def prof(c: String) = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      round(min(col(c)).cast("double"), 4).as(s"${c}_min"),
+      round(max(col(c)).cast("double"), 4).as(s"${c}_max"))
+    val aggs = count(lit(1)).as("n_rows") +: Seq("event_id", "user_id", "value").flatMap(prof)
+    ev.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        """stack(3,
+          |  'event_id', n_rows, event_id_nulls, event_id_nd, event_id_min, event_id_max,
+          |  'user_id',  n_rows, user_id_nulls,  user_id_nd,  user_id_min,  user_id_max,
+          |  'value',    n_rows, value_nulls,    value_nd,    value_min,    value_max)
+          |AS (col_name, n_rows, n_nulls, n_distinct, min_v, max_v)""".stripMargin))
+      .orderBy(col("col_name"))
+  }
+
+  val q81Sql: String =
+    """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+      |  (sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_nulls,
+      |  count(DISTINCT event_id) AS n_distinct,
+      |  round(min(event_id)::DOUBLE, 4) AS min_v, round(max(event_id)::DOUBLE, 4) AS max_v
+      |FROM events
+      |UNION ALL
+      |SELECT 'user_id', count(*),
+      |  (sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END))::BIGINT,
+      |  count(DISTINCT user_id),
+      |  round(min(user_id)::DOUBLE, 4), round(max(user_id)::DOUBLE, 4)
+      |FROM events
+      |UNION ALL
+      |SELECT 'value', count(*),
+      |  (sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END))::BIGINT,
+      |  count(DISTINCT value),
+      |  round(min(value)::DOUBLE, 4), round(max(value)::DOUBLE, 4)
+      |FROM events
+      |ORDER BY col_name""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -435,5 +507,7 @@ object ExtendedQueries {
     ("q67_shipping_priority", q67ShippingPriority _, Some(q67Sql)),
     ("q68_rolling_window",    q68RollingWindow _,    Some(q68Sql)),
     ("q72_outliers",          q72Outliers _,         Some(q72Sql)),
+    ("q80_incremental_rollup", q80IncrementalRollup _, Some(q80Sql)),
+    ("q81_profile",            q81Profile _,           Some(q81Sql)),
   )
 }

@@ -1,0 +1,130 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture tests for the round-3 operators: span-level dedup,
+  * bloom-prescreened decontamination, quality-aware canonical selection,
+  * BPE merge induction, token-rarity scoring, hard-negative mining, and
+  * incremental rollup maintenance. */
+class Round3Spec extends SparkSpec {
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("docs")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def embDir(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("emb")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  // ------------------------------------------------------------- q77 span dedup
+  test("span dedup: shared 8-token span counted once per doc, unique doc clean") {
+    val s1 = (1 to 8).map(i => s"s$i").mkString(" ")        // the shared span
+    val a = s1 + " " + (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = s1 + " " + (1 to 8).map(i => s"b$i").mkString(" ")
+    val c = (1 to 16).map(i => s"c$i").mkString(" ")        // fully unique
+    val got = Dedup.q77SpanDedup(spark, docsDir(Seq((1L, a), (2L, b), (3L, c))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
+
+  // ------------------------------------------------------------- q78 bloom decontam
+  test("bloom decontamination equals the exact join answer (no lost positives)") {
+    val bench = "the quick brown fox jumps over the lazy dog again and again"
+    val leaked = s"prefix words then $bench plus a suffix tail"
+    val clean = (1 to 20).map(i => s"c$i").mkString(" ")
+    // doc_id 0 is the probe (0 % 50 == 0); 1 and 2 are corpus
+    val dir = docsDir(Seq((0L, bench), (1L, leaked), (2L, clean)))
+    val got = Dedup.q78BloomDecontam(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Dedup.contaminated(
+      graft.tables.Tables.documents(spark, dir).filter(col("doc_id") % 50 =!= 0),
+      graft.tables.Tables.documents(spark, dir).filter(col("doc_id") % 50 === 0), 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+    assert(got.contains(1L) && !got.contains(2L))
+  }
+
+  // ------------------------------------------------------------- q79 canonical selection
+  test("canonical selection keeps the higher-quality member, not the lowest id") {
+    // doc 1: 40 unique tokens then tok1 repeated 20 times (low uniq ratio);
+    // doc 2: same but one repeat replaced by a new unique token -> near-dup
+    // of doc 1 with strictly higher quality, and higher doc_id.
+    val toks1 = (1 to 40).map(i => s"tok$i") ++ Seq.fill(20)("tok1")
+    val toks2 = toks1.updated(50, "tokZ")
+    val far = (1 to 60).map(i => s"zzz$i")
+    val dir = docsDir(Seq((1L, toks1.mkString(" ")), (2L, toks2.mkString(" ")),
+                          (3L, far.mkString(" "))))
+    val rows = Dedup.q79CanonicalSelect(spark, dir).collect()
+    val cl = rows.find(_.getLong(0) == 1L)
+    assert(cl.isDefined, s"expected cluster rooted at doc 1 in ${rows.mkString(",")}")
+    assert(cl.get.getLong(1) == 2L)     // csize
+    assert(cl.get.getLong(2) == 2L)     // canonical = higher-quality doc 2
+    // and q55's keep flag would have chosen doc 1 — the two policies differ
+    val keep = Dedup.q55DedupClusters(spark, dir).collect()
+      .filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+    assert(keep.contains(1L))
+  }
+
+  // ------------------------------------------------------------- q74 BPE merges
+  test("BPE merge induction ranks the most frequent adjacent pair first") {
+    val dir = docsDir(Seq((1L, "a b a b c"), (2L, "a b x")))
+    val top = TextAnalysis.q74BpeMerges(spark, dir).collect()
+    assert(top.head.getString(0) == "a b" && top.head.getLong(1) == 3L)
+  }
+
+  // ------------------------------------------------------------- q75 token rarity
+  test("token rarity: all-unique vocabulary outranks corpus-common vocabulary") {
+    val common = (1 to 10).map(_ => "shared").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, (1 to 10).map(i => s"rare$i").mkString(" ")),   // df=1 tokens
+      (2L, common), (3L, common), (4L, common)))           // df=3 tokens
+    val got = TextAnalysis.q75TokenRarity(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == 4.0)      // n_tok*N/sum_df = 10*4/10
+    assert(got(2L) < got(1L))   // common vocab is less rare
+  }
+
+  // ------------------------------------------------------------- q76 hard negatives
+  test("hard-negative mining excludes same-label vectors however similar") {
+    val dir = embDir(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.99f, 0.1f, 0f, 0f), 0),   // nearly identical but same label
+      (2L, Seq(0.9f, 0.3f, 0f, 0f), 1),    // the true hard negative
+      (3L, Seq(0f, 1f, 0f, 0f), 1)))
+    val rows = Similarity.q76HardNegatives(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+    assert(rows.head.getLong(2) == 2L)               // rank 1 = vec 2
+    assert(!rows.exists(_.getLong(2) == 1L))         // same-label excluded
+    assert(rows.map(_.getInt(3)).forall(_ == 1))     // all negatives labeled 1
+  }
+
+  // ------------------------------------------------------------- mergeRollups
+  test("mergeRollups: rollup maintained in increments equals recomputation") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (i % 7, s"t${i % 3}", i * 0.5))
+    val df = rows.toDF("day", "event_type", "value")
+    def roll(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("day"), col("event_type"))
+        .agg(sum(col("value")).as("sv"), count(lit(1)).as("n"))
+    val merged = graft.store.TraceStore.mergeRollups(
+        roll(df.filter(col("value") < 50)), roll(df.filter(col("value") >= 50)),
+        Seq("day", "event_type"), Seq("sv", "n"))
+      .select(col("day"), col("event_type"), round(col("sv"), 6).as("sv"), col("n"))
+    val direct = roll(df)
+      .select(col("day"), col("event_type"), round(col("sv"), 6).as("sv"), col("n"))
+    assert(merged.collect().toSet == direct.collect().toSet)
+  }
+}
