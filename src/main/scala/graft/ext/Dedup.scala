@@ -101,7 +101,14 @@ object Dedup {
     * per consumer would double the most expensive stage in the suite. The
     * cached table is the VERIFIED pair list (tiny by construction — LSH
     * keeps candidates near-linear), eagerly materialized, never
-    * corpus-sized. At 100 TB this is a parquet checkpoint table instead. */
+    * corpus-sized. At 100 TB this is a parquet checkpoint table instead.
+    *
+    * Contract (inherited from [[graft.tables.Tables]]' relation cache):
+    * a dir is immutable once read — rewriting documents.parquet in place
+    * under a cached dir would serve stale pairs. Tests use a fresh tmp
+    * dir per fixture for exactly this reason. Entries live until the
+    * session stops (they pin their checkpoint blocks); the suite touches
+    * a handful of dirs, each contributing a few KB of pairs. */
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -309,13 +316,29 @@ object Dedup {
     } finally persisted.foreach(_.unpersist(false))
   }
 
+  /** Per-(session, dir) near-dup cluster table — one stage above
+    * [[pairCache]]: q55 (keep-lowest-id flags) and q79 (quality-aware
+    * canonical selection) both resolve components over the same
+    * jacc ≥ 0.5 edges, so the symmetrize/distinct/union-find pipeline
+    * runs once. Same immutable-dir contract as pairCache; the table is
+    * one row per near-dup-subgraph node, already materialized by
+    * [[connectedComponents]]. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def clustersOf(s: SparkSession, dir: String): DataFrame =
+    clusterCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      val edges = verifiedPairs(sess, d).filter(col("jacc") >= 0.5)
+        .select(col("d1"), col("d2"))
+      connectedComponents(edges, "d1", "d2")
+    })
+
   /** End-to-end near-dup cluster resolution: LSH pairs (jacc ≥ 0.5) →
     * connected components → per-doc cluster id, cluster size, and the
     * keep flag (lowest doc_id per cluster survives). This is the final
     * step of MinHash dedup a training-data pipeline actually acts on. */
   def q55DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = verifiedPairs(s, dir).filter(col("jacc") >= 0.5).select(col("d1"), col("d2"))
-    val comp = connectedComponents(edges, "d1", "d2")
+    val comp = clustersOf(s, dir)
     val sizes = comp.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
     comp.join(sizes, Seq("cluster"))
       .select(col("node").as("doc_id"), col("cluster"), col("csize"),
@@ -427,14 +450,21 @@ object Dedup {
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), (size(tk) / 8).cast("int") - 1),
         i => array_join(slice(tk, i * 8 + 1, lit(8)), " "))).as("chunk"))
-    val spread = chunks.groupBy(col("chunk"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    chunks.join(spread, Seq("chunk"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
-      .withColumn("dup_frac", round(col("n_dup").cast("double") / col("n_spans"), 4))
-      .orderBy(col("doc_id"))
+    // chunks feeds both the spread aggregate and the join: persist so the
+    // scan + chunk explosion runs once; the doc-level result is small, so
+    // an eager localCheckpoint releases the span-level cache on return.
+    chunks.persist()
+    try {
+      val spread = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(spread, Seq("chunk"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac", round(col("n_dup").cast("double") / col("n_spans"), 4))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally chunks.unpersist(false)
   }
 
   val q77Sql: String =
@@ -464,8 +494,12 @@ object Dedup {
     * corpus shingle count. */
   def q78BloomDecontam(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.documents(s, dir)
+    // eagerly materialize the (dictionary-sized) probe shingles once: the
+    // bloom build is its own job at call time and the verify join reads
+    // the set again — without this the probe scan + shingling runs twice
     val probeShingles = shinglesOf(all.filter(col("doc_id") % 50 === 0))
       .select(col("g")).distinct()
+      .localCheckpoint(true)
     val bf = probeShingles.stat.bloomFilter("g", 200000L, 0.01)
     val mightContain = udf((g: String) => g != null && bf.mightContain(g))
     shinglesOf(all.filter(col("doc_id") % 50 =!= 0))
@@ -493,9 +527,7 @@ object Dedup {
     * One argmax aggregate per cluster (lexicographic struct max — no
     * window sort), over the near-dup subgraph only. */
   def q79CanonicalSelect(s: SparkSession, dir: String): DataFrame = {
-    val edges = verifiedPairs(s, dir).filter(col("jacc") >= 0.5)
-      .select(col("d1"), col("d2"))
-    val comp = connectedComponents(edges, "d1", "d2")
+    val comp = clustersOf(s, dir)
     val qual = Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.qualityCol.as("q"))
     comp.join(qual, col("node") === col("doc_id"))

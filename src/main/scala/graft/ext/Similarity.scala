@@ -61,19 +61,27 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Shared exact-kNN scoring CTE chain ex → norms → dots → cos for the
+    * brute-force oracles (q30/q47/q76): per-dimension unnest, norms,
+    * query-side (vec_id < 5) dot products, cosine. `dotsFilter` narrows
+    * the corpus side; one definition so rounding/tie-break/scoring can
+    * never drift between the consumers. */
+  private def knnScoreCtes(dotsFilter: String): String =
+    s"""ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
+       |            FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+       |dots AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.x * b.x) AS dot
+       |         FROM ex a JOIN ex b ON a.i = b.i
+       |         WHERE a.vec_id < 5 $dotsFilter GROUP BY 1, 2),
+       |cos AS (SELECT q_id, d.vec_id, d.dot / (na.nrm * nb.nrm) AS c
+       |        FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.vec_id)""".stripMargin
+
   val q30Sql: String =
-    """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
-      |            FROM embeddings),
-      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
-      |dots AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.x * b.x) AS dot
-      |         FROM ex a JOIN ex b ON a.i = b.i
-      |         WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id GROUP BY 1, 2),
-      |cos AS (SELECT q_id, d.vec_id, d.dot / (na.nrm * nb.nrm) AS c
-      |        FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.vec_id),
-      |r AS (SELECT q_id, vec_id, c,
-      |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM cos)
-      |SELECT q_id, rn, vec_id, round(c, 5) AS cos FROM r WHERE rn <= 10
-      |ORDER BY q_id, rn""".stripMargin
+    s"""WITH ${knnScoreCtes("AND b.vec_id <> a.vec_id")},
+       |r AS (SELECT q_id, vec_id, c,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM cos)
+       |SELECT q_id, rn, vec_id, round(c, 5) AS cos FROM r WHERE rn <= 10
+       |ORDER BY q_id, rn""".stripMargin
 
   // ---------------------------------------------------------------- C3: LSH-bucketed ANN
   /** 8-plane random-hyperplane LSH: each vector hashes to a 256-bucket
@@ -355,22 +363,15 @@ object Similarity {
   }
 
   val q76Sql: String =
-    """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
-      |            FROM embeddings),
-      |lab AS (SELECT vec_id, label FROM embeddings),
-      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
-      |dots AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.x * b.x) AS dot
-      |         FROM ex a JOIN ex b ON a.i = b.i
-      |         WHERE a.vec_id < 5 GROUP BY 1, 2),
-      |cos AS (SELECT q_id, d.vec_id, d.dot / (na.nrm * nb.nrm) AS c
-      |        FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.vec_id),
-      |fil AS (SELECT c.q_id, c.vec_id, lb.label, c.c
-      |        FROM cos c JOIN lab lq ON lq.vec_id = c.q_id JOIN lab lb ON lb.vec_id = c.vec_id
-      |        WHERE lb.label <> lq.label),
-      |r AS (SELECT q_id, vec_id, label, c,
-      |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM fil)
-      |SELECT q_id, rn, vec_id, label, round(c, 5) AS cos FROM r WHERE rn <= 5
-      |ORDER BY q_id, rn""".stripMargin
+    s"""WITH ${knnScoreCtes("")},
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |fil AS (SELECT c.q_id, c.vec_id, lb.label, c.c
+       |        FROM cos c JOIN lab lq ON lq.vec_id = c.q_id JOIN lab lb ON lb.vec_id = c.vec_id
+       |        WHERE lb.label <> lq.label),
+       |r AS (SELECT q_id, vec_id, label, c,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM fil)
+       |SELECT q_id, rn, vec_id, label, round(c, 5) AS cos FROM r WHERE rn <= 5
+       |ORDER BY q_id, rn""".stripMargin
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),

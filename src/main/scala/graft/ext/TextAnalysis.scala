@@ -210,14 +210,22 @@ object TextAnalysis {
   def q75TokenRarity(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val dfreq = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    tok.join(broadcast(dfreq), Seq("tok"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"), sum(col("df")).as("sum_df"))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
-      .select(col("doc_id"), col("n_tok"),
-        round(col("n_tok").cast("double") * col("n_docs") / col("sum_df"), 4).as("rarity"))
-      .orderBy(col("doc_id"))
+    // tok feeds both the df dictionary and the per-occurrence join:
+    // persist so the corpus is split+exploded once; the doc-level result
+    // is small, so an eager localCheckpoint releases the token-level
+    // cache on return.
+    tok.persist()
+    try {
+      val dfreq = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tok.join(broadcast(dfreq), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("df")).as("sum_df"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("n_tok").cast("double") * col("n_docs") / col("sum_df"), 4).as("rarity"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally tok.unpersist(false)
   }
 
   val q75Sql: String =

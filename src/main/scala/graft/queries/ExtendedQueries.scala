@@ -432,9 +432,13 @@ object ExtendedQueries {
     def roll(df: DataFrame): DataFrame =
       df.groupBy(col("day"), col("event_type"))
         .agg(sum(col("value")).as("sv"), count(lit(1)).as("n"))
+    // null-safe split: a NULL event_id must land in exactly one increment
+    // (both `% 2 === 0` and `=!= 0` are NULL for it — a bare filter pair
+    // would silently drop the row that the one-shot oracle counts)
+    val parity = coalesce(col("event_id") % 2, lit(0L))
     graft.store.TraceStore.mergeRollups(
-        roll(ev.filter(col("event_id") % 2 === 0)),
-        roll(ev.filter(col("event_id") % 2 =!= 0)),
+        roll(ev.filter(parity === 0)),
+        roll(ev.filter(parity =!= 0)),
         Seq("day", "event_type"), Seq("sv", "n"))
       .select(col("day"), col("event_type"), round(col("sv"), 2).as("sv"), col("n"))
       .orderBy(col("day"), col("event_type"))

@@ -99,10 +99,10 @@ object TraceStore {
     * increments hash-matches the one-shot GROUP BY over all rows. */
   def mergeRollups(existing: DataFrame, delta: DataFrame,
                    keys: Seq[String], measures: Seq[String]): DataFrame = {
-    val aggs = measures.map(m => org.apache.spark.sql.functions.sum(
-      org.apache.spark.sql.functions.col(m)).as(m))
+    require(measures.nonEmpty, "mergeRollups needs at least one measure column")
+    val aggs = measures.map(m => sum(col(m)).as(m))
     existing.unionByName(delta)
-      .groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 
