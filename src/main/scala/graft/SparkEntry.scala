@@ -24,6 +24,7 @@ object SparkEntry {
       ext.JsonProps.entries,
       ext.Multimodal.entries,
       ext.Curation.entries,
+      ext.EventAnalytics.entries,
     )
 
   private lazy val all = modules.flatten

@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Event-analytics operators over the events stream table — the ClickHouse
+  * analytics-function family the reference's sink engine ships natively
+  * (`WITH FILL`, `windowFunnel`, `retention`; the reference delegates all
+  * querying to ClickHouse, README.md:9-10, so "same query capabilities"
+  * includes these), re-expressed as declarative Spark plans.
+  *
+  * Scale design: every operator aggregates per user/hour FIRST (shuffle
+  * keyed on the entity, partial aggregation map-side), then works on the
+  * entity-level table — never on raw events twice. The dimension tables
+  * these join (hour spine, day-0 cohort) are bounded and broadcast.
+  */
+object EventAnalytics {
+
+  // ---------------------------------------------------------------- gap-filled time series (WITH FILL)
+  /** Hourly counts of one event type with EVERY hour of the observed range
+    * present — missing hours filled with 0 (ClickHouse `ORDER BY … WITH
+    * FILL STEP`). The hour spine is generated from the aggregated bounds
+    * (two scalar values), so the fill costs one tiny explode + left join
+    * against the already-aggregated hourly counts — raw events are
+    * scanned once. Gap-free series are what rate/rolling computations
+    * downstream (q68-style) assume. */
+  def q82GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    val spine = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    spine.join(counts, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("h"))
+  }
+
+  val q82Sql: String =
+    """WITH ev AS (SELECT date_trunc('hour', ts) AS h FROM events
+      |            WHERE event_type = 'purchase'),
+      |counts AS (SELECT h, count(*) AS n FROM ev GROUP BY h),
+      |spine AS (SELECT unnest(generate_series((SELECT min(h) FROM ev),
+      |                                        (SELECT max(h) FROM ev),
+      |                                        INTERVAL 1 HOUR)) AS h)
+      |SELECT s.h, coalesce(c.n, 0) AS n
+      |FROM spine s LEFT JOIN counts c USING (h)
+      |ORDER BY s.h""".stripMargin
+
+  // ---------------------------------------------------------------- funnel (windowFunnel)
+  /** Ordered 3-step funnel signup → click → purchase within 24 h of the
+    * user's first signup (ClickHouse `windowFunnel(window)(ts, cond1,
+    * cond2, cond3)`): how many users reached each step, with strict
+    * temporal ordering between steps. Each step is one conditional
+    * aggregate over the per-user event set; steps chain through joins on
+    * user_id (user-keyed shuffles — the same key every step, so AQE
+    * reuses the partitioning; at 100 TB users are hash-partitioned once).
+    * Counting users who reached AT LEAST step k keeps the row monotone —
+    * the standard funnel report shape. */
+  def q83Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").as("e")
+      .join(s1.as("s"), col("e.user_id") === col("s.user_id"))
+      .filter(col("e.ts") > col("s.t1") &&
+        col("e.ts") <= col("s.t1") + expr("interval 24 hours"))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t2"), first(col("s.t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase").as("e")
+      .join(s2.as("s"), col("e.user_id") === col("s.user_id"))
+      .filter(col("e.ts") > col("s.t2") &&
+        col("e.ts") <= col("s.t1") + expr("interval 24 hours"))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t3"))
+    val counts = Seq(
+      s1.agg(count(lit(1)).as("n_users")).select(lit(1).as("step"), col("n_users")),
+      s2.agg(count(lit(1)).as("n_users")).select(lit(2).as("step"), col("n_users")),
+      s3.agg(count(lit(1)).as("n_users")).select(lit(3).as("step"), col("n_users")))
+    counts.reduce(_.unionByName(_)).orderBy(col("step"))
+  }
+
+  val q83Sql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(s.t1) AS t1
+      |       FROM events e JOIN s1 s ON e.user_id = s.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s.t1
+      |         AND e.ts <= s.t1 + INTERVAL 24 HOURS
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+      |       FROM events e JOIN s2 s ON e.user_id = s.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s.t2
+      |         AND e.ts <= s.t1 + INTERVAL 24 HOURS
+      |       GROUP BY e.user_id)
+      |SELECT 1 AS step, count(*) AS n_users FROM s1
+      |UNION ALL SELECT 2, count(*) FROM s2
+      |UNION ALL SELECT 3, count(*) FROM s3
+      |ORDER BY step""".stripMargin
+
+  // ---------------------------------------------------------------- retention
+  /** Day-N retention of the day-0 cohort (ClickHouse `retention(cond0,
+    * cond1, …)`): of the users active on the first observed day, how many
+    * were active again N days later, for every observed offset. Activity
+    * collapses to one row per (user, day) before anything joins — the
+    * raw event volume never reaches the cohort join, and the day-0
+    * cohort is broadcast. Ratio is a single division of exact integers. */
+  def q84Retention(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val day0 = active.agg(min(col("day")).as("d0"))
+    val cohort = active.join(broadcast(day0), col("day") === col("d0"))
+      .select(col("user_id"))
+    val cohortN = cohort.agg(count(lit(1)).as("cohort_n"))
+    active.join(broadcast(cohort), Seq("user_id"))
+      .crossJoin(broadcast(day0))
+      .groupBy(datediff(col("day"), col("d0")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .crossJoin(broadcast(cohortN))
+      .select(col("day_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_n"), 4).as("ratio"))
+      .orderBy(col("day_offset"))
+  }
+
+  val q84Sql: String =
+    """WITH active AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      |d0 AS (SELECT min(day) AS d0 FROM active),
+      |cohort AS (SELECT a.user_id FROM active a, d0 WHERE a.day = d0.d0),
+      |cn AS (SELECT count(*) AS cohort_n FROM cohort)
+      |SELECT date_diff('day', d0.d0, a.day) AS day_offset, count(*) AS n_active,
+      |       round(count(*)::DOUBLE / cn.cohort_n, 4) AS ratio
+      |FROM active a JOIN cohort c ON a.user_id = c.user_id, d0, cn
+      |GROUP BY 1, cn.cohort_n ORDER BY day_offset""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
+    ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
+    ("q84_retention", q84Retention _, Some(q84Sql)),
+  )
+}

@@ -86,4 +86,83 @@ object TraceStream {
       .groupBy(window(col("Time"), "1 hour"), col("Type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("Type"), col("n"))
+
+  // ------------------------------------------------------------------ persistent incremental rollup (B6, SummingMergeTree form)
+  /** The maintained rollup's aggregate shape: (ym, Type) → row count +
+    * severity sum — decomposable measures only, so increments merge by
+    * summation ([[TraceStore.mergeRollups]]). Severity widens to long
+    * before summing: the stored sum keeps growing across merges. */
+  private def rollOf(df: DataFrame): DataFrame =
+    df.groupBy(date_format(col("Time"), "yyyyMM").as("ym"), col("Type"))
+      .agg(count(lit(1)).as("n"), sum(col("Severity").cast("long")).as("sev_sum"))
+
+  /** Complete versions under a rollup root, ascending by batch id. A
+    * version is a `v<batchId>` subdirectory whose parquet commit finished
+    * (_SUCCESS present) — half-written versions are invisible. */
+  private def rollupVersions(root: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(root)) Seq.empty
+    else java.nio.file.Files.list(root).iterator().asScala.toSeq
+      .filter(p => java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+      .flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v")) n.drop(1).toLongOption.map(_ -> p) else None
+      }
+      .sortBy(_._1)
+  }
+
+  /** Read the current (highest complete version) maintained rollup. */
+  def readRollup(spark: SparkSession, rollupPath: String): DataFrame = {
+    val vs = rollupVersions(java.nio.file.Paths.get(rollupPath))
+    require(vs.nonEmpty, s"no complete rollup version under $rollupPath")
+    spark.read.parquet(vs.last._2.toString)
+  }
+
+  /** One maintenance step: fold a normalized micro-batch into the stored
+    * rollup. Crash-safe and replay-idempotent without coordination:
+    *  - each batch writes a NEW version dir `v<batchId>` (never mutates
+    *    the current one), merging from the highest complete version with
+    *    a SMALLER id — so a replayed batch (foreachBatch is
+    *    at-least-once) rebuilds its own version from the same inputs
+    *    instead of double-counting itself;
+    *  - a crash mid-write leaves a version without _SUCCESS, which no
+    *    reader or later merge ever sees;
+    *  - older versions are pruned only after the new write committed
+    *    (the previous version is kept as the replay merge source).
+    * Cost per batch ∝ rollup cardinality + batch size — never the
+    * accumulated raw history. */
+  def upsertRollup(batch: DataFrame, batchId: Long, rollupPath: String): Unit = {
+    val spark = batch.sparkSession
+    val root = java.nio.file.Paths.get(rollupPath)
+    val base = rollupVersions(root).filter(_._1 < batchId).lastOption
+    val delta = rollOf(batch)
+    val merged = base match {
+      case Some((_, p)) => TraceStore.mergeRollups(
+        spark.read.parquet(p.toString), delta, Seq("ym", "Type"), Seq("n", "sev_sum"))
+      case None => delta
+    }
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(root.resolve(s"v$batchId").toString)
+    // prune: everything below the replay merge source for the NEXT batch
+    rollupVersions(root).dropRight(2).foreach { case (_, p) =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Streaming materialized-view maintenance (B6 incremental form —
+    * the SummingMergeTree analogue running live): keep the persistent
+    * (ym, Type) rollup current per micro-batch. One maintainer per
+    * rollupPath; the checkpoint serializes batch ids. */
+  def maintainRollup(spark: SparkSession, cfg: Config, rollupPath: String): StreamingQuery =
+    TraceIngest.normalize(source(spark, cfg))
+      .writeStream
+      .queryName("trace-rollup-maintain")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertRollup(batch, batchId, rollupPath)
+      }
+      .start()
 }

@@ -111,6 +111,63 @@ class Round3Spec extends SparkSpec {
     assert(rows.map(_.getInt(3)).forall(_ == 1))     // all negatives labeled 1
   }
 
+  // ------------------------------------------------------------- event analytics
+  private def eventsDir(rows: Seq[(Long, String, Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("events")
+    rows.toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("gap fill emits zero rows for empty hours inside the range") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:10:00", 1L, "purchase"),
+      (2L, "2024-01-01 03:20:00", 1L, "purchase"),
+      (3L, "2024-01-01 01:00:00", 1L, "click")))     // other type: ignored
+    val got = EventAnalytics.q82GapFill(spark, dir).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1))
+    assert(got.toSeq == Seq(
+      "2024-01-01 00:00:00.0" -> 1L, "2024-01-01 01:00:00.0" -> 0L,
+      "2024-01-01 02:00:00.0" -> 0L, "2024-01-01 03:00:00.0" -> 1L))
+  }
+
+  test("funnel enforces step order and the 24h window from first signup") {
+    val dir = eventsDir(Seq(
+      // u1: full ordered funnel inside the window
+      (1L, "2024-01-01 00:00:00", 1L, "signup"),
+      (2L, "2024-01-01 01:00:00", 1L, "click"),
+      (3L, "2024-01-01 02:00:00", 1L, "purchase"),
+      // u2: click lands outside the 24h window
+      (4L, "2024-01-01 00:00:00", 2L, "signup"),
+      (5L, "2024-01-02 06:00:00", 2L, "click"),
+      // u3: no signup at all
+      (6L, "2024-01-01 00:00:00", 3L, "click"),
+      (7L, "2024-01-01 01:00:00", 3L, "purchase"),
+      // u4: purchase BEFORE click — must not count as step 3
+      (8L, "2024-01-01 00:00:00", 4L, "signup"),
+      (9L, "2024-01-01 01:00:00", 4L, "purchase"),
+      (10L, "2024-01-01 02:00:00", 4L, "click")))
+    val got = EventAnalytics.q83Funnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("retention counts only day-0 cohort members per offset") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 11:00:00", 2L, "view"),
+      (3L, "2024-01-02 10:00:00", 1L, "view"),
+      (4L, "2024-01-04 10:00:00", 1L, "view"),
+      (5L, "2024-01-04 11:00:00", 2L, "view"),
+      (6L, "2024-01-04 12:00:00", 3L, "view")))   // u3 not in cohort
+    val got = EventAnalytics.q84Retention(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0, 2L, 1.0), (1, 1L, 0.5), (3, 2L, 1.0)))
+  }
+
   // ------------------------------------------------------------- mergeRollups
   test("mergeRollups: rollup maintained in increments equals recomputation") {
     import spark.implicits._

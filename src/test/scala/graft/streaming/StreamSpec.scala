@@ -53,6 +53,25 @@ class StreamSpec extends SparkSpec {
       ("2019-05-13 16:00:00.0", "Role", 6L)))
   }
 
+  test("maintained rollup equals recomputation and survives batch replay") {
+    val watch = tmpDir("watch4"); val ckpt = tmpDir("ckpt4"); val roll = tmpDir("roll4")
+    writeTrace(watch, "trace.1.json", 1557761852L, 5)
+    writeTrace(watch, "trace.2.json", 1557765452L, 7)
+    val cfg = TraceStream.Config(watch, tmpDir("unused4"), ckpt,
+      maxFilesPerTrigger = 1)                       // force 2 micro-batches
+    val q = TraceStream.maintainRollup(spark, cfg, roll)
+    q.awaitTermination()
+    def snap() = TraceStream.readRollup(spark, roll)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val got = snap()
+    assert(got == Set(("201905", "Role", 12L, 120L)))   // 12 rows, Severity 10 each
+    // replay: re-applying the LAST batch id must rebuild, not double-count
+    val replayBatch = graft.ingest.TraceIngest.readBatch(spark, s"$watch/trace.2.json")
+    val lastId = 1L
+    TraceStream.upsertRollup(replayBatch, lastId, roll)
+    assert(snap() == got)
+  }
+
   test("sentinel file stops a continuous query (A4)") {
     val watch = tmpDir("watch2"); val table = tmpDir("table2"); val ckpt = tmpDir("ckpt2")
     writeTrace(watch, "trace.1.json", 1557761852L, 2)
