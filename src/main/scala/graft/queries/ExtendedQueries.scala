@@ -493,6 +493,36 @@ object ExtendedQueries {
       |FROM events
       |ORDER BY col_name""".stripMargin
 
+  /** Full-outer reconciliation: daily counts of two sparse event slices
+    * stitched into one gap-tolerant series (days where either side is
+    * absent survive with a zero) — the join type q10-q13/q21-q22 don't
+    * cover. Both sides pre-aggregate to day grain before joining, so the
+    * outer join is dimension-sized; at 100 TB the shuffle carries days,
+    * not events. */
+  def q85FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def daily(t: String) = ev
+      .filter(col("event_type") === t && col("value") > 195)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as(s"n_$t"))
+    daily("purchase").join(daily("error"), Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("n_error"), lit(0L)).as("n_error"))
+      .orderBy(col("day"))
+  }
+
+  val q85Sql: String =
+    """WITH p AS (SELECT ts::DATE AS day, count(*) AS n_purchase FROM events
+      |           WHERE event_type = 'purchase' AND value > 195 GROUP BY 1),
+      |e AS (SELECT ts::DATE AS day, count(*) AS n_error FROM events
+      |      WHERE event_type = 'error' AND value > 195 GROUP BY 1)
+      |SELECT coalesce(p.day, e.day) AS day,
+      |       coalesce(p.n_purchase, 0) AS n_purchase,
+      |       coalesce(e.n_error, 0) AS n_error
+      |FROM p FULL OUTER JOIN e ON p.day = e.day
+      |ORDER BY day""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -513,5 +543,6 @@ object ExtendedQueries {
     ("q72_outliers",          q72Outliers _,         Some(q72Sql)),
     ("q80_incremental_rollup", q80IncrementalRollup _, Some(q80Sql)),
     ("q81_profile",            q81Profile _,           Some(q81Sql)),
+    ("q85_full_outer",         q85FullOuter _,         Some(q85Sql)),
   )
 }
