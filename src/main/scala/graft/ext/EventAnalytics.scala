@@ -133,9 +133,65 @@ object EventAnalytics {
       |FROM active a JOIN cohort c ON a.user_id = c.user_id, d0, cn
       |GROUP BY 1, cn.cohort_n ORDER BY day_offset""".stripMargin
 
+  // ---------------------------------------------------------------- sequence matching (sequenceMatch)
+  /** Pattern matching over each user's ordered event sequence (ClickHouse
+    * `sequenceMatch('(?1)(?t<…)(?2)')`): collapse the per-user history to
+    * an ordered type-initial string, then run a regex — here "signup,
+    * then purchase, with no error in between" (`s[^e]*p`). The collapse
+    * is one user-keyed aggregate (collect_list is bounded by per-user
+    * event counts, the same bound ClickHouse's groupArray carries); the
+    * regex is a codegen'd map over 1-row-per-user. Order is made total
+    * with (ts, event_id) so both engines agree on the sequence string. */
+  def q86SequenceMatch(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(col("e"))),
+        x => x.getField("c")), "").as("seq"))
+      .select(col("user_id"), length(col("seq")).as("n_events"),
+        when(col("seq").rlike("s[^e]*p"), lit(1)).otherwise(lit(0)).as("converted"))
+      .orderBy(col("user_id"))
+
+  val q86Sql: String =
+    """WITH seqs AS (SELECT user_id,
+      |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      |       FROM events GROUP BY user_id)
+      |SELECT user_id, length(seq) AS n_events,
+      |       CASE WHEN regexp_matches(seq, 's[^e]*p') THEN 1 ELSE 0 END AS converted
+      |FROM seqs ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- latest state (ReplacingMergeTree / CDC upsert)
+  /** Latest-state-per-key semantics — the ReplacingMergeTree / CDC-upsert
+    * read: for each (user, event_type) stream key, the most recent
+    * event's payload wins ((ts, event_id) is the version order; the id
+    * breaks timestamp ties deterministically). One lexicographic argmax
+    * aggregate — no window sort, no self-join; at 100 TB this is a single
+    * user-keyed shuffle with map-side partial maxima, the same plan shape
+    * that compacts a CDC changelog into current state. */
+  def q87LatestState(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"))
+      .select(col("user_id"), col("event_type"),
+        col("last.ts").as("last_ts"), col("last.event_id").as("last_event_id"),
+        round(col("last.value"), 2).as("last_value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val q87Sql: String =
+    """SELECT user_id, event_type,
+      |  max(struct_pack(ts := ts, event_id := event_id, v := value)).ts AS last_ts,
+      |  max(struct_pack(ts := ts, event_id := event_id, v := value)).event_id AS last_event_id,
+      |  round(max(struct_pack(ts := ts, event_id := event_id, v := value)).v, 2) AS last_value
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
     ("q84_retention", q84Retention _, Some(q84Sql)),
+    ("q86_sequence_match", q86SequenceMatch _, Some(q86Sql)),
+    ("q87_latest_state",   q87LatestState _,   Some(q87Sql)),
   )
 }

@@ -168,6 +168,32 @@ class Round3Spec extends SparkSpec {
     assert(got.toSeq == Seq((0, 2L, 1.0), (1, 1L, 0.5), (3, 2L, 1.0)))
   }
 
+  test("sequence match requires order and rejects an intervening error") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "signup"),
+      (2L, "2024-01-01 01:00:00", 1L, "click"),
+      (3L, "2024-01-01 02:00:00", 1L, "purchase"),   // s..p clean -> 1
+      (4L, "2024-01-01 00:00:00", 2L, "signup"),
+      (5L, "2024-01-01 01:00:00", 2L, "error"),
+      (6L, "2024-01-01 02:00:00", 2L, "purchase"),   // s e p -> 0
+      (7L, "2024-01-01 00:00:00", 3L, "purchase"),
+      (8L, "2024-01-01 01:00:00", 3L, "signup")))    // p s -> 0
+    val got = EventAnalytics.q86SequenceMatch(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0))
+  }
+
+  test("latest state picks max (ts, event_id) per stream key") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (9L, "2024-01-02 00:00:00", 1L, "view"),       // later ts wins
+      (2L, "2024-01-03 00:00:00", 2L, "view"),
+      (7L, "2024-01-03 00:00:00", 2L, "view")))      // ts tie: higher id wins
+    val got = EventAnalytics.q87LatestState(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 9L, 2L -> 7L))
+  }
+
   // ------------------------------------------------------------- mergeRollups
   test("mergeRollups: rollup maintained in increments equals recomputation") {
     import spark.implicits._
