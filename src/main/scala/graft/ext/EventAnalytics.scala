@@ -12,8 +12,9 @@ import graft.tables.Tables
   *
   * Scale design: every operator aggregates per user/hour FIRST (shuffle
   * keyed on the entity, partial aggregation map-side), then works on the
-  * entity-level table — never on raw events twice. The dimension tables
-  * these join (hour spine, day-0 cohort) are bounded and broadcast.
+  * entity-level table — never on raw events twice. Genuinely bounded
+  * sides (hour spine, scalar bounds/counts) are broadcast; entity-sized
+  * sides (the retention cohort) shuffle on their already-partitioned key.
   */
 object EventAnalytics {
 
@@ -26,11 +27,14 @@ object EventAnalytics {
     * scanned once. Gap-free series are what rate/rolling computations
     * downstream (q68-style) assume. */
   def q82GapFill(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    val counts = Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .select(date_trunc("hour", col("ts")).as("h"))
-    val counts = ev.groupBy(col("h")).agg(count(lit(1)).as("n"))
-    val spine = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      // hour-cardinality table, eagerly materialized: the spine bounds
+      // derive from it rather than re-scanning raw events — one raw scan
+      .localCheckpoint(true)
+    val spine = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
     spine.join(counts, Seq("h"), "left")
       .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
@@ -104,23 +108,35 @@ object EventAnalytics {
     * were active again N days later, for every observed offset. Activity
     * collapses to one row per (user, day) before anything joins — the
     * raw event volume never reaches the cohort join, and the day-0
-    * cohort is broadcast. Ratio is a single division of exact integers. */
+    * scalars (d0, cohort size) are broadcast. The cohort itself is
+    * DAU-proportional — NOT broadcast: the cohort join shuffles on
+    * user_id, the key `active` is already partitioned by, so AQE adds no
+    * extra exchange (and may still pick broadcast at small scale).
+    * Ratio is a single division of exact integers. */
   def q84Retention(s: SparkSession, dir: String): DataFrame = {
     val active = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-    val day0 = active.agg(min(col("day")).as("d0"))
-    val cohort = active.join(broadcast(day0), col("day") === col("d0"))
-      .select(col("user_id"))
-    val cohortN = cohort.agg(count(lit(1)).as("cohort_n"))
-    active.join(broadcast(cohort), Seq("user_id"))
-      .crossJoin(broadcast(day0))
-      .groupBy(datediff(col("day"), col("d0")).as("day_offset"))
-      .agg(count(lit(1)).as("n_active"))
-      .crossJoin(broadcast(cohortN))
-      .select(col("day_offset"), col("n_active"),
-        round(col("n_active").cast("double") / col("cohort_n"), 4).as("ratio"))
-      .orderBy(col("day_offset"))
+    // active feeds four branches (day0, cohort, cohort count, the main
+    // join): persist so the events scan + wide distinct runs once instead
+    // of relying on ReuseExchange to unify the branches; the day-offset
+    // result is tiny, so an eager localCheckpoint frees the cache.
+    active.persist()
+    try {
+      val day0 = active.agg(min(col("day")).as("d0"))
+      val cohort = active.join(broadcast(day0), col("day") === col("d0"))
+        .select(col("user_id"))
+      val cohortN = cohort.agg(count(lit(1)).as("cohort_n"))
+      active.join(cohort, Seq("user_id"))
+        .crossJoin(broadcast(day0))
+        .groupBy(datediff(col("day"), col("d0")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .crossJoin(broadcast(cohortN))
+        .select(col("day_offset"), col("n_active"),
+          round(col("n_active").cast("double") / col("cohort_n"), 4).as("ratio"))
+        .orderBy(col("day_offset"))
+        .localCheckpoint(true)
+    } finally active.unpersist(false)
   }
 
   val q84Sql: String =

@@ -96,20 +96,29 @@ object TraceStream {
     df.groupBy(date_format(col("Time"), "yyyyMM").as("ym"), col("Type"))
       .agg(count(lit(1)).as("n"), sum(col("Severity").cast("long")).as("sev_sum"))
 
+  /** List a directory's entries, closing the stream (a long-running
+    * maintainer calls this every micro-batch — an unclosed Files.list
+    * leaks one fd per call until GC). */
+  private def listDirEntries(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toList finally s.close()
+    }
+  }
+
   /** Complete versions under a rollup root, ascending by batch id. A
     * version is a `v<batchId>` subdirectory whose parquet commit finished
     * (_SUCCESS present) — half-written versions are invisible. */
-  private def rollupVersions(root: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.exists(root)) Seq.empty
-    else java.nio.file.Files.list(root).iterator().asScala.toSeq
+  private def rollupVersions(root: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] =
+    listDirEntries(root)
       .filter(p => java.nio.file.Files.exists(p.resolve("_SUCCESS")))
       .flatMap { p =>
         val n = p.getFileName.toString
         if (n.startsWith("v")) n.drop(1).toLongOption.map(_ -> p) else None
       }
       .sortBy(_._1)
-  }
 
   /** Read the current (highest complete version) maintained rollup. */
   def readRollup(spark: SparkSession, rollupPath: String): DataFrame = {
@@ -134,6 +143,12 @@ object TraceStream {
   def upsertRollup(batch: DataFrame, batchId: Long, rollupPath: String): Unit = {
     val spark = batch.sparkSession
     val root = java.nio.file.Paths.get(rollupPath)
+    val own = root.resolve(s"v$batchId")
+    // Replay of an already-committed version: the rewrite would produce
+    // identical rows by construction (same base, same batch), so skip it
+    // rather than overwrite-in-place — an in-place rewrite would delete a
+    // version a concurrent reader may have just resolved as current.
+    if (java.nio.file.Files.exists(own.resolve("_SUCCESS"))) return
     val base = rollupVersions(root).filter(_._1 < batchId).lastOption
     val delta = rollOf(batch)
     val merged = base match {
@@ -141,13 +156,16 @@ object TraceStream {
         spark.read.parquet(p.toString), delta, Seq("ym", "Type"), Seq("n", "sev_sum"))
       case None => delta
     }
-    merged.coalesce(1).write.mode("overwrite")
-      .parquet(root.resolve(s"v$batchId").toString)
-    // prune: everything below the replay merge source for the NEXT batch
+    merged.coalesce(1).write.mode("overwrite").parquet(own.toString)
+    // prune: everything below the replay merge source for the NEXT batch.
+    // _SUCCESS goes FIRST so a crash mid-delete leaves the dir invisible
+    // to rollupVersions, never a "complete" version missing part-files.
     rollupVersions(root).dropRight(2).foreach { case (_, p) =>
+      java.nio.file.Files.deleteIfExists(p.resolve("_SUCCESS"))
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val w = java.nio.file.Files.walk(p)
+      val entries = try w.iterator().asScala.toList finally w.close()
+      entries.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 
