@@ -65,9 +65,39 @@ object JsonProps {
       |  max(json_extract(props, '$.k')::INT) AS max_k
       |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
 
+  /** MapType column surface (SURVEY §1.3's "raw extras map" / §2 map
+    * scalar fns): parse the JSON props into a map<string,long> — the
+    * schema-free form for undeclared keys — then explode entries and
+    * aggregate per key. from_json(MapType) + explode(map) is the pattern
+    * that keeps unknown-schema payloads queryable without widening the
+    * declared whitelist; all map functions stay codegen'd. */
+  def q88MapProps(s: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType))
+    graft.tables.Tables.events(s, dir)
+      .select(m.as("m"))
+      .select(size(col("m")).as("n_keys"), explode(col("m")).as(Seq("key", "v")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), max(col("n_keys")).as("max_keys"),
+        sum(col("v")).as("sv"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("key"))
+  }
+
+  val q88Sql: String =
+    """WITH kv AS (SELECT unnest(json_keys(props)) AS key,
+      |              len(json_keys(props)) AS n_keys, props FROM events),
+      |vals AS (SELECT key, n_keys,
+      |           json_extract(props, '$.' || key)::BIGINT AS v FROM kv)
+      |SELECT key, count(*) AS n, max(n_keys) AS max_keys,
+      |       sum(v)::BIGINT AS sv, min(v) AS mn, max(v) AS mx
+      |FROM vals GROUP BY key ORDER BY key""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q36_json_extract", q36JsonExtract _, Some(q36Sql)),
     ("q37_json_filter",  q37JsonFilter _,  Some(q37Sql)),
     ("q66_variant",      q66Variant _,     Some(q66Sql)),
+    ("q88_map_props",    q88MapProps _,    Some(q88Sql)),
   )
 }

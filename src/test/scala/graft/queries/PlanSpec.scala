@@ -47,4 +47,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"))
     assert("HashAggregate|SortAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("q87 latest-state is a partial+final argmax, not a window sort") {
+    val p = plan("q87_latest_state")
+    assert(!p.contains("Window"))
+    assert(p.contains("partial_max"))
+    assert("HashAggregate|SortAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q82 gap-fill spine derives from the materialized counts, not a raw rescan") {
+    // the single raw-events scan happens eagerly when counts materialize;
+    // the returned plan (spine + join) must not touch the parquet again
+    val p = plan("q82_gap_fill")
+    assert(!p.contains("events.parquet"))
+  }
 }
