@@ -67,21 +67,33 @@ object EventAnalytics {
       .select(col("user_id"), col("event_type"), col("ts"))
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val s2 = ev.filter(col("event_type") === "click").as("e")
-      .join(s1.as("s"), col("e.user_id") === col("s.user_id"))
-      .filter(col("e.ts") > col("s.t1") &&
-        col("e.ts") <= col("s.t1") + expr("interval 24 hours"))
-      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t2"), first(col("s.t1")).as("t1"))
-    val s3 = ev.filter(col("event_type") === "purchase").as("e")
-      .join(s2.as("s"), col("e.user_id") === col("s.user_id"))
-      .filter(col("e.ts") > col("s.t2") &&
-        col("e.ts") <= col("s.t1") + expr("interval 24 hours"))
-      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t3"))
-    val counts = Seq(
-      s1.agg(count(lit(1)).as("n_users")).select(lit(1).as("step"), col("n_users")),
-      s2.agg(count(lit(1)).as("n_users")).select(lit(2).as("step"), col("n_users")),
-      s3.agg(count(lit(1)).as("n_users")).select(lit(3).as("step"), col("n_users")))
-    counts.reduce(_.unionByName(_)).orderBy(col("step"))
+      .persist()   // feeds the step-2 join AND the steps table
+    try {
+      val s2 = ev.filter(col("event_type") === "click").as("e")
+        .join(s1.as("s"), col("e.user_id") === col("s.user_id"))
+        .filter(col("e.ts") > col("s.t1") &&
+          col("e.ts") <= col("s.t1") + expr("interval 24 hours"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t2"), first(col("s.t1")).as("t1"))
+        .persist() // feeds the step-3 join AND the steps table
+      try {
+        val s3 = ev.filter(col("event_type") === "purchase").as("e")
+          .join(s2.as("s"), col("e.user_id") === col("s.user_id"))
+          .filter(col("e.ts") > col("s.t2") &&
+            col("e.ts") <= col("s.t1") + expr("interval 24 hours"))
+          .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t3"))
+        // one user-cardinality steps table; the three step counts are one
+        // scan of it (count(t) counts non-null reached-steps), not three
+        // re-executions of the join chain
+        val steps = s1
+          .join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"), count(col("t3")).as("n3"))
+        steps.select(expr(
+            "stack(3, 1, n1, 2, n2, 3, n3) AS (step, n_users)"))
+          .orderBy(col("step"))
+          .localCheckpoint(true)
+      } finally s2.unpersist(false)
+    } finally s1.unpersist(false)
   }
 
   val q83Sql: String =
