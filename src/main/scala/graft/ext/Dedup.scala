@@ -453,6 +453,8 @@ object Dedup {
     // chunks feeds both the spread aggregate and the join: persist so the
     // scan + chunk explosion runs once; the doc-level result is small, so
     // an eager localCheckpoint releases the span-level cache on return.
+    // (At 100 TB the span stream is corpus-sized — checkpoint to parquet
+    // or recompute per consumer rather than caching it.)
     chunks.persist()
     try {
       val spread = chunks.groupBy(col("chunk"))

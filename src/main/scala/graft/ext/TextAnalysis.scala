@@ -213,7 +213,9 @@ object TextAnalysis {
     // tok feeds both the df dictionary and the per-occurrence join:
     // persist so the corpus is split+exploded once; the doc-level result
     // is small, so an eager localCheckpoint releases the token-level
-    // cache on return.
+    // cache on return. (At 100 TB do NOT cache a corpus-sized token
+    // stream — checkpoint it to parquet, or let the two consumers
+    // recompute the explode: two scans beat spilling the corpus.)
     tok.persist()
     try {
       val dfreq = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -38,6 +38,29 @@ class StoreSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("ym"))
   }
 
+  test("dim-filtered joins prune fact partitions dynamically (DPP)") {
+    import spark.implicits._
+    val path = tmpDir("storedpp")
+    TraceStore.append(mkBatch(), path)
+    // a month→period dimension with a selective filter: Catalyst should
+    // inject a dynamicpruning subquery into the fact scan's partition
+    // filters so only the qualifying ym directories are read at runtime —
+    // the 100 TB behavior for star joins keyed on the partition column.
+    // (The dim must be a file relation: a driver-LocalRelation gets its
+    // filter constant-folded away and never matches the DPP rule.)
+    val dimPath = tmpDir("dppdim")
+    Seq(("201905", "spring"), ("201906", "summer"))
+      .toDF("ym", "period").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val q = TraceStore.read(spark, path)
+      .join(dim, Seq("ym"))
+      .filter(col("period") === "spring")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery in:\n$plan")
+    assert(q.count() == 2)   // only the 201905 rows
+  }
+
   test("appends are additive (micro-batch commit unit)") {
     val path = tmpDir("store3")
     TraceStore.append(mkBatch(), path)
