@@ -155,6 +155,27 @@ object CoreQueries {
     """SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SLIDING time-window aggregation (B7's second form — §2 checklist
+    * "tumbling/sliding/session"): 2-hour windows advancing hourly, so
+    * each event lands in exactly two windows. Spark's window() expands
+    * size/slide windows per row before the aggregate (one Expand + one
+    * grouped shuffle); the same expression runs under a watermark in
+    * streaming. Oracle: enumerate each event's two window starts. */
+  def q89SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"))
+
+  val q89Sql: String =
+    """WITH w AS (SELECT date_trunc('hour', ts) - (o * INTERVAL 1 HOUR) AS w_start, value
+      |           FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) t
+      |           WHERE event_type = 'error')
+      |SELECT w_start, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM w GROUP BY w_start ORDER BY w_start""".stripMargin
+
   // ------------------------------------------------------------------- B8
   /** Top-N: orderBy + limit compiles to TakeOrderedAndProjectExec —
     * per-partition top-N then a single driver merge of N×partitions rows,
@@ -408,6 +429,7 @@ object CoreQueries {
     ("q05_pricing_summary", q05PricingSummary _, Some(q05Sql)),
     ("q06_daily_rollup",    q06DailyRollup _,    Some(q06Sql)),
     ("q07_hourly_window",   q07HourlyWindow _,   Some(q07Sql)),
+    ("q89_sliding_window",  q89SlidingWindow _,  Some(q89Sql)),
     ("q08_topn",            q08TopN _,           Some(q08Sql)),
     ("q09_distinct_users",  q09DistinctUsers _,  Some(q09Sql)),
     ("q10_star_join",       q10StarJoin _,       Some(q10Sql)),
