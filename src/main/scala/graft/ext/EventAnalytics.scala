@@ -82,12 +82,14 @@ object EventAnalytics {
             col("e.ts") <= col("s.t1") + expr("interval 24 hours"))
           .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t3"))
         // one user-cardinality steps table; the three step counts are one
-        // scan of it (count(t) counts non-null reached-steps), not three
-        // re-executions of the join chain
+        // scan of it, not three re-executions of the join chain. Counts
+        // use explicit membership markers, not the step timestamps — a
+        // min(ts) that aggregated to NULL must still count its row, as
+        // the oracle's count(*) does.
         val steps = s1
-          .join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
-          .join(s3, Seq("user_id"), "left")
-          .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"), count(col("t3")).as("n3"))
+          .join(s2.select(col("user_id"), lit(1).as("m2")), Seq("user_id"), "left")
+          .join(s3.select(col("user_id"), lit(1).as("m3")), Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n1"), count(col("m2")).as("n2"), count(col("m3")).as("n3"))
         steps.select(expr(
             "stack(3, 1, n1, 2, n2, 3, n3) AS (step, n_users)"))
           .orderBy(col("step"))

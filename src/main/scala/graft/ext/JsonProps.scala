@@ -70,12 +70,15 @@ object JsonProps {
     * schema-free form for undeclared keys — then explode entries and
     * aggregate per key. from_json(MapType) + explode(map) is the pattern
     * that keeps unknown-schema payloads queryable without widening the
-    * declared whitelist; all map functions stay codegen'd. */
+    * declared whitelist; all map functions stay codegen'd.
+    *
+    * Oracle contract: props keys are simple identifiers and values are
+    * integral (the trace-props shape). A key containing JSON-path
+    * metacharacters ('.', '[') or a non-integer value would diverge —
+    * the DuckDB twin addresses by '$.'||key path and casts ::BIGINT,
+    * while Spark's PERMISSIVE from_json nulls the whole map. */
   def q88MapProps(s: SparkSession, dir: String): DataFrame = {
-    val m = from_json(col("props"),
-      org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType,
-        org.apache.spark.sql.types.LongType))
+    val m = from_json(col("props"), MapType(StringType, LongType))
     graft.tables.Tables.events(s, dir)
       .select(m.as("m"))
       .select(size(col("m")).as("n_keys"), explode(col("m")).as(Seq("key", "v")))
