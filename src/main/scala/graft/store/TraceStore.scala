@@ -40,6 +40,11 @@ object TraceStore {
       .write
       .mode("append")
       .option("compression", "zstd")
+      // the MergeTree skip-index analogue: point predicates on the
+      // non-sort dimensions (Machine, Type) skip row groups via parquet
+      // bloom filters — Time already skips via sorted min/max stats
+      .option("parquet.bloom.filter.enabled#Machine", "true")
+      .option("parquet.bloom.filter.enabled#Type", "true")
       .partitionBy(TraceSchema.PartitionCol)
       .parquet(tablePath)
   }

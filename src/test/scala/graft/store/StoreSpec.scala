@@ -61,6 +61,39 @@ class StoreSpec extends SparkSpec {
     assert(q.count() == 2)   // only the 201905 rows
   }
 
+  test("store files carry bloom filters on the dimension columns (skip-index analogue)") {
+    import scala.jdk.CollectionConverters._
+    // parquet only materializes a bloom filter once a column's dictionary
+    // overflows (a fully-dictionary-encoded column IS an exact filter) —
+    // so the fixture needs production-like Machine cardinality
+    val big = spark.range(50000).select(
+      lit(10).as("Severity"),
+      concat(lit("machine-with-a-long-host-prefix-"), col("id").cast("string"),
+        lit(":4500")).as("Machine"),
+      lit("default").as("LogGroup"),
+      to_timestamp(lit("2019-05-13 15:37:32")).as("Time"),
+      lit("Role").as("Type"),
+      col("id").cast("string").as("ID"))
+    val path = tmpDir("storebloom")
+    TraceStore.append(big, path)
+    val file = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val bfReader = reader.getBloomFilterDataReader(block)
+      def bloomOf(name: String) = block.getColumns.asScala
+        .find(_.getPath.toDotString == name).map(bfReader.readBloomFilter)
+      assert(bloomOf("Machine").exists(_ != null), "Machine bloom filter missing")
+      // constant Type stays dictionary-encoded -> parquet correctly omits
+      // its bloom; LogGroup has bloom disabled entirely
+      assert(bloomOf("LogGroup").forall(_ == null), "LogGroup should have no bloom")
+    } finally reader.close()
+  }
+
   test("appends are additive (micro-batch commit unit)") {
     val path = tmpDir("store3")
     TraceStore.append(mkBatch(), path)
