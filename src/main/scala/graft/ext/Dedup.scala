@@ -185,26 +185,31 @@ object Dedup {
     s"WITH $verifiedCte\nSELECT d1, d2, jacc FROM verified ORDER BY d1, d2"
 
   // ---------------------------------------------------------------- C2: SimHash
-  /** 16-bit SimHash over word occurrences (weighted by multiplicity),
-    * computed as one per-row expression — sign of the per-bit contribution
-    * sum over the token array, bits packed to a long. Map-only: SimHashes
-    * 100 TB at scan speed with zero shuffles. */
-  def q27SimHash(s: SparkSession, dir: String): DataFrame = {
-    // token hashes bound once as an attribute — the 16 bit-planes below
-    // reuse them with pure arithmetic (tokval re-scans the token's chars,
-    // so inlining it would cost 16× the string work)
-    val simhash = (0 until 16).map { j =>
+  /** 16-bit SimHash over word occurrences (weighted by multiplicity):
+    * sign of the per-bit contribution sum over the token array, bits
+    * packed to a long. Runs through the native codegen expression
+    * [[graft.functions.SimHashExpr]] — one compiled pass hashing each
+    * token once (the built-in formulation, kept as [[simhashHof]] for the
+    * equivalence spec, runs 16 interpreted aggregate lambdas per row).
+    * Map-only: SimHashes 100 TB at scan speed with zero shuffles. */
+  def q27SimHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash16(split(col("text"), " ")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** The built-in (higher-order-function) SimHash formulation over a
+    * token-array column — the semantic reference [[q27SimHash]]'s native
+    * expression is spec-checked against (`PropertySpec`). */
+  def simhashHof(tk: Column): Column = {
+    val tvs = transform(tk, t => tokval(t))
+    (0 until 16).map { j =>
       val csum = aggregate(
-        transform(col("tvs"), tv =>
+        transform(tvs, tv =>
           when((tv * (2 * j + 3)) % 65536 >= 32768, 1L).otherwise(-1L)),
         lit(0L), (acc, x) => acc + x)
       when(csum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), transform(col("tk"), t => tokval(t)).as("tvs"))
-      .select(col("doc_id"), simhash.as("simhash"))
-      .orderBy(col("doc_id"))
   }
 
   val q27Sql: String =

@@ -152,6 +152,34 @@ object ExprKernels {
 
   /** Fused cosine similarity over two float arrays, accumulating in double
     * in index order (dot and both norms in a single pass). */
+  /** 16-bit SimHash over a token array: token value tv (= [[tokval]])
+    * contributes +1 to bit-plane j when (tv·(2j+3)) mod 2^16 lands in the
+    * upper half, else −1; bit j is set iff its contribution sum is
+    * positive. Bit-for-bit the HOF formulation q27 previously inlined
+    * (16 interpreted aggregate lambdas per row) — here one compiled pass
+    * hashing each token once. */
+  def simhash16(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val sums = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      val tv = tokval(toks.getUTF8String(i))
+      var j = 0
+      while (j < 16) {
+        sums(j) += (if ((tv * (2 * j + 3)) % 65536 >= 32768) 1L else -1L)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 16) {
+      if (sums(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -217,6 +245,19 @@ case class LshBucketExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "lsh_bucket"
 }
 
+/** 16-bit SimHash of a token array, all bit-planes fused into one
+  * compiled pass (the HOF form runs 16 interpreted aggregate lambdas,
+  * re-walking the token-value array per plane). */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.simhash16(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.simhash16($c)")
+  override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
+  override def prettyName: String = "simhash16"
+}
+
 /** Fused cosine similarity (dot + both norms in one compiled pass) over
   * ArrayType(FloatType) embeddings — replaces three interpreted
   * higher-order aggregates. */
@@ -242,6 +283,7 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
   def lsh_bucket(c: Column): Column = column(LshBucketExpr(expression(c)))
+  def simhash16(c: Column): Column = column(SimHashExpr(expression(c)))
 
   /** Register SQL names in a session (for spark.sql users). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -251,6 +293,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("jaccard_shingles", es => JaccardShinglesExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bucket", es => LshBucketExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash16", es => SimHashExpr(es.head), "scala_udf")
   }
 }
 
@@ -271,6 +314,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => JaccardShinglesExpr(es(0), es(1)))
     inject("cosine_sim", classOf[CosineSimExpr], es => CosineSimExpr(es(0), es(1)))
     inject("lsh_bucket", classOf[LshBucketExpr], es => LshBucketExpr(es.head))
+    inject("simhash16", classOf[SimHashExpr], es => SimHashExpr(es.head))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -48,6 +48,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fused simhash kernel == higher-order-function formulation (200 random docs)") {
+    import spark.implicits._
+    val rnd = newRnd()
+    val docs = randDocs(rnd, 200).toDF("doc_id", "tk")
+    val got = docs.select(col("doc_id"),
+        GraftFunctions.simhash16(col("tk")).as("k"),
+        graft.ext.Dedup.simhashHof(col("tk")).as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"simhash mismatch doc ${r.getLong(0)}: kernel=${r.getLong(1)} hof=${r.getLong(2)}")
+    }
+    assert(got.length == 200)
+  }
+
   test("jaccard kernel == relational distinct-shingle jaccard (random pairs)") {
     import spark.implicits._
     val rnd = newRnd()
