@@ -379,6 +379,33 @@ object Curation {
     }
   }
 
+  // ------------------------------------------------------------ dataset card
+  /** Dataset-card summary: per (source, lang) corpus cell — document count,
+    * total/average characters, and corpus share. The released-dataset
+    * report every curated corpus ships with. One hash aggregate collapses
+    * the corpus to dimension-sized cells; the global-share window then runs
+    * over those few rows, so at 100 TB the only full-data pass is the
+    * aggregate's map side. */
+  def q95DatasetCard(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_tot"))
+      .withColumn("share", round(
+        col("n_docs").cast("double") / sum(col("n_docs")).over(Window.partitionBy()), 4))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_chars_tot"),
+        round(col("n_chars_tot").cast("double") / col("n_docs"), 2).as("avg_chars"),
+        col("share"))
+      .orderBy(col("source"), col("lang"))
+
+  val q95Sql: String =
+    """WITH cell AS (SELECT source, lang, count(*) AS n_docs,
+      |    sum(n_chars)::BIGINT AS n_chars_tot
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, lang, n_docs, n_chars_tot,
+      |  round(n_chars_tot::DOUBLE / n_docs, 2) AS avg_chars,
+      |  round(n_docs::DOUBLE / (sum(n_docs) OVER ()), 4) AS share
+      |FROM cell ORDER BY source, lang""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q56_repetition",        q56Repetition _,       Some(q56Sql)),
     ("q57_stratified_sample", q57StratifiedSample _, Some(q57Sql)),
@@ -386,5 +413,6 @@ object Curation {
     ("q59_pii_mask",          q59PiiMask _,          Some(q59Sql)),
     ("q65_quality_gate",      q65QualityGate _,      Some(q65Sql)),
     ("q71_mixture",           q71Mixture _,          Some(q71Sql)),
+    ("q95_dataset_card",      q95DatasetCard _,      Some(q95Sql)),
   )
 }

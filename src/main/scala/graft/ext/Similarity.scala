@@ -373,6 +373,48 @@ object Similarity {
        |SELECT q_id, rn, vec_id, label, round(c, 5) AS cos FROM r WHERE rn <= 5
        |ORDER BY q_id, rn""".stripMargin
 
+  // ------------------------------------------------- C3: int8 quantization
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * standard memory-4× step before ANN indexing (float32 → int8 cuts a
+    * 100 TB vector corpus to 25 TB and quadruples cache residency; IVF/LSH
+    * bucket scans then stream int8 codes and rescale on the fly). Per row:
+    * absmax scale, integer code statistics, and the exact reconstruction
+    * MSE. Pure map stage over higher-order functions — no shuffle, no UDF.
+    * Every step (abs, max, divide, multiply, floor, +0.5) is IEEE-exact,
+    * so the DuckDB oracle matches bit-for-bit; all-zero vectors carry no
+    * scale and are excluded on both sides. */
+  def q92EmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("label"), col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("maxabs"))
+      .filter(col("maxabs") > 0)
+      .select(col("vec_id"), col("label"), col("v"), col("maxabs"),
+        transform(col("v"),
+          x => floor(x * (lit(127.0) / col("maxabs")) + lit(0.5))).as("q"))
+      .select(col("vec_id"), col("label"),
+        round(lit(127.0) / col("maxabs"), 4).as("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+        array_min(col("q")).as("qmin"),
+        array_max(col("q")).as("qmax"),
+        round(aggregate(zip_with(col("v"), col("q"), (x, qq) => {
+          val d = x - qq * col("maxabs") / lit(127.0); d * d
+        }), lit(0.0), (a, x) => a + x), 8).as("mse"))
+      .orderBy(col("vec_id"))
+
+  val q92Sql: String =
+    """WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |              unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |m AS (SELECT vec_id, max(abs(x)) AS maxabs FROM ex GROUP BY vec_id),
+      |qv AS (SELECT e.vec_id, e.label, e.x,
+      |         floor(e.x * (127.0 / m.maxabs) + 0.5) AS q, m.maxabs
+      |       FROM ex e JOIN m ON m.vec_id = e.vec_id WHERE m.maxabs > 0)
+      |SELECT vec_id, label, round(127.0 / maxabs, 4) AS scale,
+      |  sum(q)::BIGINT AS qsum, min(q)::BIGINT AS qmin, max(q)::BIGINT AS qmax,
+      |  round(sum((x - q * maxabs / 127.0) * (x - q * maxabs / 127.0)), 8) AS mse
+      |FROM qv GROUP BY vec_id, label, maxabs ORDER BY vec_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
     ("q47_knn_topk",   q47KnnTopK _,   Some(q30Sql)),
@@ -382,5 +424,6 @@ object Similarity {
     ("q52_ann_multiprobe", q52AnnMultiprobe _, Some(q52Sql)),
     ("q54_embed_neardup",  q54EmbedNearDup _,  Some(q54Sql)),
     ("q76_hard_negatives", q76HardNegatives _, Some(q76Sql)),
+    ("q92_embed_quantize", q92EmbedQuantize _, Some(q92Sql)),
   )
 }

@@ -239,6 +239,73 @@ object TextAnalysis {
       |  round(n_tok::DOUBLE * (SELECT count(*) FROM documents) / sum_df, 4) AS rarity
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C4: inverted index
+  /** Inverted-index construction: the term dictionary with document
+    * frequency and the head of each term's sorted posting list (what a
+    * postings-dictionary page holds; full lists would be the payload of an
+    * index shard write, truncated here so the result stays hashable). The
+    * explode aggregates map-side, so the shuffle carries one
+    * (partition, term) partial, not one row per token; posting heads are
+    * emitted comma-joined (integer formatting is engine-portable, raw
+    * arrays are not driver-hashable). */
+  def q93InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 8), ",")
+          .as("postings_head"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(100)
+
+  val q93Sql: String =
+    """SELECT tok, count(DISTINCT doc_id) AS df,
+      |  array_to_string(list_sort(list_distinct(list(doc_id)))[1:8], ',') AS postings_head
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |GROUP BY tok
+      |ORDER BY df DESC, tok LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- C4: bigram LM head
+  /** Bigram language-model head: per left token, the most frequent next
+    * token and its conditional probability — the n-gram statistic behind
+    * repetition/perplexity filters. Bigrams come from q74's tail-zip (one
+    * compiled pass, no self-join); the per-prefix argmax is a lexicographic
+    * struct max (q62's pattern — one aggregate, no window sort). The
+    * probability is a rational of exact integers, so it is engine-exact. */
+  def q94BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val tk = col("tk")
+    val bi = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(tk) >= 2)
+      .select(explode(zip_with(
+        slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .groupBy(col("w1"))
+      .agg(sum(col("c")).as("n_total"), max(struct(col("c"), col("w2"))).as("top"))
+      .filter(col("n_total") >= 5)
+      .select(col("w1"), col("n_total"),
+        col("top.w2").as("top_w2"), col("top.c").as("top_c"),
+        round(col("top.c").cast("double") / col("n_total"), 4).as("p_next"))
+      .orderBy(col("n_total").desc, col("w1"))
+      .limit(100)
+  }
+
+  val q94Sql: String =
+    """WITH ex AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+      |              unnest(string_split(text, ' ')) AS tok FROM documents),
+      |b AS (SELECT a.tok AS w1, b.tok AS w2
+      |      FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |c AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2),
+      |a AS (SELECT w1, sum(c)::BIGINT AS n_total,
+      |        max(struct_pack(c := c, w2 := w2)) AS top
+      |      FROM c GROUP BY w1 HAVING sum(c) >= 5)
+      |SELECT w1, n_total, top.w2 AS top_w2, top.c::BIGINT AS top_c,
+      |  round(top.c::DOUBLE / n_total, 4) AS p_next
+      |FROM a ORDER BY n_total DESC, w1 LIMIT 100""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q32_lang_id",       q32LangId _,       Some(q32Sql)),
     ("q33_quality_score", q33QualityScore _, Some(q33Sql)),
@@ -248,5 +315,7 @@ object TextAnalysis {
     ("q69_heavy_hitters", q69HeavyHitters _, None),
     ("q74_bpe_merges",    q74BpeMerges _,    Some(q74Sql)),
     ("q75_token_rarity",  q75TokenRarity _,  Some(q75Sql)),
+    ("q93_inverted_index", q93InvertedIndex _, Some(q93Sql)),
+    ("q94_bigram_lm",      q94BigramLm _,      Some(q94Sql)),
   )
 }

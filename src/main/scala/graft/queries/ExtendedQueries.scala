@@ -523,6 +523,56 @@ object ExtendedQueries {
       |FROM p FULL OUTER JOIN e ON p.day = e.day
       |ORDER BY day""".stripMargin
 
+  // -------------------------------------------------------------- histogram
+  /** Fixed-width bucket histogram over order totals (the deterministic
+    * edition of ClickHouse `histogram()` — fixed edges instead of adaptive
+    * ones, so the result is engine-exact). One map-only bucket assignment
+    * feeding a 20-group hash aggregate: partial aggregation means the
+    * shuffle carries at most 20 rows per upstream partition regardless of
+    * table size — the same plan at 100 TB. */
+  def q90Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(least(floor(col("o_totalprice") / 25000), lit(19L)).as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sv"))
+      .select(col("bucket"), (col("bucket") * 25000).as("lo"), col("n"), col("sv"))
+      .orderBy(col("bucket"))
+
+  val q90Sql: String =
+    """SELECT bucket, (bucket * 25000)::BIGINT AS lo, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS sv
+      |FROM (SELECT least(floor(o_totalprice / 25000)::BIGINT, 19) AS bucket,
+      |        o_totalprice FROM orders) t
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------------------- multi-quantile
+  /** Multi-quantile profile per event type: one exact interpolated
+    * percentile pass produces the whole [p25,p50,p75,p90] vector — the
+    * ClickHouse `quantiles(...)(x)` shape. Exact percentile is the
+    * correctness anchor; `approx_percentile(value, array(...), acc)` is the
+    * drop-in mergeable sketch at 100 TB (accuracy pinned in ApproxSpec). */
+  def q91MultiQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("qs"))
+      .select(col("event_type"), col("n"),
+        round(element_at(col("qs"), 1), 4).as("p25"),
+        round(element_at(col("qs"), 2), 4).as("p50"),
+        round(element_at(col("qs"), 3), 4).as("p75"),
+        round(element_at(col("qs"), 4), 4).as("p90"))
+      .orderBy(col("event_type"))
+
+  val q91Sql: String =
+    """WITH a AS (SELECT event_type, count(*) AS n,
+      |    quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS qs
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n, round(qs[1], 4) AS p25, round(qs[2], 4) AS p50,
+      |  round(qs[3], 4) AS p75, round(qs[4], 4) AS p90
+      |FROM a ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -544,5 +594,7 @@ object ExtendedQueries {
     ("q80_incremental_rollup", q80IncrementalRollup _, Some(q80Sql)),
     ("q81_profile",            q81Profile _,           Some(q81Sql)),
     ("q85_full_outer",         q85FullOuter _,         Some(q85Sql)),
+    ("q90_histogram",          q90Histogram _,         Some(q90Sql)),
+    ("q91_multi_quantile",     q91MultiQuantile _,     Some(q91Sql)),
   )
 }
