@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.functions.TextHash._
@@ -243,20 +244,30 @@ object TextAnalysis {
   /** Inverted-index construction: the term dictionary with document
     * frequency and the head of each term's sorted posting list (what a
     * postings-dictionary page holds; full lists would be the payload of an
-    * index shard write, truncated here so the result stays hashable). The
-    * explode aggregates map-side, so the shuffle carries one
-    * (partition, term) partial, not one row per token; posting heads are
-    * emitted comma-joined (integer formatting is engine-portable, raw
-    * arrays are not driver-hashable). */
-  def q93InvertedIndex(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    * index shard write, truncated here so the result stays hashable).
+    * Memory-bounded at any corpus size: the (term, doc) stream dedups
+    * through a spillable hash aggregate (map-side partial dedup), the head
+    * is selected by a row_number window (sort spills, no buffer grows with
+    * df), and only the ≤8 head ids ever enter a collect_list — a stopword
+    * posting list is never materialized whole. Heads are emitted
+    * comma-joined (integer formatting is engine-portable, raw arrays are
+    * not driver-hashable). */
+  def q93InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val post = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("tok"))
-      .agg(countDistinct(col("doc_id")).as("df"),
-        array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 8), ",")
-          .as("postings_head"))
+      .distinct()
+    val wHead = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+    val wAll = Window.partitionBy(col("tok"))
+    post
+      .withColumn("df", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wHead))
+      .filter(col("rn") <= 8)
+      .groupBy(col("tok"), col("df"))
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings_head"))
+      .select(col("tok"), col("df"), col("postings_head"))
       .orderBy(col("df").desc, col("tok"))
       .limit(100)
+  }
 
   val q93Sql: String =
     """SELECT tok, count(DISTINCT doc_id) AS df,
