@@ -573,6 +573,54 @@ object ExtendedQueries {
       |  round(qs[3], 4) AS p75, round(qs[4], 4) AS p90
       |FROM a ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------- recursive CTE
+  /** WITH RECURSIVE through Catalyst's UnionLoop: a month spine generated
+    * recursively from the orders table's own min/max bounds, left-joined to
+    * monthly aggregates so empty months survive with zeros, plus a running
+    * total over the spine. The recursion is calendar-bounded — each step
+    * emits one row and the depth is #months, never data volume (default
+    * spark.sql.cteRecursionLevelLimit=100 ≈ 8 years; raise it for longer
+    * spans). The max bound rides along in the recursion row because
+    * subqueries are not allowed in the recursive member. */
+  def q96RecursiveSpine(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    try
+      s.sql("""
+        WITH RECURSIVE spine(m, mx) AS (
+          SELECT date_trunc('month', min(o_orderdate)),
+                 date_trunc('month', max(o_orderdate)) FROM orders_v
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH, mx FROM spine WHERE m < mx
+        ),
+        agg AS (
+          SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n,
+                 round(sum(o_totalprice), 2) AS rev
+          FROM orders_v GROUP BY 1
+        )
+        SELECT date_format(spine.m, 'yyyy-MM') AS ym,
+               coalesce(n, 0) AS n_orders,
+               coalesce(rev, 0.0) AS rev,
+               sum(coalesce(n, 0)) OVER (ORDER BY spine.m) AS n_cum
+        FROM spine LEFT JOIN agg ON agg.m = spine.m
+        ORDER BY ym""")
+    finally s.catalog.dropTempView("orders_v")
+  }
+
+  val q96Sql: String =
+    """WITH RECURSIVE spine(m, mx) AS (
+      |  SELECT date_trunc('month', min(o_orderdate)),
+      |         date_trunc('month', max(o_orderdate)) FROM orders
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH, mx FROM spine WHERE m < mx
+      |),
+      |agg AS (SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n,
+      |          round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1)
+      |SELECT strftime(spine.m, '%Y-%m') AS ym, coalesce(n, 0) AS n_orders,
+      |  coalesce(rev, 0.0) AS rev,
+      |  (sum(coalesce(n, 0)) OVER (ORDER BY spine.m))::BIGINT AS n_cum
+      |FROM spine LEFT JOIN agg ON agg.m = spine.m
+      |ORDER BY ym""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -596,5 +644,6 @@ object ExtendedQueries {
     ("q85_full_outer",         q85FullOuter _,         Some(q85Sql)),
     ("q90_histogram",          q90Histogram _,         Some(q90Sql)),
     ("q91_multi_quantile",     q91MultiQuantile _,     Some(q91Sql)),
+    ("q96_recursive_spine",    q96RecursiveSpine _,    Some(q96Sql)),
   )
 }
