@@ -1,8 +1,9 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful streaming operators (SURVEY.md §2 checklist "stateful
   * streaming ops"; C1/C6 in streaming form).
@@ -109,5 +110,64 @@ object StatefulOps {
     ds.withWatermark("ts", "10 seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  final case class Upd(key: Long, ts: Timestamp, value: Double)
+  final case class CurState(ts: Long, v: Double)
+  final case class Change(key: Long, ts: Timestamp, value: Double)
+
+  /** Newest-wins CDC upsert processor: emits a change row only when an
+    * arriving event advances its key's current state — stale out-of-order
+    * arrivals and duplicate deliveries are absorbed silently. Same
+    * lexicographic (ts, value) order as the batch q87_latest_state, so the
+    * streamed current-state table converges to the batch query's answer
+    * regardless of arrival order. */
+  final class LatestStateProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, Upd, Change] {
+    @transient private var cur: ValueState[CurState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[CurState]("cur", Encoders.product[CurState], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[Upd],
+        timers: TimerValues): Iterator[Change] = {
+      val out = scala.collection.mutable.ListBuffer.empty[Change]
+      // fold in event-time order so within-batch emits are deterministic
+      rows.toSeq.sortBy(u => (u.ts.getTime, u.value)).foreach { u =>
+        val t = u.ts.getTime
+        val newer = !cur.exists() || {
+          val c = cur.get()
+          t > c.ts || (t == c.ts && u.value > c.v)
+        }
+        if (newer) {
+          cur.update(CurState(t, u.value))
+          out += Change(key, u.ts, u.value)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming latest-state maintenance (ReplacingMergeTree / CDC upsert,
+    * the q87 batch query in streaming form) on Spark 4's
+    * `transformWithState` + RocksDB state store. State is exactly one
+    * `CurState` per live key; `ttl` retires keys idle longer than the
+    * retention horizon, which is what bounds the store on an unbounded
+    * key space (the 100 TB/day shape). Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider` (transformWithState does not run
+    * on the HDFS-backed provider). */
+  def latestStateStream(ds: Dataset[Upd],
+      ttl: Option[java.time.Duration] = None): Dataset[Change] = {
+    import ds.sparkSession.implicits._
+    // TimeMode.None unless TTL is requested: ProcessingTime makes the
+    // engine self-trigger empty micro-batches to advance time (needed for
+    // TTL expiry, pure overhead otherwise — and processAllAvailable never
+    // goes idle under it).
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new LatestStateProcessor(ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)),
+        mode, OutputMode.Append)
   }
 }
