@@ -14,4 +14,21 @@ object Shim {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** NDJSON (JSONEachRow) line serializer over Spark's internal
+    * JacksonGenerator — the same row→JSON machinery `to_json` uses, but
+    * streamed to a Writer one line per InternalRow. JacksonGenerator is
+    * private[sql], hence the shim residence. */
+  final class NdjsonLineGen(schema: org.apache.spark.sql.types.StructType,
+                            out: java.io.Writer) {
+    private val gen = new org.apache.spark.sql.catalyst.json.JacksonGenerator(
+      schema, out,
+      new org.apache.spark.sql.catalyst.json.JSONOptions(
+        Map.empty[String, String], "UTC", "_corrupt_record"))
+    private var closed = false
+    def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      gen.write(row); gen.writeLineEnding()
+    }
+    def close(): Unit = if (!closed) { closed = true; gen.flush(); gen.close() }
+  }
 }
