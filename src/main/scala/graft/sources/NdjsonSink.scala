@@ -23,12 +23,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (`/root/reference/trace-converter.py:66-72`, `README.md:193-206`). This
   * connector is that contract through Spark's native write protocol: each
   * task streams rows as JSON lines (the exact `to_json` serialization —
-  * SURVEY §2 A10) into a hidden temp file and atomically renames it on
-  * task commit, so a reader never observes a partial insert; the driver
-  * publishes `_SUCCESS` once every task committed (A11's
-  * batch-at-once/no-buffering semantics). The commit coordinator
-  * guarantees one committed attempt per partition, so speculative or
-  * retried tasks can't double-publish. In a deployment where the target is
+  * SURVEY §2 A10, session-timezone identical) into a hidden temp file and
+  * atomically renames it on task commit, so a reader never observes a
+  * partially written file; the driver publishes a per-batch marker
+  * `_SUCCESS-<queryId>` once every task of that batch committed (A11's
+  * batch-at-once semantics — a batch's `part-*-<queryId>` files are valid
+  * iff its marker exists, which stays true across appends), plus the
+  * conventional `_SUCCESS` for single-batch consumers. The commit
+  * coordinator guarantees one committed attempt per partition, so
+  * speculative or retried tasks can't double-publish. In a deployment where the target is
   * a remote store, `NdjsonDataWriter` is the slot that holds the
   * connection — same lifecycle, buffered-whole-batch POST on commit
   * (SURVEY §7.4-4); here it lands on the filesystem, which also makes the
@@ -55,23 +58,31 @@ final class NdjsonTable(path: String) extends Table with SupportsWrite {
     java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new NdjsonWrite(path, info.schema(), info.queryId())
+      override def build(): Write =
+        // capture the session timezone at plan time so executors serialize
+        // timestamps exactly as the session's to_json would
+        new NdjsonWrite(path, info.schema(), info.queryId(), Shim.sessionTimeZone)
     }
 }
 
-final class NdjsonWrite(path: String, schema: StructType, queryId: String) extends Write {
-  override def toBatch: BatchWrite = new NdjsonBatchWrite(path, schema, queryId)
+final class NdjsonWrite(path: String, schema: StructType, queryId: String,
+    timeZoneId: String) extends Write {
+  override def toBatch: BatchWrite = new NdjsonBatchWrite(path, schema, queryId, timeZoneId)
 }
 
 final case class NdjsonCommit(file: String) extends WriterCommitMessage
 
-final class NdjsonBatchWrite(path: String, schema: StructType, queryId: String)
-    extends BatchWrite {
+final class NdjsonBatchWrite(path: String, schema: StructType, queryId: String,
+    timeZoneId: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new NdjsonWriterFactory(path, schema, queryId)
-  // task files are already rename-committed; publish the batch marker
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    new NdjsonWriterFactory(path, schema, queryId, timeZoneId)
+  // task files are already rename-committed; publish this batch's marker
+  // (validity key for its part files across later appends) + the
+  // conventional _SUCCESS
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    Files.write(Paths.get(path, s"_SUCCESS-$queryId"), Array.emptyByteArray)
     Files.write(Paths.get(path, "_SUCCESS"), Array.emptyByteArray)
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case NdjsonCommit(f) => Files.deleteIfExists(Paths.get(f))
@@ -79,14 +90,14 @@ final class NdjsonBatchWrite(path: String, schema: StructType, queryId: String)
     }
 }
 
-final class NdjsonWriterFactory(path: String, schema: StructType, queryId: String)
-    extends DataWriterFactory {
+final class NdjsonWriterFactory(path: String, schema: StructType, queryId: String,
+    timeZoneId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new NdjsonDataWriter(path, schema, queryId, partitionId, taskId)
+    new NdjsonDataWriter(path, schema, queryId, timeZoneId, partitionId, taskId)
 }
 
 final class NdjsonDataWriter(dir: String, schema: StructType, queryId: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    timeZoneId: String, partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
   // temp name carries taskId (unique per attempt); final name does not, so
   // whichever attempt the coordinator lets commit produces the same file
   private val tmp = Paths.get(dir, f".part-$partitionId%05d-$taskId.ndjson.tmp")
@@ -94,7 +105,7 @@ final class NdjsonDataWriter(dir: String, schema: StructType, queryId: String,
   Files.createDirectories(Paths.get(dir))
   private val out = new BufferedWriter(new OutputStreamWriter(
     Files.newOutputStream(tmp), StandardCharsets.UTF_8))
-  private val gen = new Shim.NdjsonLineGen(schema, out)
+  private val gen = new Shim.NdjsonLineGen(schema, out, timeZoneId)
 
   override def write(row: InternalRow): Unit = gen.write(row)
   override def commit(): WriterCommitMessage = {
@@ -103,6 +114,13 @@ final class NdjsonDataWriter(dir: String, schema: StructType, queryId: String,
       StandardCopyOption.REPLACE_EXISTING)
     NdjsonCommit(fin.toString)
   }
-  override def abort(): Unit = { gen.close(); Files.deleteIfExists(tmp) }
-  override def close(): Unit = { gen.close(); Files.deleteIfExists(tmp) }
+  // the flush inside close() can itself be the failure (disk full) — the
+  // temp cleanup must still run
+  override def abort(): Unit =
+    try gen.close()
+    catch { case _: java.io.IOException => }
+    finally Files.deleteIfExists(tmp)
+  override def close(): Unit =
+    try gen.close()
+    finally Files.deleteIfExists(tmp)
 }

@@ -118,10 +118,12 @@ object StatefulOps {
 
   /** Newest-wins CDC upsert processor: emits a change row only when an
     * arriving event advances its key's current state — stale out-of-order
-    * arrivals and duplicate deliveries are absorbed silently. Same
-    * lexicographic (ts, value) order as the batch q87_latest_state, so the
-    * streamed current-state table converges to the batch query's answer
-    * regardless of arrival order. */
+    * arrivals and duplicate deliveries are absorbed silently. Ordering is
+    * lexicographic (ts, value); the stream carries no event id, so for
+    * keys whose updates have distinct timestamps the final state equals
+    * the batch q87_latest_state answer regardless of arrival order
+    * (q87 breaks exact-timestamp ties by event_id instead — feed a
+    * (ts, seq) composite as the timestamp if that tie-break matters). */
   final class LatestStateProcessor(ttl: TTLConfig)
       extends StatefulProcessor[Long, Upd, Change] {
     @transient private var cur: ValueState[CurState] = _
@@ -132,18 +134,21 @@ object StatefulOps {
     override def handleInputRows(key: Long, rows: Iterator[Upd],
         timers: TimerValues): Iterator[Change] = {
       val out = scala.collection.mutable.ListBuffer.empty[Change]
+      // one store read before the fold, one write after — ValueState
+      // accesses are RocksDB round-trips, the per-row hot path stays on a
+      // local var
+      var st: Option[CurState] = if (cur.exists()) Some(cur.get()) else None
+      val st0 = st
       // fold in event-time order so within-batch emits are deterministic
       rows.toSeq.sortBy(u => (u.ts.getTime, u.value)).foreach { u =>
         val t = u.ts.getTime
-        val newer = !cur.exists() || {
-          val c = cur.get()
-          t > c.ts || (t == c.ts && u.value > c.v)
-        }
+        val newer = st.forall(c => t > c.ts || (t == c.ts && u.value > c.v))
         if (newer) {
-          cur.update(CurState(t, u.value))
+          st = Some(CurState(t, u.value))
           out += Change(key, u.ts, u.value)
         }
       }
+      if (st != st0) st.foreach(cur.update)
       out.iterator
     }
   }

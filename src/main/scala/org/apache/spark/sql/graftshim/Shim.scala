@@ -15,16 +15,22 @@ object Shim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Session timezone (driver side) — what `to_json`/`toJSON` serialize
+    * timestamps in; connectors capture it at plan time so their output
+    * matches the built-in serializers byte-for-byte. */
+  def sessionTimeZone: String =
+    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+
   /** NDJSON (JSONEachRow) line serializer over Spark's internal
     * JacksonGenerator — the same row→JSON machinery `to_json` uses, but
     * streamed to a Writer one line per InternalRow. JacksonGenerator is
     * private[sql], hence the shim residence. */
   final class NdjsonLineGen(schema: org.apache.spark.sql.types.StructType,
-                            out: java.io.Writer) {
+                            out: java.io.Writer, timeZoneId: String) {
     private val gen = new org.apache.spark.sql.catalyst.json.JacksonGenerator(
       schema, out,
       new org.apache.spark.sql.catalyst.json.JSONOptions(
-        Map.empty[String, String], "UTC", "_corrupt_record"))
+        Map.empty[String, String], timeZoneId, "_corrupt_record"))
     private var closed = false
     def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
       gen.write(row); gen.writeLineEnding()

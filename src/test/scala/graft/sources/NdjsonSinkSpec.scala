@@ -11,6 +11,12 @@ class NdjsonSinkSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  private def listNames(dir: String): Seq[String] = {
+    val st = Files.list(Paths.get(dir))
+    try st.iterator().asScala.map(_.getFileName.toString).toVector
+    finally st.close()
+  }
+
   test("ndjson sink writes one file per partition and round-trips") {
     import spark.implicits._
     val dir = tmpDir("ndjson-sink")
@@ -23,13 +29,14 @@ class NdjsonSinkSpec extends SparkSpec {
     df.repartition(2).write.format("graft-ndjson").mode("append").save(dir)
 
     assert(Files.exists(Paths.get(dir, "_SUCCESS")))
-    val parts = Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".ndjson")).toSeq
+    val names = listNames(dir)
+    val parts = names.filter(_.endsWith(".ndjson"))
     assert(parts.size == 2, s"expected 2 part files, got $parts")
     assert(parts.forall(_.startsWith("part-")))
-    // no temp residue
-    assert(!Files.list(Paths.get(dir)).iterator().asScala
-      .exists(_.getFileName.toString.endsWith(".tmp")))
+    // every part file's batch marker exists; no temp residue
+    val markers = names.filter(_.startsWith("_SUCCESS-")).map(_.stripPrefix("_SUCCESS-"))
+    assert(parts.forall(p => markers.exists(p.contains)), s"unmarked parts: $parts")
+    assert(!names.exists(_.endsWith(".tmp")))
 
     val back = spark.read.schema(df.schema).json(dir)
     assert(back.count() == 3)

@@ -106,22 +106,23 @@ class StatefulSpec extends SparkSpec {
       val q = StatefulOps.latestStateStream(in.toDS())
         .writeStream.format("memory").queryName("latest_out")
         .outputMode(OutputMode.Append).start()
-      // batch 1: out-of-order within the batch → both advance (folded in ts order)
-      in.addData(StatefulOps.Upd(1, ts("2024-01-01 10:10:00"), 10.0),
-                 StatefulOps.Upd(1, ts("2024-01-01 10:05:00"), 5.0))
-      q.processAllAvailable()
-      // batch 2: stale update + duplicate delivery absorbed; new key passes
-      in.addData(StatefulOps.Upd(1, ts("2024-01-01 10:07:00"), 7.0),
-                 StatefulOps.Upd(1, ts("2024-01-01 10:10:00"), 10.0),
-                 StatefulOps.Upd(2, ts("2024-01-01 10:00:00"), 2.0))
-      q.processAllAvailable()
-      val rows = spark.table("latest_out").as[StatefulOps.Change].collect()
-        .sortBy(c => (c.key, c.ts.getTime))
-      q.stop()
-      assert(rows.map(c => (c.key, c.ts, c.value)).toSeq == Seq(
-        (1L, ts("2024-01-01 10:05:00"), 5.0),
-        (1L, ts("2024-01-01 10:10:00"), 10.0),
-        (2L, ts("2024-01-01 10:00:00"), 2.0)))
+      try {
+        // batch 1: out-of-order within the batch → both advance (folded in ts order)
+        in.addData(StatefulOps.Upd(1, ts("2024-01-01 10:10:00"), 10.0),
+                   StatefulOps.Upd(1, ts("2024-01-01 10:05:00"), 5.0))
+        q.processAllAvailable()
+        // batch 2: stale update + duplicate delivery absorbed; new key passes
+        in.addData(StatefulOps.Upd(1, ts("2024-01-01 10:07:00"), 7.0),
+                   StatefulOps.Upd(1, ts("2024-01-01 10:10:00"), 10.0),
+                   StatefulOps.Upd(2, ts("2024-01-01 10:00:00"), 2.0))
+        q.processAllAvailable()
+        val rows = spark.table("latest_out").as[StatefulOps.Change].collect()
+          .sortBy(c => (c.key, c.ts.getTime))
+        assert(rows.map(c => (c.key, c.ts, c.value)).toSeq == Seq(
+          (1L, ts("2024-01-01 10:05:00"), 5.0),
+          (1L, ts("2024-01-01 10:10:00"), 10.0),
+          (2L, ts("2024-01-01 10:00:00"), 2.0)))
+      } finally q.stop()
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
