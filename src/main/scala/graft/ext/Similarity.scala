@@ -144,15 +144,18 @@ object Similarity {
 
   // ---------------------------------------------------------------- C3: IVF-style ANN
   /** IVF-flavoured ANN: a small deterministic centroid set (every 400th
-    * vector — production would k-means; the partition/search shape is
-    * identical), each vector assigned to its best-cosine cell, neighbor
-    * search confined to the query's cell. Assignment is a broadcast of the
-    * centroid set + per-row fused-cosine argmax; the cell join is an
-    * equi-join — both sides scale linearly. */
+    * vector, capped at 256 — production would k-means; the
+    * partition/search shape is identical), each vector assigned to its
+    * best-cosine cell, neighbor search confined to the query's cell.
+    * Assignment is a broadcast of the centroid set + per-row fused-cosine
+    * argmax; the cell join is an equi-join. The cap is what keeps the
+    * index build O(n·k): an uncapped every-400th rule grows the centroid
+    * count with the corpus and turns assignment quadratic (measured by
+    * `tools/AnnStress` before the cap landed). */
   def q46IvfAnn(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.cosine_sim
     val emb = Tables.embeddings(s, dir)
-    val cents = emb.filter(col("vec_id") % 400 === 0)
+    val cents = emb.filter(col("vec_id") % 400 === 0 && col("vec_id") < 400L * 256)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
     val cells = assignCells(emb, cents).withColumnRenamed("c_id", "cell")
     val q = cells.filter(col("vec_id") < 5)
@@ -171,7 +174,7 @@ object Similarity {
     """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
       |            FROM embeddings),
       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
-      |cents AS (SELECT vec_id AS c_id FROM embeddings WHERE vec_id % 400 = 0),
+      |cents AS (SELECT vec_id AS c_id FROM embeddings WHERE vec_id % 400 = 0 AND vec_id < 102400),
       |cdots AS (SELECT a.vec_id, c.c_id, sum(a.x * b.x) AS dot
       |          FROM ex a CROSS JOIN cents c JOIN ex b ON b.vec_id = c.c_id AND b.i = a.i
       |          GROUP BY a.vec_id, c.c_id),
@@ -289,16 +292,23 @@ object Similarity {
   // ---------------------------------------------------------------- C3: centroid assignment + refinement
   /** Nearest-centroid cell assignment — the ONE definition shared by the
     * IVF index (q46) and the k-means trainer, so the two can never
-    * disagree on scoring or tie-breaking. Broadcast centroids + fused
-    * cosine argmax: map-only over the corpus.
+    * disagree on scoring or tie-breaking (max cosine, ties → min c_id).
+    * The centroid set is broadcast-small by definition, so it is collected
+    * once and baked into a literal; `NearestCellExpr` then scores all k
+    * cells in one compiled call per corpus row — a pure map stage, no n·k
+    * join rows, no shuffle. (Measured in `tools/AnnStress` at 200k×256:
+    * the previous crossJoin + window formulation spent its time
+    * materializing and sorting 51M joined rows, slower than brute-force
+    * kNN; this form builds the index at scan speed.)
     * Input centroids: (c_id, ce). Returns (vec_id, embedding, c_id). */
   def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    import graft.functions.GraftFunctions.cosine_sim
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val cents = centroids.select(col("c_id"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    require(cents.nonEmpty, "assignCells: empty centroid set")
     emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids.select(col("c_id"), col("ce"))))
-      .withColumn("ccos", cosine_sim(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("c_id", graft.functions.GraftFunctions.nearest_cell(
+        col("embedding"), typedLit(cents)))
       .select(col("vec_id"), col("embedding"), col("c_id"))
   }
 

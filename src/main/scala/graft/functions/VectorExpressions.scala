@@ -192,6 +192,50 @@ object ExprKernels {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Argmax-cosine centroid id over `cents` =
+    * array<struct<c_id:long, ce:array<float>>>: the whole k-way scoring
+    * loop in one compiled call — no join rows exist at all. Per-element
+    * arithmetic and accumulation order are identical to [[cosine]] with
+    * the vector as the LEFT argument, and the tie rule (max cosine, ties →
+    * min c_id; NaN sorts greatest, as in Spark/DuckDB ordering) matches
+    * the relational argmax-struct formulation bit-for-bit. Returns -1 for
+    * an empty centroid set. */
+  def nearestCell(v: ArrayData, cents: ArrayData): Long = {
+    val n = v.numElements()
+    var nv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; nv += x * x; i += 1 }
+    val nvs = math.sqrt(nv)
+    var bestId = -1L
+    var bestCos = Double.NegativeInfinity
+    var first = true
+    val k = cents.numElements()
+    var c = 0
+    while (c < k) {
+      val st = cents.getStruct(c, 2)
+      val cid = st.getLong(0)
+      val ce = st.getArray(1)
+      val m = math.min(n, ce.numElements())
+      var dot = 0.0; var nc = 0.0
+      var d = 0
+      while (d < m) {
+        val x = v.getFloat(d).toDouble
+        val y = ce.getFloat(d).toDouble
+        dot += x * y; nc += y * y
+        d += 1
+      }
+      val cosRaw = dot / (nvs * math.sqrt(nc))
+      // NaN (zero-norm side) must outrank all finite cosines, like it does
+      // under Spark's and DuckDB's descending sort
+      val cos = if (java.lang.Double.isNaN(cosRaw)) Double.PositiveInfinity else cosRaw
+      if (first || cos > bestCos || (cos == bestCos && cid < bestId)) {
+        bestCos = cos; bestId = cid; first = false
+      }
+      c += 1
+    }
+    bestId
+  }
 }
 
 /** MinHash signature as a native Catalyst expression (SURVEY.md §7.3: the
@@ -272,6 +316,21 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
   override def prettyName: String = "cosine_sim"
 }
 
+/** Nearest-centroid assignment (argmax cosine, ties → min c_id) of a
+  * float vector against a literal centroid set — the IVF/k-means cell
+  * assignment as one compiled scalar call per row: no n·k join rows, no
+  * shuffle, the index build runs at scan speed. */
+case class NearestCellExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any, c: Any): Any =
+    ExprKernels.nearestCell(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.nearestCell($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCellExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_cell"
+}
+
 /** Column-API and SQL surface for the native expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.Shim.{column, expression}
@@ -284,6 +343,8 @@ object GraftFunctions {
     column(CosineSimExpr(expression(a), expression(b)))
   def lsh_bucket(c: Column): Column = column(LshBucketExpr(expression(c)))
   def simhash16(c: Column): Column = column(SimHashExpr(expression(c)))
+  def nearest_cell(v: Column, cents: Column): Column =
+    column(NearestCellExpr(expression(v), expression(cents)))
 
   /** Register SQL names in a session (for spark.sql users). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -294,6 +355,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bucket", es => LshBucketExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash16", es => SimHashExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nearest_cell", es => NearestCellExpr(es(0), es(1)), "scala_udf")
   }
 }
 
@@ -315,6 +377,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("cosine_sim", classOf[CosineSimExpr], es => CosineSimExpr(es(0), es(1)))
     inject("lsh_bucket", classOf[LshBucketExpr], es => LshBucketExpr(es.head))
     inject("simhash16", classOf[SimHashExpr], es => SimHashExpr(es.head))
+    inject("nearest_cell", classOf[NearestCellExpr], es => NearestCellExpr(es(0), es(1)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
