@@ -302,14 +302,22 @@ object Similarity {
     * kNN; this form builds the index at scan speed.)
     * Input centroids: (c_id, ce). Returns (vec_id, embedding, c_id). */
   def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    // NOTE: construction is eager here — fetching the centroid set runs a
+    // (small) job, the same driver-built-structure pattern as q78's bloom
+    // filter. Centroid sets are broadcast-small by definition.
     val cents = centroids.select(col("c_id"), col("ce")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1).toSeq
-    require(cents.nonEmpty, "assignCells: empty centroid set")
-    emb.select(col("vec_id"), col("embedding"))
-      .withColumn("c_id", graft.functions.GraftFunctions.nearest_cell(
-        col("embedding"), typedLit(cents)))
-      .select(col("vec_id"), col("embedding"), col("c_id"))
+    if (cents.isEmpty)
+      // no cells exist → empty (but well-formed) assignment, matching the
+      // join formulation's behavior
+      emb.select(col("vec_id"), col("embedding"))
+        .withColumn("c_id", lit(0L)).filter(lit(false))
+    else
+      emb.select(col("vec_id"), col("embedding"))
+        .withColumn("c_id", graft.functions.GraftFunctions.nearest_cell(
+          col("embedding"), typedLit(cents)))
+        .select(col("vec_id"), col("embedding"), col("c_id"))
   }
 
   /** One Lloyd iteration over the IVF coarse quantizer: [[assignCells]],

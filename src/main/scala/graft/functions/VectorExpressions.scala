@@ -225,7 +225,17 @@ object ExprKernels {
         dot += x * y; nc += y * y
         d += 1
       }
-      val cosRaw = dot / (nvs * math.sqrt(nc))
+      // cosine() truncates ALL THREE accumulators to the common prefix;
+      // when a centroid is shorter than the vector the precomputed
+      // full-length norm would diverge from it, so recompute over m
+      val nvsPair =
+        if (m == n) nvs
+        else {
+          var nvp = 0.0; var e = 0
+          while (e < m) { val x = v.getFloat(e).toDouble; nvp += x * x; e += 1 }
+          math.sqrt(nvp)
+        }
+      val cosRaw = dot / (nvsPair * math.sqrt(nc))
       // NaN (zero-norm side) must outrank all finite cosines, like it does
       // under Spark's and DuckDB's descending sort
       val cos = if (java.lang.Double.isNaN(cosRaw)) Double.PositiveInfinity else cosRaw
