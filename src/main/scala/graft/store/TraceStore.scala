@@ -144,22 +144,18 @@ object TraceStore {
     val root = Paths.get(tablePath)
     if (!Files.exists(root)) return Seq.empty
 
-    def listDir(p: Path): Seq[Path] = {
-      val s = Files.list(p)
-      try s.iterator().asScala.toSeq finally s.close()
-    }
+    import FsMaint.{listDir, deleteTree}
     def parquetFiles(p: Path): Seq[Path] =
       listDir(p).filter(_.toString.endsWith(".parquet"))
-    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-      listDir(p).foreach(Files.deleteIfExists)
-      Files.deleteIfExists(p)
-    }
 
     val monthDirs = listDir(root).filter(p => Files.isDirectory(p) &&
       p.getFileName.toString.startsWith(s"${TraceSchema.PartitionCol}="))
 
     // ---- crash recovery: finish or roll back a previous attempt
     monthDirs.foreach { monthDir =>
+      // a crash between manifest staging and its atomic rename leaves the
+      // .tmp only — the attempt never became installable; discard it
+      Files.deleteIfExists(monthDir.resolve("_compact_manifest.tmp"))
       val marker = monthDir.resolve("_compact_manifest")
       if (Files.exists(marker)) {
         val lines = Files.readAllLines(marker).asScala
@@ -203,11 +199,17 @@ object TraceStore {
         val installs = parquetFiles(tmp).zipWithIndex.map { case (f, i) =>
           (f.getFileName.toString, f"compacted-$ym-$attempt-$i%05d.parquet")
         }
+        // the manifest IS the commit record — recovery assumes it is
+        // either absent or complete, so stage it and rename atomically
+        // (a truncated manifest would wedge recovery or leave the old
+        // files undeleted → permanent duplicates)
         val marker = monthDir.resolve("_compact_manifest")
-        Files.write(marker,
+        val markerTmp = monthDir.resolve("_compact_manifest.tmp")
+        Files.write(markerTmp,
           (tmpName +:
            (installs.map { case (a, b) => s"install\t$a\t$b" } ++
             old.map(p => s"delete\t${p.getFileName}"))).mkString("\n").getBytes)
+        Files.move(markerTmp, marker, StandardCopyOption.ATOMIC_MOVE)
         installs.foreach { case (from, to) =>
           Files.move(tmp.resolve(from), monthDir.resolve(to),
             StandardCopyOption.ATOMIC_MOVE)

@@ -37,19 +37,21 @@ object StatefulOps {
     * is the ingest-time guard; corpus-wide resolution stays batch (q55). */
   def nearDupStream(docs: DataFrame, textCol: String, tsCol: String, delay: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tk = split(col(textCol), " ")
     val sig = graft.functions.GraftFunctions.minhash_shingle_sig(col("__tk"))
     val bandKey = concat_ws(":",
       element_at(col("__sig"), 1), element_at(col("__sig"), 2),
       element_at(col("__sig"), 3), element_at(col("__sig"), 4))
     docs
-      .withColumn("__tk", tk)
+      // null text must not key to null: dropDuplicates groups null keys
+      // together and would silently discard all but one null-text doc
+      .withColumn("__txt", coalesce(col(textCol), lit("")))
+      .withColumn("__tk", split(col("__txt"), " "))
       .withColumn("__sig", when(size(col("__tk")) >= 3, sig).otherwise(lit(null)))
       .withColumn("__ndkey",
-        when(col("__sig").isNotNull, bandKey).otherwise(concat(lit("raw:"), col(textCol))))
+        when(col("__sig").isNotNull, bandKey).otherwise(concat(lit("raw:"), col("__txt"))))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__ndkey")
-      .drop("__tk", "__sig", "__ndkey")
+      .drop("__txt", "__tk", "__sig", "__ndkey")
   }
 
   /** Stream-stream interval join (event correlation — click within a
@@ -72,8 +74,17 @@ object StatefulOps {
   /** Custom gap-based sessionization with explicit state
     * (flatMapGroupsWithState): emits a session when the gap closes it or
     * the event-time timeout fires. The built-in session_window (q23) covers
-    * the aggregate case; this is the arbitrary-state escape hatch. */
-  def sessionize(ds: Dataset[Ev], gapMinutes: Int): Dataset[SessionOut] = {
+    * the aggregate case; this is the arbitrary-state escape hatch.
+    *
+    * Out-of-order handling: an event inside the live session's gap
+    * envelope [start − gap, last + gap] merges with min/max bounds (a late
+    * arrival must never move `last` backwards — that would shrink the
+    * timeout horizon — nor leave `start` later than the session's earliest
+    * event). An event older than start − gap is a distinct earlier
+    * session; it is emitted immediately as its own closed session.
+    * `delay` is the late-data watermark, a caller knob like dedupStream's. */
+  def sessionize(ds: Dataset[Ev], gapMinutes: Int,
+                 delay: String = "10 seconds"): Dataset[SessionOut] = {
     import ds.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
 
@@ -90,11 +101,14 @@ object StatefulOps {
         evs.foreach { e =>
           val t = e.ts.getTime
           st match {
-            case Some(s) if t - s.last <= gapMs =>
-              st = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
-            case Some(s) =>
+            case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+              st = Some(s.copy(start = math.min(s.start, t),
+                last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
+            case Some(s) if t > s.last + gapMs =>
               out ::= SessionOut(key, new Timestamp(s.start), s.n, s.sum)
               st = Some(SessionState(t, t, 1, e.value))
+            case Some(_) => // t < start − gap: an already-gap-closed earlier session
+              out ::= SessionOut(key, new Timestamp(t), 1, e.value)
             case None =>
               st = Some(SessionState(t, t, 1, e.value))
           }
@@ -107,7 +121,7 @@ object StatefulOps {
       out.reverseIterator
     }
 
-    ds.withWatermark("ts", "10 seconds")
+    ds.withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }

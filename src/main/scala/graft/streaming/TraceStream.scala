@@ -96,23 +96,11 @@ object TraceStream {
     df.groupBy(date_format(col("Time"), "yyyyMM").as("ym"), col("Type"))
       .agg(count(lit(1)).as("n"), sum(col("Severity").cast("long")).as("sev_sum"))
 
-  /** List a directory's entries, closing the stream (a long-running
-    * maintainer calls this every micro-batch — an unclosed Files.list
-    * leaks one fd per call until GC). */
-  private def listDirEntries(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.exists(p)) Seq.empty
-    else {
-      val s = java.nio.file.Files.list(p)
-      try s.iterator().asScala.toList finally s.close()
-    }
-  }
-
   /** Complete versions under a rollup root, ascending by batch id. A
     * version is a `v<batchId>` subdirectory whose parquet commit finished
     * (_SUCCESS present) — half-written versions are invisible. */
   private def rollupVersions(root: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] =
-    listDirEntries(root)
+    graft.store.FsMaint.listDir(root)
       .filter(p => java.nio.file.Files.exists(p.resolve("_SUCCESS")))
       .flatMap { p =>
         val n = p.getFileName.toString
@@ -120,7 +108,11 @@ object TraceStream {
       }
       .sortBy(_._1)
 
-  /** Read the current (highest complete version) maintained rollup. */
+  /** Read the current (highest complete version) maintained rollup. The
+    * returned DataFrame is lazy; the maintainer's prune keeps a one-extra-
+    * version grace tail, so execute it within roughly one maintenance
+    * cycle (or cache it) — a version three commits stale may be deleted
+    * under a longer-lived handle. */
   def readRollup(spark: SparkSession, rollupPath: String): DataFrame = {
     val vs = rollupVersions(java.nio.file.Paths.get(rollupPath))
     require(vs.nonEmpty, s"no complete rollup version under $rollupPath")
@@ -157,27 +149,30 @@ object TraceStream {
       case None => delta
     }
     merged.coalesce(1).write.mode("overwrite").parquet(own.toString)
-    // prune: everything below the replay merge source for the NEXT batch.
+    // prune: keep the current version, the replay merge source for the
+    // NEXT batch, and one more as a grace window for readers holding a
+    // lazy DataFrame over a recently-current version (readRollup).
     // _SUCCESS goes FIRST so a crash mid-delete leaves the dir invisible
     // to rollupVersions, never a "complete" version missing part-files.
-    rollupVersions(root).dropRight(2).foreach { case (_, p) =>
+    rollupVersions(root).dropRight(3).foreach { case (_, p) =>
       java.nio.file.Files.deleteIfExists(p.resolve("_SUCCESS"))
-      import scala.jdk.CollectionConverters._
-      val w = java.nio.file.Files.walk(p)
-      val entries = try w.iterator().asScala.toList finally w.close()
-      entries.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      graft.store.FsMaint.deleteTree(p)
     }
   }
 
   /** Streaming materialized-view maintenance (B6 incremental form —
     * the SummingMergeTree analogue running live): keep the persistent
     * (ym, Type) rollup current per micro-batch. One maintainer per
-    * rollupPath; the checkpoint serializes batch ids. */
+    * rollupPath; the checkpoint serializes batch ids. The checkpoint is
+    * derived from cfg's with a `-rollup` suffix so one Config can drive
+    * both `start` (ingest) and this maintainer — sharing the literal
+    * checkpoint dir would make the second query fail or silently resume
+    * from the first one's committed offsets. */
   def maintainRollup(spark: SparkSession, cfg: Config, rollupPath: String): StreamingQuery =
     TraceIngest.normalize(source(spark, cfg))
       .writeStream
       .queryName("trace-rollup-maintain")
-      .option("checkpointLocation", cfg.checkpointDir)
+      .option("checkpointLocation", cfg.checkpointDir.stripSuffix("/") + "-rollup")
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         upsertRollup(batch, batchId, rollupPath)

@@ -179,4 +179,27 @@ class StoreSpec extends SparkSpec {
     assert(after.forall(_.startsWith("compacted-201905-testattempt")), after.toString)
     assert(TraceStore.read(spark, path).count() == 3)   // no loss, no dupes
   }
+
+  test("compact clears a crashed rewrite's nested temp tree and a stray manifest tmp") {
+    import java.nio.file.{Files, Paths}
+    val path = tmpDir("store7")
+    TraceStore.append(mkBatch(), path)
+    val monthDir = Paths.get(path, "ym=201905")
+    // crash state A: rewrite died mid-job — orphan .compact-* dir with a
+    // _temporary/ SUBTREE (a non-recursive cleanup wedges on this)
+    val orphan = monthDir.resolveSibling(".compact-201905-deadattempt")
+    Files.createDirectories(orphan.resolve("_temporary").resolve("0"))
+    Files.write(orphan.resolve("_temporary").resolve("0").resolve("task.parquet"),
+      Array[Byte](1, 2, 3))
+    // crash state B: manifest staged but never renamed — must be discarded
+    Files.write(monthDir.resolve("_compact_manifest.tmp"), "garbage".getBytes)
+
+    TraceStore.compact(spark, path, maxFilesPerMonth = 1000)
+
+    assert(!Files.exists(orphan), "orphan temp tree not cleared")
+    assert(!Files.exists(monthDir.resolve("_compact_manifest.tmp")))
+    assert(TraceStore.read(spark, path).count() == 3)   // data untouched
+    // and the store still compacts afterwards
+    assert(TraceStore.compact(spark, path, maxFilesPerMonth = 1000).isEmpty)
+  }
 }

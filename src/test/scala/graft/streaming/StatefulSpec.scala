@@ -95,6 +95,29 @@ class StatefulSpec extends SparkSpec {
     assert(kept == Seq(1L, 2L, 3L))
   }
 
+  test("sessionize absorbs a late out-of-order event without moving the horizon backwards") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = sessionize(in.toDS(), gapMinutes = 30, delay = "1 minute")
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(9, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // late arrival earlier than everything seen: must extend the session
+      // backwards (start = min), not drag `last` (the timeout base) back
+      in.addData(Ev(9, ts("2024-01-01 09:59:30"), 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(9, ts("2024-01-01 13:00:00"), 5.0))   // gap closes it
+      q.processAllAvailable()
+      val rows = spark.table("sess_ooo").as[SessionOut].collect()
+      assert(rows.length == 1)
+      assert(rows(0).session_start == ts("2024-01-01 09:59:30"))
+      assert(rows(0).n == 2 && rows(0).sv == 3.0)
+    } finally q.stop()
+  }
+
   test("transformWithState latest-state emits only state-advancing changes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
