@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
@@ -217,11 +218,171 @@ object EventAnalytics {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- max concurrent intervals (maxIntersections)
+  /** Peak concurrency over intervals (ClickHouse `maxIntersections` /
+    * `maxIntersectionsPosition`): the maximum number of user-day activity
+    * spans ([first event, last event] per user per day) active at one
+    * instant, plus the earliest instant it is reached. Sweep-line as a
+    * DISTRIBUTED two-pass prefix sum — the textbook formulation's single
+    * global running sum would serialize 2·|spans| rows through one
+    * partition at 100 TB. Pass 1 aggregates per-day delta totals (one row
+    * per calendar day) and turns them into per-day starting offsets with
+    * a driver-scale cumulative sum; pass 2 computes the running sum
+    * WITHIN each day partition and adds the broadcast offset. Endpoints
+    * sort starts-before-ends at equal t (d DESC), so touching intervals
+    * count as concurrent — ties within a (t,d) group all carry the same
+    * delta, so the attained maximum is order-independent. */
+  def q97MaxIntersections(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    val deltas = spans.select(col("lo").as("t"), lit(1).as("d"))
+      .unionAll(spans.select(col("hi").as("t"), lit(-1).as("d")))
+      .withColumn("blk", date_trunc("day", col("t")))
+    // pass 1: per-block totals → running offsets. One row per calendar
+    // day — the single-partition window here is over the tiny block
+    // table, never the data.
+    val wOff = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = deltas.groupBy(col("blk")).agg(sum(col("d")).as("bs"))
+      .withColumn("off", coalesce(sum(col("bs")).over(wOff), lit(0L)))
+      .select(col("blk"), col("off"))
+    // pass 2: block-local running sum + broadcast block offset = global
+    // running concurrency, fully parallel across days.
+    val wIn = Window.partitionBy(col("blk"))
+      .orderBy(col("t"), col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val run = deltas.join(broadcast(off), Seq("blk"))
+      .withColumn("c", sum(col("d")).over(wIn) + col("off"))
+      .select(col("t"), col("c"))
+      .persist()
+    try {
+      val peak = run.agg(max(col("c")).as("peak"))
+      run.join(broadcast(peak), col("c") === col("peak"))
+        .agg(max(col("c")).as("peak"), min(col("t")).as("t_peak"))
+        .localCheckpoint(true)
+    } finally run.unpersist(false)
+  }
+
+  val q97Sql: String =
+    """WITH spans AS (SELECT user_id, date_trunc('day', ts) AS day,
+      |                      min(ts) AS lo, max(ts) AS hi
+      |               FROM events GROUP BY user_id, date_trunc('day', ts)),
+      |deltas AS (SELECT lo AS t, 1 AS d FROM spans
+      |           UNION ALL SELECT hi AS t, -1 AS d FROM spans),
+      |run AS (SELECT t, (sum(d) OVER (ORDER BY t, d DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS c
+      |        FROM deltas)
+      |SELECT c AS peak, min(t) AS t_peak FROM run
+      |WHERE c = (SELECT max(c) FROM run) GROUP BY c""".stripMargin
+
+  // ---------------------------------------------------------------- last-touch attribution
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent PRECEDING click, and counts as attributed when that click
+    * falls within the 1-hour lookback. The "most recent preceding
+    * matching event" is a frame-bounded conditional max (ClickHouse
+    * would reach for `neighbor`/`anyLast` over a sorted stream) — one
+    * user-keyed window pass, no self-join of purchases against clicks.
+    * (ts,event_id) is the total frame order, so the frame content — and
+    * hence every credited pair — is engine-exact. Daily report keyed on
+    * purchase day. */
+  def q98Attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val hourUs = 3600000000L
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("lc",
+        max(when(col("event_type") === "click", col("tus"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("lc").isNotNull && col("lc") >= col("tus") - lit(hourUs))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+        round(sum(when(col("attributed"), col("value")).otherwise(lit(0.0))), 2)
+          .as("attributed_value"))
+      .orderBy(col("day"))
+  }
+
+  val q98Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, value, ts,
+      |                   epoch_us(ts) AS tus, event_id FROM events),
+      |marked AS (SELECT *, max(CASE WHEN event_type = 'click' THEN tus END)
+      |             OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+      |           FROM ev)
+      |SELECT date_trunc('day', ts) AS day,
+      |  count(*) AS n_purchases,
+      |  (sum(CASE WHEN lc IS NOT NULL AND lc >= tus - 3600000000
+      |       THEN 1 ELSE 0 END))::BIGINT AS n_attributed,
+      |  round(sum(CASE WHEN lc IS NOT NULL AND lc >= tus - 3600000000
+      |       THEN value ELSE 0 END), 2) AS attributed_value
+      |FROM marked WHERE event_type = 'purchase'
+      |GROUP BY date_trunc('day', ts) ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- trailing-window anomaly screen
+  /** Volume-anomaly screen: each (event_type, day) count is z-scored
+    * against the TRAILING 7 days (frame excludes the current row — the
+    * day under test must not contaminate its own baseline). Mean and
+    * variance come from avg(n)/avg(n²) over the frame — plain IEEE
+    * arithmetic in a deterministic frame order, bit-identical across
+    * engines, unlike builtin stddev whose accumulation scheme is
+    * engine-private. Days without a full 7-day history are excluded
+    * rather than scored against a short baseline. One type-keyed window
+    * over the already-aggregated daily table — the raw scan aggregates
+    * first, so the window input is calendar-sized, not event-sized. */
+  def q99Anomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_frame", count(col("n")).over(w))
+      .withColumn("mean7", avg(col("n")).over(w))
+      .withColumn("m2", avg(col("n") * col("n")).over(w))
+      .filter(col("n_frame") === 7)
+      .withColumn("sd",
+        sqrt(greatest(col("m2") - col("mean7") * col("mean7"), lit(0.0))))
+      .withColumn("z",
+        when(col("sd") > 0, round((col("n") - col("mean7")) / col("sd"), 4)))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("mean7"), 4).as("mean7"), col("z"),
+        when(col("z").isNotNull && col("z") > lit(2.0), 1).otherwise(0)
+          .as("is_spike"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q99Sql: String =
+    """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |                      count(*) AS n
+      |               FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |sc AS (SELECT event_type, day, n,
+      |         count(n) OVER w AS n_frame,
+      |         avg(n) OVER w AS mean7,
+      |         avg(n*n) OVER w AS m2
+      |       FROM daily
+      |       WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT event_type, day, n, mean7,
+      |        CASE WHEN sqrt(greatest(m2 - mean7*mean7, 0)) > 0
+      |             THEN round((n - mean7) / sqrt(greatest(m2 - mean7*mean7, 0)), 4)
+      |        END AS z
+      |      FROM sc WHERE n_frame = 7)
+      |SELECT event_type, day, n, round(mean7, 4) AS mean7, z,
+      |       CASE WHEN z IS NOT NULL AND z > 2.0 THEN 1 ELSE 0 END AS is_spike
+      |FROM z ORDER BY event_type, day""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
     ("q84_retention", q84Retention _, Some(q84Sql)),
     ("q86_sequence_match", q86SequenceMatch _, Some(q86Sql)),
     ("q87_latest_state",   q87LatestState _,   Some(q87Sql)),
+    ("q97_max_intersections", q97MaxIntersections _, Some(q97Sql)),
+    ("q98_attribution",       q98Attribution _,      Some(q98Sql)),
+    ("q99_anomaly",           q99Anomaly _,          Some(q99Sql)),
   )
 }

@@ -417,6 +417,46 @@ object ExtendedQueries {
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 
+  /** Percentile winsorization: clip a heavy-tailed measure to its
+    * per-group [p05, p95] band before aggregating — the standard outlier
+    * treatment when a training-data pipeline wants robust per-stratum
+    * statistics WITHOUT dropping rows (q72's MAD screen is the detection
+    * side; this is the repair side). Exact interpolated percentiles per
+    * group (dimension-sized result, broadcast back over the fact table),
+    * then one clipped aggregate pass. At 100 TB the bounds table swaps to
+    * `approx_percentile` (t-digest, fixed memory) with an identical plan
+    * shape — bounds-compute remains one map-side-combined aggregate, the
+    * broadcast stays dimension-sized. */
+  def q100Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("pri"), col("o_totalprice").as("p"))
+    val bounds = o.groupBy(col("pri"))
+      .agg(expr("percentile(p, 0.05)").as("lo"),
+           expr("percentile(p, 0.95)").as("hi"))
+    o.join(broadcast(bounds), Seq("pri"))
+      .withColumn("clipped", least(greatest(col("p"), col("lo")), col("hi")))
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("p") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        round(sum(col("clipped")), 2).as("sum_winsorized"),
+        round(avg(col("clipped")), 4).as("avg_winsorized"))
+      .orderBy(col("pri"))
+  }
+
+  val q100Sql: String =
+    """WITH b AS (SELECT o_orderpriority AS pri,
+      |             quantile_cont(o_totalprice, 0.05) AS lo,
+      |             quantile_cont(o_totalprice, 0.95) AS hi
+      |           FROM orders GROUP BY o_orderpriority)
+      |SELECT pri, count(*) AS n,
+      |  (sum(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END))::BIGINT AS n_low,
+      |  (sum(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END))::BIGINT AS n_high,
+      |  round(sum(least(greatest(o_totalprice, lo), hi)), 2) AS sum_winsorized,
+      |  round(avg(least(greatest(o_totalprice, lo), hi)), 4) AS avg_winsorized
+      |FROM orders JOIN b ON o_orderpriority = pri
+      |GROUP BY pri ORDER BY pri""".stripMargin
+
   /** Incremental rollup maintenance, gate-proven: the daily rollup is
     * built as TWO increments (event_id parity split standing in for two
     * micro-batches) merged with [[graft.store.TraceStore.mergeRollups]],
@@ -639,6 +679,7 @@ object ExtendedQueries {
     ("q67_shipping_priority", q67ShippingPriority _, Some(q67Sql)),
     ("q68_rolling_window",    q68RollingWindow _,    Some(q68Sql)),
     ("q72_outliers",          q72Outliers _,         Some(q72Sql)),
+    ("q100_winsorize",        q100Winsorize _,       Some(q100Sql)),
     ("q80_incremental_rollup", q80IncrementalRollup _, Some(q80Sql)),
     ("q81_profile",            q81Profile _,           Some(q81Sql)),
     ("q85_full_outer",         q85FullOuter _,         Some(q85Sql)),

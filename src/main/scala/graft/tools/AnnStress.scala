@@ -122,10 +122,10 @@ object AnnStress {
       f""""exact5_sec":$tExact5%.2f,"lsh5_sec":$tLsh5%.2f,"lsh5_recall":${recall5(truth5, lsh5)}%.3f,""" +
       f""""mp5_sec":$tMp5%.2f,"mp5_recall":${recall5(truth5, mp5)}%.3f,""" +
       f""""ivf5_sec":$tIvf5%.2f,"ivf5_recall":${recall5(truth5, ivf5)}%.3f,""" +
-      f""""q100_brute_sec":$tBruteQ%.2f,""" +
-      f""""q100_lsh_sec":$tLshQ%.2f,"q100_lsh_recall":${recall5(truthQ5, lshQ)}%.3f,""" +
-      f""""q100_ivf_build_sec":$tIvfBuild%.2f,"q100_ivf_query_sec":$tIvfQ%.2f,""" +
-      f""""q100_ivf_recall":${recall5(truthQ5, ivfQ)}%.3f}""")
+      f""""batch100_brute_sec":$tBruteQ%.2f,""" +
+      f""""batch100_lsh_sec":$tLshQ%.2f,"batch100_lsh_recall":${recall5(truthQ5, lshQ)}%.3f,""" +
+      f""""batch100_ivf_build_sec":$tIvfBuild%.2f,"batch100_ivf_query_sec":$tIvfQ%.2f,""" +
+      f""""batch100_ivf_recall":${recall5(truthQ5, ivfQ)}%.3f}""")
     spark.stop()
   }
 }

@@ -210,4 +210,82 @@ class Round3Spec extends SparkSpec {
       .select(col("day"), col("event_type"), round(col("sv"), 6).as("sv"), col("n"))
     assert(merged.collect().toSet == direct.collect().toSet)
   }
+
+  // ------------------------------------------------------------- q97 max intersections
+  test("max intersections: planted overlap peak, touching endpoints count") {
+    // user-day spans: u1 10:00–12:00, u2 11:00–13:00, u5 10:30–11:30,
+    // u4 11:30–11:45. At 11:30 u4 starts exactly when u5 ends — starts
+    // sort first, so all four are momentarily concurrent.
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click"), (2L, "2024-01-01 12:00:00", 1L, "click"),
+      (3L, "2024-01-01 11:00:00", 2L, "click"), (4L, "2024-01-01 13:00:00", 2L, "click"),
+      (5L, "2024-01-01 10:30:00", 5L, "click"), (6L, "2024-01-01 11:30:00", 5L, "click"),
+      (7L, "2024-01-01 11:30:00", 4L, "click"), (8L, "2024-01-01 11:45:00", 4L, "click")))
+    val rows = EventAnalytics.q97MaxIntersections(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 4L)
+    assert(rows.head.getTimestamp(1).toString == "2024-01-01 11:30:00.0")
+  }
+
+  test("max intersections: cross-day offsets carry concurrency over blocks") {
+    // u1 spans day1 only; u2 and u3 overlap on day2. The day-2 running
+    // sum must start from the day-1 net total (0), not from u1's +1.
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click"), (2L, "2024-01-01 11:00:00", 1L, "click"),
+      (3L, "2024-01-02 10:00:00", 2L, "click"), (4L, "2024-01-02 12:00:00", 2L, "click"),
+      (5L, "2024-01-02 11:00:00", 3L, "click"), (6L, "2024-01-02 13:00:00", 3L, "click")))
+    val rows = EventAnalytics.q97MaxIntersections(spark, dir).collect()
+    assert(rows.head.getLong(0) == 2L)
+    assert(rows.head.getTimestamp(1).toString == "2024-01-02 11:00:00.0")
+  }
+
+  // ------------------------------------------------------------- q98 attribution
+  test("attribution credits purchases to the last click within one hour") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:30:00", 1L, "purchase"),   // 30 min after click: credited
+      (3L, "2024-01-01 09:00:00", 2L, "click"),
+      (4L, "2024-01-01 10:30:00", 2L, "purchase"),   // 90 min: not credited
+      (5L, "2024-01-01 10:00:00", 3L, "purchase"),   // no click at all
+      (6L, "2024-01-01 11:30:00", 1L, "click"),
+      (7L, "2024-01-01 12:00:00", 1L, "purchase")))  // second click credits again
+    val r = EventAnalytics.q98Attribution(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 4L)                  // n_purchases
+    assert(r.head.getLong(2) == 2L)                  // n_attributed
+    assert(r.head.getDouble(3) == 2.0)               // value 1.0 each
+  }
+
+  // ------------------------------------------------------------- q99 anomaly
+  test("anomaly screen: needs a full 7-day baseline and flags the planted spike") {
+    // days 1..8 alternate 1,2,1,2,... events; day 9 has 10 events.
+    val base = (1 to 8).flatMap { d =>
+      val n = if (d % 2 == 0) 2 else 1
+      (1 to n).map(i => (d * 100L + i, f"2024-01-0$d%d 10:0$i%d:00", i.toLong, "click"))
+    }
+    val spike = (1 to 10).map(i => (900L + i, f"2024-01-09 10:${i + 10}%d:00", i.toLong, "click"))
+    val dir = eventsDir(base ++ spike)
+    val rows = EventAnalytics.q99Anomaly(spark, dir).collect()
+    assert(rows.length == 2)                         // only days 8 and 9 have 7 prior days
+    val day9 = rows.last
+    assert(day9.getLong(2) == 10L)
+    assert(day9.getInt(5) == 1)                      // flagged
+    assert(rows.head.getInt(5) == 0)                 // day 8 is in-pattern
+  }
+
+  // ------------------------------------------------------------- q100 winsorize
+  test("winsorization clips exactly one row per tail at p05/p95 of 1..20") {
+    import spark.implicits._
+    val dir = tmpDir("orders")
+    (1 to 20).map(i => ("A", i.toDouble))
+      .toDF("o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.queries.ExtendedQueries.q100Winsorize(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 20L)                 // n
+    assert(r.head.getLong(2) == 1L && r.head.getLong(3) == 1L) // one clip per tail
+    // sum = 2..19 intact + 1.95 + 19.05 = 210.0; mean preserved at 10.5
+    assert(r.head.getDouble(4) == 210.0)
+    assert(r.head.getDouble(5) == 10.5)
+  }
 }
