@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
@@ -375,6 +375,93 @@ object EventAnalytics {
       |       CASE WHEN z IS NOT NULL AND z > 2.0 THEN 1 ELSE 0 END AS is_spike
       |FROM z ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------- exponential moving average
+  /** Exponentially weighted trailing value (ClickHouse
+    * `exponentialMovingAverage`): per user, α = ½ over the last 8
+    * events. α = ½ is chosen deliberately — every weight is a power of
+    * two, so each term `value·2⁻ᵏ` is an EXACT float scaling and the
+    * left-associated 8-term sum is bit-identical across engines (a
+    * general α would hit `pow`, which is not bit-portable). The window
+    * recursion unrolls to 8 `lag` terms over one user-keyed sort — a
+    * single window pass, no per-row sub-frame aggregation; at 100 TB
+    * this is one shuffle on user_id with 8 prior rows of state. */
+  def q101Ema(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    def term(k: Int): Column =
+      coalesce(lag(col("value"), k).over(w), lit(0.0)) / lit(1L << (k + 1))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("ts"), col("value"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      // α=½ terms are finite DECIMALS too (v has 2 decimals, /2^k keeps a
+      // finite expansion), so the 4-decimal round constantly lands on
+      // exact .5 boundaries where Spark's BigDecimal HALF_UP and DuckDB's
+      // float-scaled round disagree. floor(x·10⁴ + ½)/10⁴ is the same
+      // IEEE op sequence in both engines (q92's trick).
+      .withColumn("ema",
+        floor((0 to 7).map(term).reduceLeft(_ + _) * lit(10000L) + lit(0.5))
+          / lit(10000L))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value"), 2).as("value"), col("ema"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val q101Sql: String = {
+    val terms = (0 to 7).map { k =>
+      s"coalesce(lag(value, $k) OVER w, 0.0) / ${1L << (k + 1)}"
+    }.mkString(" + ")
+    s"""SELECT user_id, ts, event_id, round(value, 2) AS value,
+       |  floor(($terms) * 10000 + 0.5) / 10000 AS ema
+       |FROM events WHERE user_id < 20
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |ORDER BY user_id, ts, event_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- counter rate (deltaSum)
+  /** Monotonic-counter rate with reset detection (ClickHouse `deltaSum`,
+    * PromQL `rate()`): per user, the sum of POSITIVE adjacent deltas of
+    * the gauge — decreases are counter resets, counted but not summed.
+    * One lag over the (ts,event_id)-ordered stream, then a user-keyed
+    * aggregate; the observation span normalizes to a per-hour rate.
+    * Delta/sum/divide are plain IEEE ops in deterministic order. */
+  def q102CounterRate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("d", col("value") - lag(col("value"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(col("d")).as("n_deltas"),
+        sum(when(col("d") < 0, 1L).otherwise(0L)).as("n_resets"),
+        round(sum(when(col("d") > 0, col("d")).otherwise(lit(0.0))), 2)
+          .as("increase"),
+        ((max(col("tus")) - min(col("tus"))) / lit(3600000000L))
+          .cast("double").as("span_h"))
+      .filter(col("span_h") > 0)
+      .withColumn("rate_per_h", round(col("increase") / col("span_h"), 4))
+      .select(col("user_id"), col("n_deltas"), col("n_resets"),
+        col("increase"), col("rate_per_h"))
+      .orderBy(col("user_id"))
+  }
+
+  val q102Sql: String =
+    """WITH d AS (SELECT user_id,
+      |             value - lag(value, 1) OVER (PARTITION BY user_id
+      |               ORDER BY epoch_us(ts), event_id) AS d,
+      |             epoch_us(ts) AS tus
+      |           FROM events WHERE user_id < 50),
+      |agg AS (SELECT user_id, count(d) AS n_deltas,
+      |          (sum(CASE WHEN d < 0 THEN 1 ELSE 0 END))::BIGINT AS n_resets,
+      |          round(sum(CASE WHEN d > 0 THEN d ELSE 0.0 END), 2) AS increase,
+      |          ((max(tus) - min(tus)) / 3600000000)::DOUBLE AS span_h
+      |        FROM d GROUP BY user_id)
+      |SELECT user_id, n_deltas, n_resets, increase,
+      |       round(increase / span_h, 4) AS rate_per_h
+      |FROM agg WHERE span_h > 0 ORDER BY user_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
@@ -384,5 +471,7 @@ object EventAnalytics {
     ("q97_max_intersections", q97MaxIntersections _, Some(q97Sql)),
     ("q98_attribution",       q98Attribution _,      Some(q98Sql)),
     ("q99_anomaly",           q99Anomaly _,          Some(q99Sql)),
+    ("q101_ema",              q101Ema _,             Some(q101Sql)),
+    ("q102_counter_rate",     q102CounterRate _,     Some(q102Sql)),
   )
 }

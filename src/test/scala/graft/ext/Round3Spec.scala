@@ -273,6 +273,43 @@ class Round3Spec extends SparkSpec {
     assert(rows.head.getInt(5) == 0)                 // day 8 is in-pattern
   }
 
+  // ------------------------------------------------------------- q101 ema / q102 counter rate
+  private def eventsDirV(rows: Seq[(Long, String, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("eventsv")
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("ema halves each older event's weight") {
+    val dir = eventsDirV(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 2.0),
+      (2L, "2024-01-01 11:00:00", 1L, "click", 4.0),
+      (3L, "2024-01-01 12:00:00", 1L, "click", 8.0)))
+    val got = EventAnalytics.q101Ema(spark, dir).collect()
+      .map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(got(1L) == 1.0)     // 2/2
+    assert(got(2L) == 2.5)     // 4/2 + 2/4
+    assert(got(3L) == 5.25)    // 8/2 + 4/4 + 2/8
+  }
+
+  test("counter rate sums positive deltas only and counts resets") {
+    val dir = eventsDirV(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 10:30:00", 1L, "click", 3.0),   // +2
+      (3L, "2024-01-01 11:00:00", 1L, "click", 2.0),   // reset (-1)
+      (4L, "2024-01-01 12:00:00", 1L, "click", 5.0)))  // +3
+    val r = EventAnalytics.q102CounterRate(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 3L)        // n_deltas
+    assert(r.head.getLong(2) == 1L)        // n_resets
+    assert(r.head.getDouble(3) == 5.0)     // increase
+    assert(r.head.getDouble(4) == 2.5)     // 5.0 over the 2 h span
+  }
+
   // ------------------------------------------------------------- q100 winsorize
   test("winsorization clips exactly one row per tail at p05/p95 of 1..20") {
     import spark.implicits._
