@@ -233,35 +233,42 @@ object EventAnalytics {
     * count as concurrent — ties within a (t,d) group all carry the same
     * delta, so the attained maximum is order-independent. */
   def q97MaxIntersections(s: SparkSession, dir: String): DataFrame = {
-    val spans = Tables.events(s, dir)
+    // endpoints via explode, not a self-union — one events scan, one
+    // span aggregation. The span-endpoint table (2 rows per user-day) is
+    // cached because it feeds both the offset pass and the sweep pass.
+    val deltas = Tables.events(s, dir)
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
-    val deltas = spans.select(col("lo").as("t"), lit(1).as("d"))
-      .unionAll(spans.select(col("hi").as("t"), lit(-1).as("d")))
-      .withColumn("blk", date_trunc("day", col("t")))
-    // pass 1: per-block totals → running offsets. One row per calendar
-    // day — the single-partition window here is over the tiny block
-    // table, never the data.
-    val wOff = Window.orderBy(col("blk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val off = deltas.groupBy(col("blk")).agg(sum(col("d")).as("bs"))
-      .withColumn("off", coalesce(sum(col("bs")).over(wOff), lit(0L)))
-      .select(col("blk"), col("off"))
-    // pass 2: block-local running sum + broadcast block offset = global
-    // running concurrency, fully parallel across days.
-    val wIn = Window.partitionBy(col("blk"))
-      .orderBy(col("t"), col("d").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val run = deltas.join(broadcast(off), Seq("blk"))
-      .withColumn("c", sum(col("d")).over(wIn) + col("off"))
-      .select(col("t"), col("c"))
+      .select(explode(array(
+        struct(col("lo").as("t"), lit(1).as("d")),
+        struct(col("hi").as("t"), lit(-1).as("d")))).as("e"))
+      .select(col("e.t").as("t"), col("e.d").as("d"),
+        date_trunc("day", col("e.t")).as("blk"))
       .persist()
     try {
-      val peak = run.agg(max(col("c")).as("peak"))
-      run.join(broadcast(peak), col("c") === col("peak"))
-        .agg(max(col("c")).as("peak"), min(col("t")).as("t_peak"))
+      // pass 1: per-block totals → running offsets. One row per calendar
+      // day — the single-partition window here is over the tiny block
+      // table, never the data.
+      val wOff = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = deltas.groupBy(col("blk")).agg(sum(col("d")).as("bs"))
+        .withColumn("off", coalesce(sum(col("bs")).over(wOff), lit(0L)))
+        .select(col("blk"), col("off"))
+      // pass 2: block-local running sum + broadcast block offset = global
+      // running concurrency, fully parallel across days. The peak and its
+      // earliest instant come from ONE lexicographic argmax (negated time
+      // breaks ties toward the earliest), not a max-then-rejoin.
+      val wIn = Window.partitionBy(col("blk"))
+        .orderBy(col("t"), col("d").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      deltas.join(broadcast(off), Seq("blk"))
+        .withColumn("c", sum(col("d")).over(wIn) + col("off"))
+        .agg(max(struct(col("c"),
+          (lit(0L) - unix_micros(col("t"))).as("nt"))).as("m"))
+        .select(col("m.c").as("peak"),
+          timestamp_micros(lit(0L) - col("m.nt")).as("t_peak"))
         .localCheckpoint(true)
-    } finally run.unpersist(false)
+    } finally deltas.unpersist(false)
   }
 
   val q97Sql: String =
