@@ -265,6 +265,9 @@ object EventAnalytics {
         .withColumn("c", sum(col("d")).over(wIn) + col("off"))
         .agg(max(struct(col("c"),
           (lit(0L) - unix_micros(col("t"))).as("nt"))).as("m"))
+        // ungrouped agg over empty input yields one NULL row where the
+        // oracle's correlated filter yields none — drop it for parity
+        .filter(col("m").isNotNull)
         .select(col("m.c").as("peak"),
           timestamp_micros(lit(0L) - col("m.nt")).as("t_peak"))
         .localCheckpoint(true)
@@ -342,14 +345,23 @@ object EventAnalytics {
     * over the already-aggregated daily table — the raw scan aggregates
     * first, so the window input is calendar-sized, not event-sized. */
   def q99Anomaly(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      .rowsBetween(-7, -1)
+    // RANGE frame over an integer day number, not ROWS: with a ROWS
+    // frame a zero-event day silently stretches "7 preceding rows" over
+    // more than 7 calendar days. Under RANGE the frame is the calendar
+    // window [d-7, d-1] and the full-history gate (exactly 7 rows in it)
+    // holds only when all 7 prior days are present.
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dn"))
+      .rangeBetween(-7, -1)
     Tables.events(s, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
+      .withColumn("dn", datediff(col("day"), to_date(lit("1970-01-01"))))
       .withColumn("n_frame", count(col("n")).over(w))
       .withColumn("mean7", avg(col("n")).over(w))
-      .withColumn("m2", avg(col("n") * col("n")).over(w))
+      // square in double: BIGINT n*n would overflow (ANSI throw) past
+      // ~3e9 events/day; exact-integer doubles stay exact below 2^53
+      .withColumn("m2",
+        avg(col("n").cast("double") * col("n").cast("double")).over(w))
       .filter(col("n_frame") === 7)
       .withColumn("sd",
         sqrt(greatest(col("m2") - col("mean7") * col("mean7"), lit(0.0))))
@@ -364,15 +376,18 @@ object EventAnalytics {
 
   val q99Sql: String =
     """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
-      |                      count(*) AS n
-      |               FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |                      count(*) AS n,
+      |                      date_diff('day', DATE '1970-01-01',
+      |                                date_trunc('day', ts)) AS dn
+      |               FROM events
+      |               GROUP BY event_type, date_trunc('day', ts)),
       |sc AS (SELECT event_type, day, n,
       |         count(n) OVER w AS n_frame,
       |         avg(n) OVER w AS mean7,
-      |         avg(n*n) OVER w AS m2
+      |         avg((n::DOUBLE)*(n::DOUBLE)) OVER w AS m2
       |       FROM daily
-      |       WINDOW w AS (PARTITION BY event_type ORDER BY day
-      |                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |       WINDOW w AS (PARTITION BY event_type ORDER BY dn
+      |                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
       |z AS (SELECT event_type, day, n, mean7,
       |        CASE WHEN sqrt(greatest(m2 - mean7*mean7, 0)) > 0
       |             THEN round((n - mean7) / sqrt(greatest(m2 - mean7*mean7, 0)), 4)

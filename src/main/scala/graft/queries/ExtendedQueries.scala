@@ -421,18 +421,31 @@ object ExtendedQueries {
     * per-group [p05, p95] band before aggregating — the standard outlier
     * treatment when a training-data pipeline wants robust per-stratum
     * statistics WITHOUT dropping rows (q72's MAD screen is the detection
-    * side; this is the repair side). Exact interpolated percentiles per
-    * group (dimension-sized result, broadcast back over the fact table),
-    * then one clipped aggregate pass. At 100 TB the bounds table swaps to
-    * `approx_percentile` (t-digest, fixed memory) with an identical plan
-    * shape — bounds-compute remains one map-side-combined aggregate, the
-    * broadcast stays dimension-sized. */
+    * side; this is the repair side). Nearest-rank p05/p95 per group
+    * (dimension-sized result, broadcast back over the fact table), then
+    * one clipped aggregate pass. At 100 TB the bounds pass (a per-group
+    * rank) swaps to `approx_percentile` (t-digest, fixed memory, no
+    * sort) with an identical downstream plan — the broadcast stays
+    * dimension-sized. */
   def q100Winsorize(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .select(col("o_orderpriority").as("pri"), col("o_totalprice").as("p"))
-    val bounds = o.groupBy(col("pri"))
-      .agg(expr("percentile(p, 0.05)").as("lo"),
-           expr("percentile(p, 0.95)").as("hi"))
+    // NEAREST-RANK bounds (ceil(q·n)-th smallest via integer division),
+    // not interpolated percentiles: the bounds feed STRICT comparisons,
+    // and interpolated midpoints are engine-private float formulas that
+    // can differ by an ulp and flip `p < lo` — a rank-selected bound is
+    // an actual data value, bit-equal on both sides. Ranks use `div`
+    // (integer division) so the cutoff index itself is engine-exact.
+    val wr = Window.partitionBy(col("pri"))
+      .orderBy(col("p"), col("k"))
+    val bounds = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("pri"), col("o_totalprice").as("p"),
+        col("o_orderkey").as("k"))
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pri"))))
+      .groupBy(col("pri"))
+      .agg(max(when(col("rn") === expr("(n + 19) div 20"), col("p"))).as("lo"),
+           max(when(col("rn") === expr("(19 * n + 19) div 20"), col("p"))).as("hi"))
     o.join(broadcast(bounds), Seq("pri"))
       .withColumn("clipped", least(greatest(col("p"), col("lo")), col("hi")))
       .groupBy(col("pri"))
@@ -445,10 +458,15 @@ object ExtendedQueries {
   }
 
   val q100Sql: String =
-    """WITH b AS (SELECT o_orderpriority AS pri,
-      |             quantile_cont(o_totalprice, 0.05) AS lo,
-      |             quantile_cont(o_totalprice, 0.95) AS hi
-      |           FROM orders GROUP BY o_orderpriority)
+    """WITH r AS (SELECT o_orderpriority AS pri, o_totalprice AS p,
+      |             row_number() OVER (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice, o_orderkey) AS rn,
+      |             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |           FROM orders),
+      |b AS (SELECT pri,
+      |        max(CASE WHEN rn = (n + 19) // 20 THEN p END) AS lo,
+      |        max(CASE WHEN rn = (19 * n + 19) // 20 THEN p END) AS hi
+      |      FROM r GROUP BY pri)
       |SELECT pri, count(*) AS n,
       |  (sum(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END))::BIGINT AS n_low,
       |  (sum(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END))::BIGINT AS n_high,

@@ -311,18 +311,19 @@ class Round3Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------- q100 winsorize
-  test("winsorization clips exactly one row per tail at p05/p95 of 1..20") {
+  test("winsorization clips the tail beyond the nearest-rank p05/p95 of 1..20") {
     import spark.implicits._
     val dir = tmpDir("orders")
-    (1 to 20).map(i => ("A", i.toDouble))
-      .toDF("o_orderpriority", "o_totalprice")
+    (1 to 20).map(i => ("A", i.toDouble, i.toLong))
+      .toDF("o_orderpriority", "o_totalprice", "o_orderkey")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     val r = graft.queries.ExtendedQueries.q100Winsorize(spark, dir).collect()
     assert(r.length == 1)
     assert(r.head.getLong(1) == 20L)                 // n
-    assert(r.head.getLong(2) == 1L && r.head.getLong(3) == 1L) // one clip per tail
-    // sum = 2..19 intact + 1.95 + 19.05 = 210.0; mean preserved at 10.5
-    assert(r.head.getDouble(4) == 210.0)
-    assert(r.head.getDouble(5) == 10.5)
+    // nearest-rank: lo = ceil(20/20) = 1st value (1.0), hi = 19th (19.0)
+    assert(r.head.getLong(2) == 0L)                  // nothing below 1.0
+    assert(r.head.getLong(3) == 1L)                  // 20.0 clips to 19.0
+    assert(r.head.getDouble(4) == 209.0)             // 210 - 20 + 19
+    assert(r.head.getDouble(5) == 10.45)
   }
 }
