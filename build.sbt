@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through verbatim: the driver parses Bench's JSON
+// line from stdout, and sbt's default logger would prefix it with "[info] "
+// (BENCH_r01/r02 recorded parsed:null because of exactly that).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

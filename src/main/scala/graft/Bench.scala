@@ -18,6 +18,7 @@ object Bench {
     // timed query doesn't absorb ~5 s of one-time JVM cost.
     locally {
       import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
       val warm = spark.range(2000000).toDF("id")
         .withColumn("g", col("id") % 1000)
         .groupBy("g").agg(sum(col("id")).as("s"), count(lit(1)).as("n"))
@@ -26,6 +27,17 @@ object Bench {
       spark.range(100000).toDF("id").withColumn("v", col("id") * 2)
         .write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir).filter(col("v") > 10).agg(sum("v")).count()
+      // window + broadcast + top-N paths: their codegen/JIT otherwise
+      // lands on the first real query that uses them
+      val w = Window.partitionBy(col("g")).orderBy(col("id"))
+      spark.range(200000).toDF("id").withColumn("g", col("id") % 97)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rs", sum(col("id")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("rn") <= 3).count()
+      val dim = spark.range(50).toDF("g").withColumn("name", concat(lit("g"), col("g")))
+      spark.range(500000).toDF("id").withColumn("g", col("id") % 50)
+        .join(broadcast(dim), Seq("g")).groupBy(col("name")).count()
+        .orderBy(col("count").desc).limit(5).count()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -555,6 +555,43 @@ object Dedup {
        |SELECT cluster, csize, -(best.negid) AS canonical, best.q AS quality
        |FROM b ORDER BY cluster""".stripMargin
 
+  // ---------------------------------------------------------------- C2: shingle containment (doc-inside-doc)
+  /** Shingle CONTAINMENT C(A,B) = |S(A)∩S(B)| / min(|S(A)|,|S(B)|) — the
+    * asymmetric near-dup measure that catches a document embedded inside
+    * a larger one (quote farms, concatenated crawls), which Jaccard
+    * misses: a 100-shingle doc inside a 10000-shingle doc has J ≈ 0.01
+    * but C ≈ 1. Bounded to the q28 doc_id prefix as exact ground truth;
+    * the scale path generates candidates with the same LSH band join
+    * (containment-biased variants hash a prefix of the smaller doc). */
+  def q106Containment(s: SparkSession, dir: String): DataFrame = {
+    val tri = docShingles(s, dir).filter(col("doc_id") < 200)
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    tri.as("a").join(tri.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), Seq("d2"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("s1"), col("s2")), 4))
+      .filter(col("containment") >= 0.1)
+      .select(col("d1"), col("d2"), col("inter"),
+        least(col("s1"), col("s2")).as("min_sz"), col("containment"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q106Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id < 200),
+       |tri AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("tk")}) AS g FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |          FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT d1, d2, inter, least(s1.sz, s2.sz)::BIGINT AS min_sz,
+       |  round(inter::DOUBLE / least(s1.sz, s2.sz), 4) AS containment
+       |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE round(inter::DOUBLE / least(s1.sz, s2.sz), 4) >= 0.1
+       |ORDER BY d1, d2""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_dedup_exact",     q24DedupExact _,     Some(q24Sql)),
     ("q25_minhash_sig",     q25MinHashSig _,     Some(q25Sql)),
@@ -567,5 +604,6 @@ object Dedup {
     ("q77_span_dedup",      q77SpanDedup _,      Some(q77Sql)),
     ("q78_bloom_decontam",  q78BloomDecontam _,  Some(q78Sql)),
     ("q79_canonical_select", q79CanonicalSelect _, Some(q79Sql)),
+    ("q106_containment",    q106Containment _,   Some(q106Sql)),
   )
 }

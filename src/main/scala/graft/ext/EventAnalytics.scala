@@ -35,8 +35,15 @@ object EventAnalytics {
       // hour-cardinality table, eagerly materialized: the spine bounds
       // derive from it rather than re-scanning raw events — one raw scan
       .localCheckpoint(true)
-    val spine = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    // the spine bounds are two O(1) scalars over the hour-cardinality
+    // table — collect them rather than wiring a subquery branch into the
+    // plan (one less sequential AQE stage; the spine explode runs over
+    // two literals)
+    val b = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi")).collect()(0)
+    if (b.isNullAt(0)) return counts.limit(0)
+    val spine = s.range(1)
+      .select(explode(sequence(lit(b.getTimestamp(0)), lit(b.getTimestamp(1)),
+        expr("interval 1 hour"))).as("h"))
     spine.join(counts, Seq("h"), "left")
       .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
       .orderBy(col("h"))
@@ -64,39 +71,40 @@ object EventAnalytics {
     * Counting users who reached AT LEAST step k keeps the row monotone —
     * the standard funnel report shape. */
   def q83Funnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("ts"))
-    val s1 = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      .persist()   // feeds the step-2 join AND the steps table
-    try {
-      val s2 = ev.filter(col("event_type") === "click").as("e")
-        .join(s1.as("s"), col("e.user_id") === col("s.user_id"))
-        .filter(col("e.ts") > col("s.t1") &&
-          col("e.ts") <= col("s.t1") + expr("interval 24 hours"))
-        .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t2"), first(col("s.t1")).as("t1"))
-        .persist() // feeds the step-3 join AND the steps table
-      try {
-        val s3 = ev.filter(col("event_type") === "purchase").as("e")
-          .join(s2.as("s"), col("e.user_id") === col("s.user_id"))
-          .filter(col("e.ts") > col("s.t2") &&
-            col("e.ts") <= col("s.t1") + expr("interval 24 hours"))
-          .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t3"))
-        // one user-cardinality steps table; the three step counts are one
-        // scan of it, not three re-executions of the join chain. Counts
-        // use explicit membership markers, not the step timestamps — a
-        // min(ts) that aggregated to NULL must still count its row, as
-        // the oracle's count(*) does.
-        val steps = s1
-          .join(s2.select(col("user_id"), lit(1).as("m2")), Seq("user_id"), "left")
-          .join(s3.select(col("user_id"), lit(1).as("m3")), Seq("user_id"), "left")
-          .agg(count(lit(1)).as("n1"), count(col("m2")).as("n2"), count(col("m3")).as("n3"))
-        steps.select(expr(
-            "stack(3, 1, n1, 2, n2, 3, n3) AS (step, n_users)"))
-          .orderBy(col("step"))
-          .localCheckpoint(true)
-      } finally s2.unpersist(false)
-    } finally s1.unpersist(false)
+    // Single-pass formulation (how ClickHouse's windowFunnel actually
+    // executes): collect each user's events in (ts, event_id) order and
+    // fold a 3-slot state machine over them — t1 = first signup, t2 =
+    // first click in (t1, t1+24h], t3 = first purchase in (t2, t1+24h].
+    // Processing in time order makes "first satisfying event" ≡ the
+    // min-ts the oracle's join chain computes. ONE user-keyed shuffle
+    // replaces the previous 6-join chain, whose sequential AQE stages
+    // cost 12+ s of driver latency regardless of data size; per-user
+    // state is the event list (the same bound ClickHouse's windowFunnel
+    // carries — q86 sequence-match already relies on it).
+    val e = struct(unix_micros(col("ts")).as("tus"), col("event_id"),
+      substring(col("event_type"), 1, 1).as("c"))
+    val init = struct(lit(null).cast("long").as("t1"),
+      lit(null).cast("long").as("t2"), lit(null).cast("long").as("t3"))
+    val dayUs = 86400000000L
+    def fold(acc: Column, ev: Column): Column = {
+      val (t1, t2, t3) = (acc.getField("t1"), acc.getField("t2"), acc.getField("t3"))
+      val (t, c) = (ev.getField("tus"), ev.getField("c"))
+      val win = t1 + lit(dayUs)
+      struct(
+        when(t1.isNull && c === "s", t).otherwise(t1).as("t1"),
+        when(t2.isNull && c === "c" && t1.isNotNull && t > t1 && t <= win, t)
+          .otherwise(t2).as("t2"),
+        when(t3.isNull && c === "p" && t2.isNotNull && t > t2 && t <= win, t)
+          .otherwise(t3).as("t3"))
+    }
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(aggregate(array_sort(collect_list(e)), init, fold).as("f"))
+      .agg(count(col("f.t1")).as("n1"), count(col("f.t2")).as("n2"),
+        count(col("f.t3")).as("n3"))
+      .select(expr("stack(3, 1, n1, 2, n2, 3, n3) AS (step, n_users)"))
+      .orderBy(col("step"))
   }
 
   val q83Sql: String =
@@ -129,29 +137,40 @@ object EventAnalytics {
     * extra exchange (and may still pick broadcast at small scale).
     * Ratio is a single division of exact integers. */
   def q84Retention(s: SparkSession, dir: String): DataFrame = {
-    val active = Tables.events(s, dir)
+    // Two jobs total. Job 1 fetches the one O(1) scalar (the first
+    // observed day) — collected, not wired in as a broadcast-subquery
+    // branch: every such branch is its own sequential AQE stage, and the
+    // original persist+3-branch formulation spent 5+ s of driver stage
+    // orchestration on 30 output rows. Job 2 is the whole retention
+    // computation: (user, day) distinct → cohort membership as a
+    // user-keyed window max (no self-join, same user_id partitioning the
+    // distinct just produced) → day-offset counts. The cohort size needs
+    // no extra pass either — every cohort user is active on day 0 by
+    // definition, so it IS the offset-0 count, read back via a window
+    // over the calendar-sized result.
+    val d0Row = Tables.events(s, dir)
+      .agg(min(to_date(col("ts"))).as("d0")).collect()(0)
+    if (d0Row.isNullAt(0))
+      return Tables.events(s, dir)
+        .select(lit(0).as("day_offset"), lit(0L).as("n_active"),
+          lit(0.0).as("ratio")).limit(0)
+    val d0 = d0Row.getDate(0)
+    val wUser = Window.partitionBy(col("user_id"))
+    val wAll = Window.partitionBy()
+    Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-    // active feeds four branches (day0, cohort, cohort count, the main
-    // join): persist so the events scan + wide distinct runs once instead
-    // of relying on ReuseExchange to unify the branches; the day-offset
-    // result is tiny, so an eager localCheckpoint frees the cache.
-    active.persist()
-    try {
-      val day0 = active.agg(min(col("day")).as("d0"))
-      val cohort = active.join(broadcast(day0), col("day") === col("d0"))
-        .select(col("user_id"))
-      val cohortN = cohort.agg(count(lit(1)).as("cohort_n"))
-      active.join(cohort, Seq("user_id"))
-        .crossJoin(broadcast(day0))
-        .groupBy(datediff(col("day"), col("d0")).as("day_offset"))
-        .agg(count(lit(1)).as("n_active"))
-        .crossJoin(broadcast(cohortN))
-        .select(col("day_offset"), col("n_active"),
-          round(col("n_active").cast("double") / col("cohort_n"), 4).as("ratio"))
-        .orderBy(col("day_offset"))
-        .localCheckpoint(true)
-    } finally active.unpersist(false)
+      .withColumn("in_cohort",
+        max(when(col("day") === lit(d0), 1).otherwise(0)).over(wUser))
+      .filter(col("in_cohort") === 1)
+      .groupBy(datediff(col("day"), lit(d0)).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      // single-partition window over day-offset-cardinality rows (~tens)
+      .withColumn("cohort_n",
+        max(when(col("day_offset") === 0, col("n_active"))).over(wAll))
+      .select(col("day_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_n"), 4).as("ratio"))
+      .orderBy(col("day_offset"))
   }
 
   val q84Sql: String =
@@ -484,6 +503,64 @@ object EventAnalytics {
       |       round(increase / span_h, 4) AS rate_per_h
       |FROM agg WHERE span_h > 0 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- time-weighted average
+  /** Time-weighted gauge average over irregular samples (ClickHouse
+    * `avgWeighted` with Δt weights — the time-series way to average a
+    * gauge that is sampled unevenly: each reading counts for the span it
+    * was current, Σ vᵢ·Δtᵢ / Σ Δtᵢ, last reading carries no forward
+    * span). One lead() over the (ts,event_id)-ordered user stream, then a
+    * user-keyed aggregate — no self-join; at 100 TB this is one shuffle
+    * on user_id. Arithmetic is integer-exact end to end: values quantize
+    * to cents with q92's floor(x·100+½) (identical IEEE ops in both
+    * engines), spans are integer microseconds, and Σ(cents·Δtµs) stays
+    * below 2⁶³ up to cents·span ≈ 9e18 (here ≤ 5.6e4 · 2.6e12 ≈ 1.5e17;
+    * at larger value·span products, swap the accumulator to DECIMAL) —
+    * so the only doubles are the two final divisions. */
+  def q103TimeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("value"))
+      .withColumn("v100", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .withColumn("dtus", lead(col("tus"), 1).over(w) - col("tus"))
+      .filter(col("dtus").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("v100") * col("dtus")).as("num"),
+        sum(col("dtus")).as("den"),
+        sum(col("v100")).as("vsum"))
+      .filter(col("den") > 0)
+      // floor(x·10⁴+½)/10⁴, not round(): the quotients land on exact .5
+      // boundaries (cents/integer-µs rationals), where Spark's BigDecimal
+      // HALF_UP and DuckDB's float-scaled round disagree — this is the
+      // same IEEE op sequence in both engines (q92/q101's trick)
+      .select(col("user_id"), col("n_spans"),
+        (floor(col("num").cast("double") / (col("den") * 100).cast("double")
+          * lit(10000L) + lit(0.5)) / lit(10000L)).as("time_weighted_avg"),
+        (floor(col("vsum").cast("double") / (col("n_spans") * 100).cast("double")
+          * lit(10000L) + lit(0.5)) / lit(10000L)).as("plain_avg"))
+      .orderBy(col("user_id"))
+  }
+
+  val q103Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+      |              floor(value * 100 + 0.5)::BIGINT AS v100
+      |            FROM events WHERE user_id < 40),
+      |sp AS (SELECT user_id, v100,
+      |         lead(tus, 1) OVER (PARTITION BY user_id
+      |           ORDER BY tus, event_id) - tus AS dtus
+      |       FROM ev),
+      |agg AS (SELECT user_id, count(*) AS n_spans,
+      |          sum(v100 * dtus)::BIGINT AS num, sum(dtus)::BIGINT AS den,
+      |          sum(v100)::BIGINT AS vsum
+      |        FROM sp WHERE dtus IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_spans,
+      |       floor(num::DOUBLE / (den * 100)::DOUBLE * 10000 + 0.5) / 10000 AS time_weighted_avg,
+      |       floor(vsum::DOUBLE / (n_spans * 100)::DOUBLE * 10000 + 0.5) / 10000 AS plain_avg
+      |FROM agg WHERE den > 0 ORDER BY user_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
@@ -495,5 +572,6 @@ object EventAnalytics {
     ("q99_anomaly",           q99Anomaly _,          Some(q99Sql)),
     ("q101_ema",              q101Ema _,             Some(q101Sql)),
     ("q102_counter_rate",     q102CounterRate _,     Some(q102Sql)),
+    ("q103_time_weighted_avg", q103TimeWeightedAvg _, Some(q103Sql)),
   )
 }

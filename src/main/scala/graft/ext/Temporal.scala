@@ -128,10 +128,52 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  // ------------------------------------------------------------------ interval-overlap join
+  /** Interval×interval overlap join (two interval SETS, vs q22's
+    * point-in-window): each user's daily activity span [first event, last
+    * event] against that day's error-incident window [first error, last
+    * error], emitting the overlap duration. The day equi-key makes this a
+    * hash join with the overlap condition as a residual filter — never a
+    * nested-loop over all interval pairs — and banding by day also bounds
+    * each interval to its band, the standard decomposition for interval
+    * joins at scale (multi-day intervals would be exploded per covered
+    * day and de-overlapped after). The incident side is calendar-sized,
+    * hence broadcast. Overlap arithmetic is integer microseconds. */
+  def q105IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"), unix_micros(col("ts")).as("tus"))
+    val spans = ev.groupBy(col("user_id"), col("day"))
+      .agg(min(col("tus")).as("lo"), max(col("tus")).as("hi"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .groupBy(col("day"))
+      .agg(min(col("tus")).as("elo"), max(col("tus")).as("ehi"))
+    spans.join(broadcast(incidents), Seq("day"))
+      .filter(col("lo") <= col("ehi") && col("elo") <= col("hi"))
+      .select(col("user_id"), col("day"),
+        (least(col("hi"), col("ehi")) - greatest(col("lo"), col("elo")))
+          .as("overlap_us"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q105Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, date_trunc('day', ts) AS day,
+      |              epoch_us(ts) AS tus FROM events),
+      |spans AS (SELECT user_id, day, min(tus) AS lo, max(tus) AS hi
+      |          FROM ev GROUP BY user_id, day),
+      |inc AS (SELECT day, min(tus) AS elo, max(tus) AS ehi
+      |        FROM ev WHERE event_type = 'error' GROUP BY day)
+      |SELECT s.user_id, s.day,
+      |       (least(s.hi, i.ehi) - greatest(s.lo, i.elo))::BIGINT AS overlap_us
+      |FROM spans s JOIN inc i USING (day)
+      |WHERE s.lo <= i.ehi AND i.elo <= s.hi
+      |ORDER BY s.user_id, s.day""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q21_asof_join",  q21AsOfJoin _,  Some(q21Sql)),
     ("q51_asof_native", q51AsOfNative _, Some(q21Sql)),
     ("q22_range_join", q22RangeJoin _, Some(q22Sql)),
     ("q23_sessionize", q23Sessionize _, Some(q23Sql)),
+    ("q105_interval_overlap", q105IntervalOverlap _, Some(q105Sql)),
   )
 }

@@ -219,13 +219,16 @@ object TextAnalysis {
     // recompute the explode: two scans beat spilling the corpus.)
     tok.persist()
     try {
+      // corpus size is an O(1) scalar — one count job (parquet row-group
+      // stats, no data pages) instead of a broadcast-subquery branch and
+      // its own sequential AQE stage
+      val nDocs = docs.count()
       val dfreq = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
       tok.join(broadcast(dfreq), Seq("tok"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"), sum(col("df")).as("sum_df"))
-        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
         .select(col("doc_id"), col("n_tok"),
-          round(col("n_tok").cast("double") * col("n_docs") / col("sum_df"), 4).as("rarity"))
+          round(col("n_tok").cast("double") * lit(nDocs) / col("sum_df"), 4).as("rarity"))
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
     } finally tok.unpersist(false)
@@ -317,6 +320,55 @@ object TextAnalysis {
       |  round(top.c::DOUBLE / n_total, 4) AS p_next
       |FROM a ORDER BY n_total DESC, w1 LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- C4: source-mixture drift
+  /** Distribution drift per source: the total-variation distance between
+    * each source's language mix and the corpus-wide mix — the
+    * mixture-monitoring signal that catches a crawl source whose
+    * composition shifted (an ingest gate alerts when tv_dist moves).
+    * TV = ½·Σ_l |n_sl/N_s − n_l/N| is evaluated as
+    * Σ_l |n_sl·N − n_l·N_s| / (2·N_s·N): the numerator is an EXACT
+    * integer sum (engine-portable regardless of aggregation order — the
+    * reason this is TV and not KL, whose logs are not bit-portable), and
+    * only the final division is floating. n·N stays below 2⁶³ up to
+    * ~3e9 docs; past that, swap the numerator to DECIMAL. One full-data
+    * pass collapses to (source, lang) cells; everything after is
+    * dimension-sized (the grid cross-join is |sources|×|langs|). */
+  def q104SourceDrift(s: SparkSession, dir: String): DataFrame = {
+    // cell feeds four consumers (per-source, per-lang, corpus totals, the
+    // grid join); it is dimension-sized, so materialize it eagerly rather
+    // than re-running the corpus aggregate per consumer.
+    val cell = Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("nsl"))
+      .localCheckpoint(true)
+    val bySrc = cell.groupBy(col("source")).agg(sum(col("nsl")).as("ns"))
+    val byLang = cell.groupBy(col("lang")).agg(sum(col("nsl")).as("nl"))
+    val total = cell.agg(sum(col("nsl")).as("nn"))
+    bySrc.crossJoin(broadcast(byLang))            // full grid: absent langs count as 0
+      .join(cell, Seq("source", "lang"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"), col("ns"), col("nn"))
+      .agg(sum(abs(coalesce(col("nsl"), lit(0L)) * col("nn") - col("nl") * col("ns")))
+        .as("num"))
+      .select(col("source"), col("ns").as("n_docs"),
+        round(col("num").cast("double") / (lit(2.0) * col("ns") * col("nn")), 6)
+          .as("tv_dist"))
+      .orderBy(col("source"))
+  }
+
+  val q104Sql: String =
+    """WITH cell AS (SELECT source, lang, count(*) AS nsl FROM documents
+      |              GROUP BY source, lang),
+      |by_src AS (SELECT source, sum(nsl)::BIGINT AS ns FROM cell GROUP BY source),
+      |by_lang AS (SELECT lang, sum(nsl)::BIGINT AS nl FROM cell GROUP BY lang),
+      |tot AS (SELECT sum(nsl)::BIGINT AS nn FROM cell),
+      |grid AS (SELECT s.source, s.ns, l.lang, l.nl, coalesce(c.nsl, 0) AS nsl, t.nn
+      |         FROM by_src s CROSS JOIN by_lang l
+      |         LEFT JOIN cell c ON c.source = s.source AND c.lang = l.lang
+      |         CROSS JOIN tot t)
+      |SELECT source, ns AS n_docs,
+      |       round(sum(abs(nsl * nn - nl * ns))::DOUBLE / (2.0 * ns * nn), 6) AS tv_dist
+      |FROM grid GROUP BY source, ns, nn ORDER BY source""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q32_lang_id",       q32LangId _,       Some(q32Sql)),
     ("q33_quality_score", q33QualityScore _, Some(q33Sql)),
@@ -328,5 +380,6 @@ object TextAnalysis {
     ("q75_token_rarity",  q75TokenRarity _,  Some(q75Sql)),
     ("q93_inverted_index", q93InvertedIndex _, Some(q93Sql)),
     ("q94_bigram_lm",      q94BigramLm _,      Some(q94Sql)),
+    ("q104_source_drift",  q104SourceDrift _,  Some(q104Sql)),
   )
 }

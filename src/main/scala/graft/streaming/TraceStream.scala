@@ -77,6 +77,18 @@ object TraceStream {
     q.awaitTermination()
   }
 
+  /** Stream-static dimension enrichment (B10 in streaming form — the
+    * reference's "dictionaries" TODO applied at ingest time): the
+    * normalized stream left-joined against a static broadcast dictionary
+    * inside the streaming query. Stateless — unlike stream-stream joins
+    * (StatefulOps.intervalJoin) no watermark or join state is held; the
+    * static side is re-resolved per micro-batch, so a dictionary loaded
+    * through a catalog view picks up refreshes on the next batch. */
+  def enrichedSource(spark: SparkSession, cfg: Config, dict: DataFrame,
+                     key: String): DataFrame =
+    TraceIngest.normalize(source(spark, cfg))
+      .join(broadcast(dict), Seq(key), "left")
+
   /** Streaming hourly rollup with watermark (B7 streaming form): the
     * materialized-view TODO of the reference
     * (/root/reference/README.md:231-236) as a live windowed aggregate. */

@@ -53,6 +53,24 @@ class StreamSpec extends SparkSpec {
       ("2019-05-13 16:00:00.0", "Role", 6L)))
   }
 
+  test("stream-static enrichment joins the broadcast dictionary per batch") {
+    import org.apache.spark.sql.functions._
+    val watch = tmpDir("watch5"); val ckpt = tmpDir("ckpt5")
+    writeTrace(watch, "trace.1.json", 1557761852L, 3)
+    val cfg = TraceStream.Config(watch, tmpDir("unused5"), ckpt)
+    import spark.implicits._
+    val dict = Seq(("Role", "control-plane"), ("MachineMetrics", "telemetry"))
+      .toDF("Type", "category")
+    val q = TraceStream.enrichedSource(spark, cfg, dict, "Type")
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enriched_out")
+      .select(col("Type"), col("category")).distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("Role", "control-plane")))
+  }
+
   test("maintained rollup equals recomputation and survives batch replay") {
     val watch = tmpDir("watch4"); val ckpt = tmpDir("ckpt4"); val roll = tmpDir("roll4")
     writeTrace(watch, "trace.1.json", 1557761852L, 5)
