@@ -25,6 +25,8 @@ object SparkEntry {
       ext.Multimodal.entries,
       ext.Curation.entries,
       ext.EventAnalytics.entries,
+      ext.SeriesStats.entries,
+      ext.CorpusStats.entries,
     )
 
   private lazy val all = modules.flatten

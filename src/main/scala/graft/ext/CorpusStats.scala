@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Corpus-level statistics over the documents table — the measurements a
+  * training-data pipeline runs to characterize a crawl before mixing it
+  * (distribution entropy, vocabulary growth, collocation strength).
+  * Extends SURVEY.md §2 Tier C4 (text analysis) at the corpus grain.
+  *
+  * Scale design: everything funnels through ONE token explosion of the
+  * corpus followed by hash aggregations keyed on the token (map-side
+  * partial combine absorbs the Zipf head before the shuffle — "the" is
+  * pre-counted per partition, so the shuffle carries ≤|vocab| rows per
+  * partition, not |corpus| rows). The post-aggregation tables are
+  * vocabulary-sized (≪ corpus), so window passes over them are free.
+  * Float statistics are either derived from exact integer counts in a
+  * single expression (deterministic across engines) or rounded at 4dp
+  * where a small float sum is unavoidable (q45/q58 precedent).
+  */
+object CorpusStats {
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+              explode(split(col("text"), " ")).as("tok"))
+
+  // ---------------------------------------------------------------- q111: distribution entropy
+  /** Per-source unigram Shannon entropy (nats) and its normalized form
+    * H/ln(V) — the standard "how diverse is this slice" screen before
+    * weighting a mixture. Token counts are exact integers; the entropy
+    * sum runs over the vocabulary-sized count table only. */
+  def q111Entropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = toks(s, dir)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .withColumn("p", col("c").cast("double") / col("tot").cast("double"))
+      .groupBy(col("source"))
+      .agg(max(col("tot")).as("n_tok"),
+           count(lit(1)).as("vocab"),
+           round(-sum(col("p") * log(col("p"))), 4).as("entropy"))
+      // vocab=1 ⇒ ln(V)=0: normalized entropy is undefined (NULL), and the
+      // raw division would throw under ANSI mode
+      .withColumn("norm_entropy",
+        when(col("vocab") > 1,
+          round(col("entropy") / log(col("vocab").cast("double")), 4)))
+      .orderBy(col("source"))
+  }
+
+  val q111Sql: String =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      |p AS (SELECT source, c,
+      |             c::DOUBLE / sum(c) OVER (PARTITION BY source) AS p,
+      |             sum(c) OVER (PARTITION BY source) AS tot
+      |      FROM c),
+      |h AS (SELECT source, CAST(max(tot) AS BIGINT) AS n_tok, count(*) AS vocab,
+      |             round(-sum(p * ln(p)), 4) AS entropy
+      |      FROM p GROUP BY source)
+      |SELECT source, n_tok, vocab, entropy,
+      |       CASE WHEN vocab > 1
+      |            THEN round(entropy / ln(vocab::DOUBLE), 4) END AS norm_entropy
+      |FROM h ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q112: vocabulary growth
+  /** Heaps-law vocabulary-growth curve: walking the corpus in doc_id
+    * order, cumulative token count vs cumulative distinct-token count at
+    * every 100-doc checkpoint. Distinct growth is computed WITHOUT any
+    * per-prefix re-scan: each token's first-occurrence doc (min doc_id,
+    * one token-keyed aggregation) assigns it to the bucket that
+    * introduced it; running sums over the ~|corpus|/100 bucket table do
+    * the rest. All integers — exact at any scale. */
+  def q112VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perBucket = docs
+      .groupBy((col("doc_id") / 100).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " "))).cast("long").as("n_tok"))
+    val newTok = toks(s, dir)
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy((col("first_doc") / 100).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTok, Seq("bucket"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      .withColumn("ttr",
+        round(col("cum_vocab").cast("double") / col("cum_tok").cast("double"), 6))
+      .select(col("bucket"), col("cum_docs"), col("cum_tok"),
+              col("cum_vocab"), col("ttr"))
+      .orderBy(col("bucket"))
+  }
+
+  val q112Sql: String =
+    """WITH b AS (SELECT CAST(doc_id // 100 AS BIGINT) AS bucket,
+      |                  count(*) AS n_docs,
+      |                  sum(len(string_split(text, ' '))) AS n_tok
+      |           FROM documents GROUP BY 1),
+      |f AS (SELECT tok, min(doc_id) AS first_doc
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents) t
+      |      GROUP BY tok),
+      |nv AS (SELECT CAST(first_doc // 100 AS BIGINT) AS bucket, count(*) AS n_new
+      |       FROM f GROUP BY 1)
+      |SELECT bucket,
+      |       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+      |       CAST(sum(n_tok) OVER w AS BIGINT) AS cum_tok,
+      |       CAST(sum(coalesce(n_new, 0)) OVER w AS BIGINT) AS cum_vocab,
+      |       round((sum(coalesce(n_new, 0)) OVER w)::DOUBLE
+      |             / (sum(n_tok) OVER w)::DOUBLE, 6) AS ttr
+      |FROM b LEFT JOIN nv USING (bucket)
+      |WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q113: PMI collocations
+  /** Top-25 adjacent-bigram collocations by pointwise mutual information,
+    * PMI = ln(p(ab) / (p(a)·p(b))) — the classic phrase detector. One
+    * positional explode produces adjacent pairs; bigram and unigram
+    * count tables are vocabulary-sized; PMI is a single float expression
+    * over exact integer counts. A count floor (n_ab ≥ 40) keeps the
+    * estimator out of the noisy tail, and ranking uses the ROUNDED score
+    * with a lexicographic tie-break so both engines pick the same 25. */
+  def q113Pmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val bi = docs
+      .filter(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("a"),
+                    element_at(col("tk"), i + 1).as("b")))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val uni = toks(s, dir).groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val nTok = uni.agg(sum(col("n")).as("n_uni"))
+    val nBi = bi.agg(sum(col("n_ab")).as("n_big"))
+    val scored = bi.filter(col("n_ab") >= 40)
+      .join(broadcast(uni.withColumnRenamed("tok", "a").withColumnRenamed("n", "n_a")), Seq("a"))
+      .join(broadcast(uni.withColumnRenamed("tok", "b").withColumnRenamed("n", "n_b")), Seq("b"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .withColumn("pmi", round(
+        log(col("n_ab").cast("double") / col("n_big").cast("double")
+          / (col("n_a").cast("double") / col("n_uni").cast("double"))
+          / (col("n_b").cast("double") / col("n_uni").cast("double"))), 4))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("pmi").desc, col("a"), col("b"))))
+      .filter(col("rn") <= 25)
+      .select(col("rn"), col("a"), col("b"), col("n_ab"), col("pmi"))
+      .orderBy(col("rn"))
+  }
+
+  val q113Sql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |bi AS (SELECT tk[i] AS a, tk[i+1] AS b
+      |       FROM tk, unnest(range(1, len(tk))) AS u(i)
+      |       WHERE len(tk) >= 2),
+      |bc AS (SELECT a, b, count(*) AS n_ab FROM bi GROUP BY 1, 2),
+      |uni AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |uc AS (SELECT tok, count(*) AS n FROM uni GROUP BY tok),
+      |tot AS (SELECT (SELECT sum(n) FROM uc) AS n_uni,
+      |               (SELECT sum(n_ab) FROM bc) AS n_big),
+      |scored AS (SELECT bc.a, bc.b, bc.n_ab,
+      |                  round(ln(bc.n_ab::DOUBLE / t.n_big::DOUBLE
+      |                        / (ua.n::DOUBLE / t.n_uni::DOUBLE)
+      |                        / (ub.n::DOUBLE / t.n_uni::DOUBLE)), 4) AS pmi
+      |           FROM bc CROSS JOIN tot t
+      |           JOIN uc ua ON ua.tok = bc.a
+      |           JOIN uc ub ON ub.tok = bc.b
+      |           WHERE bc.n_ab >= 40)
+      |SELECT row_number() OVER (ORDER BY pmi DESC, a, b) AS rn,
+      |       a, b, n_ab, pmi
+      |FROM scored
+      |QUALIFY rn <= 25
+      |ORDER BY rn""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q111_entropy",      q111Entropy _,     Some(q111Sql)),
+    ("q112_vocab_growth", q112VocabGrowth _, Some(q112Sql)),
+    ("q113_pmi",          q113Pmi _,         Some(q113Sql)),
+  )
+}

@@ -592,6 +592,43 @@ object Dedup {
        |WHERE round(inter::DOUBLE / least(s1.sz, s2.sz), 4) >= 0.1
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- q114: n-gram novelty
+  /** Per-document n-gram novelty: the share of a doc's distinct trigrams
+    * that NO earlier doc (doc_id order = ingestion order) already
+    * contains — the streaming-corpus "how much new text is this really"
+    * screen (MassiveText-style duplicate-n-gram filtering, inverted).
+    * Computed without any per-prefix re-scan: one token-keyed
+    * aggregation assigns each trigram its first-occurrence doc, and a
+    * doc-grain re-join counts which of a doc's trigrams it introduced.
+    * Two shuffles total (trigram key, then doc key), exact integer
+    * ratios — the same plan shape at 100 TB. */
+  def q114NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val tri = docShingles(s, dir)
+    tri.persist()
+    try {
+      val first = tri.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      tri.join(first, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"),
+             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_tri"), 4))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally tri.unpersist(false)
+  }
+
+  val q114Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |tri AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("tk")}) AS g FROM toks),
+       |f AS (SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY g)
+       |SELECT t.doc_id, count(*) AS n_tri,
+       |       CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       round(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)::DOUBLE
+       |             / count(*), 4) AS novelty
+       |FROM tri t JOIN f USING (g)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_dedup_exact",     q24DedupExact _,     Some(q24Sql)),
     ("q25_minhash_sig",     q25MinHashSig _,     Some(q25Sql)),
@@ -605,5 +642,6 @@ object Dedup {
     ("q78_bloom_decontam",  q78BloomDecontam _,  Some(q78Sql)),
     ("q79_canonical_select", q79CanonicalSelect _, Some(q79Sql)),
     ("q106_containment",    q106Containment _,   Some(q106Sql)),
+    ("q114_ngram_novelty",  q114NgramNovelty _,  Some(q114Sql)),
   )
 }

@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Time-series statistics over the events table — the diagnostic family a
+  * log-analytics sink is queried for once rollups exist (the reference
+  * delegates all querying to ClickHouse, README.md:9-10; these are the
+  * ClickHouse-style series functions re-expressed as declarative plans).
+  *
+  * Scale design: every operator aggregates raw events down to the
+  * per-(type, day) or per-(type, user) grain FIRST — one shuffle keyed on
+  * the series entity with map-side partial aggregation — then runs the
+  * statistic on the tiny series table. Day-grain series are ~365 rows per
+  * type per year regardless of raw volume, so the window passes after the
+  * first aggregation are free at any scale. Statistics that need a float
+  * accumulation are derived from EXACT integer running sums wherever
+  * cross-engine determinism matters (q109), or from single-pass co-moment
+  * aggregates that both engines define identically (q107).
+  */
+object SeriesStats {
+
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  // ---------------------------------------------------------------- q107: lag autocorrelation
+  /** Lag-1 autocorrelation of each event type's daily-count series —
+    * "is yesterday's volume predictive of today's?". One shuffle to the
+    * day grain, a lag window over the ~150-row series, and a single-pass
+    * Pearson `corr` co-moment aggregate (identical definition in Spark
+    * and DuckDB, q45 precedent). */
+  def q107Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily(s, dir)
+      .withColumn("n_prev", lag(col("n"), 1).over(w))
+      .filter(col("n_prev").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(round(corr(col("n"), col("n_prev")), 4).as("autocorr_1d"),
+           count(lit(1)).as("n_pairs"))
+      .orderBy(col("event_type"))
+  }
+
+  val q107Sql: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, n,
+      |             lag(n) OVER (PARTITION BY event_type ORDER BY day) AS n_prev
+      |      FROM d)
+      |SELECT event_type, round(corr(n, n_prev), 4) AS autocorr_1d,
+      |       count(*) AS n_pairs
+      |FROM l WHERE n_prev IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q108: Markov transitions
+  /** First-order event-type transition matrix: for each user's event
+    * sequence (ts order, event_id tie-break), count src→dst adjacencies
+    * and normalize per src row. The lead window shuffles raw events once
+    * on user_id (the natural session key — same partitioning q83/q86
+    * reuse); the transition matrix itself is |types|² rows. */
+  def q108Markov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src"))), 4))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val q108Sql: String =
+    """WITH seq AS (SELECT event_type AS src,
+      |                    lead(event_type) OVER (PARTITION BY user_id
+      |                                           ORDER BY ts, event_id) AS dst
+      |             FROM events),
+      |c AS (SELECT src, dst, count(*) AS n FROM seq
+      |      WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |       round(n::DOUBLE / sum(n) OVER (PARTITION BY src), 4) AS p
+      |FROM c ORDER BY src, dst""".stripMargin
+
+  // ---------------------------------------------------------------- q109: CUSUM changepoint
+  /** CUSUM changepoint screen on each type's daily-count series: the
+    * deviation of the running total from the uniform-rate line,
+    * D_k = S_k − k·T/K (S_k = exact integer running sum, T/K = overall
+    * mean). The day whose |D_k| is maximal is the best single
+    * changepoint (max-CUSUM statistic). All accumulation is over exact
+    * BIGINTs — the only float ops are one multiply/divide per row from
+    * integer inputs, so Spark and DuckDB agree bit-for-bit (no
+    * order-dependent float summation, unlike a naive z-score cusum). */
+  def q109Cusum(s: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    daily(s, dir)
+      .withColumn("k", row_number().over(wSeq))
+      .withColumn("s_k", sum(col("n")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", sum(col("n")).over(wAll))
+      .withColumn("kk", count(lit(1)).over(wAll))
+      .withColumn("dev", round(col("s_k").cast("double") -
+        col("k").cast("double") * col("t").cast("double") / col("kk").cast("double"), 4))
+      .withColumn("is_cp",
+        when(abs(col("dev")) === max(abs(col("dev"))).over(wAll), 1).otherwise(0))
+      .select(col("event_type"), col("day"), col("n"), col("dev"), col("is_cp"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q109Sql: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |cum AS (SELECT event_type, day, n,
+      |               row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+      |               sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |                            ROWS UNBOUNDED PRECEDING) AS s_k,
+      |               sum(n) OVER (PARTITION BY event_type) AS t,
+      |               count(*) OVER (PARTITION BY event_type) AS kk
+      |        FROM d),
+      |dev AS (SELECT event_type, day, n,
+      |               round(s_k::DOUBLE - k::DOUBLE * t::DOUBLE / kk::DOUBLE, 4) AS dev
+      |        FROM cum)
+      |SELECT event_type, day, n, dev,
+      |       CASE WHEN abs(dev) = max(abs(dev)) OVER (PARTITION BY event_type)
+      |            THEN 1 ELSE 0 END AS is_cp
+      |FROM dev ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------- q110: concentration (HHI)
+  /** Herfindahl–Hirschman concentration of event volume across users per
+    * type — "is this stream dominated by a few actors?". Two cascaded
+    * hash aggregations: raw→(type,user) counts (the only raw-data
+    * shuffle), then (type,user)→type sum-of-squared-shares. Shares come
+    * from exact integer counts; HHI sums |users| small doubles — at 4dp
+    * the engines agree (q45/q58 precedent for rounded float aggs). */
+  def q110Hhi(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    perUser
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("share", col("n").cast("double") / col("tot").cast("double"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+           round(sum(col("share") * col("share")), 4).as("hhi"),
+           round(max(col("share")), 4).as("top_share"))
+      .orderBy(col("event_type"))
+  }
+
+  val q110Sql: String =
+    """WITH u AS (SELECT event_type, user_id, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |sh AS (SELECT event_type,
+      |              n::DOUBLE / sum(n) OVER (PARTITION BY event_type) AS share
+      |       FROM u)
+      |SELECT event_type, count(*) AS n_users,
+      |       round(sum(share * share), 4) AS hhi,
+      |       round(max(share), 4) AS top_share
+      |FROM sh GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q107_autocorr", q107Autocorr _, Some(q107Sql)),
+    ("q108_markov",   q108Markov _,   Some(q108Sql)),
+    ("q109_cusum",    q109Cusum _,    Some(q109Sql)),
+    ("q110_hhi",      q110Hhi _,      Some(q110Sql)),
+  )
+}

@@ -1,0 +1,141 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture tests for the series-statistics (q107–q110) and
+  * corpus-statistics (q111–q114) operators. */
+class SeriesCorpusSpec extends SparkSpec {
+
+  private def eventsDir(rows: Seq[(Long, String, Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("events")
+    rows.toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("docs")
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ------------------------------------------------------------- q107 autocorrelation
+  test("autocorr: perfectly alternating daily series gives -1") {
+    // daily counts 1,3,1,3,1 → lag-1 pairs (1,3),(3,1),(1,3),(3,1) → r = -1
+    var id = 0L
+    val rows = Seq("01", "02", "03", "04", "05").zip(Seq(1, 3, 1, 3, 1)).flatMap {
+      case (d, n) => (1 to n).map { _ => id += 1; (id, s"2024-01-$d 10:00:00", 1L, "a") }
+    }
+    val got = SeriesStats.q107Autocorr(spark, eventsDir(rows)).collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "a")
+    assert(got(0).getDouble(1) == -1.0)
+    assert(got(0).getLong(2) == 4L)
+  }
+
+  // ------------------------------------------------------------- q108 Markov transitions
+  test("markov: per-user adjacency counts and row-normalized probabilities") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a"),
+      (2L, "2024-01-01 00:01:00", 1L, "b"),
+      (3L, "2024-01-01 00:02:00", 1L, "a"),
+      (4L, "2024-01-01 00:00:00", 2L, "a"),
+      (5L, "2024-01-01 00:01:00", 2L, "b")))
+    val got = SeriesStats.q108Markov(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // user1: a→b, b→a; user2: a→b  (no cross-user a←b transition)
+    assert(got == Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("markov: ties on ts break by event_id, never across users") {
+    val dir = eventsDir(Seq(
+      (10L, "2024-01-01 00:00:00", 1L, "x"),
+      (11L, "2024-01-01 00:00:00", 1L, "y")))  // same ts: event_id orders x→y
+    val got = SeriesStats.q108Markov(spark, dir).collect()
+    assert(got.length == 1 &&
+      got(0).getString(0) == "x" && got(0).getString(1) == "y")
+  }
+
+  // ------------------------------------------------------------- q109 CUSUM changepoint
+  test("cusum: level shift flags the last pre-shift day as the changepoint") {
+    // counts 1,1,1,5,5,5: D_k = S_k - 3k → -2,-4,-6,-4,-2,0 — max |D| at day 3
+    var id = 0L
+    val rows = (1 to 6).flatMap { d =>
+      val n = if (d <= 3) 1 else 5
+      (1 to n).map { _ => id += 1; (id, f"2024-01-$d%02d 09:00:00", 1L, "a") }
+    }
+    val got = SeriesStats.q109Cusum(spark, eventsDir(rows)).collect()
+    assert(got.map(_.getDouble(3)).toSeq == Seq(-2.0, -4.0, -6.0, -4.0, -2.0, 0.0))
+    assert(got.map(_.getInt(4)).toSeq == Seq(0, 0, 1, 0, 0, 0))
+  }
+
+  // ------------------------------------------------------------- q110 HHI concentration
+  test("hhi: dominant user concentration 0.9²+0.1²") {
+    var id = 0L
+    val rows = (1 to 9).map { _ => id += 1; (id, "2024-01-01 00:00:00", 1L, "a") } :+
+      { id += 1; (id, "2024-01-01 00:00:00", 2L, "a") }
+    val got = SeriesStats.q110Hhi(spark, eventsDir(rows)).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 2L)            // n_users
+    assert(got(0).getDouble(2) == 0.82)        // hhi
+    assert(got(0).getDouble(3) == 0.9)         // top_share
+  }
+
+  // ------------------------------------------------------------- q111 entropy
+  test("entropy: uniform two-token source hits ln(2) with norm_entropy 1") {
+    val dir = docsDir(Seq(
+      (1L, "a b a b", "s1"),                   // uniform over {a, b}
+      (2L, "c c c c", "s2")))                  // degenerate single token
+    val rows = CorpusStats.q111Entropy(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), Option(r.get(4))))).toMap
+    // norm divides the 4dp-rounded entropy (same in the oracle SQL):
+    // 0.6931 / ln 2 = 0.99993… → 0.9999
+    assert(rows("s1") == ((4L, 2L, 0.6931, Some(0.9999))))
+    assert(rows("s2")._3 == 0.0)               // -sum(1·ln 1) = 0
+    assert(rows("s2")._4.isEmpty)              // norm undefined at vocab=1
+  }
+
+  // ------------------------------------------------------------- q112 vocabulary growth
+  test("vocab growth: cumulative distinct counts across 100-doc buckets") {
+    val dir = docsDir(Seq(
+      (0L, "a b", "s"),                        // bucket 0: vocab {a,b}
+      (100L, "a c", "s")))                     // bucket 1: introduces only c
+    val got = CorpusStats.q112VocabGrowth(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(0L) == ((1L, 2L, 2L, 1.0)))
+    assert(got(1L) == ((2L, 4L, 3L, 0.75)))
+  }
+
+  // ------------------------------------------------------------- q113 PMI collocations
+  test("pmi: repeated adjacent pair ranks first with positive pmi") {
+    // "x y" × 40 → bigram (x,y) 40×, (y,x) 39× — only these clear the floor
+    val text = Seq.fill(40)("x y").mkString(" ")
+    val got = CorpusStats.q113Pmi(spark, docsDir(Seq((1L, text, "s")))).collect()
+    assert(got.length == 1)                    // (y,x) at 39 misses the n≥40 floor
+    assert(got(0).getInt(0) == 1 &&
+      got(0).getString(1) == "x" && got(0).getString(2) == "y")
+    assert(got(0).getLong(3) == 40L && got(0).getDouble(4) > 0.0)
+  }
+
+  // ------------------------------------------------------------- q114 n-gram novelty
+  test("ngram novelty: first doc 1.0, exact copy 0.0, half-overlap in between") {
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")   // 8 distinct trigrams
+    val half = (5 to 14).map(i => s"a$i").mkString(" ") // shares a5..a10 run
+    val dir = docsDir(Seq((1L, a, "s"), (2L, a, "s"), (3L, half, "s")))
+    val got = Dedup.q114NgramNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((8L, 8L, 1.0)))
+    assert(got(2L) == ((8L, 0L, 0.0)))
+    // doc3 has 8 trigrams; a5-a6-a7 … a8-a9-a10 (4 of them) were seen in doc1
+    assert(got(3L)._1 == 8L && got(3L)._2 == 4L && got(3L)._3 == 0.5)
+  }
+}
