@@ -406,6 +406,46 @@ object Curation {
       |  round(n_docs::DOUBLE / (sum(n_docs) OVER ()), 4) AS share
       |FROM cell ORDER BY source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- importance sampling
+  /** Probability-proportional (importance) sampling: keep each doc with
+    * probability 0.1 + 0.9·min(n_chars/400, 1) — longer docs kept almost
+    * surely, short ones soft-downsampled (the usual quality-weighted
+    * thinning before mixing). The "coin flip" is the same Lehmer-LCG
+    * uniform q57 uses (integer arithmetic → exact same decisions in any
+    * engine, on any executor, on re-runs — reproducibility is the whole
+    * point vs rand()). Pure map over the scan, no shuffle; survivors
+    * stream straight into the next pipeline stage at any scale. */
+  def q116ImportanceSample(s: SparkSession, dir: String): DataFrame = {
+    val m = 2147483647L
+    // two LCG steps: one step leaves small doc_ids in the bottom of the
+    // range (u ≈ id·2.2e-5 — nothing would ever drop); the second multiply
+    // wraps the modulus and actually mixes (kept fraction ≈ E[keep_p])
+    val u = (((col("doc_id") % m) * 48271L % m) * 48271L % m)
+      .cast("double") / lit(2147483647.0)
+    val p = lit(0.1) + lit(0.9) *
+      least(col("n_chars").cast("double") / lit(400.0), lit(1.0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("keep_p", p)
+      .filter(u < col("keep_p"))
+      // 6dp, not 4: keep_p = 0.1 + 0.00225·k has exactly 5 decimal digits,
+      // so rounding AT the 4th sits on half-way boundaries where Spark's
+      // HALF_UP on the binary double and DuckDB's rounding disagree; at
+      // 6dp there is no boundary to disagree about
+      .select(col("doc_id"), col("source"), round(col("keep_p"), 6).as("keep_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q116Sql: String =
+    """SELECT doc_id, source,
+      |       round(0.1::DOUBLE + 0.9::DOUBLE
+      |             * least(n_chars::DOUBLE / 400.0, 1.0::DOUBLE), 6) AS keep_p
+      |FROM documents
+      |WHERE (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647)::DOUBLE
+      |        / 2147483647.0
+      |      < 0.1::DOUBLE + 0.9::DOUBLE * least(n_chars::DOUBLE / 400.0, 1.0::DOUBLE)
+      |ORDER BY doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q56_repetition",        q56Repetition _,       Some(q56Sql)),
     ("q57_stratified_sample", q57StratifiedSample _, Some(q57Sql)),
@@ -414,5 +454,6 @@ object Curation {
     ("q65_quality_gate",      q65QualityGate _,      Some(q65Sql)),
     ("q71_mixture",           q71Mixture _,          Some(q71Sql)),
     ("q95_dataset_card",      q95DatasetCard _,      Some(q95Sql)),
+    ("q116_importance_sample", q116ImportanceSample _, Some(q116Sql)),
   )
 }

@@ -597,20 +597,24 @@ object Dedup {
     * that NO earlier doc (doc_id order = ingestion order) already
     * contains — the streaming-corpus "how much new text is this really"
     * screen (MassiveText-style duplicate-n-gram filtering, inverted).
-    * Computed without any per-prefix re-scan: one token-keyed
-    * aggregation assigns each trigram its first-occurrence doc, and a
-    * doc-grain re-join counts which of a doc's trigrams it introduced.
-    * Two shuffles total (trigram key, then doc key), exact integer
-    * ratios — the same plan shape at 100 TB. */
+    * Computed without any per-prefix re-scan OR corpus-sized join: the
+    * trigram-keyed min(doc_id) aggregation assigns each trigram to the
+    * doc that introduced it, so n_novel(d) is a COUNT over that
+    * vocabulary-sized table — the trigram stream itself is never joined.
+    * Two aggregations of the trigram stream (doc key for totals, trigram
+    * key for first-occurrence, both with map-side combine) + one
+    * doc-grain join of two small tables — the same plan shape at 100 TB
+    * (where the trigram key would hash to int64 first to cut shuffle
+    * bytes; here it stays the exact string for oracle parity). */
   def q114NgramNovelty(s: SparkSession, dir: String): DataFrame = {
     val tri = docShingles(s, dir)
     tri.persist()
     try {
-      val first = tri.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-      tri.join(first, Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tri"),
-             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      val totals = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+      val novel = tri.groupBy(col("g")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      totals.join(novel, Seq("doc_id"), "left")
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
         .withColumn("novelty",
           round(col("n_novel").cast("double") / col("n_tri"), 4))
         .orderBy(col("doc_id"))

@@ -433,6 +433,67 @@ object Similarity {
       |  round(sum((x - q * maxabs / 127.0) * (x - q * maxabs / 127.0)), 8) AS mse
       |FROM qv GROUP BY vec_id, label, maxabs ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- C3: label centroids / class cohesion
+  /** Per-label mean embedding (the class centroid) and the class's
+    * cohesion: avg / min cosine of members to their own centroid — the
+    * standard screen for mislabeled or heterogeneous classes before
+    * contrastive training (and the same centroid computation IVF/k-means
+    * training uses, here as an oracle-checked query).
+    *
+    * Scale design: the centroid pass posexplodes to (label, dim) keyed
+    * partial averages — map-side combine collapses each partition to
+    * |labels|·dim rows before the shuffle. The |labels|-sized centroid
+    * table is reassembled into ordered arrays and BROADCAST back; the
+    * scoring pass is then one map-only scan computing the dot via
+    * zip_with/aggregate — the corpus never shuffles for scoring. */
+  def q115LabelCentroid(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("i"), col("col").cast("double").as("x"))
+    val cent = ex.groupBy(col("label"), col("i")).agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        e => e.getField("c")).as("cv"))
+    val dotted = Tables.embeddings(s, dir)
+      .join(broadcast(cent), Seq("label"))
+      .withColumn("dot", aggregate(
+        zip_with(col("embedding").cast("array<double>"), col("cv"), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("nv", sqrt(aggregate(
+        transform(col("embedding").cast("array<double>"), a => a * a),
+        lit(0.0), (acc, v) => acc + v)))
+      .withColumn("nc", sqrt(aggregate(
+        transform(col("cv"), a => a * a), lit(0.0), (acc, v) => acc + v)))
+      .withColumn("cos", col("dot") / (col("nv") * col("nc")))
+    dotted.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("cos")), 4).as("avg_cos"),
+           round(min(col("cos")), 4).as("min_cos"),
+           round(sqrt(aggregate(transform(first(col("cv")), a => a * a),
+             lit(0.0), (acc, v) => acc + v)), 4).as("centroid_norm"))
+      .orderBy(col("label"))
+  }
+
+  val q115Sql: String =
+    """WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |                   unnest(embedding)::DOUBLE AS x
+      |            FROM embeddings),
+      |cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+      |dots AS (SELECT ex.label, ex.vec_id,
+      |                sum(ex.x * cent.c) AS dot,
+      |                sum(ex.x * ex.x) AS nv2,
+      |                sum(cent.c * cent.c) AS nc2
+      |         FROM ex JOIN cent ON cent.label = ex.label AND cent.i = ex.i
+      |         GROUP BY 1, 2),
+      |cos AS (SELECT label, vec_id, dot / (sqrt(nv2) * sqrt(nc2)) AS cos,
+      |               sqrt(nc2) AS nc
+      |        FROM dots)
+      |SELECT label, count(*) AS n,
+      |       round(avg(cos), 4) AS avg_cos,
+      |       round(min(cos), 4) AS min_cos,
+      |       round(min(nc), 4) AS centroid_norm
+      |FROM cos GROUP BY label ORDER BY label""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
     ("q47_knn_topk",   q47KnnTopK _,   Some(q30Sql)),
@@ -443,5 +504,6 @@ object Similarity {
     ("q54_embed_neardup",  q54EmbedNearDup _,  Some(q54Sql)),
     ("q76_hard_negatives", q76HardNegatives _, Some(q76Sql)),
     ("q92_embed_quantize", q92EmbedQuantize _, Some(q92Sql)),
+    ("q115_label_centroid", q115LabelCentroid _, Some(q115Sql)),
   )
 }

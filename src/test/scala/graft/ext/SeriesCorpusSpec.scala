@@ -138,4 +138,33 @@ class SeriesCorpusSpec extends SparkSpec {
     // doc3 has 8 trigrams; a5-a6-a7 … a8-a9-a10 (4 of them) were seen in doc1
     assert(got(3L)._1 == 8L && got(3L)._2 == 4L && got(3L)._3 == 0.5)
   }
+
+  // ------------------------------------------------------------- q115 label centroids
+  test("label centroid: orthogonal pair coheres at cos 45°, singleton at 1") {
+    import spark.implicits._
+    val dir = tmpDir("emb")
+    Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0), (3L, Seq(3f, 4f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.q115LabelCentroid(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // label 0: centroid (.5,.5); each member is 45° off → cos = √2/2
+    assert(got(0) == ((2L, 0.7071, 0.7071, 0.7071)))
+    // label 1: centroid IS the sole member; ‖(3,4)‖ = 5
+    assert(got(1) == ((1L, 1.0, 1.0, 5.0)))
+  }
+
+  // ------------------------------------------------------------- q116 importance sampling
+  test("importance sampling: keeps exactly the LCG-predicted subset") {
+    val m = 2147483647L
+    def u(id: Long) = (((id % m) * 48271 % m) * 48271 % m).toDouble / 2147483647.0
+    val p = 0.1 + 0.9 * math.min(20 / 400.0, 1.0)   // n_chars = 20 below
+    val dir = docsDir((0L until 50L).map(i => (i, "x" * 20, "s")))
+    val kept = Curation.q116ImportanceSample(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val expected = (0L until 50L).filter(i => u(i) < p).toSet
+    assert(kept == expected)
+    assert(expected.nonEmpty && expected.size < 50)  // the coin actually flips
+  }
 }
