@@ -61,4 +61,41 @@ class PlanSpec extends SparkSpec {
     val p = plan("q82_gap_fill")
     assert(!p.contains("events.parquet"))
   }
+
+  test("q111 entropy scan is pruned to source+text and combines map-side") {
+    val p = plan("q111_entropy")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("n_chars") && !p.contains("doc_id")) // pruned through explode
+    assert("HashAggregate".r.findAllIn(p).size >= 2)        // partial+final token counts
+  }
+
+  test("q113 PMI joins the unigram dictionary by broadcast, never SMJ") {
+    val p = plan("q113_pmi")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q115 centroid table broadcasts back; corpus never sort-merge-joins") {
+    val p = plan("q115_label_centroid")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q116 importance sampling is a pure map: no aggregate, no join, text unread") {
+    val p = plan("q116_importance_sample")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"))
+    assert(!p.contains("text"))                             // 3-column scan only
+  }
+
+  test("q108 markov raw pass is one user-keyed window, then dimension-sized aggs") {
+    val p = plan("q108_markov")
+    assert(p.contains("Window"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q109 cusum never joins: day-grain aggregate plus calendar-sized windows") {
+    val p = plan("q109_cusum")
+    assert(!p.contains("Join"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
 }
