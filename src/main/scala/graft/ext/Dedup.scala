@@ -633,6 +633,65 @@ object Dedup {
        |FROM tri t JOIN f USING (g)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q117: tf-idf sparse cosine
+  /** Sparse tf-idf cosine similarity join — the third similarity notion
+    * next to set-based MinHash/Jaccard (q26/q28) and dense-embedding
+    * cosine (q54): docs as sparse token vectors weighted tf·N/df
+    * (rational idf, like q58 — logs aren't bit-portable across engines),
+    * paired through the shared-token inverted index. Bounded to
+    * doc_id < 200 as exact ground truth (the LSH family is the scale
+    * path; at 100 TB the pair join keys on the token with df-descending
+    * prefix filtering — rare tokens first — to keep candidate pairs
+    * near-linear). */
+  def q117SparseCosine(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.persist()
+    try {
+      val nDocs = tf.agg(countDistinct(col("doc_id")).as("n"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = tf
+        .join(broadcast(df), Seq("tok"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"),
+          (col("tf").cast("double") * col("n").cast("double")
+            / col("df").cast("double")).as("w"))
+      val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      w.as("a").join(w.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(sum(col("a.w") * col("b.w")).as("dot"))
+        .join(broadcast(norms.withColumnRenamed("doc_id", "d1").withColumnRenamed("nrm", "n1")), Seq("d1"))
+        .join(broadcast(norms.withColumnRenamed("doc_id", "d2").withColumnRenamed("nrm", "n2")), Seq("d2"))
+        .withColumn("cos", round(col("dot") / (col("n1") * col("n2")), 4))
+        .filter(col("cos") >= 0.85)
+        .select(col("d1"), col("d2"), col("cos"))
+        .orderBy(col("d1"), col("d2"))
+        .localCheckpoint(true)
+    } finally tf.unpersist(false)
+  }
+
+  val q117Sql: String =
+    """WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents WHERE doc_id < 200),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM d GROUP BY 1, 2),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |w AS (SELECT tf.doc_id, tf.tok,
+      |             tf.tf::DOUBLE * n.n::DOUBLE / dfreq.df::DOUBLE AS w
+      |      FROM tf CROSS JOIN n JOIN dfreq ON dfreq.tok = tf.tok),
+      |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+      |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w * b.w) AS dot
+      |         FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2),
+      |cos AS (SELECT d1, d2,
+      |               round(dot / (na.nrm * nb.nrm), 4) AS cos
+      |        FROM dots JOIN norms na ON na.doc_id = d1
+      |                  JOIN norms nb ON nb.doc_id = d2)
+      |SELECT d1, d2, cos FROM cos WHERE cos >= 0.85 ORDER BY d1, d2""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_dedup_exact",     q24DedupExact _,     Some(q24Sql)),
     ("q25_minhash_sig",     q25MinHashSig _,     Some(q25Sql)),
@@ -647,5 +706,6 @@ object Dedup {
     ("q79_canonical_select", q79CanonicalSelect _, Some(q79Sql)),
     ("q106_containment",    q106Containment _,   Some(q106Sql)),
     ("q114_ngram_novelty",  q114NgramNovelty _,  Some(q114Sql)),
+    ("q117_sparse_cosine",  q117SparseCosine _,  Some(q117Sql)),
   )
 }

@@ -446,7 +446,20 @@ object Similarity {
     * table is reassembled into ordered arrays and BROADCAST back; the
     * scoring pass is then one map-only scan computing the dot via
     * zip_with/aggregate — the corpus never shuffles for scoring. */
-  def q115LabelCentroid(s: SparkSession, dir: String): DataFrame = {
+  def q115LabelCentroid(s: SparkSession, dir: String): DataFrame =
+    centroidCos(s, dir).groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("cos")), 4).as("avg_cos"),
+           round(min(col("cos")), 4).as("min_cos"),
+           round(sqrt(aggregate(transform(first(col("cv")), a => a * a),
+             lit(0.0), (acc, v) => acc + v)), 4).as("centroid_norm"))
+      .orderBy(col("label"))
+
+  /** Shared centroid-cosine pass for q115/q118: per-vector cosine to the
+    * vector's own label centroid (+ the centroid array `cv` for norm
+    * reporting). Centroids via (label,dim)-keyed partial averages;
+    * scoring via broadcast + zip_with — corpus never shuffles. */
+  private def centroidCos(s: SparkSession, dir: String): DataFrame = {
     val ex = Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos").as("i"), col("col").cast("double").as("x"))
@@ -454,7 +467,7 @@ object Similarity {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         e => e.getField("c")).as("cv"))
-    val dotted = Tables.embeddings(s, dir)
+    Tables.embeddings(s, dir)
       .join(broadcast(cent), Seq("label"))
       .withColumn("dot", aggregate(
         zip_with(col("embedding").cast("array<double>"), col("cv"), (a, b) => a * b),
@@ -465,14 +478,47 @@ object Similarity {
       .withColumn("nc", sqrt(aggregate(
         transform(col("cv"), a => a * a), lit(0.0), (acc, v) => acc + v)))
       .withColumn("cos", col("dot") / (col("nv") * col("nc")))
-    dotted.groupBy(col("label"))
-      .agg(count(lit(1)).as("n"),
-           round(avg(col("cos")), 4).as("avg_cos"),
-           round(min(col("cos")), 4).as("min_cos"),
-           round(sqrt(aggregate(transform(first(col("cv")), a => a * a),
-             lit(0.0), (acc, v) => acc + v)), 4).as("centroid_norm"))
-      .orderBy(col("label"))
   }
+
+  // ---------------------------------------------------------------- C3: mislabel screen
+  /** The 3 members of each label that cohere WORST with their own
+    * centroid — the shortlist a labeling-QA pass reviews first (low
+    * cosine to own class ⇒ likely mislabeled or boundary case). Ranks on
+    * the ROUNDED cosine with vec_id tie-break so both engines select
+    * identically. Same broadcast/zip_with scoring pass as q115; the
+    * ranking window partitions by label over corpus-sized input — at
+    * 100 TB swap for the k-bounded TopK Aggregator (q47's kernel). */
+  def q118MislabelScreen(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_r"), col("vec_id"))
+    centroidCos(s, dir)
+      .withColumn("cos_r", round(col("cos"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("label"), col("rn"), col("vec_id"), col("cos_r").as("cos"))
+      .orderBy(col("label"), col("rn"))
+  }
+
+  val q118Sql: String =
+    """WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |                   unnest(embedding)::DOUBLE AS x
+      |            FROM embeddings),
+      |cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+      |dots AS (SELECT ex.label, ex.vec_id,
+      |                sum(ex.x * cent.c) AS dot,
+      |                sum(ex.x * ex.x) AS nv2,
+      |                sum(cent.c * cent.c) AS nc2
+      |         FROM ex JOIN cent ON cent.label = ex.label AND cent.i = ex.i
+      |         GROUP BY 1, 2),
+      |cos AS (SELECT label, vec_id,
+      |               round(dot / (sqrt(nv2) * sqrt(nc2)), 4) AS cos
+      |        FROM dots),
+      |r AS (SELECT label, vec_id, cos,
+      |             row_number() OVER (PARTITION BY label
+      |                                ORDER BY cos, vec_id) AS rn
+      |      FROM cos)
+      |SELECT label, rn, vec_id, cos FROM r WHERE rn <= 3
+      |ORDER BY label, rn""".stripMargin
 
   val q115Sql: String =
     """WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
@@ -505,5 +551,6 @@ object Similarity {
     ("q76_hard_negatives", q76HardNegatives _, Some(q76Sql)),
     ("q92_embed_quantize", q92EmbedQuantize _, Some(q92Sql)),
     ("q115_label_centroid", q115LabelCentroid _, Some(q115Sql)),
+    ("q118_mislabel_screen", q118MislabelScreen _, Some(q118Sql)),
   )
 }

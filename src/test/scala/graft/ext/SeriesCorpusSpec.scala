@@ -167,4 +167,29 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(kept == expected)
     assert(expected.nonEmpty && expected.size < 50)  // the coin actually flips
   }
+
+  // ------------------------------------------------------------- q117 sparse cosine
+  test("sparse cosine: identical docs pair at 1.0, disjoint docs never pair") {
+    val dir = docsDir(Seq(
+      (1L, "a b c", "s"), (2L, "a b c", "s"), (3L, "x y z", "s")))
+    val got = Dedup.q117SparseCosine(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L &&
+      got(0).getDouble(2) == 1.0)
+  }
+
+  // ------------------------------------------------------------- q118 mislabel screen
+  test("mislabel screen: the off-axis member ranks first (worst cohesion)") {
+    import spark.implicits._
+    val dir = tmpDir("emb")
+    Seq((1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0.1f), 0),
+        (3L, Seq(1f, -0.1f), 0), (4L, Seq(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.q118MislabelScreen(spark, dir).collect()
+    assert(got.length == 3)                       // 4 members, top-3 worst kept
+    assert(got(0).getInt(0) == 0 && got(0).getInt(1) == 1 &&
+      got(0).getLong(2) == 4L)                    // the (0,1) outlier is rank 1
+    assert(got(0).getDouble(3) < got(1).getDouble(3))
+  }
 }
