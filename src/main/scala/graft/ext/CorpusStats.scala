@@ -180,9 +180,52 @@ object CorpusStats {
       |QUALIFY rn <= 25
       |ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- q119: Zipf fit (regr_* aggregates)
+  /** Zipf-law fit per source: OLS slope/intercept/R² of ln(freq) on
+    * ln(rank) over each source's 200 most frequent tokens — natural text
+    * slopes ≈ −1; far-off slopes flag templated or synthetic slices.
+    * Exercises the SQL:2016 linear-regression aggregate family
+    * (regr_slope / regr_intercept / regr_r2) as single-pass co-moment
+    * aggregates; ranks are deterministic (count desc, token tie-break),
+    * and the window input is the vocabulary-sized count table. */
+  def q119ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("tok"))
+    val ranked = toks(s, dir)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 200)
+      .select(col("source"),
+        log(col("c").cast("double")).as("y"),
+        log(col("rank").cast("double")).as("x"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+           round(regr_slope(col("y"), col("x")), 4).as("zipf_slope"),
+           round(regr_intercept(col("y"), col("x")), 4).as("zipf_intercept"),
+           round(regr_r2(col("y"), col("x")), 4).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  val q119Sql: String =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      |r AS (SELECT source, ln(c::DOUBLE) AS y, ln(rank::DOUBLE) AS x
+      |      FROM (SELECT source, c,
+      |                   row_number() OVER (PARTITION BY source
+      |                                      ORDER BY c DESC, tok) AS rank
+      |            FROM c)
+      |      WHERE rank <= 200)
+      |SELECT source, count(*) AS n_terms,
+      |       round(regr_slope(y, x), 4) AS zipf_slope,
+      |       round(regr_intercept(y, x), 4) AS zipf_intercept,
+      |       round(regr_r2(y, x), 4) AS r2
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q111_entropy",      q111Entropy _,     Some(q111Sql)),
     ("q112_vocab_growth", q112VocabGrowth _, Some(q112Sql)),
     ("q113_pmi",          q113Pmi _,         Some(q113Sql)),
+    ("q119_zipf_fit",     q119ZipfFit _,     Some(q119Sql)),
   )
 }

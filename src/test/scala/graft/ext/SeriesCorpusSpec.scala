@@ -168,6 +168,19 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.size < 50)  // the coin actually flips
   }
 
+  // ------------------------------------------------------------- q119 Zipf fit
+  test("zipf fit: freqs 4,2 at ranks 1,2 give slope exactly -1") {
+    // y = ln(freq), x = ln(rank): (0, ln4), (ln2, ln2) → slope -1,
+    // intercept ln4, perfect fit
+    val dir = docsDir(Seq((1L, "a a a a b b", "s")))
+    val got = CorpusStats.q119ZipfFit(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 2L)
+    assert(got(0).getDouble(2) == -1.0)      // zipf_slope
+    assert(got(0).getDouble(3) == 1.3863)    // intercept = ln 4
+    assert(got(0).getDouble(4) == 1.0)       // r2
+  }
+
   // ------------------------------------------------------------- q117 sparse cosine
   test("sparse cosine: identical docs pair at 1.0, disjoint docs never pair") {
     val dir = docsDir(Seq(
