@@ -169,11 +169,57 @@ object Temporal {
       |WHERE s.lo <= i.ehi AND i.elo <= s.hi
       |ORDER BY s.user_id, s.day""".stripMargin
 
+  // ---------------------------------------------------------------- q120: keyless interval join via optimizer rule
+  /** Keyless point-in-interval join written NAIVELY — purchases landing
+    * inside each day's 2-hour incident window (window = first error of
+    * the day + 2h; no shared key between the sides) — and left to the
+    * [[graft.plans.RangeBandRewrite]] optimizer rule to plan: the rule
+    * bands the window into hour buckets and turns the would-be
+    * BroadcastNestedLoopJoin into a hash equi-join (RangeBandSpec pins
+    * the plan shape; this query pins the semantics through the DuckDB
+    * gate). The declarative query stays a plain theta join — the
+    * optimization lives in the engine, not the query. */
+  def q120RangeBandRule(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.RangeBandRewrite.install(s)
+    val key = graft.plans.RangeBandRewrite.ConfKey
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "3600")
+    try {
+      val ev = Tables.events(s, dir)
+      val inc = ev.filter(col("event_type") === "error")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(min(col("ts")).as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 2 HOURS"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("ts"), col("value"))
+      pur.join(inc, col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+        .groupBy(col("day"), col("w_start"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("day"))
+        // execute eagerly while the band conf is active (the rule reads
+        // it at optimization time, which is otherwise after we return)
+        .localCheckpoint(true)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  val q120Sql: String =
+    """WITH inc AS (SELECT date_trunc('day', ts) AS day, min(ts) AS w_start
+      |             FROM events WHERE event_type = 'error' GROUP BY 1),
+      |p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
+      |SELECT i.day, i.w_start, count(*) AS n, round(avg(p.value), 4) AS avg_value
+      |FROM p JOIN inc i
+      |  ON p.ts >= i.w_start AND p.ts <= i.w_start + INTERVAL 2 HOUR
+      |GROUP BY 1, 2 ORDER BY day""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q21_asof_join",  q21AsOfJoin _,  Some(q21Sql)),
     ("q51_asof_native", q51AsOfNative _, Some(q21Sql)),
     ("q22_range_join", q22RangeJoin _, Some(q22Sql)),
     ("q23_sessionize", q23Sessionize _, Some(q23Sql)),
     ("q105_interval_overlap", q105IntervalOverlap _, Some(q105Sql)),
+    ("q120_range_band_rule",  q120RangeBandRule _,   Some(q120Sql)),
   )
 }

@@ -389,5 +389,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("simhash16", classOf[SimHashExpr], es => SimHashExpr(es.head))
     inject("nearest_cell", classOf[NearestCellExpr], es => NearestCellExpr(es(0), es(1)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.RangeBandRewrite)
   }
 }
