@@ -561,6 +561,31 @@ object EventAnalytics {
       |       floor(vsum::DOUBLE / (n_spans * 100)::DOUBLE * 10000 + 0.5) / 10000 AS plain_avg
       |FROM agg WHERE den > 0 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q121: ordered array agg (groupArray)
+  /** ClickHouse `groupArray` with a deterministic order: the first five
+    * acting users per event type, as an array column, in (ts, event_id)
+    * arrival order. collect_list alone is assembly-order-nondeterministic
+    * — the struct sort supplies the total order, making the array
+    * hash-stable across engines and executor counts. At 100 TB collect
+    * per group is unbounded state: cap the input FIRST (rank window or
+    * TopK aggregator) and collect only the survivors — here the cap is
+    * the post-sort slice, correct because the sort is total. */
+  def q121GroupArray(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        slice(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("user_id")))),
+          e => e.getField("user_id")), 1, 5).as("first5_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val q121Sql: String =
+    """SELECT event_type,
+      |       (list(user_id ORDER BY ts, event_id))[1:5] AS first5_users,
+      |       count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
@@ -573,5 +598,6 @@ object EventAnalytics {
     ("q101_ema",              q101Ema _,             Some(q101Sql)),
     ("q102_counter_rate",     q102CounterRate _,     Some(q102Sql)),
     ("q103_time_weighted_avg", q103TimeWeightedAvg _, Some(q103Sql)),
+    ("q121_group_array",       q121GroupArray _,      Some(q121Sql)),
   )
 }

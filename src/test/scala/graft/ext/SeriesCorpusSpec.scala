@@ -168,6 +168,21 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.size < 50)  // the coin actually flips
   }
 
+  // ------------------------------------------------------------- q121 ordered array agg
+  test("group array: users in (ts,event_id) order, capped at five") {
+    val dir = eventsDir(Seq(            // insertion order ≠ time order
+      (4L, "2024-01-01 00:03:00", 44L, "a"),
+      (1L, "2024-01-01 00:00:00", 11L, "a"),
+      (3L, "2024-01-01 00:02:00", 33L, "a"),
+      (2L, "2024-01-01 00:00:00", 22L, "a"),  // ts tie with 1: event_id orders
+      (5L, "2024-01-01 00:04:00", 55L, "a"),
+      (6L, "2024-01-01 00:05:00", 66L, "a"))) // 6th: sliced away
+    val got = EventAnalytics.q121GroupArray(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getSeq[Long](1) == Seq(11L, 22L, 33L, 44L, 55L))
+    assert(got(0).getLong(2) == 6L)
+  }
+
   // ------------------------------------------------------------- q119 Zipf fit
   test("zipf fit: freqs 4,2 at ranks 1,2 give slope exactly -1") {
     // y = ln(freq), x = ln(rank): (0, ln4), (ln2, ln2) → slope -1,
