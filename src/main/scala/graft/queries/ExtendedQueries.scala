@@ -679,6 +679,49 @@ object ExtendedQueries {
       |FROM spine LEFT JOIN agg ON agg.m = spine.m
       |ORDER BY ym""".stripMargin
 
+  // ---------------------------------------------------------------- q122: TPC-H Q21 shape (EXISTS / NOT EXISTS chain)
+  /** Q21's "suppliers who kept the order waiting" analogue on this
+    * schema: lines whose supplier shipped STRICTLY last among the ≥2
+    * suppliers of the order — an EXISTS (another supplier in the order)
+    * plus NOT-EXISTS (anyone later) chain, the classic correlated-
+    * subquery join workout. Spark-side it is exactly a left-semi then
+    * left-anti self-join, both keyed on l_orderkey (one shuffle
+    * partitioning reused across both joins — at 100 TB the three "legs"
+    * co-locate on the same hash) with the supplier-inequality and
+    * shipdate residuals evaluated post-match; supplier names come from a
+    * broadcast dimension at the end, on the aggregated row set. */
+  def q122WaitingOrders(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val other = l.select(col("l_orderkey").as("o_ok"), col("l_suppkey").as("o_sk"),
+                         col("l_shipdate").as("o_sd"))
+    val multi = l.join(other,
+      col("l_orderkey") === col("o_ok") && col("l_suppkey") =!= col("o_sk"),
+      "left_semi")
+    val laggard = multi.join(other,
+      col("l_orderkey") === col("o_ok") && col("l_suppkey") =!= col("o_sk") &&
+        col("o_sd") > col("l_shipdate"),
+      "left_anti")
+    laggard.groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val q122Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -695,6 +738,7 @@ object ExtendedQueries {
     ("q62_argmax",           q62Argmax _,          Some(q62Sql)),
     ("q63_grouping_sets",    q63GroupingSets _,    Some(q63Sql)),
     ("q67_shipping_priority", q67ShippingPriority _, Some(q67Sql)),
+    ("q122_waiting_orders",   q122WaitingOrders _,   Some(q122Sql)),
     ("q68_rolling_window",    q68RollingWindow _,    Some(q68Sql)),
     ("q72_outliers",          q72Outliers _,         Some(q72Sql)),
     ("q100_winsorize",        q100Winsorize _,       Some(q100Sql)),

@@ -168,6 +168,24 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.size < 50)  // the coin actually flips
   }
 
+  // ------------------------------------------------------------- q122 waiting orders (Q21 shape)
+  test("waiting orders: sole laggard counted, single-supplier orders excluded, ties share blame") {
+    import spark.implicits._
+    val dir = tmpDir("tpch")
+    Seq( // (orderkey, suppkey, shipdate)
+      (1L, 1L, "2024-01-01"), (1L, 2L, "2024-01-02"),   // B ships last
+      (2L, 1L, "2024-01-05"),                           // single supplier: out
+      (3L, 1L, "2024-01-03"), (3L, 2L, "2024-01-03"))   // tie: both laggards
+      .toDF("l_orderkey", "l_suppkey", "sd")
+      .withColumn("l_shipdate", to_date(col("sd"))).drop("sd")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "A"), (2L, "B")).toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = graft.queries.ExtendedQueries.q122WaitingOrders(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("B", 2L), ("A", 1L)))
+  }
+
   // ------------------------------------------------------------- q121 ordered array agg
   test("group array: users in (ts,event_id) order, capped at five") {
     val dir = eventsDir(Seq(            // insertion order ≠ time order
