@@ -586,6 +586,45 @@ object EventAnalytics {
       |       count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q124: burst collapse (alert-storm thinning)
+  /** Alert-storm collapse — the log-pipeline dedup the reference's trace
+    * stream needs downstream: within each event type, keep only events
+    * that START a burst (gap from the previous event of that type
+    * > 30 min) and report the thinning rate. One lag() pass over the
+    * type-keyed time order; the gap test is exact microsecond integer
+    * arithmetic. Per-type partitioning is deliberate (storms are
+    * cross-user); the skew ceiling is events-per-type — salt the window
+    * key by day if one type dominates at 100 TB. */
+  def q124BurstCollapse(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("keep",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(col("keep")).as("kept"), count(lit(1)).as("total"))
+      .withColumn("keep_frac",
+        round(col("kept").cast("double") / col("total"), 4))
+      .orderBy(col("event_type"))
+  }
+
+  val q124Sql: String =
+    """WITH l AS (SELECT event_type, ts,
+      |                  lag(ts) OVER (PARTITION BY event_type
+      |                                ORDER BY ts, event_id) AS prev_ts
+      |           FROM events)
+      |SELECT event_type,
+      |       CAST(sum(CASE WHEN prev_ts IS NULL
+      |                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+      |       count(*) AS total,
+      |       round(sum(CASE WHEN prev_ts IS NULL
+      |                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS keep_frac
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
@@ -599,5 +638,6 @@ object EventAnalytics {
     ("q102_counter_rate",     q102CounterRate _,     Some(q102Sql)),
     ("q103_time_weighted_avg", q103TimeWeightedAvg _, Some(q103Sql)),
     ("q121_group_array",       q121GroupArray _,      Some(q121Sql)),
+    ("q124_burst_collapse",    q124BurstCollapse _,   Some(q124Sql)),
   )
 }

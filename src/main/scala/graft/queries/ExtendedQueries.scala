@@ -722,6 +722,46 @@ object ExtendedQueries {
       |                    AND l3.l_shipdate > l1.l_shipdate)
       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
 
+  // ---------------------------------------------------------------- q123: weighted median (quantileExactWeighted)
+  /** Exact weighted median: the l_extendedprice at which half the total
+    * QUANTITY is reached (ClickHouse `quantileExactWeighted`). One sort
+    * per group + exact integer cumulative weights; the crossing row is
+    * chosen by `2·cum ≥ W > 2·(cum−w)` — pure BIGINT comparisons, so
+    * every engine and executor count picks the same row. The per-group
+    * sort is the scale cost; the t-digest `approx_percentile` (weight-
+    * replicated) is the 100 TB swap, as with q42/q100. */
+  def q123WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("cum", sum(col("qty")).over(w))
+      .withColumn("tot", sum(col("qty")).over(wAll))
+      .filter(col("cum") * 2 >= col("tot") && (col("cum") - col("qty")) * 2 < col("tot"))
+      .select(col("l_returnflag"), col("l_extendedprice").as("weighted_median"),
+        col("tot").as("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q123Sql: String =
+    """WITH c AS (SELECT l_returnflag, l_extendedprice,
+      |                  CAST(l_quantity AS BIGINT) AS qty,
+      |                  sum(CAST(l_quantity AS BIGINT)) OVER
+      |                    (PARTITION BY l_returnflag
+      |                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |                     ROWS UNBOUNDED PRECEDING) AS cum,
+      |                  CAST(sum(CAST(l_quantity AS BIGINT)) OVER
+      |                    (PARTITION BY l_returnflag) AS BIGINT) AS tot
+      |           FROM lineitem)
+      |SELECT l_returnflag, l_extendedprice AS weighted_median, tot AS total_qty
+      |FROM c
+      |WHERE cum * 2 >= tot AND (cum - qty) * 2 < tot
+      |ORDER BY l_returnflag""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -739,6 +779,7 @@ object ExtendedQueries {
     ("q63_grouping_sets",    q63GroupingSets _,    Some(q63Sql)),
     ("q67_shipping_priority", q67ShippingPriority _, Some(q67Sql)),
     ("q122_waiting_orders",   q122WaitingOrders _,   Some(q122Sql)),
+    ("q123_weighted_median",  q123WeightedMedian _,  Some(q123Sql)),
     ("q68_rolling_window",    q68RollingWindow _,    Some(q68Sql)),
     ("q72_outliers",          q72Outliers _,         Some(q72Sql)),
     ("q100_winsorize",        q100Winsorize _,       Some(q100Sql)),

@@ -186,6 +186,34 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got == Seq(("B", 2L), ("A", 1L)))
   }
 
+  // ------------------------------------------------------------- q123 weighted median
+  test("weighted median crosses at half the total quantity") {
+    import spark.implicits._
+    val dir = tmpDir("tpch")
+    Seq( // (returnflag, price, qty, orderkey, linenumber)
+      ("A", 10.0, 1.0, 1L, 1L), ("A", 20.0, 2.0, 2L, 1L), ("A", 30.0, 1.0, 3L, 1L),
+      ("B", 99.0, 5.0, 4L, 1L))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.queries.ExtendedQueries.q123WeightedMedian(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    // A: qty cum 1,3,4 of 4 → 20.0 is where 2·cum ≥ 4 first; B: singleton
+    assert(got == Seq(("A", 20.0, 4L), ("B", 99.0, 5L)))
+  }
+
+  // ------------------------------------------------------------- q124 burst collapse
+  test("burst collapse keeps burst starters only (strict 30-minute gap)") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "err"),
+      (2L, "2024-01-01 00:10:00", 2L, "err"),   // 10 min: same burst
+      (3L, "2024-01-01 00:41:00", 3L, "err"),   // 31 min after #2: new burst
+      (4L, "2024-01-01 01:11:00", 4L, "err")))  // exactly 30 min: NOT a new burst
+    val got = EventAnalytics.q124BurstCollapse(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 4L &&
+      got(0).getDouble(3) == 0.5)
+  }
+
   // ------------------------------------------------------------- q121 ordered array agg
   test("group array: users in (ts,event_id) order, capped at five") {
     val dir = eventsDir(Seq(            // insertion order ≠ time order
