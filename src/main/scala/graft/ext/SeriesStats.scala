@@ -162,10 +162,49 @@ object SeriesStats {
       |       round(max(share), 4) AS top_share
       |FROM sh GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q125: rolling distinct (sliding uniq)
+  /** Rolling 7-day distinct users per day — "rolling WAU", ClickHouse's
+    * sliding `uniq`. COUNT(DISTINCT) over a window frame isn't a thing
+    * in any engine, and re-scanning 7 days per day is 7× waste; instead
+    * each (user, active-day) pair — already deduped, the heavy shuffle —
+    * is exploded to the ≤7 trailing report days it covers, then one
+    * distinct + count per report day. Expansion is 7×|user-days|
+    * (entity-grain, not event-grain); the exact distinct is the anchor,
+    * per-day HLL sketch UNION (approx_count_distinct partials) is the
+    * 100 TB swap. Report days are clipped to the observed range so
+    * every emitted day has a full-width window's worth of data behind
+    * it (days < min+6 are partial by nature and still emitted — the
+    * range filter only stops phantom days past max). */
+  def q125RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+    val bounds = ud.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    ud.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("d"), least(col("hi"),
+          col("d") + expr("INTERVAL 6 DAYS")), expr("INTERVAL 1 DAY"))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      .orderBy(col("day"))
+  }
+
+  val q125Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+      |            FROM events),
+      |b AS (SELECT max(d) AS hi FROM ud),
+      |cover AS (SELECT DISTINCT ud.user_id,
+      |                 ud.d + INTERVAL (g.i) DAY AS day
+      |          FROM ud CROSS JOIN b
+      |               CROSS JOIN (SELECT unnest(range(0, 7)) AS i) g
+      |          WHERE ud.d + INTERVAL (g.i) DAY <= b.hi)
+      |SELECT day, count(*) AS wau FROM cover
+      |GROUP BY day ORDER BY day""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q107_autocorr", q107Autocorr _, Some(q107Sql)),
     ("q108_markov",   q108Markov _,   Some(q108Sql)),
     ("q109_cusum",    q109Cusum _,    Some(q109Sql)),
     ("q110_hhi",      q110Hhi _,      Some(q110Sql)),
+    ("q125_rolling_distinct", q125RollingDistinct _, Some(q125Sql)),
   )
 }

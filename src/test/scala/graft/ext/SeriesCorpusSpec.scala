@@ -186,6 +186,22 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got == Seq(("B", 2L), ("A", 1L)))
   }
 
+  // ------------------------------------------------------------- q125 rolling distinct
+  test("rolling 7-day distinct: coverage windows overlap and clip at the range end") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 12:00:00", 1L, "a"),
+      (2L, "2024-01-05 12:00:00", 2L, "a"),
+      (3L, "2024-01-10 12:00:00", 2L, "a")))
+    val rows = SeriesStats.q125RollingDistinct(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1))).toSeq
+    val exp = (1 to 10).map { d =>
+      val day = f"2024-01-$d%02d"
+      val n = (if (d <= 7) 1 else 0) + (if (d >= 5) 1 else 0) // u1 covers 1-7, u2 covers 5-10
+      (day, n.toLong)
+    }
+    assert(rows == exp)
+  }
+
   // ------------------------------------------------------------- q123 weighted median
   test("weighted median crosses at half the total quantity") {
     import spark.implicits._
