@@ -214,6 +214,48 @@ object Temporal {
       |  ON p.ts >= i.w_start AND p.ts <= i.w_start + INTERVAL 2 HOUR
       |GROUP BY 1, 2 ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q126: session statistics
+  /** Corpus-level session statistics on top of q23's 30-minute session
+    * windows: session count, average events per session, average and
+    * maximum session duration. The same one-shuffle session_window
+    * aggregation produces the per-session table (entity-grain); the
+    * stats pass is a single global aggregate over it. Durations are
+    * exact µs integers (zero for singleton sessions); the only float is
+    * the final rounded division. */
+  def q126SessionStats(s: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+    sess.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        round(sum(col("n")).cast("double") / count(lit(1)), 4).as("avg_events"),
+        round(sum(col("dur_us")).cast("double") / count(lit(1)) / 1e6, 4).as("avg_dur_s"),
+        round(max(col("dur_us")).cast("double") / 1e6, 4).as("max_dur_s"))
+  }
+
+  val q126Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTES
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, sid, count(*) AS n,
+      |         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT count(*) AS n_sessions,
+      |       CAST(sum(n) AS BIGINT) AS n_events,
+      |       round(sum(n)::DOUBLE / count(*), 4) AS avg_events,
+      |       round(sum(dur_us)::DOUBLE / count(*) / 1e6, 4) AS avg_dur_s,
+      |       round(max(dur_us)::DOUBLE / 1e6, 4) AS max_dur_s
+      |FROM sess""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q21_asof_join",  q21AsOfJoin _,  Some(q21Sql)),
     ("q51_asof_native", q51AsOfNative _, Some(q21Sql)),
@@ -221,5 +263,6 @@ object Temporal {
     ("q23_sessionize", q23Sessionize _, Some(q23Sql)),
     ("q105_interval_overlap", q105IntervalOverlap _, Some(q105Sql)),
     ("q120_range_band_rule",  q120RangeBandRule _,   Some(q120Sql)),
+    ("q126_session_stats",    q126SessionStats _,    Some(q126Sql)),
   )
 }

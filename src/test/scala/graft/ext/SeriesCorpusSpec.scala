@@ -186,6 +186,17 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got == Seq(("B", 2L), ("A", 1L)))
   }
 
+  // ------------------------------------------------------------- q126 session stats
+  test("session stats: two sessions, singleton has zero duration") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a"),
+      (2L, "2024-01-01 00:10:00", 1L, "a"),   // same session (10 min gap)
+      (3L, "2024-01-01 01:00:00", 1L, "a")))  // 50 min gap: new session
+    val r = Temporal.q126SessionStats(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      == ((2L, 3L, 1.5, 300.0, 600.0)))
+  }
+
   // ------------------------------------------------------------- q125 rolling distinct
   test("rolling 7-day distinct: coverage windows overlap and clip at the range end") {
     val dir = eventsDir(Seq(
