@@ -76,13 +76,16 @@ object CorpusStats {
     * the rest. All integers — exact at any scale. */
   def q112VocabGrowth(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // integer DIV, not double /: the double path truncates toward zero
+    // and loses exactness past 2^53 — the oracle's doc_id // 100 is
+    // floor-division on BIGINTs, so match it exactly
     val perBucket = docs
-      .groupBy((col("doc_id") / 100).cast("long").as("bucket"))
+      .groupBy(expr("doc_id DIV 100").as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
            sum(size(split(col("text"), " "))).cast("long").as("n_tok"))
     val newTok = toks(s, dir)
       .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
-      .groupBy((col("first_doc") / 100).cast("long").as("bucket"))
+      .groupBy(expr("first_doc DIV 100").as("bucket"))
       .agg(count(lit(1)).as("n_new"))
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -198,11 +201,19 @@ object CorpusStats {
       .select(col("source"),
         log(col("c").cast("double")).as("y"),
         log(col("rank").cast("double")).as("x"))
+    // NaN→NULL on the regr_* outputs: a single-token source has zero
+    // x-variance, where Spark's aggregates yield NaN but DuckDB NULL
+    def r4(c: org.apache.spark.sql.Column) =
+      when(isnan(c), lit(null)).otherwise(round(c, 4))
     ranked.groupBy(col("source"))
       .agg(count(lit(1)).as("n_terms"),
-           round(regr_slope(col("y"), col("x")), 4).as("zipf_slope"),
-           round(regr_intercept(col("y"), col("x")), 4).as("zipf_intercept"),
-           round(regr_r2(col("y"), col("x")), 4).as("r2"))
+           regr_slope(col("y"), col("x")).as("s"),
+           regr_intercept(col("y"), col("x")).as("i"),
+           regr_r2(col("y"), col("x")).as("r"))
+      .select(col("source"), col("n_terms"),
+        r4(col("s")).as("zipf_slope"),
+        r4(col("i")).as("zipf_intercept"),
+        r4(col("r")).as("r2"))
       .orderBy(col("source"))
   }
 

@@ -39,8 +39,15 @@ object SeriesStats {
       .withColumn("n_prev", lag(col("n"), 1).over(w))
       .filter(col("n_prev").isNotNull)
       .groupBy(col("event_type"))
-      .agg(round(corr(col("n"), col("n_prev")), 4).as("autocorr_1d"),
+      // NaN→NULL: Spark corr yields NaN on degenerate series (one pair,
+      // or zero variance) where DuckDB yields NULL — normalize for the
+      // oracle gate and for sane downstream filters
+      .agg(corr(col("n"), col("n_prev")).as("c"),
            count(lit(1)).as("n_pairs"))
+      .select(col("event_type"),
+        when(isnan(col("c")), lit(null)).otherwise(round(col("c"), 4))
+          .as("autocorr_1d"),
+        col("n_pairs"))
       .orderBy(col("event_type"))
   }
 
@@ -178,7 +185,7 @@ object SeriesStats {
   def q125RollingDistinct(s: SparkSession, dir: String): DataFrame = {
     val ud = Tables.events(s, dir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
-    val bounds = ud.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val bounds = ud.agg(max(col("d")).as("hi"))
     ud.crossJoin(broadcast(bounds))
       .select(col("user_id"),
         explode(sequence(col("d"), least(col("hi"),

@@ -27,7 +27,13 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * (empty/NULL `sequence`) plans, so results are identical.
   *
   * Off by default. Enable with the band width (seconds for timestamps,
-  * raw units for longs — pick ≈ the typical interval length):
+  * raw units for longs — pick ≈ the typical interval length). The band
+  * width is the operator knob AND the safety bound: each interval
+  * explodes to (hi−lo)/W + 1 rows, so a sentinel-bounded "open" interval
+  * (hi = year 9999) at a small W materializes a huge sequence — cap or
+  * split open intervals BEFORE the join, exactly as with the hand-banded
+  * q105 form. Inverted intervals (hi < lo) are guarded (match nothing,
+  * like the nested loop):
   *
   * {{{
   * spark.conf.set("spark.graft.rangeJoin.bandSeconds", 86400)
@@ -85,6 +91,9 @@ object RangeBandRewrite extends Rule[LogicalPlan] {
         case EqualTo(a, b) =>
           (refsOnly(a, left) && refsOnly(b, right)) ||
           (refsOnly(a, right) && refsOnly(b, left))
+        case EqualNullSafe(a, b) =>   // <=> is also extractable as an equi key
+          (refsOnly(a, left) && refsOnly(b, right)) ||
+          (refsOnly(a, right) && refsOnly(b, left))
         case _ => false
       }
       if (hasEqui) return None
@@ -117,9 +126,16 @@ object RangeBandRewrite extends Rule[LogicalPlan] {
         val bandI = AttributeReference("__graft_band_i", LongType)()
         // Sequence is TimeZoneAwareExpression: without a timeZoneId it
         // reports unresolved and fails optimizer plan validation, even
-        // for a pure-long sequence
-        val seq = Sequence(band(lo, w), band(hi, w), Some(Literal(1L)),
-          Some(conf.sessionLocalTimeZone))
+        // for a pure-long sequence. The If guards inverted intervals
+        // (hi < lo): Sequence would THROW on a descending range, where
+        // the original nested loop simply matched nothing — explode of
+        // NULL preserves the no-match semantics.
+        val bandLo = band(lo, w)
+        val bandHi = band(hi, w)
+        val seq = If(LessThanOrEqual(bandLo, bandHi),
+          Sequence(bandLo, bandHi, Some(Literal(1L)),
+            Some(conf.sessionLocalTimeZone)),
+          Literal.create(null, org.apache.spark.sql.types.ArrayType(LongType)))
         val intervalB = Generate(Explode(seq), unrequiredChildIndex = Nil,
           outer = false, qualifier = None, generatorOutput = Seq(bandI), intervalSide)
         val newCond = And(EqualTo(bandP.toAttribute, bandI), cond)

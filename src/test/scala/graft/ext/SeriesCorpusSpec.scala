@@ -41,6 +41,13 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got(0).getLong(2) == 4L)
   }
 
+  test("autocorr: degenerate single-pair series yields NULL, not NaN") {
+    val rows = Seq((1L, "2024-01-01 10:00:00", 1L, "a"),
+                   (2L, "2024-01-02 10:00:00", 1L, "a"))
+    val got = SeriesStats.q107Autocorr(spark, eventsDir(rows)).collect()
+    assert(got.length == 1 && got(0).isNullAt(1) && got(0).getLong(2) == 1L)
+  }
+
   // ------------------------------------------------------------- q108 Markov transitions
   test("markov: per-user adjacency counts and row-normalized probabilities") {
     val dir = eventsDir(Seq(
@@ -267,6 +274,12 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got(0).getDouble(2) == -1.0)      // zipf_slope
     assert(got(0).getDouble(3) == 1.3863)    // intercept = ln 4
     assert(got(0).getDouble(4) == 1.0)       // r2
+  }
+
+  test("zipf fit: single-token source (zero x-variance) yields NULLs, not NaN") {
+    val got = CorpusStats.q119ZipfFit(spark, docsDir(Seq((1L, "a a a", "s")))).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 1L)
+    assert(got(0).isNullAt(2) && got(0).isNullAt(3) && got(0).isNullAt(4))
   }
 
   // ------------------------------------------------------------- q117 sparse cosine

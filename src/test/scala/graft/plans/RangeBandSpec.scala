@@ -97,6 +97,17 @@ class RangeBandSpec extends SparkSpec {
     }
   }
 
+  test("inverted intervals (hi < lo) match nothing instead of throwing") {
+    import spark.implicits._
+    val a = Seq((1L, 7L)).toDF("pid", "x")
+    val b = Seq((10L, 9L, 5L)).toDF("iid", "lo", "hi")  // hi < lo
+    withRule(10) {
+      val q = a.join(b, col("x") >= col("lo") && col("x") <= col("hi"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+      assert(q.count() == 0)                  // Sequence guard, no throw
+    }
+  }
+
   test("long (non-timestamp) range keys band on raw units") {
     import spark.implicits._
     val a = Seq((1L, 7L), (2L, 25L)).toDF("pid", "x")
