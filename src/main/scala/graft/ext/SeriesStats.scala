@@ -207,11 +207,61 @@ object SeriesStats {
       |SELECT day, count(*) AS wau FROM cover
       |GROUP BY day ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q127: audience overlap (bitmap algebra)
+  /** Pairwise audience overlap between event types — ClickHouse's
+    * groupBitmap/bitmapAndCardinality family, done relationally: the
+    * deduped (type, user) membership table self-joins on user to count
+    * co-members, and per-type cardinalities turn that into Jaccard. No
+    * per-group set materialization: the membership table IS the bitmap,
+    * partitioned by user — the one shuffle co-locates each user's
+    * type-list, and |types|²-sized output falls out of a hash aggregate.
+    * At 100 TB the self-join is Σ_user |types(u)|² ≤ |types|·|members| —
+    * linear in membership, never in events. */
+  def q127AudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    m.persist()
+    try {
+      val card = m.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val inter = m.as("a")
+        .join(m.withColumnRenamed("event_type", "t2").as("b"), Seq("user_id"))
+        .filter(col("event_type") < col("t2"))
+        .groupBy(col("event_type").as("t1"), col("t2"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(card.withColumnRenamed("event_type", "t1")
+          .withColumnRenamed("n", "n1")), Seq("t1"))
+        .join(broadcast(card.withColumnRenamed("event_type", "t2")
+          .withColumnRenamed("n", "n2")), Seq("t2"))
+        .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
+          round(col("n_both").cast("double") /
+            (col("n1") + col("n2") - col("n_both")), 4).as("jaccard"))
+        .orderBy(col("t1"), col("t2"))
+        .localCheckpoint(true)
+    } finally m.unpersist(false)
+  }
+
+  val q127Sql: String =
+    """WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+      |card AS (SELECT event_type, count(*) AS n FROM m GROUP BY 1),
+      |inter AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+      |          FROM m a JOIN m b ON a.user_id = b.user_id
+      |                            AND a.event_type < b.event_type
+      |          GROUP BY 1, 2)
+      |SELECT t1, t2, n_both, c1.n AS n1, c2.n AS n2,
+      |       round(n_both::DOUBLE / (c1.n + c2.n - n_both), 4) AS jaccard
+      |FROM inter JOIN card c1 ON c1.event_type = t1
+      |           JOIN card c2 ON c2.event_type = t2
+      |ORDER BY t1, t2""".stripMargin
+
+  // entries LAST: it captures the qNNNSql vals eagerly, so any Sql val
+  // declared below it would still be null at object-init time
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q107_autocorr", q107Autocorr _, Some(q107Sql)),
     ("q108_markov",   q108Markov _,   Some(q108Sql)),
     ("q109_cusum",    q109Cusum _,    Some(q109Sql)),
     ("q110_hhi",      q110Hhi _,      Some(q110Sql)),
     ("q125_rolling_distinct", q125RollingDistinct _, Some(q125Sql)),
+    ("q127_audience_overlap", q127AudienceOverlap _, Some(q127Sql)),
   )
 }

@@ -193,6 +193,21 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got == Seq(("B", 2L), ("A", 1L)))
   }
 
+  // ------------------------------------------------------------- q127 audience overlap
+  test("audience overlap: shared users counted once, jaccard from exact cards") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a"), (2L, "2024-01-01 00:01:00", 1L, "a"),
+      (3L, "2024-01-01 00:02:00", 1L, "b"),  // user 1 in both a and b
+      (4L, "2024-01-01 00:03:00", 2L, "a"),  // user 2 only a
+      (5L, "2024-01-01 00:04:00", 3L, "b"))) // user 3 only b
+    val got = SeriesStats.q127AudienceOverlap(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    // |a∩b|=1, |a|=2, |b|=2 → jaccard 1/3
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == (("a", "b", 1L, 2L, 2L, 0.3333)))
+  }
+
   // ------------------------------------------------------------- q126 session stats
   test("session stats: two sessions, singleton has zero duration") {
     val dir = eventsDir(Seq(
