@@ -655,11 +655,14 @@ object Dedup {
       val w = tf
         .join(broadcast(df), Seq("tok"))
         .crossJoin(broadcast(nDocs))
-        .select(col("doc_id"), col("tok"),
+        .select(col("doc_id"), col("tok"), col("df"),
           (col("tf").cast("double") * col("n").cast("double")
             / col("df").cast("double")).as("w"))
       val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      w.as("a").join(w.as("b"),
+      // df=1 tokens pair with nobody (the self-pair dies on d1<d2) — prune
+      // them from BOTH pair-join inputs; they still count in the norms
+      val wp = w.filter(col("df") >= 2).drop("df")
+      wp.as("a").join(wp.as("b"),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(sum(col("a.w") * col("b.w")).as("dot"))
