@@ -254,6 +254,54 @@ object SeriesStats {
       |           JOIN card c2 ON c2.event_type = t2
       |ORDER BY t1, t2""".stripMargin
 
+  // ---------------------------------------------------------------- q128: Welch t-test
+  /** Two-sample Welch t-test (ClickHouse `welchTTest`): does purchase
+    * value differ from view value? Both cohorts reduce to (n, mean,
+    * sample variance) in ONE pass over the scan (conditional aggregates,
+    * q18's trick — no second cohort scan, no join), then the t statistic
+    * and Welch–Satterthwaite df are a handful of scalar ops. The moment
+    * aggregates are the same single-pass co-moments as q45 (precedent
+    * for 4dp engine agreement); everything after is arithmetic on six
+    * scalars, identical in any engine. */
+  def q128WelchTTest(s: SparkSession, dir: String): DataFrame = {
+    val isA = col("event_type") === "purchase"
+    val isB = col("event_type") === "view"
+    val m = Tables.events(s, dir)
+      .filter(isA || isB)
+      .agg(
+        count(when(isA, 1)).as("n1"),
+        avg(when(isA, col("value"))).as("m1"),
+        var_samp(when(isA, col("value"))).as("v1"),
+        count(when(isB, 1)).as("n2"),
+        avg(when(isB, col("value"))).as("m2"),
+        var_samp(when(isB, col("value"))).as("v2"))
+    val se1 = col("v1") / col("n1")
+    val se2 = col("v2") / col("n2")
+    m.select(
+        col("n1"), col("n2"),
+        round(col("m1") - col("m2"), 4).as("mean_diff"),
+        round((col("m1") - col("m2")) / sqrt(se1 + se2), 4).as("t_stat"),
+        round(pow(se1 + se2, 2) /
+          (pow(se1, 2) / (col("n1") - 1) + pow(se2, 2) / (col("n2") - 1)), 2)
+          .as("welch_df"))
+  }
+
+  val q128Sql: String =
+    """WITH m AS (
+      |  SELECT count(*) FILTER (event_type = 'purchase') AS n1,
+      |         avg(value) FILTER (event_type = 'purchase') AS m1,
+      |         var_samp(value) FILTER (event_type = 'purchase') AS v1,
+      |         count(*) FILTER (event_type = 'view') AS n2,
+      |         avg(value) FILTER (event_type = 'view') AS m2,
+      |         var_samp(value) FILTER (event_type = 'view') AS v2
+      |  FROM events WHERE event_type IN ('purchase', 'view'))
+      |SELECT n1, n2, round(m1 - m2, 4) AS mean_diff,
+      |       round((m1 - m2) / sqrt(v1/n1 + v2/n2), 4) AS t_stat,
+      |       round(pow(v1/n1 + v2/n2, 2)
+      |             / (pow(v1/n1, 2) / (n1 - 1) + pow(v2/n2, 2) / (n2 - 1)), 2)
+      |         AS welch_df
+      |FROM m""".stripMargin
+
   // entries LAST: it captures the qNNNSql vals eagerly, so any Sql val
   // declared below it would still be null at object-init time
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -263,5 +311,6 @@ object SeriesStats {
     ("q110_hhi",      q110Hhi _,      Some(q110Sql)),
     ("q125_rolling_distinct", q125RollingDistinct _, Some(q125Sql)),
     ("q127_audience_overlap", q127AudienceOverlap _, Some(q127Sql)),
+    ("q128_welch_ttest",      q128WelchTTest _,      Some(q128Sql)),
   )
 }

@@ -193,6 +193,25 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got == Seq(("B", 2L), ("A", 1L)))
   }
 
+  // ------------------------------------------------------------- q128 Welch t-test
+  test("welch t-test: planted cohorts {1,2,3} vs {4,5,6,7}") {
+    import spark.implicits._
+    val dir = tmpDir("events")
+    (Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) => (i.toLong, "purchase", v) } ++
+     Seq(4.0, 5.0, 6.0, 7.0).zipWithIndex.map { case (v, i) => (10L + i, "view", v) })
+      .toDF("event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SeriesStats.q128WelchTTest(spark, dir).collect()(0)
+    // m1=2 v1=1 n1=3; m2=5.5 v2=5/3 n2=4 → se=3/4, t=-3.5/√.75=-4.0415,
+    // Welch df = .5625/((1/9)/2+(25/144)/3) = 4.96
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == -3.5)
+    assert(r.getDouble(3) == -4.0415)
+    assert(r.getDouble(4) == 4.96)
+  }
+
   // ------------------------------------------------------------- q127 audience overlap
   test("audience overlap: shared users counted once, jaccard from exact cards") {
     val dir = eventsDir(Seq(
