@@ -302,6 +302,96 @@ object SeriesStats {
       |         AS welch_df
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q129: chi-square independence
+  /** χ² test of independence between event type and day-of-week — "is
+    * the weekly traffic shape the same for every event type?". One
+    * count aggregation to the |types|×7 contingency table; marginals
+    * come from windows over that tiny table and the statistic is
+    * Σ(o−e)²/e over exact integer counts (e is the only division).
+    * The categorical drift screen next to q104's TV distance. */
+  def q129ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.events(s, dir)
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val wT = Window.partitionBy(col("event_type"))
+    val wD = Window.partitionBy(col("dow"))
+    val wAll = Window.partitionBy()
+    cell
+      .withColumn("rt", sum(col("o")).over(wT))
+      .withColumn("ct", sum(col("o")).over(wD))
+      .withColumn("tot", sum(col("o")).over(wAll))
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("tot"))
+      .agg(
+        countDistinct(col("event_type")).as("nt"),
+        countDistinct(col("dow")).as("nd"),
+        round(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"))
+      .select(((col("nt") - 1) * (col("nd") - 1)).as("dof"), col("chi2"))
+  }
+
+  /** Day-of-week labels differ between engines (Spark 1-7, DuckDB 0-6)
+    * but χ² and dof are label-invariant — the cells partition
+    * identically either way, so no re-labeling is needed. */
+  val q129Sql: String =
+    """WITH cell AS (SELECT event_type, dayofweek(ts) AS dow, count(*) AS o
+      |              FROM events GROUP BY 1, 2),
+      |m AS (SELECT o,
+      |             sum(o) OVER (PARTITION BY event_type) AS rt,
+      |             sum(o) OVER (PARTITION BY dow) AS ct,
+      |             sum(o) OVER () AS tot,
+      |             event_type, dow
+      |      FROM cell)
+      |SELECT CAST((count(DISTINCT event_type) - 1)
+      |            * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+      |       round(sum(pow(o - rt::DOUBLE * ct / tot, 2)
+      |                 / (rt::DOUBLE * ct / tot)), 4) AS chi2
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q130: Kolmogorov–Smirnov test
+  /** Two-sample KS statistic (ClickHouse `kolmogorovSmirnovTest`) between
+    * purchase and view values — the standard distribution-drift check
+    * between two slices. D = sup|F₁−F₂| computed EXACTLY: per distinct
+    * value, cumulative counts (integers), and the sup as
+    * max|cum1·n₂ − cum2·n₁| / (n₁·n₂) — an integer numerator, so both
+    * engines agree bit-for-bit before the one final division. The global
+    * value-ordered window runs over the distinct-value table; at 100 TB
+    * that's a range-partitioned sort with per-partition offsets (q97's
+    * block-offset sweep pattern), not a single-partition window. */
+  def q130KsTest(s: SparkSession, dir: String): DataFrame = {
+    val isA = col("event_type") === "purchase"
+    val counts = Tables.events(s, dir)
+      .filter(isA || col("event_type") === "view")
+      .groupBy(col("value"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("c1"),
+           sum(when(isA, 0L).otherwise(1L)).as("c2"))
+    val wv = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum1", sum(col("c1")).over(wv))
+      .withColumn("cum2", sum(col("c2")).over(wv))
+      .withColumn("n1", sum(col("c1")).over(Window.partitionBy()))
+      .withColumn("n2", sum(col("c2")).over(Window.partitionBy()))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+           max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("num"))
+      .select(col("n1"), col("n2"),
+        round(col("num").cast("double") / (col("n1") * col("n2")), 6).as("ks_d"))
+  }
+
+  val q130Sql: String =
+    """WITH e AS (SELECT value, event_type = 'purchase' AS is1
+      |           FROM events WHERE event_type IN ('purchase', 'view')),
+      |c AS (SELECT value,
+      |             sum(CASE WHEN is1 THEN 1 ELSE 0 END) AS c1,
+      |             sum(CASE WHEN is1 THEN 0 ELSE 1 END) AS c2
+      |      FROM e GROUP BY value),
+      |cum AS (SELECT sum(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum1,
+      |               sum(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum2
+      |        FROM c),
+      |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |             CAST(sum(c2) AS BIGINT) AS n2 FROM c)
+      |SELECT n1, n2,
+      |       round(max(abs(cum1 * n2 - cum2 * n1))::DOUBLE / (n1 * n2), 6) AS ks_d
+      |FROM cum CROSS JOIN t GROUP BY n1, n2""".stripMargin
+
   // entries LAST: it captures the qNNNSql vals eagerly, so any Sql val
   // declared below it would still be null at object-init time
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -312,5 +402,7 @@ object SeriesStats {
     ("q125_rolling_distinct", q125RollingDistinct _, Some(q125Sql)),
     ("q127_audience_overlap", q127AudienceOverlap _, Some(q127Sql)),
     ("q128_welch_ttest",      q128WelchTTest _,      Some(q128Sql)),
+    ("q129_chi_square",       q129ChiSquare _,       Some(q129Sql)),
+    ("q130_ks_test",          q130KsTest _,          Some(q130Sql)),
   )
 }

@@ -212,6 +212,33 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(r.getDouble(4) == 4.96)
   }
 
+  // ------------------------------------------------------------- q129 chi-square
+  test("chi-square: planted 2x2 with all-equal expectations gives 20.0 at dof 1") {
+    // a: 30 on Mon, 10 on Tue; b: 10 on Mon, 30 on Tue → e=20 per cell,
+    // χ² = 4·(10²/20) = 20
+    var id = 0L
+    def burst(n: Int, day: String, t: String, u: Long) =
+      (1 to n).map { _ => id += 1; (id, s"$day 10:00:00", u, t) }
+    val rows = burst(30, "2024-01-01", "a", 1L) ++ burst(10, "2024-01-02", "a", 1L) ++
+               burst(10, "2024-01-01", "b", 2L) ++ burst(30, "2024-01-02", "b", 2L)
+    val got = SeriesStats.q129ChiSquare(spark, eventsDir(rows)).collect()(0)
+    assert(got.getLong(0) == 1L && got.getDouble(1) == 20.0)
+  }
+
+  // ------------------------------------------------------------- q130 KS test
+  test("ks test: planted samples {1,2} vs {2,3} give D = 0.5 exactly") {
+    import spark.implicits._
+    val dir = tmpDir("events")
+    Seq((1L, "purchase", 1.0), (2L, "purchase", 2.0),
+        (3L, "view", 2.0), (4L, "view", 3.0))
+      .toDF("event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SeriesStats.q130KsTest(spark, dir).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getDouble(2) == 0.5)
+  }
+
   // ------------------------------------------------------------- q127 audience overlap
   test("audience overlap: shared users counted once, jaccard from exact cards") {
     val dir = eventsDir(Seq(
