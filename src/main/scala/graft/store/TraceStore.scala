@@ -61,6 +61,23 @@ object TraceStore {
           org.apache.spark.sql.types.StringType)))
       .parquet(tablePath)
 
+  /** Catalog statistics for cost-based planning: register the store path
+    * as an external table (idempotent), recover its ym partitions, and
+    * ANALYZE — table rowCount/size plus per-column NDV/min/max/null
+    * counts land in the catalog, so with `spark.sql.cbo.enabled` the
+    * optimizer reorders joins and sizes broadcasts from REAL cardinality
+    * instead of file-size heuristics. At 100 TB this is what keeps a
+    * 12-way join from picking the worst order; re-run after compaction
+    * or large appends (stats are snapshots, not maintained). */
+  def analyze(spark: SparkSession, tablePath: String, table: String,
+              columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet LOCATION '$tablePath'")
+    spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+  }
+
   /** Month-pruned time-range scan (B1): the partition filter on ym is
     * derivable from the Time range, and Catalyst prunes directories before
     * listing files. */
