@@ -371,6 +371,44 @@ object Dedup {
        |FROM comp c JOIN cs USING (cluster)
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q131: duplication report by source
+  /** Per-source duplication report — the dataset-card number a curation
+    * run publishes: how much of each source is near-duplicate, and how
+    * much survives canonical selection. Reuses the cached cluster table
+    * (one LSH+union-find resolution serves q55/q79/q131); the report is
+    * a broadcast-dim join + one aggregation over doc-grain rows. */
+  def q131DupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val comp = clustersOf(s, dir)       // near-dup subgraph members only
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster").isNotNull, 1L).otherwise(0L)).as("n_dup_members"),
+        sum(when(col("cluster").isNotNull && col("doc_id") =!= col("cluster"), 1L)
+          .otherwise(0L)).as("n_dropped"))
+      .withColumn("dup_rate",
+        round(col("n_dup_members").cast("double") / col("n_docs"), 4))
+      .withColumn("survival_rate",
+        round((col("n_docs") - col("n_dropped")).cast("double") / col("n_docs"), 4))
+      .orderBy(col("source"))
+  }
+
+  val q131Sql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN c.cluster IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_members,
+       |  CAST(sum(CASE WHEN c.cluster IS NOT NULL AND d.doc_id <> c.cluster
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  round(sum(CASE WHEN c.cluster IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |        / count(*), 4) AS dup_rate,
+       |  round((count(*) - sum(CASE WHEN c.cluster IS NOT NULL AND d.doc_id <> c.cluster
+       |                             THEN 1 ELSE 0 END))::DOUBLE / count(*), 4)
+       |    AS survival_rate
+       |FROM documents d LEFT JOIN comp c USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // ---------------------------------------------------------------- C2/C4: decontamination (overlap vs a reference set)
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minShared` 3-gram shingles with a PROBE set (the eval/benchmark
@@ -710,5 +748,6 @@ object Dedup {
     ("q106_containment",    q106Containment _,   Some(q106Sql)),
     ("q114_ngram_novelty",  q114NgramNovelty _,  Some(q114Sql)),
     ("q117_sparse_cosine",  q117SparseCosine _,  Some(q117Sql)),
+    ("q131_dup_rate_by_source", q131DupRateBySource _, Some(q131Sql)),
   )
 }

@@ -146,6 +146,18 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got(3L)._1 == 8L && got(3L)._2 == 4L && got(3L)._3 == 0.5)
   }
 
+  // ------------------------------------------------------------- q131 dup-rate report
+  test("dup-rate by source: duplicated source half-survives, clean source intact") {
+    val t = (1 to 16).map(i => s"w$i").mkString(" ")
+    val u = (1 to 16).map(i => s"z$i").mkString(" ")
+    val dir = docsDir(Seq((1L, t, "s1"), (2L, t, "s1"), (3L, u, "s2")))
+    val got = Dedup.q131DupRateBySource(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("s1") == ((2L, 2L, 1L, 1.0, 0.5)))
+    assert(got("s2") == ((1L, 0L, 0L, 0.0, 1.0)))
+  }
+
   // ------------------------------------------------------------- q115 label centroids
   test("label centroid: orthogonal pair coheres at cos 45°, singleton at 1") {
     import spark.implicits._
