@@ -409,6 +409,35 @@ object Dedup {
        |FROM documents d LEFT JOIN comp c USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ---------------------------------------------------------------- q132: cross-source leakage
+  /** Exact-text leakage across sources — the same document appearing
+    * under two different sources is a provenance bug (or a crawl echo)
+    * that per-source dedup misses by construction. One text-keyed
+    * aggregation (at 100 TB: key on xxhash64(text) and verify within
+    * group, as with q24); rows are only emitted for leaked texts, with
+    * the source list made deterministic by sorting. */
+  def q132CrossSourceLeak(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("first_doc"),
+        array_sort(collect_set(col("source"))).as("sources"))
+      .filter(col("n_sources") >= 2)
+      .select(col("first_doc"), col("n_sources"), col("n_copies"),
+        col("sources"), length(col("text")).as("text_len"))
+      .orderBy(col("first_doc"))
+
+  val q132Sql: String =
+    """SELECT min(doc_id) AS first_doc,
+      |       count(DISTINCT source) AS n_sources,
+      |       count(*) AS n_copies,
+      |       list_sort(list(DISTINCT source)) AS sources,
+      |       length(text) AS text_len
+      |FROM documents
+      |GROUP BY text HAVING count(DISTINCT source) >= 2
+      |ORDER BY first_doc""".stripMargin
+
   // ---------------------------------------------------------------- C2/C4: decontamination (overlap vs a reference set)
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minShared` 3-gram shingles with a PROBE set (the eval/benchmark
@@ -749,5 +778,6 @@ object Dedup {
     ("q114_ngram_novelty",  q114NgramNovelty _,  Some(q114Sql)),
     ("q117_sparse_cosine",  q117SparseCosine _,  Some(q117Sql)),
     ("q131_dup_rate_by_source", q131DupRateBySource _, Some(q131Sql)),
+    ("q132_cross_source_leak",  q132CrossSourceLeak _, Some(q132Sql)),
   )
 }

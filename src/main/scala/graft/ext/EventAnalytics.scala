@@ -625,6 +625,105 @@ object EventAnalytics {
       |                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS keep_frac
       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q133: 3-step path analysis
+  /** Top-20 three-step event paths (the Sankey/flow counts): consecutive
+    * type triples per user in (ts, event_id) order. Two lead() columns
+    * over the same user-keyed window q108 already pays — one shuffle,
+    * path space bounded by |types|³, ranking on the |types|³-sized count
+    * table. */
+  def q133PathTriples(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val triples = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("s1"))
+      .withColumn("s2", lead(col("s1"), 1).over(w))
+      .withColumn("s3", lead(col("s1"), 2).over(w))
+      .filter(col("s3").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("s3")).agg(count(lit(1)).as("n"))
+    triples
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))))
+      .filter(col("rn") <= 20)
+      .select(col("rn"), col("s1"), col("s2"), col("s3"), col("n"))
+      .orderBy(col("rn"))
+  }
+
+  val q133Sql: String =
+    """WITH t AS (SELECT event_type AS s1,
+      |                  lead(event_type, 1) OVER w AS s2,
+      |                  lead(event_type, 2) OVER w AS s3
+      |           FROM events
+      |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (SELECT s1, s2, s3, count(*) AS n FROM t
+      |      WHERE s3 IS NOT NULL GROUP BY 1, 2, 3)
+      |SELECT row_number() OVER (ORDER BY n DESC, s1, s2, s3) AS rn,
+      |       s1, s2, s3, n
+      |FROM c
+      |QUALIFY rn <= 20
+      |ORDER BY rn""".stripMargin
+
+  // ---------------------------------------------------------------- q134: RFM segmentation
+  /** RFM customer segmentation on purchase events: per user the
+    * recency (days since last purchase, vs the corpus max day),
+    * frequency (purchase count) and monetary (value sum), each cut into
+    * quartiles by ntile over a TOTAL order (metric, then user_id — ties
+    * must break identically in every engine or segment counts drift),
+    * then segment sizes. The per-user table is entity-grain; three
+    * ntile windows over it are cheap at any scale. Money is carried as
+    * EXACT integer cents from the first aggregation (per-event
+    * round(value·100) — one deterministic per-row op), so sums, sort
+    * keys, and the segment average are engine- and order-invariant;
+    * summing raw doubles and rounding at the end is half-a-cent
+    * nondeterministic (observed at sf0.01). */
+  def q134RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(date_trunc("day", col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("max_day", max(col("last_day")).over(Window.partitionBy()))
+      .withColumn("recency_d", datediff(col("max_day"), col("last_day")))
+    def quart(c: String, asc: Boolean) = {
+      val k = if (asc) col(c).asc else col(c).desc
+      ntile(4).over(Window.orderBy(k, col("user_id")))
+    }
+    per
+      .withColumn("r_q", quart("recency_d", asc = true))   // recent = 1
+      .withColumn("f_q", quart("freq", asc = false))       // frequent = 1
+      .withColumn("m_q", quart("cents", asc = false))      // big spender = 1
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("sc"))
+      // 4dp half-up rounding done in INTEGER space: avg·10⁴ = sc·100/n,
+      // rounded = (sc·200 + n) DIV (2n). float round() halves at exact
+      // decimal boundaries differ between engines (Spark BigDecimal
+      // HALF_UP on the shortest repr vs C-round on the binary double —
+      // observed: 579.52375 → .5238 vs .5237); integers cannot disagree
+      .select(col("r_q"), col("f_q"), col("m_q"), col("n_users"),
+        (expr("(sc * 200 + n_users) DIV (2 * n_users)").cast("double") / 10000.0)
+          .as("avg_monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val q134Sql: String =
+    """WITH per AS (
+      |  SELECT user_id, max(date_trunc('day', ts)) AS last_day,
+      |         count(*) AS freq,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |r AS (SELECT user_id, freq, cents,
+      |             date_diff('day', last_day, max(last_day) OVER ()) AS recency_d
+      |      FROM per),
+      |q AS (SELECT ntile(4) OVER (ORDER BY recency_d, user_id) AS r_q,
+      |             ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+      |             ntile(4) OVER (ORDER BY cents DESC, user_id) AS m_q,
+      |             cents
+      |      FROM r)
+      |SELECT r_q, f_q, m_q, count(*) AS n_users,
+      |       ((sum(cents) * 200 + count(*)) // (2 * count(*)))::DOUBLE / 10000.0
+      |         AS avg_monetary
+      |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
@@ -639,5 +738,7 @@ object EventAnalytics {
     ("q103_time_weighted_avg", q103TimeWeightedAvg _, Some(q103Sql)),
     ("q121_group_array",       q121GroupArray _,      Some(q121Sql)),
     ("q124_burst_collapse",    q124BurstCollapse _,   Some(q124Sql)),
+    ("q133_path_triples",      q133PathTriples _,     Some(q133Sql)),
+    ("q134_rfm_segments",      q134RfmSegments _,     Some(q134Sql)),
   )
 }

@@ -266,6 +266,40 @@ class SeriesCorpusSpec extends SparkSpec {
       r.getLong(4), r.getDouble(5)) == (("a", "b", 1L, 2L, 2L, 0.3333)))
   }
 
+  // ------------------------------------------------------------- q132 cross-source leakage
+  test("cross-source leak: same text under two sources flagged, single-source not") {
+    val dir = docsDir(Seq((1L, "x y z", "s1"), (2L, "x y z", "s2"), (3L, "u v w", "s1")))
+    val got = Dedup.q132CrossSourceLeak(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L && got(0).getLong(2) == 2L)
+    assert(got(0).getSeq[String](3) == Seq("s1", "s2"))
+  }
+
+  // ------------------------------------------------------------- q133 path triples
+  test("path triples: consecutive type windows per user, lexicographic rank ties") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a"), (2L, "2024-01-01 00:01:00", 1L, "b"),
+      (3L, "2024-01-01 00:02:00", 1L, "c"), (4L, "2024-01-01 00:03:00", 1L, "d")))
+    val got = EventAnalytics.q133PathTriples(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1, "a", "b", "c", 1L), (2, "b", "c", "d", 1L)))
+  }
+
+  // ------------------------------------------------------------- q134 RFM segments
+  test("rfm: recent-frequent-big lands in (1,1,1), the other in (2,2,2)") {
+    import spark.implicits._
+    val dir = tmpDir("events")
+    (Seq((1L, "2024-01-01 10:00:00", 1L, 10.0)) ++
+     (2 to 4).map(i => (i.toLong, "2024-01-02 10:00:00", 2L, 20.0)))
+      .toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventAnalytics.q134RfmSegments(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map((1, 1, 1) -> ((1L, 60.0)), (2, 2, 2) -> ((1L, 10.0))))
+  }
+
   // ------------------------------------------------------------- q126 session stats
   test("session stats: two sessions, singleton has zero duration") {
     val dir = eventsDir(Seq(
