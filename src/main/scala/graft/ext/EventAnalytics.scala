@@ -724,6 +724,61 @@ object EventAnalytics {
       |         AS avg_monetary
       |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- q135: cohort LTV curves
+  /** Weekly-cohort cumulative-value (LTV) curves: users grouped by first
+    * purchase week, revenue accumulated per week offset, divided by the
+    * FIXED cohort size (not the week's actives — the standard LTV
+    * denominator). Three entity-grain aggregations chained: user→first
+    * week (one shuffle of purchases), (cohort, offset)→cents, then a
+    * running sum over the cohort-sized curve table. Money as exact
+    * integer cents; the per-user division rounds in integer space
+    * (q134's half-up trick) — engine-invariant at any scale. */
+  def q135CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val pur = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+        round(col("value") * 100).cast("long").as("cents"))
+    pur.persist()
+    try {
+      val firstWk = pur.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      val sizes = firstWk.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_users"))
+      val curve = pur.join(firstWk, Seq("user_id"))
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int").as("offset_w"))
+        .agg(sum(col("cents")).as("wk_cents"))
+        .withColumn("cum_cents", sum(col("wk_cents")).over(
+          Window.partitionBy(col("cohort")).orderBy(col("offset_w"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      curve.join(broadcast(sizes), Seq("cohort"))
+        .select(col("cohort"), col("offset_w"), col("cohort_users"),
+          (expr("(cum_cents * 200 + cohort_users) DIV (2 * cohort_users)")
+            .cast("double") / 10000.0).as("ltv_per_user"))
+        .orderBy(col("cohort"), col("offset_w"))
+        .localCheckpoint(true)
+    } finally pur.unpersist(false)
+  }
+
+  val q135Sql: String =
+    """WITH pur AS (SELECT user_id, date_trunc('week', ts) AS wk,
+      |                    CAST(round(value * 100) AS BIGINT) AS cents
+      |             FROM events WHERE event_type = 'purchase'),
+      |fw AS (SELECT user_id, min(wk) AS cohort FROM pur GROUP BY user_id),
+      |sz AS (SELECT cohort, count(*) AS cohort_users FROM fw GROUP BY cohort),
+      |curve AS (SELECT f.cohort,
+      |                 CAST(date_diff('day', f.cohort, p.wk) // 7 AS INT) AS offset_w,
+      |                 CAST(sum(p.cents) AS BIGINT) AS wk_cents
+      |          FROM pur p JOIN fw f USING (user_id) GROUP BY 1, 2),
+      |cum AS (SELECT cohort, offset_w,
+      |               CAST(sum(wk_cents) OVER (PARTITION BY cohort ORDER BY offset_w
+      |                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |                 AS cum_cents
+      |        FROM curve)
+      |SELECT c.cohort, c.offset_w, s.cohort_users,
+      |       ((c.cum_cents * 200 + s.cohort_users) // (2 * s.cohort_users))::DOUBLE
+      |         / 10000.0 AS ltv_per_user
+      |FROM cum c JOIN sz s USING (cohort)
+      |ORDER BY c.cohort, c.offset_w""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
@@ -740,5 +795,6 @@ object EventAnalytics {
     ("q124_burst_collapse",    q124BurstCollapse _,   Some(q124Sql)),
     ("q133_path_triples",      q133PathTriples _,     Some(q133Sql)),
     ("q134_rfm_segments",      q134RfmSegments _,     Some(q134Sql)),
+    ("q135_cohort_ltv",        q135CohortLtv _,       Some(q135Sql)),
   )
 }

@@ -300,6 +300,24 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got == Map((1, 1, 1) -> ((1L, 60.0)), (2, 2, 2) -> ((1L, 10.0))))
   }
 
+  // ------------------------------------------------------------- q135 cohort LTV
+  test("cohort ltv: fixed cohort denominator, cumulative across week offsets") {
+    import spark.implicits._
+    val dir = tmpDir("events")
+    Seq( // u1,u2 cohort week of Jan 1; u1 buys again 2 weeks later
+      (1L, "2024-01-01 10:00:00", 1L, 10.0),
+      (2L, "2024-01-02 10:00:00", 2L, 30.0),
+      (3L, "2024-01-15 10:00:00", 1L, 20.0))
+      .toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventAnalytics.q135CohortLtv(spark, dir).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // offset 0: (10+30)/2 = 20/user; offset 2: cum (10+30+20)/2 = 30/user
+    assert(got == Map(0 -> ((2L, 20.0)), 2 -> ((2L, 30.0))))
+  }
+
   // ------------------------------------------------------------- q126 session stats
   test("session stats: two sessions, singleton has zero duration") {
     val dir = eventsDir(Seq(
