@@ -12,7 +12,7 @@ class QueriesSpec extends SparkSpec {
   // pair-finding / anti queries may legitimately be empty at tiny scale
   private val mayBeEmpty = Set("q26_lsh_pairs", "q28_trigram_jaccard",
     "q31_ann_lsh", "q13_anti_join", "q14_set_ops", "q22_range_join",
-    "q106_containment")
+    "q106_containment", "q132_cross_source_leak")
 
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
