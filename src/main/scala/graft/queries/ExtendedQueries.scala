@@ -734,13 +734,16 @@ object ExtendedQueries {
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    Tables.lineitem(s, dir)
+    val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("long").as("qty"))
-      .withColumn("cum", sum(col("qty")).over(w))
-      .withColumn("tot", sum(col("qty")).over(wAll))
+    // group totals via a map-side-combined aggregate + broadcast, not a
+    // second (unordered) window: the unordered spec buffers the whole
+    // partition a second time; the aggregate collapses before shuffling
+    val tot = li.groupBy(col("l_returnflag")).agg(sum(col("qty")).as("tot"))
+    li.withColumn("cum", sum(col("qty")).over(w))
+      .join(broadcast(tot), Seq("l_returnflag"))
       .filter(col("cum") * 2 >= col("tot") && (col("cum") - col("qty")) * 2 < col("tot"))
       .select(col("l_returnflag"), col("l_extendedprice").as("weighted_median"),
         col("tot").as("total_qty"))
