@@ -256,6 +256,58 @@ object Temporal {
       |       round(max(dur_us)::DOUBLE / 1e6, 4) AS max_dur_s
       |FROM sess""".stripMargin
 
+  // ---------------------------------------------------------------- q136: interval union length
+  /** Union length of overlapping intervals (ClickHouse
+    * `intervalLengthSum`): each click opens a 1-hour engagement window;
+    * overlapping windows must be counted once, so per user the merged-
+    * island total is the real "engaged time". Islands form with the
+    * cumulative-max sweep (start > max(end) of everything before ⇒ new
+    * island) — one user-keyed sort, exact µs integers end to end, zero
+    * floats. The same sweep q23's oracle uses for session islands. */
+  def q136EngagedTime(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("st"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + 3600000000L).as("en"))
+      .withColumn("prev_max_en", max(col("en")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg((max(col("en")) - min(col("st"))).as("len_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("len_us")).as("sl"))
+      .select(col("user_id"), col("n_islands"),
+        expr("sl DIV 1000000").as("engaged_s"))
+      .orderBy(col("user_id"))
+  }
+
+  val q136Sql: String =
+    """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+      |                  epoch_us(ts) + 3600000000 AS en
+      |           FROM events WHERE event_type = 'click'),
+      |m AS (SELECT user_id, event_id, st, en,
+      |             max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |               AS prev_max_en
+      |      FROM c),
+      |i AS (SELECT user_id, st, en,
+      |             sum(CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+      |                      THEN 1 ELSE 0 END)
+      |               OVER (PARTITION BY user_id ORDER BY st, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS island
+      |      FROM m),
+      |isl AS (SELECT user_id, island, max(en) - min(st) AS len_us
+      |        FROM i GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_islands,
+      |       CAST(CAST(sum(len_us) AS BIGINT) // 1000000 AS BIGINT) AS engaged_s
+      |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q21_asof_join",  q21AsOfJoin _,  Some(q21Sql)),
     ("q51_asof_native", q51AsOfNative _, Some(q21Sql)),
@@ -264,5 +316,6 @@ object Temporal {
     ("q105_interval_overlap", q105IntervalOverlap _, Some(q105Sql)),
     ("q120_range_band_rule",  q120RangeBandRule _,   Some(q120Sql)),
     ("q126_session_stats",    q126SessionStats _,    Some(q126Sql)),
+    ("q136_engaged_time",     q136EngagedTime _,     Some(q136Sql)),
   )
 }

@@ -318,6 +318,20 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got == Map(0 -> ((2L, 20.0)), 2 -> ((2L, 30.0))))
   }
 
+  // ------------------------------------------------------------- q136 interval union length
+  test("engaged time: overlapping windows merge, disjoint windows add") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "click"),   // [00:00, 01:00)
+      (2L, "2024-01-01 00:30:00", 1L, "click"),   // overlaps → [00:00, 01:30]
+      (3L, "2024-01-01 05:00:00", 1L, "click"),   // disjoint hour
+      (4L, "2024-01-01 00:00:00", 2L, "view")))   // not a click: ignored
+    val r = Temporal.q136EngagedTime(spark, dir).collect()
+    assert(r.length == 1)
+    // islands: [00:00,01:30] = 5400 s and [05:00,06:00] = 3600 s
+    assert(r(0).getLong(0) == 1L && r(0).getLong(1) == 2L &&
+      r(0).getLong(2) == 9000L)
+  }
+
   // ------------------------------------------------------------- q126 session stats
   test("session stats: two sessions, singleton has zero duration") {
     val dir = eventsDir(Seq(
