@@ -779,6 +779,53 @@ object EventAnalytics {
       |FROM cum c JOIN sz s USING (cohort)
       |ORDER BY c.cohort, c.offset_w""".stripMargin
 
+  // ---------------------------------------------------------------- q137: conversion matrix
+  /** Pairwise 1-hour conversion matrix: for every ordered type pair
+    * (a, b), the share of a-events followed by a b-event from the same
+    * user within the next hour — every windowFunnel step pair at once.
+    * ONE user-keyed self-join bounded by the time window covers all
+    * |types|² cells (per-user event counts are small, so the join is
+    * Σ|events(u)|² — entity-bounded like q127); distinct a-events in
+    * the numerator, type totals broadcast for the denominator. Exact
+    * integer counts; one rounded division per cell. */
+  def q137ConversionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    ev.persist()
+    try {
+      val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_a"))
+      val conv = ev.as("a")
+        .join(ev.select(col("user_id").as("u2"), col("event_type").as("b_type"),
+            col("us").as("us2")).as("b"),
+          col("user_id") === col("u2") &&
+          col("us2") > col("us") && col("us2") <= col("us") + 3600000000L)
+        .groupBy(col("event_type").as("a_type"), col("b_type"))
+        .agg(countDistinct(col("event_id")).as("n_conv"))
+      conv
+        .join(broadcast(totals.withColumnRenamed("event_type", "a_type")), Seq("a_type"))
+        .select(col("a_type"), col("b_type"), col("n_conv"), col("n_a"),
+          round(col("n_conv").cast("double") / col("n_a"), 4).as("conv_rate"))
+        .orderBy(col("a_type"), col("b_type"))
+        .localCheckpoint(true)
+    } finally ev.unpersist(false)
+  }
+
+  val q137Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |            FROM events),
+      |tot AS (SELECT event_type, count(*) AS n_a FROM ev GROUP BY 1),
+      |conv AS (SELECT a.event_type AS a_type, b.event_type AS b_type,
+      |                count(DISTINCT a.event_id) AS n_conv
+      |         FROM ev a JOIN ev b
+      |           ON a.user_id = b.user_id
+      |          AND b.us > a.us AND b.us <= a.us + 3600000000
+      |         GROUP BY 1, 2)
+      |SELECT c.a_type, c.b_type, c.n_conv, t.n_a,
+      |       round(c.n_conv::DOUBLE / t.n_a, 4) AS conv_rate
+      |FROM conv c JOIN tot t ON t.event_type = c.a_type
+      |ORDER BY c.a_type, c.b_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
@@ -796,5 +843,6 @@ object EventAnalytics {
     ("q133_path_triples",      q133PathTriples _,     Some(q133Sql)),
     ("q134_rfm_segments",      q134RfmSegments _,     Some(q134Sql)),
     ("q135_cohort_ltv",        q135CohortLtv _,       Some(q135Sql)),
+    ("q137_conversion_matrix", q137ConversionMatrix _, Some(q137Sql)),
   )
 }

@@ -318,6 +318,21 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got == Map(0 -> ((2L, 20.0)), 2 -> ((2L, 30.0))))
   }
 
+  // ------------------------------------------------------------- q137 conversion matrix
+  test("conversion matrix: in-window pair counted once per source event") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a"),
+      (2L, "2024-01-01 00:30:00", 1L, "b"),   // converts event 1 (30 min)
+      (3L, "2024-01-01 00:40:00", 1L, "b"),   // second b: still ONE distinct a
+      (4L, "2024-01-01 03:00:00", 1L, "a"),   // no b within its hour
+      (5L, "2024-01-01 00:10:00", 2L, "b")))  // other user: no a before it
+    val got = EventAnalytics.q137ConversionMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("a", "b")) == ((1L, 2L, 0.5)))  // 1 of 2 a-events converted
+    assert(!got.contains(("b", "a")))
+  }
+
   // ------------------------------------------------------------- q136 interval union length
   test("engaged time: overlapping windows merge, disjoint windows add") {
     val dir = eventsDir(Seq(
