@@ -826,6 +826,60 @@ object EventAnalytics {
       |FROM conv c JOIN tot t ON t.event_type = c.a_type
       |ORDER BY c.a_type, c.b_type""".stripMargin
 
+  // ---------------------------------------------------------------- q138: forward fill (LOCF)
+  /** Forward-fill gap filling (last observation carried forward) — the
+    * OTHER fill semantics next to q82's zero-fill: a gauge metric (here,
+    * each hour's max event value per type) holds its last reading
+    * through silent hours instead of dropping to zero. Same one-scan
+    * spine construction as q82; the carry is one `last(ignoreNulls)`
+    * window per type over the calendar-sized joined spine. The
+    * observed-hour maxima are exact row values (no accumulation), so
+    * carried values match the oracle bit-for-bit. */
+  def q138ForwardFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(max(col("value")).as("v"))
+      .localCheckpoint(true)
+    val b = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi")).collect()(0)
+    if (b.isNullAt(0)) return hourly.limit(0)
+    val spine = hourly.select(col("event_type")).distinct()
+      .crossJoin(s.range(1).select(explode(sequence(
+        lit(b.getTimestamp(0)), lit(b.getTimestamp(1)),
+        expr("interval 1 hour"))).as("h")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("v_ff", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("v_ff").isNotNull)          // hours before the first reading
+      .withColumn("carried", when(col("v").isNull, 1).otherwise(0))
+      .select(col("event_type"), col("h"), col("v_ff"), col("carried"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val q138Sql: String =
+    """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+      |                       max(value) AS v
+      |                FROM events WHERE event_type IN ('purchase', 'error')
+      |                GROUP BY 1, 2),
+      |b AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+      |spine AS (SELECT t.event_type, g.h
+      |          FROM (SELECT DISTINCT event_type FROM hourly) t
+      |          CROSS JOIN (SELECT unnest(generate_series(
+      |                        (SELECT lo FROM b), (SELECT hi FROM b),
+      |                        INTERVAL 1 HOUR)) AS h) g),
+      |j AS (SELECT s.event_type, s.h, hr.v FROM spine s
+      |      LEFT JOIN hourly hr ON hr.event_type = s.event_type AND hr.h = s.h),
+      |ff AS (SELECT event_type, h, v,
+      |              last_value(v IGNORE NULLS) OVER
+      |                (PARTITION BY event_type ORDER BY h
+      |                 ROWS UNBOUNDED PRECEDING) AS v_ff
+      |       FROM j)
+      |SELECT event_type, h, v_ff,
+      |       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS carried
+      |FROM ff WHERE v_ff IS NOT NULL
+      |ORDER BY event_type, h""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
@@ -844,5 +898,6 @@ object EventAnalytics {
     ("q134_rfm_segments",      q134RfmSegments _,     Some(q134Sql)),
     ("q135_cohort_ltv",        q135CohortLtv _,       Some(q135Sql)),
     ("q137_conversion_matrix", q137ConversionMatrix _, Some(q137Sql)),
+    ("q138_forward_fill",      q138ForwardFill _,      Some(q138Sql)),
   )
 }

@@ -318,6 +318,24 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got == Map(0 -> ((2L, 20.0)), 2 -> ((2L, 30.0))))
   }
 
+  // ------------------------------------------------------------- q138 forward fill
+  test("forward fill: silent hour carries the last reading, flagged as carried") {
+    import spark.implicits._
+    val dir = tmpDir("events")
+    Seq((1L, "2024-01-01 00:10:00", 10.0), (2L, "2024-01-01 02:20:00", 30.0))
+      .toDF("event_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventAnalytics.q138ForwardFill(spark, dir).collect()
+      .map(r => (r.getTimestamp(1).toString.take(13), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 00", 10.0, 0),
+      ("2024-01-01 01", 10.0, 1),    // carried through the silent hour
+      ("2024-01-01 02", 30.0, 0)))
+  }
+
   // ------------------------------------------------------------- q137 conversion matrix
   test("conversion matrix: in-window pair counted once per source event") {
     val dir = eventsDir(Seq(
