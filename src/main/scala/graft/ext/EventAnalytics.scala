@@ -676,13 +676,17 @@ object EventAnalytics {
     * summing raw doubles and rounding at the end is half-a-cent
     * nondeterministic (observed at sf0.01). */
   def q134RfmSegments(s: SparkSession, dir: String): DataFrame = {
-    val per = Tables.events(s, dir)
+    val per0 = Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(max(date_trunc("day", col("ts"))).as("last_day"),
         count(lit(1)).as("freq"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
-      .withColumn("max_day", max(col("last_day")).over(Window.partitionBy()))
+    // corpus max day via aggregate + broadcast, not a global unpartitioned
+    // window (which funnels the whole entity table through one partition
+    // for a single scalar — the q123 anti-pattern)
+    val maxDay = per0.agg(max(col("last_day")).as("max_day"))
+    val per = per0.crossJoin(broadcast(maxDay))
       .withColumn("recency_d", datediff(col("max_day"), col("last_day")))
     def quart(c: String, asc: Boolean) = {
       val k = if (asc) col(c).asc else col(c).desc
@@ -842,7 +846,10 @@ object EventAnalytics {
       .agg(max(col("value")).as("v"))
       .localCheckpoint(true)
     val b = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi")).collect()(0)
-    if (b.isNullAt(0)) return hourly.limit(0)
+    if (b.isNullAt(0))
+      // schema must match the normal path (v_ff, carried), not hourly's
+      return hourly.limit(0).select(col("event_type"), col("h"),
+        col("v").as("v_ff"), lit(0).as("carried"))
     val spine = hourly.select(col("event_type")).distinct()
       .crossJoin(s.range(1).select(explode(sequence(
         lit(b.getTimestamp(0)), lit(b.getTimestamp(1)),

@@ -310,9 +310,16 @@ object SeriesStats {
     * Σ(o−e)²/e over exact integer counts (e is the only division).
     * The categorical drift screen next to q104's TV distance. */
   def q129ChiSquare(s: SparkSession, dir: String): DataFrame = {
-    val cell = Tables.events(s, dir)
+    val counts = Tables.events(s, dir)
       .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
       .agg(count(lit(1)).as("o"))
+    // FULL contingency grid, not just observed cells: an empty (type,dow)
+    // cell still contributes (0−e)²/e = e to the statistic — dropping it
+    // understates χ² whenever the table is sparse
+    val cell = counts.select(col("event_type")).distinct()
+      .crossJoin(counts.select(col("dow")).distinct())
+      .join(counts, Seq("event_type", "dow"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
     val wT = Window.partitionBy(col("event_type"))
     val wD = Window.partitionBy(col("dow"))
     val wAll = Window.partitionBy()
@@ -332,8 +339,12 @@ object SeriesStats {
     * but χ² and dof are label-invariant — the cells partition
     * identically either way, so no re-labeling is needed. */
   val q129Sql: String =
-    """WITH cell AS (SELECT event_type, dayofweek(ts) AS dow, count(*) AS o
-      |              FROM events GROUP BY 1, 2),
+    """WITH counts AS (SELECT event_type, dayofweek(ts) AS dow, count(*) AS o
+      |                FROM events GROUP BY 1, 2),
+      |cell AS (SELECT t.event_type, d.dow, coalesce(c.o, 0) AS o
+      |         FROM (SELECT DISTINCT event_type FROM counts) t
+      |         CROSS JOIN (SELECT DISTINCT dow FROM counts) d
+      |         LEFT JOIN counts c ON c.event_type = t.event_type AND c.dow = d.dow),
       |m AS (SELECT o,
       |             sum(o) OVER (PARTITION BY event_type) AS rt,
       |             sum(o) OVER (PARTITION BY dow) AS ct,
@@ -370,10 +381,19 @@ object SeriesStats {
       .withColumn("cum2", sum(col("c2")).over(wv))
       .withColumn("n1", sum(col("c1")).over(Window.partitionBy()))
       .withColumn("n2", sum(col("c2")).over(Window.partitionBy()))
+      // DECIMAL(38) products: cum·n reaches n1·n2, which wraps Long past
+      // ~3e9-row cohorts (DuckDB's HUGEINT doesn't) — widen so the
+      // integer-exactness claim holds at the scale the doc promises
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-           max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("num"))
+           max(abs(col("cum1").cast("decimal(38,0)") * col("n2") -
+                   col("cum2").cast("decimal(38,0)") * col("n1"))).as("num"))
+      // a global agg still emits one all-null row on empty input; the
+      // oracle's GROUP BY emits none — align
+      .filter(col("n1").isNotNull)
       .select(col("n1"), col("n2"),
-        round(col("num").cast("double") / (col("n1") * col("n2")), 6).as("ks_d"))
+        round(col("num").cast("double") /
+          (col("n1").cast("decimal(38,0)") * col("n2")).cast("double"), 6)
+          .as("ks_d"))
   }
 
   val q130Sql: String =
