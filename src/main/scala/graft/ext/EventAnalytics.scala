@@ -887,6 +887,43 @@ object EventAnalytics {
       |FROM ff WHERE v_ff IS NOT NULL
       |ORDER BY event_type, h""".stripMargin
 
+  // ---------------------------------------------------------------- q139: funnel latency
+  /** Time-to-convert distribution: for users whose first click follows
+    * their first signup within 24h (q83's step-2 population), the
+    * latency percentiles in seconds. Two per-user min aggregations (one
+    * user-keyed shuffle each, map-side combined), a user-grain join, and
+    * exact interpolated percentiles over µs-integer latencies (q42's
+    * percentile↔quantile_cont parity). The funnel tells you how many
+    * converted; this says how fast — the pair dashboards ship together. */
+  def q139FunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t1"))
+    val c1 = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("tc"))
+    s1.join(c1, Seq("user_id"))
+      .filter(col("tc") > col("t1") && col("tc") <= col("t1") + 86400000000L)
+      .select(((col("tc") - col("t1")) / 1000000L).cast("double").as("lat_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat_s, 0.5)"), 2).as("p50_s"),
+        round(expr("percentile(lat_s, 0.9)"), 2).as("p90_s"),
+        round(max(col("lat_s")), 2).as("max_s"))
+  }
+
+  val q139Sql: String =
+    """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY user_id),
+      |c1 AS (SELECT user_id, min(epoch_us(ts)) AS tc FROM events
+      |       WHERE event_type = 'click' GROUP BY user_id),
+      |lat AS (SELECT (tc - t1)::DOUBLE / 1000000 AS lat_s
+      |        FROM s1 JOIN c1 USING (user_id)
+      |        WHERE tc > t1 AND tc <= t1 + 86400000000)
+      |SELECT count(*) AS n_converted,
+      |       round(quantile_cont(lat_s, 0.5), 2) AS p50_s,
+      |       round(quantile_cont(lat_s, 0.9), 2) AS p90_s,
+      |       round(max(lat_s), 2) AS max_s
+      |FROM lat""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
@@ -906,5 +943,6 @@ object EventAnalytics {
     ("q135_cohort_ltv",        q135CohortLtv _,       Some(q135Sql)),
     ("q137_conversion_matrix", q137ConversionMatrix _, Some(q137Sql)),
     ("q138_forward_fill",      q138ForwardFill _,      Some(q138Sql)),
+    ("q139_funnel_latency",    q139FunnelLatency _,    Some(q139Sql)),
   )
 }

@@ -318,6 +318,21 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got == Map(0 -> ((2L, 20.0)), 2 -> ((2L, 30.0))))
   }
 
+  // ------------------------------------------------------------- q139 funnel latency
+  test("funnel latency: in-window conversions only, interpolated median") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "signup"),
+      (2L, "2024-01-01 00:01:40", 1L, "click"),    // 100 s
+      (3L, "2024-01-01 00:00:00", 2L, "signup"),
+      (4L, "2024-01-01 00:05:00", 2L, "click"),    // 300 s
+      (5L, "2024-01-01 00:00:00", 3L, "signup"),
+      (6L, "2024-01-03 00:00:00", 3L, "click")))   // outside 24 h: dropped
+    val r = EventAnalytics.q139FunnelLatency(spark, dir).collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 200.0)                // interpolated median of {100, 300}
+    assert(r.getDouble(3) == 300.0)
+  }
+
   // ------------------------------------------------------------- q138 forward fill
   test("forward fill: silent hour carries the last reading, flagged as carried") {
     import spark.implicits._
