@@ -233,10 +233,52 @@ object CorpusStats {
       |       round(regr_r2(y, x), 4) AS r2
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q140: Good–Turing mass
+  /** Good–Turing frequency-of-frequency statistics per source: how much
+    * trigram probability mass sits on singletons (N₁/N — the GT estimate
+    * of unseen-event mass) and doubletons, plus the frequency spectrum
+    * head. The quantity LM smoothing and coverage estimation start from.
+    * Trigram counts → count-of-count table (tiny) → exact integer
+    * ratios; the only corpus-sized step is the trigram aggregation,
+    * map-side combined like every token pass here. */
+  def q140GoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.documents(s, dir)
+      .select(col("source"), graft.functions.TextHash.shingles3(
+        split(col("text"), " ")).as("gs"))
+      .select(col("source"), explode(col("gs")).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+    tri.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("n_tok"), col("n_types"), col("n1"), col("n2"),
+        round(col("n1").cast("double") / col("n_tok"), 4).as("gt_unseen_mass"),
+        round(col("n1").cast("double") / col("n_types"), 4).as("singleton_frac"))
+      .orderBy(col("source"))
+  }
+
+  val q140Sql: String = {
+    import graft.functions.TextHash.shingles3Sql
+    s"""WITH toks AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+       |tri AS (SELECT source, unnest(${shingles3Sql("tk")}) AS g FROM toks
+       |        WHERE len(tk) >= 3),
+       |c AS (SELECT source, g, count(*) AS c FROM tri GROUP BY 1, 2)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS n_types,
+       |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / sum(c), 4)
+       |         AS gt_unseen_mass,
+       |       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+       |         AS singleton_frac
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q111_entropy",      q111Entropy _,     Some(q111Sql)),
     ("q112_vocab_growth", q112VocabGrowth _, Some(q112Sql)),
     ("q113_pmi",          q113Pmi _,         Some(q113Sql)),
     ("q119_zipf_fit",     q119ZipfFit _,     Some(q119Sql)),
+    ("q140_good_turing",  q140GoodTuring _,  Some(q140Sql)),
   )
 }

@@ -469,6 +469,21 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got(0).isNullAt(2) && got(0).isNullAt(3) && got(0).isNullAt(4))
   }
 
+  // ------------------------------------------------------------- q140 Good–Turing
+  test("good-turing: singleton and doubleton trigram masses from exact counts") {
+    // "a b c a b c a b c": trigrams abc×3? no — sliding: abc, bca, cab,
+    // abc, bca, cab, abc → abc:3, bca:2, cab:2 → 7 tokens, 3 types,
+    // n1=0, n2=2; plus one all-unique doc
+    val t1 = "a b c a b c a b c"
+    val t2 = "u v w x"                  // uvw, vwx — both singletons
+    val dir = docsDir(Seq((1L, t1, "s1"), (2L, t2, "s2")))
+    val got = CorpusStats.q140GoodTuring(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got("s1") == ((7L, 3L, 0L, 2L, 0.0)))
+    assert(got("s2") == ((2L, 2L, 2L, 0L, 1.0)))
+  }
+
   // ------------------------------------------------------------- q117 sparse cosine
   test("sparse cosine: identical docs pair at 1.0, disjoint docs never pair") {
     val dir = docsDir(Seq(
