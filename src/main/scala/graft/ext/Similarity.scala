@@ -540,6 +540,74 @@ object Similarity {
       |       round(min(nc), 4) AS centroid_norm
       |FROM cos GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- C3: kNN label-vote screen
+  /** kNN-disagreement mislabel screen — the LOCAL complement to q118's
+    * global centroid test: a vector whose 5 nearest LSH-bucket
+    * neighbors vote for a DIFFERENT label is a mislabel/boundary
+    * suspect even when it sits near its own class centroid. Corpus-wide
+    * neighbor search stays linear: candidates come from the same
+    * deterministic LSH buckets as q31/q54 (every vector hashes once,
+    * map-only; pairs via bucket equi-join), scored with the fused
+    * cosine kernel, ranked top-5, then one vote aggregation with an
+    * argmax-struct majority (vote count desc, label asc — no window
+    * re-sort). */
+  def q141KnnLabelVote(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val withB = emb.withColumn("bucket",
+      graft.functions.GraftFunctions.lsh_bucket(col("embedding")))
+    val cand = withB.select(col("vec_id").as("q_id"), col("label").as("own_label"),
+        col("embedding").as("qe"), col("bucket"))
+      .join(withB.select(col("vec_id"), col("label"), col("embedding"), col("bucket")),
+        "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val top = cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    val votes = top.groupBy(col("q_id"), col("own_label"), col("label"))
+      .agg(count(lit(1)).as("v"))
+    votes.groupBy(col("q_id"), col("own_label"))
+      .agg(sum(col("v")).as("n_votes"),
+        max(struct(col("v"), (-col("label")).as("nl"), col("label").as("lab")))
+          .as("best"))
+      .select(col("q_id").as("vec_id"), col("own_label"),
+        col("best.lab").as("voted_label"), col("best.v").as("n_agree"),
+        col("n_votes"))
+      .filter(col("voted_label") =!= col("own_label"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q141Sql: String =
+    s"""WITH $lshCtes,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cand AS (SELECT a.vec_id AS q_id, b.vec_id
+       |         FROM buck a JOIN buck b ON b.bucket = a.bucket
+       |                                AND b.vec_id <> a.vec_id),
+       |dots AS (SELECT c.q_id, c.vec_id, sum(a.x * b.x) AS dot
+       |         FROM cand c JOIN ex a ON a.vec_id = c.q_id
+       |                     JOIN ex b ON b.vec_id = c.vec_id AND b.d = a.d
+       |         GROUP BY c.q_id, c.vec_id),
+       |cos AS (SELECT q_id, d.vec_id, d.dot / (na.nrm * nb.nrm) AS c
+       |        FROM dots d JOIN norms na ON na.vec_id = d.q_id
+       |                    JOIN norms nb ON nb.vec_id = d.vec_id),
+       |r AS (SELECT q_id, vec_id,
+       |             row_number() OVER (PARTITION BY q_id
+       |                                ORDER BY c DESC, vec_id) AS rn
+       |      FROM cos),
+       |top AS (SELECT q_id, vec_id FROM r WHERE rn <= 5),
+       |votes AS (SELECT t.q_id, l.label, count(*) AS v
+       |          FROM top t JOIN lab l ON l.vec_id = t.vec_id GROUP BY 1, 2),
+       |best AS (SELECT q_id, label AS voted_label, v,
+       |                row_number() OVER (PARTITION BY q_id
+       |                                   ORDER BY v DESC, label) AS br
+       |         FROM votes),
+       |nv AS (SELECT q_id, count(*) AS n_votes FROM top GROUP BY q_id)
+       |SELECT b.q_id AS vec_id, l.label AS own_label, b.voted_label,
+       |       CAST(b.v AS BIGINT) AS n_agree, nv.n_votes
+       |FROM best b JOIN lab l ON l.vec_id = b.q_id JOIN nv USING (q_id)
+       |WHERE b.br = 1 AND b.voted_label <> l.label
+       |ORDER BY vec_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
     ("q47_knn_topk",   q47KnnTopK _,   Some(q30Sql)),
@@ -552,5 +620,6 @@ object Similarity {
     ("q92_embed_quantize", q92EmbedQuantize _, Some(q92Sql)),
     ("q115_label_centroid", q115LabelCentroid _, Some(q115Sql)),
     ("q118_mislabel_screen", q118MislabelScreen _, Some(q118Sql)),
+    ("q141_knn_label_vote",  q141KnnLabelVote _,   Some(q141Sql)),
   )
 }

@@ -380,6 +380,22 @@ class SeriesCorpusSpec extends SparkSpec {
       r(0).getLong(2) == 9000L)
   }
 
+  // ------------------------------------------------------------- q141 kNN label vote
+  test("knn label vote: planted mislabel outvoted by its bucket neighbors") {
+    import spark.implicits._
+    val dir = tmpDir("emb")
+    Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.99f, 0.01f), 0), (3L, Seq(0.98f, 0.02f), 0),
+      (4L, Seq(0.97f, 0.03f), 9),              // mislabeled member of the x-cluster
+      (5L, Seq(0f, 1f), 1), (6L, Seq(0.01f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.q141KnnLabelVote(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(4L))              // only the planted mislabel flagged
+    assert(got(4L) == ((9, 0, 3L)))            // own 9, neighbors vote 0 unanimously
+  }
+
   // ------------------------------------------------------------- q126 session stats
   test("session stats: two sessions, singleton has zero duration") {
     val dir = eventsDir(Seq(
