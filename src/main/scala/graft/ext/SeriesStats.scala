@@ -412,6 +412,58 @@ object SeriesStats {
       |       round(max(abs(cum1 * n2 - cum2 * n1))::DOUBLE / (n1 * n2), 6) AS ks_d
       |FROM cum CROSS JOIN t GROUP BY n1, n2""".stripMargin
 
+  // ---------------------------------------------------------------- q142: block jackknife
+  /** Block-jackknife standard error of the mean purchase value — THE
+    * distributed error-bar method (resampling without replacement =
+    * leave-one-block-out, no RNG): users hash into 10 deterministic
+    * blocks, each block's leave-out mean comes from exact integer
+    * (cents, count) totals, and the jackknife variance is
+    * (B−1)/B·Σ(θ̄₍ᵦ₎−θ̄)². One keyed aggregation to 10 rows; everything
+    * after is scalar arithmetic on exact integers. The uncertainty
+    * number a mean without an error bar is missing at any scale. */
+  def q142BlockJackknife(s: SparkSession, dir: String): DataFrame = {
+    val blocks = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy((col("user_id") % 10).as("b"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("sc"),
+           count(lit(1)).as("n"))
+    val tot = blocks.agg(sum(col("sc")).as("ts"), sum(col("n")).as("tn"),
+      count(lit(1)).as("nb"))
+    val loo = blocks.crossJoin(broadcast(tot))
+      .withColumn("loo_mean",
+        (col("ts") - col("sc")).cast("double") / (col("tn") - col("n")) / 100.0)
+    val meanLoo = loo.agg(
+      (sum(col("loo_mean")) / count(lit(1))).as("mloo"),
+      max(col("nb")).as("nb"), max(col("ts")).as("ts"), max(col("tn")).as("tn"))
+    loo.crossJoin(broadcast(meanLoo.select(col("mloo"))))
+      .agg(
+        max(col("tn")).as("n_purchases"),
+        max(col("nb")).as("n_blocks"),
+        round(max(col("ts")).cast("double") / max(col("tn")) / 100.0, 4)
+          .as("mean_value"),
+        round(sqrt(
+          (max(col("nb")) - 1).cast("double") / max(col("nb")) *
+          sum(pow(col("loo_mean") - col("mloo"), 2))), 4).as("jackknife_se"))
+  }
+
+  val q142Sql: String =
+    """WITH blocks AS (
+      |  SELECT user_id % 10 AS b,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+      |         count(*) AS n
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |tot AS (SELECT CAST(sum(sc) AS BIGINT) AS ts, CAST(sum(n) AS BIGINT) AS tn,
+      |               count(*) AS nb FROM blocks),
+      |loo AS (SELECT b.sc, b.n, t.ts, t.tn, t.nb,
+      |               (t.ts - b.sc)::DOUBLE / (t.tn - b.n) / 100.0 AS loo_mean
+      |        FROM blocks b CROSS JOIN tot t),
+      |m AS (SELECT sum(loo_mean) / count(*) AS mloo FROM loo)
+      |SELECT max(l.tn) AS n_purchases, max(l.nb) AS n_blocks,
+      |       round(max(l.ts)::DOUBLE / max(l.tn) / 100.0, 4) AS mean_value,
+      |       round(sqrt((max(l.nb) - 1)::DOUBLE / max(l.nb)
+      |                  * sum(pow(l.loo_mean - m.mloo, 2))), 4) AS jackknife_se
+      |FROM loo l CROSS JOIN m""".stripMargin
+
   // entries LAST: it captures the qNNNSql vals eagerly, so any Sql val
   // declared below it would still be null at object-init time
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -424,5 +476,6 @@ object SeriesStats {
     ("q128_welch_ttest",      q128WelchTTest _,      Some(q128Sql)),
     ("q129_chi_square",       q129ChiSquare _,       Some(q129Sql)),
     ("q130_ks_test",          q130KsTest _,          Some(q130Sql)),
+    ("q142_block_jackknife",  q142BlockJackknife _,  Some(q142Sql)),
   )
 }

@@ -251,6 +251,21 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getDouble(2) == 0.5)
   }
 
+  // ------------------------------------------------------------- q142 block jackknife
+  test("block jackknife: two blocks of one purchase each give SE 10") {
+    import spark.implicits._
+    val dir = tmpDir("events")
+    Seq((1L, 1L, 10.0), (2L, 2L, 30.0))
+      .toDF("event_id", "user_id", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SeriesStats.q142BlockJackknife(spark, dir).collect()(0)
+    // loo means {30, 10}, mean-of-loo 20 → SE = √(½·(100+100)) = 10
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 20.0 && r.getDouble(3) == 10.0)
+  }
+
   // ------------------------------------------------------------- q127 audience overlap
   test("audience overlap: shared users counted once, jaccard from exact cards") {
     val dir = eventsDir(Seq(
