@@ -765,6 +765,37 @@ object ExtendedQueries {
       |WHERE cum * 2 >= tot AND (cum - qty) * 2 < tot
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q143: join fan-out audit
+  /** Join fan-out (skew) audit for orders⋈lineitem: the distribution of
+    * per-orderkey line multiplicities — the number that decides whether
+    * a join needs salting (q50) or AQE skew splitting before you pay for
+    * it. One key-grain aggregation, then a multiplicity histogram plus
+    * exact p50/p99/max over the key-grain table; rows-out prediction =
+    * Σ multiplicity. The planning diagnostic behind SCALE.md's
+    * salting/AQE guidance, as an oracle-checked query. */
+  def q143JoinFanout(s: SparkSession, dir: String): DataFrame = {
+    val mult = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("m"))
+    mult.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("m")).as("rows_out"),
+        round(expr("percentile(m, 0.5)"), 2).as("p50_mult"),
+        round(expr("percentile(m, 0.99)"), 2).as("p99_mult"),
+        max(col("m")).as("max_mult"))
+      .withColumn("skew_ratio",
+        round(col("max_mult").cast("double") * col("n_keys") / col("rows_out"), 4))
+  }
+
+  val q143Sql: String =
+    """WITH m AS (SELECT l_orderkey, count(*) AS m FROM lineitem GROUP BY 1)
+      |SELECT count(*) AS n_keys,
+      |       CAST(sum(m) AS BIGINT) AS rows_out,
+      |       round(quantile_cont(m, 0.5), 2) AS p50_mult,
+      |       round(quantile_cont(m, 0.99), 2) AS p99_mult,
+      |       max(m) AS max_mult,
+      |       round(max(m)::DOUBLE * count(*) / sum(m), 4) AS skew_ratio
+      |FROM m""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -783,6 +814,7 @@ object ExtendedQueries {
     ("q67_shipping_priority", q67ShippingPriority _, Some(q67Sql)),
     ("q122_waiting_orders",   q122WaitingOrders _,   Some(q122Sql)),
     ("q123_weighted_median",  q123WeightedMedian _,  Some(q123Sql)),
+    ("q143_join_fanout",      q143JoinFanout _,      Some(q143Sql)),
     ("q68_rolling_window",    q68RollingWindow _,    Some(q68Sql)),
     ("q72_outliers",          q72Outliers _,         Some(q72Sql)),
     ("q100_winsorize",        q100Winsorize _,       Some(q100Sql)),

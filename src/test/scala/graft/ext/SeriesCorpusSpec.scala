@@ -438,6 +438,21 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(rows == exp)
   }
 
+  // ------------------------------------------------------------- q143 join fan-out
+  test("join fan-out: multiplicity stats over a planted skewed key") {
+    import spark.implicits._
+    val dir = tmpDir("tpch")
+    // orderkey 1 has 3 lines, orderkeys 2..3 have 1 each
+    (Seq.fill(3)(1L) ++ Seq(2L, 3L)).zipWithIndex
+      .map { case (ok, i) => (ok, i.toLong, 1.0) }
+      .toDF("l_orderkey", "l_linenumber", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.ExtendedQueries.q143JoinFanout(spark, dir).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 5L)   // 3 keys, 5 rows
+    assert(r.getDouble(2) == 1.0 && r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 1.8)                      // 3·3/5
+  }
+
   // ------------------------------------------------------------- q123 weighted median
   test("weighted median crosses at half the total quantity") {
     import spark.implicits._
