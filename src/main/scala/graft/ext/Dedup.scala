@@ -762,6 +762,56 @@ object Dedup {
       |                  JOIN norms nb ON nb.doc_id = d2)
       |SELECT d1, d2, cos FROM cos WHERE cos >= 0.85 ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- q144: SimHash Hamming near-dup
+  /** SimHash Hamming near-dup pairs — the missing step between the per-doc
+    * SimHash signature (q27) and a usable near-dup join: all pairs with
+    * Hamming distance ≤ 5 on the 60-bit signature, found WITHOUT an
+    * all-pairs scan. The 60 bits split into 6 disjoint 10-bit bands;
+    * d(a,b) ≤ 5 means at most 5 bands contain a differing bit, so at
+    * least one band is identical (pigeonhole) — the band equi-join is
+    * therefore provably exhaustive and the result is EXACT, not
+    * approximate, which is what makes it oracle-checkable against the
+    * brute-force DuckDB pair scan. Cost: signature is one map-only
+    * compiled pass (simhash60 native expression), blocking is 6 rows/doc
+    * through a (band, value) equi-join — corpus-linear like q26's
+    * MinHash-LSH; only within-bucket candidates pay the bit_count verify.
+    * At 100 TB: same shape with wider signatures (128 bit) and more
+    * bands; bucket skew is bounded because a 10-bit band splits any
+    * corpus 1024 ways. */
+  def q144SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash60(split(col("text"), " ")).as("sh"))
+    val bands = sigs.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 6).map(b =>
+        shiftrightunsigned(col("sh"), b * 10).bitwiseAND(lit(1023L))): _*)).as(Seq("b", "bv")))
+    bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= 5)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q144Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tv AS (SELECT doc_id, ${tokvalSql("tok")} AS tv FROM toks),
+       |bits AS (SELECT j FROM range(60) t(j)),
+       |c AS (SELECT doc_id, j,
+       |        sum(CASE WHEN (tv * (j * 2 + 3)) % 65536 >= 32768 THEN 1 ELSE -1 END) AS csum
+       |      FROM tv CROSS JOIN bits GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, sum(CASE WHEN csum > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sh
+       |        FROM c GROUP BY doc_id)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 5
+       |ORDER BY d1, d2""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_dedup_exact",     q24DedupExact _,     Some(q24Sql)),
     ("q25_minhash_sig",     q25MinHashSig _,     Some(q25Sql)),
@@ -777,6 +827,7 @@ object Dedup {
     ("q106_containment",    q106Containment _,   Some(q106Sql)),
     ("q114_ngram_novelty",  q114NgramNovelty _,  Some(q114Sql)),
     ("q117_sparse_cosine",  q117SparseCosine _,  Some(q117Sql)),
+    ("q144_simhash_neardup", q144SimhashNearDup _, Some(q144Sql)),
     ("q131_dup_rate_by_source", q131DupRateBySource _, Some(q131Sql)),
     ("q132_cross_source_leak",  q132CrossSourceLeak _, Some(q132Sql)),
   )

@@ -180,6 +180,33 @@ object ExprKernels {
     out
   }
 
+  /** 60-bit SimHash over a token array — [[simhash16]]'s rule extended to
+    * 60 bit-planes (plane j uses multiplier 2j+3, j < 60; 60 = 6 disjoint
+    * 10-bit bands for Hamming-band blocking, and 1L<<59 keeps the packed
+    * value positive). One compiled pass; each token is hashed once and
+    * its value reused across all planes. */
+  def simhash60(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val sums = new Array[Long](60)
+    var i = 0
+    while (i < n) {
+      val tv = tokval(toks.getUTF8String(i))
+      var j = 0
+      while (j < 60) {
+        sums(j) += (if ((tv * (2 * j + 3)) % 65536 >= 32768) 1L else -1L)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (sums(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -312,6 +339,19 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash16"
 }
 
+/** 60-bit SimHash of a token array (see [[ExprKernels.simhash60]]) — the
+  * Hamming-band near-dup signature; 16-bit [[SimHashExpr]] stays as the
+  * compact per-doc fingerprint. */
+case class SimHash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.simhash60(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.simhash60($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash60Expr = copy(child = c)
+  override def prettyName: String = "simhash60"
+}
+
 /** Fused cosine similarity (dot + both norms in one compiled pass) over
   * ArrayType(FloatType) embeddings — replaces three interpreted
   * higher-order aggregates. */
@@ -353,6 +393,7 @@ object GraftFunctions {
     column(CosineSimExpr(expression(a), expression(b)))
   def lsh_bucket(c: Column): Column = column(LshBucketExpr(expression(c)))
   def simhash16(c: Column): Column = column(SimHashExpr(expression(c)))
+  def simhash60(c: Column): Column = column(SimHash60Expr(expression(c)))
   def nearest_cell(v: Column, cents: Column): Column =
     column(NearestCellExpr(expression(v), expression(cents)))
 
@@ -365,6 +406,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bucket", es => LshBucketExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash16", es => SimHashExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash60", es => SimHash60Expr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("nearest_cell", es => NearestCellExpr(es(0), es(1)), "scala_udf")
   }
 }
@@ -387,6 +429,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("cosine_sim", classOf[CosineSimExpr], es => CosineSimExpr(es(0), es(1)))
     inject("lsh_bucket", classOf[LshBucketExpr], es => LshBucketExpr(es.head))
     inject("simhash16", classOf[SimHashExpr], es => SimHashExpr(es.head))
+    inject("simhash60", classOf[SimHash60Expr], es => SimHash60Expr(es.head))
     inject("nearest_cell", classOf[NearestCellExpr], es => NearestCellExpr(es(0), es(1)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.RangeBandRewrite)

@@ -60,6 +60,28 @@ class ExtSpec extends SparkSpec {
     assert(bits(sh(1L) ^ sh(2L)) <= bits(sh(1L) ^ sh(3L)))
   }
 
+  test("simhash hamming near-dup: banded join finds exactly the brute-force pairs") {
+    // 1&2 near-identical (should pair at small hamming), 3 unrelated, 4==1
+    val dir = docsDir(Seq((1L, base), (2L, base.replace("tok30", "tokX")),
+                          (3L, (1 to 60).map(i => s"qqq$i").mkString(" ")),
+                          (4L, base)))
+    val got = Dedup.q144SimhashNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute force over the 60-bit signatures must agree exactly
+    val sh = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash60(split(col("text"), " ")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      d = java.lang.Long.bitCount(sh(a) ^ sh(b)) if d <= 5
+    } yield (a, b) -> d).toMap
+    assert(got == brute, s"banded=$got brute=$brute")
+    assert(got((1L, 4L)) == 0)          // exact dup pair at distance 0
+    assert(got.contains((1L, 2L)))      // planted near-dup found
+    assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated excluded
+  }
+
   test("exactByKey keeps the lowest id deterministically") {
     import spark.implicits._
     val df = Seq((3L, "a"), (1L, "a"), (2L, "b")).toDF("id", "k")
