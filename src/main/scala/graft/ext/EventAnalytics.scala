@@ -924,6 +924,75 @@ object EventAnalytics {
       |       round(max(lat_s), 2) AS max_s
       |FROM lat""".stripMargin
 
+  // ---------------------------------------------------------------- q145: SCD Type-2 build
+  /** Slowly-changing-dimension Type-2 build: the events changelog turned
+    * into versioned validity intervals per (user_id, event_type) — each
+    * change opens a version at its own timestamp and closes the previous
+    * one (valid_to = next change, NULL = still current). q87's
+    * latest-state keeps only the newest row; this is its history-keeping
+    * sibling (ClickHouse models it with CollapsingMergeTree sign columns;
+    * warehouse ETL calls it SCD2). One user-keyed window pass — the same
+    * single shuffle as funnel/sequence ops; (ts, event_id) ordering makes
+    * version numbers total and engine-invariant. At 100 TB the window
+    * state per key is O(1) (lead/row_number stream the sorted run). */
+  def q145Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"), col("event_type"), col("version"))
+  }
+
+  val q145Sql: String =
+    """SELECT user_id, event_type,
+      |       row_number() OVER w AS version,
+      |       ts AS valid_from,
+      |       lead(ts) OVER w AS valid_to,
+      |       (lead(ts) OVER w IS NULL) AS is_current,
+      |       round(value, 2) AS value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |ORDER BY user_id, event_type, version""".stripMargin
+
+  // ---------------------------------------------------------------- q146: Gini concentration
+  /** Gini coefficient of per-user activity within each event type — the
+    * inequality measure next to q110's HHI (HHI weighs big shares, Gini
+    * reads the whole Lorenz curve). Computed from the rank identity
+    * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted counts —
+    * every term an exact 64-bit integer, one final double division
+    * (< 2⁵³, engine-identical). Tie order can't matter: equal x values
+    * swap ranks without changing Σi·xᵢ. Scale: the data-sized step is the
+    * (type, user) count aggregation (map-side combined); the rank window
+    * runs on the user-grain table, the classic distributed-rank shape. */
+  def q146Gini(s: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"), col("user_id"))
+    cnts.withColumn("i", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("tot"),
+        sum(col("i") * col("x")).as("ix"))
+      .select(col("event_type"), col("n"), col("tot"),
+        round((lit(2L) * col("ix") - (col("n") + lit(1L)) * col("tot")).cast("double")
+          / (col("n") * col("tot")).cast("double"), 4).as("gini"))
+      .orderBy(col("event_type"))
+  }
+
+  val q146Sql: String =
+    """WITH c AS (SELECT event_type, user_id, count(*) AS x FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, x,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i
+      |      FROM c)
+      |SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS tot,
+      |       round((2 * sum(i * x) - (count(*) + 1) * sum(x))::DOUBLE
+      |             / (count(*) * sum(x))::DOUBLE, 4) AS gini
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
@@ -944,5 +1013,7 @@ object EventAnalytics {
     ("q137_conversion_matrix", q137ConversionMatrix _, Some(q137Sql)),
     ("q138_forward_fill",      q138ForwardFill _,      Some(q138Sql)),
     ("q139_funnel_latency",    q139FunnelLatency _,    Some(q139Sql)),
+    ("q145_scd2",              q145Scd2 _,             Some(q145Sql)),
+    ("q146_gini",              q146Gini _,             Some(q146Sql)),
   )
 }

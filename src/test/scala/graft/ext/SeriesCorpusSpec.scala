@@ -540,6 +540,39 @@ class SeriesCorpusSpec extends SparkSpec {
       got(0).getDouble(2) == 1.0)
   }
 
+  // ------------------------------------------------------------- q145 SCD2 build
+  test("scd2: changelog becomes chained validity intervals, only last is current") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a"),
+      (2L, "2024-01-02 00:00:00", 1L, "a"),
+      (3L, "2024-01-03 00:00:00", 1L, "a"),
+      (4L, "2024-01-05 00:00:00", 2L, "b")))
+    val got = EventAnalytics.q145Scd2(spark, dir).collect()
+    assert(got.length == 4)
+    val u1 = got.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+    // each version closes at the next version's open
+    assert(u1(0).getTimestamp(4) == u1(1).getTimestamp(3))
+    assert(u1(1).getTimestamp(4) == u1(2).getTimestamp(3))
+    assert(u1.map(_.getBoolean(5)).toSeq == Seq(false, false, true))
+    val u2 = got.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2(0).getBoolean(5))
+  }
+
+  // ------------------------------------------------------------- q146 Gini
+  test("gini: uniform counts give 0, planted 1/1/1/97 split gives 0.72") {
+    var id = 0L
+    def burst(u: Long, tpe: String, n: Int): Seq[(Long, String, Long, String)] =
+      (1 to n).map { _ => id += 1; (id, "2024-01-01 10:00:00", u, tpe) }
+    val rows = (1L to 4L).flatMap(u => burst(u, "a", 5)) ++
+      burst(1L, "b", 1) ++ burst(2L, "b", 1) ++ burst(3L, "b", 1) ++ burst(4L, "b", 97)
+    val got = EventAnalytics.q146Gini(spark, eventsDir(rows)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("a") == ((4L, 20L, 0.0)))
+    // G = (2*(1+2+3+4*97) - 5*100) / (4*100) = 288/400
+    assert(got("b") == ((4L, 100L, 0.72)))
+  }
+
   // ------------------------------------------------------------- q118 mislabel screen
   test("mislabel screen: the off-axis member ranks first (worst cohesion)") {
     import spark.implicits._
