@@ -812,6 +812,66 @@ object Dedup {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 5
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- q147: exact similarity join via prefix filtering
+  /** Exact threshold-Jaccard similarity join over the FULL corpus — no
+    * doc_id bound (q28) and no recall loss (q26's LSH): PPJoin-style
+    * prefix filtering. Under any global total order on shingles, a pair
+    * with J(a,b) ≥ t must share an element inside each doc's first
+    * |s| − ⌈t·|s|⌉ + 1 shingles (else the overlap fits in the suffix,
+    * capping |∩| below t·|s| — the Chaudhuri/Xiao prefix-filter lemma),
+    * so joining PREFIXES is exhaustive and the exact verify restores
+    * precision. The order here is rarest-first (ascending document
+    * frequency, shingle text as tie-break): prefixes then hold each
+    * doc's rarest shingles, so the equi-join's bucket sizes are bounded
+    * by the df of RARE shingles — the opposite of the stopword blowup a
+    * naive shared-shingle join pays (q117's bound). Scale: df pass and
+    * prefix window are corpus-linear; candidates ≈ Σ_rare df² stays
+    * near-linear; verify runs the one-pass Jaccard kernel on candidate
+    * pairs only. t = 0.8, prefix length in exact integers:
+    * sz − ⌈4·sz/5⌉ + 1 = sz − (4·sz+4) DIV 5 + 1. */
+  def q147PrefixSsjoin(s: SparkSession, dir: String): DataFrame = {
+    val tri = docShingles(s, dir).persist()
+    try {
+      val dfreq = tri.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+      val prefix = tri.join(dfreq, Seq("g")).join(sizes, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) DIV 5") + 1)
+        .select(col("doc_id"), col("g"))
+      val cands = prefix.as("a").join(prefix.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .localCheckpoint(true)
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      cands
+        .join(toks.select(col("doc_id").as("d1"), col("tk").as("tk1")), Seq("d1"))
+        .join(toks.select(col("doc_id").as("d2"), col("tk").as("tk2")), Seq("d2"))
+        .withColumn("jacc",
+          round(graft.functions.GraftFunctions.jaccard_shingles(col("tk1"), col("tk2")), 4))
+        .filter(col("jacc") >= 0.8)
+        .select(col("d1"), col("d2"), col("jacc"))
+        .orderBy(col("d1"), col("d2"))
+        .localCheckpoint(true)
+    } finally tri.unpersist(false)
+  }
+
+  /** Oracle: brute-force full-corpus shared-shingle join — q147's prefix
+    * filtering must reproduce it EXACTLY (that is the point). */
+  val q147Sql: String =
+    s"""WITH $shinglesCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |          FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) AS jacc
+       |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_dedup_exact",     q24DedupExact _,     Some(q24Sql)),
     ("q25_minhash_sig",     q25MinHashSig _,     Some(q25Sql)),
@@ -828,6 +888,7 @@ object Dedup {
     ("q114_ngram_novelty",  q114NgramNovelty _,  Some(q114Sql)),
     ("q117_sparse_cosine",  q117SparseCosine _,  Some(q117Sql)),
     ("q144_simhash_neardup", q144SimhashNearDup _, Some(q144Sql)),
+    ("q147_prefix_ssjoin",   q147PrefixSsjoin _,   Some(q147Sql)),
     ("q131_dup_rate_by_source", q131DupRateBySource _, Some(q131Sql)),
     ("q132_cross_source_leak",  q132CrossSourceLeak _, Some(q132Sql)),
   )

@@ -82,6 +82,31 @@ class ExtSpec extends SparkSpec {
     assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated excluded
   }
 
+  test("prefix-filter similarity join equals brute-force threshold Jaccard") {
+    // 1&2 near-identical, 1&4 identical, 3 unrelated, 5 shares half (below t)
+    val half = (1 to 30).map(i => s"tok$i").mkString(" ") + " " +
+      (1 to 30).map(i => s"yyy$i").mkString(" ")
+    val dir = docsDir(Seq((1L, base), (2L, base.replace("tok30", "tokX")),
+                          (3L, (1 to 60).map(i => s"qqq$i").mkString(" ")),
+                          (4L, base), (5L, half)))
+    val got = Dedup.q147PrefixSsjoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // local brute force over distinct 3-shingle sets
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = Map(1L -> base, 2L -> base.replace("tok30", "tokX"),
+      3L -> (1 to 60).map(i => s"qqq$i").mkString(" "), 4L -> base, 5L -> half)
+    val brute = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      j = sh(texts(a)).intersect(sh(texts(b))).size.toDouble /
+          sh(texts(a)).union(sh(texts(b))).size
+      jr = math.rint(j * 10000) / 10000 if jr >= 0.8
+    } yield (a, b) -> jr).toMap
+    assert(got.keySet == brute.keySet, s"got=$got brute=$brute")
+    assert(got((1L, 4L)) == 1.0)
+    assert(got.contains((1L, 2L)) && !got.keys.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("exactByKey keeps the lowest id deterministically") {
     import spark.implicits._
     val df = Seq((3L, "a"), (1L, "a"), (2L, "b")).toDF("id", "k")
