@@ -277,11 +277,56 @@ object CorpusStats {
        |FROM c GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q150: quantile normalization
+  /** Cross-source quantile normalization: each document's length score is
+    * replaced by the CORPUS value at the same within-source quantile, so
+    * sources whose raw distributions differ (one writes long docs, one
+    * short) become comparable before mixing/thresholding — the alignment
+    * step quality-gating across heterogeneous sources needs (a fixed raw
+    * cutoff over-prunes the short-doc source; a per-source PERCENTILE
+    * cutoff is exactly what this makes uniform). Mapping is all-integer:
+    * within-source rank rs of ns maps to global rank ⌈rs·N/ns⌉, and the
+    * normalized value is the corpus score at that rank — engine-exact,
+    * no interpolation. Scale: the source-keyed rank is an ordinary
+    * window; the global rank is a range-partitioned sort whose
+    * partition offsets broadcast (q97's two-pass pattern) — never a
+    * single-partition corpus window; the rank-index join is an integer
+    * equi-join. */
+  def q150QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val wg = Window.orderBy(col("n_chars"), col("doc_id"))
+    val ranked = d.withColumn("rs", row_number().over(ws))
+      .join(d.groupBy(col("source")).agg(count(lit(1)).as("ns")), Seq("source"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("N"))))
+    val glob = d.withColumn("gi", row_number().over(wg))
+      .select(col("gi"), col("n_chars").as("norm_chars"))
+    ranked
+      .withColumn("ti", expr("(rs * N + ns - 1) DIV ns"))
+      .join(glob, col("ti") === col("gi"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q150Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |s AS (SELECT doc_id, source, n_chars,
+      |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rs,
+      |        count(*) OVER (PARTITION BY source) AS ns,
+      |        count(*) OVER () AS N
+      |      FROM d),
+      |g AS (SELECT n_chars AS norm_chars,
+      |             row_number() OVER (ORDER BY n_chars, doc_id) AS gi FROM d)
+      |SELECT s.doc_id, s.source, s.n_chars, g.norm_chars
+      |FROM s JOIN g ON (s.rs * s.N + s.ns - 1) // s.ns = g.gi
+      |ORDER BY s.doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q111_entropy",      q111Entropy _,     Some(q111Sql)),
     ("q112_vocab_growth", q112VocabGrowth _, Some(q112Sql)),
     ("q113_pmi",          q113Pmi _,         Some(q113Sql)),
     ("q119_zipf_fit",     q119ZipfFit _,     Some(q119Sql)),
     ("q140_good_turing",  q140GoodTuring _,  Some(q140Sql)),
+    ("q150_quantile_norm", q150QuantileNorm _, Some(q150Sql)),
   )
 }

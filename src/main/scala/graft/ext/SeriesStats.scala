@@ -464,10 +464,69 @@ object SeriesStats {
       |                  * sum(pow(l.loo_mean - m.mloo, 2))), 4) AS jackknife_se
       |FROM loo l CROSS JOIN m""".stripMargin
 
+  // ---------------------------------------------------------------- q149: log-bucket percentile sketch
+  /** Power-of-two histogram percentiles over per-user inter-event gaps —
+    * the DDSketch/HdrHistogram idea made fully deterministic and
+    * oracle-checkable: bucket b holds gaps in [2^b, 2^(b+1)), so any
+    * quantile read off the cumulative bucket counts is the true quantile
+    * up to a bounded 2× relative error, and unlike q39/q69's sketches
+    * the answer is a pure function of the data (no RNG, no merge-order
+    * dependence — buckets are exact counts, trivially mergeable). The
+    * percentile estimate is the crossing bucket's upper bound 2^(b+1)−1:
+    * all-integer arithmetic end to end. floor(log2(gap)) is computed as
+    * length(bin(gap))−1 — no floating-point log at bucket boundaries.
+    * Scale: the gap pass is one (user,type)-keyed window; bucket counts
+    * collapse to |types|×64 rows via map-side combine — THE mergeable
+    * latency-histogram shape ops dashboards use at any volume. */
+  def q149LogHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .withColumn("gap", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select(col("event_type"),
+        when(col("gap") <= 0, lit(-1))
+          .otherwise(length(bin(col("gap"))) - 1).as("bkt"))
+    val counts = gaps.groupBy(col("event_type"), col("bkt")).agg(count(lit(1)).as("n"))
+    val cw = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+    val tw = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("cum", sum(col("n")).over(cw))
+      .withColumn("tot", sum(col("n")).over(tw))
+      .groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n_gaps"),
+        min(when(col("cum") * 2 >= col("tot"), expr("shiftleft(cast(1 as bigint), bkt + 1) - 1"))).as("p50_us"),
+        min(when(col("cum") * 10 >= col("tot") * 9, expr("shiftleft(cast(1 as bigint), bkt + 1) - 1"))).as("p90_us"),
+        min(when(col("cum") * 100 >= col("tot") * 99, expr("shiftleft(cast(1 as bigint), bkt + 1) - 1"))).as("p99_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val q149Sql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |           (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |b AS (SELECT event_type,
+      |             CASE WHEN gap <= 0 THEN -1
+      |                  ELSE length(format('{:b}', gap)) - 1 END AS bkt
+      |      FROM g WHERE gap IS NOT NULL),
+      |c AS (SELECT event_type, bkt, count(*) AS n FROM b GROUP BY 1, 2),
+      |cum AS (SELECT event_type, bkt,
+      |               sum(n) OVER (PARTITION BY event_type ORDER BY bkt) AS cum,
+      |               sum(n) OVER (PARTITION BY event_type) AS tot, n
+      |        FROM c)
+      |SELECT event_type, CAST(max(tot) AS BIGINT) AS n_gaps,
+      |  CAST(min(CASE WHEN cum * 2 >= tot THEN (1::BIGINT << (bkt + 1)) - 1 END) AS BIGINT) AS p50_us,
+      |  CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN (1::BIGINT << (bkt + 1)) - 1 END) AS BIGINT) AS p90_us,
+      |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN (1::BIGINT << (bkt + 1)) - 1 END) AS BIGINT) AS p99_us
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // entries LAST: it captures the qNNNSql vals eagerly, so any Sql val
   // declared below it would still be null at object-init time
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q107_autocorr", q107Autocorr _, Some(q107Sql)),
+    ("q149_log_histogram", q149LogHistogram _, Some(q149Sql)),
     ("q108_markov",   q108Markov _,   Some(q108Sql)),
     ("q109_cusum",    q109Cusum _,    Some(q109Sql)),
     ("q110_hhi",      q110Hhi _,      Some(q110Sql)),

@@ -308,6 +308,39 @@ object Temporal {
       |       CAST(CAST(sum(len_us) AS BIGINT) // 1000000 AS BIGINT) AS engaged_s
       |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------ as-of with tolerance
+  /** As-of join with a staleness bound: the latest prior click within 10
+    * minutes, else NULL — the "don't join stale context" variant every
+    * feature-store lookup needs (an unbounded as-of happily attaches an
+    * hours-old row). Same single user-keyed window pass as q21: the
+    * unbounded latest-prior ref is THE within-tolerance answer whenever
+    * it is fresh enough, and when it is too old no earlier ref can be
+    * fresher — so the bound is a row-local post-filter, not a second
+    * scan or a range join. O(1) window state at any scale. */
+  def q148AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("error", "click"))
+    asOfLast(ev, "user_id", "ts",
+             col("event_type") === "click", col("ts"))
+      .filter(col("event_type") === "error")
+      .withColumn("prev_click_ts",
+        when(col("__asof") >= col("ts") - expr("INTERVAL 10 MINUTES"), col("__asof")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("prev_click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_click_ts"))).as("age_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val q148Sql: String =
+    """WITH j AS (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |    (SELECT max(c.ts) FROM events c
+      |     WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |       AND c.ts < e.ts AND c.ts >= e.ts - INTERVAL 10 MINUTES) AS prev_click_ts
+      |  FROM events e WHERE e.event_type = 'error')
+      |SELECT event_id, user_id, ts, prev_click_ts,
+      |       epoch_us(ts) - epoch_us(prev_click_ts) AS age_us
+      |FROM j ORDER BY event_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q21_asof_join",  q21AsOfJoin _,  Some(q21Sql)),
     ("q51_asof_native", q51AsOfNative _, Some(q21Sql)),
@@ -317,5 +350,6 @@ object Temporal {
     ("q120_range_band_rule",  q120RangeBandRule _,   Some(q120Sql)),
     ("q126_session_stats",    q126SessionStats _,    Some(q126Sql)),
     ("q136_engaged_time",     q136EngagedTime _,     Some(q136Sql)),
+    ("q148_asof_tolerance",   q148AsofTolerance _,   Some(q148Sql)),
   )
 }

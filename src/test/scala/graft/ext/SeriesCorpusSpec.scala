@@ -573,6 +573,42 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got("b") == ((4L, 100L, 0.72)))
   }
 
+  // ------------------------------------------------------------- q148 as-of tolerance
+  test("asof tolerance: fresh prior click joins, stale one nulls out") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "click"),
+      (2L, "2024-01-01 00:05:00", 1L, "error"),   // 5 min old → fresh
+      (3L, "2024-01-01 00:20:00", 1L, "error")))  // 20 min old → stale
+    val got = Temporal.q148AsofTolerance(spark, dir).collect()
+    assert(got.length == 2)
+    assert(!got(0).isNullAt(3) && got(0).getLong(4) == 300000000L)
+    assert(got(1).isNullAt(3) && got(1).isNullAt(4))
+  }
+
+  // ------------------------------------------------------------- q149 log-bucket percentiles
+  test("log histogram: planted 1-second gaps land in bucket 19 (bound 2^20-1)") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a"),
+      (2L, "2024-01-01 00:00:01", 1L, "a"),
+      (3L, "2024-01-01 00:00:02", 1L, "a")))
+    val r = SeriesStats.q149LogHistogram(spark, dir).collect()(0)
+    assert(r.getString(0) == "a" && r.getLong(1) == 2L)
+    // 1s = 1,000,000 µs ∈ [2^19, 2^20) → upper bound 2^20 − 1
+    assert(r.getLong(2) == 1048575L && r.getLong(3) == 1048575L && r.getLong(4) == 1048575L)
+  }
+
+  // ------------------------------------------------------------- q150 quantile normalization
+  test("quantile norm maps within-source ranks onto the corpus distribution") {
+    val dir = docsDir(Seq(
+      (1L, "a", "A"), (2L, "ab", "A"), (3L, "abc", "A"), (4L, "abcd", "A"),
+      (5L, "x" * 10, "B"), (6L, "y" * 20, "B")))
+    val got = CorpusStats.q150QuantileNorm(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](3).longValue).toMap
+    // N=6; source A (ns=4) ranks 1..4 → global ranks 2,3,5,6 → 2,3,10,20
+    assert(got == Map(1L -> 2L, 2L -> 3L, 3L -> 10L, 4L -> 20L,
+                      5L -> 3L, 6L -> 20L))
+  }
+
   // ------------------------------------------------------------- q118 mislabel screen
   test("mislabel screen: the off-axis member ranks first (worst cohesion)") {
     import spark.implicits._
