@@ -832,19 +832,34 @@ object Dedup {
   def q147PrefixSsjoin(s: SparkSession, dir: String): DataFrame = {
     val tri = docShingles(s, dir).persist()
     try {
+      // df and size tables are vocab-/doc-count-sized — broadcast beats a
+      // g-keyed shuffle of the whole shingle table (at vocabularies past
+      // executor memory, fall back to the shuffle join; the algorithm is
+      // unchanged)
       val dfreq = tri.groupBy(col("g")).agg(count(lit(1)).as("df"))
       val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-      val prefix = tri.join(dfreq, Seq("g")).join(sizes, Seq("doc_id"))
+      val prefix = tri.join(broadcast(dfreq), Seq("g")).join(broadcast(sizes), Seq("doc_id"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) DIV 5") + 1)
-        .select(col("doc_id"), col("g"))
+        .select(col("doc_id"), col("g"), col("rn"), col("sz"))
+      // two further LOSSLESS prunes from the PPJoin toolbox, both implied
+      // by J ≥ t so no true pair can fail them:
+      //  - size filter: I ≥ t·max ∧ I ≤ min ⇒ 5·min(sz) ≥ 4·max(sz)
+      //  - position filter: at the FIRST shared prefix shingle (ranks
+      //    i,j) every ∩ element sits at rank ≥ i resp. ≥ j, so
+      //    I ≤ 1 + min(szₐ−i, sz_b−j); require that to reach
+      //    α = ⌈t/(1+t)·(szₐ+sz_b)⌉ = (4·(szₐ+sz_b)+8) DIV 9. Later
+      //    shared shingles only have smaller bounds, so filtering every
+      //    matched row keeps a pair iff its first match passes — safe.
       val cands = prefix.as("a").join(prefix.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") * 5 >= col("a.sz") * 4 && col("a.sz") * 5 >= col("b.sz") * 4 &&
+          (lit(1) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))) >=
+            expr("(4 * (a.sz + b.sz) + 8) DIV 9"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-        .localCheckpoint(true)
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
       cands
