@@ -796,6 +796,33 @@ object ExtendedQueries {
       |       round(max(m)::DOUBLE * count(*) / sum(m), 4) AS skew_ratio
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q151: uniqUpTo
+  /** Exact-up-to-N distinct users per event type via the bounded-state
+    * [[graft.functions.UniqUpTo]] Aggregator (ClickHouse `uniqUpTo`):
+    * N=50 saturates on real types (sentinel 51), N=5000 stays exact —
+    * both run with O(N) state per partial buffer instead of shuffling
+    * every distinct value, and unlike HLL (q39) the result is a pure
+    * function of the data, so it gates against the DuckDB oracle
+    * `least(count(DISTINCT …), N+1)`. The exact count rides along as the
+    * reference measure. */
+  def q151UniqUpTo(s: SparkSession, dir: String): DataFrame = {
+    val u50 = graft.functions.UniqUpTo.uniq_up_to(50)
+    val u5000 = graft.functions.UniqUpTo.uniq_up_to(5000)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(u50(col("user_id")).as("uniq_upto_50"),
+        u5000(col("user_id")).as("uniq_upto_5000"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  val q151Sql: String =
+    """SELECT event_type,
+      |  least(count(DISTINCT user_id), 51) AS uniq_upto_50,
+      |  least(count(DISTINCT user_id), 5001) AS uniq_upto_5000,
+      |  count(DISTINCT user_id) AS n_exact
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
@@ -815,6 +842,7 @@ object ExtendedQueries {
     ("q122_waiting_orders",   q122WaitingOrders _,   Some(q122Sql)),
     ("q123_weighted_median",  q123WeightedMedian _,  Some(q123Sql)),
     ("q143_join_fanout",      q143JoinFanout _,      Some(q143Sql)),
+    ("q151_uniq_upto",        q151UniqUpTo _,        Some(q151Sql)),
     ("q68_rolling_window",    q68RollingWindow _,    Some(q68Sql)),
     ("q72_outliers",          q72Outliers _,         Some(q72Sql)),
     ("q100_winsorize",        q100Winsorize _,       Some(q100Sql)),
