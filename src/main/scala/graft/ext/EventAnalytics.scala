@@ -212,6 +212,36 @@ object EventAnalytics {
       |       CASE WHEN regexp_matches(seq, 's[^e]*p') THEN 1 ELSE 0 END AS converted
       |FROM seqs ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- sequence count (sequenceCount)
+  /** ClickHouse `sequenceCount`: how many NON-OVERLAPPING times the
+    * signup→purchase pattern fires per user (q86's sequenceMatch answers
+    * "ever?"; this answers "how often?" — repeat-conversion analysis).
+    * Same single user-keyed shuffle building the (ts, event_id)-ordered
+    * type string; the count is one regexp_count over it — both engines
+    * scan leftmost-first and resume after each match, and the pattern
+    * stays in the Java∩RE2 subset every regex op here uses. Per-user
+    * state is the type string (bounded by per-user activity, the same
+    * bound the funnel/sequence family already carries). */
+  def q152SequenceCount(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(col("e"))),
+        x => x.getField("c")), "").as("seq"))
+      .select(col("user_id"), length(col("seq")).as("n_events"),
+        regexp_count(col("seq"), lit("s[^e]*p")).as("n_conversions"))
+      .orderBy(col("user_id"))
+
+  val q152Sql: String =
+    """WITH seqs AS (SELECT user_id,
+      |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      |       FROM events GROUP BY user_id)
+      |SELECT user_id, length(seq) AS n_events,
+      |       len(regexp_extract_all(seq, 's[^e]*p')) AS n_conversions
+      |FROM seqs ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- latest state (ReplacingMergeTree / CDC upsert)
   /** Latest-state-per-key semantics — the ReplacingMergeTree / CDC-upsert
     * read: for each (user, event_type) stream key, the most recent
@@ -998,6 +1028,7 @@ object EventAnalytics {
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
     ("q84_retention", q84Retention _, Some(q84Sql)),
     ("q86_sequence_match", q86SequenceMatch _, Some(q86Sql)),
+    ("q152_sequence_count", q152SequenceCount _, Some(q152Sql)),
     ("q87_latest_state",   q87LatestState _,   Some(q87Sql)),
     ("q97_max_intersections", q97MaxIntersections _, Some(q97Sql)),
     ("q98_attribution",       q98Attribution _,      Some(q98Sql)),

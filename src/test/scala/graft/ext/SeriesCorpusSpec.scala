@@ -609,6 +609,17 @@ class SeriesCorpusSpec extends SparkSpec {
                       5L -> 3L, 6L -> 20L))
   }
 
+  // ------------------------------------------------------------- q152 sequence count
+  test("sequence count: greedy non-overlapping signup-to-purchase occurrences") {
+    // seq "scpspesp": greedy s[^e]*p consumes "scpsp", then "sp" → 2
+    val types = Seq("signup", "click", "purchase", "signup", "purchase",
+                    "error", "signup", "purchase")
+    val rows = types.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, f"2024-01-01 00:0$i:00", 1L, t) }
+    val r = EventAnalytics.q152SequenceCount(spark, eventsDir(rows)).collect()(0)
+    assert(r.getLong(0) == 1L && r.getInt(1) == 8 && r.getInt(2) == 2)
+  }
+
   // ------------------------------------------------------------- q118 mislabel screen
   test("mislabel screen: the off-axis member ranks first (worst cohesion)") {
     import spark.implicits._
