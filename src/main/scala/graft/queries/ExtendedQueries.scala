@@ -507,6 +507,49 @@ object ExtendedQueries {
       |  round(sum(value), 2) AS sv, count(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** Per-(session, dir) rollup registration for [[q153RollupRoute]]: the
+    * (source, lang) rollup parquet is built once and registered with the
+    * [[graft.plans.RollupRoute]] optimizer rule. */
+  private val rollupRouteReg =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Automatic materialized-view routing, gate-proven: the query below is
+    * written against the RAW documents relation — filter + groupBy +
+    * count/sum — and the [[graft.plans.RollupRoute]] Catalyst rule
+    * rewrites it onto the registered (source, lang) rollup table
+    * (count(*) → sum(cnt), sum(n_chars) → sum(sum_n_chars), the key-only
+    * filter replayed on the rollup). q80 proves the WRITE side of a
+    * materialized view (incremental maintenance); this proves the READ
+    * side: the optimizer, not the analyst, decides to use the MV, and
+    * the DuckDB oracle runs the same SQL over the raw table — equality
+    * IS the rewrite's exactness proof. Plan shape pinned in
+    * `RollupRouteSpec` (the rollup scan replaces the raw scan). */
+  def q153RollupRoute(s: SparkSession, dir: String): DataFrame = {
+    val rawPath = s"$dir/documents.parquet"
+    rollupRouteReg.computeIfAbsent((s, dir), { case (sess, _) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rollup").toString
+      sess.read.parquet(rawPath)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_n_chars"))
+        .write.mode("overwrite").parquet(tmp)
+      graft.plans.RollupRoute.register(sess, rawPath, sess.read.parquet(tmp),
+        Seq("source", "lang"), "cnt", Map("n_chars" -> "sum_n_chars"))
+      tmp
+    })
+    s.conf.set(graft.plans.RollupRoute.ConfKey, "true")
+    s.read.parquet(rawPath)
+      .filter(col("lang") =!= "zh")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  val q153Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang <> 'zh'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** ANALYZE-style column profiling in ONE scan: per-column null count,
     * distinct count, min / max for the numeric columns of events, unpivoted
     * to one row per column. The single wide aggregate is the
@@ -843,6 +886,7 @@ object ExtendedQueries {
     ("q123_weighted_median",  q123WeightedMedian _,  Some(q123Sql)),
     ("q143_join_fanout",      q143JoinFanout _,      Some(q143Sql)),
     ("q151_uniq_upto",        q151UniqUpTo _,        Some(q151Sql)),
+    ("q153_rollup_route",     q153RollupRoute _,     Some(q153Sql)),
     ("q68_rolling_window",    q68RollingWindow _,    Some(q68Sql)),
     ("q72_outliers",          q72Outliers _,         Some(q72Sql)),
     ("q100_winsorize",        q100Winsorize _,       Some(q100Sql)),
