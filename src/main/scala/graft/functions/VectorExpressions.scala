@@ -433,5 +433,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("nearest_cell", classOf[NearestCellExpr], es => NearestCellExpr(es(0), es(1)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.RangeBandRewrite)
+    e.injectOptimizerRule(_ => graft.plans.RollupRoute)
   }
 }

@@ -550,6 +550,58 @@ object ExtendedQueries {
       |FROM documents WHERE lang <> 'zh'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** TPC-H Q7 shape (volume shipping): revenue flows between nation pairs
+    * by ship year — the 6-relation join classic. Scale plan: both nation
+    * legs filter FIRST (3 of 25 nations), shrinking supplier and customer
+    * to broadcastable slivers BEFORE any fact join, so lineitem joins the
+    * supplier sliver broadcast, shuffles once on l_orderkey to meet
+    * orders, and orders meets the customer sliver broadcast — one fact
+    * shuffle total, every dimension pruned to its join/output columns.
+    * The ship-date range pushes to the parquet scan. */
+  def q154TradeFlows(s: SparkSession, dir: String): DataFrame = {
+    val picks = Seq("NATION_1", "NATION_2", "NATION_3")
+    val n1 = Tables.nation(s, dir).filter(col("n_name").isin(picks: _*))
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).filter(col("n_name").isin(picks: _*))
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("l_shipdate") < to_timestamp(lit("1999-01-01")))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q154Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       year(l_shipdate) AS l_year,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1999-01-01'
+      |  AND n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** ANALYZE-style column profiling in ONE scan: per-column null count,
     * distinct count, min / max for the numeric columns of events, unpivoted
     * to one row per column. The single wide aggregate is the
@@ -887,6 +939,7 @@ object ExtendedQueries {
     ("q143_join_fanout",      q143JoinFanout _,      Some(q143Sql)),
     ("q151_uniq_upto",        q151UniqUpTo _,        Some(q151Sql)),
     ("q153_rollup_route",     q153RollupRoute _,     Some(q153Sql)),
+    ("q154_trade_flows",      q154TradeFlows _,      Some(q154Sql)),
     ("q68_rolling_window",    q68RollingWindow _,    Some(q68Sql)),
     ("q72_outliers",          q72Outliers _,         Some(q72Sql)),
     ("q100_winsorize",        q100Winsorize _,       Some(q100Sql)),
