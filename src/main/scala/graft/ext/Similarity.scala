@@ -608,6 +608,43 @@ object Similarity {
        |WHERE b.br = 1 AND b.voted_label <> l.label
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q155: JL random projection
+  /** Johnson–Lindenstrauss dimensionality reduction, Achlioptas ±1 form:
+    * 64-dim float embeddings projected to 8 components y_j = Σ_d v[d]·s(j,d)
+    * with deterministic integer pseudo-random signs s(j,d) (the same
+    * Knuth-multiplier scheme the LSH planes use — no RNG, so the
+    * projection is identical across engines, executors, and re-runs).
+    * JL: pairwise distances survive within (1±ε) wp → the cheap
+    * front-end that makes brute-force kNN 8× narrower before exact
+    * re-scoring. Map-only — projects 100 TB at scan speed; at that
+    * volume the HOF moves into a fused native Expression (q92's
+    * precedent). Accumulation is index-ordered in both engines, so
+    * doubles agree bit-for-bit before the final round. */
+  def q155JlProject(s: SparkSession, dir: String): DataFrame = {
+    val y = transform(sequence(lit(0), lit(7)), j =>
+      aggregate(sequence(lit(1), lit(64)), lit(0.0),
+        (acc, d) => acc + element_at(col("embedding"), d).cast("double") *
+          when(((j * 64 + d).cast("long") * lit(2654435761L)) % lit(2000003L) >= lit(1000001L),
+            lit(1.0)).otherwise(lit(-1.0))))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(y).as(Seq("j", "y")))
+      .select(col("vec_id"), col("j").cast("int").as("j"), round(col("y"), 4).as("y"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
+  val q155Sql: String =
+    """WITH dims AS (SELECT d FROM range(1, 65) t(d)),
+      |js AS (SELECT j FROM range(8) t(j)),
+      |comps AS (
+      |  SELECT vec_id, j,
+      |         sum(embedding[d]::DOUBLE *
+      |             (CASE WHEN ((j * 64 + d) * 2654435761) % 2000003 >= 1000001
+      |                   THEN 1 ELSE -1 END)) AS y
+      |  FROM embeddings CROSS JOIN js CROSS JOIN dims
+      |  GROUP BY vec_id, j)
+      |SELECT vec_id, CAST(j AS INTEGER) AS j, round(y, 4) AS y
+      |FROM comps ORDER BY vec_id, j""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
     ("q47_knn_topk",   q47KnnTopK _,   Some(q30Sql)),
@@ -621,5 +658,6 @@ object Similarity {
     ("q115_label_centroid", q115LabelCentroid _, Some(q115Sql)),
     ("q118_mislabel_screen", q118MislabelScreen _, Some(q118Sql)),
     ("q141_knn_label_vote",  q141KnnLabelVote _,   Some(q141Sql)),
+    ("q155_jl_project",      q155JlProject _,      Some(q155Sql)),
   )
 }

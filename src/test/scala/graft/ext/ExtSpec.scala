@@ -123,6 +123,21 @@ class ExtSpec extends SparkSpec {
     dir
   }
 
+  test("JL projection is deterministic, linear, and sign-respecting") {
+    val v = (1 to 64).map(i => (i % 7).toFloat - 3f)
+    val dir = vecsDir(Seq(
+      (1L, v), (2L, v),                 // identical vectors
+      (3L, v.map(-_)),                  // negation
+      (4L, v.map(_ * 2f))))             // scaling
+    val got = Similarity.q155JlProject(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    assert(got(1L) == got(2L))                       // determinism
+    assert(got(3L) == got(1L).map(x => if (x == 0.0) 0.0 else -x)) // sign
+    assert(got(4L) == got(1L).map(_ * 2))            // linearity
+    assert(got(1L).exists(_ != 0.0))                 // non-degenerate
+  }
+
   test("multi-probe ANN recalls clustered neighbors (planted clusters)") {
     val rnd = new scala.util.Random(7)
     // 10 well-separated cluster centers, 20 members each, small noise
