@@ -242,6 +242,35 @@ object EventAnalytics {
       |       len(regexp_extract_all(seq, 's[^e]*p')) AS n_conversions
       |FROM seqs ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- cumulative distinct (audience growth)
+  /** Audience growth curve: per event type and day, how many users appear
+    * for the FIRST time, and the running distinct-user total — the
+    * "count(DISTINCT) OVER" no SQL engine supports, decomposed into the
+    * supported form: first-occurrence reduction (one (type,user)-keyed
+    * aggregate, map-side combined) → per-day new-user counts → a running
+    * sum over the DAY-GRAIN table. The window input is calendar-sized,
+    * never the raw stream — the q112 vocab-growth trick on the user
+    * dimension. All-integer. */
+  def q156AudienceGrowth(s: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    firsts
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q156Sql: String =
+    """WITH f AS (SELECT event_type, user_id,
+      |             min(CAST(date_trunc('day', ts) AS DATE)) AS day
+      |           FROM events GROUP BY 1, 2),
+      |d AS (SELECT event_type, day, count(*) AS n_new FROM f GROUP BY 1, 2)
+      |SELECT event_type, day, n_new,
+      |       CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum_users
+      |FROM d ORDER BY event_type, day""".stripMargin
+
   // ---------------------------------------------------------------- latest state (ReplacingMergeTree / CDC upsert)
   /** Latest-state-per-key semantics — the ReplacingMergeTree / CDC-upsert
     * read: for each (user, event_type) stream key, the most recent
@@ -1029,6 +1058,7 @@ object EventAnalytics {
     ("q84_retention", q84Retention _, Some(q84Sql)),
     ("q86_sequence_match", q86SequenceMatch _, Some(q86Sql)),
     ("q152_sequence_count", q152SequenceCount _, Some(q152Sql)),
+    ("q156_audience_growth", q156AudienceGrowth _, Some(q156Sql)),
     ("q87_latest_state",   q87LatestState _,   Some(q87Sql)),
     ("q97_max_intersections", q97MaxIntersections _, Some(q97Sql)),
     ("q98_attribution",       q98Attribution _,      Some(q98Sql)),

@@ -620,6 +620,18 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getInt(1) == 8 && r.getInt(2) == 2)
   }
 
+  // ------------------------------------------------------------- q156 audience growth
+  test("audience growth: repeat visits don't count, running total accumulates") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (2L, "2024-01-01 11:00:00", 2L, "a"),
+      (3L, "2024-01-02 10:00:00", 1L, "a"),   // repeat — not new
+      (4L, "2024-01-03 10:00:00", 3L, "a")))
+    val got = EventAnalytics.q156AudienceGrowth(spark, dir).collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("2024-01-01", 2L, 2L), ("2024-01-03", 1L, 3L)))
+  }
+
   // ------------------------------------------------------------- q118 mislabel screen
   test("mislabel screen: the off-axis member ranks first (worst cohesion)") {
     import spark.implicits._
