@@ -620,17 +620,24 @@ object Similarity {
     * volume the HOF moves into a fused native Expression (q92's
     * precedent). Accumulation is index-ordered in both engines, so
     * doubles agree bit-for-bit before the final round. */
-  def q155JlProject(s: SparkSession, dir: String): DataFrame = {
-    val y = transform(sequence(lit(0), lit(7)), j =>
-      aggregate(sequence(lit(1), lit(64)), lit(0.0),
-        (acc, d) => acc + element_at(col("embedding"), d).cast("double") *
-          when(((j * 64 + d).cast("long") * lit(2654435761L)) % lit(2000003L) >= lit(1000001L),
-            lit(1.0)).otherwise(lit(-1.0))))
+  def q155JlProject(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(y).as(Seq("j", "y")))
+      .select(col("vec_id"),
+        posexplode(graft.functions.GraftFunctions.jl_project8(col("embedding")))
+          .as(Seq("j", "y")))
       .select(col("vec_id"), col("j").cast("int").as("j"), round(col("y"), 4).as("y"))
       .orderBy(col("vec_id"), col("j"))
-  }
+
+  /** The built-in (higher-order-function) JL formulation — semantic
+    * reference for the fused [[graft.functions.JlProjectExpr]] kernel
+    * (`PropertySpec` pins bit-for-bit equivalence; the HOF runs 8×64
+    * interpreted lambdas per row). */
+  def jlProjectHof(v: Column): Column =
+    transform(sequence(lit(0), lit(7)), j =>
+      aggregate(sequence(lit(1), lit(64)), lit(0.0),
+        (acc, d) => acc + element_at(v, d).cast("double") *
+          when(((j * 64 + d).cast("long") * lit(2654435761L)) % lit(2000003L) >= lit(1000001L),
+            lit(1.0)).otherwise(lit(-1.0))))
 
   val q155Sql: String =
     """WITH dims AS (SELECT d FROM range(1, 65) t(d)),

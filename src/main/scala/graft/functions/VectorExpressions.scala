@@ -207,6 +207,29 @@ object ExprKernels {
     out
   }
 
+  /** 8-component Johnson–Lindenstrauss projection with Achlioptas ±1
+    * signs: y_j = Σ_d v[d]·s(j,d), s(j,d) = +1 iff
+    * ((j·64+d)·2654435761) mod 2000003 ≥ 1000001 (1-based d). One
+    * compiled pass, accumulation in ascending-d order — bit-identical to
+    * the HOF formulation q155 gates (`PropertySpec` pins equivalence). */
+  def jlProject8(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](8)
+    var j = 0
+    while (j < 8) {
+      var acc = 0.0
+      var d = 1
+      while (d <= n) {
+        val s = if (((j * 64 + d).toLong * 2654435761L) % 2000003L >= 1000001L) 1.0 else -1.0
+        acc += v.getFloat(d - 1).toDouble * s
+        d += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -352,6 +375,19 @@ case class SimHash60Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash60"
 }
 
+/** Fused 8-component JL projection (see [[ExprKernels.jlProject8]]) over
+  * ArrayType(FloatType) — the scale path for q155's per-plane HOF
+  * aggregates (64 interpreted lambdas per row become one compiled call). */
+case class JlProjectExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.jlProject8(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.jlProject8($c)")
+  override protected def withNewChildInternal(c: Expression): JlProjectExpr = copy(child = c)
+  override def prettyName: String = "jl_project8"
+}
+
 /** Fused cosine similarity (dot + both norms in one compiled pass) over
   * ArrayType(FloatType) embeddings — replaces three interpreted
   * higher-order aggregates. */
@@ -394,6 +430,7 @@ object GraftFunctions {
   def lsh_bucket(c: Column): Column = column(LshBucketExpr(expression(c)))
   def simhash16(c: Column): Column = column(SimHashExpr(expression(c)))
   def simhash60(c: Column): Column = column(SimHash60Expr(expression(c)))
+  def jl_project8(c: Column): Column = column(JlProjectExpr(expression(c)))
   def nearest_cell(v: Column, cents: Column): Column =
     column(NearestCellExpr(expression(v), expression(cents)))
 
@@ -407,6 +444,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("lsh_bucket", es => LshBucketExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash16", es => SimHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60", es => SimHash60Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("jl_project8", es => JlProjectExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("nearest_cell", es => NearestCellExpr(es(0), es(1)), "scala_udf")
   }
 }
@@ -430,6 +468,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("lsh_bucket", classOf[LshBucketExpr], es => LshBucketExpr(es.head))
     inject("simhash16", classOf[SimHashExpr], es => SimHashExpr(es.head))
     inject("simhash60", classOf[SimHash60Expr], es => SimHash60Expr(es.head))
+    inject("jl_project8", classOf[JlProjectExpr], es => JlProjectExpr(es.head))
     inject("nearest_cell", classOf[NearestCellExpr], es => NearestCellExpr(es(0), es(1)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.RangeBandRewrite)

@@ -48,6 +48,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fused JL-projection kernel == higher-order-function formulation (200 random vectors)") {
+    import spark.implicits._
+    val rnd = newRnd()
+    val vecs = (1 to 200).map(i =>
+      (i.toLong, Seq.fill(64)((rnd.nextFloat() - 0.5f) * 4f))).toDF("vec_id", "v")
+    val got = vecs.select(col("vec_id"),
+        GraftFunctions.jl_project8(col("v")).as("k"),
+        graft.ext.Similarity.jlProjectHof(col("v")).as("h"))
+      .collect()
+    got.foreach { r =>
+      val k = r.getSeq[Double](1); val h = r.getSeq[Double](2)
+      assert(k == h, s"jl mismatch vec ${r.getLong(0)}: kernel=$k hof=$h")
+    }
+    assert(got.length == 200)
+  }
+
   test("fused simhash kernel == higher-order-function formulation (200 random docs)") {
     import spark.implicits._
     val rnd = newRnd()
