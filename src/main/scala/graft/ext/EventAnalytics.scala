@@ -60,6 +60,71 @@ object EventAnalytics {
       |FROM spine s LEFT JOIN counts c USING (h)
       |ORDER BY s.h""".stripMargin
 
+  // ---------------------------------------------------------------- linear interpolation fill (WITH FILL INTERPOLATE)
+  /** Gap filling by LINEAR INTERPOLATION (ClickHouse `WITH FILL …
+    * INTERPOLATE`), completing the fill family: q82 zero-fills counts,
+    * q138 carries the last value (LOCF), this draws the line between the
+    * neighboring known values — the right semantics for sampled gauges.
+    * v(h) = prev + (next − prev)·(h − prev_h)/(next_h − prev_h) with
+    * integer hour positions; hours outside the known range stay NULL
+    * (nothing to interpolate toward). The spine is calendar-sized and
+    * derives from the aggregated hourly table — one raw scan; the
+    * carry/lookahead windows run over spine rows only, the q82/q138
+    * scale contract. */
+  def q157Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value")).as("v"))
+      .localCheckpoint(true)
+    val b = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi")).collect()(0)
+    if (b.isNullAt(0)) return hourly.limit(0)
+    val spine = s.range(1)
+      .select(explode(sequence(lit(b.getTimestamp(0)), lit(b.getTimestamp(1)),
+        expr("interval 1 hour"))).as("h"))
+    val joined = spine.join(hourly, Seq("h"), "left")
+      .withColumn("pos", expr("unix_micros(h) DIV 3600000000"))
+    val wb = Window.orderBy(col("pos")).rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.orderBy(col("pos")).rowsBetween(0, Window.unboundedFollowing)
+    joined
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
+      .withColumn("pp", last(when(col("v").isNotNull, col("pos")), ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("np", first(when(col("v").isNotNull, col("pos")), ignoreNulls = true).over(wf))
+      .withColumn("v_interp",
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("pos") - col("pp")).cast("double") / (col("np") - col("pp")).cast("double")))
+      .select(col("h"), round(col("v_interp"), 3).as("v_interp"),
+        col("v").isNull.as("interpolated"))
+      .orderBy(col("h"))
+  }
+
+  val q157Sql: String =
+    """WITH ev AS (SELECT date_trunc('hour', ts) AS h, value FROM events
+      |            WHERE event_type = 'error'),
+      |hourly AS (SELECT h, sum(value) AS v FROM ev GROUP BY h),
+      |spine AS (SELECT unnest(generate_series((SELECT min(h) FROM hourly),
+      |                                        (SELECT max(h) FROM hourly),
+      |                                        INTERVAL 1 HOUR)) AS h),
+      |j AS (SELECT s.h, hourly.v,
+      |             (epoch_us(s.h) // 3600000000) AS pos
+      |      FROM spine s LEFT JOIN hourly USING (h)),
+      |f AS (SELECT h, v, pos,
+      |        last_value(v IGNORE NULLS) OVER wb AS pv,
+      |        last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wb AS pp,
+      |        first_value(v IGNORE NULLS) OVER wf AS nv,
+      |        first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wf AS np
+      |      FROM j
+      |      WINDOW wb AS (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |             wf AS (ORDER BY pos ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT h,
+      |       round(CASE WHEN v IS NOT NULL THEN v
+      |                  ELSE pv + (nv - pv) * (pos - pp)::DOUBLE / (np - pp)::DOUBLE END,
+      |             3) AS v_interp,
+      |       (v IS NULL) AS interpolated
+      |FROM f ORDER BY h""".stripMargin
+
   // ---------------------------------------------------------------- funnel (windowFunnel)
   /** Ordered 3-step funnel signup → click → purchase within 24 h of the
     * user's first signup (ClickHouse `windowFunnel(window)(ts, cond1,
@@ -1059,6 +1124,7 @@ object EventAnalytics {
     ("q86_sequence_match", q86SequenceMatch _, Some(q86Sql)),
     ("q152_sequence_count", q152SequenceCount _, Some(q152Sql)),
     ("q156_audience_growth", q156AudienceGrowth _, Some(q156Sql)),
+    ("q157_interpolate",     q157Interpolate _,    Some(q157Sql)),
     ("q87_latest_state",   q87LatestState _,   Some(q87Sql)),
     ("q97_max_intersections", q97MaxIntersections _, Some(q97Sql)),
     ("q98_attribution",       q98Attribution _,      Some(q98Sql)),

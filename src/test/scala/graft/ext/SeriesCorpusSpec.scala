@@ -632,6 +632,23 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq(("2024-01-01", 2L, 2L), ("2024-01-03", 1L, 3L)))
   }
 
+  // ------------------------------------------------------------- q157 linear interpolation
+  test("interpolation: two-hour gap fills along the line between neighbors") {
+    // error values: 10:00 → 10.0, 13:00 → 16.0; 11:00/12:00 missing
+    // line: 10 + 6·(k/3) → 12.0 at 11:00, 14.0 at 12:00
+    import spark.implicits._
+    val dir = tmpDir("events")
+    Seq((1L, "2024-01-01 10:00:00", 1L, "error", 10.0),
+        (2L, "2024-01-01 13:00:00", 1L, "error", 16.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventAnalytics.q157Interpolate(spark, dir).collect()
+      .map(r => (r.getDouble(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq((10.0, false), (12.0, true), (14.0, true), (16.0, false)))
+  }
+
   // ------------------------------------------------------------- q118 mislabel screen
   test("mislabel screen: the off-axis member ranks first (worst cohesion)") {
     import spark.implicits._
