@@ -336,6 +336,49 @@ object EventAnalytics {
       |       CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum_users
       |FROM d ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------- decile lift table
+  /** Decile lift table — the model-evaluation / targeting report: users
+    * ranked by activity, split into deciles, conversion rate and lift per
+    * decile ("does the top decile convert more?"). Lift is computed as
+    * ONE division of exact integer cross-products
+    * (converters_d · total_users) / (users_d · total_converters) — no
+    * ratio-of-rounded-ratios drift between engines. The global ntile
+    * runs on the user-grain table; at 100 TB it becomes a
+    * range-partitioned rank with broadcast offsets (q97 pattern) or
+    * approx-percentile decile bounds — the statistic is integer-exact
+    * either way. */
+  def q158DecileLift(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+    val w = Window.orderBy(col("n_events").desc, col("user_id"))
+    users.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("users"), sum(col("converted")).as("converters"))
+      .crossJoin(broadcast(users.agg(
+        count(lit(1)).as("tot_users"), sum(col("converted")).as("tot_conv"))))
+      .select(col("decile"), col("users"), col("converters"),
+        round(col("converters").cast("double") / col("users").cast("double"), 4).as("conv_rate"),
+        round((col("converters") * col("tot_users")).cast("double")
+          / (col("users") * col("tot_conv")).cast("double"), 4).as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  val q158Sql: String =
+    """WITH u AS (SELECT user_id, count(*) AS n_events,
+      |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |           FROM events GROUP BY user_id),
+      |d AS (SELECT user_id, converted,
+      |             ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+      |      FROM u),
+      |t AS (SELECT count(*) AS tot_users, sum(converted) AS tot_conv FROM u)
+      |SELECT decile, count(*) AS users, CAST(sum(converted) AS BIGINT) AS converters,
+      |       round(sum(converted)::DOUBLE / count(*)::DOUBLE, 4) AS conv_rate,
+      |       round((sum(converted) * max(t.tot_users))::DOUBLE
+      |             / (count(*) * max(t.tot_conv))::DOUBLE, 4) AS lift
+      |FROM d CROSS JOIN t GROUP BY decile ORDER BY decile""".stripMargin
+
   // ---------------------------------------------------------------- latest state (ReplacingMergeTree / CDC upsert)
   /** Latest-state-per-key semantics — the ReplacingMergeTree / CDC-upsert
     * read: for each (user, event_type) stream key, the most recent
@@ -1125,6 +1168,7 @@ object EventAnalytics {
     ("q152_sequence_count", q152SequenceCount _, Some(q152Sql)),
     ("q156_audience_growth", q156AudienceGrowth _, Some(q156Sql)),
     ("q157_interpolate",     q157Interpolate _,    Some(q157Sql)),
+    ("q158_decile_lift",     q158DecileLift _,     Some(q158Sql)),
     ("q87_latest_state",   q87LatestState _,   Some(q87Sql)),
     ("q97_max_intersections", q97MaxIntersections _, Some(q97Sql)),
     ("q98_attribution",       q98Attribution _,      Some(q98Sql)),

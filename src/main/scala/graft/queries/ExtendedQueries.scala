@@ -602,6 +602,47 @@ object ExtendedQueries {
       |  AND n1.n_name <> n2.n_name
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Benford first-digit screen over order totals — the classic
+    * fabricated-data / data-quality test: leading-digit frequencies vs
+    * Benford's log₁₀(1+1/d) law, with the χ² contribution per digit.
+    * Digit extraction is integer-exact and engine-identical: prices →
+    * exact cents (round → BIGINT) → decimal string → first character
+    * (no float log10 at digit boundaries). Expected shares enter as
+    * LITERALS so both engines use identical constants. One map pass +
+    * one 9-group aggregate — scan speed at any volume. */
+  def q159Benford(s: SparkSession, dir: String): DataFrame = {
+    val benford = typedLit((1 to 9).map(d => math.log10(1.0 + 1.0 / d)))
+    Tables.orders(s, dir)
+      .select(substring(expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1)
+        .cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("p_benford", element_at(benford, col("digit")))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 4).as("share"),
+        round(col("p_benford"), 4).as("p_benford"),
+        round(pow(col("n").cast("double") - col("tot").cast("double") * col("p_benford"), 2)
+          / (col("tot").cast("double") * col("p_benford")), 4).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  val q159Sql: String = {
+    val probs = (1 to 9).map(d => s"(${d}, ${math.log10(1.0 + 1.0 / d)})").mkString(", ")
+    s"""WITH digits AS (
+       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM orders),
+       |c AS (SELECT digit, count(*) AS n FROM digits WHERE digit >= 1 GROUP BY digit),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+       |b(digit, p) AS (VALUES $probs)
+       |SELECT c.digit, c.n,
+       |       round(c.n::DOUBLE / t.tot::DOUBLE, 4) AS share,
+       |       round(b.p, 4) AS p_benford,
+       |       round(pow(c.n::DOUBLE - t.tot::DOUBLE * b.p, 2) / (t.tot::DOUBLE * b.p), 4) AS chi2_term
+       |FROM c CROSS JOIN t JOIN b ON b.digit = c.digit
+       |ORDER BY c.digit""".stripMargin
+  }
+
   /** ANALYZE-style column profiling in ONE scan: per-column null count,
     * distinct count, min / max for the numeric columns of events, unpivoted
     * to one row per column. The single wide aggregate is the
@@ -940,6 +981,7 @@ object ExtendedQueries {
     ("q151_uniq_upto",        q151UniqUpTo _,        Some(q151Sql)),
     ("q153_rollup_route",     q153RollupRoute _,     Some(q153Sql)),
     ("q154_trade_flows",      q154TradeFlows _,      Some(q154Sql)),
+    ("q159_benford",          q159Benford _,         Some(q159Sql)),
     ("q68_rolling_window",    q68RollingWindow _,    Some(q68Sql)),
     ("q72_outliers",          q72Outliers _,         Some(q72Sql)),
     ("q100_winsorize",        q100Winsorize _,       Some(q100Sql)),

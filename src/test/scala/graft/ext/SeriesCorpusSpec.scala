@@ -649,6 +649,35 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq((10.0, false), (12.0, true), (14.0, true), (16.0, false)))
   }
 
+  // ------------------------------------------------------------- q158 decile lift
+  test("decile lift: concentrated converters in the top decile lift above 1") {
+    // 20 users; users 1-2 most active AND the only converters
+    var id = 0L
+    def ev(u: Long, tpe: String, n: Int) = (1 to n).map { _ =>
+      id += 1; (id, "2024-01-01 10:00:00", u, tpe) }
+    val rows = ev(1L, "purchase", 10) ++ ev(2L, "purchase", 9) ++
+      (3L to 20L).flatMap(u => ev(u, "click", 1))
+    val got = EventAnalytics.q158DecileLift(spark, eventsDir(rows)).collect()
+    assert(got.length == 10)
+    // decile 1 = the two converters: rate 1.0, lift = (2*20)/(2*2) = 10
+    assert(got(0).getLong(1) == 2L && got(0).getDouble(3) == 1.0 &&
+      got(0).getDouble(4) == 10.0)
+    assert(got.drop(1).forall(_.getLong(2) == 0L))   // no converters elsewhere
+  }
+
+  // ------------------------------------------------------------- q159 Benford screen
+  test("benford: first digits extracted from exact cents, chi2 term exact") {
+    import spark.implicits._
+    val dir = tmpDir("orders")
+    // 123.45 → "12345" → 1; 0.07 → "7" → 7; 999.99 → "99999" → 9
+    Seq((1L, 123.45), (2L, 0.07), (3L, 999.99), (4L, 19.99))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.queries.ExtendedQueries.q159Benford(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 2L, 7 -> 1L, 9 -> 1L))
+  }
+
   // ------------------------------------------------------------- q118 mislabel screen
   test("mislabel screen: the off-axis member ranks first (worst cohesion)") {
     import spark.implicits._
