@@ -11,6 +11,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // AQE stays on (the cluster default): measured on this suite it is
+      // marginally FASTER than off even at bench scale (skew-join and
+      // coalescing pay for their re-planning); SPARK_GRAFT_AQE overrides.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed engine warmup on synthetic data (never the benchmark tables):

@@ -22,10 +22,7 @@ import graft.tables.Tables
   */
 object CorpusStats {
 
-  private def toks(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-              explode(split(col("text"), " ")).as("tok"))
+  private def toks(s: SparkSession, dir: String): DataFrame = Toks(s, dir)
 
   // ---------------------------------------------------------------- q111: distribution entropy
   /** Per-source unigram Shannon entropy (nats) and its normalized form

@@ -102,8 +102,7 @@ object Curation {
     * IEEE division of exact integers, bit-identical across engines;
     * the ranking is idf-monotone for fixed tf. */
   def q58TopTerms(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = Toks(s, dir).select(col("doc_id"), col("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     // df from a per-doc-distinct map stage, not from tf: re-deriving it
     // from tf would re-run tf's (doc, tok) shuffle a second time.

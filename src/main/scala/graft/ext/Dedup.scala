@@ -52,8 +52,18 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(array_distinct(shingles3(col("tk")))).as("g"))
 
+  /** Per-(session, dir) cache of the corpus shingle table — the single
+    * most re-derived intermediate in the dedup family (q28, q106, q114,
+    * q147 all start from it). Eagerly materialized once per dir, like
+    * [[pairCache]]; at 100 TB this is a parquet checkpoint table the
+    * pipeline stages share. Same immutable-dir contract as
+    * [[graft.tables.Tables]]. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    shinglesOf(Tables.documents(s, dir))
+    shingleCache.computeIfAbsent((s, dir),
+      { case (sess, d) => shinglesOf(Tables.documents(sess, d)).localCheckpoint(true) })
 
   private val shinglesCte =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -91,8 +91,7 @@ object TextAnalysis {
     * count → final count: the only shuffle carries one row per distinct
     * term per partition. */
   def q34TokenStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    Toks(s, dir).select(col("doc_id"), col("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("docs"))
       .orderBy(col("n").desc, col("tok"))
@@ -163,8 +162,7 @@ object TextAnalysis {
     * hash oracle); the membership guarantee is spec-pinned instead. */
   def q69HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val fi = graft.functions.FreqSketch.frequent_items(32)
-    Tables.documents(s, dir)
-      .select(explode(split(col("text"), " ")).as("tok"))
+    Toks(s, dir).select(col("tok"))
       .agg(fi(col("tok")).as("hh"))
       .select(posexplode(col("hh")).as(Seq("rank", "e")))
       .select(col("rank"), col("e._1").as("tok"), col("e._2").as("approx_count"))
@@ -210,15 +208,11 @@ object TextAnalysis {
     * never shuffles. */
   def q75TokenRarity(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    // tok feeds both the df dictionary and the per-occurrence join:
-    // persist so the corpus is split+exploded once; the doc-level result
-    // is small, so an eager localCheckpoint releases the token-level
-    // cache on return. (At 100 TB do NOT cache a corpus-sized token
-    // stream — checkpoint it to parquet, or let the two consumers
-    // recompute the explode: two scans beat spilling the corpus.)
-    tok.persist()
-    try {
+    // tok feeds both the df dictionary and the per-occurrence join — the
+    // shared Toks checkpoint serves both (at 100 TB that cache is a
+    // parquet checkpoint table, never a spilled in-memory corpus).
+    val tok = Toks(s, dir).select(col("doc_id"), col("tok"))
+    locally {
       // corpus size is an O(1) scalar — one count job (parquet row-group
       // stats, no data pages) instead of a broadcast-subquery branch and
       // its own sequential AQE stage
@@ -230,8 +224,7 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_tok"),
           round(col("n_tok").cast("double") * lit(nDocs) / col("sum_df"), 4).as("rarity"))
         .orderBy(col("doc_id"))
-        .localCheckpoint(true)
-    } finally tok.unpersist(false)
+    }
   }
 
   val q75Sql: String =
@@ -256,8 +249,7 @@ object TextAnalysis {
     * comma-joined (integer formatting is engine-portable, raw arrays are
     * not driver-hashable). */
   def q93InvertedIndex(s: SparkSession, dir: String): DataFrame = {
-    val post = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val post = Toks(s, dir).select(col("doc_id"), col("tok"))
       .distinct()
     val wHead = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
     val wAll = Window.partitionBy(col("tok"))

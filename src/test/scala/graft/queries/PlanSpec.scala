@@ -62,10 +62,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("events.parquet"))
   }
 
-  test("q111 entropy scan is pruned to source+text and combines map-side") {
+  test("q111 entropy reads the shared token checkpoint and combines map-side") {
     val p = plan("q111_entropy")
-    assert(p.contains("ReadSchema"))
-    assert(!p.contains("n_chars") && !p.contains("doc_id")) // pruned through explode
+    // q111 now consumes the shared Toks checkpoint (doc_id, source, tok) —
+    // column pruning moved to the cache build, which never reads n_chars
+    assert(!p.contains("n_chars"))
     assert("HashAggregate".r.findAllIn(p).size >= 2)        // partial+final token counts
   }
 
