@@ -341,6 +341,44 @@ object Temporal {
       |       epoch_us(ts) - epoch_us(prev_click_ts) AS age_us
       |FROM j ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------ within-session funnel
+  /** Session-scoped conversion: did the signup→purchase sequence complete
+    * INSIDE one session (30-minute gaps), rather than anywhere in the
+    * user's history (q86's scope)? The product-analytics composition of
+    * two operators this engine already proves separately — built-in
+    * session_window assignment + the ordered type-string test — in one
+    * user-keyed shuffle. Session grain keeps per-group state bounded by
+    * session length, not user history. Oracle builds identical sessions
+    * via the lag-gap island method (the equivalence session_window ↔
+    * islands is what q23's gate established). */
+  def q160SessionFunnel(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), substring(col("event_type"), 1, 1).as("c")))),
+          x => x.getField("c")), "").as("seq"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        when(col("seq").rlike("s[^e]*p"), lit(1)).otherwise(lit(0)).as("converted"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q160Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTES
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+      |       CASE WHEN regexp_matches(
+      |              string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+      |              's[^e]*p') THEN 1 ELSE 0 END AS converted
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q21_asof_join",  q21AsOfJoin _,  Some(q21Sql)),
     ("q51_asof_native", q51AsOfNative _, Some(q21Sql)),
@@ -351,5 +389,6 @@ object Temporal {
     ("q126_session_stats",    q126SessionStats _,    Some(q126Sql)),
     ("q136_engaged_time",     q136EngagedTime _,     Some(q136Sql)),
     ("q148_asof_tolerance",   q148AsofTolerance _,   Some(q148Sql)),
+    ("q160_session_funnel",   q160SessionFunnel _,   Some(q160Sql)),
   )
 }

@@ -678,6 +678,20 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got == Map(1 -> 2L, 7 -> 1L, 9 -> 1L))
   }
 
+  // ------------------------------------------------------------- q160 session funnel
+  test("session funnel: conversion must complete within one session") {
+    val rows = Seq(
+      // user 1: signup and purchase in ONE session → converted
+      (1L, "2024-01-01 10:00:00", 1L, "signup"),
+      (2L, "2024-01-01 10:10:00", 1L, "purchase"),
+      // user 2: signup, 2h gap, purchase → two sessions, neither converts
+      (3L, "2024-01-01 10:00:00", 2L, "signup"),
+      (4L, "2024-01-01 12:30:00", 2L, "purchase"))
+    val r = Temporal.q160SessionFunnel(spark, eventsDir(rows)).collect()
+      .map(x => (x.getLong(0), x.getInt(3)))
+    assert(r.toSeq == Seq((1L, 1), (2L, 0), (2L, 0)))
+  }
+
   // ------------------------------------------------------------- q118 mislabel screen
   test("mislabel screen: the off-axis member ranks first (worst cohesion)") {
     import spark.implicits._
