@@ -156,30 +156,76 @@ object TraceStore {
     * Returns the list of compacted ym values. */
   def compact(spark: SparkSession, tablePath: String,
               maxFilesPerMonth: Int = 16, splitsPerMonth: Int = 4): Seq[String] = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Path, Paths}
     val root = Paths.get(tablePath)
     if (!Files.exists(root)) return Seq.empty
 
-    import FsMaint.{listDir, deleteTree}
+    import FsMaint.listDir
     def parquetFiles(p: Path): Seq[Path] =
       listDir(p).filter(_.toString.endsWith(".parquet"))
 
     val monthDirs = listDir(root).filter(p => Files.isDirectory(p) &&
       p.getFileName.toString.startsWith(s"${TraceSchema.PartitionCol}="))
 
-    // ---- crash recovery: finish or roll back a previous attempt
+    // ---- crash recovery: finish or roll back a previous attempt (shared
+    // with deleteWhere — see recoverAttempts for the protocol argument)
+    recoverAttempts(root)
+
+    monthDirs
+      .map(d => (d, parquetFiles(d)))               // capture-first file set
+      .filter(_._2.size > maxFilesPerMonth)
+      .map { case (monthDir, old) =>
+        rewriteMonth(spark, monthDir, old, identity, splitsPerMonth, "compacted")
+      }
+  }
+
+  /** Predicate erasure — the `ALTER TABLE … DELETE WHERE` / GDPR-redaction
+    * analogue (ClickHouse runs it as a background mutation rewriting
+    * parts; a parquet store must rewrite files the same way). Months with
+    * no matching rows are left byte-identical (the match probe is one
+    * pushed-filter count per month — bloom/min-max stats make misses
+    * cheap); matching months are rewritten without the condemned rows
+    * under the same crash-safe manifest swap protocol as [[compact]]
+    * (capture-first file set, temp rewrite, atomic manifest, install,
+    * delete — a crash at any point is repaired by the next maintenance
+    * call). Returns the ym values that were rewritten. */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+                  cond: org.apache.spark.sql.Column,
+                  splitsPerMonth: Int = 4): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(tablePath)
+    if (!Files.exists(root)) return Seq.empty
+    recoverAttempts(root)
+    import FsMaint.listDir
+    val monthDirs = listDir(root).filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith(s"${TraceSchema.PartitionCol}="))
+    monthDirs
+      .map(d => (d, listDir(d).filter(_.toString.endsWith(".parquet"))))
+      .filter { case (_, old) =>
+        old.nonEmpty && spark.read.schema(TraceSchema.target)
+          .parquet(old.map(_.toString): _*).filter(cond).limit(1).count() > 0
+      }
+      .map { case (monthDir, old) =>
+        rewriteMonth(spark, monthDir, old, _.filter(!cond), splitsPerMonth, "redacted")
+      }
+  }
+
+  /** Crash recovery for a previous compact/delete attempt: complete any
+    * manifest whose temp rewrite finished, then clear orphans. Safe under
+    * the single-maintenance-writer assumption. */
+  private def recoverAttempts(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import FsMaint.{listDir, deleteTree}
+    val monthDirs = listDir(root).filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith(s"${TraceSchema.PartitionCol}="))
     monthDirs.foreach { monthDir =>
-      // a crash between manifest staging and its atomic rename leaves the
-      // .tmp only — the attempt never became installable; discard it
       Files.deleteIfExists(monthDir.resolve("_compact_manifest.tmp"))
       val marker = monthDir.resolve("_compact_manifest")
       if (Files.exists(marker)) {
         val lines = Files.readAllLines(marker).asScala
         val tmp = monthDir.resolveSibling(lines.head)
         val (installs, deletes) = lines.tail.partition(_.startsWith("install\t"))
-        // manifest is only written after the temp rewrite succeeded, so
-        // completing it is always safe: finish pending moves, then deletes
         installs.foreach { l =>
           val Array(_, from, to) = l.split('\t')
           val src = tmp.resolve(from)
@@ -191,50 +237,55 @@ object TraceStore {
         deleteTree(tmp)
       }
     }
-    // after recovery no marker references any temp dir — remaining
-    // .compact-* dirs are orphans of fully-installed attempts (crash after
-    // manifest deletion); safe to clear under the single-writer
-    // maintenance assumption
     listDir(root).filter(_.getFileName.toString.startsWith(".compact-"))
       .foreach(deleteTree)
+  }
 
-    monthDirs
-      .map(d => (d, parquetFiles(d)))               // capture-first file set
-      .filter(_._2.size > maxFilesPerMonth)
-      .map { case (monthDir, old) =>
-        val ym = monthDir.getFileName.toString.stripPrefix(s"${TraceSchema.PartitionCol}=")
-        val attempt = java.util.UUID.randomUUID().toString.take(8)
-        val tmpName = s".compact-$ym-$attempt"
-        val tmp = monthDir.resolveSibling(tmpName)
-        deleteTree(tmp)
-        spark.read.schema(TraceSchema.target)
-          .parquet(old.map(_.toString): _*)          // exactly the captured files
-          .repartitionByRange(splitsPerMonth, col("Time"))
-          .sortWithinPartitions(col("Time"))
-          .write.mode("overwrite").option("compression", "zstd")
-          .parquet(tmp.toString)
-        val installs = parquetFiles(tmp).zipWithIndex.map { case (f, i) =>
-          (f.getFileName.toString, f"compacted-$ym-$attempt-$i%05d.parquet")
-        }
-        // the manifest IS the commit record — recovery assumes it is
-        // either absent or complete, so stage it and rename atomically
-        // (a truncated manifest would wedge recovery or leave the old
-        // files undeleted → permanent duplicates)
-        val marker = monthDir.resolve("_compact_manifest")
-        val markerTmp = monthDir.resolve("_compact_manifest.tmp")
-        Files.write(markerTmp,
-          (tmpName +:
-           (installs.map { case (a, b) => s"install\t$a\t$b" } ++
-            old.map(p => s"delete\t${p.getFileName}"))).mkString("\n").getBytes)
-        Files.move(markerTmp, marker, StandardCopyOption.ATOMIC_MOVE)
-        installs.foreach { case (from, to) =>
-          Files.move(tmp.resolve(from), monthDir.resolve(to),
-            StandardCopyOption.ATOMIC_MOVE)
-        }
-        old.foreach(Files.deleteIfExists)
-        Files.delete(marker)
-        deleteTree(tmp)
-        ym
-      }
+  /** Shared month-swap: read exactly the captured files, apply
+    * `transform`, rewrite time-sorted under the manifest protocol
+    * documented on [[compact]]. Returns the month's ym value. */
+  private def rewriteMonth(spark: SparkSession,
+                           monthDir: java.nio.file.Path,
+                           old: Seq[java.nio.file.Path],
+                           transform: DataFrame => DataFrame,
+                           splitsPerMonth: Int,
+                           tag: String): String = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import FsMaint.deleteTree
+    def parquetFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      FsMaint.listDir(p).filter(_.toString.endsWith(".parquet"))
+    val ym = monthDir.getFileName.toString.stripPrefix(s"${TraceSchema.PartitionCol}=")
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val tmpName = s".compact-$ym-$attempt"
+    val tmp = monthDir.resolveSibling(tmpName)
+    deleteTree(tmp)
+    transform(spark.read.schema(TraceSchema.target)
+        .parquet(old.map(_.toString): _*))          // exactly the captured files
+      .repartitionByRange(splitsPerMonth, col("Time"))
+      .sortWithinPartitions(col("Time"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(tmp.toString)
+    val installs = parquetFiles(tmp).zipWithIndex.map { case (f, i) =>
+      (f.getFileName.toString, f"$tag-$ym-$attempt-$i%05d.parquet")
+    }
+    // the manifest IS the commit record — recovery assumes it is
+    // either absent or complete, so stage it and rename atomically
+    // (a truncated manifest would wedge recovery or leave the old
+    // files undeleted → permanent duplicates)
+    val marker = monthDir.resolve("_compact_manifest")
+    val markerTmp = monthDir.resolve("_compact_manifest.tmp")
+    Files.write(markerTmp,
+      (tmpName +:
+       (installs.map { case (a, b) => s"install\t$a\t$b" } ++
+        old.map(p => s"delete\t${p.getFileName}"))).mkString("\n").getBytes)
+    Files.move(markerTmp, marker, StandardCopyOption.ATOMIC_MOVE)
+    installs.foreach { case (from, to) =>
+      Files.move(tmp.resolve(from), monthDir.resolve(to),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    old.foreach(Files.deleteIfExists)
+    Files.delete(marker)
+    deleteTree(tmp)
+    ym
   }
 }

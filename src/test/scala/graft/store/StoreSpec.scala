@@ -203,6 +203,27 @@ class StoreSpec extends SparkSpec {
     assert(TraceStore.compact(spark, path, maxFilesPerMonth = 1000).isEmpty)
   }
 
+  test("deleteWhere erases matching rows, leaves clean months byte-identical") {
+    val path = tmpDir("store-del")
+    (1 to 3).foreach(_ => TraceStore.append(mkBatch(), path))
+    // m2 rows live only in 201906; 201905 (m1-only) must not be rewritten
+    def fileNames(ym: String) =
+      new java.io.File(s"$path/ym=$ym").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+    val mayBefore = fileNames("201905")
+    val redacted = TraceStore.deleteWhere(spark, path, col("Machine") === "m2")
+    assert(redacted == Seq("201906"))
+    val rows = TraceStore.read(spark, path).collect()
+    assert(!rows.exists(_.getAs[String]("Machine") == "m2"))
+    assert(rows.count(_.getAs[String]("Machine") == "m1") == 6) // 2 rows × 3 appends
+    assert(fileNames("201905") == mayBefore)       // untouched month: same files
+    // idempotent: nothing left to erase
+    assert(TraceStore.deleteWhere(spark, path, col("Machine") === "m2").isEmpty)
+    // erasing the rest empties the table but keeps the layout valid
+    TraceStore.deleteWhere(spark, path, col("Severity") >= 0)
+    assert(TraceStore.read(spark, path).count() == 0)
+  }
+
   test("analyze publishes rowCount and column NDV stats to the optimizer") {
     import org.apache.spark.sql.catalyst.TableIdentifier
     val path = tmpDir("storestats")
