@@ -643,6 +643,47 @@ object ExtendedQueries {
        |ORDER BY c.digit""".stripMargin
   }
 
+  /** Market-basket co-occurrence — support and directional confidence for
+    * part pairs ordered together (the Apriori/association-rule counting
+    * step; "customers who bought X also bought Y"). The pair space is the
+    * order-keyed self-join: both sides shuffle on the SAME l_orderkey
+    * hash (co-partitioned, one exchange each), and the pair count per
+    * order is multiplicity-squared — bounded by lines-per-order (q143's
+    * audit is the pre-flight for exactly this join). Item frequencies
+    * broadcast back for confidence; integers + one division. Top-100 by
+    * (support, pair) is a TakeOrdered, not a global sort. */
+  def q161Copurchase(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val partOrders = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_orders"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .join(broadcast(partOrders.select(col("l_partkey").as("p1"), col("n_orders").as("n1"))), Seq("p1"))
+      .join(broadcast(partOrders.select(col("l_partkey").as("p2"), col("n_orders").as("n2"))), Seq("p2"))
+      .select(col("p1"), col("p2"), col("support"),
+        round(col("support").cast("double") / col("n1").cast("double"), 4).as("conf_1_2"),
+        round(col("support").cast("double") / col("n2").cast("double"), 4).as("conf_2_1"))
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
+  val q161Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |po AS (SELECT l_partkey, count(*) AS n_orders FROM li GROUP BY 1),
+      |pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+      |          FROM li a JOIN li b
+      |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |          GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT p1, p2, support,
+      |       round(support::DOUBLE / po1.n_orders::DOUBLE, 4) AS conf_1_2,
+      |       round(support::DOUBLE / po2.n_orders::DOUBLE, 4) AS conf_2_1
+      |FROM pairs JOIN po po1 ON po1.l_partkey = p1
+      |           JOIN po po2 ON po2.l_partkey = p2
+      |ORDER BY support DESC, p1, p2 LIMIT 100""".stripMargin
+
   /** ANALYZE-style column profiling in ONE scan: per-column null count,
     * distinct count, min / max for the numeric columns of events, unpivoted
     * to one row per column. The single wide aggregate is the
@@ -982,6 +1023,7 @@ object ExtendedQueries {
     ("q153_rollup_route",     q153RollupRoute _,     Some(q153Sql)),
     ("q154_trade_flows",      q154TradeFlows _,      Some(q154Sql)),
     ("q159_benford",          q159Benford _,         Some(q159Sql)),
+    ("q161_copurchase",       q161Copurchase _,      Some(q161Sql)),
     ("q68_rolling_window",    q68RollingWindow _,    Some(q68Sql)),
     ("q72_outliers",          q72Outliers _,         Some(q72Sql)),
     ("q100_winsorize",        q100Winsorize _,       Some(q100Sql)),

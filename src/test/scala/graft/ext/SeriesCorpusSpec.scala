@@ -692,6 +692,23 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 1), (2L, 0), (2L, 0)))
   }
 
+  // ------------------------------------------------------------- q161 co-purchase
+  test("co-purchase: pair support and directional confidence from planted baskets") {
+    import spark.implicits._
+    val dir = tmpDir("li")
+    // baskets: {1,2,3}, {1,2}, {1,2}, {3}
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+        (30L, 1L), (30L, 2L), (40L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.queries.ExtendedQueries.q161Copurchase(spark, dir).collect()
+    assert(got.length == 1)                        // only (1,2) reaches support 2
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 1.0)                  // conf 1→2: 3/3
+    assert(r.getDouble(4) == 1.0)                  // conf 2→1: 3/3
+  }
+
   // ------------------------------------------------------------- q118 mislabel screen
   test("mislabel screen: the off-axis member ranks first (worst cohesion)") {
     import spark.implicits._
