@@ -379,6 +379,51 @@ object EventAnalytics {
       |             / (count(*) * max(t.tot_conv))::DOUBLE, 4) AS lift
       |FROM d CROSS JOIN t GROUP BY decile ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- sequential-pattern support
+  /** Sequential-pattern support (the PrefixSpan counting step at length
+    * 2): for every ordered type pair (A then B), how many users did A
+    * strictly before their first B — ALL ordered pairs at ANY distance,
+    * where Markov (q108) sees only adjacency and the funnel (q83) a fixed
+    * chain. First-occurrence reduction first ((user, type) argmin — one
+    * map-side-combined aggregate), so the self-join runs on the
+    * type-grain table: ≤ |types| rows per user, pair work |types|²
+    * bounded per user regardless of activity. Support denominator
+    * broadcast. (ts, event_id) lexicographic order makes ties exact. */
+  def q162SeqPairs(s: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        col("f.ts").as("ts"), col("f.event_id").as("eid"))
+    firsts.as("a").join(firsts.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") =!= col("b.event_type") &&
+        (col("a.ts") < col("b.ts") ||
+          (col("a.ts") === col("b.ts") && col("a.eid") < col("b.eid"))))
+      .groupBy(col("a.event_type").as("first_type"), col("b.event_type").as("then_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(Tables.events(s, dir)
+        .agg(countDistinct(col("user_id")).as("n_total"))))
+      .select(col("first_type"), col("then_type"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_total").cast("double"), 4).as("support"))
+      .orderBy(col("n_users").desc, col("first_type"), col("then_type"))
+  }
+
+  val q162Sql: String =
+    """WITH f AS (SELECT user_id, event_type,
+      |             min(struct_pack(ts := ts, eid := event_id)) AS f
+      |           FROM events GROUP BY 1, 2),
+      |fx AS (SELECT user_id, event_type, f.ts AS ts, f.eid AS eid FROM f),
+      |t AS (SELECT count(DISTINCT user_id) AS n_total FROM events)
+      |SELECT a.event_type AS first_type, b.event_type AS then_type,
+      |       count(*) AS n_users,
+      |       round(count(*)::DOUBLE / max(t.n_total)::DOUBLE, 4) AS support
+      |FROM fx a JOIN fx b
+      |  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      | AND (a.ts < b.ts OR (a.ts = b.ts AND a.eid < b.eid))
+      |CROSS JOIN t
+      |GROUP BY 1, 2 ORDER BY n_users DESC, first_type, then_type""".stripMargin
+
   // ---------------------------------------------------------------- latest state (ReplacingMergeTree / CDC upsert)
   /** Latest-state-per-key semantics — the ReplacingMergeTree / CDC-upsert
     * read: for each (user, event_type) stream key, the most recent
@@ -1169,6 +1214,7 @@ object EventAnalytics {
     ("q156_audience_growth", q156AudienceGrowth _, Some(q156Sql)),
     ("q157_interpolate",     q157Interpolate _,    Some(q157Sql)),
     ("q158_decile_lift",     q158DecileLift _,     Some(q158Sql)),
+    ("q162_seq_pairs",       q162SeqPairs _,       Some(q162Sql)),
     ("q87_latest_state",   q87LatestState _,   Some(q87Sql)),
     ("q97_max_intersections", q97MaxIntersections _, Some(q97Sql)),
     ("q98_attribution",       q98Attribution _,      Some(q98Sql)),

@@ -709,6 +709,20 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0)                  // conf 2→1: 3/3
   }
 
+  // ------------------------------------------------------------- q162 sequential pairs
+  test("seq pairs: first-occurrence order decides A-then-B support") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (2L, "2024-01-01 11:00:00", 1L, "b"),
+      (3L, "2024-01-01 12:00:00", 1L, "a"),   // repeat a AFTER b — irrelevant
+      (4L, "2024-01-01 10:00:00", 2L, "b"),
+      (5L, "2024-01-01 11:00:00", 2L, "a")))
+    val got = EventAnalytics.q162SeqPairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // user1: a→b; user2: b→a; denominators: 2 users
+    assert(got == Map(("a", "b") -> ((1L, 0.5)), ("b", "a") -> ((1L, 0.5))))
+  }
+
   // ------------------------------------------------------------- q118 mislabel screen
   test("mislabel screen: the off-axis member ranks first (worst cohesion)") {
     import spark.implicits._
