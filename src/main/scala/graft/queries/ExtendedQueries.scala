@@ -684,6 +684,55 @@ object ExtendedQueries {
       |           JOIN po po2 ON po2.l_partkey = p2
       |ORDER BY support DESC, p1, p2 LIMIT 100""".stripMargin
 
+  /** Skyline (Pareto front) — the classic multi-criteria operator: orders
+    * that are non-dominated on (fast fulfilment, high value): no other
+    * order ships at least as fast AND is worth at least as much, strictly
+    * better in one. Not a dominance self-join (O(n²) — the naive NOT
+    * EXISTS is intractable at scale): the 2-D skyline falls out of ONE
+    * ordered pass — sort by delay, then a point survives iff its price
+    * beats every strictly-faster point's price (a RANGE-frame running
+    * max) and no equal-delay point strictly beats it (a per-delay max).
+    * At 100 TB the sort is a range-partitioned exchange and the RANGE
+    * window runs per partition with broadcast per-partition prefix
+    * maxima (q97's two-pass sweep pattern) — the statistic is a pure
+    * comparison, so distribution cannot change membership. */
+  def q163Skyline(s: SparkSession, dir: String): DataFrame = {
+    val delay = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("first_ship"))
+    val pts = Tables.orders(s, dir)
+      .join(delay, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"),
+        datediff(col("first_ship"), col("o_orderdate")).as("delay_days"),
+        col("o_totalprice"))
+    val wPrev = Window.orderBy(col("delay_days"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("delay_days"))
+    pts
+      .withColumn("best_faster", max(col("o_totalprice")).over(wPrev))
+      .withColumn("best_equal", max(col("o_totalprice")).over(wEq))
+      .filter((col("best_faster").isNull || col("best_faster") < col("o_totalprice")) &&
+              col("best_equal") <= col("o_totalprice"))
+      .select(col("o_orderkey"), col("delay_days"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("delay_days"), col("o_orderkey"))
+  }
+
+  val q163Sql: String =
+    """WITH d AS (SELECT l_orderkey, min(l_shipdate) AS first_ship
+      |           FROM lineitem GROUP BY 1),
+      |pts AS (SELECT o_orderkey, date_diff('day', o_orderdate, first_ship) AS delay_days,
+      |               o_totalprice
+      |        FROM orders JOIN d ON o_orderkey = l_orderkey),
+      |f AS (SELECT o_orderkey, delay_days, o_totalprice,
+      |        max(o_totalprice) OVER (ORDER BY delay_days
+      |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_faster,
+      |        max(o_totalprice) OVER (PARTITION BY delay_days) AS best_equal
+      |      FROM pts)
+      |SELECT o_orderkey, delay_days, round(o_totalprice, 2) AS price
+      |FROM f
+      |WHERE (best_faster IS NULL OR best_faster < o_totalprice)
+      |  AND best_equal <= o_totalprice
+      |ORDER BY delay_days, o_orderkey""".stripMargin
+
   /** ANALYZE-style column profiling in ONE scan: per-column null count,
     * distinct count, min / max for the numeric columns of events, unpivoted
     * to one row per column. The single wide aggregate is the
@@ -1024,6 +1073,7 @@ object ExtendedQueries {
     ("q154_trade_flows",      q154TradeFlows _,      Some(q154Sql)),
     ("q159_benford",          q159Benford _,         Some(q159Sql)),
     ("q161_copurchase",       q161Copurchase _,      Some(q161Sql)),
+    ("q163_skyline",          q163Skyline _,         Some(q163Sql)),
     ("q68_rolling_window",    q68RollingWindow _,    Some(q68Sql)),
     ("q72_outliers",          q72Outliers _,         Some(q72Sql)),
     ("q100_winsorize",        q100Winsorize _,       Some(q100Sql)),

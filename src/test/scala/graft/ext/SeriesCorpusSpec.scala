@@ -723,6 +723,30 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> ((1L, 0.5)), ("b", "a") -> ((1L, 0.5))))
   }
 
+  // ------------------------------------------------------------- q163 skyline
+  test("skyline keeps exactly the non-dominated (delay, price) points") {
+    import spark.implicits._
+    val dir = tmpDir("sky")
+    // orders: (okey, delay via shipdate, price)
+    // pts: A(1d,100) B(2d,200) C(3d,150) D(1d,90) E(2d,200)
+    // skyline: A (fastest at its price), B and E (highest price, tie at 2d)
+    // C dominated by B; D dominated by A (same delay, lower price)
+    Seq((1L, "2024-01-02", 100.0), (2L, "2024-01-03", 200.0),
+        (3L, "2024-01-04", 150.0), (4L, "2024-01-02", 90.0),
+        (5L, "2024-01-03", 200.0))
+      .toDF("o_orderkey", "ship_s", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(lit("2024-01-01")))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "2024-01-02"), (2L, "2024-01-03"), (3L, "2024-01-04"),
+        (4L, "2024-01-02"), (5L, "2024-01-03"))
+      .toDF("l_orderkey", "ship_s")
+      .withColumn("l_shipdate", to_timestamp(col("ship_s"))).drop("ship_s")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.queries.ExtendedQueries.q163Skyline(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 5L))
+  }
+
   // ------------------------------------------------------------- q118 mislabel screen
   test("mislabel screen: the off-axis member ranks first (worst cohesion)") {
     import spark.implicits._
