@@ -522,11 +522,43 @@ object SeriesStats {
       |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN (1::BIGINT << (bkt + 1)) - 1 END) AS BIGINT) AS p99_us
       |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q164: OHLC candles
+  /** OHLC candle aggregation — per hour: open (earliest value), high,
+    * low, close (latest value), volume. The metrics/finance downsampling
+    * primitive, done as ONE partial+final aggregate pass: open/close are
+    * lexicographic argmin/argmax structs on (ts, event_id) (q87's
+    * pattern), NOT a window sort — the shuffle carries one candle per
+    * (hour, partial) and the candle stream is calendar-sized at any
+    * input volume. */
+  def q164Ohlc(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("volume"))
+      .select(col("h"),
+        round(col("o.value"), 2).as("open"), round(col("high"), 2).as("high"),
+        round(col("low"), 2).as("low"), round(col("c.value"), 2).as("close"),
+        col("volume"))
+      .orderBy(col("h"))
+
+  val q164Sql: String =
+    """SELECT date_trunc('hour', ts) AS h,
+      |  round(min(struct_pack(ts := ts, eid := event_id, v := value)).v, 2) AS open,
+      |  round(max(value), 2) AS high,
+      |  round(min(value), 2) AS low,
+      |  round(max(struct_pack(ts := ts, eid := event_id, v := value)).v, 2) AS close,
+      |  count(*) AS volume
+      |FROM events GROUP BY 1 ORDER BY h""".stripMargin
+
   // entries LAST: it captures the qNNNSql vals eagerly, so any Sql val
   // declared below it would still be null at object-init time
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q107_autocorr", q107Autocorr _, Some(q107Sql)),
     ("q149_log_histogram", q149LogHistogram _, Some(q149Sql)),
+    ("q164_ohlc",          q164Ohlc _,         Some(q164Sql)),
     ("q108_markov",   q108Markov _,   Some(q108Sql)),
     ("q109_cusum",    q109Cusum _,    Some(q109Sql)),
     ("q110_hhi",      q110Hhi _,      Some(q110Sql)),

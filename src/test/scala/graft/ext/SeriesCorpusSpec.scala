@@ -747,6 +747,23 @@ class SeriesCorpusSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 5L))
   }
 
+  // ------------------------------------------------------------- q164 OHLC candles
+  test("ohlc: open is earliest, close is latest, high/low bracket the hour") {
+    import spark.implicits._
+    val dir = tmpDir("events")
+    Seq((1L, "2024-01-01 10:05:00", 1L, "a", 5.0),
+        (2L, "2024-01-01 10:10:00", 1L, "a", 9.0),
+        (3L, "2024-01-01 10:20:00", 1L, "a", 2.0),
+        (4L, "2024-01-01 10:55:00", 1L, "a", 7.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SeriesStats.q164Ohlc(spark, dir).collect()(0)
+    assert(r.getDouble(1) == 5.0 && r.getDouble(2) == 9.0 &&
+      r.getDouble(3) == 2.0 && r.getDouble(4) == 7.0 && r.getLong(5) == 4L)
+  }
+
   // ------------------------------------------------------------- q118 mislabel screen
   test("mislabel screen: the off-axis member ranks first (worst cohesion)") {
     import spark.implicits._
