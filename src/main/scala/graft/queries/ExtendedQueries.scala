@@ -653,7 +653,10 @@ object ExtendedQueries {
     * broadcast back for confidence; integers + one division. Top-100 by
     * (support, pair) is a TakeOrdered, not a global sort. */
   def q161Copurchase(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    // the deduped basket table feeds BOTH pair-join sides and the item
+    // frequencies — materialize once (at 100 TB: a checkpoint table)
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .distinct().localCheckpoint(true)
     val partOrders = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_orders"))
     li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
