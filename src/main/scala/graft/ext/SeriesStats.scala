@@ -553,6 +553,48 @@ object SeriesStats {
       |  count(*) AS volume
       |FROM events GROUP BY 1 ORDER BY h""".stripMargin
 
+  // ---------------------------------------------------------------- q166: Spearman drift screen
+  /** Spearman rank correlation between event value and event time per
+    * type — the nonparametric drift screen: any monotone value drift
+    * shows up as |ρ| → 1 even when nonlinear, which Pearson on raw
+    * values (q45) misses. Average-rank tie handling:
+    * avg_rank = rank + (ties−1)/2 — half-integers are exact in doubles,
+    * and the final Pearson co-moment over the two rank columns is the
+    * q45/q107-proven single-pass corr aggregate.
+    *
+    * Scale design: two event_type-partitioned window sorts (by value, by
+    * time). With few types these partitions are corpus-sized — the 100 TB
+    * swap is q165's histogram-rank formulation (value resolution is
+    * bounded, so ranks come off a prefix sum over the value histogram;
+    * time ranks off the store's sorted-by-time layout). */
+  def q166Spearman(s: SparkSession, dir: String): DataFrame = {
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("ts"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"), col("ts"))
+      .withColumn("rv", rank().over(wv) +
+        (count(lit(1)).over(Window.partitionBy(col("event_type"), col("value"))) - 1) / 2.0)
+      .withColumn("rt", rank().over(wt) +
+        (count(lit(1)).over(Window.partitionBy(col("event_type"), col("ts"))) - 1) / 2.0)
+      .groupBy(col("event_type"))
+      .agg(corr(col("rv"), col("rt")).as("c"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        when(isnan(col("c")), lit(null)).otherwise(round(col("c"), 4)).as("rho"),
+        col("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val q166Sql: String =
+    """WITH r AS (
+      |  SELECT event_type,
+      |    rank() OVER (PARTITION BY event_type ORDER BY value)
+      |      + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS rv,
+      |    rank() OVER (PARTITION BY event_type ORDER BY epoch_us(ts))
+      |      + (count(*) OVER (PARTITION BY event_type, epoch_us(ts)) - 1) / 2.0 AS rt
+      |  FROM events)
+      |SELECT event_type, round(corr(rv, rt), 4) AS rho, count(*)::BIGINT AS n
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // entries LAST: it captures the qNNNSql vals eagerly, so any Sql val
   // declared below it would still be null at object-init time
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -564,6 +606,7 @@ object SeriesStats {
     ("q110_hhi",      q110Hhi _,      Some(q110Sql)),
     ("q125_rolling_distinct", q125RollingDistinct _, Some(q125Sql)),
     ("q127_audience_overlap", q127AudienceOverlap _, Some(q127Sql)),
+    ("q166_spearman",         q166Spearman _,        Some(q166Sql)),
     ("q128_welch_ttest",      q128WelchTTest _,      Some(q128Sql)),
     ("q129_chi_square",       q129ChiSquare _,       Some(q129Sql)),
     ("q130_ks_test",          q130KsTest _,          Some(q130Sql)),

@@ -652,8 +652,62 @@ object Similarity {
       |SELECT vec_id, CAST(j AS INTEGER) AS j, round(y, 4) AS y
       |FROM comps ORDER BY vec_id, j""".stripMargin
 
+  // ---------------------------------------------------------------- q165: ROC AUC
+  /** One-vs-rest ROC AUC per label for a fixed linear-probe score (the
+    * JL component-0 projection — a deterministic stand-in for a model
+    * score; all-ties-free unlike the unit norms). AUC via the
+    * Mann–Whitney rank-sum identity with average-rank tie handling:
+    * AUC_c = (R2_c − n_c(n_c+1)) / (2·n_c·(N−n_c)), where
+    * R2_c = Σ_pos (2·rank + ties − 1) is twice the positive rank-sum —
+    * an EXACT integer, so both engines agree bit-for-bit before the one
+    * final division.
+    *
+    * Scale design: no per-row global window. Ranks come off the SCORE
+    * HISTOGRAM (distinct rounded score → count), which is
+    * resolution-bounded (≤ ~10⁴·range rows at 4 dp) regardless of corpus
+    * size; min-rank is a prefix sum over that dimension-sized table, and
+    * the per-(score,label) cells join against it broadcast. Two
+    * corpus-sized aggregations, zero corpus sorts. */
+  def q165RocAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.embeddings(s, dir)
+      .select(col("label"),
+        round(element_at(graft.functions.GraftFunctions.jl_project8(col("embedding")), 1), 4)
+          .as("sc"))
+    val hist = scored.groupBy(col("sc")).agg(count(lit(1)).as("cnt"))
+      .withColumn("minr",
+        sum(col("cnt")).over(Window.orderBy(col("sc"))) - col("cnt") + 1)
+    val cells = scored.groupBy(col("sc"), col("label")).agg(count(lit(1)).as("m"))
+    cells.join(broadcast(hist), "sc")
+      .groupBy(col("label"))
+      .agg(sum(col("m") * (lit(2L) * col("minr") + col("cnt") - 1)).as("r2"),
+           sum(col("m")).as("n"))
+      .withColumn("nn", sum(col("n")).over(Window.partitionBy()))
+      .select(col("label"), col("n"),
+        round((col("r2") - col("n") * (col("n") + 1)).cast("double") /
+              (lit(2.0) * col("n") * (col("nn") - col("n"))), 4).as("auc"))
+      .orderBy(col("label"))
+  }
+
+  val q165Sql: String =
+    """WITH dims AS (SELECT d FROM range(1, 65) t(d)),
+      |scored AS (
+      |  SELECT label, round(sum(embedding[d]::DOUBLE *
+      |           (CASE WHEN (d * 2654435761) % 2000003 >= 1000001
+      |                 THEN 1 ELSE -1 END)), 4) AS sc
+      |  FROM embeddings CROSS JOIN dims
+      |  GROUP BY vec_id, label),
+      |r AS (SELECT label, rank() OVER (ORDER BY sc) AS rk,
+      |             count(*) OVER (PARTITION BY sc) AS tc FROM scored),
+      |g AS (SELECT label, sum(2 * rk + tc - 1)::BIGINT AS r2,
+      |             count(*)::BIGINT AS n FROM r GROUP BY label),
+      |t AS (SELECT sum(n)::BIGINT AS nn FROM g)
+      |SELECT label, n,
+      |  round((r2 - n * (n + 1))::DOUBLE / (2.0 * n * (nn - n)), 4) AS auc
+      |FROM g CROSS JOIN t ORDER BY label""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
+    ("q165_roc_auc",   q165RocAuc _,   Some(q165Sql)),
     ("q47_knn_topk",   q47KnnTopK _,   Some(q30Sql)),
     ("q30_knn_exact",  q30KnnExact _,  Some(q30Sql)),
     ("q31_ann_lsh",    q31AnnLsh _,    Some(q31Sql)),

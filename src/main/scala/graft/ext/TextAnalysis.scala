@@ -361,8 +361,80 @@ object TextAnalysis {
       |       round(sum(abs(nsl * nn - nl * ns))::DOUBLE / (2.0 * ns * nn), 6) AS tv_dist
       |FROM grid GROUP BY source, ns, nn ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q167: LM perplexity scoring
+  /** CCNet-style language-model quality scoring: train the corpus bigram
+    * LM (q94's counts) and score every document by its mean per-bigram
+    * negative log-likelihood — the perplexity filter that CCNet/C4-class
+    * pipelines use to rank crawl text against a reference LM. Reported
+    * per source: mean and worst document NLL.
+    *
+    * Engine-exactness: each bigram's NLL is fixed to integer micro-nats
+    * (round(−ln(c/np)·10⁴)) the moment it is computed, so every
+    * downstream accumulation — per-doc sum, per-doc mean, per-source
+    * mean — is EXACT integer arithmetic (half-up integer mean =
+    * (2a+b) DIV 2b, the q134 pattern); no float-sum ordering anywhere.
+    *
+    * Scale design: one corpus pass explodes bigrams (tail-zip, no
+    * self-join); the LM table is unique-bigram-sized (Zipf-bounded).
+    * Scoring re-joins bigrams to the LM co-partitioned on (w1,w2) — both
+    * sides shuffle once on the same key; everything after the per-doc
+    * aggregate is source-cardinality. The bigram explode is
+    * localCheckpoint'd once and feeds train + score (at 100 TB: the
+    * pipeline's tokenize-stage checkpoint table, Toks precedent). */
+  def q167LmScore(s: SparkSession, dir: String): DataFrame = {
+    val tk = col("tk")
+    val bi = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .filter(size(tk) >= 2)
+      .select(col("doc_id"), col("source"), explode(zip_with(
+        slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint(true)
+    val cnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val pre = cnt.groupBy(col("w1")).agg(sum(col("c")).as("np"))
+    val lm = cnt.join(pre, "w1")
+      .withColumn("nll_e4",
+        round(-log(col("c").cast("double") / col("np")) * 10000).cast("long"))
+      .select(col("w1"), col("w2"), col("nll_e4"))
+    bi.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("nll_e4")).as("se4"), count(lit(1)).as("nb"))
+      .withColumn("doc_nll_e4", expr("(2 * se4 + nb) DIV (2 * nb)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("doc_nll_e4")).as("s2"),
+           max(col("doc_nll_e4")).as("w4"))
+      .select(col("source"), col("n_docs"),
+        (expr("(2 * s2 + n_docs) DIV (2 * n_docs)") / 10000.0).as("avg_nll"),
+        (col("w4") / 10000.0).as("worst_nll"))
+      .orderBy(col("source"))
+  }
+
+  val q167Sql: String =
+    """WITH ex AS (SELECT doc_id, source,
+      |              generate_subscripts(string_split(text, ' '), 1) AS i,
+      |              unnest(string_split(text, ' ')) AS tok FROM documents),
+      |bg AS (SELECT a.doc_id, a.source, a.tok AS w1, b.tok AS w2
+      |       FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |cn AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      |pr AS (SELECT w1, sum(cnt)::BIGINT AS np FROM cn GROUP BY 1),
+      |lm AS (SELECT cn.w1, cn.w2,
+      |         CAST(round(-ln(cn.cnt::DOUBLE / pr.np) * 10000) AS BIGINT) AS nll_e4
+      |       FROM cn JOIN pr USING (w1)),
+      |d AS (SELECT doc_id, source, sum(nll_e4)::BIGINT AS se4,
+      |             count(*)::BIGINT AS nb
+      |      FROM bg JOIN lm USING (w1, w2) GROUP BY 1, 2),
+      |d2 AS (SELECT source, (2 * se4 + nb) // (2 * nb) AS doc_nll_e4 FROM d)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  ((2 * sum(doc_nll_e4)::BIGINT + count(*)) // (2 * count(*))) / 10000.0 AS avg_nll,
+      |  max(doc_nll_e4) / 10000.0 AS worst_nll
+      |FROM d2 GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q32_lang_id",       q32LangId _,       Some(q32Sql)),
+    ("q167_lm_score",     q167LmScore _,     Some(q167Sql)),
     ("q33_quality_score", q33QualityScore _, Some(q33Sql)),
     ("q34_token_stats",   q34TokenStats _,   Some(q34Sql)),
     ("q35_fingerprint",   q35Fingerprint _,  Some(q35Sql)),
