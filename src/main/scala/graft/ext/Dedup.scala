@@ -721,36 +721,37 @@ object Dedup {
     * prefix filtering — rare tokens first — to keep candidate pairs
     * near-linear). */
   def q117SparseCosine(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint the tiny tf table once: four consumers (n, df, norms, pairs)
+    // read the materialized rows instead of re-parsing text each time
     val tf = Tables.documents(s, dir)
       .filter(col("doc_id") < 200)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    tf.persist()
-    try {
-      val nDocs = tf.agg(countDistinct(col("doc_id")).as("n"))
-      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val w = tf
-        .join(broadcast(df), Seq("tok"))
-        .crossJoin(broadcast(nDocs))
-        .select(col("doc_id"), col("tok"), col("df"),
-          (col("tf").cast("double") * col("n").cast("double")
-            / col("df").cast("double")).as("w"))
-      val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      // df=1 tokens pair with nobody (the self-pair dies on d1<d2) — prune
-      // them from BOTH pair-join inputs; they still count in the norms
-      val wp = w.filter(col("df") >= 2).drop("df")
-      wp.as("a").join(wp.as("b"),
-          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(sum(col("a.w") * col("b.w")).as("dot"))
-        .join(broadcast(norms.withColumnRenamed("doc_id", "d1").withColumnRenamed("nrm", "n1")), Seq("d1"))
-        .join(broadcast(norms.withColumnRenamed("doc_id", "d2").withColumnRenamed("nrm", "n2")), Seq("d2"))
-        .withColumn("cos", round(col("dot") / (col("n1") * col("n2")), 4))
-        .filter(col("cos") >= 0.85)
-        .select(col("d1"), col("d2"), col("cos"))
-        .orderBy(col("d1"), col("d2"))
-        .localCheckpoint(true)
-    } finally tf.unpersist(false)
+      .localCheckpoint(true)
+    val nDocs = tf.select(col("doc_id")).distinct().count().toDouble
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = tf
+      .join(broadcast(df), Seq("tok"))
+      .select(col("doc_id"), col("tok"), col("df"),
+        (col("tf").cast("double") * lit(nDocs)
+          / col("df").cast("double")).as("w"))
+    val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    // df=1 tokens pair with nobody (the self-pair dies on d1<d2) — prune
+    // them from BOTH pair-join inputs; they still count in the norms.
+    // nrm rides along on each side (ONE broadcast of norms, constant per
+    // doc, reduced with max) instead of two post-aggregate re-joins; dot
+    // stays the unnormalized sum(a.w*b.w) for oracle float parity.
+    val wp = w.filter(col("df") >= 2).drop("df")
+      .join(broadcast(norms), Seq("doc_id"))
+    wp.as("a").join(broadcast(wp.as("b")),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"),
+           max(col("a.nrm")).as("n1"), max(col("b.nrm")).as("n2"))
+      .withColumn("cos", round(col("dot") / (col("n1") * col("n2")), 4))
+      .filter(col("cos") >= 0.85)
+      .select(col("d1"), col("d2"), col("cos"))
+      .orderBy(col("d1"), col("d2"))
   }
 
   val q117Sql: String =

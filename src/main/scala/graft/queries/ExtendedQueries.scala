@@ -653,15 +653,24 @@ object ExtendedQueries {
     * broadcast back for confidence; integers + one division. Top-100 by
     * (support, pair) is a TakeOrdered, not a global sort. */
   def q161Copurchase(s: SparkSession, dir: String): DataFrame = {
-    // the deduped basket table feeds BOTH pair-join sides and the item
-    // frequencies — materialize once (at 100 TB: a checkpoint table)
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      .distinct().localCheckpoint(true)
-    val partOrders = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_orders"))
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+    // one basket row per order (collect_set dedups in the same shuffle),
+    // then the p1<p2 pair space expands MAP-SIDE from the sorted basket
+    // array — no order-keyed self-join, no second corpus exchange. The
+    // basket table feeds both the pair counts and the item frequencies —
+    // materialize once (at 100 TB: a checkpoint table)
+    val baskets = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(col("ps")).localCheckpoint(true)
+    val partOrders = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_orders"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("p1"), y.as("p2")))))).as("p"))
+      .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+    pairs
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .join(broadcast(partOrders.select(col("l_partkey").as("p1"), col("n_orders").as("n1"))), Seq("p1"))
