@@ -6,8 +6,10 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table,
+  TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory,
   LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.graftshim.Shim
@@ -39,23 +41,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class NdjsonDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-ndjson"
-  // write-only: the table carries no schema of its own; the write builder
-  // takes the query's schema (ACCEPT_ANY_SCHEMA)
+  // no inference pass in either direction: writes take the query's schema
+  // (ACCEPT_ANY_SCHEMA), reads require a user-declared schema (A5) — so
+  // the table's own schema stays empty and supportsExternalMetadata
+  // routes the user's .schema(...) into getTable
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = new StructType()
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
-    require(path != null && path.nonEmpty, "graft-ndjson requires .save(path)")
-    new NdjsonTable(path)
+    require(path != null && path.nonEmpty, "graft-ndjson requires .save(path) / .load(path)")
+    new NdjsonTable(path, schema)
   }
 }
 
-final class NdjsonTable(path: String) extends Table with SupportsWrite {
+final class NdjsonTable(path: String, declaredSchema: StructType)
+    extends Table with SupportsWrite with SupportsRead {
   override def name(): String = s"graft-ndjson:$path"
-  override def schema(): StructType = new StructType()
+  override def schema(): StructType = declaredSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NdjsonScanBuilder(path, declaredSchema,
+      options.getBoolean("committedOnly", true))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =

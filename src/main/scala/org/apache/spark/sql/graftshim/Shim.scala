@@ -37,4 +37,25 @@ object Shim {
     }
     def close(): Unit = if (!closed) { closed = true; gen.flush(); gen.close() }
   }
+
+  /** NDJSON line → InternalRow parser over Spark's internal JacksonParser
+    * + FailureSafeParser — the same line-parse + PERMISSIVE-malformed
+    * machinery the built-in json source uses (malformed lines null out,
+    * they never kill the task). JacksonParser only materializes the
+    * fields of `schema`, so column pruning happens inside the parse. */
+  final class NdjsonLineParser(schema: org.apache.spark.sql.types.StructType,
+                               timeZoneId: String) {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JacksonParser, JSONOptions}
+    import org.apache.spark.sql.catalyst.util.FailureSafeParser
+    import org.apache.spark.unsafe.types.UTF8String
+    private val opts =
+      new JSONOptions(Map.empty[String, String], timeZoneId, "_corrupt_record")
+    private val raw = new JacksonParser(schema, opts, allowArrayAsStructs = false)
+    private val safe = new FailureSafeParser[UTF8String](
+      (u: UTF8String) => raw.parse(u, CreateJacksonParser.utf8String, identity[UTF8String]),
+      opts.parseMode, schema, opts.columnNameOfCorruptRecord)
+    def parse(line: String): Iterator[InternalRow] =
+      safe.parse(UTF8String.fromString(line))
+  }
 }
