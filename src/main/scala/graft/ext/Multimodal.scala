@@ -128,7 +128,55 @@ object Multimodal {
       |  (octet_length(text::BLOB) * 2654435761) % 1000003 AS fake_feature
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q168: frame inventory through the gate
+  /** Frame-sample inventory over documents-as-blobs — puts the REAL
+    * multimodal execution path (binary payload → size-bounded repartition
+    * → partition-local [[sampleFramesStub]] generator → per-media
+    * aggregate) through the DuckDB oracle gate, not just a spec. The
+    * payload is the document's UTF-8 bytes standing in for a video
+    * container (no codecs in this container); 256-byte "frames", every
+    * 4th sampled. The oracle can't run the generator, but every inventory
+    * statistic it emits — sampled-frame count, last frame index/offset,
+    * bytes materialized — is exact integer arithmetic on octet_length, so
+    * the gate checks the generator's expansion logic (floor-division
+    * frame count, stride sampling, offset layout) row-for-row.
+    *
+    * Scale: the aggregate is a map-side-combined count/max/sum keyed on
+    * media_id, partitioning inherited from the repartition that bounded
+    * per-task payload bytes; nothing in the plan holds more than one
+    * frame at a time. */
+  def q168FrameInventory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), lit("video/fake").as("mime"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    sampleFrames(media, frameBytes = 256, everyNth = 4, numPartitions = 32)
+      .toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        max(col("frame_idx")).as("last_idx"),
+        max(col("offset")).as("last_off"),
+        sum(expr("octet_length(frame)")).as("bytes_read"))
+      .orderBy(col("media_id"))
+  }
+
+  val q168Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |             octet_length(text::BLOB) // 256 AS total_frames
+      |           FROM documents),
+      |f AS (SELECT media_id, total_frames,
+      |             (total_frames - 1) // 4 AS last_step
+      |      FROM m WHERE total_frames >= 1)
+      |SELECT media_id,
+      |  (last_step + 1)::BIGINT AS n_sampled,
+      |  (last_step * 4)::INTEGER AS last_idx,
+      |  (last_step * 4 * 256)::BIGINT AS last_off,
+      |  ((last_step + 1) * 256)::BIGINT AS bytes_read
+      |FROM f ORDER BY media_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
-    ("q38_binary_meta", q38BinaryMeta _, Some(q38Sql)),
+    ("q38_binary_meta",      q38BinaryMeta _,      Some(q38Sql)),
+    ("q168_frame_inventory", q168FrameInventory _, Some(q168Sql)),
   )
 }
