@@ -595,6 +595,52 @@ object SeriesStats {
       |SELECT event_type, round(corr(rv, rt), 4) AS rho, count(*)::BIGINT AS n
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q169: bitmap audience algebra
+  /** Audience overlap through the BITMAP AGGREGATE surface (ClickHouse
+    * groupBitmapState + bitmapAnd/OrCardinality — q127's semantics, the
+    * state-type engine path): one corpus aggregation materializes each
+    * type's membership as a serialized dense bitmap, then EVERY pairwise
+    * question (all t1<t2, including empty intersections, which q127's
+    * join formulation never sees) is a byte-AND/OR of two blobs on
+    * |types|² driver-sized rows — no membership re-shuffle per question.
+    * OR-merge is order-independent, so the cardinalities gate exactly
+    * against the relational DuckDB oracle. [[graft.functions.BitmapAgg]]
+    * has the state-bound and Roaring-swap scale notes. */
+  def q169BitmapAudience(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BitmapAgg
+    val bm = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(BitmapAgg.bitmap_state(col("user_id")).as("bm"))
+      .localCheckpoint(true) // |types| rows feed both pair sides
+    bm.as("a")
+      .join(bm.select(col("event_type").as("t2"), col("bm").as("bm2")).as("b"),
+        col("event_type") < col("t2"))
+      .select(col("event_type").as("t1"), col("t2"),
+        BitmapAgg.bitmap_cardinality(col("bm")).as("n1"),
+        BitmapAgg.bitmap_cardinality(col("bm2")).as("n2"),
+        BitmapAgg.bitmap_and_cardinality(col("bm"), col("bm2")).as("n_and"),
+        BitmapAgg.bitmap_or_cardinality(col("bm"), col("bm2")).as("n_or"))
+      .withColumn("jaccard", round(col("n_and").cast("double") / col("n_or"), 4))
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  val q169Sql: String =
+    """WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+      |c AS (SELECT event_type, count(*)::BIGINT AS n FROM m GROUP BY 1),
+      |i AS (SELECT a.event_type AS t1, b.event_type AS t2,
+      |             count(*)::BIGINT AS n_and
+      |      FROM m a JOIN m b
+      |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT c1.event_type AS t1, c2.event_type AS t2, c1.n AS n1, c2.n AS n2,
+      |       coalesce(i.n_and, 0)::BIGINT AS n_and,
+      |       (c1.n + c2.n - coalesce(i.n_and, 0))::BIGINT AS n_or,
+      |       round(coalesce(i.n_and, 0)::DOUBLE /
+      |             (c1.n + c2.n - coalesce(i.n_and, 0)), 4) AS jaccard
+      |FROM c c1 JOIN c c2 ON c1.event_type < c2.event_type
+      |LEFT JOIN i ON i.t1 = c1.event_type AND i.t2 = c2.event_type
+      |ORDER BY t1, t2""".stripMargin
+
   // entries LAST: it captures the qNNNSql vals eagerly, so any Sql val
   // declared below it would still be null at object-init time
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -606,6 +652,7 @@ object SeriesStats {
     ("q110_hhi",      q110Hhi _,      Some(q110Sql)),
     ("q125_rolling_distinct", q125RollingDistinct _, Some(q125Sql)),
     ("q127_audience_overlap", q127AudienceOverlap _, Some(q127Sql)),
+    ("q169_bitmap_audience",  q169BitmapAudience _,  Some(q169Sql)),
     ("q166_spearman",         q166Spearman _,        Some(q166Sql)),
     ("q128_welch_ttest",      q128WelchTTest _,      Some(q128Sql)),
     ("q129_chi_square",       q129ChiSquare _,       Some(q129Sql)),

@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BitmapAgg: exact set semantics under partial aggregation, canonical
+  * serialized form, and the blob-level AND/OR cardinality algebra. */
+class BitmapAggSpec extends SparkSpec {
+
+  test("bitmap_state matches count-distinct under many partitions") {
+    import spark.implicits._
+    // duplicate values across 13 partitions force partial-buffer merges
+    val df = (0 until 5000).map(i => (i % 7, (i * 37L) % 911))
+      .toDF("g", "v").repartition(13)
+    val got = df.groupBy("g")
+      .agg(BitmapAgg.bitmap_cardinality(BitmapAgg.bitmap_state(col("v"))).as("n"))
+    val want = df.groupBy("g").agg(countDistinct("v").as("n"))
+    assert(got.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      want.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
+  }
+
+  test("serialized form is canonical: equal sets, equal bytes") {
+    import spark.implicits._
+    val a = Seq(1L, 900L, 5L).toDF("v").repartition(4)
+      .agg(BitmapAgg.bitmap_state(col("v"))).collect()(0).getAs[Array[Byte]](0)
+    val b = Seq(900L, 5L, 1L, 5L).toDF("v").coalesce(1)
+      .agg(BitmapAgg.bitmap_state(col("v"))).collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b))
+    assert(a.last != 0, "trailing zeros must be trimmed")
+  }
+
+  test("and/or cardinality match brute-force set algebra") {
+    import spark.implicits._
+    val x = (0L until 400L by 3L).toSet
+    val y = (0L until 400L by 5L).toSet
+    val df = x.toSeq.toDF("v").agg(BitmapAgg.bitmap_state(col("v")).as("a"))
+      .crossJoin(y.toSeq.toDF("v").agg(BitmapAgg.bitmap_state(col("v")).as("b")))
+      .select(
+        BitmapAgg.bitmap_and_cardinality(col("a"), col("b")).as("and"),
+        BitmapAgg.bitmap_or_cardinality(col("a"), col("b")).as("or"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == (x & y).size.toLong)
+    assert(r.getLong(1) == (x | y).size.toLong)
+  }
+}
