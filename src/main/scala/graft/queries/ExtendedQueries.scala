@@ -1061,8 +1061,35 @@ object ExtendedQueries {
       |  count(DISTINCT user_id) AS n_exact
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q170: nested rollup (groupArray of tuples)
+  /** Nested-result rollup — ClickHouse's `groupArray((lang, count))` /
+    * sumMap result shape: one row per source whose payload is the full
+    * sorted (lang, n_docs) breakdown as an array of structs. The gate
+    * compares the NESTED value structurally (array order pinned by
+    * sort_array ↔ list(... ORDER BY ...)), which keeps the engine honest
+    * on complex-type output, not just scalars. Two-level aggregation:
+    * corpus collapses to |source|×|lang| cells in the partial+final hash
+    * aggregate, then entries assemble per source from cell-sized input —
+    * collect_list state is bounded by |langs|, never corpus-sized. */
+  def q170NestedRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(struct(col("lang"), col("n")))).as("entries"),
+        sum(col("n")).as("n_docs"))
+      .orderBy(col("source"))
+
+  val q170Sql: String =
+    """WITH g AS (SELECT source, lang, count(*)::BIGINT AS n
+      |           FROM documents GROUP BY 1, 2)
+      |SELECT source,
+      |  list(struct_pack(lang := lang, n := n) ORDER BY lang) AS entries,
+      |  sum(n)::BIGINT AS n_docs
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
+    ("q170_nested_rollup", q170NestedRollup _, Some(q170Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
     ("q42_percentile", q42Percentile _, Some(q42Sql)),
     ("q43_array_fns",  q43ArrayFns _,   Some(q43Sql)),
