@@ -27,6 +27,7 @@ object SparkEntry {
       ext.EventAnalytics.entries,
       ext.SeriesStats.entries,
       ext.CorpusStats.entries,
+      ext.GraphOps.entries,
     )
 
   private lazy val all = modules.flatten

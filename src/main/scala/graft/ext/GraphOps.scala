@@ -1,0 +1,163 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Iterative graph operators over the co-purchase graph (the one operator
+  * family a curation pipeline still needs beyond joins/aggregates:
+  * centrality for source/domain weighting, reachability for cluster
+  * audits — the web-graph quality signals of a crawl-derived corpus).
+  *
+  * The graph is data-derived: nodes are parts, edges are part pairs
+  * ordered together in ≥ 2 distinct orders (q161's association-rule
+  * support, so the edge set is the same artifact the basket analysis
+  * already computes). Both operators are ITERATIVE — each round is one
+  * edge-keyed join + aggregate, the Pregel/GraphX dataflow shape done
+  * with plain DataFrames so Catalyst/AQE plan every round.
+  *
+  * Determinism across engines (the oracle gate) is the design center:
+  * PageRank runs in exact integer micro-units — contribution =
+  * `score DIV deg`, damping = `150000 + (85 · Σcontrib) DIV 100` — so
+  * every arithmetic step is order-invariant BIGINT math, never a
+  * float accumulation whose sum order differs between engines.
+  *
+  * Scale design (100 TB): the edge table is the big artifact — it is
+  * built once (basket map-side pair expansion, q161's shape), checkpointed,
+  * and reused across iterations; each iteration shuffles scores on the
+  * SAME src key (co-partitioned with edges after the first round under
+  * AQE), so a round costs one score-sized exchange, never an edge
+  * rebuild. Iteration count is fixed (3) — production would loop to an
+  * L1-delta threshold with periodic checkpoints to cut lineage. Dangling
+  * nodes cannot occur (edges are symmetrized, so every node has deg ≥ 1).
+  */
+object GraphOps {
+
+  /** Undirected co-purchase edges, symmetrized to (src, dst) rows.
+    * Basket pair expansion is map-side off one order-keyed aggregate
+    * (sort_array makes p1 < p2 canonical) — no order-keyed self-join. */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(col("ps"))
+    val up = baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("p1"), y.as("p2")))))).as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select(col("p1"), col("p2"))
+    up.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(up.select(col("p2").as("src"), col("p1").as("dst")))
+  }
+
+  /** Shared oracle CTE chain: distinct (order, part) → supported pairs →
+    * symmetric edges → degrees. One definition for both graph oracles. */
+  private val edgeCtes: String =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |up AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |       FROM li a JOIN li b
+      |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |edges AS (SELECT p1 AS src, p2 AS dst FROM up
+      |          UNION ALL SELECT p2, p1 FROM up),
+      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)""".stripMargin
+
+  // ---------------------------------------------------------------- q171: PageRank (integer power iteration)
+  /** Three damped power-iteration rounds in exact integer micro-units
+    * (1.0 = 1 000 000): contribution `score DIV deg`, update
+    * `150000 + (85 · Σ contrib) DIV 100` — the d = 0.85 PageRank step
+    * where every operation is BIGINT and the Σ is order-invariant, so
+    * Spark task count / DuckDB single-thread produce bit-identical
+    * scores (float PageRank would diverge in the last ulps and flip
+    * rankings). Top-20 by (score, part) is a TakeOrdered. */
+  def q171PageRank(s: SparkSession, dir: String): DataFrame = {
+    val deg = edges(s, dir).groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // edge⋈deg is reused every round — materialize once (localCheckpoint:
+    // the bench analogue of a checkpoint table; also cuts the 3-round
+    // lineage so AQE re-plans each round from materialized stats)
+    val edgesDeg = edges(s, dir).join(deg, "src").localCheckpoint(true)
+    var scores = deg.select(col("src").as("part"), lit(1000000L).as("score"))
+    for (_ <- 1 to 3) {
+      scores = edgesDeg.join(scores, edgesDeg("src") === scores("part"))
+        .groupBy(col("dst"))
+        .agg(expr("150000 + (85 * sum(score DIV deg)) DIV 100").as("score"))
+        .select(col("dst").as("part"), col("score"))
+    }
+    scores
+      .orderBy(col("score").desc, col("part"))
+      .limit(20)
+      .select(col("part"), col("score"),
+        round(col("score") / 1000000.0, 6).as("pagerank"))
+  }
+
+  val q171Sql: String = {
+    def step(prev: String, next: String): String =
+      s"""$next AS (SELECT e.dst AS part,
+         |       150000 + (85 * CAST(sum(s.score // d.deg) AS BIGINT)) // 100 AS score
+         |       FROM edges e JOIN $prev s ON s.part = e.src
+         |                    JOIN deg d ON d.src = e.src
+         |       GROUP BY 1)""".stripMargin
+    s"""WITH $edgeCtes,
+       |s0 AS (SELECT src AS part, CAST(1000000 AS BIGINT) AS score FROM deg),
+       |${step("s0", "s1")},
+       |${step("s1", "s2")},
+       |${step("s2", "s3")}
+       |SELECT part, score, round(score / 1000000.0, 6) AS pagerank
+       |FROM s3 ORDER BY score DESC, part LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q172: BFS reachability (hop histogram)
+  /** Breadth-first search from the highest-degree part (deterministic
+    * seed: max degree, min id tie-break), 3 hops, reported as a per-hop
+    * histogram (count, id range) — the reachability audit shape ("how
+    * much of the graph is within k hops of the hub"). Each hop is one
+    * frontier⋈edges equi-join + anti-join against the visited set; the
+    * frontier/visited tables are node-sized, never edge-sized. */
+  def q172BfsReach(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val seed = deg.orderBy(col("deg").desc, col("src")).limit(1)
+      .select(col("src").as("part"), lit(0).as("dist"))
+    var visited = seed
+    var frontier = seed.select(col("part"))
+    for (d <- 1 to 3) {
+      val next = e.join(frontier.withColumnRenamed("part", "src"), "src")
+        .select(col("dst").as("part")).distinct()
+        .join(visited.select(col("part")), Seq("part"), "left_anti")
+        .withColumn("dist", lit(d))
+      visited = visited.unionByName(next)
+      frontier = next.select(col("part"))
+    }
+    visited.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("part")).as("min_part"), max(col("part")).as("max_part"))
+      .orderBy(col("dist"))
+  }
+
+  val q172Sql: String =
+    s"""WITH $edgeCtes,
+       |seed AS (SELECT src AS part FROM deg ORDER BY deg DESC, src LIMIT 1),
+       |d0 AS (SELECT part, 0 AS dist FROM seed),
+       |f1 AS (SELECT DISTINCT e.dst AS part FROM edges e JOIN d0 ON d0.part = e.src),
+       |d1 AS (SELECT part, 1 AS dist FROM f1
+       |       WHERE part NOT IN (SELECT part FROM d0)),
+       |f2 AS (SELECT DISTINCT e.dst AS part FROM edges e JOIN d1 ON d1.part = e.src),
+       |d2 AS (SELECT part, 2 AS dist FROM f2
+       |       WHERE part NOT IN (SELECT part FROM d0 UNION ALL SELECT part FROM d1)),
+       |f3 AS (SELECT DISTINCT e.dst AS part FROM edges e JOIN d2 ON d2.part = e.src),
+       |d3 AS (SELECT part, 3 AS dist FROM f3
+       |       WHERE part NOT IN (SELECT part FROM d0 UNION ALL SELECT part FROM d1
+       |                          UNION ALL SELECT part FROM d2)),
+       |alln AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+       |         UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+       |SELECT dist, count(*) AS n_parts, min(part) AS min_part, max(part) AS max_part
+       |FROM alln GROUP BY dist ORDER BY dist""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q171_pagerank",  q171PageRank _, Some(q171Sql)),
+    ("q172_bfs_reach", q172BfsReach _, Some(q172Sql)),
+  )
+}
