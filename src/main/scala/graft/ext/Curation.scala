@@ -445,8 +445,49 @@ object Curation {
       |      < 0.1::DOUBLE + 0.9::DOUBLE * least(n_chars::DOUBLE / 400.0, 1.0::DOUBLE)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- train/val/test split assignment
+  /** Deterministic train/validation/test split — the assignment every
+    * training corpus needs before anything else touches it: the same LCG
+    * hash as q57 maps each doc to a bucket in [0, 100), buckets <80/<90/
+    * rest become train/valid/test. Hash-based (not random) so the split
+    * is REPRODUCIBLE on any engine, executor count, or rerun, and a doc
+    * never migrates between splits when the corpus grows — the property
+    * that keeps eval sets uncontaminated across dataset versions. Output
+    * is the per-(source, split) audit: counts and within-source share
+    * (half-up-rounded in integer space, q134's engine-invariant pattern).
+    * Pure map + one dimension-sized aggregate; no shuffle of doc payloads. */
+  def q175SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val bucket = sampleHash % 100
+    val counts = Tables.documents(s, dir)
+      .select(col("source"),
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("valid"))
+          .otherwise(lit("test")).as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.groupBy(col("source")).agg(sum(col("n_docs")).as("tot"))
+    counts.join(tot, "source")
+      .select(col("source"), col("split"), col("n_docs"),
+        (expr("(2 * n_docs * 10000 + tot) DIV (2 * tot)") / 10000.0).as("share"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val q175Sql: String =
+    """WITH a AS (SELECT source,
+      |  CASE WHEN (doc_id % 2147483647) * 48271 % 2147483647 % 100 < 80 THEN 'train'
+      |       WHEN (doc_id % 2147483647) * 48271 % 2147483647 % 100 < 90 THEN 'valid'
+      |       ELSE 'test' END AS split
+      |  FROM documents),
+      |c AS (SELECT source, split, count(*) AS n_docs FROM a GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS tot FROM c GROUP BY 1)
+      |SELECT c.source, c.split, c.n_docs,
+      |       ((2 * c.n_docs * 10000 + t.tot) // (2 * t.tot)) / 10000.0 AS share
+      |FROM c JOIN t ON t.source = c.source
+      |ORDER BY c.source, c.split""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q56_repetition",        q56Repetition _,       Some(q56Sql)),
+    ("q175_split_assign",     q175SplitAssign _,     Some(q175Sql)),
     ("q57_stratified_sample", q57StratifiedSample _, Some(q57Sql)),
     ("q58_top_terms",         q58TopTerms _,         Some(q58Sql)),
     ("q59_pii_mask",          q59PiiMask _,          Some(q59Sql)),

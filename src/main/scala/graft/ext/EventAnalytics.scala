@@ -299,6 +299,43 @@ object EventAnalytics {
         regexp_count(col("seq"), lit("s[^e]*p")).as("n_conversions"))
       .orderBy(col("user_id"))
 
+  // ---------------------------------------------------------------- strict-order funnel (windowFunnel 'strict_order')
+  /** ClickHouse `windowFunnel(... , 'strict_order')`: the view→click→
+    * purchase funnel where ANY intervening event breaks the sequence —
+    * steps must be CONSECUTIVE in the user's event stream, so the level-k
+    * test is a plain substring ("vc", "vcp") on the (ts, event_id)-ordered
+    * type string, not q86's gap-tolerant regex. Output is the per-level
+    * user histogram (max strict level reached). Same single user-keyed
+    * shuffle as the whole funnel/sequence family; per-user state is the
+    * type string. */
+  def q173FunnelStrict(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(col("e"))),
+        x => x.getField("c")), "").as("seq"))
+      .select(
+        when(col("seq").contains("vcp"), lit(3))
+          .when(col("seq").contains("vc"), lit(2))
+          .when(col("seq").contains("v"), lit(1))
+          .otherwise(lit(0)).as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+
+  val q173Sql: String =
+    """WITH seqs AS (SELECT user_id,
+      |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      |       FROM events GROUP BY user_id),
+      |lv AS (SELECT CASE WHEN contains(seq, 'vcp') THEN 3
+      |                   WHEN contains(seq, 'vc') THEN 2
+      |                   WHEN contains(seq, 'v') THEN 1
+      |                   ELSE 0 END AS level
+      |       FROM seqs)
+      |SELECT level, count(*) AS n_users FROM lv
+      |GROUP BY level ORDER BY level""".stripMargin
+
   val q152Sql: String =
     """WITH seqs AS (SELECT user_id,
       |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
@@ -1211,6 +1248,7 @@ object EventAnalytics {
     ("q84_retention", q84Retention _, Some(q84Sql)),
     ("q86_sequence_match", q86SequenceMatch _, Some(q86Sql)),
     ("q152_sequence_count", q152SequenceCount _, Some(q152Sql)),
+    ("q173_funnel_strict",  q173FunnelStrict _,  Some(q173Sql)),
     ("q156_audience_growth", q156AudienceGrowth _, Some(q156Sql)),
     ("q157_interpolate",     q157Interpolate _,    Some(q157Sql)),
     ("q158_decile_lift",     q158DecileLift _,     Some(q158Sql)),

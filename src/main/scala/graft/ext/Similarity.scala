@@ -135,6 +135,73 @@ object Similarity {
        |SELECT q_id, rn, vec_id, round(c, 5) AS cos FROM r WHERE rn <= $k
        |ORDER BY q_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- C3: ANN recall evaluation
+  /** Recall@10 of the LSH index against the exact kNN answer — the
+    * evaluation harness every ANN deployment runs before trusting the
+    * index (the q31-vs-q30 comparison as a first-class, oracle-checked
+    * query). Per query vector: the exact cosine top-10 (q30's broadcast
+    * scan), the LSH same-bucket candidate set (q31's equi-join), and
+    * recall = |top-10 ∩ candidates| / 10. Scale: the exact side is the
+    * expensive leg — production evaluates on a SAMPLE of queries (the
+    * q_id < 5 set here IS that sample) while the index side stays
+    * corpus-linear; the hit join is k-bounded per query. */
+  def q174AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select(col("q_id"), col("vec_id"))
+    val withB = emb.withColumn("bucket",
+      graft.functions.GraftFunctions.lsh_bucket(col("embedding")))
+    val qb = withB.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("bucket"))
+    val cand = withB.join(qb, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val nc = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_candidates"))
+    exact
+      .join(cand.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .join(nc, Seq("q_id"), "left")
+      .select(col("q_id"), col("k"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("k"), 4).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  val q174Sql: String =
+    s"""WITH $lshCtes,
+       |dots AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.x * b.x) AS dot
+       |         FROM ex a JOIN ex b ON a.d = b.d
+       |         WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id GROUP BY 1, 2),
+       |cos AS (SELECT q_id, d.vec_id, d.dot / (na.nrm * nb.nrm) AS c
+       |        FROM dots d JOIN norms na ON na.vec_id = d.q_id
+       |                    JOIN norms nb ON nb.vec_id = d.vec_id),
+       |r AS (SELECT q_id, vec_id,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM cos),
+       |exact AS (SELECT q_id, vec_id FROM r WHERE rn <= 10),
+       |qs AS (SELECT vec_id AS q_id, bucket FROM buck WHERE vec_id < 5),
+       |cand AS (SELECT q.q_id, b.vec_id FROM qs q JOIN buck b ON b.bucket = q.bucket
+       |         WHERE b.vec_id <> q.q_id),
+       |nc AS (SELECT q_id, count(*) AS n_candidates FROM cand GROUP BY 1),
+       |hits AS (SELECT e.q_id, CAST(count(*) AS BIGINT) AS k,
+       |                CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |         FROM exact e LEFT JOIN cand c
+       |           ON c.q_id = e.q_id AND c.vec_id = e.vec_id
+       |         GROUP BY 1)
+       |SELECT h.q_id, h.k, COALESCE(nc.n_candidates, 0) AS n_candidates, h.n_hit,
+       |       round(h.n_hit::DOUBLE / h.k, 4) AS recall
+       |FROM hits h LEFT JOIN nc ON nc.q_id = h.q_id
+       |ORDER BY h.q_id""".stripMargin
+
   val q31Sql: String =
     s"""WITH $lshCtes,
        |qs AS (SELECT vec_id AS q_id, bucket FROM buck WHERE vec_id < 5),
@@ -713,6 +780,7 @@ object Similarity {
     ("q31_ann_lsh",    q31AnnLsh _,    Some(q31Sql)),
     ("q46_ivf_ann",    q46IvfAnn _,    Some(q46Sql)),
     ("q52_ann_multiprobe", q52AnnMultiprobe _, Some(q52Sql)),
+    ("q174_ann_recall",    q174AnnRecall _,    Some(q174Sql)),
     ("q54_embed_neardup",  q54EmbedNearDup _,  Some(q54Sql)),
     ("q76_hard_negatives", q76HardNegatives _, Some(q76Sql)),
     ("q92_embed_quantize", q92EmbedQuantize _, Some(q92Sql)),

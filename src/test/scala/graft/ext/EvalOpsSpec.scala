@@ -1,0 +1,77 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture tests for the strict-order funnel (q173), ANN recall
+  * evaluation (q174), and deterministic split assignment (q175). */
+class EvalOpsSpec extends SparkSpec {
+
+  private def eventsDir(rows: Seq[(Long, String, Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("ev")
+    rows.map { case (id, t, u, ty) =>
+      (id, java.sql.Timestamp.valueOf(t), u, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("strict funnel: only consecutive view-click-purchase counts as level 3") {
+    def at(m: Int) = f"2024-01-01 10:$m%02d:00"
+    val dir = eventsDir(Seq(
+      // u1: v c p consecutive → level 3
+      (1L, at(1), 1L, "view"), (2L, at(2), 1L, "click"), (3L, at(3), 1L, "purchase"),
+      // u2: v e c p — error breaks the chain, no adjacent vc → level 1
+      (4L, at(1), 2L, "view"), (5L, at(2), 2L, "error"),
+      (6L, at(3), 2L, "click"), (7L, at(4), 2L, "purchase"),
+      // u3: c v c p — strict chain present as suffix → level 3
+      (8L, at(1), 3L, "click"), (9L, at(2), 3L, "view"),
+      (10L, at(3), 3L, "click"), (11L, at(4), 3L, "purchase"),
+      // u4: signup only → level 0
+      (12L, at(1), 4L, "signup"),
+      // u5: v c s — chain stops before purchase → level 2
+      (13L, at(1), 5L, "view"), (14L, at(2), 5L, "click"), (15L, at(3), 5L, "signup"),
+    ))
+    val got = EventAnalytics.q173FunnelStrict(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 2L))
+  }
+
+  test("ann recall: identical vectors share one bucket, recall@10 = 1.0") {
+    import spark.implicits._
+    val dir = tmpDir("emb")
+    val v = Seq(1.0f, 2.0f, 3.0f, 4.0f, 0.5f, 1.5f, 2.5f, 3.5f)
+    (0L until 12L).map(i => (i, v, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.q174AnnRecall(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length == 5)
+    // every query: 10 exact neighbors, 11 same-bucket candidates, all hit
+    got.foreach { case (_, k, nc, nh, rec) =>
+      assert(k == 10L && nc == 11L && nh == 10L && rec == 1.0)
+    }
+  }
+
+  test("split assignment: hash buckets are deterministic, disjoint, exhaustive") {
+    import spark.implicits._
+    val dir = tmpDir("docs")
+    (0L until 100L).map(i => (i, s"tok$i words here", "s1", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.q175SplitAssign(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    // expected counts from the same LCG hash, computed independently
+    val exp = (0L until 100L).groupBy { id =>
+      val b = (id % 2147483647L) * 48271L % 2147483647L % 100L
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }.view.mapValues(_.size.toLong).toMap
+    assert(got.map(t => t._1 -> t._2).toMap == exp)
+    assert(got.map(_._2).sum == 100L)                    // exhaustive, disjoint
+    got.foreach { case (_, n, share) =>                  // integer half-up share
+      assert(share == math.floor(n * 10000.0 / 100 + 0.5) / 10000.0)
+    }
+  }
+}
