@@ -262,6 +262,68 @@ object Dedup {
        |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) >= 0.05
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- C2: MinHash accuracy audit
+  /** MinHash estimation error against exact Jaccard — the sketch-trust
+    * audit for the dedup path (q174's role for the ANN path): over q28's
+    * bounded ground-truth pair set, the signature estimate
+    * (matching components / 16) is compared to the exact shingle
+    * Jaccard. E[est] = J by the MinHash property; this query measures
+    * the realized |err| at 16 permutations so the band/row LSH config
+    * (q26) is chosen from data, not folklore. All-integer component
+    * matching (zip_with equality), est is an exact /16 decimal — fully
+    * engine-invariant. Scale: the pair set is the bounded audit sample;
+    * signatures come from the same one-pass native expression the
+    * production path signs with. */
+  def q177MinhashAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val tri = docShingles(s, dir).filter(col("doc_id") < 500)
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = tri.as("a")
+      .join(tri.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), Seq("d2"))
+      .withColumn("exact",
+        round(col("inter").cast("double") / (col("s1") + col("s2") - col("inter")), 4))
+      .filter(col("exact") >= 0.05)
+      .select(col("d1"), col("d2"), col("exact"))
+    val sig = withSig(s, dir).filter(col("doc_id") < 500)
+    pairs
+      .join(sig.select(col("doc_id").as("d1"), col("sig").as("sa")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("sig").as("sb")), Seq("d2"))
+      .withColumn("n_match",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), m => m)).cast("long"))
+      .select(col("d1"), col("d2"), col("n_match"),
+        round(col("n_match") / 16.0, 4).as("est"), col("exact"),
+        round(abs(round(col("n_match") / 16.0, 4) - col("exact")), 4).as("abs_err"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q177Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id < 500),
+       |tri AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("tk")}) AS g FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |          FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT d1, d2,
+       |            round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) AS exact
+       |          FROM inter JOIN sizes s1 ON s1.doc_id = d1
+       |                     JOIN sizes s2 ON s2.doc_id = d2
+       |          WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) >= 0.05),
+       |tv AS (SELECT doc_id, ${tokvalSql("g")} AS tv FROM tri),
+       |hs AS (SELECT h FROM range(16) t(h)),
+       |sig AS (SELECT doc_id, h, min(${minhashTermSql("tv", "h")}) AS minh
+       |        FROM tv CROSS JOIN hs GROUP BY doc_id, h),
+       |m AS (SELECT p.d1, p.d2,
+       |        CAST(count(*) FILTER (WHERE sa.minh = sb.minh) AS BIGINT) AS n_match
+       |      FROM pairs p JOIN sig sa ON sa.doc_id = p.d1
+       |                   JOIN sig sb ON sb.doc_id = p.d2 AND sb.h = sa.h
+       |      GROUP BY 1, 2)
+       |SELECT m.d1, m.d2, m.n_match, round(m.n_match / 16.0, 4) AS est, p.exact,
+       |       round(abs(round(m.n_match / 16.0, 4) - p.exact), 4) AS abs_err
+       |FROM m JOIN pairs p ON p.d1 = m.d1 AND p.d2 = m.d2
+       |ORDER BY m.d1, m.d2""".stripMargin
+
   // ---------------------------------------------------------------- C2: cluster resolution (the dedup "keep" step)
   /** Library operator: connected components by iterative min-label
     * propagation over an edge list — the step that turns near-dup PAIRS
@@ -904,6 +966,7 @@ object Dedup {
     ("q26_lsh_pairs",       q26LshPairs _,       Some(q26Sql)),
     ("q27_simhash",         q27SimHash _,        Some(q27Sql)),
     ("q28_trigram_jaccard", q28TrigramJaccard _, Some(q28Sql)),
+    ("q177_minhash_accuracy", q177MinhashAccuracy _, Some(q177Sql)),
     ("q55_dedup_clusters",  q55DedupClusters _,  Some(q55Sql)),
     ("q70_decontaminate",   q70Decontaminate _,  Some(q70Sql)),
     ("q73_fuzzy_match",     q73FuzzyMatch _,     Some(q73Sql)),

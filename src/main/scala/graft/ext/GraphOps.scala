@@ -74,11 +74,13 @@ object GraphOps {
     * scores (float PageRank would diverge in the last ulps and flip
     * rankings). Top-20 by (score, part) is a TakeOrdered. */
   def q171PageRank(s: SparkSession, dir: String): DataFrame = {
-    val deg = edges(s, dir).groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // edge⋈deg is reused every round — materialize once (localCheckpoint:
-    // the bench analogue of a checkpoint table; also cuts the 3-round
-    // lineage so AQE re-plans each round from materialized stats)
-    val edgesDeg = edges(s, dir).join(deg, "src").localCheckpoint(true)
+    // edges is materialized ONCE (localCheckpoint: the bench analogue of a
+    // checkpoint table) and both deg and the per-round join read it — the
+    // basket expansion never runs twice; the checkpoint also cuts the
+    // 3-round lineage so AQE re-plans each round from materialized stats
+    val e = edges(s, dir).localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = e.join(deg, "src").localCheckpoint(true)
     var scores = deg.select(col("src").as("part"), lit(1000000L).as("score"))
     for (_ <- 1 to 3) {
       scores = edgesDeg.join(scores, edgesDeg("src") === scores("part"))

@@ -202,6 +202,37 @@ object Similarity {
        |FROM hits h LEFT JOIN nc ON nc.q_id = h.q_id
        |ORDER BY h.q_id""".stripMargin
 
+  // ---------------------------------------------------------------- C3: per-dimension embedding profile
+  /** Per-dimension moments of the embedding matrix — the diagnostic run
+    * before PCA/whitening/quantization: dead dimensions (≈0 variance)
+    * waste index bits, dominant ones distort unnormalized distances.
+    * posexplode → one (dim)-keyed partial+final aggregate; the shuffle
+    * carries 64 rows per upstream partition regardless of corpus size
+    * (same map-side-combine bound as the histogram family). Moments in
+    * double precision, round(4) absorbing sum-order ulps (q45's
+    * precedent); dims reported 1-indexed to match SQL subscripts. */
+  def q176DimVariance(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("d0", "x")))
+      .select((col("d0") + 1).as("d"), col("x").cast("double").as("x"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 4).as("mean"),
+        round(var_pop(col("x")), 4).as("variance"),
+        round(min(col("x")), 4).as("min_x"),
+        round(max(col("x")), 4).as("max_x"))
+      .orderBy(col("d"))
+
+  val q176Sql: String =
+    """SELECT d, count(*) AS n,
+      |       round(avg(x), 4) AS mean,
+      |       round(var_pop(x), 4) AS variance,
+      |       round(min(x), 4) AS min_x,
+      |       round(max(x), 4) AS max_x
+      |FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings) t(vec_id, d, x)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q31Sql: String =
     s"""WITH $lshCtes,
        |qs AS (SELECT vec_id AS q_id, bucket FROM buck WHERE vec_id < 5),
@@ -781,6 +812,7 @@ object Similarity {
     ("q46_ivf_ann",    q46IvfAnn _,    Some(q46Sql)),
     ("q52_ann_multiprobe", q52AnnMultiprobe _, Some(q52Sql)),
     ("q174_ann_recall",    q174AnnRecall _,    Some(q174Sql)),
+    ("q176_dim_variance",  q176DimVariance _,  Some(q176Sql)),
     ("q54_embed_neardup",  q54EmbedNearDup _,  Some(q54Sql)),
     ("q76_hard_negatives", q76HardNegatives _, Some(q76Sql)),
     ("q92_embed_quantize", q92EmbedQuantize _, Some(q92Sql)),

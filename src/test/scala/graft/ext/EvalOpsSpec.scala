@@ -54,6 +54,38 @@ class EvalOpsSpec extends SparkSpec {
     }
   }
 
+  test("dim variance: planted moments, dead dimension flagged by zero variance") {
+    import spark.implicits._
+    val dir = tmpDir("emb2")
+    Seq(
+      (0L, Seq(0.0f, 1.0f), 0),
+      (1L, Seq(2.0f, 1.0f), 0),
+      (2L, Seq(4.0f, 1.0f), 0),
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.q176DimVariance(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // dim 1: mean 2, var_pop (4+0+4)/3 = 2.6667; dim 2: constant → var 0
+    assert(got.toSeq == Seq((1, 3L, 2.0, 2.6667), (2, 3L, 1.0, 0.0)))
+  }
+
+  test("minhash accuracy: identical docs estimate J=1 with zero error") {
+    import spark.implicits._
+    val dir = tmpDir("docs3")
+    val same = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (1 to 20).map(i => s"z$i").mkString(" ")
+    Seq((1L, same), (2L, same), (3L, other))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.q177MinhashAccuracy(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // only the identical pair survives J ≥ 0.05; all 16 components match
+    assert(got.toSeq == Seq((1L, 2L, 16L, 1.0, 1.0, 0.0)))
+  }
+
   test("split assignment: hash buckets are deterministic, disjoint, exhaustive") {
     import spark.implicits._
     val dir = tmpDir("docs")
