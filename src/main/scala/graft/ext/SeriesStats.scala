@@ -643,8 +643,45 @@ object SeriesStats {
 
   // entries LAST: it captures the qNNNSql vals eagerly, so any Sql val
   // declared below it would still be null at object-init time
+  // ---------------------------------------------------------------- seasonal index (dow profile)
+  /** Day-of-week seasonal index per event type — the seasonality
+    * decomposition step of capacity planning and anomaly baselining
+    * (q99's z-score assumes one; this measures it). Index = 7·n/total:
+    * 1.0 = flat, >1 = over-represented weekday. The weekday is computed
+    * ARITHMETICALLY from the epoch-day number ((days+3) mod 7, Monday=0)
+    * instead of any dow() builtin — engines disagree on week-start
+    * numbering (q129 dodged this by being label-invariant; here the label
+    * IS the output, so it must be derived portably). Counts map-side
+    * combine to a 35-cell table; the index is integer half-up arithmetic
+    * (q134's pattern), so the whole result is engine-exact. */
+  def q178SeasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        (((datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) + 3) % 7)
+          .cast("long")).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+    cells.join(tot, "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        (expr("(2 * 7 * n * 10000 + tot) DIV (2 * tot)") / 10000.0).as("idx"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val q178Sql: String =
+    """WITH c AS (SELECT event_type,
+      |            (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 AS dow,
+      |            count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+      |SELECT c.event_type, c.dow, c.n,
+      |       ((2 * 7 * c.n * 10000 + t.tot) // (2 * t.tot)) / 10000.0 AS idx
+      |FROM c JOIN t ON t.event_type = c.event_type
+      |ORDER BY c.event_type, c.dow""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q107_autocorr", q107Autocorr _, Some(q107Sql)),
+    ("q178_seasonal_index", q178SeasonalIndex _, Some(q178Sql)),
     ("q149_log_histogram", q149LogHistogram _, Some(q149Sql)),
     ("q164_ohlc",          q164Ohlc _,         Some(q164Sql)),
     ("q108_markov",   q108Markov _,   Some(q108Sql)),

@@ -1087,8 +1087,54 @@ object ExtendedQueries {
       |  sum(n)::BIGINT AS n_docs
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- k-anonymity audit (data governance)
+  /** k-anonymity audit over the quasi-identifier triple (nation, market
+    * segment, account-balance band) — the privacy screen a dataset passes
+    * before release (q59 masks direct identifiers; this measures how
+    * re-identifiable the REST of the row is): any QI combination shared
+    * by fewer than k=5 people marks its members re-identifiable. One
+    * QI-keyed aggregate (map-side combined) to group sizes, then a
+    * group-grain summary — the corpus never shuffles twice. The balance
+    * band is integer cents with a +100000 offset so truncating division
+    * equals floor division on both engines (negative balances exist).
+    * Share is integer half-up (q134's pattern). */
+  def q179KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.customer(s, dir)
+      .select(col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) DIV 200000").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("sz"))
+    groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("sz")).as("n_customers"),
+        min(col("sz")).as("min_group_size"),
+        sum(when(col("sz") < 5, lit(1)).otherwise(lit(0))).as("n_small_groups"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(lit(0))).as("n_risky"))
+      .select(col("n_groups"), col("n_customers"), col("min_group_size"),
+        col("n_small_groups"), col("n_risky"),
+        (expr("(2 * n_risky * 10000 + n_customers) DIV (2 * n_customers)") / 10000.0)
+          .as("risky_share"))
+  }
+
+  val q179Sql: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment,
+      |             (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000 AS bal_band,
+      |             count(*) AS sz
+      |           FROM customer GROUP BY 1, 2, 3)
+      |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |       CAST(sum(sz) AS BIGINT) AS n_customers,
+      |       CAST(min(sz) AS BIGINT) AS min_group_size,
+      |       CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+      |       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_risky,
+      |       ((2 * CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) * 10000
+      |         + CAST(sum(sz) AS BIGINT))
+      |        // (2 * CAST(sum(sz) AS BIGINT))) / 10000.0 AS risky_share
+      |FROM g""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cube",       q40Cube _,       Some(q40Sql)),
+    ("q179_k_anonymity", q179KAnonymity _, Some(q179Sql)),
     ("q170_nested_rollup", q170NestedRollup _, Some(q170Sql)),
     ("q41_pivot",      q41Pivot _,      Some(q41Sql)),
     ("q42_percentile", q42Percentile _, Some(q42Sql)),

@@ -86,6 +86,31 @@ class EvalOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 16L, 1.0, 1.0, 0.0)))
   }
 
+  test("seasonal index: arithmetic Monday=0 dow, half-up index") {
+    // 1970-01-05 was a Monday (epoch day 4 → (4+3)%7 = 0)
+    val dir = eventsDir(Seq(
+      (1L, "1970-01-05 10:00:00", 1L, "view"),
+      (2L, "1970-01-05 11:00:00", 2L, "view"),
+      (3L, "1970-01-06 10:00:00", 3L, "view"),
+    ))
+    val got = SeriesStats.q178SeasonalIndex(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("view", 0L, 2L, 4.6667),   // (2·7·2·10⁴+3) DIV 6 = 46667
+      ("view", 1L, 1L, 2.3333)))
+  }
+
+  test("k-anonymity: small QI groups counted, risky share half-up") {
+    import spark.implicits._
+    val dir = tmpDir("cust")
+    (Seq.fill(5)((1L, "X", 100.0)) ++ Seq.fill(2)((2L, "Y", -50.0)))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = graft.queries.ExtendedQueries.q179KAnonymity(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      == ((2L, 7L, 2L, 1L, 2L, 0.2857)))
+  }
+
   test("split assignment: hash buckets are deterministic, disjoint, exhaustive") {
     import spark.implicits._
     val dir = tmpDir("docs")
