@@ -679,9 +679,53 @@ object SeriesStats {
       |FROM c JOIN t ON t.event_type = c.event_type
       |ORDER BY c.event_type, c.dow""".stripMargin
 
+  // ---------------------------------------------------------------- exponential time-decayed sum
+  /** Freshness-weighted activity per event type (ClickHouse's
+    * `exponentialTimeDecayed{Sum,Count}` family): weight 2^-Δdays from
+    * the newest event day, clipped at 10 days. The half-life-one-day
+    * base-2 decay is the DESIGN choice that makes a float aggregate
+    * engine-exact: every weight is a dyadic rational (exactly
+    * representable), every term floor(value)·2^-Δ fits the 52-bit
+    * mantissa, so the sum is EXACT regardless of accumulation order —
+    * no round() crutch, bit-identical across engines and task counts
+    * (e^-λΔ weights would be irrational and order-sensitive). One
+    * map-side-combined aggregate; the reference day is an O(1) collected
+    * scalar (q82's rule). */
+  def q180DecayedSum(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      to_date(col("ts")).as("day"), col("value"))
+    val refRow = ev.agg(max(col("day"))).collect()(0)
+    if (refRow.isNullAt(0)) return ev.limit(0).select(col("event_type"))
+    val ref = lit(refRow.getDate(0))
+    ev
+      .withColumn("dlt", datediff(ref, col("day")))
+      .withColumn("w", when(col("dlt") <= 10, pow(lit(2.0), -col("dlt")))
+        .otherwise(lit(0.0)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w")).as("decayed_n"),
+        sum(floor(col("value")) * col("w")).as("decayed_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q180Sql: String =
+    """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+      |r AS (SELECT max(day) AS ref FROM ev),
+      |w AS (SELECT event_type,
+      |             CASE WHEN date_diff('day', day, ref) <= 10
+      |                  THEN power(2.0, -date_diff('day', day, ref))
+      |                  ELSE 0.0 END AS w,
+      |             value
+      |      FROM ev CROSS JOIN r)
+      |SELECT event_type, count(*) AS n_events,
+      |       sum(w) AS decayed_n,
+      |       sum(floor(value) * w) AS decayed_value
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q107_autocorr", q107Autocorr _, Some(q107Sql)),
     ("q178_seasonal_index", q178SeasonalIndex _, Some(q178Sql)),
+    ("q180_decayed_sum",    q180DecayedSum _,    Some(q180Sql)),
     ("q149_log_histogram", q149LogHistogram _, Some(q149Sql)),
     ("q164_ohlc",          q164Ohlc _,         Some(q164Sql)),
     ("q108_markov",   q108Markov _,   Some(q108Sql)),

@@ -100,6 +100,19 @@ class EvalOpsSpec extends SparkSpec {
       ("view", 1L, 1L, 2.3333)))
   }
 
+  test("decayed sum: dyadic weights are exact, clip beyond 10 days") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-02-01 10:00:00", 1L, "purchase"),   // ref day, w=1
+      (2L, "2024-01-31 10:00:00", 2L, "purchase"),   // Δ1, w=0.5
+      (3L, "2024-01-01 10:00:00", 3L, "click"),      // Δ31 → clipped, w=0
+    ))
+    // eventsDir writes value=1.0 for every row → floor(value)=1
+    val got = SeriesStats.q180DecayedSum(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("purchase") == ((2L, 1.5, 1.5)))
+    assert(got("click") == ((1L, 0.0, 0.0)))
+  }
+
   test("k-anonymity: small QI groups counted, risky share half-up") {
     import spark.implicits._
     val dir = tmpDir("cust")
