@@ -33,34 +33,41 @@ import graft.tables.Tables
   */
 object GraphOps {
 
-  /** Per-(session, dir) cache of the materialized edge table — built once,
-    * consumed by both q171 and q172 (the pair expansion is the expensive
-    * corpus-scale stage; the graphs themselves are part-dimension-sized).
-    * Same immutable-dir contract as [[graft.tables.Tables]]; at 100 TB
-    * this is the checkpointed edge parquet every graph job reads. */
-  private val edgeCache =
+  /** Per-(session, dir) cache of the supported co-purchase pair table
+    * (p1 < p2, support ≥ 2) — THE shared intermediate of the basket
+    * family: q161 (association rules) reads it with its support counts,
+    * q171/q172 symmetrize it into graph edges. Built once per dir
+    * (the pair expansion is the only corpus-scale stage; the pair table
+    * itself is part-dimension-sized), checkpointed like the shingle and
+    * near-dup-pair caches. Same immutable-dir contract as
+    * [[graft.tables.Tables]]; at 100 TB this is the checkpointed pair
+    * parquet every basket/graph job reads. */
+  private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def edges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.computeIfAbsent((s, dir),
-      { case (sess, d) => buildEdges(sess, d).localCheckpoint(true) })
+  /** Supported co-purchase pairs (p1, p2, sup): parts ordered together in
+    * ≥ 2 distinct orders. Basket pair expansion is map-side off one
+    * order-keyed aggregate (sort_array makes p1 < p2 canonical) — no
+    * order-keyed self-join. */
+  def supportedPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      val baskets = Tables.lineitem(sess, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("ps"))
+      baskets
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+            y => struct(x.as("p1"), y.as("p2")))))).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .localCheckpoint(true)
+    })
 
-  /** Undirected co-purchase edges, symmetrized to (src, dst) rows.
-    * Basket pair expansion is map-side off one order-keyed aggregate
-    * (sort_array makes p1 < p2 canonical) — no order-keyed self-join. */
-  private def buildEdges(s: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables.lineitem(s, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(col("ps"))
-    val up = baskets
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-          y => struct(x.as("p1"), y.as("p2")))))).as("p"))
-      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
-      .select(col("p1"), col("p2"))
+  /** Undirected co-purchase edges, symmetrized to (src, dst) rows. */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val up = supportedPairs(s, dir)
     up.select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(up.select(col("p2").as("src"), col("p1").as("dst")))
   }

@@ -653,26 +653,17 @@ object ExtendedQueries {
     * broadcast back for confidence; integers + one division. Top-100 by
     * (support, pair) is a TakeOrdered, not a global sort. */
   def q161Copurchase(s: SparkSession, dir: String): DataFrame = {
-    // one basket row per order (collect_set dedups in the same shuffle),
-    // then the p1<p2 pair space expands MAP-SIDE from the sorted basket
-    // array — no order-keyed self-join, no second corpus exchange. The
-    // basket table feeds both the pair counts and the item frequencies —
-    // materialize once (at 100 TB: a checkpoint table)
-    val baskets = Tables.lineitem(s, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(col("ps")).localCheckpoint(true)
-    val partOrders = baskets.select(explode(col("ps")).as("l_partkey"))
+    // the supported pair table (basket collect → map-side p1<p2 pair
+    // expansion → support counts, no order-keyed self-join) is the
+    // shared intermediate of the basket family — built once in
+    // GraphOps.supportedPairs and reused by the graph queries (at
+    // 100 TB: a checkpoint table). Item frequencies for confidence come
+    // from one distinct (order, part) aggregate.
+    val partOrders = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_orders"))
-    val pairs = baskets
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-          y => struct(x.as("p1"), y.as("p2")))))).as("p"))
-      .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
-    pairs
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
+    graft.ext.GraphOps.supportedPairs(s, dir)
+      .select(col("p1"), col("p2"), col("sup").as("support"))
       .join(broadcast(partOrders.select(col("l_partkey").as("p1"), col("n_orders").as("n1"))), Seq("p1"))
       .join(broadcast(partOrders.select(col("l_partkey").as("p2"), col("n_orders").as("n2"))), Seq("p2"))
       .select(col("p1"), col("p2"), col("support"),
