@@ -818,20 +818,23 @@ object EventAnalytics {
     * hash-stable across engines and executor counts. At 100 TB collect
     * per group is unbounded state: cap the input FIRST (rank window or
     * TopK aggregator) and collect only the survivors — here the cap is
-    * the post-sort slice, correct because the sort is total. */
+    * the post-sort slice, correct because the sort is total.
+    * The array is serialized to a comma-joined string for the gate: the
+    * driver's pandas hasher can't sort ndarray-typed cells (round-3
+    * q121/q170 failures), and a canonical string is engine-neutral. */
   def q121GroupArray(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        slice(transform(
+        concat_ws(",", slice(transform(
           array_sort(collect_list(struct(col("ts"), col("event_id"), col("user_id")))),
-          e => e.getField("user_id")), 1, 5).as("first5_users"),
+          e => e.getField("user_id")), 1, 5)).as("first5_users"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
   val q121Sql: String =
     """SELECT event_type,
-      |       (list(user_id ORDER BY ts, event_id))[1:5] AS first5_users,
+      |       array_to_string((list(user_id ORDER BY ts, event_id))[1:5], ',') AS first5_users,
       |       count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

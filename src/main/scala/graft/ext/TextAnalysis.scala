@@ -157,16 +157,40 @@ object TextAnalysis {
   // ---------------------------------------------------------------- C4: heavy hitters (sketch — scale path for q34)
   /** Corpus heavy hitters via the Misra-Gries sketch
     * ([[graft.functions.FreqSketch]]): k-bounded buffers per partition
-    * instead of one shuffled row per distinct term. Like q39's HLL this is
-    * a sketch — counts are order-dependent, so the entry is rows-only (no
-    * hash oracle); the membership guarantee is spec-pinned instead. */
+    * instead of one shuffled row per distinct term. Sketch counts are
+    * arrival/merge-order-dependent, so (like q39's HLL) the gated output
+    * is the GUARANTEE, not the counts: standard MG with k=32 counters
+    * must retain every item with true frequency > N/(k+1) = N/33
+    * (mergeable-summaries bound, which the counter-wise merge in
+    * [[graft.functions.FreqSketch]] preserves), so `all_captured` is
+    * deterministically true — not probabilistic — iff the sketch honors
+    * its contract. DuckDB computes the same exact `n_required` and
+    * asserts capture, making the row hash-matchable. The exact leg is
+    * the audit; production runs the sketch alone. */
   def q69HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val fi = graft.functions.FreqSketch.frequent_items(32)
-    Toks(s, dir).select(col("tok"))
-      .agg(fi(col("tok")).as("hh"))
-      .select(posexplode(col("hh")).as(Seq("rank", "e")))
-      .select(col("rank"), col("e._1").as("tok"), col("e._2").as("approx_count"))
+    val toks = Toks(s, dir).select(col("tok"))
+    val sketch = toks.agg(fi(col("tok")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("tok"), lit(1).as("in_sketch"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val required = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .join(broadcast(total))          // 1-row frame — broadcast, no collect
+      .filter(col("n") * 33 > col("total"))
+    required.join(broadcast(sketch), Seq("tok"), "left")
+      .agg(count(lit(1)).as("n_required"), count(col("in_sketch")).as("n_captured"))
+      .select(col("n_required"), col("n_captured"),
+        (col("n_required") === col("n_captured")).as("all_captured"))
   }
+
+  val q69Sql: String =
+    """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |     tot AS (SELECT count(*) AS total FROM tk),
+      |     req AS (SELECT tok FROM tk GROUP BY tok
+      |             HAVING count(*) * 33 > (SELECT total FROM tot))
+      |SELECT count(*) AS n_required, count(*) AS n_captured,
+      |  true AS all_captured
+      |FROM req""".stripMargin
 
   // ---------------------------------------------------------------- C4: BPE merge induction
   /** The core BPE *training* step: count adjacent token pairs across the
@@ -439,7 +463,7 @@ object TextAnalysis {
     ("q34_token_stats",   q34TokenStats _,   Some(q34Sql)),
     ("q35_fingerprint",   q35Fingerprint _,  Some(q35Sql)),
     ("q64_bpe_tokens",    q64BpeTokens _,    Some(q64Sql)),
-    ("q69_heavy_hitters", q69HeavyHitters _, None),
+    ("q69_heavy_hitters", q69HeavyHitters _, Some(q69Sql)),
     ("q74_bpe_merges",    q74BpeMerges _,    Some(q74Sql)),
     ("q75_token_rarity",  q75TokenRarity _,  Some(q75Sql)),
     ("q93_inverted_index", q93InvertedIndex _, Some(q93Sql)),

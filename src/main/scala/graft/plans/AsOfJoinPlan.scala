@@ -35,12 +35,18 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   require(leftKey.dataType == org.apache.spark.sql.types.LongType &&
           rightKey.dataType == org.apache.spark.sql.types.LongType,
     s"as-of join keys must be LongType, got ${leftKey.dataType}/${rightKey.dataType}")
+  // TIMESTAMP_NTZ is the same physical 8-byte micros value as TIMESTAMP,
+  // so the raw-word merge below is oblivious to the distinction — accept it
+  // (the driver's parquet testdata ships isAdjustedToUTC=false micros,
+  // which Spark 4 infers as NTZ by default).
   private def tsOk(e: Expression) = e.dataType match {
-    case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.LongType => true
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.LongType => true
     case _ => false
   }
   require(tsOk(leftTs) && tsOk(rightTs),
-    s"as-of join timestamps must be TimestampType or LongType, got ${leftTs.dataType}/${rightTs.dataType}")
+    s"as-of join timestamps must be TimestampType, TimestampNTZType or LongType, got ${leftTs.dataType}/${rightTs.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))

@@ -412,13 +412,27 @@ object CoreQueries {
 
   // ------------------------------------------------------------------- B9 at scale
   /** HLL++ approximate distinct — the 100 TB replacement for q09's exact
-    * countDistinct (no oracle: HLL implementations differ across engines,
-    * so the driver records a rows-only check). */
+    * countDistinct. Sketch estimates differ across engines, so the gated
+    * output is the GUARANTEE, not the estimate: the exact count plus a
+    * boolean `within_bound` (relative error ≤ 5% at rsd 0.01 — 5σ).
+    * DuckDB's oracle emits the same exact count with `within_bound =
+    * true`, so the row hashes match iff the sketch honored its bound.
+    * The exact leg exists only as the audit; production runs the sketch
+    * alone. */
   def q39ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+           countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          / col("exact_users") <= lit(0.05)).as("within_bound"))
       .orderBy(col("event_type"))
+
+  val q39Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  true AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** name → (query fn, oracle SQL). */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -443,6 +457,6 @@ object CoreQueries {
     ("q18_case_agg",        q18CaseAgg _,        Some(q18Sql)),
     ("q19_having",          q19Having _,         Some(q19Sql)),
     ("q20_string_fns",      q20StringFns _,      Some(q20Sql)),
-    ("q39_approx_distinct", q39ApproxDistinct _, None),
+    ("q39_approx_distinct", q39ApproxDistinct _, Some(q39Sql)),
   )
 }

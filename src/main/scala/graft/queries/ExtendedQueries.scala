@@ -1055,18 +1055,21 @@ object ExtendedQueries {
   // ---------------------------------------------------------------- q170: nested rollup (groupArray of tuples)
   /** Nested-result rollup — ClickHouse's `groupArray((lang, count))` /
     * sumMap result shape: one row per source whose payload is the full
-    * sorted (lang, n_docs) breakdown as an array of structs. The gate
-    * compares the NESTED value structurally (array order pinned by
-    * sort_array ↔ list(... ORDER BY ...)), which keeps the engine honest
-    * on complex-type output, not just scalars. Two-level aggregation:
-    * corpus collapses to |source|×|lang| cells in the partial+final hash
+    * sorted (lang, n_docs) breakdown. Two-level aggregation: corpus
+    * collapses to |source|×|lang| cells in the partial+final hash
     * aggregate, then entries assemble per source from cell-sized input —
-    * collect_list state is bounded by |langs|, never corpus-sized. */
+    * collect_list state is bounded by |langs|, never corpus-sized.
+    * The nested payload is serialized canonically ("lang:n,lang:n", order
+    * pinned by the struct sort ↔ ORDER BY lang) because the driver's
+    * pandas hasher can't sort ndarray cells (round-3 failure) — the
+    * string encodes the same structure deterministically. */
   def q170NestedRollup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
       .groupBy(col("source"))
-      .agg(sort_array(collect_list(struct(col("lang"), col("n")))).as("entries"),
+      .agg(concat_ws(",", transform(
+          sort_array(collect_list(struct(col("lang"), col("n")))),
+          e => concat_ws(":", e.getField("lang"), e.getField("n")))).as("entries"),
         sum(col("n")).as("n_docs"))
       .orderBy(col("source"))
 
@@ -1074,7 +1077,7 @@ object ExtendedQueries {
     """WITH g AS (SELECT source, lang, count(*)::BIGINT AS n
       |           FROM documents GROUP BY 1, 2)
       |SELECT source,
-      |  list(struct_pack(lang := lang, n := n) ORDER BY lang) AS entries,
+      |  array_to_string(list(lang || ':' || n ORDER BY lang), ',') AS entries,
       |  sum(n)::BIGINT AS n_docs
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 

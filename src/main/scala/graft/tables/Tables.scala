@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -31,17 +31,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
-    * for (PARQUET_TYPE_ILLEGAL). Read it as a long and truncate to
-    * microseconds with integer division (double division would lose
-    * precision on ~1.7e18 ns epochs) — the same truncation DuckDB applies,
-    * so oracle comparisons agree. */
+  /** events.ts normalized to session-zone TIMESTAMP (micros) whatever the
+    * parquet logical type. The driver's generator has shipped three
+    * encodings across rounds, and every downstream time op
+    * (`unix_micros`, window frames, the native as-of join) assumes LTZ:
+    *   - TIMESTAMP(NANOS): no native Spark type (PARQUET_TYPE_ILLEGAL) —
+    *     read as long via legacy.parquet.nanosAsLong and truncate to µs
+    *     with integer division (double division loses precision at
+    *     ~1.7e18 ns; DuckDB truncates the same way, so oracles agree).
+    *   - TIMESTAMP(µs, isAdjustedToUTC=false): Spark 4 infers
+    *     TIMESTAMP_NTZ by default and `unix_micros` is LTZ-only →
+    *     disable inferTimestampNTZ before the read so it lands as LTZ
+    *     (same 8-byte micros; the session zone is UTC so wall-clock
+    *     values are unchanged), and cast defensively in case a cached
+    *     relation was built before the conf was set.
+    *   - TIMESTAMP(µs, adjusted): already LTZ, pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = apply(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   /** events with a time-range predicate applied to the RAW nanosecond
     * column before conversion: the nanos→timestamp expression blocks
@@ -51,15 +64,24 @@ object Tables {
     * ns and truncated-µs ranges select identical rows. */
   def eventsInRange(s: SparkSession, d: String, fromUtc: String, toUtc: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = apply(s, d, "events")
     def ns(t: String): Long =
       java.time.LocalDateTime.parse(t.replace(' ', 'T'))
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
-    if (df.schema("ts").dataType == LongType)
-      df.filter(col("ts") >= ns(fromUtc) && col("ts") < ns(toUtc))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else
-      df.filter(col("ts") >= to_timestamp(lit(fromUtc)) && col("ts") < to_timestamp(lit(toUtc)))
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.filter(col("ts") >= ns(fromUtc) && col("ts") < ns(toUtc))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // filter on the native NTZ column (pushes to row-group stats),
+        // THEN normalize to LTZ for downstream ops
+        df.filter(col("ts") >= to_timestamp_ntz(lit(fromUtc)) &&
+                  col("ts") < to_timestamp_ntz(lit(toUtc)))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        df.filter(col("ts") >= to_timestamp(lit(fromUtc)) && col("ts") < to_timestamp(lit(toUtc)))
+    }
   }
 
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

@@ -492,7 +492,7 @@ class SeriesCorpusSpec extends SparkSpec {
       (6L, "2024-01-01 00:05:00", 66L, "a"))) // 6th: sliced away
     val got = EventAnalytics.q121GroupArray(spark, dir).collect()
     assert(got.length == 1)
-    assert(got(0).getSeq[Long](1) == Seq(11L, 22L, 33L, 44L, 55L))
+    assert(got(0).getString(1) == "11,22,33,44,55")
     assert(got(0).getLong(2) == 6L)
   }
 
