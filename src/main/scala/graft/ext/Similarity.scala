@@ -803,8 +803,68 @@ object Similarity {
       |  round((r2 - n * (n + 1))::DOUBLE / (2.0 * n * (nn - n)), 4) AS auc
       |FROM g CROSS JOIN t ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- C3: hybrid retrieval (lexical + vector, RRF fusion)
+  /** Reciprocal-rank fusion of a lexical ranker and a vector ranker —
+    * the retrieval shape a training-data pipeline uses for dedup-aware
+    * sourcing and eval-set mining (fuse BM25-ish term evidence with
+    * embedding similarity without score calibration). Candidates are all
+    * docs but the query doc (doc_id 0, whose embedding is the vector
+    * query); the lexical leg counts occurrences of the fixed term set
+    * {join, hash}; each leg ranks independently (rank on the ROUNDED
+    * cosine so cross-engine float ulps can't flip neighbors; doc_id
+    * tie-break) and RRF k=60 fuses: 1/(60+r_lex) + 1/(60+r_vec).
+    * Scale: each leg is the already-scaled primitive (term count is a
+    * map-side agg; cosine top-N is q30's broadcast-query scan); the
+    * fusion join is rank-table-sized, and a production top-k would cap
+    * each leg's rank table at k before the join. */
+  def q183HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") =!= 0)
+    val lex = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "),
+        t => t === "join" || t === "hash")).as("lexn"))
+    val wLex = Window.orderBy(col("lexn").desc, col("doc_id"))
+    val lexRank = lex.withColumn("r_lex", row_number().over(wLex))
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val vec = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")), 5).as("cos"))
+    val wVec = Window.orderBy(col("cos").desc, col("doc_id"))
+    val vecRank = vec.withColumn("r_vec", row_number().over(wVec))
+    lexRank.join(vecRank, "doc_id")
+      .withColumn("rrf",
+        round(lit(1.0) / (lit(60) + col("r_lex")) + lit(1.0) / (lit(60) + col("r_vec")), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
+  }
+
+  val q183Sql: String =
+    """WITH lex AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('join', 'hash'))) AS lexn
+      |  FROM documents WHERE doc_id <> 0),
+      |lr AS (SELECT doc_id, row_number() OVER (ORDER BY lexn DESC, doc_id) AS r_lex FROM lex),
+      |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
+      |       FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+      |dots AS (SELECT b.vec_id, sum(a.x * b.x) AS dot
+      |         FROM ex a JOIN ex b ON a.i = b.i
+      |         WHERE a.vec_id = 0 AND b.vec_id <> 0 GROUP BY 1),
+      |cosv AS (SELECT d.vec_id AS doc_id,
+      |                round(d.dot / (nq.nrm * nb.nrm), 5) AS c
+      |         FROM dots d
+      |         JOIN norms nq ON nq.vec_id = 0
+      |         JOIN norms nb ON nb.vec_id = d.vec_id),
+      |vr AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r_vec FROM cosv)
+      |SELECT lr.doc_id, lr.r_lex, vr.r_vec,
+      |  round(1.0 / (60 + lr.r_lex) + 1.0 / (60 + vr.r_vec), 6) AS rrf
+      |FROM lr JOIN vr ON vr.doc_id = lr.doc_id
+      |ORDER BY rrf DESC, lr.doc_id LIMIT 20""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
+    ("q183_hybrid_rrf", q183HybridRrf _, Some(q183Sql)),
     ("q165_roc_auc",   q165RocAuc _,   Some(q165Sql)),
     ("q47_knn_topk",   q47KnnTopK _,   Some(q30Sql)),
     ("q30_knn_exact",  q30KnnExact _,  Some(q30Sql)),

@@ -192,6 +192,41 @@ object TextAnalysis {
       |  true AS all_captured
       |FROM req""".stripMargin
 
+  // ---------------------------------------------------------------- C4: CMS point-frequency (third mergeable sketch)
+  /** Count-min-sketch point-frequency audit ([[graft.functions.CmsSketch]])
+    * — completes the mergeable-sketch family (q39 HLL distinct, q69 MG
+    * membership, here CMS frequency). The gate follows the same
+    * guarantee-not-estimate pattern: for the exact top-10 tokens, emit
+    * the exact count and a verdict that the sketch estimate obeys both
+    * CMS bounds — `est ≥ exact` (counters only over-count; deterministic
+    * always) and `est ≤ exact + 2N/w` (collision overshoot; deterministic
+    * for a fixed dataset+seeds because CMS merge is plain commutative
+    * addition, so the final sketch is identical under any partitioning).
+    * DuckDB emits the same exact counts asserting the verdict.
+    * Scale: sketch state is d·w = 4·512 longs (16 KiB) per partial,
+    * constant in corpus size — the shuffle ships one buffer per map task
+    * where exact counting ships a row per distinct term. */
+  def q181CmsFrequency(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsSketch
+    val toks = Toks(s, dir).select(col("tok"))
+    val sketch = toks.agg(CmsSketch.cms(col("tok")).as("sk"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(10)
+    top.join(broadcast(sketch)).join(broadcast(total)) // both 1-row frames
+      .withColumn("est", CmsSketch.cmsQuery(col("sk"), col("tok")))
+      .select(col("tok"), col("n").as("exact_n"),
+        (col("est") >= col("n") &&
+          (col("est") - col("n")) * (CmsSketch.Width / 2) <= col("total"))
+          .as("within_bound"))
+      .orderBy(col("exact_n").desc, col("tok"))
+  }
+
+  val q181Sql: String =
+    """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT tok, count(*) AS exact_n, true AS within_bound
+      |FROM tk GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- C4: BPE merge induction
   /** The core BPE *training* step: count adjacent token pairs across the
     * corpus and rank the top merge candidates (q64 is the tokenizer
@@ -464,6 +499,7 @@ object TextAnalysis {
     ("q35_fingerprint",   q35Fingerprint _,  Some(q35Sql)),
     ("q64_bpe_tokens",    q64BpeTokens _,    Some(q64Sql)),
     ("q69_heavy_hitters", q69HeavyHitters _, Some(q69Sql)),
+    ("q181_cms_frequency", q181CmsFrequency _, Some(q181Sql)),
     ("q74_bpe_merges",    q74BpeMerges _,    Some(q74Sql)),
     ("q75_token_rarity",  q75TokenRarity _,  Some(q75Sql)),
     ("q93_inverted_index", q93InvertedIndex _, Some(q93Sql)),
