@@ -28,6 +28,7 @@ object SparkEntry {
       ext.SeriesStats.entries,
       ext.CorpusStats.entries,
       ext.GraphOps.entries,
+      store.Bucketing.entries,
     )
 
   private lazy val all = modules.flatten

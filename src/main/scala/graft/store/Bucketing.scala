@@ -1,6 +1,8 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
 
 /** Bucketed-table support for co-located fact-fact joins (builder prompt:
   * "repartition/bucketing for co-located joins").
@@ -29,4 +31,55 @@ object Bucketing {
   def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                     key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Per-(session, dir) bucketed copies of lineitem/orders on the order
+    * key — built once (the write is the co-location investment; every
+    * subsequent fact-fact join on the key amortizes it), projected to
+    * join + payload columns so the bucketed files store only what the
+    * query family reads. */
+  private val prepared =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  private def bucketedPair(s: SparkSession, dir: String): (String, String) =
+    prepared.computeIfAbsent((s, dir), { case (sess, d) =>
+      val tag = java.lang.Integer.toHexString(d.hashCode).replace('-', 'n')
+      val lt = s"graft_bucketed_lineitem_$tag"
+      val ot = s"graft_bucketed_orders_$tag"
+      writeBucketed(Tables.lineitem(sess, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        lt, "l_orderkey", 8)
+      writeBucketed(Tables.orders(sess, d)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        ot, "o_orderkey", 8)
+      (lt, ot)
+    })
+
+  // ---------------------------------------------------------------- q184: co-located fact-fact join
+  /** Revenue by order priority through the BUCKETED layout: the lineitem⋈
+    * orders join reads both sides pre-bucketed (and per-bucket sorted) on
+    * the order key, so the scan satisfies the join's required
+    * distribution and the join runs with no Exchange on either side
+    * (BucketingSpec pins the plan; this entry gates the VALUES against
+    * the plain-join oracle — same answer, co-located physical path).
+    * At 100 TB this is the difference between shuffling two fact tables
+    * per join and shuffling neither, for the cost of one bucketed write
+    * amortized over every join on that key. */
+  def q184BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = bucketedPair(s, dir)
+    s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q184Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q184_bucketed_join", q184BucketedJoin _, Some(q184Sql)),
+  )
 }
