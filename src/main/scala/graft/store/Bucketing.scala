@@ -79,7 +79,47 @@ object Bucketing {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q185: partition pruning through a partitioned layout
+  /** The reference's layout contract made visible end-to-end: its DDL
+    * partitions the trace store by time bucket (`PARTITION BY
+    * toYYYYMM(Time)`, trace-converter.py:23) purely so time predicates
+    * skip partitions. Here events are laid out Hive-partitioned by DAY
+    * (one month of data → day granularity keeps the demo non-vacuous:
+    * 30 directories, the query reads 3) and the time predicate lands on
+    * the partition column, so Catalyst's PruneFileSourcePartitions drops
+    * 27/30 directories at PLANNING time — zero I/O, not even footer
+    * reads (PartitionPruneSpec pins `PartitionFilters` and the
+    * partition count; this entry gates the values against DuckDB over
+    * the unpartitioned original). At 100 TB partition count is the
+    * lever: day × source for a training corpus, low-thousands of
+    * partitions, never high-cardinality keys. */
+  private val partitioned =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def dayPartitionedEvents(s: SparkSession, dir: String): String =
+    partitioned.computeIfAbsent((s, dir), { case (sess, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_events_byday").toString
+      Tables.events(sess, d)
+        .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      out
+    })
+
+  def q185PartitionPrune(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dayPartitionedEvents(s, dir))
+      .filter(col("day") >= "20240110" && col("day") <= "20240112")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v_sum"))
+      .orderBy(col("event_type"))
+
+  val q185Sql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS v_sum
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q184_bucketed_join", q184BucketedJoin _, Some(q184Sql)),
+    ("q185_partition_prune", q185PartitionPrune _, Some(q185Sql)),
   )
 }
