@@ -17,14 +17,27 @@ import graft.tables.Tables
   */
 object Bucketing {
 
-  /** Write df as a bucketed, per-bucket-sorted managed table. */
+  /** Write df as a bucketed, per-bucket-sorted managed table.
+    *
+    * Robust against a stale warehouse: with the in-memory catalog a
+    * fresh JVM does not know tables whose files survive in
+    * spark-warehouse/ from a previous run, and `saveAsTable` then fails
+    * with LOCATION_ALREADY_EXISTS instead of overwriting — so drop the
+    * catalog entry AND clear the leftover location first. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key — shuffle-free when both
     * were written with the same bucket count on the join key. */
