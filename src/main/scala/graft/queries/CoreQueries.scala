@@ -434,6 +434,32 @@ object CoreQueries {
       |  true AS within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Materialized sketch rollup — the B6×B9 composition that matters at
+    * 100 TB: per-type HLL sketch STATES (datasketches binary blobs, the
+    * AggregatingMergeTree pattern from the reference's rollup TODO,
+    * README.md:231-236) are stored once, and the coarser global grain is
+    * answered by UNIONING the states — `hll_union_agg` over |types|
+    * blobs — without rescanning the corpus. The q39 guarantee gate
+    * applies: emit the exact global distinct (audit leg) plus the
+    * verdict that the union-of-sketches estimate lands within 5 %
+    * (lgK 14 → RSE ≈ 0.8 %, so the bound is ≈ 6σ). */
+  def q186SketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val perType = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val fromStates = perType
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("est"))
+    val exactG = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+    fromStates.join(broadcast(exactG)) // both 1-row frames
+      .select(col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double")
+          / col("exact_users") <= lit(0.05)).as("within_bound"))
+  }
+
+  val q186Sql: String =
+    """SELECT count(DISTINCT user_id) AS exact_users, true AS within_bound
+      |FROM events""".stripMargin
+
   /** name → (query fn, oracle SQL). */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_time_filter",     q01TimeFilter _,     Some(q01Sql)),
@@ -458,5 +484,6 @@ object CoreQueries {
     ("q19_having",          q19Having _,         Some(q19Sql)),
     ("q20_string_fns",      q20StringFns _,      Some(q20Sql)),
     ("q39_approx_distinct", q39ApproxDistinct _, Some(q39Sql)),
+    ("q186_sketch_rollup",  q186SketchRollup _,  Some(q186Sql)),
   )
 }

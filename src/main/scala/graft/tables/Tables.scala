@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -85,5 +85,17 @@ object Tables {
   }
 
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  /** embeddings.embedding normalized to array<float> — the element type
+    * every vector kernel (CosineSimExpr, LshBucketExpr, …) binds to.
+    * Same defensive posture as [[events]]: if a future testdata round
+    * ships float64 (or decoded-from-JSON) vectors, normalize at the one
+    * choke point instead of failing analysis in 30 queries. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val df = apply(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(FloatType, _) => df
+      case _ => df.withColumn("embedding",
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(FloatType)))
+    }
+  }
 }

@@ -34,4 +34,24 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(approx - 50000.0) / 50000.0 <= 0.1,
       s"approx distinct $approx vs exact 50000 beyond 10%")
   }
+
+  test("union of per-group HLL sketch states deduplicates across groups") {
+    // q186's semantic core: users 0..999 appear under BOTH types, so the
+    // union-of-states must estimate ~1000, never the 2000 a sum of
+    // per-group cardinalities would give
+    val df = spark.range(1000).toDF("user_id")
+      .withColumn("t", lit("a"))
+      .unionByName(spark.range(1000).toDF("user_id").withColumn("t", lit("b")))
+    val est = df.groupBy(col("t"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("est"))
+      .head.getLong(0)
+    assert(math.abs(est - 1000.0) / 1000.0 <= 0.05,
+      s"union-of-states estimate $est vs exact 1000 beyond 5%")
+  }
+
+  test("q186 audit is green at sf0.001") {
+    val out = CoreQueries.q186SketchRollup(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 1 && out(0).getBoolean(1))
+  }
 }
