@@ -167,6 +167,47 @@ object StatefulOps {
     }
   }
 
+  final case class TypedUser(event_type: String, user_id: Long)
+  final case class DistinctEst(event_type: String, est_users: Long, n_batch_rows: Long)
+
+  /** Streaming per-key distinct-cardinality maintenance with HLL sketch
+    * state — the streaming member of the mergeable-sketch family (q39
+    * batch HLL, q186 union-of-states rollup): state per key is ONE
+    * datasketches HLL blob (≤ ~2^lgK bytes, constant in stream length),
+    * so running "distinct users per event type" on an unbounded stream
+    * never stores the user set. Each micro-batch folds its rows into the
+    * sketch locally (one state read + one write per key per batch) and
+    * emits the updated estimate. HLL is exact in sparse mode, so at test
+    * cardinalities estimates ARE the exact counts; at scale the q39
+    * error contract applies. */
+  final class DistinctSketchProcessor(lgK: Int)
+      extends StatefulProcessor[String, TypedUser, DistinctEst] {
+    @transient private var sk: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sk = getHandle.getValueState[Array[Byte]]("hll", Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TypedUser],
+        timers: TimerValues): Iterator[DistinctEst] = {
+      import org.apache.datasketches.hll.HllSketch
+      val cur =
+        if (sk.exists()) HllSketch.heapify(sk.get()) else new HllSketch(lgK)
+      var n = 0L
+      rows.foreach { r => cur.update(r.user_id); n += 1 }
+      sk.update(cur.toUpdatableByteArray)
+      Iterator.single(DistinctEst(key, math.rint(cur.getEstimate).toLong, n))
+    }
+  }
+
+  /** Per-event-type running distinct users over a stream (RocksDB state
+    * store required, as for [[latestStateStream]]). */
+  def distinctUsersStream(ds: Dataset[TypedUser], lgK: Int = 12): Dataset[DistinctEst] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.event_type)
+      .transformWithState(new DistinctSketchProcessor(lgK),
+        TimeMode.None(), OutputMode.Append)
+  }
+
   /** Streaming latest-state maintenance (ReplacingMergeTree / CDC upsert,
     * the q87 batch query in streaming form) on Spark 4's
     * `transformWithState` + RocksDB state store. State is exactly one

@@ -118,6 +118,41 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL distinct state accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StatefulOps.TypedUser]
+      val q = StatefulOps.distinctUsersStream(in.toDS())
+        .writeStream.format("memory").queryName("hll_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // batch 1: type a sees users 1,2,2 → 2 distinct
+        in.addData(StatefulOps.TypedUser("a", 1), StatefulOps.TypedUser("a", 2),
+                   StatefulOps.TypedUser("a", 2))
+        q.processAllAvailable()
+        // batch 2: type a re-sees 2 and adds 3 (→ 3 distinct, state
+        // carried over); type b starts fresh with 1 distinct
+        in.addData(StatefulOps.TypedUser("a", 2), StatefulOps.TypedUser("a", 3),
+                   StatefulOps.TypedUser("b", 9))
+        q.processAllAvailable()
+        val rows = spark.table("hll_out").as[StatefulOps.DistinctEst].collect()
+          .groupBy(_.event_type).view.mapValues(_.map(_.est_users).sorted.toSeq).toMap
+        // HLL is exact in sparse mode at these cardinalities
+        assert(rows("a") == Seq(2L, 3L), s"got $rows")
+        assert(rows("b") == Seq(1L), s"got $rows")
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState latest-state emits only state-advancing changes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
