@@ -55,7 +55,8 @@ object Bench {
     // loaded machine and showed phantom 10-20× per-query regressions that
     // a quiet re-run dispelled). The min of two passes bounds per-query
     // variance while keeping the run shape identical for the driver.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val passes = math.max(1,
+      sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(2))
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def runOnce(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -67,9 +68,9 @@ object Bench {
       // negative duration marks a failed query in the emitted JSON
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val allPasses = (1 to passes).map(_ => runOnce())
+    val allPasses = (1 to passes).map(_ => runOnce().toMap)
     val results = ordered.map { case (name, _) =>
-      val times = allPasses.map(_.toMap.apply(name))
+      val times = allPasses.map(_.apply(name))
       // a query that failed in ANY pass stays marked failed
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }

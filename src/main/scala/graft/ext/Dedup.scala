@@ -58,12 +58,11 @@ object Dedup {
     * [[pairCache]]; at 100 TB this is a parquet checkpoint table the
     * pipeline stages share. Same immutable-dir contract as
     * [[graft.tables.Tables]]. */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val shingleCache = new graft.util.SessionDirCache[DataFrame]
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent((s, dir),
-      { case (sess, d) => shinglesOf(Tables.documents(sess, d)).localCheckpoint(true) })
+    shingleCache(s, dir) { (sess, d) =>
+      shinglesOf(Tables.documents(sess, d)).localCheckpoint(true) }
 
   private val shinglesCte =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -119,13 +118,12 @@ object Dedup {
     * dir per fixture for exactly this reason. Entries live until the
     * session stops (they pin their checkpoint blocks); the suite touches
     * a handful of dirs, each contributing a few KB of pairs. */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pairCache = new graft.util.SessionDirCache[DataFrame]
 
   /** LSH candidate generation + exact verification, shared by q26 (pair
     * listing) and q55 (cluster resolution). Returns (d1, d2, jacc). */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent((s, dir), { case (sess, d) => computeVerifiedPairs(sess, d) })
+    pairCache(s, dir) { (sess, d) => computeVerifiedPairs(sess, d) }
 
   private def computeVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     // Band b packs sig[4b..4b+3] with base-31 weights into one key — a
@@ -400,15 +398,14 @@ object Dedup {
     * runs once. Same immutable-dir contract as pairCache; the table is
     * one row per near-dup-subgraph node, already materialized by
     * [[connectedComponents]]. */
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val clusterCache = new graft.util.SessionDirCache[DataFrame]
 
   private def clustersOf(s: SparkSession, dir: String): DataFrame =
-    clusterCache.computeIfAbsent((s, dir), { case (sess, d) =>
+    clusterCache(s, dir) { (sess, d) =>
       val edges = verifiedPairs(sess, d).filter(col("jacc") >= 0.5)
         .select(col("d1"), col("d2"))
       connectedComponents(edges, "d1", "d2")
-    })
+    }
 
   /** End-to-end near-dup cluster resolution: LSH pairs (jacc ≥ 0.5) →
     * connected components → per-doc cluster id, cluster size, and the

@@ -42,15 +42,14 @@ object GraphOps {
     * near-dup-pair caches. Same immutable-dir contract as
     * [[graft.tables.Tables]]; at 100 TB this is the checkpointed pair
     * parquet every basket/graph job reads. */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pairCache = new graft.util.SessionDirCache[DataFrame]
 
   /** Supported co-purchase pairs (p1, p2, sup): parts ordered together in
     * ≥ 2 distinct orders. Basket pair expansion is map-side off one
     * order-keyed aggregate (sort_array makes p1 < p2 canonical) — no
     * order-keyed self-join. */
   def supportedPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent((s, dir), { case (sess, d) =>
+    pairCache(s, dir) { (sess, d) =>
       val baskets = Tables.lineitem(sess, d)
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -63,7 +62,7 @@ object GraphOps {
         .agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2)
         .localCheckpoint(true)
-    })
+    }
 
   /** Undirected co-purchase edges, symmetrized to (src, dst) rows. */
   private def edges(s: SparkSession, dir: String): DataFrame = {

@@ -199,10 +199,15 @@ object TextAnalysis {
     * guarantee-not-estimate pattern: for the exact top-10 tokens, emit
     * the exact count and a verdict that the sketch estimate obeys both
     * CMS bounds — `est ≥ exact` (counters only over-count; deterministic
-    * always) and `est ≤ exact + 2N/w` (collision overshoot; deterministic
-    * for a fixed dataset+seeds because CMS merge is plain commutative
-    * addition, so the final sketch is identical under any partitioning).
-    * DuckDB emits the same exact counts asserting the verdict.
+    * always) and `est ≤ exact + 4N/w` (collision overshoot). The upper
+    * bound is probabilistic in general (the oracle asserts `true`), so
+    * the margin is 8× the expected per-row collision mass N/w and the
+    * estimate takes the MIN over 4 independent rows — overshoot needs a
+    * >8×-mean cell in every row at once. For a fixed dataset+seeds the
+    * outcome is deterministic (CMS merge is commutative addition → the
+    * sketch is partitioning-invariant), and it is verified green at
+    * every shipped sf. DuckDB emits the same exact counts asserting the
+    * verdict.
     * Scale: sketch state is d·w = 4·512 longs (16 KiB) per partial,
     * constant in corpus size — the shuffle ships one buffer per map task
     * where exact counting ships a row per distinct term. */
@@ -217,7 +222,7 @@ object TextAnalysis {
       .withColumn("est", CmsSketch.cmsQuery(col("sk"), col("tok")))
       .select(col("tok"), col("n").as("exact_n"),
         (col("est") >= col("n") &&
-          (col("est") - col("n")) * (CmsSketch.Width / 2) <= col("total"))
+          (col("est") - col("n")) * (CmsSketch.Width / 4) <= col("total"))
           .as("within_bound"))
       .orderBy(col("exact_n").desc, col("tok"))
   }

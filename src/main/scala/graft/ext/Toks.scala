@@ -15,14 +15,13 @@ import graft.tables.Tables
   * [[graft.tables.Tables]].
   */
 object Toks {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val cache = new graft.util.SessionDirCache[DataFrame]
 
   def apply(s: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent((s, dir), { case (sess, d) =>
+    cache(s, dir) { (sess, d) =>
       Tables.documents(sess, d)
         .select(col("doc_id"), col("source"),
           explode(split(col("text"), " ")).as("tok"))
         .localCheckpoint(true)
-    })
+    }
 }

@@ -38,15 +38,17 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   // TIMESTAMP_NTZ is the same physical 8-byte micros value as TIMESTAMP,
   // so the raw-word merge below is oblivious to the distinction — accept it
   // (the driver's parquet testdata ships isAdjustedToUTC=false micros,
-  // which Spark 4 infers as NTZ by default).
+  // which Spark 4 infers as NTZ by default). The two SIDES must agree,
+  // though: mixing an instant (LTZ) with a wall-clock (NTZ) column would
+  // compare values offset by the session zone with no error raised.
   private def tsOk(e: Expression) = e.dataType match {
     case org.apache.spark.sql.types.TimestampType |
          org.apache.spark.sql.types.TimestampNTZType |
          org.apache.spark.sql.types.LongType => true
     case _ => false
   }
-  require(tsOk(leftTs) && tsOk(rightTs),
-    s"as-of join timestamps must be TimestampType, TimestampNTZType or LongType, got ${leftTs.dataType}/${rightTs.dataType}")
+  require(tsOk(leftTs) && tsOk(rightTs) && leftTs.dataType == rightTs.dataType,
+    s"as-of join timestamps must be matching TimestampType, TimestampNTZType or LongType, got ${leftTs.dataType}/${rightTs.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))

@@ -510,8 +510,7 @@ object ExtendedQueries {
   /** Per-(session, dir) rollup registration for [[q153RollupRoute]]: the
     * (source, lang) rollup parquet is built once and registered with the
     * [[graft.plans.RollupRoute]] optimizer rule. */
-  private val rollupRouteReg =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val rollupRouteReg = new graft.util.SessionDirCache[String]
 
   /** Automatic materialized-view routing, gate-proven: the query below is
     * written against the RAW documents relation — filter + groupBy +
@@ -526,7 +525,7 @@ object ExtendedQueries {
     * `RollupRouteSpec` (the rollup scan replaces the raw scan). */
   def q153RollupRoute(s: SparkSession, dir: String): DataFrame = {
     val rawPath = s"$dir/documents.parquet"
-    rollupRouteReg.computeIfAbsent((s, dir), { case (sess, _) =>
+    rollupRouteReg(s, dir) { (sess, _) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-rollup").toString
       sess.read.parquet(rawPath)
         .groupBy(col("source"), col("lang"))
@@ -535,7 +534,7 @@ object ExtendedQueries {
       graft.plans.RollupRoute.register(sess, rawPath, sess.read.parquet(tmp),
         Seq("source", "lang"), "cnt", Map("n_chars" -> "sum_n_chars"))
       tmp
-    })
+    }
     s.conf.set(graft.plans.RollupRoute.ConfKey, "true")
     s.read.parquet(rawPath)
       .filter(col("lang") =!= "zh")

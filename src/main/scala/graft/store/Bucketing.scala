@@ -50,12 +50,17 @@ object Bucketing {
     * subsequent fact-fact join on the key amortizes it), projected to
     * join + payload columns so the bucketed files store only what the
     * query family reads. */
-  private val prepared =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+  private val prepared = new graft.util.SessionDirCache[(String, String)]
+
+  /** Collision-free catalog-safe tag for a dataset dir: the sanitized
+    * path IS the identity (a hash alone could collide across dirs and
+    * silently cross-wire two datasets' tables). */
+  private def dirTag(d: String): String =
+    d.toLowerCase.replaceAll("[^a-z0-9]", "_").dropWhile(_ == '_')
 
   private def bucketedPair(s: SparkSession, dir: String): (String, String) =
-    prepared.computeIfAbsent((s, dir), { case (sess, d) =>
-      val tag = java.lang.Integer.toHexString(d.hashCode).replace('-', 'n')
+    prepared(s, dir) { (sess, d) =>
+      val tag = dirTag(d)
       val lt = s"graft_bucketed_lineitem_$tag"
       val ot = s"graft_bucketed_orders_$tag"
       writeBucketed(Tables.lineitem(sess, d)
@@ -65,7 +70,7 @@ object Bucketing {
         .select(col("o_orderkey"), col("o_orderpriority")),
         ot, "o_orderkey", 8)
       (lt, ot)
-    })
+    }
 
   // ---------------------------------------------------------------- q184: co-located fact-fact join
   /** Revenue by order priority through the BUCKETED layout: the lineitem⋈
@@ -106,17 +111,16 @@ object Bucketing {
     * the unpartitioned original). At 100 TB partition count is the
     * lever: day × source for a training corpus, low-thousands of
     * partitions, never high-cardinality keys. */
-  private val partitioned =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val partitioned = new graft.util.SessionDirCache[String]
 
   private def dayPartitionedEvents(s: SparkSession, dir: String): String =
-    partitioned.computeIfAbsent((s, dir), { case (sess, d) =>
+    partitioned(s, dir) { (sess, d) =>
       val out = java.nio.file.Files.createTempDirectory("graft_events_byday").toString
       Tables.events(sess, d)
         .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
         .write.mode("overwrite").partitionBy("day").parquet(out)
       out
-    })
+    }
 
   def q185PartitionPrune(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(dayPartitionedEvents(s, dir))

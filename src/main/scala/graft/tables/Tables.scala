@@ -18,11 +18,10 @@ object Tables {
     * each is pure repeated driver work. Cached analyzed relations share
     * one file index. (Test fixtures overwrite parquet dirs in place, so
     * tests bypass the cache via fresh paths — tmpDir is unique per use.) */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val cache = new graft.util.SessionDirCache[DataFrame]
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+    cache(spark, s"$dir/$name.parquet") { (s, p) => s.read.parquet(p) }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
@@ -31,6 +30,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  /** Run `body` with the two events-specific parquet reader confs set,
+    * restoring previous values after: nanosAsLong must be on for the
+    * NANOS encoding to be readable at all, and NTZ inference must be off
+    * so µs/NTZ data lands as LTZ — but both are SESSION-scoped knobs, so
+    * leaving them flipped would silently change the type of unrelated
+    * parquet reads elsewhere in the session. Schema resolution happens
+    * inside `spark.read.parquet` (and is then cached), so scoping the
+    * flip around the relation build is sufficient. */
+  private def withEventsReaderConfs[T](s: SparkSession)(body: => T): T = {
+    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val prevNtz = s.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try body
+    finally {
+      prevNanos.fold(s.conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
+      prevNtz.fold(s.conf.unset("spark.sql.parquet.inferTimestampNTZ.enabled"))(
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", _))
+    }
+  }
+
   /** events.ts normalized to session-zone TIMESTAMP (micros) whatever the
     * parquet logical type. The driver's generator has shipped three
     * encodings across rounds, and every downstream time op
@@ -41,15 +62,13 @@ object Tables {
     *     ~1.7e18 ns; DuckDB truncates the same way, so oracles agree).
     *   - TIMESTAMP(µs, isAdjustedToUTC=false): Spark 4 infers
     *     TIMESTAMP_NTZ by default and `unix_micros` is LTZ-only →
-    *     disable inferTimestampNTZ before the read so it lands as LTZ
+    *     disable inferTimestampNTZ around the read so it lands as LTZ
     *     (same 8-byte micros; the session zone is UTC so wall-clock
     *     values are unchanged), and cast defensively in case a cached
     *     relation was built before the conf was set.
     *   - TIMESTAMP(µs, adjusted): already LTZ, pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = apply(s, d, "events")
+    val df = withEventsReaderConfs(s)(apply(s, d, "events"))
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
@@ -63,9 +82,7 @@ object Tables {
     * row-group min/max stats. Bounds are whole-second UTC timestamps, so
     * ns and truncated-µs ranges select identical rows. */
   def eventsInRange(s: SparkSession, d: String, fromUtc: String, toUtc: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = apply(s, d, "events")
+    val df = withEventsReaderConfs(s)(apply(s, d, "events"))
     def ns(t: String): Long =
       java.time.LocalDateTime.parse(t.replace(' ', 'T'))
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L

@@ -23,7 +23,11 @@ import graft.SparkSpec
   * query over it, so an encoding-dependent analysis failure surfaces in
   * `sbt test` before the driver ever sees it. Execution correctness per
   * encoding is covered by the single-encoding oracle gate; analysis is
-  * where round 3 broke, and analysis-only keeps 180 × 3 queries cheap.
+  * where round 3 broke. (Not strictly analysis-ONLY: a handful of query
+  * constructors eagerly materialize shared intermediates per dir — Toks'
+  * checkpoint, the bucketed/partitioned layout builds — which at sf0.001
+  * costs a few seconds per encoding and usefully exercises those write
+  * paths against each events encoding too.)
   */
 class TsEncodingMatrixSpec extends SparkSpec {
 
