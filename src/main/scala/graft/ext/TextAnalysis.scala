@@ -232,6 +232,40 @@ object TextAnalysis {
       |SELECT tok, count(*) AS exact_n, true AS within_bound
       |FROM tk GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- C4: skip-gram co-occurrence
+  /** Skip-gram (center, context) pair counts with window ±2 — the
+    * extraction stage of word2vec/GloVe-style embedding training (q74's
+    * adjacent-bigram counts are the window=1 special case used for BPE;
+    * embedding co-occurrence needs the wider window). Pairs are
+    * generated MAP-SIDE by zipping the token array against its offsets
+    * (each position pairs with the next 1..2 tokens; counting unordered
+    * pairs makes the ±window symmetric without double emit) — never a
+    * positional self-join of the exploded table, whose equi-key is the
+    * doc and therefore degenerates on long documents. The only shuffle
+    * carries one row per distinct pair per partition (map-side combine).
+    * Top-30 by (count, pair) is a TakeOrdered. */
+  def q188Skipgram(s: SparkSession, dir: String): DataFrame = {
+    val tk = col("tk")
+    def offsetPairs(k: Int) =
+      zip_with(slice(tk, lit(1), size(tk) - k), slice(tk, lit(k + 1), size(tk) - k),
+        (a, b) => concat_ws(" ", least(a, b), greatest(a, b)))
+    Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(tk) >= 2)
+      .select(explode(concat(offsetPairs(1), offsetPairs(2))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+  }
+
+  val q188Sql: String =
+    """WITH ex AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+      |              unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT least(a.tok, b.tok) || ' ' || greatest(a.tok, b.tok) AS pair,
+      |       count(*) AS n
+      |FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
+
   // ---------------------------------------------------------------- C4: BPE merge induction
   /** The core BPE *training* step: count adjacent token pairs across the
     * corpus and rank the top merge candidates (q64 is the tokenizer
@@ -505,6 +539,7 @@ object TextAnalysis {
     ("q64_bpe_tokens",    q64BpeTokens _,    Some(q64Sql)),
     ("q69_heavy_hitters", q69HeavyHitters _, Some(q69Sql)),
     ("q181_cms_frequency", q181CmsFrequency _, Some(q181Sql)),
+    ("q188_skipgram", q188Skipgram _, Some(q188Sql)),
     ("q74_bpe_merges",    q74BpeMerges _,    Some(q74Sql)),
     ("q75_token_rarity",  q75TokenRarity _,  Some(q75Sql)),
     ("q93_inverted_index", q93InvertedIndex _, Some(q93Sql)),

@@ -460,6 +460,37 @@ object CoreQueries {
     """SELECT count(DISTINCT user_id) AS exact_users, true AS within_bound
       |FROM events""".stripMargin
 
+  /** Unpivot / melt — the inverse reshape of q41's pivot: the wide
+    * per-returnflag metric row (sum_qty, sum_price, sum_disc) melts into
+    * (flag, metric, value) long form, the shape metric stores and
+    * plotting layers want. Spark's native `unpivot` keeps this a
+    * zero-shuffle local expansion of the already-aggregated (3-row)
+    * frame — the corpus-scale work is the one upstream aggregate. The
+    * oracle uses UNION ALL (portable unpivot) over the same aggregate.
+    * Values are pre-rounded BEFORE melting so both engines stringify the
+    * same doubles into the shared `value` column. */
+  def q187Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           round(sum(col("l_extendedprice")), 2).as("sum_price"),
+           round(sum(col("l_discount")), 2).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  val q187Sql: String =
+    """WITH w AS (SELECT l_returnflag,
+      |    round(sum(l_quantity), 2) AS sum_qty,
+      |    round(sum(l_extendedprice), 2) AS sum_price,
+      |    round(sum(l_discount), 2) AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+      |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+      |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   /** name → (query fn, oracle SQL). */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_time_filter",     q01TimeFilter _,     Some(q01Sql)),
@@ -485,5 +516,6 @@ object CoreQueries {
     ("q20_string_fns",      q20StringFns _,      Some(q20Sql)),
     ("q39_approx_distinct", q39ApproxDistinct _, Some(q39Sql)),
     ("q186_sketch_rollup",  q186SketchRollup _,  Some(q186Sql)),
+    ("q187_unpivot",        q187Unpivot _,       Some(q187Sql)),
   )
 }
