@@ -31,7 +31,14 @@ object SparkEntry {
       store.Bucketing.entries,
     )
 
-  private lazy val all = modules.flatten
+  private lazy val all = {
+    val entries = modules.flatten
+    // a duplicate name would silently shadow a query in the Map below —
+    // and the driver's correctness report would just shrink by one row
+    val dups = entries.groupBy(_._1).collect { case (n, es) if es.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names registered: ${dups.mkString(", ")}")
+    entries
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
