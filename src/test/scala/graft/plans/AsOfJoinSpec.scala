@@ -74,4 +74,26 @@ class AsOfJoinSpec extends SparkSpec {
     val got = AsOfJoin(l, r, "k", "rk", "ts", "rts").collect()
     assert(got.length == 1 && got(0).isNullAt(3) && got(0).isNullAt(4))
   }
+
+  test("NTZ-typed timestamps join natively (same 8-byte micros)") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    def ntz(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampNTZType))
+    val l = ntz(Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts"), "ts")
+    val r = ntz(Seq((7L, ts("2024-01-01 09:00:00"))).toDF("rk", "rts"), "rts")
+    val got = AsOfJoin(l, r, "k", "rk", "ts", "rts").collect()
+    assert(got.length == 1 && !got(0).isNullAt(4))
+  }
+
+  test("mixed LTZ/NTZ timestamp sides are rejected at plan build") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val r = Seq((7L, ts("2024-01-01 09:00:00"))).toDF("rk", "rts")
+      .withColumn("rts", col("rts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    intercept[IllegalArgumentException] {
+      AsOfJoin(l, r, "k", "rk", "ts", "rts")
+    }
+  }
 }

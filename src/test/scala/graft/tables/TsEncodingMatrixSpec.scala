@@ -112,6 +112,27 @@ class TsEncodingMatrixSpec extends SparkSpec {
     analyzeAll(nanosDir, "nanos")
   }
 
+  test("the round-3-breaking time ops EXECUTE identically on every encoding") {
+    // analysis was where round 3 broke, but runtime is a distinct code
+    // path (the parquet reader re-resolves confs at execution): run the
+    // native as-of join and the time-RANGE frame — the two ops that
+    // failed — to a result on each encoding and compare values across
+    // encodings (same logical rows whatever the physical type)
+    def run(dir: String): (Seq[String], Seq[String]) = {
+      val asof = graft.SparkEntry.queries("q51_asof_native")(spark, dir)
+        .orderBy("event_id").limit(50).collect().map(_.toString).toSeq
+      val frame = graft.SparkEntry.queries("q68_rolling_window")(spark, dir)
+        .orderBy("user_id", "ts").limit(50).collect().map(_.toString).toSeq
+      (asof, frame)
+    }
+    val (aL, fL) = run(ltzDir)
+    val (aN, fN) = run(ntzDir)
+    val (aG, fG) = run(nanosDir)
+    assert(aL.nonEmpty && fL.nonEmpty)
+    assert(aL == aN && aL == aG, "as-of results differ across ts encodings")
+    assert(fL == fN && fL == fG, "window-frame results differ across ts encodings")
+  }
+
   test("float64-encoded embeddings normalize and pass full analysis") {
     // same defensive posture as the ts matrix: if a future round ships
     // array<double> vectors, Tables.embeddings must normalize them
