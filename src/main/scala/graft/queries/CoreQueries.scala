@@ -460,6 +460,48 @@ object CoreQueries {
     """SELECT count(DISTINCT user_id) AS exact_users, true AS within_bound
       |FROM events""".stripMargin
 
+  /** Quantile sketch with a RANK-error guarantee gate — the fifth
+    * mergeable-sketch member (HLL q39, MG q69, CMS q181, HLL-union
+    * q186; here the ClickHouse quantileTDigest analogue). The
+    * `approx_percentile` VALUE is engine-private, but its contract is a
+    * rank bound: with accuracy parameter B the answer's true rank must
+    * lie within 1/B of the target. So the gated row per group is the
+    * exact median (audit leg) plus a verdict computed entirely in
+    * Spark: rank(approx) = |{v ≤ approx}| / n must land in
+    * [0.5 − ε, 0.5 + ε], ε = 2/B. DuckDB emits the same exact medians
+    * asserting the verdict. The audited median is the DOUBLED median in
+    * integer cents (= the exact a+b of the two middle elements): the
+    * interpolated (a+b)/2 can land on a half-cent whose 2-decimal
+    * rounding differs between engines, while ×2 recovers a+b exactly
+    * (power-of-two scaling is FP-exact) and stays integer. One
+    * aggregate pass computes the sketch; the rank check joins the
+    * k-row answer back over a map-side count — corpus never shuffles
+    * twice. */
+  def q189QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("apx"),
+           expr("CAST(2 * percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS BIGINT)")
+             .as("median_cents_x2"),
+           count(lit(1)).as("n"))
+    val rank = li.join(broadcast(approx.select(col("l_returnflag").as("rf"), col("apx"))),
+        col("l_returnflag") === col("rf"))
+      .groupBy(col("rf"))
+      .agg(sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L)).as("n_le"))
+    approx.join(broadcast(rank), col("l_returnflag") === col("rf"))
+      .select(col("l_returnflag"), col("median_cents_x2"),
+        (abs(col("n_le").cast("double") / col("n") - 0.5) <= lit(0.002))
+          .as("within_rank_bound"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q189Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(2 * quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS BIGINT)
+      |    AS median_cents_x2,
+      |  true AS within_rank_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Unpivot / melt — the inverse reshape of q41's pivot: the wide
     * per-returnflag metric row (sum_qty, sum_price, sum_disc) melts into
     * (flag, metric, value) long form, the shape metric stores and
@@ -517,5 +559,6 @@ object CoreQueries {
     ("q39_approx_distinct", q39ApproxDistinct _, Some(q39Sql)),
     ("q186_sketch_rollup",  q186SketchRollup _,  Some(q186Sql)),
     ("q187_unpivot",        q187Unpivot _,       Some(q187Sql)),
+    ("q189_quantile_sketch", q189QuantileSketch _, Some(q189Sql)),
   )
 }
