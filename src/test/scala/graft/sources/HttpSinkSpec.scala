@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The authenticated HTTP bulk-insert transport (SURVEY §2 A11/A12)
+  * against an in-JDK embedded server: auth header, insert query params
+  * and JSONEachRow bodies are captured byte-for-byte; failure statuses
+  * must surface as exceptions (the at-least-once retry contract). */
+class HttpSinkSpec extends SparkSpec {
+
+  private final case class Captured(auth: String, query: String, body: String)
+
+  /** Start a capturing server; returns (baseUrl, capturedQueue, stop). */
+  private def server(status: Int): (String, ConcurrentLinkedQueue[Captured], () => Unit) = {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val got = new ConcurrentLinkedQueue[Captured]()
+    srv.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      got.add(Captured(
+        Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""),
+        Option(ex.getRequestURI.getQuery).getOrElse(""), body))
+      val resp = "ok".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(status, resp.length)
+      ex.getResponseBody.write(resp); ex.close()
+    })
+    srv.start()
+    (s"http://127.0.0.1:${srv.getAddress.getPort}/", got, () => srv.stop(0))
+  }
+
+  test("batch append posts JSONEachRow with basic auth and insert params") {
+    import spark.implicits._
+    val (url, got, stop) = server(200)
+    try {
+      val cfg = HttpBulkSink.Config(url, "fdb", "trace",
+        user = Some("u"), pass = Some("p s"))
+      val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      HttpBulkSink.append(df, cfg, partitions = Some(1))
+      assert(got.size == 1)
+      val c = got.peek()
+      // Basic base64("u:p s")
+      assert(c.auth == "Basic dTpwIHM=")
+      assert(c.query.contains("database=fdb"))
+      assert(c.query.contains("INSERT INTO trace FORMAT JSONEachRow"))
+      val lines = c.body.trim.split("\n").toSeq.sorted
+      assert(lines == Seq("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}""",
+        """{"id":3,"v":"c"}"""))
+    } finally stop()
+  }
+
+  test("one POST per non-empty partition; no auth header without creds") {
+    import spark.implicits._
+    val (url, got, stop) = server(200)
+    try {
+      val cfg = HttpBulkSink.Config(url, "db", "t")
+      val df = Seq.tabulate(8)(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(4)
+      HttpBulkSink.append(df, cfg)
+      assert(got.size == 4)
+      got.forEach(c => assert(c.auth == ""))
+      val all = got.toArray(Array.empty[Captured]).flatMap(_.body.trim.split("\n"))
+      assert(all.length == 8)
+    } finally stop()
+  }
+
+  test("non-2xx response surfaces as a job failure (at-least-once retry)") {
+    import spark.implicits._
+    val (url, _, stop) = server(500)
+    try {
+      val cfg = HttpBulkSink.Config(url, "db", "t")
+      val df = Seq((1L, "a")).toDF("id", "v")
+      val e = intercept[org.apache.spark.SparkException] {
+        HttpBulkSink.append(df, cfg, partitions = Some(1))
+      }
+      assert(e.getMessage.contains("bulk insert") ||
+        Option(e.getCause).exists(_.getMessage.contains("bulk insert")))
+    } finally stop()
+  }
+
+  test("streaming foreachBatch: one micro-batch = one logical insert") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val (url, got, stop) = server(200)
+    try {
+      val cfg = HttpBulkSink.Config(url, "fdb", "trace", Some("u"), Some("p"))
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("id", "v").writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          HttpBulkSink.append(batch, cfg, partitions = Some(1)))
+        .start()
+      try {
+        in.addData((1L, "x")); q.processAllAvailable()
+        in.addData((2L, "y")); q.processAllAvailable()
+        assert(got.size == 2)
+        got.forEach(c => assert(c.auth.startsWith("Basic ")))
+      } finally q.stop()
+    } finally stop()
+  }
+}
