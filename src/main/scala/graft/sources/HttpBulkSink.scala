@@ -68,4 +68,31 @@ object HttpBulkSink {
       if (rows.hasNext) post(c, rows.mkString("", "\n", "\n"))
     }
   }
+
+  /** Execute one SQL statement over the same transport (the reference's
+    * `create_schema` path — trace-converter.py:58-61: `CREATE DATABASE
+    * IF NOT EXISTS` + table DDL posted as the request body, database
+    * selection via query param). Driver-side single POST; idempotent
+    * when the statement is IF NOT EXISTS, like the original. */
+  def exec(c: Config, statement: String, withDatabase: Boolean = true): Unit = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+    val uri = new URI(c.addr +
+      (if (withDatabase) s"?database=${enc(c.database)}" else ""))
+    val b = HttpRequest.newBuilder(uri)
+      .POST(HttpRequest.BodyPublishers.ofString(statement, StandardCharsets.UTF_8))
+    authHeader(c).foreach(b.header("Authorization", _))
+    val resp = HttpClient.newHttpClient()
+      .send(b.build(), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"DDL exec on ${c.addr} failed: HTTP ${resp.statusCode()} ${resp.body().take(200)}")
+  }
+
+  /** The reference's bootstrap (`--create-schema`): create the database
+    * (no database param — it may not exist yet), then the table DDL
+    * against it. `Ddl.clickhouse` produces the statement. */
+  def createSchema(c: Config, tableDdl: String): Unit = {
+    exec(c, s"CREATE DATABASE IF NOT EXISTS ${c.database}", withDatabase = false)
+    exec(c, tableDdl)
+  }
 }

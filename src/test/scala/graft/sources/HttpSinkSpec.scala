@@ -82,6 +82,23 @@ class HttpSinkSpec extends SparkSpec {
     } finally stop()
   }
 
+  test("createSchema posts CREATE DATABASE then table DDL, like the reference") {
+    val (url, got, stop) = server(200)
+    try {
+      val cfg = HttpBulkSink.Config(url, "fdb", "trace", Some("u"), Some("p"))
+      val ddl = graft.schema.Ddl.clickhouse("trace")
+      HttpBulkSink.createSchema(cfg, ddl)
+      val reqs = got.toArray(Array.empty[AnyRef])
+        .map(_.asInstanceOf[Captured])
+      assert(reqs.length == 2)
+      assert(reqs(0).body == "CREATE DATABASE IF NOT EXISTS fdb")
+      assert(reqs(0).query == "")                      // db may not exist yet
+      assert(reqs(1).body == ddl)
+      assert(reqs(1).query.contains("database=fdb"))
+      reqs.foreach(c => assert(c.auth.startsWith("Basic ")))
+    } finally stop()
+  }
+
   test("streaming foreachBatch: one micro-batch = one logical insert") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
