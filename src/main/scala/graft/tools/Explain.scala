@@ -8,7 +8,10 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq else Seq("q01_time_filter", "q05_pricing_summary", "q10_star_join", "q11_revenue_nation", "q30_knn_exact")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q01_time_filter", "q05_pricing_summary", "q10_star_join",
+        "q11_revenue_nation", "q30_knn_exact",
+        "q184_bucketed_join", "q185_partition_prune")
     names.foreach { n =>
       println(s"########## $n")
       println(graft.SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
