@@ -208,6 +208,47 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Append)
   }
 
+  final case class KeyedTok(key: String, tok: String)
+  final case class HeavyHitters(key: String, top: Seq[String], n_tracked: Long)
+
+  /** Streaming heavy hitters — the Misra-Gries twin of
+    * [[distinctUsersStream]] (batch analogue: q69): per-key state is the
+    * k-bounded MG counter map, folded locally per micro-batch with the
+    * SAME reduce step as the batch Aggregator (`FreqSketch.FreqAgg`), so
+    * the batch guarantee carries over: any token with true frequency
+    * > n/(k+1) of the stream-so-far is present. Emits the current
+    * count-desc top list per batch. State is ≤ k (token, count) entries
+    * per key — constant however long the stream runs. */
+  final class HeavyHitterProcessor(k: Int)
+      extends StatefulProcessor[String, KeyedTok, HeavyHitters] {
+    @transient private var st: ValueState[Map[String, Long]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Map[String, Long]]("mg",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]](),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedTok],
+        timers: TimerValues): Iterator[HeavyHitters] = {
+      val agg = new graft.functions.FreqSketch.FreqAgg(k)
+      val buf = graft.functions.FreqSketch.Buf(
+        scala.collection.mutable.HashMap.from(
+          if (st.exists()) st.get() else Map.empty[String, Long]))
+      rows.foreach(r => agg.reduce(buf, r.tok))
+      st.update(buf.counters.toMap)
+      val top = agg.finish(buf).map(_._1)
+      Iterator.single(HeavyHitters(key, top, buf.counters.size.toLong))
+    }
+  }
+
+  /** Per-key streaming top tokens with k=`capacity` MG counters. */
+  def heavyHittersStream(ds: Dataset[KeyedTok], capacity: Int = 16): Dataset[HeavyHitters] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new HeavyHitterProcessor(capacity),
+        TimeMode.None(), OutputMode.Append)
+  }
+
   /** Streaming latest-state maintenance (ReplacingMergeTree / CDC upsert,
     * the q87 batch query in streaming form) on Spark 4's
     * `transformWithState` + RocksDB state store. State is exactly one

@@ -153,6 +153,41 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("streaming Misra-Gries keeps the heavy token across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StatefulOps.KeyedTok]
+      val q = StatefulOps.heavyHittersStream(in.toDS(), capacity = 4)
+        .writeStream.format("memory").queryName("mg_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // batch 1: "hot" dominates key a (6 of 10)
+        in.addData((Seq.fill(6)("hot") ++ Seq("t1", "t2", "t3", "t4"))
+          .map(StatefulOps.KeyedTok("a", _)): _*)
+        q.processAllAvailable()
+        // batch 2: more hot + churn; hot must still lead (state carried)
+        in.addData((Seq.fill(4)("hot") ++ Seq("t5", "t6", "t7"))
+          .map(StatefulOps.KeyedTok("a", _)): _*)
+        q.processAllAvailable()
+        val rows = spark.table("mg_out").as[StatefulOps.HeavyHitters].collect()
+        assert(rows.length == 2)
+        rows.foreach { r =>
+          assert(r.top.head == "hot", s"hot not leading in $r")
+          assert(r.n_tracked <= 4)                  // k-bounded state
+        }
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState latest-state emits only state-advancing changes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
