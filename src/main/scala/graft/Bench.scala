@@ -55,8 +55,13 @@ object Bench {
     // loaded machine and showed phantom 10-20× per-query regressions that
     // a quiet re-run dispelled). The min of two passes bounds per-query
     // variance while keeping the run shape identical for the driver.
-    val passes = math.max(1,
-      sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(2))
+    // malformed values fail fast (a silent fallback would run a different
+    // shape than requested with no diagnostic); 0/negative clamp to 1
+    val passes = sys.env.get("SPARK_GRAFT_PASSES") match {
+      case None => 2
+      case Some(v) => math.max(1, v.toIntOption.getOrElse(
+        throw new IllegalArgumentException(s"SPARK_GRAFT_PASSES must be an int, got '$v'")))
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def runOnce(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()

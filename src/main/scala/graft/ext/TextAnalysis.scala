@@ -201,9 +201,9 @@ object TextAnalysis {
     * CMS bounds — `est ≥ exact` (counters only over-count; deterministic
     * always) and `est ≤ exact + 4N/w` (collision overshoot). The upper
     * bound is probabilistic in general (the oracle asserts `true`), so
-    * the margin is 8× the expected per-row collision mass N/w and the
+    * the margin is 4× the expected per-row collision mass N/w and the
     * estimate takes the MIN over 4 independent rows — overshoot needs a
-    * >8×-mean cell in every row at once. For a fixed dataset+seeds the
+    * >4×-mean cell in every row at once. For a fixed dataset+seeds the
     * outcome is deterministic (CMS merge is commutative addition → the
     * sketch is partitioning-invariant), and it is verified green at
     * every shipped sf. DuckDB emits the same exact counts asserting the

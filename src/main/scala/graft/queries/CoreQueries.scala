@@ -467,8 +467,11 @@ object CoreQueries {
     * rank bound: with accuracy parameter B the answer's true rank must
     * lie within 1/B of the target. So the gated row per group is the
     * exact median (audit leg) plus a verdict computed entirely in
-    * Spark: rank(approx) = |{v ≤ approx}| / n must land in
-    * [0.5 − ε, 0.5 + ε], ε = 2/B. DuckDB emits the same exact medians
+    * Spark. The sketch returns an actual data VALUE, whose rank is the
+    * whole tie interval [|{v < apx}|, |{v ≤ apx}|] / n — the contract
+    * holds iff that interval INTERSECTS [0.5 − ε, 0.5 + ε], ε = 2/B
+    * (checking only |{v ≤ apx}| would fail a correct answer whose
+    * returned value is heavily tied). DuckDB emits the same exact medians
     * asserting the verdict. The audited median is the DOUBLED median in
     * integer cents (= the exact a+b of the two middle elements): the
     * interpolated (a+b)/2 can land on a half-cent whose 2-decimal
@@ -487,10 +490,12 @@ object CoreQueries {
     val rank = li.join(broadcast(approx.select(col("l_returnflag").as("rf"), col("apx"))),
         col("l_returnflag") === col("rf"))
       .groupBy(col("rf"))
-      .agg(sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L)).as("n_le"))
+      .agg(sum(when(col("l_extendedprice") < col("apx"), 1L).otherwise(0L)).as("n_lt"),
+           sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L)).as("n_le"))
     approx.join(broadcast(rank), col("l_returnflag") === col("rf"))
       .select(col("l_returnflag"), col("median_cents_x2"),
-        (abs(col("n_le").cast("double") / col("n") - 0.5) <= lit(0.002))
+        (col("n_lt").cast("double") / col("n") <= lit(0.502) &&
+         col("n_le").cast("double") / col("n") >= lit(0.498))
           .as("within_rank_bound"))
       .orderBy(col("l_returnflag"))
   }

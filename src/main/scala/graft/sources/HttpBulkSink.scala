@@ -35,11 +35,16 @@ object HttpBulkSink {
   final case class Config(addr: String, database: String, table: String,
                           user: Option[String] = None, pass: Option[String] = None)
 
-  private[sources] def insertUri(c: Config): URI = {
-    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+  /** One client per JVM (HttpClient is thread-safe): a client per POST
+    * would spawn a selector thread + pool each insert and re-do
+    * connection setup every micro-batch. */
+  @transient private lazy val client: HttpClient = HttpClient.newHttpClient()
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  private[sources] def insertUri(c: Config): URI =
     new URI(s"${c.addr}?database=${enc(c.database)}" +
       s"&query=${enc(s"INSERT INTO ${c.table} FORMAT JSONEachRow")}")
-  }
 
   private[sources] def authHeader(c: Config): Option[String] =
     for (u <- c.user; p <- c.pass) yield
@@ -54,18 +59,28 @@ object HttpBulkSink {
       .POST(HttpRequest.BodyPublishers.ofString(blob, StandardCharsets.UTF_8))
       .header("Content-Type", "application/x-ndjson")
     authHeader(c).foreach(b.header("Authorization", _))
-    val resp = HttpClient.newHttpClient()
-      .send(b.build(), HttpResponse.BodyHandlers.ofString())
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
       throw new java.io.IOException(
         s"bulk insert to ${c.addr} failed: HTTP ${resp.statusCode()} ${resp.body().take(200)}")
   }
 
-  /** Bulk-insert `df`: one POST per (non-empty) partition, executor-side. */
+  /** Max bytes buffered per POST: a whole partition as one String would
+    * tie task memory to partition size (multi-GB at the target scale) —
+    * chunking bounds memory while keeping requests few and large. */
+  private val MaxPostBytes = 8 << 20
+
+  /** Bulk-insert `df`: executor-side POSTs, one per ≤[[MaxPostBytes]]
+    * chunk per (non-empty) partition. */
   def append(df: DataFrame, c: Config, partitions: Option[Int] = None): Unit = {
     val json = partitions.fold(df)(n => df.coalesce(n)).toJSON
     json.foreachPartition { rows: Iterator[String] =>
-      if (rows.hasNext) post(c, rows.mkString("", "\n", "\n"))
+      val buf = new java.lang.StringBuilder
+      rows.foreach { r =>
+        buf.append(r).append('\n')
+        if (buf.length >= MaxPostBytes) { post(c, buf.toString); buf.setLength(0) }
+      }
+      if (buf.length > 0) post(c, buf.toString)
     }
   }
 
@@ -75,14 +90,12 @@ object HttpBulkSink {
     * selection via query param). Driver-side single POST; idempotent
     * when the statement is IF NOT EXISTS, like the original. */
   def exec(c: Config, statement: String, withDatabase: Boolean = true): Unit = {
-    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
     val uri = new URI(c.addr +
       (if (withDatabase) s"?database=${enc(c.database)}" else ""))
     val b = HttpRequest.newBuilder(uri)
       .POST(HttpRequest.BodyPublishers.ofString(statement, StandardCharsets.UTF_8))
     authHeader(c).foreach(b.header("Authorization", _))
-    val resp = HttpClient.newHttpClient()
-      .send(b.build(), HttpResponse.BodyHandlers.ofString())
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
       throw new java.io.IOException(
         s"DDL exec on ${c.addr} failed: HTTP ${resp.statusCode()} ${resp.body().take(200)}")

@@ -52,11 +52,15 @@ object Bucketing {
     * query family reads. */
   private val prepared = new graft.util.SessionDirCache[(String, String)]
 
-  /** Collision-free catalog-safe tag for a dataset dir: the sanitized
-    * path IS the identity (a hash alone could collide across dirs and
-    * silently cross-wire two datasets' tables). */
-  private def dirTag(d: String): String =
-    d.toLowerCase.replaceAll("[^a-z0-9]", "_").dropWhile(_ == '_')
+  /** Collision-free catalog-safe tag for a dataset dir: sanitized path
+    * (readable) + MD5 of the ORIGINAL path (sanitization is many-to-one
+    * — "/a.b" and "/a_b" collapse — so the digest carries the identity;
+    * a silent collision would cross-wire two datasets' tables). */
+  private def dirTag(d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    d.toLowerCase.replaceAll("[^a-z0-9]", "_").dropWhile(_ == '_') + "_" + digest
+  }
 
   private def bucketedPair(s: SparkSession, dir: String): (String, String) =
     prepared(s, dir) { (sess, d) =>

@@ -37,8 +37,11 @@ object Tables {
     * leaving them flipped would silently change the type of unrelated
     * parquet reads elsewhere in the session. Schema resolution happens
     * inside `spark.read.parquet` (and is then cached), so scoping the
-    * flip around the relation build is sufficient. */
-  private def withEventsReaderConfs[T](s: SparkSession)(body: => T): T = {
+    * flip around the relation build is sufficient. Serialized per
+    * session: overlapping set/restore from two threads could capture
+    * each other's in-flight values and leave a conf permanently flipped
+    * (or build the relation with the wrong confs). */
+  private def withEventsReaderConfs[T](s: SparkSession)(body: => T): T = s.synchronized {
     val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     val prevNtz = s.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
