@@ -1245,7 +1245,68 @@ object EventAnalytics {
       |             / (count(*) * sum(x))::DOUBLE, 4) AS gini
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q190: PSI drift (numeric distribution, time split)
+  /** Population stability index between the month's two halves, per
+    * event type — the numeric-distribution drift monitor a training
+    * pipeline runs on feature columns between dataset versions (q104 is
+    * the categorical twin via TV distance; q130's KS test is the
+    * hypothesis-test view; PSI is the banded score ops teams threshold
+    * at 0.1/0.25). Design for determinism + scale: FIXED integer bins
+    * (floor(value/25), capped at 10 — 11 bands) so binning is one
+    * map-side expression, never a quantile pass; Laplace (+1) smoothing
+    * so empty cells are defined; the full type×bin grid (k·11 rows,
+    * broadcast) so both engines sum over the identical cell set; every
+    * ln argument is a ratio of exact BIGINT products. One corpus
+    * aggregate → cell table; everything after is grid-sized. */
+  def q190PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      least(floor(col("value") / 25).cast("long"), lit(10L)).as("bin"),
+      when(col("ts") < to_timestamp(lit("2024-01-16")), 1L).otherwise(0L).as("h"))
+    val cells = e.groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("h")).as("c1"), sum(lit(1L) - col("h")).as("c2"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(s.range(0, 11).select(col("id").as("bin"))))
+    val f = grid.join(cells, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("c1"), lit(0L)).as("c1"), coalesce(col("c2"), lit(0L)).as("c2"))
+    val n = f.groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    f.join(broadcast(n), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(round(sum(
+        ((col("c1") + 1).cast("double") / (col("n1") + 11) -
+         (col("c2") + 1).cast("double") / (col("n2") + 11)) *
+        log(((col("c1") + 1) * (col("n2") + 11)).cast("double") /
+            ((col("c2") + 1) * (col("n1") + 11)))), 6).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
+  val q190Sql: String =
+    """WITH e AS (SELECT event_type,
+      |             least(CAST(floor(value / 25) AS BIGINT), 10) AS bin,
+      |             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h
+      |           FROM events),
+      |g AS (SELECT DISTINCT event_type FROM e),
+      |bins AS (SELECT unnest(range(0, 11)) AS bin),
+      |grid AS (SELECT event_type, bin FROM g CROSS JOIN bins),
+      |c AS (SELECT event_type, bin, sum(h)::BIGINT AS c1,
+      |             sum(1 - h)::BIGINT AS c2
+      |      FROM e GROUP BY 1, 2),
+      |f AS (SELECT grid.event_type, grid.bin,
+      |             coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+      |      FROM grid LEFT JOIN c ON c.event_type = grid.event_type
+      |                           AND c.bin = grid.bin),
+      |n AS (SELECT event_type, sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+      |      FROM f GROUP BY 1)
+      |SELECT f.event_type,
+      |  round(sum(((c1 + 1)::DOUBLE / (n1 + 11) - (c2 + 1)::DOUBLE / (n2 + 11)) *
+      |            ln(((c1 + 1) * (n2 + 11))::DOUBLE / ((c2 + 1) * (n1 + 11)))), 6)
+      |    AS psi
+      |FROM f JOIN n ON n.event_type = f.event_type
+      |GROUP BY f.event_type ORDER BY f.event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q190_psi_drift",         q190PsiDrift _,        Some(q190Sql)),
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
     ("q84_retention", q84Retention _, Some(q84Sql)),

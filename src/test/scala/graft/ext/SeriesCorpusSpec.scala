@@ -778,4 +778,25 @@ class SeriesCorpusSpec extends SparkSpec {
       got(0).getLong(2) == 4L)                    // the (0,1) outlier is rank 1
     assert(got(0).getDouble(3) < got(1).getDouble(3))
   }
+
+  // ------------------------------------------------------------- q190 PSI drift
+  test("psi drift: total bin swap gives the closed-form Laplace PSI") {
+    import spark.implicits._
+    // first half: both events in bin 0 (value 10); second half: both in
+    // bin 1 (value 30). With +1 smoothing over 11 bins (n+11 = 13):
+    // bin0 (2/13 - ... wait symmetric): (3/13 - 1/13)·ln3 + (1/13 - 3/13)·ln(1/3)
+    // = (4/13)·ln3; 9 empty bins contribute 0 (p = q).
+    val dir = tmpDir("psi")
+    Seq((1L, "2024-01-05 00:00:00", 10.0), (2L, "2024-01-06 00:00:00", 10.0),
+        (3L, "2024-01-20 00:00:00", 30.0), (4L, "2024-01-21 00:00:00", 30.0))
+      .toDF("event_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("a"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventAnalytics.q190PsiDrift(spark, dir).collect()
+    assert(got.length == 1)
+    val expected = math.rint(4.0 / 13 * math.log(3.0) * 1e6) / 1e6
+    assert(got(0).getDouble(1) == expected, s"psi=${got(0).getDouble(1)} exp=$expected")
+  }
 }
