@@ -803,6 +803,53 @@ object Similarity {
       |  round((r2 - n * (n + 1))::DOUBLE / (2.0 * n * (nn - n)), 4) AS auc
       |FROM g CROSS JOIN t ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- C3: calibration curve + Brier (model-eval analytics)
+  /** Reliability diagram + Brier score over the q165 score — the
+    * calibration half of model evaluation (AUC says the score RANKS
+    * well; calibration says its MAGNITUDE means what it claims, which is
+    * what sample-weighting and threshold transfer depend on). The score
+    * is min-max normalized to a [0,1] pseudo-probability (1-row
+    * extremes frame, broadcast), binned into 10 fixed bands (map-side
+    * floor — no quantile pass), and each band reports volume, mean
+    * predicted p and observed positive rate (label 0 one-vs-rest);
+    * the global Brier mean((p−y)²) rides along as a constant column.
+    * Everything downstream of the one corpus aggregate is band-sized. */
+  def q191Calibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.embeddings(s, dir).select(col("label"),
+      round(element_at(graft.functions.GraftFunctions.jl_project8(col("embedding")), 1), 4)
+        .as("sc"))
+    val ext = scored.agg(min(col("sc")).as("mn"), max(col("sc")).as("mx"))
+    val p = scored.join(broadcast(ext))
+      .withColumn("p", (col("sc") - col("mn")) / (col("mx") - col("mn")))
+      .withColumn("bin", least(floor(col("p") * 10).cast("long"), lit(9L)))
+      .withColumn("y", when(col("label") === 0, 1.0).otherwise(0.0))
+    val brier = p.agg(
+      round(sum(pow(col("p") - col("y"), 2)) / count(lit(1)), 4).as("brier"))
+    p.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), round(avg(col("p")), 4).as("mean_p"),
+           round(sum(col("y")) / count(lit(1)), 4).as("pos_rate"))
+      .join(broadcast(brier))
+      .orderBy(col("bin"))
+  }
+
+  val q191Sql: String =
+    """WITH dims AS (SELECT d FROM range(1, 65) t(d)),
+      |scored AS (
+      |  SELECT vec_id, label, round(sum(embedding[d]::DOUBLE *
+      |           (CASE WHEN (d * 2654435761) % 2000003 >= 1000001
+      |                 THEN 1 ELSE -1 END)), 4) AS sc
+      |  FROM embeddings CROSS JOIN dims
+      |  GROUP BY vec_id, label),
+      |ext AS (SELECT min(sc) AS mn, max(sc) AS mx FROM scored),
+      |p AS (SELECT least(CAST(floor((sc - mn) / (mx - mn) * 10) AS BIGINT), 9) AS bin,
+      |             (sc - mn) / (mx - mn) AS p,
+      |             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+      |      FROM scored CROSS JOIN ext),
+      |b AS (SELECT round(sum((p - y) * (p - y)) / count(*), 4) AS brier FROM p)
+      |SELECT bin, count(*) AS n, round(avg(p), 4) AS mean_p,
+      |       round(sum(y) / count(*), 4) AS pos_rate, brier
+      |FROM p CROSS JOIN b GROUP BY bin, brier ORDER BY bin""".stripMargin
+
   // ---------------------------------------------------------------- C3: hybrid retrieval (lexical + vector, RRF fusion)
   /** Reciprocal-rank fusion of a lexical ranker and a vector ranker —
     * the retrieval shape a training-data pipeline uses for dedup-aware
@@ -866,6 +913,7 @@ object Similarity {
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
     ("q183_hybrid_rrf", q183HybridRrf _, Some(q183Sql)),
     ("q165_roc_auc",   q165RocAuc _,   Some(q165Sql)),
+    ("q191_calibration", q191Calibration _, Some(q191Sql)),
     ("q47_knn_topk",   q47KnnTopK _,   Some(q30Sql)),
     ("q30_knn_exact",  q30KnnExact _,  Some(q30Sql)),
     ("q31_ann_lsh",    q31AnnLsh _,    Some(q31Sql)),
