@@ -1305,8 +1305,56 @@ object EventAnalytics {
       |FROM f JOIN n ON n.event_type = f.event_type
       |GROUP BY f.event_type ORDER BY f.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q192: activity trend slope (grouped OLS)
+  /** Per-type linear activity trend over the month — the grouped-OLS
+    * drift detector (q109's CUSUM finds level SHIFTS, q178's seasonal
+    * index finds periodicity; the slope finds steady growth/decay, the
+    * signal a data-sourcing team alerts on). Thousands of tiny
+    * regressions in ONE aggregate pass: y = events/day, x = day index,
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) where every Σ is an exact
+    * BIGINT of integer counts — the only float is the final division,
+    * rounded. The day table is |types|×31; nothing after the first
+    * aggregate is corpus-sized. Missing days count as zero via the
+    * broadcast type×day grid (skipping them would bias the fit). */
+  def q192TrendSlope(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), dayofmonth(col("ts")).cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(s.range(1, 32).select(col("id").as("x"))))
+    grid.join(daily, Seq("event_type", "x"), "left")
+      .select(col("event_type"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("sy").as("n_events"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val q192Sql: String =
+    """WITH d AS (SELECT event_type, CAST(day(ts) AS BIGINT) AS x,
+      |             count(*)::BIGINT AS y
+      |           FROM events GROUP BY 1, 2),
+      |g AS (SELECT DISTINCT event_type FROM d),
+      |days AS (SELECT unnest(range(1, 32)) AS x),
+      |grid AS (SELECT event_type, x FROM g CROSS JOIN days),
+      |f AS (SELECT grid.event_type, grid.x, coalesce(y, 0) AS y
+      |      FROM grid LEFT JOIN d ON d.event_type = grid.event_type
+      |                           AND d.x = grid.x),
+      |a AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+      |             sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+      |             sum(x * x)::BIGINT AS sxx
+      |      FROM f GROUP BY 1)
+      |SELECT event_type, sy AS n_events,
+      |  round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx), 6)
+      |    AS slope_per_day
+      |FROM a ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q190_psi_drift",         q190PsiDrift _,        Some(q190Sql)),
+    ("q192_trend_slope",       q192TrendSlope _,      Some(q192Sql)),
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
     ("q84_retention", q84Retention _, Some(q84Sql)),
