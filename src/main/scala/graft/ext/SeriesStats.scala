@@ -722,7 +722,61 @@ object SeriesStats {
       |       sum(floor(value) * w) AS decayed_value
       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q193: equi-height histogram (ANALYZE primitive)
+  /** Exact 10-bucket equi-height histogram of l_extendedprice — the
+    * equi-DEPTH statistics primitive a CBO builds during ANALYZE (q90 is
+    * the fixed-edge equi-WIDTH twin). The naive formulation is
+    * `ntile(10) OVER (ORDER BY v)` — a single-partition global sort, the
+    * one window shape banned at scale. This computes the identical
+    * result from the VALUE HISTOGRAM instead: one corpus aggregate to
+    * (v, cnt), a prefix sum over that resolution-bounded table for each
+    * value's 0-based start rank, then exact integer overlap of each
+    * value's rank span [minr, minr+cnt) with each ANSI ntile bucket
+    * (first n%10 buckets sized n/10+1, rest n/10) — a value spans ≤
+    * (cnt·10/n + 2) buckets, so the exploded table stays
+    * histogram-sized. Per-bucket min/max/count/mean are invariant to
+    * how ties split across a boundary (the bucket's value MULTISET is
+    * fixed), which is exactly why the histogram construction can match
+    * single-threaded ntile row-for-row. DuckDB's oracle IS the naive
+    * ntile — the gate proves the distributed construction equals it. */
+  def q193EquiHeight(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("minr",
+        sum(col("cnt")).over(Window.orderBy(col("v"))) - col("cnt"))
+    val n = hist.agg(sum(col("cnt")).as("n"))
+    def bucketOf(rank: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(rank < (q + 1) * r, (rank / (q + 1)).cast("long"))
+        .otherwise(r + ((rank - (q + 1) * r) / q).cast("long"))
+    val spans = hist.join(broadcast(n))
+      .withColumn("q", expr("n DIV 10")).withColumn("r", expr("n % 10"))
+      .withColumn("bLo", bucketOf(col("minr"), col("q"), col("r")))
+      .withColumn("bHi", bucketOf(col("minr") + col("cnt") - 1, col("q"), col("r")))
+      .withColumn("b", explode(sequence(col("bLo"), col("bHi"))))
+      .withColumn("start", col("b") * col("q") + least(col("b"), col("r")))
+      .withColumn("size", col("q") + when(col("b") < col("r"), 1L).otherwise(0L))
+      .withColumn("overlap",
+        least(col("minr") + col("cnt"), col("start") + col("size")) -
+        greatest(col("minr"), col("start")))
+    spans.groupBy(col("b"))
+      .agg(sum(col("overlap")).as("n_rows"),
+           min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+           round(sum(col("v") * col("overlap")) / sum(col("overlap")), 4).as("v_avg"))
+      .select((col("b") + 1).as("bucket"), col("n_rows"),
+        col("v_min"), col("v_max"), col("v_avg"))
+      .orderBy(col("bucket"))
+  }
+
+  val q193Sql: String =
+    """WITH t AS (SELECT l_extendedprice AS v,
+      |             ntile(10) OVER (ORDER BY l_extendedprice) AS bucket
+      |           FROM lineitem)
+      |SELECT bucket, count(*)::BIGINT AS n_rows, min(v) AS v_min,
+      |  max(v) AS v_max, round(avg(v), 4) AS v_avg
+      |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q193_equiheight_hist", q193EquiHeight _, Some(q193Sql)),
     ("q107_autocorr", q107Autocorr _, Some(q107Sql)),
     ("q178_seasonal_index", q178SeasonalIndex _, Some(q178Sql)),
     ("q180_decayed_sum",    q180DecayedSum _,    Some(q180Sql)),
