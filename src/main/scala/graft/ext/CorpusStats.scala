@@ -284,23 +284,25 @@ object CorpusStats {
     * cutoff is exactly what this makes uniform). Mapping is all-integer:
     * within-source rank rs of ns maps to global rank ⌈rs·N/ns⌉, and the
     * normalized value is the corpus score at that rank — engine-exact,
-    * no interpolation. Scale: the source-keyed rank is an ordinary
-    * window; the global rank is a range-partitioned sort whose
-    * partition offsets broadcast (q97's two-pass pattern) — never a
-    * single-partition corpus window; the rank-index join is an integer
-    * equi-join. */
+    * no interpolation. Scale: BOTH ranks come from ONE
+    * [[DistRank.withGroupRank]] pass (range-partitioned sort + broadcast
+    * offsets — the per-group counter rides the same partition-local scan
+    * as the global one, sources need not be contiguous) — never a
+    * single-partition corpus window, and never a skewed per-source one;
+    * ns is a dimension-sized broadcast, N the rank pass's free total;
+    * the rank-index join is an integer equi-join off the one rank
+    * checkpoint. */
   def q150QuantileNorm(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
-    val ws = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
-    val wg = Window.orderBy(col("n_chars"), col("doc_id"))
-    val ranked = d.withColumn("rs", row_number().over(ws))
-      .join(d.groupBy(col("source")).agg(count(lit(1)).as("ns")), Seq("source"))
-      .crossJoin(broadcast(d.agg(count(lit(1)).as("N"))))
-    val glob = d.withColumn("gi", row_number().over(wg))
-      .select(col("gi"), col("n_chars").as("norm_chars"))
+    val DistRank.Ranked(rk, nTot) = DistRank.withGroupRank(
+      d, Seq("source"), "rs", Seq(col("n_chars"), col("doc_id")), globalRankCol = Some("gi"))
+    val ranked = rk
+      .join(broadcast(rk.groupBy(col("source")).agg(count(lit(1)).as("ns"))), Seq("source"))
+      .withColumn("N", lit(nTot))
+    val glob = rk.select(col("gi").as("ti"), col("n_chars").as("norm_chars"))
     ranked
       .withColumn("ti", expr("(rs * N + ns - 1) DIV ns"))
-      .join(glob, col("ti") === col("gi"))
+      .join(glob, Seq("ti"))
       .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
       .orderBy(col("doc_id"))
   }

@@ -182,20 +182,31 @@ object Curation {
     * The quality metric is [[TextAnalysis.qualityCol]] — the SAME
     * definition the reporting query (q33) surfaces, never a fork.
     * percent_rank is rank-arithmetic — engine-exact, no float quantile
-    * interpolation to drift. One shuffle keyed by lang. */
+    * interpolation to drift. */
   /** THE quality-gate transform, shared by q65 and the composed pipeline
     * (q65's rounded-pr comparison included — a fork here would let the
     * pipeline drop boundary docs the pinned operator keeps). Adds
-    * `quality` and `pr`, filters to survivors. */
+    * `quality` and `pr`, filters to survivors.
+    *
+    * percent_rank is (rank−1)/(n_lang−1) computed from
+    * [[DistRank.withGroupRank]] — a real corpus is ~90% one language, so
+    * the naive `OVER (PARTITION BY lang ORDER BY …)` window hands one
+    * task ~90% of the corpus; the range-partitioned rank spreads every
+    * language across all partitions and re-joins P-bounded offsets. The
+    * (quality, doc_id) order is a total order, so rank == row_number and
+    * the arithmetic percent_rank is bit-identical to the window's. n_lang
+    * is a dimension-sized broadcast off the rank checkpoint. */
   private[ext] def qualityGate(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
-    val wn = Window.partitionBy(col("lang"))
-    docs
-      .withColumn("quality", TextAnalysis.qualityCol)
-      .withColumn("pr", round(percent_rank().over(w), 4))
-      .withColumn("n_lang", count(lit(1)).over(wn))
+    val scored = docs.withColumn("quality", TextAnalysis.qualityCol)
+    val rk = DistRank.withGroupRank(
+      scored, Seq("lang"), "__qr", Seq(col("quality"), col("doc_id"))).df
+    rk
+      .join(broadcast(rk.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))), Seq("lang"))
+      .withColumn("pr",
+        when(col("n_lang") === 1, lit(0.0)).otherwise(
+          round((col("__qr") - 1).cast("double") / (col("n_lang") - 1).cast("double"), 4)))
       .filter(col("pr") >= 0.25 || col("n_lang") < 8)
-      .drop("n_lang")
+      .drop("n_lang", "__qr")
   }
 
   def q65QualityGate(s: SparkSession, dir: String): DataFrame =

@@ -379,22 +379,27 @@ object EventAnalytics {
     * decile ("does the top decile convert more?"). Lift is computed as
     * ONE division of exact integer cross-products
     * (converters_d · total_users) / (users_d · total_converters) — no
-    * ratio-of-rounded-ratios drift between engines. The global ntile
-    * runs on the user-grain table; at 100 TB it becomes a
-    * range-partitioned rank with broadcast offsets (q97 pattern) or
-    * approx-percentile decile bounds — the statistic is integer-exact
-    * either way. */
+    * ratio-of-rounded-ratios drift between engines. The decile label is
+    * NOT a global ntile window (single-partition sort over the user
+    * table): [[DistRank.withNtile]] computes the identical ANSI
+    * assignment from a range-partitioned exact rank with broadcast
+    * offsets — every stage linear or P-bounded, the oracle keeps the
+    * naive ntile and the gate proves equality. The decile table the
+    * totals read is 10 rows off the rank checkpoint, so the extra
+    * aggregate is free. */
   def q158DecileLift(s: SparkSession, dir: String): DataFrame = {
     val users = Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
-    val w = Window.orderBy(col("n_events").desc, col("user_id"))
-    users.withColumn("decile", ntile(10).over(w))
+    val deciled = DistRank.withNtile(users, 10, "decile",
+      Seq(col("n_events").desc, col("user_id")))
+    val grp = deciled
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("users"), sum(col("converted")).as("converters"))
-      .crossJoin(broadcast(users.agg(
-        count(lit(1)).as("tot_users"), sum(col("converted")).as("tot_conv"))))
+    grp
+      .crossJoin(broadcast(grp.agg(
+        sum(col("users")).as("tot_users"), sum(col("converters")).as("tot_conv"))))
       .select(col("decile"), col("users"), col("converters"),
         round(col("converters").cast("double") / col("users").cast("double"), 4).as("conv_rate"),
         round((col("converters") * col("tot_users")).cast("double")
@@ -920,8 +925,12 @@ object EventAnalytics {
     * frequency (purchase count) and monetary (value sum), each cut into
     * quartiles by ntile over a TOTAL order (metric, then user_id — ties
     * must break identically in every engine or segment counts drift),
-    * then segment sizes. The per-user table is entity-grain; three
-    * ntile windows over it are cheap at any scale. Money is carried as
+    * then segment sizes. Each quartile label is a
+    * [[DistRank.withNtile]] pass (range-partitioned exact rank +
+    * broadcast offsets — no global window funnels the user table through
+    * one task); the per-user frame is checkpointed once so the three
+    * rank passes re-read one materialization instead of re-aggregating
+    * the fact table. Money is carried as
     * EXACT integer cents from the first aggregation (per-event
     * round(value·100) — one deterministic per-row op), so sums, sort
     * keys, and the segment average are engine- and order-invariant;
@@ -940,14 +949,17 @@ object EventAnalytics {
     val maxDay = per0.agg(max(col("last_day")).as("max_day"))
     val per = per0.crossJoin(broadcast(maxDay))
       .withColumn("recency_d", datediff(col("max_day"), col("last_day")))
-    def quart(c: String, asc: Boolean) = {
+      .localCheckpoint(true)
+    def quart(df: DataFrame, c: String, asc: Boolean, out: String) = {
       val k = if (asc) col(c).asc else col(c).desc
-      ntile(4).over(Window.orderBy(k, col("user_id")))
+      DistRank.withNtile(df, 4, out, Seq(k, col("user_id")))
     }
-    per
-      .withColumn("r_q", quart("recency_d", asc = true))   // recent = 1
-      .withColumn("f_q", quart("freq", asc = false))       // frequent = 1
-      .withColumn("m_q", quart("cents", asc = false))      // big spender = 1
+    val labeled =
+      quart(quart(quart(per,
+        "recency_d", asc = true,  "r_q"),   // recent = 1
+        "freq",      asc = false, "f_q"),   // frequent = 1
+        "cents",     asc = false, "m_q")    // big spender = 1
+    labeled
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("sc"))
       // 4dp half-up rounding done in INTEGER space: avg·10⁴ = sc·100/n,
@@ -1218,17 +1230,25 @@ object EventAnalytics {
     * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted counts —
     * every term an exact 64-bit integer, one final double division
     * (< 2⁵³, engine-identical). Tie order can't matter: equal x values
-    * swap ranks without changing Σi·xᵢ. Scale: the data-sized step is the
-    * (type, user) count aggregation (map-side combined); the rank window
-    * runs on the user-grain table, the classic distributed-rank shape. */
+    * swap ranks without changing Σi·xᵢ — which is exactly why the rank
+    * never needs materializing per user. Σi·x comes from the VALUE
+    * HISTOGRAM (q193's construction): per (type, x) tie-group of c users
+    * starting at 0-based rank `pre`, the ranks are pre+1…pre+c, so
+    * Σi = c·pre + c(c+1)/2 in closed form. The per-type prefix window
+    * runs over the (type, distinct-activity) histogram — bounded by the
+    * activity-value resolution (power-law: ≪ users), never user-grain,
+    * so no skewed per-type rank task exists at any corpus size. The
+    * data-sized step stays the one map-side-combined (type, user) count. */
   def q146Gini(s: SparkSession, dir: String): DataFrame = {
     val cnts = Tables.events(s, dir)
       .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("x"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("x"), col("user_id"))
-    cnts.withColumn("i", row_number().over(w))
+    val hist = cnts.groupBy(col("event_type"), col("x")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    hist
+      .withColumn("pre", sum(col("c")).over(w) - col("c"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("tot"),
-        sum(col("i") * col("x")).as("ix"))
+      .agg(sum(col("c")).as("n"), sum(col("x") * col("c")).as("tot"),
+        sum(col("x") * (col("c") * col("pre") + expr("(c * (c + 1)) div 2"))).as("ix"))
       .select(col("event_type"), col("n"), col("tot"),
         round((lit(2L) * col("ix") - (col("n") + lit(1L)) * col("tot")).cast("double")
           / (col("n") * col("tot")).cast("double"), 4).as("gini"))
@@ -1260,7 +1280,11 @@ object EventAnalytics {
     * aggregate → cell table; everything after is grid-sized. */
   def q190PsiDrift(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(col("event_type"),
-      least(floor(col("value") / 25).cast("long"), lit(10L)).as("bin"),
+      // clamp BOTH ends: without greatest(…, 0) a negative value lands in
+      // a bin below the 0-10 grid and silently vanishes from its half's
+      // total (consistent across engines, so the gate would stay green
+      // while rows disappear from the distribution)
+      greatest(least(floor(col("value") / 25).cast("long"), lit(10L)), lit(0L)).as("bin"),
       when(col("ts") < to_timestamp(lit("2024-01-16")), 1L).otherwise(0L).as("h"))
     val cells = e.groupBy(col("event_type"), col("bin"))
       .agg(sum(col("h")).as("c1"), sum(lit(1L) - col("h")).as("c2"))
@@ -1283,7 +1307,7 @@ object EventAnalytics {
 
   val q190Sql: String =
     """WITH e AS (SELECT event_type,
-      |             least(CAST(floor(value / 25) AS BIGINT), 10) AS bin,
+      |             greatest(least(CAST(floor(value / 25) AS BIGINT), 10), 0) AS bin,
       |             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h
       |           FROM events),
       |g AS (SELECT DISTINCT event_type FROM e),

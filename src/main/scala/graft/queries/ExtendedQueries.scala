@@ -377,31 +377,47 @@ object ExtendedQueries {
   /** Robust outlier detection per group: median absolute deviation
     * (median-of-|x − median|), flagging values beyond 3·MAD — the
     * data-quality screen that survives the heavy tails that wreck
-    * mean/stddev rules. Two grouped exact percentiles + one re-join;
-    * at 100 TB swap `percentile` for `approx_percentile` (t-digest,
-    * fixed memory) — same plan shape. */
+    * mean/stddev rules.
+    *
+    * ONE corpus pass: `value` is cents-resolution, so the corpus
+    * collapses to a (type, value, count) VALUE HISTOGRAM (q193's
+    * primitive, bounded by value resolution × |types|, checkpointed) and
+    * both medians are exact rank lookups over it — prefix counts locate
+    * the two middle ranks, and the interpolated median is
+    * 0.5·v(lo)+0.5·v(hi), the exact arithmetic `percentile(…, 0.5)`
+    * uses (odd n: v·0.5+v·0.5 ≡ v bit-exactly), so the DuckDB
+    * quantile_cont oracle still hash-matches. The deviation histogram
+    * derives from the value histogram (never re-touching the corpus),
+    * and the final screen weighs histogram counts. The old two-pass
+    * plan (percentile, persist, re-join, percentile) scanned the corpus
+    * twice and sorted per-type value multisets; this touches the fact
+    * table exactly once. */
   def q72Outliers(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
-    val med = ev.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    val dev = ev.join(broadcast(med), Seq("event_type"))
-      .withColumn("ad", abs(col("value") - col("med")))
-    // dev feeds both the mad aggregate and the final screen: persist so
-    // the events scan + med join run once, not twice; the final result is
-    // 1 row per type, so an eager localCheckpoint lets the corpus-sized
-    // cache go before returning.
-    dev.persist()
-    try {
-      val mad = dev.groupBy(col("event_type"))
-        .agg(expr("percentile(ad, 0.5)").as("mad"))
-      dev.join(broadcast(mad), Seq("event_type"))
+    // value-histogram median: exact interpolated 0.5-percentile from
+    // per-type prefix counts over a (type, v, c) histogram
+    def medOf(h: DataFrame, vCol: String, out: String): DataFrame = {
+      val wp = Window.partitionBy(col("event_type")).orderBy(col(vCol))
+      val wn = Window.partitionBy(col("event_type"))
+      h.withColumn("pre", sum(col("c")).over(wp) - col("c"))
+        .withColumn("n", sum(col("c")).over(wn))
+        .withColumn("lo", expr("(n - 1) div 2"))
+        .withColumn("hi", expr("n div 2"))
         .groupBy(col("event_type"))
-        .agg(round(first(col("med")), 4).as("med"), round(first(col("mad")), 4).as("mad"),
-          sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_out"),
-          count(lit(1)).as("n"))
-        .orderBy(col("event_type"))
-        .localCheckpoint(true)
-    } finally dev.unpersist(false)
+        .agg((max(when(col("lo") >= col("pre") && col("lo") < col("pre") + col("c"), col(vCol))) * 0.5
+            + max(when(col("hi") >= col("pre") && col("hi") < col("pre") + col("c"), col(vCol))) * 0.5).as(out))
+    }
+    val hist = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // the one fact-table pass; all else histogram-sized
+    val dev = hist.join(broadcast(medOf(hist, "value", "med")), Seq("event_type"))
+      .withColumn("ad", abs(col("value") - col("med")))
+    val devHist = dev.groupBy(col("event_type"), col("ad")).agg(sum(col("c")).as("c"))
+    dev.join(broadcast(medOf(devHist, "ad", "mad")), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(round(first(col("med")), 4).as("med"), round(first(col("mad")), 4).as("mad"),
+        sum(when(col("ad") > lit(3.0) * col("mad"), col("c")).otherwise(0L)).as("n_out"),
+        sum(col("c")).as("n"))
+      .orderBy(col("event_type"))
   }
 
   val q72Sql: String =
