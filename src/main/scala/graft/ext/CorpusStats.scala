@@ -70,7 +70,11 @@ object CorpusStats {
     * per-prefix re-scan: each token's first-occurrence doc (min doc_id,
     * one token-keyed aggregation) assigns it to the bucket that
     * introduced it; running sums over the ~|corpus|/100 bucket table do
-    * the rest. All integers — exact at any scale. */
+    * the rest. The bucket table still scales with the corpus, so the
+    * running sums use q97's two-pass sweep: per-block (1024 buckets)
+    * totals → broadcast prefix offsets, then block-partitioned running
+    * sums — the only unpartitioned window left runs over the
+    * corpus/102400 block table. All integers — exact at any scale. */
   def q112VocabGrowth(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // integer DIV, not double /: the double path truncates toward zero
@@ -84,13 +88,24 @@ object CorpusStats {
       .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
       .groupBy(expr("first_doc DIV 100").as("bucket"))
       .agg(count(lit(1)).as("n_new"))
-    val w = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perBucket.join(newTok, Seq("bucket"), "left")
+    val buckets = perBucket.join(newTok, Seq("bucket"), "left")
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
-      .withColumn("cum_docs", sum(col("n_docs")).over(w))
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
-      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      .withColumn("blk", expr("bucket DIV 1024"))
+    val wOff = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = buckets.groupBy(col("blk"))
+      .agg(sum(col("n_docs")).as("bd"), sum(col("n_tok")).as("bt"),
+           sum(col("n_new")).as("bn"))
+      .select(col("blk"),
+        coalesce(sum(col("bd")).over(wOff), lit(0L)).as("off_docs"),
+        coalesce(sum(col("bt")).over(wOff), lit(0L)).as("off_tok"),
+        coalesce(sum(col("bn")).over(wOff), lit(0L)).as("off_new"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets.join(broadcast(off), Seq("blk"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(wIn) + col("off_docs"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(wIn) + col("off_tok"))
+      .withColumn("cum_vocab", sum(col("n_new")).over(wIn) + col("off_new"))
       .withColumn("ttr",
         round(col("cum_vocab").cast("double") / col("cum_tok").cast("double"), 6))
       .select(col("bucket"), col("cum_docs"), col("cum_tok"),
@@ -148,10 +163,15 @@ object CorpusStats {
         log(col("n_ab").cast("double") / col("n_big").cast("double")
           / (col("n_a").cast("double") / col("n_uni").cast("double"))
           / (col("n_b").cast("double") / col("n_uni").cast("double"))), 4))
+    // top-25 as TakeOrderedAndProject THEN a 25-row rank — never a
+    // corpus-grain global row_number window: the limit is a distributed
+    // per-partition top-k + k-row merge, and the rank window only ever
+    // sees the 25 survivors (the (pmi, a, b) order is total, so
+    // limit-then-rank ≡ rank-then-filter row-for-row)
     scored
+      .orderBy(col("pmi").desc, col("a"), col("b")).limit(25)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("pmi").desc, col("a"), col("b"))))
-      .filter(col("rn") <= 25)
       .select(col("rn"), col("a"), col("b"), col("n_ab"), col("pmi"))
       .orderBy(col("rn"))
   }

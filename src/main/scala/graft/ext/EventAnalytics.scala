@@ -897,10 +897,14 @@ object EventAnalytics {
       .withColumn("s3", lead(col("s1"), 2).over(w))
       .filter(col("s3").isNotNull)
       .groupBy(col("s1"), col("s2"), col("s3")).agg(count(lit(1)).as("n"))
+    // top-20 as TakeOrderedAndProject then a 20-row rank (q113's
+    // limit-then-rank shape — the total order makes them row-identical);
+    // the triple-count input is |types|³-bounded anyway, but the limit
+    // keeps the unpartitioned window provably k-row in the plan itself
     triples
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3")).limit(20)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))))
-      .filter(col("rn") <= 20)
       .select(col("rn"), col("s1"), col("s2"), col("s3"), col("n"))
       .orderBy(col("rn"))
   }

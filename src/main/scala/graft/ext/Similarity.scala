@@ -869,16 +869,19 @@ object Similarity {
     val lex = docs.select(col("doc_id"),
       size(filter(split(col("text"), " "),
         t => t === "join" || t === "hash")).as("lexn"))
-    val wLex = Window.orderBy(col("lexn").desc, col("doc_id"))
-    val lexRank = lex.withColumn("r_lex", row_number().over(wLex))
+    // both rank lists are corpus-grain: a global row_number window would
+    // funnel every doc through one task, so the exact rank comes from
+    // DistRank's range-partitioned sort + broadcast offsets instead
+    val lexRank = DistRank.withGlobalRank(lex, "r_lex",
+      Seq(col("lexn").desc, col("doc_id"))).df
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"))
     val vec = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")), 5).as("cos"))
-    val wVec = Window.orderBy(col("cos").desc, col("doc_id"))
-    val vecRank = vec.withColumn("r_vec", row_number().over(wVec))
+    val vecRank = DistRank.withGlobalRank(vec, "r_vec",
+      Seq(col("cos").desc, col("doc_id"))).df
     lexRank.join(vecRank, "doc_id")
       .withColumn("rrf",
         round(lit(1.0) / (lit(60) + col("r_lex")) + lit(1.0) / (lit(60) + col("r_vec")), 6))

@@ -707,13 +707,14 @@ object ExtendedQueries {
     * order ships at least as fast AND is worth at least as much, strictly
     * better in one. Not a dominance self-join (O(n²) — the naive NOT
     * EXISTS is intractable at scale): the 2-D skyline falls out of ONE
-    * ordered pass — sort by delay, then a point survives iff its price
-    * beats every strictly-faster point's price (a RANGE-frame running
-    * max) and no equal-delay point strictly beats it (a per-delay max).
-    * At 100 TB the sort is a range-partitioned exchange and the RANGE
-    * window runs per partition with broadcast per-partition prefix
-    * maxima (q97's two-pass sweep pattern) — the statistic is a pure
-    * comparison, so distribution cannot change membership. */
+    * ordered pass — a point survives iff its price beats every
+    * strictly-faster point's price and no equal-delay point strictly
+    * beats it. Both thresholds live at DELAY grain, not order grain:
+    * one aggregate collapses the corpus to a (delay, max-price) table
+    * bounded by the delay-day resolution, a prefix max over that
+    * bounded table gives "best strictly faster", and a broadcast join
+    * carries both thresholds back — the order-grain running-max window
+    * of the naive plan (one task sweeping every order) never exists. */
   def q163Skyline(s: SparkSession, dir: String): DataFrame = {
     val delay = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("first_ship"))
@@ -722,12 +723,14 @@ object ExtendedQueries {
       .select(col("o_orderkey"),
         datediff(col("first_ship"), col("o_orderdate")).as("delay_days"),
         col("o_totalprice"))
+    // delay-grain threshold table: ≤ distinct delay days, corpus-invariant
     val wPrev = Window.orderBy(col("delay_days"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val wEq = Window.partitionBy(col("delay_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thresholds = pts.groupBy(col("delay_days"))
+      .agg(max(col("o_totalprice")).as("best_equal"))
+      .withColumn("best_faster", max(col("best_equal")).over(wPrev))
     pts
-      .withColumn("best_faster", max(col("o_totalprice")).over(wPrev))
-      .withColumn("best_equal", max(col("o_totalprice")).over(wEq))
+      .join(broadcast(thresholds), Seq("delay_days"))
       .filter((col("best_faster").isNull || col("best_faster") < col("o_totalprice")) &&
               col("best_equal") <= col("o_totalprice"))
       .select(col("o_orderkey"), col("delay_days"), round(col("o_totalprice"), 2).as("price"))

@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DistRank must be row-for-row identical to the naive single-partition
+  * window it replaces — checked against `row_number`/`ntile`/grouped
+  * `row_number` on a fixture with heavy ties, skewed groups, and more
+  * partitions than rows (empty range partitions). */
+class DistRankSpec extends SparkSpec {
+
+  private def fixture = {
+    import spark.implicits._
+    // skew: group "en" dominates; ties: many equal scores resolved by id
+    val rows = (1L to 97L).map { id =>
+      val g = if (id % 10 == 0) "de" else if (id % 17 == 0) "fr" else "en"
+      (id, g, (id % 7).toDouble)
+    }
+    rows.toDF("id", "g", "score")
+  }
+
+  test("withGlobalRank equals row_number over the same total order") {
+    val df = fixture
+    val naive = df.withColumn("rk",
+      row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+    val DistRank.Ranked(got, total) = DistRank.withGlobalRank(
+      df, "rk", Seq(col("score").desc, col("id")))
+    assert(total == 97L)
+    assert(got.select("id", "rk").except(naive.select("id", "rk")).isEmpty)
+    assert(naive.select("id", "rk").except(got.select("id", "rk")).isEmpty)
+  }
+
+  test("withGroupRank equals per-group row_number, global rank rides along") {
+    val df = fixture
+    val naive = df
+      .withColumn("gr", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("score"), col("id"))).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score"), col("id"))).cast("long"))
+    val got = DistRank.withGroupRank(df, Seq("g"), "gr",
+      Seq(col("score"), col("id")), globalRankCol = Some("rk")).df
+    assert(got.select("id", "gr", "rk").except(naive.select("id", "gr", "rk")).isEmpty)
+    assert(naive.select("id", "gr", "rk").except(got.select("id", "gr", "rk")).isEmpty)
+  }
+
+  test("withNtile equals ANSI ntile for k dividing and not dividing n") {
+    val df = fixture
+    for (k <- Seq(4, 10, 97, 200)) {
+      val naive = df.withColumn("t",
+        ntile(k).over(Window.orderBy(col("score"), col("id"))))
+      val got = DistRank.withNtile(df, k, "t", Seq(col("score"), col("id")))
+      assert(got.select("id", "t").except(naive.select("id", "t")).isEmpty,
+        s"ntile($k) diverged")
+      assert(naive.select("id", "t").except(got.select("id", "t")).isEmpty,
+        s"ntile($k) diverged (missing rows)")
+    }
+  }
+
+  test("empty input yields empty output and zero total") {
+    val df = fixture.filter(col("id") < 0)
+    val DistRank.Ranked(got, total) = DistRank.withGlobalRank(df, "rk", Seq(col("id")))
+    assert(total == 0L && got.isEmpty)
+  }
+
+  test("no WindowExec anywhere in a DistRank plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val got = DistRank.withGroupRank(fixture, Seq("g"), "gr",
+      Seq(col("score"), col("id")), globalRankCol = Some("rk")).df
+    val wins = got.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.isEmpty)
+  }
+}

@@ -41,11 +41,13 @@ class GraphRrfSpec extends SparkSpec {
         (2L, Seq(0f, 1f), 0), (3L, Seq(0.6f, 0.8f), 0))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // ranks are LongType: DistRank's exact distributed rank (int32
+    // row_number would overflow past 2.1e9 docs)
     val got = Similarity.q183HybridRrf(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
-    assert(got(0) == ((1L, 1, 1, math.rint(2.0 / 61 * 1e6) / 1e6)))
+    assert(got(0) == ((1L, 1L, 1L, math.rint(2.0 / 61 * 1e6) / 1e6)))
     val tied = math.rint((1.0 / 62 + 1.0 / 63) * 1e6) / 1e6
-    assert(got(1) == ((2L, 2, 3, tied)) && got(2) == ((3L, 3, 2, tied)))
+    assert(got(1) == ((2L, 2L, 3L, tied)) && got(2) == ((3L, 3L, 2L, tied)))
   }
 }
