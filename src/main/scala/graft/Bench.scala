@@ -1,4 +1,5 @@
 package graft
+import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -83,7 +84,21 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries (-1 markers) must not subtract from the headline
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only a truncated stdout tail, which hides most of
+    // the per-query map; persist the full JSON line as an artifact so every
+    // query's timing survives the round (overridable for CI layouts).
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(artifact)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (line + "\n").getBytes(StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote $artifact")
+    } catch { case e: Throwable =>
+      // the artifact is best-effort; the stdout contract stays authoritative
+      System.err.println(s"[bench] could not write $artifact: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

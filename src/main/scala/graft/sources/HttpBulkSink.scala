@@ -37,8 +37,19 @@ object HttpBulkSink {
 
   /** One client per JVM (HttpClient is thread-safe): a client per POST
     * would spawn a selector thread + pool each insert and re-do
-    * connection setup every micro-batch. */
-  @transient private lazy val client: HttpClient = HttpClient.newHttpClient()
+    * connection setup every micro-batch. A connect timeout is mandatory:
+    * without one a hung remote stalls the executor task forever, and the
+    * task-retry (at-least-once) contract never engages. */
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(ConnectTimeoutSec))
+    .build()
+
+  private val ConnectTimeoutSec = 10L
+
+  /** Per-request deadline. Generous because a request carries up to
+    * [[MaxPostBytes]] of body over a possibly-slow link, but finite so a
+    * wedged server surfaces as `HttpTimeoutException` → task retry. */
+  private val RequestTimeoutSec = 120L
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
 
@@ -51,13 +62,21 @@ object HttpBulkSink {
       "Basic " + Base64.getEncoder.encodeToString(
         s"$u:$p".getBytes(StandardCharsets.UTF_8))
 
+  /** Header carrying the deterministic chunk identity (see [[append]]).
+    * A dedup-capable receiver (e.g. ClickHouse `insert_deduplication_token`
+    * semantics) can drop replayed chunks, upgrading the transport's
+    * at-least-once contract to effectively-once without coordination. */
+  val InsertIdHeader = "X-Graft-Insert-Id"
+
   /** POST one JSONEachRow blob; throws on any non-2xx status (task retry
     * → at-least-once, the reference's failure contract: keep the file,
     * print the error — trace-converter.py:109-112). */
-  private[sources] def post(c: Config, blob: String): Unit = {
+  private[sources] def post(c: Config, blob: String, insertId: Option[String] = None): Unit = {
     val b = HttpRequest.newBuilder(insertUri(c))
       .POST(HttpRequest.BodyPublishers.ofString(blob, StandardCharsets.UTF_8))
       .header("Content-Type", "application/x-ndjson")
+      .timeout(java.time.Duration.ofSeconds(RequestTimeoutSec))
+    insertId.foreach(b.header(InsertIdHeader, _))
     authHeader(c).foreach(b.header("Authorization", _))
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
@@ -65,22 +84,44 @@ object HttpBulkSink {
         s"bulk insert to ${c.addr} failed: HTTP ${resp.statusCode()} ${resp.body().take(200)}")
   }
 
-  /** Max bytes buffered per POST: a whole partition as one String would
-    * tie task memory to partition size (multi-GB at the target scale) —
-    * chunking bounds memory while keeping requests few and large. */
+  /** Max UTF-8 BYTES buffered per POST: a whole partition as one String
+    * would tie task memory to partition size (multi-GB at the target
+    * scale) — chunking bounds memory while keeping requests few and
+    * large. Budgeted in encoded bytes, not UTF-16 code units: multi-byte
+    * content would otherwise overshoot the cap up to 3×. */
   private val MaxPostBytes = 8 << 20
 
   /** Bulk-insert `df`: executor-side POSTs, one per ≤[[MaxPostBytes]]
-    * chunk per (non-empty) partition. */
-  def append(df: DataFrame, c: Config, partitions: Option[Int] = None): Unit = {
+    * chunk per (non-empty) partition.
+    *
+    * Each chunk carries an [[InsertIdHeader]] of
+    * `batchId/partitionId/chunkIndex`. All three components are
+    * deterministic under task retry: `batchId` is fixed on the DRIVER
+    * before the job launches (caller-supplied for streaming micro-batches,
+    * else one UUID per append call, captured in the task closure), the
+    * partition id is Spark's, and the chunk index depends only on the
+    * partition's row order — so a retried task re-sends byte-identical
+    * chunks under identical ids and a dedup-capable receiver stores each
+    * chunk exactly once. */
+  def append(df: DataFrame, c: Config, partitions: Option[Int] = None,
+             batchId: Option[String] = None): Unit = {
+    val insertBatch = batchId.getOrElse(java.util.UUID.randomUUID().toString)
     val json = partitions.fold(df)(n => df.coalesce(n)).toJSON
     json.foreachPartition { rows: Iterator[String] =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
       val buf = new java.lang.StringBuilder
+      var bytes = 0L
+      var chunk = 0
+      def flush(): Unit = {
+        post(c, buf.toString, Some(s"$insertBatch/$pid/$chunk"))
+        buf.setLength(0); bytes = 0L; chunk += 1
+      }
       rows.foreach { r =>
         buf.append(r).append('\n')
-        if (buf.length >= MaxPostBytes) { post(c, buf.toString); buf.setLength(0) }
+        bytes += r.getBytes(StandardCharsets.UTF_8).length + 1
+        if (bytes >= MaxPostBytes) flush()
       }
-      if (buf.length > 0) post(c, buf.toString)
+      if (buf.length > 0) flush()
     }
   }
 

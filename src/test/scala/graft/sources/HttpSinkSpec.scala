@@ -15,7 +15,8 @@ import org.apache.spark.sql.streaming.OutputMode
   * must surface as exceptions (the at-least-once retry contract). */
 class HttpSinkSpec extends SparkSpec {
 
-  private final case class Captured(auth: String, query: String, body: String)
+  private final case class Captured(auth: String, query: String, body: String,
+                                    insertId: String = "")
 
   /** Start a capturing server; returns (baseUrl, capturedQueue, stop). */
   private def server(status: Int): (String, ConcurrentLinkedQueue[Captured], () => Unit) = {
@@ -25,7 +26,8 @@ class HttpSinkSpec extends SparkSpec {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       got.add(Captured(
         Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""),
-        Option(ex.getRequestURI.getQuery).getOrElse(""), body))
+        Option(ex.getRequestURI.getQuery).getOrElse(""), body,
+        Option(ex.getRequestHeaders.getFirst(HttpBulkSink.InsertIdHeader)).getOrElse("")))
       val resp = "ok".getBytes(StandardCharsets.UTF_8)
       ex.sendResponseHeaders(status, resp.length)
       ex.getResponseBody.write(resp); ex.close()
@@ -99,6 +101,54 @@ class HttpSinkSpec extends SparkSpec {
     } finally stop()
   }
 
+  test("idempotency keys: batchId/partition/chunk, stable across a replayed job") {
+    import spark.implicits._
+    val (url, got, stop) = server(200)
+    try {
+      val cfg = HttpBulkSink.Config(url, "db", "t")
+      val df = Seq.tabulate(8)(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(4)
+      // A retried task re-runs the same closure on the same partition, so
+      // replaying the whole append with a pinned batchId is a strictly
+      // harder version of the same determinism claim: every chunk id must
+      // come back identical.
+      HttpBulkSink.append(df, cfg, batchId = Some("batch-77"))
+      val first = got.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[Captured])
+        .map(c => c.insertId -> c.body).toMap
+      got.clear()
+      HttpBulkSink.append(df, cfg, batchId = Some("batch-77"))
+      val second = got.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[Captured])
+        .map(c => c.insertId -> c.body).toMap
+      assert(first.size == 4)
+      assert(first.keySet.forall(_.matches("batch-77/\\d+/0")))
+      assert(second == first)   // same ids AND same bytes under each id
+      // distinct append calls without a pinned batchId must NOT collide
+      got.clear()
+      HttpBulkSink.append(df, cfg)
+      val auto = got.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[Captured])
+      assert(auto.forall(c => c.insertId.nonEmpty && !c.insertId.startsWith("batch-77/")))
+    } finally stop()
+  }
+
+  test("chunk budget counts UTF-8 bytes, not UTF-16 chars") {
+    import spark.implicits._
+    val (url, got, stop) = server(200)
+    try {
+      val cfg = HttpBulkSink.Config(url, "db", "t")
+      // 9000 rows x 500 'é' (2 bytes UTF-8 each) ≈ 9.3 MiB encoded but only
+      // ~4.7M chars: a char-counting budget would send ONE oversized POST;
+      // the byte budget must split at 8 MiB into exactly two.
+      val payload = "é" * 500
+      val df = Seq.tabulate(9000)(i => (i.toLong, payload)).toDF("id", "v")
+      HttpBulkSink.append(df, cfg, partitions = Some(1), batchId = Some("bb"))
+      val reqs = got.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[Captured])
+      assert(reqs.length == 2)
+      assert(reqs.map(_.insertId).toSet == Set("bb/0/0", "bb/0/1"))
+      reqs.foreach(c =>
+        assert(c.body.getBytes(StandardCharsets.UTF_8).length <= (9 << 20)))
+      assert(reqs.flatMap(_.body.trim.split("\n")).length == 9000)
+    } finally stop()
+  }
+
   test("streaming foreachBatch: one micro-batch = one logical insert") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -108,14 +158,20 @@ class HttpSinkSpec extends SparkSpec {
       val in = MemoryStream[(Long, String)]
       val q = in.toDF().toDF("id", "v").writeStream
         .outputMode(OutputMode.Append)
-        .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          HttpBulkSink.append(batch, cfg, partitions = Some(1)))
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          // the streaming batch id IS the idempotency scope: a restarted
+          // query replaying micro-batch N re-sends under the same keys
+          HttpBulkSink.append(batch, cfg, partitions = Some(1),
+            batchId = Some(s"stream-$bid")))
         .start()
       try {
         in.addData((1L, "x")); q.processAllAvailable()
         in.addData((2L, "y")); q.processAllAvailable()
         assert(got.size == 2)
         got.forEach(c => assert(c.auth.startsWith("Basic ")))
+        val ids = got.toArray(Array.empty[AnyRef])
+          .map(_.asInstanceOf[Captured].insertId).toSet
+        assert(ids == Set("stream-0/0/0", "stream-1/0/0"))
       } finally q.stop()
     } finally stop()
   }
