@@ -8,9 +8,13 @@ import graft.tables.Tables
   * prompt): image/audio/video payloads ride as opaque `binary` columns with
   * typed metadata; decode / feature-extraction runs partition-local.
   *
-  * The container has no media codecs, so [[decodeStub]] is a clearly-marked
-  * deterministic fake — but the Spark-side plumbing (schema, batch shape,
-  * partition-local execution, feature vector output) is real and tested.
+  * IMAGES decode for real: `javax.imageio` ships in the JDK (PNG/BMP/GIF),
+  * so [[decodeImages]] produces actual pixels, oracle-gated via
+  * [[q194ImageDecode]]. VIDEO/AUDIO have no JDK demuxer and the container
+  * ships no codec, so [[decodeStub]]/[[sampleFramesStub]] stay
+  * clearly-marked deterministic fakes — but their Spark-side plumbing
+  * (schema, batch shape, partition-local execution, feature output) is
+  * real and tested.
   * At 100 TB the pattern is: binary column in parquet (so column pruning
   * skips the bytes unless referenced), `repartition` to bound task input
   * size, `mapPartitions` so any native decoder initializes once per
@@ -26,10 +30,12 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, mime: String, n_bytes: Int,
                            feature: Array[Float])
 
-  /** STUB decode: a real build would call an image/audio codec here (the
-    * container ships none). Deterministic byte-level moments keep the
-    * pipeline testable end-to-end. Partition-local: one decoder init per
-    * partition, rows streamed — the shape a JNI/FFI codec needs. */
+  /** STUB decode for the AUDIO/VIDEO mimes (images go through the real
+    * [[decodeImages]] path): a real build would call an FFI codec here —
+    * the container ships none and the JDK has no demuxer. Deterministic
+    * byte-level moments keep the pipeline testable end-to-end.
+    * Partition-local: one decoder init per partition, rows streamed —
+    * the shape a JNI/FFI codec needs. */
   def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
     // decoder init would happen here, once per partition
     rows.map { r =>
@@ -109,6 +115,99 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------- real image codec path
+  /** Decoded-image statistics: dimensions plus exact integer pixel
+    * aggregates. `px_posw` is the position-weighted sum Σ v(i)·i over the
+    * raster order i = y·width + x — unlike a mean/histogram it is NOT
+    * permutation-invariant, so it pins the decoder's raster layout, not
+    * just its value distribution. `decoded=false` marks payloads no
+    * installed reader accepts (the byte-moment fallback fills sizes). */
+  case class ImageFeatures(media_id: Long, mime: String, width: Int, height: Int,
+                           px_sum: Long, px_min: Int, px_max: Int,
+                           px_posw: Long, decoded: Boolean)
+
+  /** REAL image decode — `javax.imageio` ships in the JDK, so PNG, BMP and
+    * GIF payloads decode to actual pixels with no external codec (the
+    * STUBs above remain only for video/audio, whose demuxers the JDK does
+    * not provide). Partition-local: `ImageIO.setUseCache(false)` once per
+    * JVM (the default spills every decode through a temp FILE — a silent
+    * disk round-trip per image at corpus scale), then rows stream through
+    * one in-memory decode each. Multi-band images reduce to per-pixel
+    * band means (integer-exact for the gray fixtures the gate uses). */
+  def decodeImages(rows: Iterator[MediaRow]): Iterator[ImageFeatures] = {
+    javax.imageio.ImageIO.setUseCache(false) // once per partition is idempotent
+    rows.map { r =>
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+        catch { case _: java.io.IOException => None }
+      img match {
+        case Some(im) =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          val raster = im.getRaster
+          val bands = raster.getNumBands
+          // indexed formats (GIF, palette BMP/PNG) store palette INDICES
+          // in the raster — resolve through the color model instead
+          // (palette entries for gray images are (v,v,v), so the channel
+          // mean recovers the exact gray value)
+          val indexed = im.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+          var sum = 0L; var posw = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v =
+                if (indexed) {
+                  val rgb = im.getRGB(x, y)
+                  (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                } else {
+                  var b = 0; var acc = 0
+                  while (b < bands) { acc += raster.getSample(x, y, b); b += 1 }
+                  acc / bands
+                }
+              sum += v; posw += v.toLong * (y.toLong * w + x)
+              if (v < mn) mn = v; if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(r.media_id, r.mime, w, h, sum,
+            if (mn == Int.MaxValue) 0 else mn, if (mx == Int.MinValue) 0 else mx,
+            posw, decoded = true)
+        case None =>
+          // undecodable → byte-moment fallback so the row is kept, flagged
+          val bs = r.payload
+          var s0 = 0L; var i = 0
+          while (i < bs.length) { s0 += bs(i) & 0xff; i += 1 }
+          ImageFeatures(r.media_id, r.mime, 0, 0, s0, 0, 0, 0L, decoded = false)
+      }
+    }
+  }
+
+  /** Deterministic grayscale PNG: pixel (x,y) = (seed·31 + y·w + x) mod
+    * 256, through the JDK's REAL PNG encoder. Serves as the ingest
+    * stand-in for an image binary column whose decoded pixels an oracle
+    * can reproduce in closed form (PNG is lossless, TYPE_BYTE_GRAY has no
+    * gamma/colorspace transform). */
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = im.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0,
+          java.lang.Math.floorMod(seed * 31 + y.toLong * w + x, 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(w * h / 2 + 128)
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
   // ---------------------------------------------------------------- queries entry
   /** Binary-column metadata projection over documents-as-blobs: the
     * metadata/pruning half of the multimodal story, fully SQL-expressible
@@ -175,8 +274,50 @@ object Multimodal {
       |  ((last_step + 1) * 256)::BIGINT AS bytes_read
       |FROM f ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q194: real decode through the gate
+  /** REAL PNG encode→decode with decoded pixels through the DuckDB gate:
+    * per document, synthesize the deterministic grayscale PNG
+    * ([[synthPng]], seed = doc_id, 30×30 — 900 is deliberately NOT a
+    * multiple of 256 so the stats vary per image), decode it back with
+    * the JDK's actual PNG reader ([[decodeImages]]), and emit exact
+    * integer pixel aggregates. The oracle reproduces every statistic in
+    * closed form from the pixel formula via `generate_series` — so a
+    * decoder that returned wrong pixels, wrong dimensions, or the right
+    * pixels in the wrong raster order (px_posw) hash-mismatches.
+    *
+    * Scale: map-only — encode, decode and the per-image aggregates all
+    * happen inside one `mapPartitions` pass with nothing wider than a
+    * single 900-px image held at a time; no shuffle before the final
+    * order-for-display. This is the real multimodal contract: binary
+    * payloads stay partition-local, codecs initialize per-partition, and
+    * per-media features come out as narrow typed rows. */
+  def q194ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (w, h) = (30, 30)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        decodeImages(ids.map(id => MediaRow(id, "image/png", synthPng(id, w, h))))
+      }
+      .toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("px_sum"), col("px_min"), col("px_max"), col("px_posw"))
+      .orderBy(col("media_id"))
+  }
+
+  val q194Sql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id AS media_id, s.i AS i,
+      |         ((d.doc_id * 31 + s.i) % 256 + 256) % 256 AS v
+      |  FROM documents d, generate_series(0, 899) AS s(i)
+      |)
+      |SELECT media_id, 30 AS width, 30 AS height,
+      |  sum(v)::BIGINT AS px_sum, min(v)::INTEGER AS px_min,
+      |  max(v)::INTEGER AS px_max, sum(v * i)::BIGINT AS px_posw
+      |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q38_binary_meta",      q38BinaryMeta _,      Some(q38Sql)),
     ("q168_frame_inventory", q168FrameInventory _, Some(q168Sql)),
+    ("q194_image_decode",    q194ImageDecode _,    Some(q194Sql)),
   )
 }

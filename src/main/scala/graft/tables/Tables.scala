@@ -108,12 +108,21 @@ object Tables {
   /** embeddings.embedding normalized to array<float> — the element type
     * every vector kernel (CosineSimExpr, LshBucketExpr, …) binds to.
     * Same defensive posture as [[events]]: if a future testdata round
-    * ships float64 (or decoded-from-JSON) vectors, normalize at the one
-    * choke point instead of failing analysis in 30 queries. */
+    * ships float64, or JSON-string-serialized, vectors, normalize at the
+    * one choke point instead of failing analysis in 30 queries.
+    * (float64→float32 narrowing is intentional: the kernels are float32
+    * and today's testdata is float32-exact, so narrowed values are
+    * bit-identical; if genuinely-float64 vectors ever arrive the oracle
+    * legs must be quantized through float32 the same way — see
+    * EmbEncodingMatrixSpec.) */
   def embeddings(s: SparkSession, d: String): DataFrame = {
     val df = apply(s, d, "embeddings")
     df.schema("embedding").dataType match {
       case org.apache.spark.sql.types.ArrayType(FloatType, _) => df
+      case org.apache.spark.sql.types.StringType =>
+        // a cast from string is unsupported; parse the JSON array form
+        df.withColumn("embedding",
+          from_json(col("embedding"), org.apache.spark.sql.types.ArrayType(FloatType)))
       case _ => df.withColumn("embedding",
         col("embedding").cast(org.apache.spark.sql.types.ArrayType(FloatType)))
     }

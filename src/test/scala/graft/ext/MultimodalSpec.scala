@@ -49,6 +49,60 @@ class MultimodalSpec extends SparkSpec {
     assert(out(41).feature(0) == 42.0f)
   }
 
+  test("real PNG decode recovers exact synthetic pixels, raster order included") {
+    import spark.implicits._
+    val (w, h) = (7, 5)
+    val rows = Seq(11L, 12L, 13L).map(id =>
+      MediaRow(id, "image/png", synthPng(id, w, h))).toDS().repartition(2)
+    val feats = rows.mapPartitions(decodeImages _).collect().sortBy(_.media_id)
+    assert(feats.forall(f => f.decoded && f.width == w && f.height == h))
+    // closed-form expectations from the synth formula
+    for (f <- feats) {
+      val px = (0 until w * h).map(i => Math.floorMod(f.media_id * 31 + i, 256L).toInt)
+      assert(f.px_sum == px.map(_.toLong).sum)
+      assert(f.px_min == px.min && f.px_max == px.max)
+      assert(f.px_posw == px.zipWithIndex.map { case (v, i) => v.toLong * i }.sum,
+        s"raster order wrong for ${f.media_id}")
+    }
+  }
+
+  test("BMP and GIF decode through the same path; garbage falls back flagged") {
+    import spark.implicits._
+    // re-encode a synthetic gray image as BMP and GIF via the JDK writers
+    def reencode(fmt: String): Array[Byte] = {
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(synthPng(21L, 6, 4)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(src, fmt, bos), s"no JDK writer for $fmt")
+      bos.toByteArray
+    }
+    val gifBytes = reencode("gif")
+    val rows = Seq(
+      MediaRow(1L, "image/bmp", reencode("bmp")),
+      MediaRow(2L, "image/gif", gifBytes),
+      MediaRow(3L, "image/png", Array[Byte](1, 2, 3, 4))).toDS()
+    val out = rows.mapPartitions(decodeImages _).collect().sortBy(_.media_id)
+    // BMP gray is lossless: exact closed-form pixels
+    val expect = (0 until 24).map(i => Math.floorMod(21L * 31 + i, 256L).toInt)
+    assert(out(0).decoded && out(0).width == 6 && out(0).height == 4)
+    assert(out(0).px_sum == expect.map(_.toLong).sum)
+    assert(out(0).px_posw == expect.zipWithIndex.map { case (v, i) => v.toLong * i }.sum)
+    // GIF decodes INDEXED — the JDK GIF *writer* is not pixel-faithful for
+    // this shape, so ground truth is an independent palette-resolved read
+    // of the same bytes: asserts our indexed branch resolves the palette
+    // (raw raster samples — indices — would NOT match getRGB values here)
+    val gim = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gifBytes))
+    assert(gim.getColorModel.isInstanceOf[java.awt.image.IndexColorModel])
+    val gpx = for (y <- 0 until gim.getHeight; x <- 0 until gim.getWidth) yield {
+      val rgb = gim.getRGB(x, y)
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+    }
+    assert(out(1).decoded && out(1).width == gim.getWidth && out(1).height == gim.getHeight)
+    assert(out(1).px_sum == gpx.map(_.toLong).sum)
+    assert(out(1).px_posw == gpx.zipWithIndex.map { case (v, i) => v.toLong * i }.sum)
+    assert(!out(2).decoded && out(2).px_sum == 1L + 2 + 3 + 4) // byte-moment fallback
+  }
+
   test("SQL surface: registered native functions work via spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val cos = spark.sql(

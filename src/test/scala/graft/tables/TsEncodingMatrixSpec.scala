@@ -133,23 +133,6 @@ class TsEncodingMatrixSpec extends SparkSpec {
     assert(fL == fN && fL == fG, "window-frame results differ across ts encodings")
   }
 
-  test("float64-encoded embeddings normalize and pass full analysis") {
-    // same defensive posture as the ts matrix: if a future round ships
-    // array<double> vectors, Tables.embeddings must normalize them
-    // before the float32 vector kernels bind
-    val d = tmpDir("emb_f64")
-    (otherTables.filterNot(_ == "embeddings") :+ "events").foreach { t =>
-      Files.createSymbolicLink(Paths.get(d, s"$t.parquet"),
-        Paths.get(baseSf, s"$t.parquet"))
-    }
-    val f64 = Tables.embeddings(spark, baseSf).withColumn("embedding",
-      org.apache.spark.sql.functions.col("embedding")
-        .cast(org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType)))
-    f64.write.parquet(s"$d/embeddings.parquet")
-    assert(Tables.embeddings(spark, d).schema("embedding").dataType ==
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.FloatType, containsNull = true))
-    analyzeAll(d, "emb-f64")
-  }
+  // float64/JSON-string embedding encodings: see EmbEncodingMatrixSpec,
+  // the vector-column analogue of this matrix.
 }
