@@ -10,11 +10,13 @@ import graft.tables.Tables
   *
   * IMAGES decode for real: `javax.imageio` ships in the JDK (PNG/BMP/GIF),
   * so [[decodeImages]] produces actual pixels, oracle-gated via
-  * [[q194ImageDecode]]. VIDEO/AUDIO have no JDK demuxer and the container
-  * ships no codec, so [[decodeStub]]/[[sampleFramesStub]] stay
-  * clearly-marked deterministic fakes — but their Spark-side plumbing
-  * (schema, batch shape, partition-local execution, feature output) is
-  * real and tested.
+  * [[q194ImageDecode]]. AUDIO decodes for real too: `javax.sound.sampled`
+  * reads RIFF/WAVE PCM, so [[decodeAudio]] produces actual samples,
+  * oracle-gated via [[q195AudioDecode]]. Only VIDEO (and compressed
+  * audio) has no JDK demuxer and the container ships no codec, so
+  * [[decodeStub]]/[[sampleFramesStub]] stay clearly-marked deterministic
+  * fakes — but their Spark-side plumbing (schema, batch shape,
+  * partition-local execution, feature output) is real and tested.
   * At 100 TB the pattern is: binary column in parquet (so column pruning
   * skips the bytes unless referenced), `repartition` to bound task input
   * size, `mapPartitions` so any native decoder initializes once per
@@ -208,6 +210,93 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---------------------------------------------------------------- real audio codec path
+  /** Decoded-audio statistics: header fields plus exact integer sample
+    * aggregates. `s_posw` is the position-weighted sum Σ v(i)·i over frame
+    * order — like the image path's px_posw it pins the decoder's sample
+    * ORDER, not just its value distribution. `zero_cross` (sign
+    * transitions between consecutive samples) and `sq_sum` (energy) are
+    * the two standard audio screening features, both exact integers here.
+    * `decoded=false` marks payloads no installed reader accepts. */
+  case class AudioFeatures(media_id: Long, sample_rate: Int, n_samples: Long,
+                           s_sum: Long, s_min: Int, s_max: Int, s_posw: Long,
+                           sq_sum: Long, zero_cross: Long, decoded: Boolean)
+
+  /** REAL audio decode — `javax.sound.sampled` ships in the JDK and reads
+    * RIFF/WAVE PCM with no external codec (compressed audio — mp3/aac —
+    * would need the FFI decoder the video STUBs stand in for).
+    * Partition-local like [[decodeImages]]: rows stream through one
+    * in-memory header-parse + sample scan each; nothing wider than one
+    * payload is held. 16-bit signed little-endian mono is the contract
+    * (what [[synthWav]] writes and what WAV canonically stores); other
+    * layouts fall back flagged rather than decode wrongly. */
+  def decodeAudio(rows: Iterator[MediaRow]): Iterator[AudioFeatures] = {
+    rows.map { r =>
+      val parsed =
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian &&
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            Some((f.getSampleRate.toInt, ais.readAllBytes()))
+          else None
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+      parsed match {
+        case Some((rate, data)) =>
+          val n = data.length / 2
+          var sum = 0L; var posw = 0L; var sq = 0L; var zc = 0L
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          var prevNonNeg = false
+          var i = 0
+          while (i < n) {
+            // 16-bit little-endian signed: high byte sign-extends
+            val v = (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+            sum += v; posw += v.toLong * i; sq += v.toLong * v
+            if (v < mn) mn = v; if (v > mx) mx = v
+            val nonNeg = v >= 0
+            if (i > 0 && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
+            i += 1
+          }
+          AudioFeatures(r.media_id, rate, n, sum,
+            if (mn == Int.MaxValue) 0 else mn, if (mx == Int.MinValue) 0 else mx,
+            posw, sq, zc, decoded = true)
+        case None =>
+          // undecodable → byte-moment fallback so the row is kept, flagged
+          val bs = r.payload
+          var s0 = 0L; var i = 0
+          while (i < bs.length) { s0 += bs(i) & 0xff; i += 1 }
+          AudioFeatures(r.media_id, 0, 0L, s0, 0, 0, 0L, 0L, 0L, decoded = false)
+      }
+    }
+  }
+
+  /** Deterministic 16-bit PCM mono WAV: sample i = ((seed·131 + i·7919)
+    * mod 65536) − 32768, through the JDK's REAL WAVE encoder — the audio
+    * twin of [[synthPng]]. The 7919 stride wraps the 16-bit range every
+    * ~8 samples, so the signal crosses zero constantly (a real workout for
+    * zero_cross) while staying closed-form for an oracle. */
+  def synthWav(seed: Long, n: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = java.lang.Math.floorMod(seed * 131 + i.toLong * 7919, 65536L).toInt - 32768
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream(n * 2 + 64)
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   // ---------------------------------------------------------------- queries entry
   /** Binary-column metadata projection over documents-as-blobs: the
     * metadata/pruning half of the multimodal story, fully SQL-expressible
@@ -315,9 +404,58 @@ object Multimodal {
       |  max(v)::INTEGER AS px_max, sum(v * i)::BIGINT AS px_posw
       |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q195: real audio decode through the gate
+  /** REAL WAV encode→decode with decoded samples through the DuckDB gate:
+    * per document, synthesize the deterministic 16-bit PCM WAV
+    * ([[synthWav]], seed = doc_id, 512 samples @ 8 kHz), decode it back
+    * with the JDK's actual RIFF/WAVE reader ([[decodeAudio]]), and emit
+    * exact integer sample aggregates. The oracle reproduces every
+    * statistic in closed form from the sample formula — so a decoder that
+    * mis-parsed the 44-byte header, flipped endianness (s_min/s_max swap
+    * wildly), dropped samples (n_samples), or returned samples out of
+    * order (s_posw) hash-mismatches. zero_cross additionally pins the
+    * signed interpretation: an unsigned mis-read has ~no sign changes.
+    *
+    * Scale: map-only, like q194 — encode, decode and the per-clip
+    * aggregates run inside one `mapPartitions` with a single 1 KiB clip
+    * held at a time; no shuffle before the order-for-display. */
+  def q195AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 512
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        decodeAudio(ids.map(id => MediaRow(id, "audio/wav", synthWav(id, n))))
+      }
+      .toDF()
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("s_sum"), col("s_min"), col("s_max"), col("s_posw"),
+        col("sq_sum"), col("zero_cross"))
+      .orderBy(col("media_id"))
+  }
+
+  val q195Sql: String =
+    """WITH sm AS (
+      |  SELECT d.doc_id AS media_id, s.i AS i,
+      |         ((d.doc_id * 131 + s.i * 7919) % 65536 + 65536) % 65536 - 32768 AS v
+      |  FROM documents d, generate_series(0, 511) AS s(i)
+      |),
+      |z AS (
+      |  SELECT media_id, i, v,
+      |         CASE WHEN lag(v) OVER (PARTITION BY media_id ORDER BY i) IS NOT NULL
+      |               AND ((lag(v) OVER (PARTITION BY media_id ORDER BY i) >= 0) <> (v >= 0))
+      |              THEN 1 ELSE 0 END AS zc
+      |  FROM sm
+      |)
+      |SELECT media_id, 8000 AS sample_rate, count(*)::BIGINT AS n_samples,
+      |  sum(v)::BIGINT AS s_sum, min(v)::INTEGER AS s_min, max(v)::INTEGER AS s_max,
+      |  sum(v * i)::BIGINT AS s_posw, sum(v * v)::BIGINT AS sq_sum,
+      |  sum(zc)::BIGINT AS zero_cross
+      |FROM z GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q38_binary_meta",      q38BinaryMeta _,      Some(q38Sql)),
     ("q168_frame_inventory", q168FrameInventory _, Some(q168Sql)),
     ("q194_image_decode",    q194ImageDecode _,    Some(q194Sql)),
+    ("q195_audio_decode",    q195AudioDecode _,    Some(q195Sql)),
   )
 }

@@ -233,6 +233,108 @@ object Similarity {
       |             unnest(embedding)::DOUBLE AS x FROM embeddings) t(vec_id, d, x)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- C3: dimension-pair covariance screen
+  /** Off-diagonal covariance screen over the embedding matrix — q176's
+    * pairwise sequel and the input to PCA/whitening/rotation decisions:
+    * strongly covarying dimension PAIRS mean the basis wastes capacity
+    * (a whitening transform or PCA rotation would decorrelate them), and
+    * they break the independence assumption product-quantization codebooks
+    * rely on.
+    *
+    * Exactness: values quantize to the integer grid w = ⌊1000·x⌋ first
+    * (float32→double widen is exact, the double product and floor are
+    * IEEE-identical on both engines), so every co-moment is BIGINT
+    * arithmetic — the pair covariance numerator n·S_ij − S_i·S_j is
+    * engine- and partitioning-exact, no float-sum-order leeway. (The
+    * rounded `cov` column divides two exact integers — one IEEE divide,
+    * identical everywhere.)
+    *
+    * Scale: the d×d/2 co-moment matrix accumulates per PARTITION inside
+    * one `mapPartitions` pass (one 64×64 Long array per task — the
+    * classic X^T·X block update), so the shuffle carries ≤ P·d(d−1)/2
+    * partial rows regardless of corpus size; everything downstream is
+    * 2016-row arithmetic. The naive alternative — explode + self-join on
+    * vec_id — shuffles n·d rows twice and is what this plan exists to
+    * avoid. (At 10^9+ rows the integer numerator would overflow BIGINT:
+    * there the same pass accumulates mean-centered doubles instead; the
+    * integer form is what makes the GATE exact.) */
+  def q196DimCovariance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = Tables.embeddings(s, dir)
+      .select(transform(col("embedding"),
+        v => floor(v.cast("double") * 1000).cast("long")).as("w"))
+    // per-partition triangular accumulator; emits (i,j,S_ij) partials for
+    // i<j, (i,i,S_i) per-dim sums, and one (-1,-1,n) count row
+    val partials = quant.as[Array[Long]].mapPartitions { rows =>
+      var dims = 0
+      var n = 0L
+      var acc: Array[Long] = null // flattened upper triangle + diag sums
+      var sums: Array[Long] = null
+      rows.foreach { w =>
+        if (acc == null) {
+          dims = w.length
+          acc = new Array[Long](dims * dims)
+          sums = new Array[Long](dims)
+        }
+        n += 1
+        var i = 0
+        while (i < dims) {
+          val wi = w(i)
+          sums(i) += wi
+          var j = i + 1
+          while (j < dims) { acc(i * dims + j) += wi * w(j); j += 1 }
+          i += 1
+        }
+      }
+      if (acc == null) Iterator.empty
+      else {
+        val pairRows = for {
+          i <- (0 until dims).iterator
+          j <- (i + 1) until dims
+        } yield (i, j, acc(i * dims + j))
+        val dimRows = (0 until dims).iterator.map(i => (i, i, sums(i)))
+        pairRows ++ dimRows ++ Iterator((-1, -1, n))
+      }
+    }.toDF("di", "dj", "s")
+    val pairs = partials.filter(col("di") >= 0 && col("di") < col("dj"))
+      .groupBy(col("di"), col("dj")).agg(sum(col("s")).as("s_ij"))
+    val dimS = partials.filter(col("di") >= 0 && col("di") === col("dj"))
+      .groupBy(col("di").as("d")).agg(sum(col("s")).as("s_d"))
+    val nTot = partials.filter(col("di") === -1).agg(sum(col("s")).as("n"))
+    pairs
+      .crossJoin(broadcast(nTot))
+      .join(broadcast(dimS.select(col("d").as("di"), col("s_d").as("s_i"))), Seq("di"))
+      .join(broadcast(dimS.select(col("d").as("dj"), col("s_d").as("s_j"))), Seq("dj"))
+      .select((col("di") + 1).as("di"), (col("dj") + 1).as("dj"),
+        (col("n") * col("s_ij") - col("s_i") * col("s_j")).as("cov_num"),
+        round((col("n") * col("s_ij") - col("s_i") * col("s_j")) /
+          (col("n") * col("n") * lit(1000000.0)), 8).as("cov"))
+      .orderBy(abs(col("cov_num")).desc, col("di"), col("dj"))
+      .limit(20)
+  }
+
+  val q196Sql: String =
+    """WITH w AS (
+      |  SELECT vec_id, d AS i, CAST(floor(x * 1000) AS BIGINT) AS w
+      |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+      |               unnest(embedding)::DOUBLE AS x FROM embeddings) t(vec_id, d, x)
+      |),
+      |pairs AS (
+      |  SELECT a.i AS di, b.i AS dj, sum(a.w * b.w)::BIGINT AS s_ij
+      |  FROM w a JOIN w b ON b.vec_id = a.vec_id AND b.i > a.i
+      |  GROUP BY 1, 2
+      |),
+      |dims AS (SELECT i, sum(w)::BIGINT AS s_i FROM w GROUP BY i),
+      |nt AS (SELECT count(*) AS n FROM embeddings)
+      |SELECT p.di, p.dj,
+      |  (nt.n * p.s_ij - da.s_i * db.s_i)::BIGINT AS cov_num,
+      |  round((nt.n * p.s_ij - da.s_i * db.s_i) / (nt.n * nt.n * 1000000.0), 8) AS cov
+      |FROM pairs p, nt
+      |JOIN dims da ON da.i = p.di
+      |JOIN dims db ON db.i = p.dj
+      |ORDER BY abs(nt.n * p.s_ij - da.s_i * db.s_i) DESC, p.di, p.dj
+      |LIMIT 20""".stripMargin
+
   val q31Sql: String =
     s"""WITH $lshCtes,
        |qs AS (SELECT vec_id AS q_id, bucket FROM buck WHERE vec_id < 5),
@@ -924,6 +1026,7 @@ object Similarity {
     ("q52_ann_multiprobe", q52AnnMultiprobe _, Some(q52Sql)),
     ("q174_ann_recall",    q174AnnRecall _,    Some(q174Sql)),
     ("q176_dim_variance",  q176DimVariance _,  Some(q176Sql)),
+    ("q196_dim_covariance", q196DimCovariance _, Some(q196Sql)),
     ("q54_embed_neardup",  q54EmbedNearDup _,  Some(q54Sql)),
     ("q76_hard_negatives", q76HardNegatives _, Some(q76Sql)),
     ("q92_embed_quantize", q92EmbedQuantize _, Some(q92Sql)),

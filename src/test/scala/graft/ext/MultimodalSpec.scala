@@ -103,6 +103,36 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(2).decoded && out(2).px_sum == 1L + 2 + 3 + 4) // byte-moment fallback
   }
 
+  test("real WAV decode recovers exact synthetic samples, order and sign included") {
+    import spark.implicits._
+    val n = 96
+    val rows = Seq(5L, 6L, 7L).map(id =>
+      MediaRow(id, "audio/wav", synthWav(id, n))).toDS().repartition(2)
+    val feats = rows.mapPartitions(decodeAudio _).collect().sortBy(_.media_id)
+    assert(feats.forall(f => f.decoded && f.sample_rate == 8000 && f.n_samples == n))
+    for (f <- feats) {
+      val sm = (0 until n).map(i =>
+        Math.floorMod(f.media_id * 131 + i.toLong * 7919, 65536L).toInt - 32768)
+      assert(f.s_sum == sm.map(_.toLong).sum)
+      assert(f.s_min == sm.min && f.s_max == sm.max)
+      assert(f.s_posw == sm.zipWithIndex.map { case (v, i) => v.toLong * i }.sum,
+        s"sample order wrong for ${f.media_id}")
+      assert(f.sq_sum == sm.map(v => v.toLong * v).sum)
+      val zc = sm.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+      assert(f.zero_cross == zc && zc > 0, s"zero_cross wrong for ${f.media_id}")
+    }
+  }
+
+  test("non-WAV payloads fall back flagged from the audio decoder") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "audio/mp3", Array[Byte](1, 2, 3, 4)),     // not RIFF
+      MediaRow(2L, "audio/wav", synthWav(2L, 8))).toDS()
+    val out = rows.mapPartitions(decodeAudio _).collect().sortBy(_.media_id)
+    assert(!out(0).decoded && out(0).s_sum == 1L + 2 + 3 + 4)  // byte-moment fallback
+    assert(out(1).decoded && out(1).n_samples == 8)
+  }
+
   test("SQL surface: registered native functions work via spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val cos = spark.sql(
