@@ -30,30 +30,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** Run `body` with the two events-specific parquet reader confs set,
-    * restoring previous values after: nanosAsLong must be on for the
-    * NANOS encoding to be readable at all, and NTZ inference must be off
-    * so µs/NTZ data lands as LTZ — but both are SESSION-scoped knobs, so
-    * leaving them flipped would silently change the type of unrelated
-    * parquet reads elsewhere in the session. Schema resolution happens
-    * inside `spark.read.parquet` (and is then cached), so scoping the
-    * flip around the relation build is sufficient. Serialized per
-    * session: overlapping set/restore from two threads could capture
-    * each other's in-flight values and leave a conf permanently flipped
-    * (or build the relation with the wrong confs). */
-  private def withEventsReaderConfs[T](s: SparkSession)(body: => T): T = s.synchronized {
-    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    val prevNtz = s.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    try body
-    finally {
-      prevNanos.fold(s.conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
-      prevNtz.fold(s.conf.unset("spark.sql.parquet.inferTimestampNTZ.enabled"))(
-        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", _))
+  /** The events relation built under a CLONED session with the two
+    * events-specific parquet reader confs set: nanosAsLong must be on for
+    * the NANOS encoding to be readable at all, and NTZ inference must be
+    * off so µs/NTZ data lands as LTZ. Both are SESSION-scoped knobs with
+    * no per-read DataFrameReader option (checked against Spark 4's
+    * ParquetOptions), and flipping them on the caller's session — even
+    * set/restore-scoped — leaks to a concurrent unrelated
+    * `spark.read.parquet` on another thread, which would then silently
+    * resolve a different timestamp type. A derived session (same
+    * SparkContext, isolated SQLConf) means the flip is never
+    * visible outside; the relation keeps working from the caller's
+    * session because a file-source scan executes against the session its
+    * HadoopFsRelation was built with. Cached per (session, path) like
+    * every other table, so the clone is built once. */
+  private def eventsRelation(s: SparkSession, d: String): DataFrame =
+    cache(s, s"$d/events.parquet") { (sess, p) =>
+      // newSession() starts from SparkConf defaults, so replay the
+      // caller's modifiable runtime confs first (cloneSession would
+      // inherit them wholesale but is private[sql] in Spark 4) — the
+      // session-zone and shuffle-partition settings must match or the
+      // relation would resolve timestamps in a different zone
+      val c = sess.newSession()
+      sess.conf.getAll.foreach { case (k, v) =>
+        if (c.conf.isModifiable(k)) c.conf.set(k, v)
+      }
+      c.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      c.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      c.read.parquet(p)
     }
-  }
 
   /** events.ts normalized to session-zone TIMESTAMP (micros) whatever the
     * parquet logical type. The driver's generator has shipped three
@@ -71,7 +76,7 @@ object Tables {
     *     relation was built before the conf was set.
     *   - TIMESTAMP(µs, adjusted): already LTZ, pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
-    val df = withEventsReaderConfs(s)(apply(s, d, "events"))
+    val df = eventsRelation(s, d)
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
@@ -85,7 +90,7 @@ object Tables {
     * row-group min/max stats. Bounds are whole-second UTC timestamps, so
     * ns and truncated-µs ranges select identical rows. */
   def eventsInRange(s: SparkSession, d: String, fromUtc: String, toUtc: String): DataFrame = {
-    val df = withEventsReaderConfs(s)(apply(s, d, "events"))
+    val df = eventsRelation(s, d)
     def ns(t: String): Long =
       java.time.LocalDateTime.parse(t.replace(' ', 'T'))
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
