@@ -296,6 +296,9 @@ object Similarity {
         pairRows ++ dimRows ++ Iterator((-1, -1, n))
       }
     }.toDF("di", "dj", "s")
+      // three consumers (pairs, per-dim sums, count) — materialize the
+      // P·(d²/2+d+1)-row partials once or the corpus pass runs three times
+      .localCheckpoint(true)
     val pairs = partials.filter(col("di") >= 0 && col("di") < col("dj"))
       .groupBy(col("di"), col("dj")).agg(sum(col("s")).as("s_ij"))
     val dimS = partials.filter(col("di") >= 0 && col("di") === col("dj"))
