@@ -125,24 +125,39 @@ object Dedup {
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     pairCache(s, dir) { (sess, d) => computeVerifiedPairs(sess, d) }
 
-  private def computeVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    // Band b packs sig[4b..4b+3] with base-31 weights into one key — a
-    // per-row expression over the signature array; docs sharing any
-    // (band, key) are candidates. Only the bucket equi-join and the exact
-    // verification of the (tiny) candidate set shuffle.
+  /** (doc_id, band, bkey) LSH bucket rows: band b packs sig[4b..4b+3]
+    * with base-31 weights into one key — a per-row expression over the
+    * signature array; docs sharing any (band, key) are candidates. */
+  private def bandBuckets(s: SparkSession, dir: String): DataFrame = {
     val bandKeys = transform(sequence(lit(0), lit(3)), b =>
       element_at(col("sig"), b * 4 + 1) +
       element_at(col("sig"), b * 4 + 2) * 31L +
       element_at(col("sig"), b * 4 + 3) * 961L +
       element_at(col("sig"), b * 4 + 4) * 29791L)
+    withSig(s, dir)
+      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
+  }
+
+  /** Exact shingle-Jaccard per candidate pair: join the pair list back
+    * to the (candidate-sized set of) texts, one fused-kernel pass per
+    * pair — no corpus shingle explosion, no shingle-equality shuffle. */
+  private def verifyPairs(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    cands
+      .join(toks.select(col("doc_id").as("d1"), col("tk").as("tk1")), Seq("d1"))
+      .join(toks.select(col("doc_id").as("d2"), col("tk").as("tk2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(graft.functions.GraftFunctions.jaccard_shingles(col("tk1"), col("tk2")), 4).as("jacc"))
+  }
+
+  private def computeVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     // buckets feeds both sides of the self-join; persist for the join,
     // eagerly materialize the (tiny) candidate set via localCheckpoint,
     // then unpersist so NO cache — corpus-sized or otherwise — outlives
     // this call even though the returned plan still reads the candidates.
     // (At 100 TB: checkpoint the signature table to parquet instead.)
-    val buckets = withSig(s, dir)
-      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
-      .persist()
+    val buckets = bandBuckets(s, dir).persist()
     val cands = buckets.as("b1")
       .join(buckets.as("b2"),
         col("b1.band") === col("b2.band") && col("b1.bkey") === col("b2.bkey") &&
@@ -151,16 +166,7 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)   // forces while buckets is cached
     buckets.unpersist()
-    // Exact verification: join the candidate pairs back to the (tiny set
-    // of) texts and run the one-pass Jaccard kernel per pair — no corpus
-    // shingle explosion, no shingle-equality shuffle.
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    cands
-      .join(toks.select(col("doc_id").as("d1"), col("tk").as("tk1")), Seq("d1"))
-      .join(toks.select(col("doc_id").as("d2"), col("tk").as("tk2")), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        round(graft.functions.GraftFunctions.jaccard_shingles(col("tk1"), col("tk2")), 4).as("jacc"))
+    verifyPairs(s, dir, cands)
       // eager: the cached entry must hold the (tiny) pair table itself, not
       // a lineage that re-scans the corpus on every consumer
       .localCheckpoint(true)
@@ -434,6 +440,79 @@ object Dedup {
 
   val q55Sql: String =
     s"""WITH RECURSIVE $clusterCtes,
+       |cs AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY cluster)
+       |SELECT c.doc_id, c.cluster, cs.csize,
+       |       CASE WHEN c.doc_id = c.cluster THEN 1 ELSE 0 END AS keep
+       |FROM comp c JOIN cs USING (cluster)
+       |ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q197: star-linked cluster resolution (clique-safe)
+  /** Near-dup clusters via STAR linking — the clique-safe alternative to
+    * q55's all-pairs candidate enumeration, motivated by the measured
+    * 10× probe (SCALE.md): on a corpus with dup-cliques of size m, a
+    * bucket holds m mutual near-dups and the pairwise candidate join
+    * emits C(m,2) pairs — viral boilerplate with 10⁶ copies means 10¹²
+    * candidates, unrunnable anywhere. Star linking instead joins each
+    * bucket member to the bucket's MIN doc id: O(m) edges per bucket,
+    * strictly output-linear, and connected components over the verified
+    * stars still resolve every transitive clique (each member shares a
+    * verified edge with the representative).
+    *
+    * Semantics note (the documented trade): a bucket member whose exact
+    * Jaccard to the REPRESENTATIVE fails the threshold drops its edge
+    * even if it would have verified against some other member — each of
+    * the 4 bands contributes an independent representative, so a true
+    * near-dup pair is lost only if it fails rep-verification in ALL its
+    * shared bands. On transitive clique corpora (re-scrapes, mirrors —
+    * the case that breaks all-pairs) star and all-pairs clusters are
+    * identical; the oracle pins the star semantics exactly. */
+  def q197StarClusters(s: SparkSession, dir: String): DataFrame = {
+    val buckets = bandBuckets(s, dir).persist()
+    // one representative per (band, bucket): min doc id — an aggregate +
+    // equi-join, never a bucket self-join
+    val reps = buckets.groupBy(col("band"), col("bkey")).agg(min(col("doc_id")).as("d1"))
+    val stars = buckets.join(reps, Seq("band", "bkey"))
+      .filter(col("doc_id") > col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"))
+      .distinct()
+      .localCheckpoint(true)   // forces while buckets is cached
+    buckets.unpersist()
+    val edges = verifyPairs(s, dir, stars).filter(col("jacc") >= 0.5)
+      .select(col("d1"), col("d2"))
+    val comp = connectedComponents(edges, "d1", "d2")
+    val sizes = comp.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    comp.join(sizes, Seq("cluster"))
+      .select(col("node").as("doc_id"), col("cluster"), col("csize"),
+        when(col("node") === col("cluster"), lit(1)).otherwise(lit(0)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q197Sql: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       |tv AS (SELECT doc_id, ${tokvalSql("g")} AS tv FROM tri),
+       |hs AS (SELECT h FROM range(16) t(h)),
+       |sig AS (SELECT doc_id, h, min(${minhashTermSql("tv", "h")}) AS minh
+       |        FROM tv CROSS JOIN hs GROUP BY doc_id, h),
+       |buckets AS (SELECT doc_id, h // 4 AS band,
+       |        sum(minh * (CASE h % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS bkey
+       |        FROM sig GROUP BY doc_id, band),
+       |reps AS (SELECT band, bkey, min(doc_id) AS rep FROM buckets GROUP BY band, bkey),
+       |stars AS (SELECT DISTINCT r.rep AS d1, b.doc_id AS d2
+       |        FROM reps r JOIN buckets b ON b.band = r.band AND b.bkey = r.bkey
+       |        WHERE b.doc_id > r.rep),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+       |inter AS (SELECT d1, d2, count(*) AS inter FROM stars
+       |        JOIN tri ta ON ta.doc_id = d1 JOIN tri tb ON tb.doc_id = d2 AND ta.g = tb.g
+       |        GROUP BY d1, d2),
+       |ve AS (SELECT c.d1, c.d2 FROM stars c
+       |        LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+       |        JOIN sizes s1 ON s1.doc_id = c.d1 JOIN sizes s2 ON s2.doc_id = c.d2
+       |        WHERE round(coalesce(i.inter, 0)::DOUBLE / (s1.sz + s2.sz - coalesce(i.inter, 0)), 4) >= 0.5),
+       |e AS (SELECT d1, d2 FROM ve UNION ALL SELECT d2, d1 FROM ve),
+       |reach AS (SELECT d1 AS n, d1 AS r FROM e
+       |          UNION
+       |          SELECT e.d1, re.r FROM e JOIN reach re ON re.n = e.d2),
+       |comp AS (SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n),
        |cs AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY cluster)
        |SELECT c.doc_id, c.cluster, cs.csize,
        |       CASE WHEN c.doc_id = c.cluster THEN 1 ELSE 0 END AS keep
@@ -965,6 +1044,7 @@ object Dedup {
     ("q28_trigram_jaccard", q28TrigramJaccard _, Some(q28Sql)),
     ("q177_minhash_accuracy", q177MinhashAccuracy _, Some(q177Sql)),
     ("q55_dedup_clusters",  q55DedupClusters _,  Some(q55Sql)),
+    ("q197_star_clusters",  q197StarClusters _,  Some(q197Sql)),
     ("q70_decontaminate",   q70Decontaminate _,  Some(q70Sql)),
     ("q73_fuzzy_match",     q73FuzzyMatch _,     Some(q73Sql)),
     ("q77_span_dedup",      q77SpanDedup _,      Some(q77Sql)),

@@ -34,7 +34,8 @@ object ScaleProbe {
     "q24_dedup_exact",     // hash dedup
     "q26_lsh_pairs",       // banded near-dup join
     "q46_ivf_ann",         // cell-confined ANN
-    "q55_dedup_clusters",  // connected components
+    "q55_dedup_clusters",  // connected components over all-pairs edges
+    "q197_star_clusters",  // connected components over star edges (clique-safe)
     "q70_decontaminate",   // broadcast probe dictionary
     "q97_max_intersections", // distributed sweep-line
     "q147_prefix_ssjoin",  // prefix-filtered similarity join
