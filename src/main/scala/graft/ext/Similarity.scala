@@ -338,6 +338,102 @@ object Similarity {
       |ORDER BY abs(nt.n * p.s_ij - da.s_i * db.s_i) DESC, p.di, p.dj
       |LIMIT 20""".stripMargin
 
+  /** Top-k principal components of the embedding matrix — the PCA half
+    * that q196's covariance SCREEN motivates (decorrelate/whiten before
+    * product quantization or dimension pruning). Scale split: the only
+    * corpus-sized work is ONE `mapPartitions` pass accumulating per-task
+    * (n, Σx, XᵀX) blocks (d + d² doubles per task, the dense twin of
+    * q196's integer triangle); everything after — combine, covariance,
+    * power iteration with deflation — is d²-bounded driver arithmetic
+    * (64×64 here; the classic big-data PCA recipe, valid while d² fits a
+    * driver core, i.e. up to d ≈ 10⁴). Deterministic: the start vector is
+    * the max-variance axis, not a random draw, so results are
+    * reproducible across runs/engines.
+    *
+    * Returns (components, eigenvalues, trace): `components(i)` is the
+    * i-th eigenvector (unit norm, sign fixed by its largest-|coord|
+    * entry being positive), `eigenvalues(i)` its variance share
+    * numerator; trace = total variance, so explained share =
+    * eigenvalue/trace. */
+  def topComponents(emb: DataFrame, k: Int, iters: Int = 100)
+      : (Array[Array[Double]], Array[Double], Double) = {
+    import emb.sparkSession.implicits._
+    val partials = emb.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { rows =>
+        var d = 0; var n = 0L
+        var s: Array[Double] = null; var m: Array[Double] = null
+        rows.foreach { v =>
+          if (s == null) { d = v.length; s = new Array[Double](d); m = new Array[Double](d * d) }
+          n += 1
+          var i = 0
+          while (i < d) {
+            val vi = v(i).toDouble
+            s(i) += vi
+            var j = i
+            while (j < d) { m(i * d + j) += vi * v(j); j += 1 }
+            i += 1
+          }
+        }
+        if (s == null) Iterator.empty
+        else Iterator.single((n, s.toSeq, m.toSeq))
+      }.collect()
+    require(partials.nonEmpty, "empty embedding table")
+    val d = partials.head._2.length
+    val n = partials.map(_._1).sum.toDouble
+    val sum = new Array[Double](d)
+    val mom = new Array[Double](d * d)
+    partials.foreach { case (_, s, m) =>
+      var i = 0; while (i < d) { sum(i) += s(i); i += 1 }
+      var j = 0; while (j < d * d) { mom(j) += m(j); j += 1 }
+    }
+    // covariance (population): C = M/n − μμᵀ, symmetrized from the upper
+    // triangle the pass filled
+    val cov = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val c = mom(i * d + j) / n - (sum(i) / n) * (sum(j) / n)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val comps = Array.ofDim[Double](k, d)
+    val eigs = new Array[Double](k)
+    val work = cov.map(_.clone())
+    for (c <- 0 until k) {
+      // deterministic start: axis of max remaining variance
+      val v = new Array[Double](d)
+      v((0 until d).maxBy(i => work(i)(i))) = 1.0
+      var it = 0
+      while (it < iters) {
+        val w = new Array[Double](d)
+        for (i <- 0 until d) { var acc = 0.0; var j = 0
+          while (j < d) { acc += work(i)(j) * v(j); j += 1 }; w(i) = acc }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm > 0) { for (i <- 0 until d) v(i) = w(i) / nrm }
+        it += 1
+      }
+      // sign convention: largest-|coord| entry positive
+      val pivot = (0 until d).maxBy(i => math.abs(v(i)))
+      if (v(pivot) < 0) for (i <- 0 until d) v(i) = -v(i)
+      var lam = 0.0
+      for (i <- 0 until d; j <- 0 until d) lam += v(i) * work(i)(j) * v(j)
+      comps(c) = v; eigs(c) = lam
+      // deflate: work −= λ v vᵀ
+      for (i <- 0 until d; j <- 0 until d) work(i)(j) -= lam * v(i) * v(j)
+    }
+    (comps, eigs, trace)
+  }
+
+  /** Project embeddings onto precomputed components: map-only, the
+    * apply step after [[topComponents]] (broadcast k×d matrix, fused
+    * per-row dot products — the corpus never shuffles). */
+  def projectComponents(emb: DataFrame, comps: Array[Array[Double]]): DataFrame = {
+    val exprs = comps.zipWithIndex.map { case (v, i) =>
+      val lits = array(v.map(x => lit(x.toFloat)): _*)
+      round(aggregate(zip_with(col("embedding"), lits, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x), 5).as(s"pc${i + 1}")
+    }
+    emb.select((col("vec_id") +: exprs.toSeq): _*)
+  }
+
   val q31Sql: String =
     s"""WITH $lshCtes,
        |qs AS (SELECT vec_id AS q_id, bucket FROM buck WHERE vec_id < 5),

@@ -249,6 +249,72 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Append)
   }
 
+  final case class FunnelEv(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelAdvance(user_id: Long, level: Int, reached: Timestamp)
+  // level-completion times in µs; Long.MinValue = level not reached
+  final case class FunnelSt(times: Seq[Long])
+
+  /** Streaming windowFunnel — the q83 batch funnel's greedy state machine
+    * run incrementally: per user, t(0) = first step-0 event ever, t(i) =
+    * first step-i event with t > t(i−1) and t ≤ t(0)+window. State is one
+    * |steps|-slot time vector per user (constant bytes however long the
+    * stream runs — never the event list the batch fold buffers). Emits a
+    * row whenever a user's deepest completed level advances, so the
+    * funnel report is a running `groupBy(level).count` over the output.
+    *
+    * Matches the batch q83 answer exactly when each user's events arrive
+    * in event-time order ACROSS micro-batches (within a batch the fold
+    * sorts); a cross-batch late event may be skipped by the greedy
+    * machine where the batch sort would have used it — the standard
+    * streaming trade, same caveat as [[LatestStateProcessor]]'s
+    * tie-break note. */
+  final class FunnelProcessor(steps: IndexedSeq[String], windowUs: Long)
+      extends StatefulProcessor[Long, FunnelEv, FunnelAdvance] {
+    @transient private var st: ValueState[FunnelSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelSt]("funnel", Encoders.product[FunnelSt],
+        TTLConfig.NONE)
+
+    private def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEv],
+        timers: TimerValues): Iterator[FunnelAdvance] = {
+      val t = (if (st.exists()) st.get().times
+               else Seq.fill(steps.length)(Long.MinValue)).toArray
+      val depth0 = t.lastIndexWhere(_ != Long.MinValue)
+      // fold in event-time order so within-batch behavior matches the
+      // batch fold's array_sort
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_type)).foreach { e =>
+        val sIdx = steps.indexOf(e.event_type)
+        val tm = micros(e.ts)
+        if (sIdx == 0 && t(0) == Long.MinValue) t(0) = tm
+        else if (sIdx > 0 && t(sIdx) == Long.MinValue && t(sIdx - 1) != Long.MinValue &&
+                 tm > t(sIdx - 1) && tm <= t(0) + windowUs) t(sIdx) = tm
+      }
+      // slots only fill when their predecessor is set, so any state
+      // change strictly deepens the funnel — one emit per advance
+      val depth = t.lastIndexWhere(_ != Long.MinValue)
+      if (depth > depth0) {
+        st.update(FunnelSt(t.toSeq))
+        Iterator.single(FunnelAdvance(key, depth + 1,
+          new Timestamp(t(depth) / 1000L)))
+      } else Iterator.empty
+    }
+  }
+
+  /** Per-user streaming funnel over `steps` within `window` of the first
+    * step (RocksDB state store required, as for [[latestStateStream]]). */
+  def funnelStream(ds: Dataset[FunnelEv], steps: Seq[String],
+      window: java.time.Duration): Dataset[FunnelAdvance] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor(steps.toIndexedSeq, window.toNanos / 1000L),
+        TimeMode.None(), OutputMode.Append)
+  }
+
   /** Streaming latest-state maintenance (ReplacingMergeTree / CDC upsert,
     * the q87 batch query in streaming form) on Spark 4's
     * `transformWithState` + RocksDB state store. State is exactly one

@@ -155,6 +155,32 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"multi-probe recall $recall too low on clustered data")
   }
 
+  test("power-iteration PCA recovers a planted dominant direction") {
+    val rnd = new scala.util.Random(23)
+    val d = 16
+    // unit direction u; x = a·u + small isotropic noise → top PC ≈ u
+    val u0 = Array.fill(d)(rnd.nextGaussian())
+    val nrm = math.sqrt(u0.map(x => x * x).sum)
+    val u = u0.map(_ / nrm)
+    val rows = (0 until 300).map { i =>
+      val a = 3.0 * rnd.nextGaussian()
+      (i.toLong, u.toSeq.map(x => (a * x + 0.05 * rnd.nextGaussian()).toFloat))
+    }
+    val emb = graft.tables.Tables.embeddings(spark, vecsDir(rows))
+    val (comps, eigs, trace) = Similarity.topComponents(emb, k = 2)
+    val cosU = math.abs(comps(0).zip(u).map { case (a, b) => a * b }.sum)
+    assert(cosU > 0.99, s"top PC misaligned with planted direction: |cos|=$cosU")
+    // the planted axis carries ~σ²·9 of variance vs d·0.05² noise — the
+    // explained share must dominate, and eigenvalues must be ordered
+    assert(eigs(0) / trace > 0.9, s"explained share ${eigs(0) / trace} too low")
+    assert(eigs(0) > eigs(1) && eigs(1) >= 0)
+    // projection is map-only and reproduces the driver-side dot product
+    val pc = Similarity.projectComponents(emb, comps).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byHand = rows.head._2.zip(comps(0)).map { case (x, c) => x * c }.sum
+    assert(math.abs(pc(0L) - byHand) < 1e-4)
+  }
+
   test("kmeans refinement recovers planted cluster means from poor init") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -223,4 +223,53 @@ class StatefulSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming funnel advances levels across micro-batches within the window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StatefulOps.FunnelEv]
+      val q = StatefulOps.funnelStream(in.toDS(),
+          Seq("signup", "click", "purchase"), java.time.Duration.ofHours(24))
+        .writeStream.format("memory").queryName("funnel_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // batch 1: user 1 signs up then clicks (out of order in the batch
+        // — fold sorts); user 2 clicks WITHOUT a signup (no level)
+        in.addData(
+          StatefulOps.FunnelEv(1, ts("2024-01-01 10:30:00"), "click"),
+          StatefulOps.FunnelEv(1, ts("2024-01-01 10:00:00"), "signup"),
+          StatefulOps.FunnelEv(2, ts("2024-01-01 09:00:00"), "click"))
+        q.processAllAvailable()
+        // batch 2: user 1 purchases (state carried: level 3); user 3
+        // signs up; user 2's late signup does NOT resurrect the old click
+        in.addData(
+          StatefulOps.FunnelEv(1, ts("2024-01-01 11:00:00"), "purchase"),
+          StatefulOps.FunnelEv(3, ts("2024-01-01 08:00:00"), "signup"),
+          StatefulOps.FunnelEv(2, ts("2024-01-01 10:00:00"), "signup"))
+        q.processAllAvailable()
+        // batch 3: user 3's click is OUTSIDE the 24 h window → no advance;
+        // a duplicate purchase for user 1 emits nothing
+        in.addData(
+          StatefulOps.FunnelEv(3, ts("2024-01-02 09:00:00"), "click"),
+          StatefulOps.FunnelEv(1, ts("2024-01-01 11:00:00"), "purchase"))
+        q.processAllAvailable()
+        val rows = spark.table("funnel_out").as[StatefulOps.FunnelAdvance].collect()
+          .sortBy(a => (a.user_id, a.level))
+        assert(rows.map(a => (a.user_id, a.level, a.reached)).toSeq == Seq(
+          (1L, 2, ts("2024-01-01 10:30:00")),   // deepest level of batch 1
+          (1L, 3, ts("2024-01-01 11:00:00")),
+          (2L, 1, ts("2024-01-01 10:00:00")),
+          (3L, 1, ts("2024-01-01 08:00:00"))), s"got ${rows.toSeq}")
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
