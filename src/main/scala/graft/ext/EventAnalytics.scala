@@ -190,6 +190,86 @@ object EventAnalytics {
       |UNION ALL SELECT 3, count(*) FROM s3
       |ORDER BY step""".stripMargin
 
+  // ---------------------------------------------------------------- q198: multi-window funnel sweep
+  /** windowFunnel parameter sweep — conversion at THREE window sizes
+    * (1 h / 6 h / 24 h) from ONE user-keyed pass: the question behind
+    * every windowFunnel dashboard is "how sensitive is conversion to the
+    * window", and answering it with one fold per window re-shuffles the
+    * fact table once per parameter. Here the per-user state machine
+    * carries all three windows' slots simultaneously (t1 shared — first
+    * signup is window-independent; per window the first qualifying click
+    * then purchase), so the sweep costs exactly one user-keyed shuffle —
+    * the same bound as single-window q83, whose greedy semantics each
+    * window leg reproduces verbatim. Counts are exact integers; the
+    * conversion share is integer-half-up at 4 dp (q134's trick). */
+  def q198FunnelSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = struct(unix_micros(col("ts")).as("tus"), col("event_id"),
+      substring(col("event_type"), 1, 1).as("c"))
+    val hourUs = 3600000000L
+    val windows = Seq(1L, 6L, 24L)
+    val init = struct(
+      (lit(null).cast("long").as("t1") +:
+        windows.flatMap(w => Seq(
+          lit(null).cast("long").as(s"t2_$w"),
+          lit(null).cast("long").as(s"t3_$w")))): _*)
+    def fold(acc: Column, ev: Column): Column = {
+      val t1 = acc.getField("t1")
+      val (t, c) = (ev.getField("tus"), ev.getField("c"))
+      val fields = windows.flatMap { w =>
+        val (t2, t3) = (acc.getField(s"t2_$w"), acc.getField(s"t3_$w"))
+        val win = t1 + lit(w * hourUs)
+        Seq(
+          when(t2.isNull && c === "c" && t1.isNotNull && t > t1 && t <= win, t)
+            .otherwise(t2).as(s"t2_$w"),
+          when(t3.isNull && c === "p" && t2.isNotNull && t > t2 && t <= win, t)
+            .otherwise(t3).as(s"t3_$w"))
+      }
+      struct((when(t1.isNull && c === "s", t).otherwise(t1).as("t1") +: fields): _*)
+    }
+    val folded = Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(aggregate(array_sort(collect_list(e)), init, fold).as("f"))
+    val aggs = count(col("f.t1")).as("n1") +:
+      windows.flatMap(w => Seq(
+        count(col(s"f.t2_$w")).as(s"n2_$w"), count(col(s"f.t3_$w")).as(s"n3_$w")))
+    val wide = folded.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = windows.map(w => s"${w}L, n1, n2_$w, n3_$w").mkString(", ")
+    wide
+      .select(expr(s"stack(${windows.size}, $stackArgs) AS (window_h, n1, n2, n3)"))
+      // integer-half-up share at 4 dp: (n3·2·10⁴ + n1) DIV (2·n1);
+      // greatest(n1,1) keeps an empty-signup slice at conv=0 instead of
+      // null-vs-error divergence between engines
+      .select(col("window_h"), col("n1"), col("n2"), col("n3"),
+        (expr("(n3 * 20000 + n1) DIV (2 * greatest(n1, 1))").cast("double") / 10000.0).as("conv"))
+      .orderBy(col("window_h"))
+  }
+
+  val q198Sql: String = {
+    def leg(w: Long): String =
+      s"""SELECT ${w}::BIGINT AS window_h,
+         |  (SELECT count(*) FROM s1) AS n1,
+         |  (SELECT count(*) FROM (
+         |     SELECT e.user_id FROM events e JOIN s1 s ON e.user_id = s.user_id
+         |     WHERE e.event_type = 'click' AND e.ts > s.t1
+         |       AND e.ts <= s.t1 + INTERVAL $w HOURS GROUP BY e.user_id)) AS n2,
+         |  (SELECT count(*) FROM (
+         |     SELECT e.user_id FROM events e
+         |     JOIN (SELECT e2.user_id, min(e2.ts) AS t2, min(s.t1) AS t1
+         |           FROM events e2 JOIN s1 s ON e2.user_id = s.user_id
+         |           WHERE e2.event_type = 'click' AND e2.ts > s.t1
+         |             AND e2.ts <= s.t1 + INTERVAL $w HOURS
+         |           GROUP BY e2.user_id) s2 ON e.user_id = s2.user_id
+         |     WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+         |       AND e.ts <= s2.t1 + INTERVAL $w HOURS GROUP BY e.user_id)) AS n3""".stripMargin
+    s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       |            WHERE event_type = 'signup' GROUP BY user_id),
+       |legs AS (${Seq(1L, 6L, 24L).map(leg).mkString("\nUNION ALL\n")})
+       |SELECT window_h, n1, n2, n3,
+       |       ((n3 * 20000 + n1) // (2 * greatest(n1, 1)))::DOUBLE / 10000.0 AS conv
+       |FROM legs ORDER BY window_h""".stripMargin
+  }
+
   // ---------------------------------------------------------------- retention
   /** Day-N retention of the day-0 cohort (ClickHouse `retention(cond0,
     * cond1, …)`): of the users active on the first observed day, how many
@@ -1385,6 +1465,7 @@ object EventAnalytics {
     ("q192_trend_slope",       q192TrendSlope _,      Some(q192Sql)),
     ("q82_gap_fill",  q82GapFill _,   Some(q82Sql)),
     ("q83_funnel",    q83Funnel _,    Some(q83Sql)),
+    ("q198_funnel_sweep", q198FunnelSweep _, Some(q198Sql)),
     ("q84_retention", q84Retention _, Some(q84Sql)),
     ("q86_sequence_match", q86SequenceMatch _, Some(q86Sql)),
     ("q152_sequence_count", q152SequenceCount _, Some(q152Sql)),
