@@ -224,6 +224,52 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel equals the batch q83 funnel on real events, replayed in time order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      // replay the real corpus in global event-time order, split into 3
+      // micro-batches — the in-order arrival contract under which the
+      // stream must reproduce the batch answer exactly
+      import org.apache.spark.sql.functions.col
+      val evs = graft.tables.Tables.events(spark, dir)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .orderBy(col("ts"), col("event_id"))
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[StatefulOps.FunnelEv].collect()
+      val in = MemoryStream[StatefulOps.FunnelEv]
+      val q = StatefulOps.funnelStream(in.toDS(),
+          Seq("signup", "click", "purchase"), java.time.Duration.ofHours(24))
+        .writeStream.format("memory").queryName("funnel_diff_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+          in.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        // deepest level per user from the advance stream
+        val streamed = spark.table("funnel_diff_out").as[StatefulOps.FunnelAdvance]
+          .collect().groupBy(_.user_id).view.mapValues(_.map(_.level).max).toMap
+        val streamLevelCounts = (1 to 3).map(l => l -> streamed.count(_._2 >= l)).toMap
+        val batch = graft.ext.EventAnalytics.q83Funnel(spark, dir).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        (1 to 3).foreach { l =>
+          assert(streamLevelCounts(l).toLong == batch(l),
+            s"level $l: stream ${streamLevelCounts(l)} vs batch ${batch(l)}")
+        }
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming funnel advances levels across micro-batches within the window") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
