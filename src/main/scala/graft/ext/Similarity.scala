@@ -256,8 +256,9 @@ object Similarity {
     * 2016-row arithmetic. The naive alternative — explode + self-join on
     * vec_id — shuffles n·d rows twice and is what this plan exists to
     * avoid. (At 10^9+ rows the integer numerator would overflow BIGINT:
-    * there the same pass accumulates mean-centered doubles instead; the
-    * integer form is what makes the GATE exact.) */
+    * there the same pass accumulates mean-centered doubles instead —
+    * [[topComponents]] implements exactly that double-precision variant;
+    * the integer form is what makes the GATE exact.) */
   def q196DimCovariance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val quant = Tables.embeddings(s, dir)

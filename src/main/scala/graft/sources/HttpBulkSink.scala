@@ -134,6 +134,7 @@ object HttpBulkSink {
     val uri = new URI(c.addr +
       (if (withDatabase) s"?database=${enc(c.database)}" else ""))
     val b = HttpRequest.newBuilder(uri)
+      .timeout(java.time.Duration.ofSeconds(RequestTimeoutSec))
       .POST(HttpRequest.BodyPublishers.ofString(statement, StandardCharsets.UTF_8))
     authHeader(c).foreach(b.header("Authorization", _))
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
