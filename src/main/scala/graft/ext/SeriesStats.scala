@@ -775,7 +775,118 @@ object SeriesStats {
       |  max(v) AS v_max, round(avg(v), 4) AS v_avg
       |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q199: LTTB downsampling
+  /** Largest-Triangle-Three-Buckets series downsampling (ClickHouse's
+    * `largestTriangleThreeBuckets`): per event type, reduce the daily
+    * series to k=10 visually-representative points — endpoints fixed, the
+    * middle n−2 points split into k−2 buckets, each bucket contributing
+    * the point maximizing the triangle area against the PREVIOUSLY
+    * selected point and the NEXT bucket's average (the last middle bucket
+    * targets the final point). All-integer: x is the epoch day, y the
+    * exact count, and the area comparison is scaled by the next bucket's
+    * count (positive, constant within a bucket — argmax-preserving), so
+    * every comparison is BIGINT and ties (smallest x) are engine-exact.
+    * Series with n ≤ k pass through whole, as in ClickHouse.
+    *
+    * Scale: the corpus collapses to the day grain in one map-side-combined
+    * aggregate; the sequential greedy chain (selection b depends on b−1)
+    * then runs per SERIES inside one typed flatMap over the assembled,
+    * calendar-bounded point array — mirroring ClickHouse, whose lttb
+    * aggregate state also holds the series' points. No window operator
+    * anywhere: ordering comes from sort_array on the bounded array. */
+  def q199LttbDownsample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 10
+    val pts = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(date_trunc("day", col("ts"))), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("x").as("_1"), col("y").as("_2")))).as("pts"))
+      .as[(String, Seq[(Long, Long)])]
+    pts.flatMap { case (t, ps) => lttb(ps.toIndexedSeq, k).map(p => (t, p._1, p._2)) }
+      .toDF("event_type", "x", "y")
+      .orderBy(col("event_type"), col("x"))
+  }
+
+  /** The integer LTTB chain over one (sorted) series — bounded input, run
+    * once per series. */
+  private def lttb(ps: IndexedSeq[(Long, Long)], k: Int): Seq[(Long, Long)] = {
+    val n = ps.length
+    if (n <= k) return ps
+    val first = ps.head
+    val last = ps.last
+    val m = n - 2
+    val nb = k - 2
+    val buckets = (0 until m).groupBy(i => i * nb / m)
+      .view.mapValues(_.map(i => ps(i + 1))).toMap
+    var prev = first
+    val sel = scala.collection.mutable.ArrayBuffer(first)
+    for (b <- 0 until nb) {
+      val (nsx, nsy, nc) =
+        if (b + 1 < nb) {
+          val nx = buckets(b + 1)
+          (nx.map(_._1).sum, nx.map(_._2).sum, nx.size.toLong)
+        } else (last._1, last._2, 1L)
+      prev = buckets(b).minBy { case (x, y) =>
+        val a2 = math.abs((prev._1 * nc - nsx) * (y - prev._2) - (prev._1 - x) * (nsy - prev._2 * nc))
+        (-a2, x)
+      }
+      sel += prev
+    }
+    (sel += last).toSeq
+  }
+
+  val q199Sql: String =
+    """WITH RECURSIVE
+      |daily AS (
+      |  SELECT event_type,
+      |         date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))::BIGINT AS x,
+      |         count(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+      |idx AS (SELECT d.event_type, d.x, d.y, s.n,
+      |               row_number() OVER (PARTITION BY d.event_type ORDER BY d.x) - 1 AS i
+      |        FROM daily d JOIN st s USING (event_type)),
+      |small AS (SELECT event_type, x, y FROM idx WHERE n <= 10),
+      |firstpt AS (SELECT event_type, x, y FROM idx WHERE n > 10 AND i = 0),
+      |lastpt  AS (SELECT event_type, x, y FROM idx WHERE n > 10 AND i = n - 1),
+      |mid AS (SELECT event_type, x, y, ((i - 1) * 8) // (n - 2) AS b
+      |        FROM idx WHERE n > 10 AND i >= 1 AND i <= n - 2),
+      |bsum AS (SELECT event_type, b, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |               count(*)::BIGINT AS c
+      |         FROM mid GROUP BY 1, 2),
+      |nbs AS (SELECT m.event_type, m.b,
+      |               coalesce(nx.sx, l.x) AS nsx, coalesce(nx.sy, l.y) AS nsy,
+      |               coalesce(nx.c, 1) AS nc
+      |        FROM (SELECT DISTINCT event_type, b FROM mid) m
+      |        LEFT JOIN bsum nx ON nx.event_type = m.event_type AND nx.b = m.b + 1
+      |        JOIN lastpt l ON l.event_type = m.event_type),
+      |rec AS (
+      |  SELECT event_type, -1 AS b, x AS px, y AS py FROM firstpt
+      |  UNION ALL
+      |  SELECT r.event_type, r.b + 1, m.x, m.y
+      |  FROM rec r
+      |  JOIN nbs nb ON nb.event_type = r.event_type AND nb.b = r.b + 1
+      |  JOIN mid m ON m.event_type = r.event_type AND m.b = r.b + 1
+      |  WHERE r.b + 1 <= 7
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM mid m2
+      |      WHERE m2.event_type = m.event_type AND m2.b = m.b AND (
+      |        abs((r.px * nb.nc - nb.nsx) * (m2.y - r.py) - (r.px - m2.x) * (nb.nsy - r.py * nb.nc)) >
+      |        abs((r.px * nb.nc - nb.nsx) * (m.y  - r.py) - (r.px - m.x)  * (nb.nsy - r.py * nb.nc))
+      |        OR (abs((r.px * nb.nc - nb.nsx) * (m2.y - r.py) - (r.px - m2.x) * (nb.nsy - r.py * nb.nc)) =
+      |            abs((r.px * nb.nc - nb.nsx) * (m.y  - r.py) - (r.px - m.x)  * (nb.nsy - r.py * nb.nc))
+      |            AND m2.x < m.x)))
+      |)
+      |SELECT event_type, x, y FROM small
+      |UNION ALL SELECT event_type, px AS x, py AS y FROM rec
+      |UNION ALL SELECT event_type, x, y FROM lastpt
+      |ORDER BY event_type, x""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q199_lttb_downsample", q199LttbDownsample _, Some(q199Sql)),
     ("q193_equiheight_hist", q193EquiHeight _, Some(q193Sql)),
     ("q107_autocorr", q107Autocorr _, Some(q107Sql)),
     ("q178_seasonal_index", q178SeasonalIndex _, Some(q178Sql)),
