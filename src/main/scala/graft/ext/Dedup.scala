@@ -328,6 +328,96 @@ object Dedup {
        |FROM m JOIN pairs p ON p.d1 = m.d1 AND p.d2 = m.d2
        |ORDER BY m.d1, m.d2""".stripMargin
 
+  // ---------------------------------------------------------------- q200: LSH band calibration curve
+  /** LSH banding calibration — q177's sequel, auditing the BUCKETING
+    * rather than the signatures: for the 4-band × 4-row config, theory
+    * says a pair with true Jaccard j is detected (shares ≥1 band bucket)
+    * with probability 1−(1−j⁴)⁴ — the S-curve every LSH parameter choice
+    * is read off of. This query measures the realized detection rate per
+    * Jaccard decile against that curve over the bounded ground-truth
+    * pair set, so the q26 band/row setting is validated against DATA.
+    *
+    * Determinism: the curve is evaluated with explicit multiplications
+    * (j·j·j·j — IEEE-identical everywhere; no pow()), truncated to
+    * integer 10⁻⁴ units via floor; detection is an integer flag from the
+    * same band-key equi-join the production path uses; observed rates
+    * and the per-decile mean curve are integer-half-up divisions.
+    * Scale: pairs come from the bounded audit sample (doc_id < 500);
+    * the bucket join is the production q26 candidate join restricted to
+    * the sample. */
+  def q200BandCalibration(s: SparkSession, dir: String): DataFrame = {
+    val tri = docShingles(s, dir).filter(col("doc_id") < 500)
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = tri.as("a")
+      .join(tri.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), Seq("d2"))
+      .withColumn("exact",
+        round(col("inter").cast("double") / (col("s1") + col("s2") - col("inter")), 4))
+      .filter(col("exact") >= 0.05)
+      .select(col("d1"), col("d2"), col("exact"))
+    val buckets = bandBuckets(s, dir).filter(col("doc_id") < 500)
+    val det = buckets.as("b1")
+      .join(buckets.as("b2"),
+        col("b1.band") === col("b2.band") && col("b1.bkey") === col("b2.bkey") &&
+        col("b1.doc_id") < col("b2.doc_id"))
+      .select(col("b1.doc_id").as("d1"), col("b2.doc_id").as("d2"))
+      .distinct()
+      .withColumn("det", lit(1L))
+    val j = col("exact")
+    val j4 = j * j * j * j
+    val t = lit(1.0) - j4
+    pairs.join(det, Seq("d1", "d2"), "left")
+      .withColumn("det", coalesce(col("det"), lit(0L)))
+      .withColumn("theory4", floor((lit(1.0) - t * t * t * t) * 10000).cast("long"))
+      .withColumn("decile", least(floor(j * 10).cast("long"), lit(9L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("det")).as("n_detected"),
+        sum(col("theory4")).as("st"))
+      .select(col("decile"), col("n_pairs"), col("n_detected"),
+        (expr("(n_detected * 20000 + n_pairs) DIV (2 * n_pairs)").cast("double") / 10000.0)
+          .as("obs_rate"),
+        (expr("(st * 2 + n_pairs) DIV (2 * n_pairs)").cast("double") / 10000.0)
+          .as("mean_theory"))
+      .orderBy(col("decile"))
+  }
+
+  val q200Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id < 500),
+       |tri AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("tk")}) AS g FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |          FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT d1, d2,
+       |            round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) AS exact
+       |          FROM inter JOIN sizes s1 ON s1.doc_id = d1
+       |                     JOIN sizes s2 ON s2.doc_id = d2
+       |          WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) >= 0.05),
+       |tv AS (SELECT doc_id, ${tokvalSql("g")} AS tv FROM tri),
+       |hs AS (SELECT h FROM range(16) t(h)),
+       |sig AS (SELECT doc_id, h, min(${minhashTermSql("tv", "h")}) AS minh
+       |        FROM tv CROSS JOIN hs GROUP BY doc_id, h),
+       |buckets AS (SELECT doc_id, h // 4 AS band,
+       |        sum(minh * (CASE h % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS bkey
+       |        FROM sig GROUP BY doc_id, band),
+       |det AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+       |        FROM buckets b1 JOIN buckets b2
+       |          ON b1.band = b2.band AND b1.bkey = b2.bkey AND b1.doc_id < b2.doc_id),
+       |a AS (SELECT p.exact,
+       |        CASE WHEN d.d1 IS NULL THEN 0 ELSE 1 END AS det,
+       |        CAST(floor((1.0 - (1.0 - p.exact*p.exact*p.exact*p.exact)
+       |                        * (1.0 - p.exact*p.exact*p.exact*p.exact)
+       |                        * (1.0 - p.exact*p.exact*p.exact*p.exact)
+       |                        * (1.0 - p.exact*p.exact*p.exact*p.exact)) * 10000) AS BIGINT) AS theory4,
+       |        least(CAST(floor(p.exact * 10) AS BIGINT), 9) AS decile
+       |      FROM pairs p LEFT JOIN det d ON d.d1 = p.d1 AND d.d2 = p.d2)
+       |SELECT decile, count(*) AS n_pairs, sum(det)::BIGINT AS n_detected,
+       |  ((sum(det) * 20000 + count(*)) // (2 * count(*)))::DOUBLE / 10000.0 AS obs_rate,
+       |  ((sum(theory4) * 2 + count(*)) // (2 * count(*)))::DOUBLE / 10000.0 AS mean_theory
+       |FROM a GROUP BY decile ORDER BY decile""".stripMargin
+
   // ---------------------------------------------------------------- C2: cluster resolution (the dedup "keep" step)
   /** Library operator: connected components by iterative min-label
     * propagation over an edge list — the step that turns near-dup PAIRS
@@ -1043,6 +1133,7 @@ object Dedup {
     ("q27_simhash",         q27SimHash _,        Some(q27Sql)),
     ("q28_trigram_jaccard", q28TrigramJaccard _, Some(q28Sql)),
     ("q177_minhash_accuracy", q177MinhashAccuracy _, Some(q177Sql)),
+    ("q200_band_calibration", q200BandCalibration _, Some(q200Sql)),
     ("q55_dedup_clusters",  q55DedupClusters _,  Some(q55Sql)),
     ("q197_star_clusters",  q197StarClusters _,  Some(q197Sql)),
     ("q70_decontaminate",   q70Decontaminate _,  Some(q70Sql)),
