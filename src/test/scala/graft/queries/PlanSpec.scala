@@ -99,4 +99,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"))
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("q195 audio decode is map-only: no join, no window, codec inside MapPartitions") {
+    val p = plan("q195_audio_decode")
+    assert(p.contains("MapPartitions"))
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("q196 covariance never self-joins the corpus: broadcast joins over partials only") {
+    val p = plan("q196_dim_covariance")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+    // every join leg builds from the checkpointed partials, all broadcast:
+    // two dim-sum hash joins + the 1-row total as a broadcast cross
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q198 funnel sweep costs one user-keyed shuffle, same as single-window q83") {
+    def exchanges(q: String) = "Exchange (?!SinglePartition)".r.findAllIn(plan(q)).size
+    assert(!plan("q198_funnel_sweep").contains("Window"))
+    assert(exchanges("q198_funnel_sweep") == exchanges("q83_funnel"),
+      "the 3-window sweep must not add shuffles over the 1-window funnel")
+  }
+
+  test("q199 LTTB has no window and no join: aggregate then per-series flatMap") {
+    val p = plan("q199_lttb_downsample")
+    assert(!p.contains("Window") && !p.contains("Join"))
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"))
+  }
 }
