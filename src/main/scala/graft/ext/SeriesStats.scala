@@ -811,8 +811,8 @@ object SeriesStats {
   }
 
   /** The integer LTTB chain over one (sorted) series — bounded input, run
-    * once per series. */
-  private def lttb(ps: IndexedSeq[(Long, Long)], k: Int): Seq[(Long, Long)] = {
+    * once per series. Package-private for the property spec. */
+  private[ext] def lttb(ps: IndexedSeq[(Long, Long)], k: Int): Seq[(Long, Long)] = {
     val n = ps.length
     if (n <= k) return ps
     val first = ps.head
