@@ -460,6 +460,70 @@ object CoreQueries {
     """SELECT count(DISTINCT user_id) AS exact_users, true AS within_bound
       |FROM events""".stripMargin
 
+  /** Theta-sketch set-operation overlap (ClickHouse `uniqTheta` with
+    * intersect) — the sketch family's SET-ALGEBRA member: HLL (q39/q186)
+    * unions but cannot intersect; theta sketches support
+    * union/intersection/difference, which is what audience-overlap
+    * questions need at 100 TB where the exact q127/q169 passes stop
+    * fitting. Per-type sketches build in ONE `mapPartitions` pass (a
+    * hash-map of UpdateSketches per task — the two-phase pattern;
+    * partials are ≤ P·|types| compact blobs), union+intersect on the
+    * driver over the bounded blob set, and the estimate is gated like
+    * q39/q186: the exact pairwise overlap (one (type,user) dedup +
+    * type-grain self-join — q127's construction) rides along, plus a
+    * within-bound verdict. At audit scale the sketch is in exact mode
+    * (< 2^lgK distinct keys) so the estimate IS exact; at corpus scale
+    * the theta relative-error contract applies and the exact leg is the
+    * audit sample. */
+  def q201ThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.datasketches.theta.{Intersection, SetOperation, Sketches, UpdateSketch}
+    val lgK = 12
+    val ev = Tables.events(s, dir)
+    val partials = ev.select(col("event_type"), col("user_id")).as[(String, Long)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, UpdateSketch]
+        it.foreach { case (t, u) =>
+          m.getOrElseUpdate(t, UpdateSketch.builder().setLogNominalEntries(lgK).build())
+            .update(u)
+        }
+        m.iterator.map { case (t, sk) => (t, sk.compact().toByteArray) }
+      }.collect() // bounded: ≤ partitions × |types| compact blobs
+    val byType = partials.groupBy(_._1).view.mapValues { blobs =>
+      val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+      blobs.foreach { case (_, b) => u.union(Sketches.wrapSketch(org.apache.datasketches.memory.Memory.wrap(b))) }
+      u.getResult
+    }.toMap
+    val types = byType.keys.toSeq.sorted
+    val est = for {
+      (t1, i) <- types.zipWithIndex
+      t2 <- types.drop(i + 1)
+    } yield {
+      val in: Intersection = SetOperation.builder().setLogNominalEntries(lgK).buildIntersection()
+      in.intersect(byType(t1)); in.intersect(byType(t2))
+      (t1, t2, in.getResult.getEstimate)
+    }
+    val estDf = est.toDF("t1", "t2", "theta_est")
+    val tu = ev.select(col("event_type"), col("user_id")).distinct()
+    val exact = tu.as("a")
+      .join(tu.as("b"),
+        col("b.user_id") === col("a.user_id") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    exact.join(broadcast(estDf), Seq("t1", "t2"))
+      .select(col("t1"), col("t2"), col("exact_overlap"),
+        (abs(col("theta_est") - col("exact_overlap"))
+          / greatest(col("exact_overlap"), lit(1L)) <= lit(0.05)).as("within_bound"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  val q201Sql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+      |SELECT a.event_type AS t1, b.event_type AS t2,
+      |       count(*) AS exact_overlap, true AS within_bound
+      |FROM tu a JOIN tu b ON b.user_id = a.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Quantile sketch with a RANK-error guarantee gate — the fifth
     * mergeable-sketch member (HLL q39, MG q69, CMS q181, HLL-union
     * q186; here the ClickHouse quantileTDigest analogue). The
@@ -563,6 +627,7 @@ object CoreQueries {
     ("q20_string_fns",      q20StringFns _,      Some(q20Sql)),
     ("q39_approx_distinct", q39ApproxDistinct _, Some(q39Sql)),
     ("q186_sketch_rollup",  q186SketchRollup _,  Some(q186Sql)),
+    ("q201_theta_overlap",  q201ThetaOverlap _,  Some(q201Sql)),
     ("q187_unpivot",        q187Unpivot _,       Some(q187Sql)),
     ("q189_quantile_sketch", q189QuantileSketch _, Some(q189Sql)),
   )
