@@ -278,10 +278,14 @@ object Dedup {
     * engine-invariant. Scale: the pair set is the bounded audit sample;
     * signatures come from the same one-pass native expression the
     * production path signs with. */
-  def q177MinhashAccuracy(s: SparkSession, dir: String): DataFrame = {
+  /** Bounded exact-Jaccard ground-truth pair sample (doc_id < 500,
+    * round-4, ≥ 0.05) — the audit table q177 (signature accuracy) and
+    * q200 (band calibration) both measure against; one definition so the
+    * two calibration queries can never de-sync. */
+  private def exactSamplePairs(s: SparkSession, dir: String): DataFrame = {
     val tri = docShingles(s, dir).filter(col("doc_id") < 500)
     val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = tri.as("a")
+    tri.as("a")
       .join(tri.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
@@ -291,6 +295,10 @@ object Dedup {
         round(col("inter").cast("double") / (col("s1") + col("s2") - col("inter")), 4))
       .filter(col("exact") >= 0.05)
       .select(col("d1"), col("d2"), col("exact"))
+  }
+
+  def q177MinhashAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val pairs = exactSamplePairs(s, dir)
     val sig = withSig(s, dir).filter(col("doc_id") < 500)
     pairs
       .join(sig.select(col("doc_id").as("d1"), col("sig").as("sa")), Seq("d1"))
@@ -346,18 +354,7 @@ object Dedup {
     * the bucket join is the production q26 candidate join restricted to
     * the sample. */
   def q200BandCalibration(s: SparkSession, dir: String): DataFrame = {
-    val tri = docShingles(s, dir).filter(col("doc_id") < 500)
-    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = tri.as("a")
-      .join(tri.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), Seq("d2"))
-      .withColumn("exact",
-        round(col("inter").cast("double") / (col("s1") + col("s2") - col("inter")), 4))
-      .filter(col("exact") >= 0.05)
-      .select(col("d1"), col("d2"), col("exact"))
+    val pairs = exactSamplePairs(s, dir)
     val buckets = bandBuckets(s, dir).filter(col("doc_id") < 500)
     val det = buckets.as("b1")
       .join(buckets.as("b2"),

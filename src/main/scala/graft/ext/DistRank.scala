@@ -150,7 +150,15 @@ object DistRank {
     }
     val offsets = s.createDataFrame(offRows.asJava, offSchema)
 
-    val joined = local.join(broadcast(offsets), PidCol +: groupCols)
+    // NULL-SAFE group equality: a window's PARTITION BY treats NULL as its
+    // own partition, and the driver-side grouping above does too — a plain
+    // equi-join would silently drop NULL-group rows here and break the
+    // documented bit-identity with the window this replaces
+    val off = offsets.withColumnRenamed(PidCol, PidCol + "_o")
+    val gRenamed = groupCols.foldLeft(off)((d, g) => d.withColumnRenamed(g, g + "__o"))
+    val cond = (col(PidCol) === col(PidCol + "_o")) +:
+      groupCols.map(g => col(g) <=> col(g + "__o"))
+    val joined = local.join(broadcast(gRenamed), cond.reduce(_ && _))
     val withRanks = (globalRankCol, groupRankCol) match {
       case (Some(g), Some(gr)) =>
         joined.withColumn(g, col("__gr_off") + col(LrnCol))
@@ -159,6 +167,7 @@ object DistRank {
       case (None, Some(gr)) => joined.withColumn(gr, col("__gr_goff") + col(GrnCol))
       case (None, None) => joined
     }
-    Ranked(withRanks.drop(PidCol, LrnCol, GrnCol, "__gr_goff", "__gr_off"), total)
+    Ranked(withRanks.drop((Seq(PidCol, PidCol + "_o", LrnCol, GrnCol, "__gr_goff", "__gr_off") ++
+      groupCols.map(_ + "__o")): _*), total)
   }
 }

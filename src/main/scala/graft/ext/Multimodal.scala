@@ -139,9 +139,13 @@ object Multimodal {
   def decodeImages(rows: Iterator[MediaRow]): Iterator[ImageFeatures] = {
     javax.imageio.ImageIO.setUseCache(false) // once per partition is idempotent
     rows.map { r =>
+      // NonFatal, not just IOException: ImageIO readers throw runtime
+      // exceptions (ArrayIndexOutOfBounds, NegativeArraySize, …) on
+      // corrupt LZW data / bogus palettes — one bad blob in a 100 TB
+      // corpus must take the flagged fallback, not kill the job
       val img =
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       img match {
         case Some(im) =>
           val (w, h) = (im.getWidth, im.getHeight)
@@ -242,8 +246,9 @@ object Multimodal {
             Some((f.getSampleRate.toInt, ais.readAllBytes()))
           else None
         } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => None
-          case _: java.io.IOException => None
+          // NonFatal for the same reason as decodeImages: a malformed RIFF
+          // header can throw runtime exceptions from the parser internals
+          case scala.util.control.NonFatal(_) => None
         }
       parsed match {
         case Some((rate, data)) =>

@@ -71,9 +71,12 @@ object HttpBulkSink {
   /** POST one JSONEachRow blob; throws on any non-2xx status (task retry
     * → at-least-once, the reference's failure contract: keep the file,
     * print the error — trace-converter.py:109-112). */
-  private[sources] def post(c: Config, blob: String, insertId: Option[String] = None): Unit = {
+  private[sources] def post(c: Config, blob: String, insertId: Option[String] = None): Unit =
+    post(c, blob.getBytes(StandardCharsets.UTF_8), insertId)
+
+  private[sources] def post(c: Config, blob: Array[Byte], insertId: Option[String]): Unit = {
     val b = HttpRequest.newBuilder(insertUri(c))
-      .POST(HttpRequest.BodyPublishers.ofString(blob, StandardCharsets.UTF_8))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(blob))
       .header("Content-Type", "application/x-ndjson")
       .timeout(java.time.Duration.ofSeconds(RequestTimeoutSec))
     insertId.foreach(b.header(InsertIdHeader, _))
@@ -95,33 +98,41 @@ object HttpBulkSink {
     * chunk per (non-empty) partition.
     *
     * Each chunk carries an [[InsertIdHeader]] of
-    * `batchId/partitionId/chunkIndex`. All three components are
-    * deterministic under task retry: `batchId` is fixed on the DRIVER
-    * before the job launches (caller-supplied for streaming micro-batches,
-    * else one UUID per append call, captured in the task closure), the
-    * partition id is Spark's, and the chunk index depends only on the
-    * partition's row order — so a retried task re-sends byte-identical
-    * chunks under identical ids and a dedup-capable receiver stores each
-    * chunk exactly once. */
+    * `batchId/partitionId/chunkIndex/contentHash`. batchId is fixed on
+    * the DRIVER before the job launches (caller-supplied for streaming
+    * micro-batches, else one UUID per append call, captured in the task
+    * closure) and the partition id is Spark's. The CONTENT hash is the
+    * component that makes receiver-side dedup SAFE rather than lossy:
+    * after a shuffle, a retried task can fetch its input rows in a
+    * different order, so positional ids alone would let a replayed
+    * `batch/pid/0` carry different rows than the original — a
+    * dedup-capable receiver would drop them (silent loss). With the hash,
+    * a byte-identical replay dedups (effectively-once) while a
+    * reordered replay gets fresh ids and is stored (at-least-once:
+    * possible duplicates, never loss — the reference's contract). */
   def append(df: DataFrame, c: Config, partitions: Option[Int] = None,
              batchId: Option[String] = None): Unit = {
     val insertBatch = batchId.getOrElse(java.util.UUID.randomUUID().toString)
     val json = partitions.fold(df)(n => df.coalesce(n)).toJSON
     json.foreachPartition { rows: Iterator[String] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val buf = new java.lang.StringBuilder
-      var bytes = 0L
+      // rows encode ONCE, straight into the chunk buffer (the previous
+      // form paid a second full encode inside BodyPublishers.ofString
+      // plus a throwaway byte[] per row just to count bytes)
+      val buf = new java.io.ByteArrayOutputStream(1 << 20)
       var chunk = 0
       def flush(): Unit = {
-        post(c, buf.toString, Some(s"$insertBatch/$pid/$chunk"))
-        buf.setLength(0); bytes = 0L; chunk += 1
+        val body = buf.toByteArray
+        val hash = java.security.MessageDigest.getInstance("SHA-256").digest(body)
+          .take(8).map(b => f"${b & 0xff}%02x").mkString
+        post(c, body, Some(s"$insertBatch/$pid/$chunk/$hash"))
+        buf.reset(); chunk += 1
       }
       rows.foreach { r =>
-        buf.append(r).append('\n')
-        bytes += r.getBytes(StandardCharsets.UTF_8).length + 1
-        if (bytes >= MaxPostBytes) flush()
+        buf.write(r.getBytes(StandardCharsets.UTF_8)); buf.write('\n')
+        if (buf.size() >= MaxPostBytes) flush()
       }
-      if (buf.length > 0) flush()
+      if (buf.size() > 0) flush()
     }
   }
 

@@ -258,9 +258,13 @@ object StatefulOps {
     * run incrementally: per user, t(0) = first step-0 event ever, t(i) =
     * first step-i event with t > t(i−1) and t ≤ t(0)+window. State is one
     * |steps|-slot time vector per user (constant bytes however long the
-    * stream runs — never the event list the batch fold buffers). Emits a
-    * row whenever a user's deepest completed level advances, so the
-    * funnel report is a running `groupBy(level).count` over the output.
+    * stream runs — never the event list the batch fold buffers). Emits
+    * ONE row per micro-batch when a user's deepest completed level
+    * advances — intermediate levels crossed within the same batch are
+    * implied, not separately emitted — so the funnel report is
+    * per-user max(level), then count(level ≥ l) per step (what the
+    * differential spec computes); a naive groupBy(level).count over the
+    * raw advance rows would undercount levels skipped within a batch.
     *
     * Matches the batch q83 answer exactly when each user's events arrive
     * in event-time order ACROSS micro-batches (within a batch the fold

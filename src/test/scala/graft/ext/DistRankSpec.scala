@@ -57,6 +57,19 @@ class DistRankSpec extends SparkSpec {
     }
   }
 
+  test("NULL group keys rank as their own partition, exactly like PARTITION BY") {
+    import spark.implicits._
+    val rows = Seq((1L, Some("en"), 3.0), (2L, None, 1.0), (3L, Some("en"), 2.0),
+                   (4L, None, 4.0), (5L, Some("de"), 5.0), (6L, None, 2.0))
+    val df = rows.map { case (id, g, s) => (id, g.orNull, s) }.toDF("id", "g", "score")
+    val naive = df.withColumn("gr", row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("score"), col("id"))).cast("long"))
+    val got = DistRank.withGroupRank(df, Seq("g"), "gr", Seq(col("score"), col("id"))).df
+    assert(got.count() == 6, "NULL-group rows must not be dropped")
+    assert(got.select("id", "gr").except(naive.select("id", "gr")).isEmpty)
+    assert(naive.select("id", "gr").except(got.select("id", "gr")).isEmpty)
+  }
+
   test("empty input yields empty output and zero total") {
     val df = fixture.filter(col("id") < 0)
     val DistRank.Ranked(got, total) = DistRank.withGlobalRank(df, "rk", Seq(col("id")))

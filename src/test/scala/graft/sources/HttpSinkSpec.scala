@@ -119,8 +119,18 @@ class HttpSinkSpec extends SparkSpec {
       val second = got.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[Captured])
         .map(c => c.insertId -> c.body).toMap
       assert(first.size == 4)
-      assert(first.keySet.forall(_.matches("batch-77/\\d+/0")))
+      assert(first.keySet.forall(_.matches("batch-77/\\d+/0/[0-9a-f]{16}")))
       assert(second == first)   // same ids AND same bytes under each id
+      // the CONTENT-hash component: same (batch, pid, chunk) slots with
+      // different rows must NOT reuse ids (a reordered retry is stored,
+      // never silently dedup-dropped)
+      got.clear()
+      val df2 = Seq.tabulate(8)(i => (i.toLong, s"DIFFERENT$i")).toDF("id", "v").repartition(4)
+      HttpBulkSink.append(df2, cfg, batchId = Some("batch-77"))
+      val third = got.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[Captured])
+        .map(_.insertId).toSet
+      assert(third.intersect(first.keySet).isEmpty,
+        "different content must produce different insert ids")
       // distinct append calls without a pinned batchId must NOT collide
       got.clear()
       HttpBulkSink.append(df, cfg)
@@ -142,7 +152,8 @@ class HttpSinkSpec extends SparkSpec {
       HttpBulkSink.append(df, cfg, partitions = Some(1), batchId = Some("bb"))
       val reqs = got.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[Captured])
       assert(reqs.length == 2)
-      assert(reqs.map(_.insertId).toSet == Set("bb/0/0", "bb/0/1"))
+      assert(reqs.map(_.insertId.split("/").take(3).mkString("/")).toSet
+        == Set("bb/0/0", "bb/0/1"))
       reqs.foreach(c =>
         assert(c.body.getBytes(StandardCharsets.UTF_8).length <= (9 << 20)))
       assert(reqs.flatMap(_.body.trim.split("\n")).length == 9000)
@@ -170,7 +181,7 @@ class HttpSinkSpec extends SparkSpec {
         assert(got.size == 2)
         got.forEach(c => assert(c.auth.startsWith("Basic ")))
         val ids = got.toArray(Array.empty[AnyRef])
-          .map(_.asInstanceOf[Captured].insertId).toSet
+          .map(_.asInstanceOf[Captured].insertId.split("/").take(3).mkString("/")).toSet
         assert(ids == Set("stream-0/0/0", "stream-1/0/0"))
       } finally q.stop()
     } finally stop()
