@@ -73,9 +73,12 @@ object Curation {
     * composed pipeline. Reduce mod 2^31-1 BEFORE multiplying: 64-bit ids
     * times a 31-bit constant would overflow Long, which throws under ANSI
     * mode (Spark 4 default) and errors in DuckDB. (id % m) * 48271 stays
-    * < 2^47. */
+    * < 2^47. TWO Lehmer steps, not one: a single step is strictly
+    * monotone for ids < m/48271 ≈ 44k, so small-id corpora would order
+    * by plain doc_id — no scrambling at all (q116 diagnosed the same
+    * degeneracy). The second multiply wraps the modulus from id ≥ 1. */
   private def sampleHash: org.apache.spark.sql.Column =
-    (col("doc_id") % 2147483647L) * 48271L % 2147483647L
+    ((col("doc_id") % 2147483647L) * 48271L % 2147483647L) * 48271L % 2147483647L
 
   def q57StratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val h = sampleHash
@@ -92,7 +95,7 @@ object Curation {
     """SELECT source, rn, doc_id FROM (
       |  SELECT doc_id, source,
       |         row_number() OVER (PARTITION BY source
-      |           ORDER BY (doc_id % 2147483647) * 48271 % 2147483647, doc_id) AS rn
+      |           ORDER BY ((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647, doc_id) AS rn
       |  FROM documents) t
       |WHERE rn <= 5 ORDER BY source, rn""".stripMargin
 
@@ -305,7 +308,7 @@ object Curation {
       |         rn::DOUBLE / (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3.0 ELSE 1.0 END)::DOUBLE AS pos_key
       |  FROM (SELECT doc_id, source,
       |          row_number() OVER (PARTITION BY source
-      |            ORDER BY (doc_id % 2147483647) * 48271 % 2147483647, doc_id) AS rn
+      |            ORDER BY ((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647, doc_id) AS rn
       |        FROM documents) r) t
       |ORDER BY pos_key, source, rn LIMIT 100""".stripMargin
 
@@ -336,24 +339,44 @@ object Curation {
       .sortWithinPartitions(col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-        var packIdx = 0L
-        var members = List.empty[Long]
-        var used = 0L
-        val out = scala.collection.mutable.Buffer.empty[Pack]
-        def flush(): Unit = if (members.nonEmpty) {
-          out += Pack(pid * perPartitionCap + packIdx, members.reverse,
-            used, math.min(used.toDouble / budget, 1.0))
-          packIdx += 1; members = Nil; used = 0L
+        // STREAMING greedy fold: state is only the one OPEN pack (current
+        // members + used budget) — buffering every pack of the partition
+        // before emitting would make task memory O(partition rows) and
+        // defeat the memory-bounded design the rest of this file claims
+        new Iterator[Pack] {
+          private val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+          private var packIdx = 0L
+          private var members = List.empty[Long]
+          private var used = 0L
+          private var pending: Pack = _
+
+          private def emit(): Pack = {
+            val p = Pack(pid * perPartitionCap + packIdx, members.reverse,
+              used, math.min(used.toDouble / budget, 1.0))
+            packIdx += 1; members = Nil; used = 0L
+            p
+          }
+          @annotation.tailrec
+          private def advance(): Unit =
+            if (pending == null && (it.hasNext || members.nonEmpty)) {
+              if (!it.hasNext) pending = emit() // final partial pack
+              else {
+                val (id, n) = it.next()
+                if (used > 0 && used + n > budget) {
+                  pending = emit(); members = id :: members; used = n
+                } else {
+                  members = id :: members; used += n
+                  if (used >= budget) pending = emit() // over-budget singleton or exact fit
+                  else advance()
+                }
+              }
+            }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): Pack = {
+            advance()
+            val p = pending; pending = null; p
+          }
         }
-        it.foreach { case (id, n) =>
-          if (used > 0 && used + n > budget) flush()
-          members = id :: members
-          used += n
-          if (used >= budget) flush()   // over-budget singleton or exact fit
-        }
-        flush()
-        out.iterator
       }
   }
 
@@ -369,7 +392,12 @@ object Curation {
     require(rowsPerShard > 0, s"rowsPerShard must be positive, got $rowsPerShard")
     // persist across the two actions (count, write) so an expensive
     // upstream pipeline (e.g. curateCorpus output) is not evaluated twice
-    docs.persist()
+    // — but only if the CALLER has not already cached the frame: an
+    // unconditional persist/unpersist pair would silently destroy the
+    // caller's cache entry and force a full upstream recompute after we
+    // return
+    val ownCache = docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownCache) docs.persist()
     try {
       val n = docs.count()
       val parts = math.max(1, math.ceil(n.toDouble / rowsPerShard).toInt)
@@ -378,7 +406,7 @@ object Curation {
         .write.mode("overwrite")
         .option("maxRecordsPerFile", rowsPerShard)
         .json(outDir)
-    } finally docs.unpersist(false)
+    } finally if (ownCache) docs.unpersist(false)
     // count shards through the Hadoop FS API — outDir may be a URI or a
     // remote filesystem the writer accepted but java.io.File cannot see
     val p = new org.apache.hadoop.fs.Path(outDir)
@@ -485,8 +513,8 @@ object Curation {
 
   val q175Sql: String =
     """WITH a AS (SELECT source,
-      |  CASE WHEN (doc_id % 2147483647) * 48271 % 2147483647 % 100 < 80 THEN 'train'
-      |       WHEN (doc_id % 2147483647) * 48271 % 2147483647 % 100 < 90 THEN 'valid'
+      |  CASE WHEN ((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 % 100 < 80 THEN 'train'
+      |       WHEN ((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 % 100 < 90 THEN 'valid'
       |       ELSE 'test' END AS split
       |  FROM documents),
       |c AS (SELECT source, split, count(*) AS n_docs FROM a GROUP BY 1, 2),

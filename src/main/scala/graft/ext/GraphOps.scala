@@ -148,6 +148,11 @@ object GraphOps {
         .select(col("dst").as("part")).distinct()
         .join(visited.select(col("part")), Seq("part"), "left_anti")
         .withColumn("dist", lit(d))
+        // node-sized; referenced twice below (visited + next frontier), so
+        // materialize per hop — unchecked, the hop-1 subplan occurs
+        // ~2^(hops-1) times in the final DAG (q171 checkpoints its edge
+        // table for the same reason)
+        .localCheckpoint(true)
       visited = visited.unionByName(next)
       frontier = next.select(col("part"))
     }

@@ -57,13 +57,16 @@ object JsonProps {
       .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'int')"))
       .groupBy(expr("k div 10").as("k_bucket"))
       .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-      .orderBy(col("k_bucket"))
+      // pin NULL placement: a props payload without 'k' makes k_bucket
+      // NULL, and Spark defaults NULLS FIRST where DuckDB defaults NULLS
+      // LAST — positional compare would break on schema-flexible data
+      .orderBy(col("k_bucket").asc_nulls_last)
 
   val q66Sql: String =
     """SELECT json_extract(props, '$.k')::INT // 10 AS k_bucket,
       |  count(*) AS n, min(json_extract(props, '$.k')::INT) AS min_k,
       |  max(json_extract(props, '$.k')::INT) AS max_k
-      |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+      |FROM events GROUP BY k_bucket ORDER BY k_bucket NULLS LAST""".stripMargin
 
   /** MapType column surface (SURVEY §1.3's "raw extras map" / §2 map
     * scalar fns): parse the JSON props into a map<string,long> — the

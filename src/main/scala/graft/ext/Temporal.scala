@@ -180,29 +180,28 @@ object Temporal {
     * gate). The declarative query stays a plain theta join — the
     * optimization lives in the engine, not the query. */
   def q120RangeBandRule(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.RangeBandRewrite.install(s)
-    val key = graft.plans.RangeBandRewrite.ConfKey
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "3600")
-    try {
-      val ev = Tables.events(s, dir)
-      val inc = ev.filter(col("event_type") === "error")
-        .groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(min(col("ts")).as("w_start"))
-        .withColumn("w_end", col("w_start") + expr("INTERVAL 2 HOURS"))
-      val pur = ev.filter(col("event_type") === "purchase")
-        .select(col("ts"), col("value"))
-      pur.join(inc, col("ts") >= col("w_start") && col("ts") <= col("w_end"))
-        .groupBy(col("day"), col("w_start"))
-        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
-        .orderBy(col("day"))
-        // execute eagerly while the band conf is active (the rule reads
-        // it at optimization time, which is otherwise after we return)
-        .localCheckpoint(true)
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
-    }
+    // The band width is a SESSION conf the rule reads at optimization
+    // time. Setting/restoring it on the caller's session leaks the
+    // rewrite into any query another thread optimizes concurrently (and
+    // the restore can clobber a width that thread set) — same hazard
+    // class as the events reader confs, same fix: a derived session
+    // (shared SparkContext, isolated SQLConf) that carries the caller's
+    // modifiable confs plus the band width, for this query only.
+    val c = s.newSession()
+    s.conf.getAll.foreach { case (k, v) => if (c.conf.isModifiable(k)) c.conf.set(k, v) }
+    graft.plans.RangeBandRewrite.install(c)
+    c.conf.set(graft.plans.RangeBandRewrite.ConfKey, "3600")
+    val ev = Tables.events(c, dir)
+    val inc = ev.filter(col("event_type") === "error")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(min(col("ts")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 2 HOURS"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("ts"), col("value"))
+    pur.join(inc, col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+      .groupBy(col("day"), col("w_start"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("day"))
   }
 
   val q120Sql: String =

@@ -315,7 +315,13 @@ object TextAnalysis {
       // stats, no data pages) instead of a broadcast-subquery branch and
       // its own sequential AQE stage
       val nDocs = docs.count()
-      val dfreq = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // df via map-side per-document dedup (q58's dfreq pattern): one
+      // tok-keyed aggregate; `tok.distinct()` here would shuffle the whole
+      // exploded (doc, tok) stream once just to dedup, then shuffle again
+      // for the count — two corpus-scale exchanges instead of one
+      val dfreq = docs
+        .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       tok.join(broadcast(dfreq), Seq("tok"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"), sum(col("df")).as("sum_df"))
