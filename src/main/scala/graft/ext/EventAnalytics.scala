@@ -78,7 +78,11 @@ object EventAnalytics {
       .agg(sum(col("value")).as("v"))
       .localCheckpoint(true)
     val b = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi")).collect()(0)
-    if (b.isNullAt(0)) return hourly.limit(0)
+    // empty slice keeps the normal (h, v_interp, interpolated) schema
+    // (q138's bug class — hourly.limit(0) would surface (h, v) instead)
+    if (b.isNullAt(0))
+      return hourly.limit(0).select(col("h"),
+        lit(null).cast("double").as("v_interp"), lit(true).as("interpolated"))
     val spine = s.range(1)
       .select(explode(sequence(lit(b.getTimestamp(0)), lit(b.getTimestamp(1)),
         expr("interval 1 hour"))).as("h"))
@@ -482,8 +486,11 @@ object EventAnalytics {
         sum(col("users")).as("tot_users"), sum(col("converters")).as("tot_conv"))))
       .select(col("decile"), col("users"), col("converters"),
         round(col("converters").cast("double") / col("users").cast("double"), 4).as("conv_rate"),
-        round((col("converters") * col("tot_users")).cast("double")
-          / (col("users") * col("tot_conv")).cast("double"), 4).as("lift"))
+        // zero corpus conversions → lift is 0/0: NULL, not NaN (engines
+        // disagree on 0/0; q107/q119/q166 apply the same normalization)
+        when(col("tot_conv") === 0, lit(null).cast("double"))
+          .otherwise(round((col("converters") * col("tot_users")).cast("double")
+            / (col("users") * col("tot_conv")).cast("double"), 4)).as("lift"))
       .orderBy(col("decile"))
   }
 
@@ -497,8 +504,9 @@ object EventAnalytics {
       |t AS (SELECT count(*) AS tot_users, sum(converted) AS tot_conv FROM u)
       |SELECT decile, count(*) AS users, CAST(sum(converted) AS BIGINT) AS converters,
       |       round(sum(converted)::DOUBLE / count(*)::DOUBLE, 4) AS conv_rate,
-      |       round((sum(converted) * max(t.tot_users))::DOUBLE
-      |             / (count(*) * max(t.tot_conv))::DOUBLE, 4) AS lift
+      |       CASE WHEN max(t.tot_conv) = 0 THEN NULL
+      |            ELSE round((sum(converted) * max(t.tot_users))::DOUBLE
+      |                       / (count(*) * max(t.tot_conv))::DOUBLE, 4) END AS lift
       |FROM d CROSS JOIN t GROUP BY decile ORDER BY decile""".stripMargin
 
   // ---------------------------------------------------------------- sequential-pattern support
@@ -908,12 +916,18 @@ object EventAnalytics {
     * driver's pandas hasher can't sort ndarray-typed cells (round-3
     * q121/q170 failures), and a canonical string is engine-neutral. */
   def q121GroupArray(s: SparkSession, dir: String): DataFrame =
+    // k-bounded FirstK aggregator, not collect_list+sort+slice: the
+    // collect form buffers a TYPE'S ENTIRE event stream in one
+    // aggregation buffer before sorting (with ~5 types that is the whole
+    // corpus across 5 buffers — OOM at scale); FirstK ships ≤ 5 triples
+    // per partition per type and the result is identical
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        concat_ws(",", slice(transform(
-          array_sort(collect_list(struct(col("ts"), col("event_id"), col("user_id")))),
-          e => e.getField("user_id")), 1, 5)).as("first5_users"),
+        concat_ws(",", transform(
+          graft.functions.TopK.first_k(5)(
+            unix_micros(col("ts")), col("event_id"), col("user_id")),
+          e => e.getField("_3"))).as("first5_users"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
@@ -1331,11 +1345,17 @@ object EventAnalytics {
     hist
       .withColumn("pre", sum(col("c")).over(w) - col("c"))
       .groupBy(col("event_type"))
+      // rank-sum terms widen to DECIMAL(38,0) (q130's fix for the same
+      // class): at ~1e9 users × 1e10 events the Long products 2·ix and
+      // (n+1)·tot pass 2^63 — ANSI overflow — while 38 digits hold to
+      // ~1e38; DuckDB's HUGEINT sums match
       .agg(sum(col("c")).as("n"), sum(col("x") * col("c")).as("tot"),
-        sum(col("x") * (col("c") * col("pre") + expr("(c * (c + 1)) div 2"))).as("ix"))
+        sum((col("x") * (col("c") * col("pre") + expr("(c * (c + 1)) div 2")))
+          .cast("decimal(38,0)")).as("ix"))
       .select(col("event_type"), col("n"), col("tot"),
-        round((lit(2L) * col("ix") - (col("n") + lit(1L)) * col("tot")).cast("double")
-          / (col("n") * col("tot")).cast("double"), 4).as("gini"))
+        round((lit(2L) * col("ix") - (col("n") + lit(1L)) * col("tot").cast("decimal(38,0)"))
+          .cast("double")
+          / (col("n").cast("decimal(38,0)") * col("tot")).cast("double"), 4).as("gini"))
       .orderBy(col("event_type"))
   }
 

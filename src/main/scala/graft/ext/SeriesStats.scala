@@ -695,7 +695,11 @@ object SeriesStats {
     val ev = Tables.events(s, dir).select(col("event_type"),
       to_date(col("ts")).as("day"), col("value"))
     val refRow = ev.agg(max(col("day"))).collect()(0)
-    if (refRow.isNullAt(0)) return ev.limit(0).select(col("event_type"))
+    // empty slice must carry the NORMAL output schema (q138's bug class):
+    // a 1-column early return breaks schema-sensitive consumers
+    if (refRow.isNullAt(0))
+      return ev.limit(0).select(col("event_type"),
+        lit(0L).as("n_events"), lit(0.0).as("decayed_n"), lit(0.0).as("decayed_value"))
     val ref = lit(refRow.getDate(0))
     ev
       .withColumn("dlt", datediff(ref, col("day")))

@@ -76,4 +76,57 @@ object TopK {
   def top_k(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKAgg(k),
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+
+  // ---------------------------------------------------------------- earliest-k (ascending) variant
+  /** Earliest-k rows by an ascending (key1, key2) order, carrying a
+    * payload — the k-bounded replacement for
+    * `slice(array_sort(collect_list(...)), 1, k)`, whose aggregation
+    * buffer holds the GROUP'S ENTIRE row set before sorting (unbounded
+    * state; one hot group OOMs an executor at corpus scale). Buffers
+    * here hold ≤ k triples per partition per group. */
+  type Entry3 = (Long, Long, Long)   // (key1, key2, payload)
+
+  final case class Buf3(var entries: List[Entry3])
+
+  private def earlier(a: Entry3, b: Entry3): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  class FirstKAgg(k: Int) extends Aggregator[Entry3, Buf3, Seq[Entry3]] {
+    override def zero: Buf3 = Buf3(Nil)
+
+    private def insert(es: List[Entry3], e: Entry3): List[Entry3] = {
+      val (pre, post) = es.span(earlier(_, e))
+      (pre ::: e :: post).take(k)
+    }
+
+    override def reduce(b: Buf3, e: Entry3): Buf3 = {
+      if (b.entries.lengthCompare(k) >= 0 && earlier(b.entries.last, e)) b
+      else { b.entries = insert(b.entries, e); b }
+    }
+
+    override def merge(x: Buf3, y: Buf3): Buf3 = {
+      val out = List.newBuilder[Entry3]
+      var (a, b) = (x.entries, y.entries)
+      var n = 0
+      while (n < k && (a.nonEmpty || b.nonEmpty)) {
+        if (b.isEmpty || (a.nonEmpty && earlier(a.head, b.head))) {
+          out += a.head; a = a.tail
+        } else { out += b.head; b = b.tail }
+        n += 1
+      }
+      x.entries = out.result()
+      x
+    }
+
+    override def finish(b: Buf3): Seq[Entry3] = b.entries
+    override def bufferEncoder: Encoder[Buf3] = Encoders.kryo[Buf3]
+    override def outputEncoder: Encoder[Seq[Entry3]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry3]]()
+  }
+
+  /** `first_k(5)(unix_micros(ts), event_id, user_id)` →
+    * array<struct<_1,_2,_3>> of the k earliest by (_1,_2), sorted. */
+  def first_k(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new FirstKAgg(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
 }

@@ -71,7 +71,14 @@ object TraceStore {
     * or large appends (stats are snapshots, not maintained). */
   def analyze(spark: SparkSession, tablePath: String, table: String,
               columns: Seq[String] = Nil): Unit = {
-    spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet LOCATION '$tablePath'")
+    // explicit schema: without it, partition discovery infers ym=201905
+    // as INT — the exact type hazard read() documents and defends
+    // against, surfaced to every user of the registered table
+    val ddlCols = TraceSchema.target.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $table ($ddlCols, `${TraceSchema.PartitionCol}` STRING) " +
+      s"USING parquet PARTITIONED BY (`${TraceSchema.PartitionCol}`) LOCATION '$tablePath'")
     spark.sql(s"MSCK REPAIR TABLE $table")
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
     if (columns.nonEmpty)
@@ -206,7 +213,12 @@ object TraceStore {
           .parquet(old.map(_.toString): _*).filter(cond).limit(1).count() > 0
       }
       .map { case (monthDir, old) =>
-        rewriteMonth(spark, monthDir, old, _.filter(!cond), splitsPerMonth, "redacted")
+        // SQL DELETE semantics: only cond=TRUE rows go. A bare !cond maps
+        // NULL→NULL and filter would drop every row where the predicate
+        // is merely UNKNOWN (e.g. ID === "x" on a NULL ID) — silent
+        // over-erasure the match probe above never counted.
+        rewriteMonth(spark, monthDir, old,
+          _.filter(!coalesce(cond, lit(false))), splitsPerMonth, "redacted")
       }
   }
 

@@ -14,9 +14,11 @@ import graft.store.TraceStore
   * (/root/reference/entrypoint.sh:18-29,
   * /root/reference/trace-converter.py:109-130) — maps onto the file
   * source's contract: a newly visible file is a new unit of data, each
-  * micro-batch commits atomically, and the checkpoint replaces
-  * delete-on-success with exactly-once bookkeeping (strictly stronger
-  * than the reference's at-least-once manual delete).
+  * micro-batch is delivered at-least-once under checkpoint bookkeeping,
+  * and the ingest sink adds per-batch markers so a replayed delivery is
+  * skipped (effectively-once up to a crash in the commit→marker window —
+  * still at least as strong as the reference's at-least-once manual
+  * delete; see [[start]]).
   *
   * Scale: file listing is driver-side but incremental (maxFilesPerTrigger
   * bounds a batch); parse/normalize run on executors; the sink append
@@ -50,20 +52,50 @@ object TraceStream {
       .option("cleanSource", if (cfg.deleteOnSuccess) "delete" else "off")
       .json(cfg.watchDir)
 
+  /** Deterministic key for one checkpoint lineage: replays within the
+    * same checkpoint share batch-id meaning; a NEW checkpoint restarts
+    * ids at 0, so markers from a previous incarnation must never
+    * suppress (ingest) or silently skip (rollup) the new one's batches. */
+  private[streaming] def incarnationOf(checkpointDir: String): String = {
+    val abs = java.nio.file.Paths.get(checkpointDir).toAbsolutePath.toString
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   /** Full ingest query: source → normalize → partitioned store append.
     * foreachBatch gives the same commit unit as the reference's
     * one-file-one-INSERT (A11) while keeping the store writer shared with
-    * the batch path. */
-  def start(spark: SparkSession, cfg: Config): StreamingQuery =
+    * the batch path.
+    *
+    * Replay handling: foreachBatch is at-least-once, and
+    * `TraceStore.append` is a plain parquet append — so a replayed batch
+    * would land TWICE without a guard. A per-(incarnation, batchId)
+    * marker under `_ingest_batches/` is written after each successful
+    * append and skips the re-delivery. The marker follows the append, so
+    * a crash in the tiny window between commit and marker can still
+    * duplicate one batch (at-least-once, never loss); byte-atomic
+    * batch publish is the DSv2 `graft-ndjson` sink's job
+    * (per-task atomic publish + batch markers). */
+  def start(spark: SparkSession, cfg: Config): StreamingQuery = {
+    val inc = incarnationOf(cfg.checkpointDir)
     TraceIngest.normalize(source(spark, cfg))
       .writeStream
       .queryName("trace-ingest")
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(cfg.trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        TraceStore.append(batch, cfg.tablePath, cfg.splitsPerMonth)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = java.nio.file.Paths.get(cfg.tablePath, "_ingest_batches",
+          inc, s"v$batchId")
+        if (!java.nio.file.Files.exists(marker)) {
+          TraceStore.append(batch, cfg.tablePath, cfg.splitsPerMonth)
+          java.nio.file.Files.createDirectories(marker.getParent)
+          java.nio.file.Files.createFile(marker)
+          ()
+        }
       }
       .start()
+  }
 
   /** Sentinel-file shutdown (A4): the reference exits its watch loop when
     * `sim-completed` appears (/root/reference/entrypoint.sh:22-24). Polls
@@ -144,9 +176,29 @@ object TraceStream {
     *    (the previous version is kept as the replay merge source).
     * Cost per batch ∝ rollup cardinality + batch size — never the
     * accumulated raw history. */
-  def upsertRollup(batch: DataFrame, batchId: Long, rollupPath: String): Unit = {
+  def upsertRollup(batch: DataFrame, batchId: Long, rollupPath: String,
+                   incarnation: String = "default"): Unit = {
     val spark = batch.sparkSession
     val root = java.nio.file.Paths.get(rollupPath)
+    // Batch ids are only meaningful within ONE checkpoint lineage: a
+    // fresh/wiped checkpoint restarts ids at 0, and treating the old
+    // v0's _SUCCESS as "already done" would silently DROP every new
+    // batch until the id passes the old maximum. Pin the lineage and
+    // fail loudly on a mismatch — the operator must clear rollupPath
+    // (or keep the checkpoint) rather than lose data silently.
+    val incFile = root.resolve("_incarnation")
+    if (java.nio.file.Files.exists(incFile)) {
+      val prev = new String(java.nio.file.Files.readAllBytes(incFile),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      require(prev == incarnation,
+        s"rollup at $rollupPath belongs to checkpoint lineage '$prev' but this " +
+        s"query runs under '$incarnation' — batch ids are incomparable across " +
+        "lineages; clear the rollup path or restore the original checkpoint")
+    } else {
+      java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.write(incFile,
+        incarnation.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val own = root.resolve(s"v$batchId")
     // Replay of an already-committed version: the rewrite would produce
     // identical rows by construction (same base, same batch), so skip it
@@ -179,15 +231,28 @@ object TraceStream {
     * derived from cfg's with a `-rollup` suffix so one Config can drive
     * both `start` (ingest) and this maintainer — sharing the literal
     * checkpoint dir would make the second query fail or silently resume
-    * from the first one's committed offsets. */
-  def maintainRollup(spark: SparkSession, cfg: Config, rollupPath: String): StreamingQuery =
+    * from the first one's committed offsets.
+    *
+    * WARNING: when one Config drives both queries, `deleteOnSuccess`
+    * must stay false — with `cleanSource=delete` each query deletes
+    * files it commits, and the OTHER query (separate checkpoint, own
+    * pace) never sees whatever the faster one deleted first: rows
+    * silently missing from the store or the rollup. Delete-on-success
+    * is a single-consumer contract. */
+  def maintainRollup(spark: SparkSession, cfg: Config, rollupPath: String): StreamingQuery = {
+    require(!cfg.deleteOnSuccess,
+      "deleteOnSuccess with a rollup maintainer loses files: two queries " +
+      "watch the dir and whichever commits first deletes what the other has " +
+      "not yet read — run the maintainer off the ingested store instead")
+    val inc = incarnationOf(cfg.checkpointDir.stripSuffix("/") + "-rollup")
     TraceIngest.normalize(source(spark, cfg))
       .writeStream
       .queryName("trace-rollup-maintain")
       .option("checkpointLocation", cfg.checkpointDir.stripSuffix("/") + "-rollup")
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        upsertRollup(batch, batchId, rollupPath)
+        upsertRollup(batch, batchId, rollupPath, inc)
       }
       .start()
+  }
 }

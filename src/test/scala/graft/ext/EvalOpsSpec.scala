@@ -133,9 +133,10 @@ class EvalOpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = Curation.q175SplitAssign(spark, dir)
       .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
-    // expected counts from the same LCG hash, computed independently
+    // expected counts from the same two-step Lehmer hash, computed
+    // independently (one step is monotone for small ids — no mixing)
     val exp = (0L until 100L).groupBy { id =>
-      val b = (id % 2147483647L) * 48271L % 2147483647L % 100L
+      val b = ((id % 2147483647L) * 48271L % 2147483647L) * 48271L % 2147483647L % 100L
       if (b < 80) "train" else if (b < 90) "valid" else "test"
     }.view.mapValues(_.size.toLong).toMap
     assert(got.map(t => t._1 -> t._2).toMap == exp)

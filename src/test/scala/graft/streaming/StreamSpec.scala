@@ -83,11 +83,20 @@ class StreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     val got = snap()
     assert(got == Set(("201905", "Role", 12L, 120L)))   // 12 rows, Severity 10 each
-    // replay: re-applying the LAST batch id must rebuild, not double-count
+    // replay: re-applying the LAST batch id WITHIN THE SAME CHECKPOINT
+    // LINEAGE must rebuild, not double-count
     val replayBatch = graft.ingest.TraceIngest.readBatch(spark, s"$watch/trace.2.json")
     val lastId = 1L
-    TraceStream.upsertRollup(replayBatch, lastId, roll)
+    val inc = TraceStream.incarnationOf(ckpt.stripSuffix("/") + "-rollup")
+    TraceStream.upsertRollup(replayBatch, lastId, roll, inc)
     assert(snap() == got)
+    // a DIFFERENT lineage against the same rollup path must fail loudly
+    // (batch ids are incomparable across checkpoints — silent skip would
+    // drop data, silent merge would double-count)
+    val ex = intercept[IllegalArgumentException] {
+      TraceStream.upsertRollup(replayBatch, lastId, roll, "other-lineage")
+    }
+    assert(ex.getMessage.contains("lineage"))
   }
 
   test("sentinel file stops a continuous query (A4)") {
