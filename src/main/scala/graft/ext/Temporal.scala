@@ -187,8 +187,7 @@ object Temporal {
     // class as the events reader confs, same fix: a derived session
     // (shared SparkContext, isolated SQLConf) that carries the caller's
     // modifiable confs plus the band width, for this query only.
-    val c = s.newSession()
-    s.conf.getAll.foreach { case (k, v) => if (c.conf.isModifiable(k)) c.conf.set(k, v) }
+    val c = graft.util.Sessions.derived(s)
     graft.plans.RangeBandRewrite.install(c)
     c.conf.set(graft.plans.RangeBandRewrite.ConfKey, "3600")
     val ev = Tables.events(c, dir)

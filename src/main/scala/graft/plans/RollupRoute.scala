@@ -81,9 +81,13 @@ object RollupRoute extends Rule[LogicalPlan] {
 
   private def regFor(plan: LogicalPlan): Option[Reg] = plan match {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      fs.location.rootPaths.iterator
-        .map(rp => regs.get(normalize(rp.toUri.getPath)))
-        .collectFirst { case r if r != null => r }
+      // the relation must be EXACTLY the registered path: a multi-path
+      // scan (read.parquet(p1, p2)) contains rows the rollup of one path
+      // never saw — rewriting it would silently drop the other paths
+      fs.location.rootPaths match {
+        case Seq(single) => Option(regs.get(normalize(single.toUri.getPath)))
+        case _           => None
+      }
     case _ => None
   }
 
@@ -129,7 +133,10 @@ object RollupRoute extends Rule[LogicalPlan] {
         case a: AttributeReference if reg.keys.contains(a.name) =>
           Some(Alias(byName(a.name), a.name)(exprId = a.exprId))
         case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _), name) =>
-          Some(Alias(sumOf(byName(reg.cntCol)), name)(exprId = al.exprId))
+          // count over empty input is 0, but sum over empty input is NULL
+          // — a global count on a fully-filtered slice must still say 0
+          Some(Alias(Coalesce(Seq(sumOf(byName(reg.cntCol)), Literal(0L))), name)(
+            exprId = al.exprId))
         case al @ Alias(AggregateExpression(Sum(x: AttributeReference, _), Complete, false, None, _), name)
             if reg.sumCols.contains(x.name) && byName.contains(reg.sumCols(x.name)) =>
           Some(Alias(sumOf(byName(reg.sumCols(x.name))), name)(exprId = al.exprId))

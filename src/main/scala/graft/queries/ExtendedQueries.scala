@@ -40,7 +40,10 @@ object ExtendedQueries {
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // fill ONLY the pivoted count columns — a bare na.fill(0) also
+      // rewrites a NULL user_id GROUP KEY to 0, silently merging the
+      // null-key group into user 0 where the oracle keeps a NULL row
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy(col("user_id"))
 
   val q41Sql: String =
@@ -398,15 +401,25 @@ object ExtendedQueries {
     def medOf(h: DataFrame, vCol: String, out: String): DataFrame = {
       val wp = Window.partitionBy(col("event_type")).orderBy(col(vCol))
       val wn = Window.partitionBy(col("event_type"))
+      // lerp FORM matters, not just value: quantile_cont computes
+      // lo + 0.5·(hi − lo); the algebraically-equal 0.5·lo + 0.5·hi can
+      // differ by 1 ulp for even-n groups, and the UNROUNDED mad feeds
+      // the strict 3·MAD screen below — mirror DuckDB's expression
       h.withColumn("pre", sum(col("c")).over(wp) - col("c"))
         .withColumn("n", sum(col("c")).over(wn))
         .withColumn("lo", expr("(n - 1) div 2"))
         .withColumn("hi", expr("n div 2"))
         .groupBy(col("event_type"))
-        .agg((max(when(col("lo") >= col("pre") && col("lo") < col("pre") + col("c"), col(vCol))) * 0.5
-            + max(when(col("hi") >= col("pre") && col("hi") < col("pre") + col("c"), col(vCol))) * 0.5).as(out))
+        .agg({
+          val vLo = max(when(col("lo") >= col("pre") && col("lo") < col("pre") + col("c"), col(vCol)))
+          val vHi = max(when(col("hi") >= col("pre") && col("hi") < col("pre") + col("c"), col(vCol)))
+          (vLo + (vHi - vLo) * 0.5).as(out)
+        })
     }
     val hist = Tables.events(s, dir)
+      // quantile_cont ignores NULLs; a (type, NULL, c) histogram row
+      // would inflate n and every prefix rank — drop them up front
+      .filter(col("value").isNotNull)
       .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // the one fact-table pass; all else histogram-sized
     val dev = hist.join(broadcast(medOf(hist, "value", "med")), Seq("event_type"))
@@ -541,18 +554,23 @@ object ExtendedQueries {
     * `RollupRouteSpec` (the rollup scan replaces the raw scan). */
   def q153RollupRoute(s: SparkSession, dir: String): DataFrame = {
     val rawPath = s"$dir/documents.parquet"
-    rollupRouteReg(s, dir) { (sess, _) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-rollup").toString
+    val tmp = rollupRouteReg(s, dir) { (sess, _) =>
+      val t = java.nio.file.Files.createTempDirectory("graft-rollup").toString
       sess.read.parquet(rawPath)
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_n_chars"))
-        .write.mode("overwrite").parquet(tmp)
-      graft.plans.RollupRoute.register(sess, rawPath, sess.read.parquet(tmp),
-        Seq("source", "lang"), "cnt", Map("n_chars" -> "sum_n_chars"))
-      tmp
+        .write.mode("overwrite").parquet(t)
+      t
     }
-    s.conf.set(graft.plans.RollupRoute.ConfKey, "true")
-    s.read.parquet(rawPath)
+    // rule install + enablement scoped to a DERIVED session: setting the
+    // routing conf on the caller's session (and never restoring it)
+    // would silently rewrite every later qualifying aggregate the caller
+    // runs — q120's conf-leak hazard, same fix
+    val c = graft.util.Sessions.derived(s)
+    graft.plans.RollupRoute.register(c, rawPath, c.read.parquet(tmp),
+      Seq("source", "lang"), "cnt", Map("n_chars" -> "sum_n_chars"))
+    c.conf.set(graft.plans.RollupRoute.ConfKey, "true")
+    c.read.parquet(rawPath)
       .filter(col("lang") =!= "zh")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
@@ -984,7 +1002,10 @@ object ExtendedQueries {
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("long").as("qty"))
+        // explicit floor: Spark's cast("long") truncates while DuckDB's
+        // CAST(... AS BIGINT) rounds — floor on both sides is the one
+        // pinned semantics (fixtures are integral today, so identical)
+        floor(col("l_quantity")).cast("long").as("qty"))
     // group totals via a map-side-combined aggregate + broadcast, not a
     // second (unordered) window: the unordered spec buffers the whole
     // partition a second time; the aggregate collapses before shuffling
@@ -999,12 +1020,12 @@ object ExtendedQueries {
 
   val q123Sql: String =
     """WITH c AS (SELECT l_returnflag, l_extendedprice,
-      |                  CAST(l_quantity AS BIGINT) AS qty,
-      |                  sum(CAST(l_quantity AS BIGINT)) OVER
+      |                  CAST(floor(l_quantity) AS BIGINT) AS qty,
+      |                  sum(CAST(floor(l_quantity) AS BIGINT)) OVER
       |                    (PARTITION BY l_returnflag
       |                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
       |                     ROWS UNBOUNDED PRECEDING) AS cum,
-      |                  CAST(sum(CAST(l_quantity AS BIGINT)) OVER
+      |                  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) OVER
       |                    (PARTITION BY l_returnflag) AS BIGINT) AS tot
       |           FROM lineitem)
       |SELECT l_returnflag, l_extendedprice AS weighted_median, tot AS total_qty
@@ -1056,6 +1077,10 @@ object ExtendedQueries {
     val u50 = graft.functions.UniqUpTo.uniq_up_to(50)
     val u5000 = graft.functions.UniqUpTo.uniq_up_to(5000)
     Tables.events(s, dir)
+      // the oracle's count(DISTINCT user_id) ignores NULLs; the typed
+      // Aggregator's primitive-Long input cannot represent them — filter
+      // so both legs see the same value set if a fixture ships NULL ids
+      .filter(col("user_id").isNotNull)
       .groupBy(col("event_type"))
       .agg(u50(col("user_id")).as("uniq_upto_50"),
         u5000(col("user_id")).as("uniq_upto_5000"),

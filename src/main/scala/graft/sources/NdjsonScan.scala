@@ -69,7 +69,13 @@ final class NdjsonScan(path: String, required: StructType, committedOnly: Boolea
     val dir = Paths.get(path)
     if (!Files.exists(dir)) return Seq.empty
     if (Files.isRegularFile(dir)) return Seq(dir)
-    val all = Files.list(dir).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+    // Files.list returns a Stream that must be CLOSED (it holds a
+    // directory descriptor); draining via iterator alone leaks one fd
+    // per planning/statistics call
+    val listing = Files.list(dir)
+    val all =
+      try listing.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      finally listing.close()
     val names = all.map(_.getFileName.toString).toSet
     all.filter { p =>
       val n = p.getFileName.toString
@@ -87,7 +93,11 @@ final class NdjsonScan(path: String, required: StructType, committedOnly: Boolea
     new NdjsonReaderFactory(required, timeZoneId)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = visibleFiles().map(Files.size).sum
+    // a file can vanish between listing and sizing (concurrent abort /
+    // external cleanup) — treat it as absent, never fail planning
+    private val bytes = visibleFiles().map { p =>
+      try Files.size(p) catch { case _: java.io.IOException => 0L }
+    }.sum
     override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }

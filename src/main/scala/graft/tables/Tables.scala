@@ -46,15 +46,7 @@ object Tables {
     * every other table, so the clone is built once. */
   private def eventsRelation(s: SparkSession, d: String): DataFrame =
     cache(s, s"$d/events.parquet") { (sess, p) =>
-      // newSession() starts from SparkConf defaults, so replay the
-      // caller's modifiable runtime confs first (cloneSession would
-      // inherit them wholesale but is private[sql] in Spark 4) — the
-      // session-zone and shuffle-partition settings must match or the
-      // relation would resolve timestamps in a different zone
-      val c = sess.newSession()
-      sess.conf.getAll.foreach { case (k, v) =>
-        if (c.conf.isModifiable(k)) c.conf.set(k, v)
-      }
+      val c = graft.util.Sessions.derived(sess)
       c.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       c.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       c.read.parquet(p)
