@@ -609,6 +609,9 @@ object SeriesStats {
   def q169BitmapAudience(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.BitmapAgg
     val bm = Tables.events(s, dir)
+      // the typed Aggregator's primitive-Long input cannot represent
+      // NULL ids (q151's hazard, same guard)
+      .filter(col("user_id").isNotNull)
       .groupBy(col("event_type"))
       .agg(BitmapAgg.bitmap_state(col("user_id")).as("bm"))
       .localCheckpoint(true) // |types| rows feed both pair sides

@@ -32,6 +32,8 @@ object TopK {
   }
 
   class TopKAgg(k: Int) extends Aggregator[Entry, Buf, Seq[Entry]] {
+    require(k >= 1, s"top-k needs k >= 1, got $k") // fail at construction,
+    // not as an opaque NoSuchElementException inside an executor task
     override def zero: Buf = Buf(Nil)
 
     /** Single-pass insertion into the sorted (best-first) bounded list:
@@ -92,6 +94,7 @@ object TopK {
     a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
 
   class FirstKAgg(k: Int) extends Aggregator[Entry3, Buf3, Seq[Entry3]] {
+    require(k >= 1, s"first-k needs k >= 1, got $k")
     override def zero: Buf3 = Buf3(Nil)
 
     private def insert(es: List[Entry3], e: Entry3): List[Entry3] = {

@@ -38,6 +38,26 @@ object ExprKernels {
   def tokval(s: UTF8String): Long =
     ((polysum(s.toString, 0) % P) * 2654435761L) % P
 
+  /** Token arrays with NULL ELEMENTS: skip them (the declared semantics
+    * everywhere else — ShingleGeneratorExpr, concat_ws, shingles3 — and
+    * these kernels are registered as session SQL functions, so arbitrary
+    * arrays reach them). nullSafeEval guards only a null ARRAY; without
+    * this, `minhash_sig(array('a', NULL))` NPEs the whole job. Fast path
+    * (no nulls, the split() case) returns the input untouched. */
+  private def skipNulls(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var i = 0
+    var hasNull = false
+    while (i < n && !hasNull) { hasNull = arr.isNullAt(i); i += 1 }
+    if (!hasNull) arr
+    else {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+      i = 0
+      while (i < n) { if (!arr.isNullAt(i)) buf += arr.getUTF8String(i); i += 1 }
+      new GenericArrayData(buf.toArray)
+    }
+  }
+
   /** One-pass 16-permutation MinHash over the 3-token shingles of a token
     * array, without materializing shingle strings: the shingle's
     * polynomial char hash decomposes by position phase (each token's char
@@ -46,7 +66,8 @@ object ExprKernels {
     * loop is pure arithmetic while exactly matching
     * tokval("wᵢ wᵢ₊₁ wᵢ₊₂"). Returns an empty array for docs with fewer
     * than 3 tokens. */
-  def minhashShingleSig(toks: ArrayData): ArrayData = {
+  def minhashShingleSig(toks0: ArrayData): ArrayData = {
+    val toks = skipNulls(toks0)
     val n = toks.numElements()
     if (n < 3) return new GenericArrayData(Array.emptyLongArray)
     // The shingle's polynomial hash decomposes by position phase: each
@@ -90,7 +111,8 @@ object ExprKernels {
   /** Exact distinct-3-gram Jaccard between two token arrays (the LSH
     * verification kernel): builds the shingle string sets exactly as the
     * relational formulation does. */
-  def jaccardShingles(a: ArrayData, b: ArrayData): Double = {
+  def jaccardShingles(a0: ArrayData, b0: ArrayData): Double = {
+    val a = skipNulls(a0); val b = skipNulls(b0)
     def shingleSet(t: ArrayData): java.util.HashSet[String] = {
       val s = new java.util.HashSet[String]()
       val n = t.numElements()
@@ -111,7 +133,8 @@ object ExprKernels {
   }
 
   /** One-pass 16-permutation MinHash over a string array. */
-  def minhashSig(arr: ArrayData): ArrayData = {
+  def minhashSig(arr0: ArrayData): ArrayData = {
+    val arr = skipNulls(arr0)
     val mins = Array.fill(K)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
@@ -158,7 +181,8 @@ object ExprKernels {
     * positive. Bit-for-bit the HOF formulation q27 previously inlined
     * (16 interpreted aggregate lambdas per row) — here one compiled pass
     * hashing each token once. */
-  def simhash16(toks: ArrayData): Long = {
+  def simhash16(toks0: ArrayData): Long = {
+    val toks = skipNulls(toks0)
     val n = toks.numElements()
     val sums = new Array[Long](16)
     var i = 0
@@ -185,7 +209,8 @@ object ExprKernels {
     * 10-bit bands for Hamming-band blocking, and 1L<<59 keeps the packed
     * value positive). One compiled pass; each token is hashed once and
     * its value reused across all planes. */
-  def simhash60(toks: ArrayData): Long = {
+  def simhash60(toks0: ArrayData): Long = {
+    val toks = skipNulls(toks0)
     val n = toks.numElements()
     val sums = new Array[Long](60)
     var i = 0

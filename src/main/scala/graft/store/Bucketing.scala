@@ -28,8 +28,14 @@ object Bucketing {
                     numBuckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    // managed-table layout is <warehouse>/<db>.db/<table> for any
+    // database except default — a bare <warehouse>/<table> guess would
+    // miss the stale location whenever the session did `USE somedb`
+    val db = spark.catalog.currentDatabase
+    val base = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val parent = if (db == "default") base
+                 else new org.apache.hadoop.fs.Path(base, s"${db.toLowerCase}.db")
+    val loc = new org.apache.hadoop.fs.Path(parent, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

@@ -21,10 +21,20 @@ private[graft] object FsMaint {
     }
 
   /** Recursive deepest-first delete; tolerates a missing root and entries
-    * that vanish concurrently. */
+    * that vanish concurrently — INCLUDING during the walk itself (two
+    * maintenance paths can race on the same crashed-write subtree; a
+    * traversal that throws on a vanished entry would kill a micro-batch
+    * over a tree that is already being cleaned up). */
   def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-    val w = Files.walk(p)
-    val entries = try w.iterator().asScala.toList finally w.close()
+    val entries =
+      try {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toList finally w.close()
+      } catch {
+        // root or an entry vanished mid-walk: someone else is deleting it
+        case _: java.io.UncheckedIOException => return
+        case _: java.io.IOException => return
+      }
     entries.reverse.foreach(Files.deleteIfExists(_))
   }
 }
