@@ -465,6 +465,7 @@ object Dedup {
       while (changed > 0 && iter < maxIters) {
         val nbrMin = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.node"))
           .groupBy(col("e.src").as("node")).agg(min(col("l.lbl")).as("nlbl"))
+        val prev = labels
         val step = labels.withColumnRenamed("lbl", "old")
           .join(nbrMin, Seq("node"), "left")
           .select(col("node"), col("old"),
@@ -472,6 +473,10 @@ object Dedup {
           .persist()
         persisted += step
         changed = step.filter(col("lbl") < col("old")).count()
+        // the count above materialized `step`; the SUPERSEDED round's
+        // labels are dead — dropping them now keeps cache at O(2·nodes)
+        // instead of O(rounds·nodes) on deep graphs
+        prev.unpersist(false)
         labels = step.select(col("node"), col("lbl"))
         iter += 1
       }

@@ -769,14 +769,11 @@ object Similarity {
         e => e.getField("c")).as("cv"))
     Tables.embeddings(s, dir)
       .join(broadcast(cent), Seq("label"))
-      .withColumn("dot", aggregate(
-        zip_with(col("embedding").cast("array<double>"), col("cv"), (a, b) => a * b),
-        lit(0.0), (acc, v) => acc + v))
-      .withColumn("nv", sqrt(aggregate(
-        transform(col("embedding").cast("array<double>"), a => a * a),
-        lit(0.0), (acc, v) => acc + v)))
-      .withColumn("nc", sqrt(aggregate(
-        transform(col("cv"), a => a * a), lit(0.0), (acc, v) => acc + v)))
+      // the file's ONE dot/norm definition — inlined copies here once
+      // drifted a cast from the spec-pinned helpers
+      .withColumn("dot", dot(col("embedding"), col("cv")))
+      .withColumn("nv", norm(col("embedding")))
+      .withColumn("nc", norm(col("cv")))
       .withColumn("cos", col("dot") / (col("nv") * col("nc")))
   }
 

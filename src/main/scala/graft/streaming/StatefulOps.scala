@@ -22,9 +22,13 @@ object StatefulOps {
   /** Streaming exact dedup (C1): state bounded by the watermark horizon —
     * the streaming analogue of re-ingested trace files being tolerated by
     * the reference's at-least-once delivery (SURVEY §3 E1). */
-  def dedupStream(df: DataFrame, tsCol: String, delay: String, keys: String*): DataFrame =
+  def dedupStream(df: DataFrame, tsCol: String, delay: String, keys: String*): DataFrame = {
+    require(keys.nonEmpty,
+      "dedupStream needs at least one key column (all-column dedup would " +
+      "make every distinct-ts row unique — name the identity columns)")
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Streaming NEAR-dup suppression (C2 in streaming form): drops an
     * arriving document when a MinHash-similar one was already seen inside
@@ -80,8 +84,12 @@ object StatefulOps {
     * envelope [start − gap, last + gap] merges with min/max bounds (a late
     * arrival must never move `last` backwards — that would shrink the
     * timeout horizon — nor leave `start` later than the session's earliest
-    * event). An event older than start − gap is a distinct earlier
-    * session; it is emitted immediately as its own closed session.
+    * event). Events older than start − gap form distinct earlier
+    * sessions: they are gap-grouped among THEMSELVES within the batch
+    * (two late events 5 s apart are one 2-event session, not two
+    * singletons) and emitted closed. Pre-session events split across
+    * DIFFERENT micro-batches still emit separately — merging those would
+    * need unbounded closed-session state; the documented trade.
     * `delay` is the late-data watermark, a caller knob like dedupStream's. */
   def sessionize(ds: Dataset[Ev], gapMinutes: Int,
                  delay: String = "10 seconds"): Dataset[SessionOut] = {
@@ -98,6 +106,13 @@ object StatefulOps {
       } else {
         val evs = events.toSeq.sortBy(_.ts.getTime)
         var st = state.getOption
+        // pre-session events (older than the live envelope) gap-group
+        // among themselves instead of each emitting a singleton
+        var pre: Option[SessionState] = None
+        def closePre(): Unit = pre.foreach { p =>
+          out ::= SessionOut(key, new Timestamp(p.start), p.n, p.sum)
+          pre = None
+        }
         evs.foreach { e =>
           val t = e.ts.getTime
           st match {
@@ -105,14 +120,23 @@ object StatefulOps {
               st = Some(s.copy(start = math.min(s.start, t),
                 last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
             case Some(s) if t > s.last + gapMs =>
+              closePre()
               out ::= SessionOut(key, new Timestamp(s.start), s.n, s.sum)
               st = Some(SessionState(t, t, 1, e.value))
-            case Some(_) => // t < start − gap: an already-gap-closed earlier session
-              out ::= SessionOut(key, new Timestamp(t), 1, e.value)
+            case Some(_) => // t < start − gap: an earlier, already-closed session
+              pre match {
+                case Some(p) if t - p.last <= gapMs =>
+                  pre = Some(p.copy(last = math.max(p.last, t), n = p.n + 1,
+                    sum = p.sum + e.value))
+                case _ =>
+                  closePre()
+                  pre = Some(SessionState(t, t, 1, e.value))
+              }
             case None =>
               st = Some(SessionState(t, t, 1, e.value))
           }
         }
+        closePre()
         st.foreach { s =>
           state.update(s)
           state.setTimeoutTimestamp(s.last + gapMs)
@@ -141,6 +165,7 @@ object StatefulOps {
   final class LatestStateProcessor(ttl: TTLConfig)
       extends StatefulProcessor[Long, Upd, Change] {
     @transient private var cur: ValueState[CurState] = _
+    private val ttlOn = ttl != TTLConfig.NONE
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       cur = getHandle.getValueState[CurState]("cur", Encoders.product[CurState], ttl)
@@ -162,7 +187,10 @@ object StatefulOps {
           out += Change(key, u.ts, u.value)
         }
       }
-      if (st != st0) st.foreach(cur.update)
+      // TTL measures from the last WRITE: a key whose traffic is all
+      // duplicates/stale must still refresh, or it expires mid-traffic
+      // and a later replayed older update regresses the newest-wins view
+      if (st != st0 || (ttlOn && st.isDefined)) st.foreach(cur.update)
       out.iterator
     }
   }
@@ -302,8 +330,12 @@ object StatefulOps {
       val depth = t.lastIndexWhere(_ != Long.MinValue)
       if (depth > depth0) {
         st.update(FunnelSt(t.toSeq))
-        Iterator.single(FunnelAdvance(key, depth + 1,
-          new Timestamp(t(depth) / 1000L)))
+        // preserve sub-millisecond precision: state is in µs, and a
+        // ms-truncated Timestamp would mismatch the batch q83's epoch-µs
+        val us = t(depth)
+        val ts = new Timestamp(Math.floorDiv(us, 1000L))
+        ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        Iterator.single(FunnelAdvance(key, depth + 1, ts))
       } else Iterator.empty
     }
   }

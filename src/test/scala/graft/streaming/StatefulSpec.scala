@@ -118,6 +118,28 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize merges pre-session late events with each other, not into singletons") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = sessionize(in.toDS(), gapMinutes = 30, delay = "10 hours")
+      .writeStream.format("memory").queryName("sess_pre")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(3, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // two late events far before the live session, 5 s apart: ONE
+      // 2-event closed session, not two singletons
+      in.addData(Ev(3, ts("2024-01-01 10:30:00"), 2.0),
+                 Ev(3, ts("2024-01-01 10:30:05"), 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_pre").as[SessionOut].collect()
+      assert(rows.length == 1, s"expected one merged pre-session, got ${rows.toSeq}")
+      assert(rows(0).session_start == ts("2024-01-01 10:30:00"))
+      assert(rows(0).n == 2 && rows(0).sv == 5.0)
+    } finally q.stop()
+  }
+
   test("streaming HLL distinct state accumulates across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
