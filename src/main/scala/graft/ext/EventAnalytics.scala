@@ -1348,10 +1348,14 @@ object EventAnalytics {
       // rank-sum terms widen to DECIMAL(38,0) (q130's fix for the same
       // class): at ~1e9 users × 1e10 events the Long products 2·ix and
       // (n+1)·tot pass 2^63 — ANSI overflow — while 38 digits hold to
-      // ~1e38; DuckDB's HUGEINT sums match
+      // ~1e38; DuckDB's HUGEINT sums match. x is cast BEFORE the multiply:
+      // the rank factor c·pre + c(c+1)/2 alone stays < 2^63 (both terms
+      // ≤ n² ~ 1e18), but x·(that) ~ 1e10·1e18 overflows Long, so the
+      // widening must happen on a factor, not on the finished product.
       .agg(sum(col("c")).as("n"), sum(col("x") * col("c")).as("tot"),
-        sum((col("x") * (col("c") * col("pre") + expr("(c * (c + 1)) div 2")))
-          .cast("decimal(38,0)")).as("ix"))
+        sum(col("x").cast("decimal(38,0)") *
+          (col("c") * col("pre") + expr("(c * (c + 1)) div 2")).cast("decimal(38,0)"))
+          .as("ix"))
       .select(col("event_type"), col("n"), col("tot"),
         round((lit(2L) * col("ix") - (col("n") + lit(1L)) * col("tot").cast("decimal(38,0)"))
           .cast("double")

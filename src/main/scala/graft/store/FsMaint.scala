@@ -24,7 +24,10 @@ private[graft] object FsMaint {
     * that vanish concurrently — INCLUDING during the walk itself (two
     * maintenance paths can race on the same crashed-write subtree; a
     * traversal that throws on a vanished entry would kill a micro-batch
-    * over a tree that is already being cleaned up). */
+    * over a tree that is already being cleaned up). Only the vanished-
+    * entry races are swallowed: a permission error or transient IO
+    * failure propagates, so a caller never treats an intact tree as
+    * deleted (stale files would otherwise poison replay logic). */
   def deleteTree(p: Path): Unit = if (Files.exists(p)) {
     val entries =
       try {
@@ -32,8 +35,9 @@ private[graft] object FsMaint {
         try w.iterator().asScala.toList finally w.close()
       } catch {
         // root or an entry vanished mid-walk: someone else is deleting it
-        case _: java.io.UncheckedIOException => return
-        case _: java.io.IOException => return
+        case _: java.nio.file.NoSuchFileException => return
+        case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => return
       }
     entries.reverse.foreach(Files.deleteIfExists(_))
   }

@@ -55,13 +55,51 @@ object TraceStream {
   /** Deterministic key for one checkpoint lineage: replays within the
     * same checkpoint share batch-id meaning; a NEW checkpoint restarts
     * ids at 0, so markers from a previous incarnation must never
-    * suppress (ingest) or silently skip (rollup) the new one's batches. */
+    * suppress (ingest) or silently skip (rollup) the new one's batches.
+    *
+    * The lineage is the streaming query id Spark writes into the
+    * checkpoint's `metadata` file at checkpoint CREATION — a checkpoint
+    * wiped in place gets a fresh UUID, so stale markers/versions keyed by
+    * the old lineage can never suppress the new one's batches (a pure
+    * path hash was blind to wipe-in-place: same path, restarted ids).
+    * Read via the Hadoop FileSystem API so a non-local checkpoint
+    * (HDFS/S3A) resolves the same way Spark itself resolves it. Falls
+    * back to a path hash only when the metadata file is unreadable; the
+    * marker/version id guards in [[start]]/[[upsertRollup]] then catch a
+    * wiped lineage loudly instead of silently. */
+  private[streaming] def lineageOf(spark: SparkSession, checkpointDir: String): String = {
+    val meta = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fromMeta =
+      try {
+        if (!fs.exists(meta)) None
+        else {
+          val in = fs.open(meta)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        }
+      } catch { case _: java.io.IOException => None }
+    fromMeta.getOrElse(incarnationOf(checkpointDir))
+  }
+
+  /** Path-hash fallback lineage (pre-metadata checkpoints, unreadable
+    * metadata). Blind to wipe-in-place — which is why every consumer
+    * also id-guards against markers/versions from the future. */
   private[streaming] def incarnationOf(checkpointDir: String): String = {
     val abs = java.nio.file.Paths.get(checkpointDir).toAbsolutePath.toString
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     d.take(8).map(b => f"${b & 0xff}%02x").mkString
   }
+
+  /** Ingest-batch marker ids present under `<tablePath>/_ingest_batches/<inc>`. */
+  private def markerIds(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v")) n.drop(1).toLongOption else None
+    }
 
   /** Full ingest query: source → normalize → partitioned store append.
     * foreachBatch gives the same commit unit as the reference's
@@ -78,19 +116,41 @@ object TraceStream {
     * batch publish is the DSv2 `graft-ndjson` sink's job
     * (per-task atomic publish + batch markers). */
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
-    val inc = incarnationOf(cfg.checkpointDir)
+    // Lineage resolves LAZILY, on the first batch: the checkpoint's
+    // metadata file only exists once the query has started, and
+    // foreachBatch runs driver-side strictly after that.
+    var inc: String = null
     TraceIngest.normalize(source(spark, cfg))
       .writeStream
       .queryName("trace-ingest")
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = java.nio.file.Paths.get(cfg.tablePath, "_ingest_batches",
-          inc, s"v$batchId")
-        if (!java.nio.file.Files.exists(marker)) {
+        val s = batch.sparkSession
+        if (inc == null) inc = lineageOf(s, cfg.checkpointDir)
+        val dir = new org.apache.hadoop.fs.Path(cfg.tablePath, s"_ingest_batches/$inc")
+        val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(dir, s"v$batchId")
+        if (!fs.exists(marker)) {
+          // Within one lineage batch ids are monotone and only the latest
+          // uncommitted batch can replay — a marker AHEAD of the current
+          // batch can only come from a wiped-in-place checkpoint under the
+          // path-hash fallback. Silently proceeding would let those stale
+          // markers suppress future batches (data loss); fail loudly.
+          val ids = markerIds(fs, dir)
+          require(ids.forall(_ < batchId),
+            s"ingest markers up to v${ids.max} exist under $dir but this query is " +
+            s"at batch $batchId — the checkpoint was wiped in place and batch ids " +
+            "restarted; clear the marker directory (the table keeps its data) or " +
+            "restore the original checkpoint")
           TraceStore.append(batch, cfg.tablePath, cfg.splitsPerMonth)
-          java.nio.file.Files.createDirectories(marker.getParent)
-          java.nio.file.Files.createFile(marker)
+          fs.mkdirs(dir)
+          fs.create(marker, true).close()
+          // Retention: once this batch's offsets commit, only THIS batch can
+          // ever replay — markers two or more behind are dead bookkeeping.
+          // Keep batchId-1 as grace for the commit-in-flight window.
+          ids.filter(_ < batchId - 1)
+            .foreach(i => fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$i"), true))
           ()
         }
       }
@@ -142,15 +202,26 @@ object TraceStream {
 
   /** Complete versions under a rollup root, ascending by batch id. A
     * version is a `v<batchId>` subdirectory whose parquet commit finished
-    * (_SUCCESS present) — half-written versions are invisible. */
-  private def rollupVersions(root: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] =
-    graft.store.FsMaint.listDir(root)
-      .filter(p => java.nio.file.Files.exists(p.resolve("_SUCCESS")))
-      .flatMap { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("v")) n.drop(1).toLongOption.map(_ -> p) else None
+    * (_SUCCESS present) — half-written versions are invisible. All file
+    * ops go through the Hadoop FileSystem API: the rollup root may live
+    * on whatever filesystem the store itself writes to (HDFS/S3A), not
+    * just the driver's local disk. */
+  private def rollupVersions(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v")) n.drop(1).toLongOption.map(_ -> st.getPath) else None
       }
       .sortBy(_._1)
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
 
   /** Read the current (highest complete version) maintained rollup. The
     * returned DataFrame is lazy; the maintainer's prune keeps a one-extra-
@@ -158,7 +229,8 @@ object TraceStream {
     * cycle (or cache it) — a version three commits stale may be deleted
     * under a longer-lived handle. */
   def readRollup(spark: SparkSession, rollupPath: String): DataFrame = {
-    val vs = rollupVersions(java.nio.file.Paths.get(rollupPath))
+    val (fs, root) = fsOf(spark, rollupPath)
+    val vs = rollupVersions(fs, root)
     require(vs.nonEmpty, s"no complete rollup version under $rollupPath")
     spark.read.parquet(vs.last._2.toString)
   }
@@ -179,33 +251,45 @@ object TraceStream {
   def upsertRollup(batch: DataFrame, batchId: Long, rollupPath: String,
                    incarnation: String = "default"): Unit = {
     val spark = batch.sparkSession
-    val root = java.nio.file.Paths.get(rollupPath)
+    val (fs, root) = fsOf(spark, rollupPath)
     // Batch ids are only meaningful within ONE checkpoint lineage: a
     // fresh/wiped checkpoint restarts ids at 0, and treating the old
     // v0's _SUCCESS as "already done" would silently DROP every new
     // batch until the id passes the old maximum. Pin the lineage and
     // fail loudly on a mismatch — the operator must clear rollupPath
     // (or keep the checkpoint) rather than lose data silently.
-    val incFile = root.resolve("_incarnation")
-    if (java.nio.file.Files.exists(incFile)) {
-      val prev = new String(java.nio.file.Files.readAllBytes(incFile),
-        java.nio.charset.StandardCharsets.UTF_8).trim
+    val incFile = new org.apache.hadoop.fs.Path(root, "_incarnation")
+    if (fs.exists(incFile)) {
+      val in = fs.open(incFile)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
       require(prev == incarnation,
         s"rollup at $rollupPath belongs to checkpoint lineage '$prev' but this " +
         s"query runs under '$incarnation' — batch ids are incomparable across " +
         "lineages; clear the rollup path or restore the original checkpoint")
     } else {
-      java.nio.file.Files.createDirectories(root)
-      java.nio.file.Files.write(incFile,
-        incarnation.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      fs.mkdirs(root)
+      val out = fs.create(incFile, true)
+      try out.write(incarnation.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
-    val own = root.resolve(s"v$batchId")
+    val existing = rollupVersions(fs, root)
+    // Second wipe-in-place defense, for when the lineage string itself is
+    // a path-hash fallback (same path, wiped checkpoint → SAME lineage but
+    // restarted ids): within one real lineage only the latest uncommitted
+    // batch replays, so no complete version can ever be AHEAD of the
+    // current batch. A future version means incomparable ids — fail loudly
+    // instead of merging new deltas under a stale current version.
+    require(existing.forall(_._1 <= batchId),
+      s"rollup at $rollupPath has complete version v${existing.lastOption.map(_._1).getOrElse(-1L)} " +
+      s"ahead of batch $batchId — the checkpoint was wiped in place and batch ids " +
+      "restarted; clear the rollup path or restore the original checkpoint")
+    val own = new org.apache.hadoop.fs.Path(root, s"v$batchId")
     // Replay of an already-committed version: the rewrite would produce
     // identical rows by construction (same base, same batch), so skip it
     // rather than overwrite-in-place — an in-place rewrite would delete a
     // version a concurrent reader may have just resolved as current.
-    if (java.nio.file.Files.exists(own.resolve("_SUCCESS"))) return
-    val base = rollupVersions(root).filter(_._1 < batchId).lastOption
+    if (existing.exists(_._1 == batchId)) return
+    val base = existing.filter(_._1 < batchId).lastOption
     val delta = rollOf(batch)
     val merged = base match {
       case Some((_, p)) => TraceStore.mergeRollups(
@@ -218,9 +302,9 @@ object TraceStream {
     // lazy DataFrame over a recently-current version (readRollup).
     // _SUCCESS goes FIRST so a crash mid-delete leaves the dir invisible
     // to rollupVersions, never a "complete" version missing part-files.
-    rollupVersions(root).dropRight(3).foreach { case (_, p) =>
-      java.nio.file.Files.deleteIfExists(p.resolve("_SUCCESS"))
-      graft.store.FsMaint.deleteTree(p)
+    rollupVersions(fs, root).dropRight(3).foreach { case (_, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
+      fs.delete(p, true)
     }
   }
 
@@ -244,13 +328,15 @@ object TraceStream {
       "deleteOnSuccess with a rollup maintainer loses files: two queries " +
       "watch the dir and whichever commits first deletes what the other has " +
       "not yet read — run the maintainer off the ingested store instead")
-    val inc = incarnationOf(cfg.checkpointDir.stripSuffix("/") + "-rollup")
+    val ckpt = cfg.checkpointDir.stripSuffix("/") + "-rollup"
+    var inc: String = null   // resolved on first batch — metadata exists by then
     TraceIngest.normalize(source(spark, cfg))
       .writeStream
       .queryName("trace-rollup-maintain")
-      .option("checkpointLocation", cfg.checkpointDir.stripSuffix("/") + "-rollup")
+      .option("checkpointLocation", ckpt)
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (inc == null) inc = lineageOf(batch.sparkSession, ckpt)
         upsertRollup(batch, batchId, rollupPath, inc)
       }
       .start()

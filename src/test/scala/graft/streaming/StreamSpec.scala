@@ -87,7 +87,10 @@ class StreamSpec extends SparkSpec {
     // LINEAGE must rebuild, not double-count
     val replayBatch = graft.ingest.TraceIngest.readBatch(spark, s"$watch/trace.2.json")
     val lastId = 1L
-    val inc = TraceStream.incarnationOf(ckpt.stripSuffix("/") + "-rollup")
+    val inc = TraceStream.lineageOf(spark, ckpt.stripSuffix("/") + "-rollup")
+    // the lineage must be the checkpoint's query id, not a path hash —
+    // a wiped-in-place checkpoint then yields a DIFFERENT lineage
+    assert(inc != TraceStream.incarnationOf(ckpt.stripSuffix("/") + "-rollup"))
     TraceStream.upsertRollup(replayBatch, lastId, roll, inc)
     assert(snap() == got)
     // a DIFFERENT lineage against the same rollup path must fail loudly
@@ -97,6 +100,13 @@ class StreamSpec extends SparkSpec {
       TraceStream.upsertRollup(replayBatch, lastId, roll, "other-lineage")
     }
     assert(ex.getMessage.contains("lineage"))
+    // same lineage string but RESTARTED batch ids (the path-hash-fallback
+    // wipe-in-place shape): a complete version ahead of the current batch
+    // must fail loudly, never merge under a stale current version
+    val ex2 = intercept[IllegalArgumentException] {
+      TraceStream.upsertRollup(replayBatch, 0L, roll, inc)
+    }
+    assert(ex2.getMessage.contains("wiped in place"))
   }
 
   test("sentinel file stops a continuous query (A4)") {
