@@ -33,5 +33,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // JVM default zone too: java.sql.Timestamp.toString renders in it, so
   // tests asserting rendered timestamps need UTC like the session
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default on the 128 GiB target box: the 201-query suite at 8g
+  // spent ~5% of wall time in GC (measured round 6, bench/DRIFT_r6.md).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The bench/verify suite runs 200+ queries (×2 passes) in ONE JVM:
+  // each execution emits whole-stage-codegen classes, and the JDK-17
+  // default 240 MB code cache fills partway through — the JIT then stops
+  // compiling and late queries run partially interpreted, which shows up
+  // as round-over-round "drift" as the suite grows. Headroom makes
+  // query N's timing independent of how many queries ran before it.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

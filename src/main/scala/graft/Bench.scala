@@ -63,7 +63,14 @@ object Bench {
       case Some(v) => math.max(1, v.toIntOption.getOrElse(
         throw new IllegalArgumentException(s"SPARK_GRAFT_PASSES must be an int, got '$v'")))
     }
+    // Optional isolation filter: SPARK_GRAFT_ONLY=q38,q65 runs just the
+    // named queries (prefix match) in an otherwise-identical harness —
+    // the tool for attributing full-suite drift to suite accretion vs a
+    // real per-query plan change.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def runOnce(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
