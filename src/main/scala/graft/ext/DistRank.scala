@@ -76,6 +76,27 @@ object DistRank {
     ranked.withColumn(outCol, (bucket + 1).cast("int")).drop(rk)
   }
 
+  /** Several independent ntile labelings against ONE payload
+    * materialization. The naive chain — `withNtile(withNtile(withNtile(
+    * payload, …)))` — range-shuffles and checkpoints the FULL payload
+    * once per metric; this variant ranks a narrow `(key, metric)`
+    * projection per metric (each pass shuffles two columns, not the
+    * payload) and equi-joins the k-tile labels back on `key`. The joins
+    * are entity-grain on a unique key — co-partitioned by the same join
+    * key, AQE-broadcastable when the rank projections are small.
+    * `df` should already be materialized (cached/checkpointed) by the
+    * caller: each projection re-reads it. Ties break by (metric, key),
+    * so `key` must be unique per row — same contract as the ntile window
+    * `ORDER BY metric, key` this replaces bit-identically. */
+  def withNtiles(df: DataFrame, k: Int, keyCol: String,
+                 specs: Seq[(String, Boolean, String)]): DataFrame =
+    specs.foldLeft(df) { case (acc, (metric, asc, out)) =>
+      val ord = Seq(if (asc) col(metric).asc else col(metric).desc, col(keyCol))
+      val labels = withNtile(df.select(col(keyCol), col(metric)), k, out, ord)
+        .select(col(keyCol), col(out))
+      acc.join(labels, Seq(keyCol))
+    }
+
   private def core(df: DataFrame, order: Seq[Column], groupCols: Seq[String],
                    globalRankCol: Option[String], groupRankCol: Option[String]): Ranked = {
     val s = df.sparkSession

@@ -1048,15 +1048,13 @@ object EventAnalytics {
     val per = per0.crossJoin(broadcast(maxDay))
       .withColumn("recency_d", datediff(col("max_day"), col("last_day")))
       .localCheckpoint(true)
-    def quart(df: DataFrame, c: String, asc: Boolean, out: String) = {
-      val k = if (asc) col(c).asc else col(c).desc
-      DistRank.withNtile(df, 4, out, Seq(k, col("user_id")))
-    }
-    val labeled =
-      quart(quart(quart(per,
-        "recency_d", asc = true,  "r_q"),   // recent = 1
-        "freq",      asc = false, "f_q"),   // frequent = 1
-        "cents",     asc = false, "m_q")    // big spender = 1
+    // one payload materialization, three NARROW (user_id, metric) rank
+    // passes joined back by key — not three chained full-payload
+    // range-shuffles+checkpoints (round-5 shape, 3× the materialization)
+    val labeled = DistRank.withNtiles(per, 4, "user_id", Seq(
+      ("recency_d", true,  "r_q"),   // recent = 1
+      ("freq",      false, "f_q"),   // frequent = 1
+      ("cents",     false, "m_q")))  // big spender = 1
     labeled
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("sc"))
