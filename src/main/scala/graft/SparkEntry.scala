@@ -23,6 +23,7 @@ object SparkEntry {
       ext.TextAnalysis.entries,
       ext.JsonProps.entries,
       ext.Multimodal.entries,
+      ext.Mp4.entries,
       ext.Curation.entries,
       ext.EventAnalytics.entries,
       ext.SeriesStats.entries,
