@@ -3,64 +3,83 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Measured scale-up probe: replicate the sf0.1 tables K× (default 10×)
-  * with shifted entity ids, then time a cross-section of registered
-  * queries at both scales and report the per-query time ratio. The brief
-  * grades "would this plan survive a 100× scale-up" — this tool turns
-  * that from an argument into a measurement: a query whose plan is
-  * corpus-linear should show ratio ≈ K (minus fixed overhead amortized
-  * across the larger input, so commonly < K); a quadratic candidate pair
-  * explosion or a single-task funnel shows up as ratio >> K.
+/** Measured scale-up probe: replicate the sf0.1 tables K× (one or more
+  * K values) with shifted entity ids, then time a cross-section of
+  * registered queries at every scale and report per-query time ratios
+  * plus the SCALING EXPONENT between the two largest K points
+  * (e = log(t_K2/t_K1)/log(K2/K1): ~1 linear, ~0 overhead-bound, > 1
+  * super-linear). The brief grades "would this plan survive a 100×
+  * scale-up" — this tool turns that from an argument into a measurement:
+  * a corpus-linear plan shows e ≤ 1 once runtimes clear scheduler
+  * overhead; a quadratic candidate explosion or single-task funnel shows
+  * e ≫ 1.
   *
   * Replication semantics (deliberately realistic, not pathological):
   *  - documents: ids shift by copy·10⁹; copies > 0 get a one-token
   *    suffix, so each replica is a NEAR-duplicate of its source — the
-  *    dedup family faces a 10×-denser near-dup graph (clusters of ~K),
+  *    dedup family faces a K×-denser near-dup graph (clusters of ~K),
   *    which is the shape a real crawl re-scrape produces.
   *  - embeddings: ids shift, vectors unchanged — ANN buckets get K×
   *    denser (worst case for bucket-confined search).
   *  - events: event/user ids shift — K× users over the SAME calendar,
   *    so day/hour-grain tables keep their cardinality while data-grain
   *    work scales (exactly the 100 TB shape: more entities, same time).
-  *  - lineitem: ids shift (only key-local probes read it).
+  *  - lineitem + orders: order keys shift consistently on both sides,
+  *    so order-grain joins scale without breaking referential pairs.
   *
-  * Usage: runMain graft.tools.ScaleProbe [K] [q...]  (K ≥ 2, default 10)
+  * Known output-bound probes (q26/q55 pair enumeration, q147 exact
+  * similarity join) are EXCLUDED from the default list at high K: on the
+  * replica corpus their OUTPUT grows ~K² (cliques of K mutual near-dups),
+  * so their runtime is Θ(output), already characterized in SCALE.md —
+  * pass them explicitly to re-measure.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [K[,K2,…]] [q...]  (default 10,100)
   */
 object ScaleProbe {
   private val DefaultProbes = Seq(
-    "q01_time_filter",     // pushdown scan
-    "q05_pricing_summary", // partial+final agg
-    "q09_distinct_users",  // two-phase distinct
-    "q24_dedup_exact",     // hash dedup
-    "q26_lsh_pairs",       // banded near-dup join
-    "q46_ivf_ann",         // cell-confined ANN
-    "q55_dedup_clusters",  // connected components over all-pairs edges
-    "q197_star_clusters",  // connected components over star edges (clique-safe)
-    "q70_decontaminate",   // broadcast probe dictionary
+    "q01_time_filter",       // pushdown scan
+    "q05_pricing_summary",   // partial+final agg
+    "q24_dedup_exact",       // hash dedup
+    "q46_ivf_ann",           // cell-confined ANN
+    "q70_decontaminate",     // broadcast probe dictionary
     "q97_max_intersections", // distributed sweep-line
-    "q147_prefix_ssjoin",  // prefix-filtered similarity join
-    "q158_decile_lift",    // DistRank ntile (de-funneled window)
-    "q193_equiheight_hist", // histogram-based ntile
+    "q122_waiting_orders",   // order-grain join + per-key state
+    "q134_rfm_segments",     // triple narrow DistRank ntile
+    "q137_conversion_matrix",// sequential pair transition agg
+    "q150_quantile_norm",    // per-source quantile normalization
+    "q163_skyline",          // dominance filter
+    "q171_pagerank",         // iterative integer power iteration
+    "q172_bfs_reach",        // iterative frontier expansion
+    "q183_hybrid_rrf",       // two rankers + rank fusion
+    "q193_equiheight_hist",  // histogram-based ntile
+    "q197_star_clusters",    // connected components over star edges
   )
 
   def main(args: Array[String]): Unit = {
-    val k = args.headOption.flatMap(_.toIntOption).getOrElse(10)
-    require(k >= 2, s"replication factor must be ≥ 2, got $k")
+    val ks = args.headOption
+      .filter(_.split(",").forall(_.toIntOption.isDefined))
+      .map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(10, 100))
+    require(ks.forall(_ >= 2) && ks == ks.sorted && ks.distinct == ks,
+      s"replication factors must be ascending, distinct, ≥ 2: $ks")
     val probes = {
-      val names = args.drop(if (args.headOption.exists(_.toIntOption.isDefined)) 1 else 0)
+      val names = args.drop(if (args.headOption.exists(_.split(",").forall(_.toIntOption.isDefined))) 1 else 0)
       if (names.isEmpty) DefaultProbes else names.toSeq
     }
     val base = "/root/testdata/sf0.1"
-    val big = s"/tmp/graft_sfx$k"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(big, "_READY"))) {
-      replicate(spark, base, big, k)
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(big, "_READY"))
+    val dirs: Seq[(Int, String)] = ks.map { k =>
+      val big = s"/tmp/graft_sfx$k"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(big, "_READY"))) {
+        replicate(spark, base, big, k)
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(big, "_READY"))
+      }
+      k -> big
     }
 
     val qmap = graft.SparkEntry.queries
@@ -73,12 +92,19 @@ object ScaleProbe {
     probes.foreach(n => qmap(n)(spark, base).count())
     val rows = probes.map { n =>
       val tS = time(n, base)
-      val tB = time(n, big)
-      val line = f""""$n":{"base_s":$tS%.2f,"x${k}_s":$tB%.2f,"ratio":${tB / tS}%.1f}"""
+      val tks = dirs.map { case (k, d) => k -> time(n, d) }
+      // exponent between the two largest K points (falls back to base→K
+      // when only one K given); overhead cancels between big points
+      val (k1, t1) = if (tks.size >= 2) tks(tks.size - 2) else (1, tS)
+      val (k2, t2) = tks.last
+      val e = math.log(t2 / t1) / math.log(k2.toDouble / k1)
+      val kparts = tks.map { case (k, t) => f""""x${k}_s":$t%.2f,"x${k}_ratio":${t / tS}%.1f""" }
+      val line = f""""$n":{"base_s":$tS%.2f,${kparts.mkString(",")},"exponent":$e%.2f}"""
       System.err.println(s"[scale] $line")
       line
     }
-    println(rows.mkString(s"""{"metric":"scale_probe","k":$k,"queries":{""", ",", "}}"))
+    println(rows.mkString(
+      s"""{"metric":"scale_probe","ks":[${ks.mkString(",")}],"queries":{""", ",", "}}"))
     spark.stop()
   }
 
@@ -106,12 +132,17 @@ object ScaleProbe {
         .withColumn("user_id", col("user_id") + lit(i * S))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // order keys shift consistently on BOTH sides so order-grain joins
+    // (q122-style) scale with real referential pairs
     val li = spark.read.parquet(s"$base/lineitem.parquet")
     copies(li) { (d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * S)) }
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    copies(ord) { (d, i) => d.withColumn("o_orderkey", col("o_orderkey") + lit(i * S)) }
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     // key-joined dimensions the probe queries read unchanged
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders"))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
   }

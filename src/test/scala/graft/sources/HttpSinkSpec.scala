@@ -160,6 +160,77 @@ class HttpSinkSpec extends SparkSpec {
     } finally stop()
   }
 
+  test("soak: injected 500 + stream restart replays a batch; receiver dedup on insert ids yields exactly-once") {
+    // The full at-least-once → exactly-once-with-dedup narrative against a
+    // DEDUP-CAPABLE receiver (ClickHouse insert_deduplication_token
+    // semantics): store bodies keyed by X-Graft-Insert-Id, drop replays.
+    // Injection: batch 1's partition-1 POST gets a 500 (after a delay so
+    // partition 0's concurrent POST lands first) → the query fails with
+    // partition 0 already DELIVERED. A restart from the same checkpoint
+    // replays micro-batch 1 under the SAME insert ids: partition 0's
+    // duplicate delivery dedups at the receiver, partition 1 lands fresh.
+    // Net: one batch delivered 1.5 times, stored exactly once.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val stored = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val attempts = new ConcurrentLinkedQueue[String]()
+    val failP1 = new java.util.concurrent.atomic.AtomicBoolean(true)
+    srv.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val id = Option(ex.getRequestHeaders.getFirst(HttpBulkSink.InsertIdHeader)).getOrElse("")
+      attempts.add(id)
+      val fail = failP1.get() && id.startsWith("soak-1/1/")
+      if (fail) Thread.sleep(300)   // let partition 0's POST land first
+      val resp = (if (fail) "injected" else "ok").getBytes(StandardCharsets.UTF_8)
+      if (!fail) stored.putIfAbsent(id, body)
+      ex.sendResponseHeaders(if (fail) 500 else 200, resp.length)
+      ex.getResponseBody.write(resp); ex.close()
+    })
+    srv.start()
+    val url = s"http://127.0.0.1:${srv.getAddress.getPort}/"
+    val ckpt = tmpDir("soak_ckpt")
+    try {
+      val cfg = HttpBulkSink.Config(url, "fdb", "trace", Some("u"), Some("p"))
+      val in = MemoryStream[(Long, String)]
+      def startQuery() = in.toDF().toDF("id", "v").writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          HttpBulkSink.append(batch.repartition(2), cfg, batchId = Some(s"soak-$bid")))
+        .start()
+      val q1 = startQuery()
+      in.addData((1L, "a"), (2L, "b")); q1.processAllAvailable()   // batch 0 ok
+      in.addData((3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"))       // batch 1 fails on p1
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+        q1.awaitTermination()
+      }
+      assert(!q1.isActive)
+      // at-least-once held through the failure: batch 1 / partition 0 was
+      // already delivered when the query died
+      val p0id = attempts.toArray(Array.empty[AnyRef]).map(_.toString)
+        .find(_.startsWith("soak-1/0/"))
+      assert(p0id.isDefined, "partition 0 of the failed batch must have posted")
+      assert(stored.containsKey(p0id.get))
+      // recover: heal the receiver, restart from the same checkpoint
+      failP1.set(false)
+      val q2 = startQuery()
+      in.addData((7L, "g"), (8L, "h"))                             // batch 2 after recovery
+      q2.processAllAvailable(); q2.stop()
+      // replayed batch 1 reused the SAME insert ids → p0's second delivery
+      // was dropped by the receiver, not double-stored
+      val p0Attempts = attempts.toArray(Array.empty[AnyRef]).map(_.toString)
+        .count(_ == p0id.get)
+      assert(p0Attempts == 2, s"expected a duplicate delivery of ${p0id.get}")
+      // exactly-once net state: every input row stored once, nothing extra
+      import scala.jdk.CollectionConverters._
+      val rows = stored.values().asScala.flatMap(_.trim.split("\n")).toSeq.sorted
+      assert(rows == Seq("a", "b", "c", "d", "e", "f", "g", "h")
+        .zipWithIndex.map { case (v, i) => s"""{"id":${i + 1},"v":"$v"}""" }.sorted)
+    } finally srv.stop(0)
+  }
+
   test("streaming foreachBatch: one micro-batch = one logical insert") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
