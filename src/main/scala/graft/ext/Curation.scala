@@ -80,6 +80,7 @@ object Curation {
   private def sampleHash: org.apache.spark.sql.Column =
     ((col("doc_id") % 2147483647L) * 48271L % 2147483647L) * 48271L % 2147483647L
 
+  /** Deterministic stratified sampling: a per-language quota drawn by the multiplicative-hash order (sampleHash) — reproducible across runs and engines, no RNG. */
   def q57StratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val h = sampleHash
     val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
@@ -150,6 +151,7 @@ object Curation {
   private val numPat   = "\\b[0-9]+\\b"
   private val maskPat  = "\\b(customer|value)\\b"
 
+  /** PII masking pass: email/phone/id-like spans replaced with typed placeholders via codegen-friendly regexp_replace chains — the redaction step a training-data pipeline runs before packing. */
   def q59PiiMask(s: SparkSession, dir: String): DataFrame = {
     val masked =
       regexp_replace(
@@ -212,6 +214,7 @@ object Curation {
       .drop("n_lang", "__qr")
   }
 
+  /** Quality gate: per-language quality ranking (DistRank group rank, skew-proof) keeps the top quartile per language while languages with few documents pass whole. */
   def q65QualityGate(s: SparkSession, dir: String): DataFrame =
     qualityGate(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), col("quality"), col("pr"))

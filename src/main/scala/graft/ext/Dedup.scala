@@ -297,6 +297,7 @@ object Dedup {
       .select(col("d1"), col("d2"), col("exact"))
   }
 
+  /** MinHash estimator accuracy audit: compares banded-LSH candidate Jaccard estimates against exact shingle Jaccard on verified pairs, binned by true similarity — the measurement that justifies the band configuration. */
   def q177MinhashAccuracy(s: SparkSession, dir: String): DataFrame = {
     val pairs = exactSamplePairs(s, dir)
     val sig = withSig(s, dir).filter(col("doc_id") < 500)

@@ -33,6 +33,7 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x))
 
   // ---------------------------------------------------------------- C3: norms
+  /** Per-vector L2 norm over the embedding column — the map-only kernel smoke of the vector family, rounded to 4dp for the gate. */
   def q29EmbedNorm(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), round(norm(col("embedding")), 4).as("nrm"))

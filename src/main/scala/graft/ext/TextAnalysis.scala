@@ -138,6 +138,7 @@ object TextAnalysis {
     * from. Pattern kept to the Java∩RE2 regex subset. Pure map stage. */
   private val bpePat = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
 
+  /** BPE-ish subword token counting: a deterministic regex tokenizer (word pieces + punctuation, GPT-2 pre-tokenizer shape) whose per-document counts feed token budgeting. */
   def q64BpeTokens(s: SparkSession, dir: String): DataFrame = {
     val ws = split(col("text"), " ")
     val re = regexp_extract_all(col("text"), lit(bpePat), lit(0))

@@ -82,6 +82,7 @@ object CoreQueries {
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------- B4/B5
+  /** Dimension-predicate filter + hash aggregation (B4): equality and range predicates on dimension columns reach the parquet scan as pushed filters. */
   def q04DimFilterAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .filter(col("value") >= 10)
@@ -191,6 +192,7 @@ object CoreQueries {
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
   // ------------------------------------------------------------------- B9
+  /** Exact distinct users per event type (B9): the two-phase distinct — partial per-partition dedup, then a keyed exchange. */
   def q09DistinctUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
@@ -378,6 +380,7 @@ object CoreQueries {
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------------------------- having
+  /** Post-aggregation predicate (HAVING): the filter runs on aggregated rows, never the fact table. */
   def q19Having(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))

