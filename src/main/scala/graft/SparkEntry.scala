@@ -24,6 +24,7 @@ object SparkEntry {
       ext.JsonProps.entries,
       ext.Multimodal.entries,
       ext.Mp4.entries,
+      ext.Mkv.entries,
       ext.Curation.entries,
       ext.EventAnalytics.entries,
       ext.SeriesStats.entries,

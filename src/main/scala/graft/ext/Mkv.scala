@@ -1,0 +1,224 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Pure-byte Matroska/WebM (EBML) container indexing — the second real
+  * container format next to [[Mp4]], with a genuinely different binary
+  * grammar: EBML elements are `[VINT id][VINT size][payload]` with
+  * variable-length integers (leading-zero-count width encoding), vs ISO
+  * BMFF's fixed big-endian boxes. Walking `Segment → Cluster →
+  * (Timestamp, SimpleBlock)` yields every frame's exact byte offset,
+  * payload size, track and absolute timestamp — the seek table a frame
+  * sampler needs, no codec involved.
+  *
+  * Same scale contract as [[Mp4]]: partition-local, one payload held at a
+  * time, parser state is element-header-sized; the per-media aggregate is
+  * map-side combined. BlockGroup-wrapped Blocks (lacing, the non-simple
+  * path) are out of scope — SimpleBlock is what WebM writers emit for
+  * video frames; unknown elements are skipped by the generic walk.
+  */
+object Mkv {
+
+  /** One indexed frame from a SimpleBlock. */
+  final case class MkvBlock(media_id: Long, block_idx: Int, cluster_idx: Int,
+                            track: Int, ts_ms: Int, size: Int, offset: Long)
+
+  // EBML element ids (marker bits included, as they appear on the wire)
+  private val SegmentId = 0x18538067L
+  private val ClusterId = 0x1F43B675L
+  private val ClusterTsId = 0xE7L
+  private val SimpleBlockId = 0xA3L
+
+  /** VINT width from the first byte: 1 + leading zeros (0 → invalid). */
+  private def vintLen(b0: Int): Int =
+    if (b0 == 0) -1 else Integer.numberOfLeadingZeros(b0) - 23
+
+  /** Parse one element header at `o`: (id with marker, dataStart, dataEnd).
+    * None on truncation/malformed width — callers end their walk, so a
+    * corrupt blob degrades to the empty index instead of throwing. */
+  private def element(b: Array[Byte], o: Int, end: Int): Option[(Long, Int, Int)] = {
+    if (o >= end) return None
+    val il = vintLen(b(o) & 0xff)
+    if (il < 1 || il > 4 || o + il > end) return None
+    var id = 0L
+    var k = 0
+    while (k < il) { id = (id << 8) | (b(o + k) & 0xff); k += 1 }
+    val so = o + il
+    if (so >= end) return None
+    val s0 = b(so) & 0xff
+    val sl = vintLen(s0)
+    if (sl < 1 || sl > 8 || so + sl > end) return None
+    var sz = (s0 & (0xff >>> sl)).toLong
+    k = 1
+    while (k < sl) { sz = (sz << 8) | (b(so + k) & 0xff); k += 1 }
+    val ds = so + sl
+    if (ds + sz > end) return None
+    Some((id, ds, (ds + sz).toInt))
+  }
+
+  /** Unsigned big-endian integer payload (EBML uint). */
+  private def uintAt(b: Array[Byte], s: Int, e: Int): Long = {
+    var v = 0L; var i = s
+    while (i < e) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+    v
+  }
+
+  /** Index every SimpleBlock: exact track, absolute timestamp (cluster
+    * timestamp + signed 16-bit relative), payload size and absolute byte
+    * offset. Empty on malformed input. */
+  def parseBlocks(mediaId: Long, payload: Array[Byte]): Seq[MkvBlock] = {
+    val out = Seq.newBuilder[MkvBlock]
+    var blockIdx = 0
+    var clusterIdx = -1
+    // top level: skip the EBML header (and anything else) until Segment
+    var o = 0
+    var segment: Option[(Int, Int)] = None
+    while (segment.isEmpty) {
+      element(payload, o, payload.length) match {
+        case Some((SegmentId, ds, de)) => segment = Some((ds, de))
+        case Some((_, _, de)) => o = de
+        case None => return Seq.empty
+      }
+    }
+    val (ss, se) = segment.get
+    var so = ss
+    while (so < se) {
+      element(payload, so, se) match {
+        case Some((ClusterId, cs, ce)) =>
+          clusterIdx += 1
+          var clusterTs = 0L
+          var co = cs
+          while (co < ce) {
+            element(payload, co, ce) match {
+              case Some((ClusterTsId, ts, te)) =>
+                clusterTs = uintAt(payload, ts, te); co = te
+              case Some((SimpleBlockId, bs, be)) =>
+                // block payload: [track VINT][int16 rel ts][flags][frame…]
+                val tl = vintLen(payload(bs) & 0xff)
+                if (tl < 1 || bs + tl + 3 > be) return out.result()
+                val track = (uintAt(payload, bs, bs + tl) &
+                  ((1L << (7 * tl)) - 1)).toInt // strip the VINT marker bit
+                val rel = ((payload(bs + tl) << 8) |
+                  (payload(bs + tl + 1) & 0xff)).toShort.toInt
+                val frameStart = bs + tl + 3
+                out += MkvBlock(mediaId, blockIdx, clusterIdx, track,
+                  (clusterTs + rel).toInt, be - frameStart, frameStart.toLong)
+                blockIdx += 1
+                co = be
+              case Some((_, _, de)) => co = de
+              case None => return out.result()
+            }
+          }
+          so = ce
+        case Some((_, _, de)) => so = de
+        case None => return out.result()
+      }
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------- synthesis (ingest stand-in)
+  /** Frame-size formula shared with the oracle. */
+  def blockSize(seed: Long, c: Int, b: Int): Int =
+    60 + java.lang.Math.floorMod(seed * 23 + c.toLong * 31 + b.toLong * 17, 48L).toInt
+  /** Clusters per container: 3–6, seed-dependent; 5 blocks per cluster. */
+  def clusterCount(seed: Long): Int = 3 + java.lang.Math.floorMod(seed, 4L).toInt
+  val BlocksPerCluster = 5
+
+  private def be(v: Long, n: Int): Array[Byte] =
+    (n - 1 to 0 by -1).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+  /** 2-byte VINT size (0x40xx form) — fixed width so offsets stay
+    * closed-form for the oracle; the parser handles any width. */
+  private def vint2(v: Int): Array[Byte] = {
+    require(v <= 0x3ffe); Array((0x40 | (v >> 8)).toByte, (v & 0xff).toByte)
+  }
+
+  /** Deterministic minimal-but-valid Matroska file: EBML header, Segment
+    * with Info (TimestampScale) and Tracks (one TrackEntry) the parser
+    * must SKIP, then `clusterCount` Clusters of 5 SimpleBlocks each.
+    * Layout constants (16-byte EBML header, 12-byte Segment header,
+    * 13-byte Info, 10-byte Tracks ⇒ clusters start at 51; 10 bytes of
+    * per-cluster overhead, 7 bytes of per-block header) give the oracle
+    * closed-form offsets: off(i) = 68 + 10·cluster + 7·i + Σ_{j<i} size_j. */
+  def synthMkv(seed: Long): Array[Byte] = {
+    val nC = clusterCount(seed)
+    val ebml = {
+      val docType = Array(0x42.toByte, 0x82.toByte, 0x88.toByte) ++ "matroska".getBytes
+      be(0x1A45DFA3L, 4) ++ Array((0x80 | docType.length).toByte) ++ docType
+    }
+    val info = be(0x1549A966L, 4) ++ Array(0x88.toByte) ++
+      (be(0x2AD7B1L, 3) ++ Array(0x84.toByte) ++ be(1000000L, 4))
+    val tracks = be(0x1654AE6BL, 4) ++ Array(0x85.toByte) ++
+      (Array(0xAE.toByte, 0x83.toByte) ++ Array(0xD7.toByte, 0x81.toByte, 0x81.toByte))
+    val clusters = (0 until nC).flatMap { c =>
+      val tsEl = Array(0xE7.toByte, 0x82.toByte) ++ be(c * 1000L, 2)
+      val blocks = (0 until BlocksPerCluster).flatMap { b =>
+        val sz = blockSize(seed, c, b)
+        Array(0xA3.toByte) ++ vint2(4 + sz) ++
+          Array(0x81.toByte) ++ be(b * 40L, 2) ++ Array(0x80.toByte) ++
+          new Array[Byte](sz)
+      }
+      val content = tsEl ++ blocks
+      be(ClusterId, 4) ++ vint2(content.length) ++ content
+    }
+    val segContent = info ++ tracks ++ clusters
+    // 8-byte size VINT (0x01 + 7 value bytes) keeps the Segment header at
+    // a fixed 12 bytes whatever the content length
+    val segment = be(SegmentId, 4) ++
+      (Array(0x01.toByte) ++ be(segContent.length.toLong, 7)) ++ segContent
+    ebml ++ segment
+  }
+
+  // ------------------------------------------------------------- q203: EBML index through the gate
+  /** REAL EBML walk through the DuckDB gate, the Matroska twin of
+    * [[Mp4.q202Mp4Index]]: per document synthesize the deterministic
+    * container (seed = doc_id), parse it back with [[parseBlocks]], and
+    * emit exact integer aggregates. The oracle reproduces everything in
+    * closed form — VINT mis-decoding shifts every offset (off_sum,
+    * last_off), timestamp mis-assembly (cluster base + signed relative)
+    * breaks ts_sum, skipping Info/Tracks wrongly breaks the first
+    * cluster's offsets, and block-order mistakes break sz_posw. */
+  def q203MkvIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap(id => parseBlocks(id, synthMkv(id)))
+      }
+      .toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        (max(col("cluster_idx")) + 1).cast("long").as("n_clusters"),
+        sum(col("size")).as("bytes_total"),
+        sum(col("size") * col("block_idx")).as("sz_posw"),
+        sum(col("offset")).as("off_sum"),
+        max(col("offset")).as("last_off"),
+        sum(col("ts_ms")).as("ts_sum"))
+      .orderBy(col("media_id"))
+  }
+
+  val q203Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, (3 + doc_id % 4) * 5 AS nb FROM documents),
+      |s AS (SELECT media_id, nb, g.i AS i, g.i // 5 AS c, g.i % 5 AS b
+      |      FROM m, generate_series(0, 29) AS g(i) WHERE g.i < nb),
+      |z AS (SELECT media_id, i, c, b,
+      |             60 + (media_id * 23 + c * 31 + b * 17) % 48 AS sz,
+      |             c * 1000 + b * 40 AS ts
+      |      FROM s),
+      |o AS (SELECT media_id, i, c, sz, ts,
+      |             68 + 10 * c + 7 * i + coalesce(sum(sz) OVER (
+      |               PARTITION BY media_id ORDER BY i
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM z)
+      |SELECT media_id, count(*)::BIGINT AS n_blocks,
+      |  (max(c) + 1)::BIGINT AS n_clusters,
+      |  sum(sz)::BIGINT AS bytes_total, sum(sz * i)::BIGINT AS sz_posw,
+      |  sum(off)::BIGINT AS off_sum, max(off)::BIGINT AS last_off,
+      |  sum(ts)::BIGINT AS ts_sum
+      |FROM o GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q203_mkv_index", q203MkvIndex _, Some(q203Sql)),
+  )
+}
