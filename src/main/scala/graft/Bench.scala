@@ -71,6 +71,10 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // a typo'd filter silently timing ZERO queries would look like a
+    // successful run — fail loudly like the SPARK_GRAFT_PASSES parse does
+    require(only.isEmpty || ordered.nonEmpty,
+      s"SPARK_GRAFT_ONLY=${only.get.mkString(",")} matches no registered query")
     def runOnce(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

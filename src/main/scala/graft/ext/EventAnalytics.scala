@@ -1344,15 +1344,19 @@ object EventAnalytics {
       .withColumn("pre", sum(col("c")).over(w) - col("c"))
       .groupBy(col("event_type"))
       // rank-sum terms widen to DECIMAL(38,0) (q130's fix for the same
-      // class): at ~1e9 users × 1e10 events the Long products 2·ix and
-      // (n+1)·tot pass 2^63 — ANSI overflow — while 38 digits hold to
-      // ~1e38; DuckDB's HUGEINT sums match. x is cast BEFORE the multiply:
-      // the rank factor c·pre + c(c+1)/2 alone stays < 2^63 (both terms
-      // ≤ n² ~ 1e18), but x·(that) ~ 1e10·1e18 overflows Long, so the
-      // widening must happen on a factor, not on the finished product.
+      // class): at ~1e9 users × 1e10 events the Long products pass 2^63 —
+      // ANSI overflow — while 38 digits hold to ~1e38; DuckDB's HUGEINT
+      // sums match. EVERY multiply gets a decimal factor BEFORE it runs:
+      // not just x·(rank factor) but the rank factor's own c·pre and
+      // c·(c+1) terms, which at n ~ 1e10 rows per (type, x) group reach
+      // ~1e20 in Long. c·(c+1) is even, so the /2 is exact at scale 6 and
+      // the cast back to scale 0 is lossless. (tot stays Long: x·c counts
+      // events of one tie-group, bounded by the type's event count.)
       .agg(sum(col("c")).as("n"), sum(col("x") * col("c")).as("tot"),
         sum(col("x").cast("decimal(38,0)") *
-          (col("c") * col("pre") + expr("(c * (c + 1)) div 2")).cast("decimal(38,0)"))
+          (col("c").cast("decimal(38,0)") * col("pre") +
+           (col("c").cast("decimal(38,0)") * (col("c") + lit(1L)) / lit(2))
+             .cast("decimal(38,0)")))
           .as("ix"))
       .select(col("event_type"), col("n"), col("tot"),
         round((lit(2L) * col("ix") - (col("n") + lit(1L)) * col("tot").cast("decimal(38,0)"))

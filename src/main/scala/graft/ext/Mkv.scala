@@ -95,7 +95,10 @@ object Mkv {
               case Some((ClusterTsId, ts, te)) =>
                 clusterTs = uintAt(payload, ts, te); co = te
               case Some((SimpleBlockId, bs, be)) =>
-                // block payload: [track VINT][int16 rel ts][flags][frame…]
+                // block payload: [track VINT][int16 rel ts][flags][frame…];
+                // a zero-size block puts bs == be, so bound BEFORE reading
+                // the track byte (degrade, never throw)
+                if (bs >= be) return out.result()
                 val tl = vintLen(payload(bs) & 0xff)
                 if (tl < 1 || bs + tl + 3 > be) return out.result()
                 val track = (uintAt(payload, bs, bs + tl) &

@@ -73,14 +73,18 @@ object Mp4 {
       .getOrElse(return Seq.empty)
     val (ss, se) = stbl
 
-    // stsz: version/flags(4) uniform_size(4) count(4) [sizes]
+    // stsz: version/flags(4) uniform_size(4) count(4) [sizes]. The count
+    // is an untrusted u32: bound it before any allocation sized by it —
+    // a crafted blob must degrade to empty, not OOM the executor (more
+    // samples than payload bytes is structurally impossible anyway).
     val sizes: IndexedSeq[Int] = findBox(payload, ss, se, "stsz") match {
       case Some((o, e)) if e - o >= 12 =>
         val uniform = u32(payload, o + 4)
-        val n = u32(payload, o + 8).toInt
-        if (uniform != 0L) IndexedSeq.fill(n)(uniform.toInt)
+        val n = u32(payload, o + 8)
+        if (n < 0L || n > payload.length) return Seq.empty
+        if (uniform != 0L) IndexedSeq.fill(n.toInt)(uniform.toInt)
         else if (e - o >= 12 + 4L * n)
-          (0 until n).map(i => u32(payload, o + 12 + 4 * i).toInt)
+          (0 until n.toInt).map(i => u32(payload, o + 12 + 4 * i).toInt)
         else return Seq.empty
       case _ => return Seq.empty
     }
@@ -89,12 +93,12 @@ object Mp4 {
     val chunkOffs: IndexedSeq[Long] = findBox(payload, ss, se, "stco") match {
       case Some((o, e)) if e - o >= 8 =>
         val n = u32(payload, o + 4).toInt
-        if (e - o < 8 + 4L * n) return Seq.empty
+        if (n < 0 || e - o < 8 + 4L * n) return Seq.empty
         (0 until n).map(i => u32(payload, o + 8 + 4 * i))
       case _ => findBox(payload, ss, se, "co64") match {
         case Some((o, e)) if e - o >= 8 =>
           val n = u32(payload, o + 4).toInt
-          if (e - o < 8 + 8L * n) return Seq.empty
+          if (n < 0 || e - o < 8 + 8L * n) return Seq.empty
           (0 until n).map(i => u64(payload, o + 8 + 8 * i))
         case _ => return Seq.empty
       }
@@ -106,28 +110,45 @@ object Mp4 {
     val stscEntries: IndexedSeq[(Int, Int)] = findBox(payload, ss, se, "stsc") match {
       case Some((o, e)) if e - o >= 8 =>
         val n = u32(payload, o + 4).toInt
-        if (e - o < 8 + 12L * n) return Seq.empty
+        if (n < 0 || e - o < 8 + 12L * n) return Seq.empty
         (0 until n).map(i => (u32(payload, o + 8 + 12 * i).toInt,
           u32(payload, o + 12 + 12 * i).toInt))
       case _ => return Seq.empty
     }
 
     // stts: version/flags(4) count(4) [(sample_count, sample_delta)] —
-    // run-length durations, expanded to per-sample
+    // run-length durations, expanded to per-sample. Run counts are
+    // untrusted: the running total is bounded by the sample count BEFORE
+    // each expansion, so a hostile count can't drive the allocation.
     val durations: IndexedSeq[Int] = findBox(payload, ss, se, "stts") match {
       case Some((o, e)) if e - o >= 8 =>
         val n = u32(payload, o + 4).toInt
-        if (e - o < 8 + 8L * n) return Seq.empty
-        (0 until n).flatMap { i =>
-          val cnt = u32(payload, o + 8 + 8 * i).toInt
+        if (n < 0 || e - o < 8 + 8L * n) return Seq.empty
+        val b = IndexedSeq.newBuilder[Int]
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val cnt = u32(payload, o + 8 + 8 * i)
           val delta = u32(payload, o + 12 + 8 * i).toInt
-          IndexedSeq.fill(cnt)(delta)
+          total += cnt
+          if (cnt < 0L || total > sizes.length) return Seq.empty
+          var k = 0L
+          while (k < cnt) { b += delta; k += 1 }
+          i += 1
         }
+        b.result()
       case _ => return Seq.empty
     }
     if (durations.length != sizes.length) return Seq.empty
 
-    // expand stsc: samples-per-chunk for each chunk (1-based chunk ids)
+    // expand stsc: samples-per-chunk for each chunk (1-based chunk ids).
+    // Entries are untrusted: require at least one, positive per-chunk
+    // counts, and strictly ascending first_chunk starting at 1 — anything
+    // else degrades to empty rather than overrunning the size table.
+    if (stscEntries.isEmpty || stscEntries.head._1 != 1 ||
+        stscEntries.exists(_._2 <= 0) ||
+        stscEntries.sliding(2).exists(p => p.length == 2 && p(1)._1 <= p(0)._1))
+      return Seq.empty
     val nChunks = chunkOffs.length
     val perChunk = new Array[Int](nChunks)
     var entryIdx = 0
@@ -138,7 +159,7 @@ object Mp4 {
       perChunk(c - 1) = stscEntries(entryIdx)._2
       c += 1
     }
-    if (perChunk.sum != sizes.length) return Seq.empty
+    if (perChunk.map(_.toLong).sum != sizes.length) return Seq.empty
 
     // per-sample absolute offsets: chunk offset + sizes of preceding
     // in-chunk samples

@@ -131,18 +131,24 @@ object TraceStream {
         val dir = new org.apache.hadoop.fs.Path(cfg.tablePath, s"_ingest_batches/$inc")
         val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(dir, s"v$batchId")
-        if (!fs.exists(marker)) {
-          // Within one lineage batch ids are monotone and only the latest
-          // uncommitted batch can replay — a marker AHEAD of the current
-          // batch can only come from a wiped-in-place checkpoint under the
-          // path-hash fallback. Silently proceeding would let those stale
-          // markers suppress future batches (data loss); fail loudly.
-          val ids = markerIds(fs, dir)
-          require(ids.forall(_ < batchId),
-            s"ingest markers up to v${ids.max} exist under $dir but this query is " +
-            s"at batch $batchId — the checkpoint was wiped in place and batch ids " +
-            "restarted; clear the marker directory (the table keeps its data) or " +
-            "restore the original checkpoint")
+        // Within one lineage batch ids are monotone and only the latest
+        // uncommitted batch can replay — a marker AHEAD of the current
+        // batch can only come from a wiped-in-place checkpoint under the
+        // path-hash fallback. The check runs BEFORE the replay-skip: a
+        // surviving v0 marker from a dead lineage must not silently
+        // swallow the new lineage's batch 0 just because the ids collide
+        // while later stale markers sit in plain sight. (The one
+        // irreducible fallback hole — old lineage died at EXACTLY the
+        // same batch id, leaving no later marker — is indistinguishable
+        // from a genuine replay by ids alone; the metadata-derived
+        // lineage closes it, which is why the fallback is last-resort.)
+        val ids = markerIds(fs, dir)
+        require(ids.forall(_ <= batchId),
+          s"ingest markers up to v${ids.max} exist under $dir but this query is " +
+          s"at batch $batchId — the checkpoint was wiped in place and batch ids " +
+          "restarted; clear the marker directory (the table keeps its data) or " +
+          "restore the original checkpoint")
+        if (!ids.contains(batchId)) {
           TraceStore.append(batch, cfg.tablePath, cfg.splitsPerMonth)
           fs.mkdirs(dir)
           fs.create(marker, true).close()

@@ -73,8 +73,12 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // the replica-layout version is part of the cache path: a _READY dir
+    // built by an older generator (e.g. pre-orders-replication) would
+    // otherwise be silently reused and corrupt the new measurements
+    val layoutV = 2
     val dirs: Seq[(Int, String)] = ks.map { k =>
-      val big = s"/tmp/graft_sfx$k"
+      val big = s"/tmp/graft_sfx${k}_v$layoutV"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(big, "_READY"))) {
         replicate(spark, base, big, k)
         java.nio.file.Files.createFile(java.nio.file.Paths.get(big, "_READY"))

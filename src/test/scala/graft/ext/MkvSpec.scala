@@ -52,5 +52,15 @@ class MkvSpec extends AnyFunSuite {
     broken(60) = 0xFF.toByte // corrupt inside the first cluster
     val partial = Mkv.parseBlocks(5L, broken)
     assert(partial.length <= Mkv.clusterCount(5L) * Mkv.BlocksPerCluster)
+    // a ZERO-size SimpleBlock ending exactly at the buffer end must
+    // degrade, not read past the array for its track byte
+    def be(v: Long, n: Int) =
+      (n - 1 to 0 by -1).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    val emptyBlock = Array(0xA3.toByte, 0x80.toByte) // size 0, nothing after
+    val cluster = be(0x1F43B675L, 4) ++
+      Array((0x80 | emptyBlock.length).toByte) ++ emptyBlock
+    val segment = be(0x18538067L, 4) ++
+      Array((0x80 | cluster.length).toByte) ++ cluster
+    assert(Mkv.parseBlocks(6L, segment).isEmpty)
   }
 }

@@ -81,4 +81,26 @@ class Mp4Spec extends AnyFunSuite {
     val stco = box("stco", be32(0), be32(1), be32(40))
     assert(Mp4.parseSampleTable(4L, chain(stts, stsc, stsz, stco)).isEmpty)
   }
+
+  test("hostile counts and degenerate stsc degrade to empty, never throw or OOM") {
+    val stts1 = box("stts", be32(0), be32(1), be32(1), be32(100))
+    val stsc1 = box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1))
+    val stco1 = box("stco", be32(0), be32(1), be32(40))
+    // uniform stsz with a 2^31-scale count: must NOT allocate 2G elements
+    val stszHuge = box("stsz", be32(0), be32(64), be32(0x7fffffffL))
+    assert(Mp4.parseSampleTable(1L, chain(stts1, stsc1, stszHuge, stco1)).isEmpty)
+    // stts run with a hostile sample_count far past the sample table
+    val sttsHuge = box("stts", be32(0), be32(1), be32(0x7fffffffL), be32(100))
+    val stsz1 = box("stsz", be32(0), be32(0), be32(1), be32(10))
+    assert(Mp4.parseSampleTable(2L, chain(sttsHuge, stsc1, stsz1, stco1)).isEmpty)
+    // stsc with ZERO entries (chunks exist, no mapping) must not throw
+    val stscEmpty = box("stsc", be32(0), be32(0))
+    assert(Mp4.parseSampleTable(3L, chain(stts1, stscEmpty, stsz1, stco1)).isEmpty)
+    // stsc whose entries mix negative counts to a "consistent" sum must
+    // not overrun the size table: (1,10),(2,-9) sums to 1 over 2 chunks
+    val stco2 = box("stco", be32(0), be32(2), be32(40), be32(80))
+    val stscNeg = box("stsc", be32(0), be32(2),
+      be32(1), be32(10), be32(1), be32(2), be32(0xfffffff7L), be32(1))
+    assert(Mp4.parseSampleTable(4L, chain(stts1, stscNeg, stsz1, stco2)).isEmpty)
+  }
 }
