@@ -77,25 +77,62 @@ object DistRank {
   }
 
   /** Several independent ntile labelings against ONE payload
-    * materialization. The naive chain — `withNtile(withNtile(withNtile(
-    * payload, …)))` — range-shuffles and checkpoints the FULL payload
-    * once per metric; this variant ranks a narrow `(key, metric)`
-    * projection per metric (each pass shuffles two columns, not the
-    * payload) and equi-joins the k-tile labels back on `key`. The joins
-    * are entity-grain on a unique key — co-partitioned by the same join
-    * key, AQE-broadcastable when the rank projections are small.
-    * `df` should already be materialized (cached/checkpointed) by the
-    * caller: each projection re-reads it. Ties break by (metric, key),
-    * so `key` must be unique per row — same contract as the ntile window
-    * `ORDER BY metric, key` this replaces bit-identically. */
+    * materialization and ONE ranking pass. The naive chain —
+    * `withNtile(withNtile(withNtile(payload, …)))` — range-shuffles,
+    * checkpoints and offset-joins the payload once per metric; this
+    * variant unions a narrow LONG-FORMAT projection
+    * `(metric-id, sort-value, key)` (one row per metric per payload row),
+    * runs a single group-ranked [[core]] pass with the metric id as the
+    * bounded group — one range shuffle, one checkpoint, one offsets
+    * broadcast for ALL metrics — and pivots the k-tile labels back to one
+    * row per key, joined to the payload on its unique `key`.
+    *
+    * Contract: every metric column must be INTEGRAL (int/long) — descent
+    * is encoded by negation, which is order-exact for integers where a
+    * double cast could merge distinct values and corrupt the tie order.
+    * Ties break by (metric value, key), so `key` must be unique per row —
+    * the same contract as the ntile window `ORDER BY metric, key` this
+    * replaces bit-identically (the oracles keep the naive SQL). */
   def withNtiles(df: DataFrame, k: Int, keyCol: String,
-                 specs: Seq[(String, Boolean, String)]): DataFrame =
-    specs.foldLeft(df) { case (acc, (metric, asc, out)) =>
-      val ord = Seq(if (asc) col(metric).asc else col(metric).desc, col(keyCol))
-      val labels = withNtile(df.select(col(keyCol), col(metric)), k, out, ord)
-        .select(col(keyCol), col(out))
-      acc.join(labels, Seq(keyCol))
+                 specs: Seq[(String, Boolean, String)]): DataFrame = {
+    specs.foreach { case (m, _, _) =>
+      val t = df.schema(m).dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType ||
+        t == org.apache.spark.sql.types.ShortType,
+        s"withNtiles requires integral metric columns, got $m: $t")
     }
+    val long = specs.zipWithIndex.map { case ((m, asc, _), i) =>
+      val v = if (asc) col(m).cast("long") else lit(0L) - col(m).cast("long")
+      df.select(lit(i).as("__gr_m"), v.as("__gr_v"), col(keyCol))
+    }.reduce(_ unionAll _)
+    val Ranked(ranked, grand) = core(long,
+      Seq(col("__gr_m"), col("__gr_v"), col(keyCol)), Seq("__gr_m"), None, Some("__gr_r"))
+    val n = grand / specs.length // each metric ranks every payload row
+    val q = n / k
+    val r = n % k
+    val z = col("__gr_r") - 1 // 0-based per-metric rank
+    val bucket =
+      if (q == 0L) z
+      else when(z < lit((q + 1) * r), (z / lit(q + 1)).cast("long"))
+        .otherwise(lit(r) + ((z - lit((q + 1) * r)) / lit(q)).cast("long"))
+    val labeled = ranked.withColumn("__gr_b", (bucket + 1).cast("int"))
+    val wide = labeled.groupBy(col(keyCol))
+      .agg(
+        max(when(col("__gr_m") === 0, col("__gr_b"))).as(specs.head._3),
+        specs.zipWithIndex.tail.map { case ((_, _, out), i) =>
+          max(when(col("__gr_m") === i, col("__gr_b"))).as(out)
+        }: _*)
+    df.join(wide, Seq(keyCol))
+  }
+
+  /** Per-partition census, reported by the ranking pass itself through an
+    * accumulator: partition row count plus each group's in-partition
+    * count. Deduped BY PID on the driver, which makes the accumulator
+    * path retry/speculation-safe: a re-run task reports the identical
+    * deterministic value for its pid, and duplicates collapse (the
+    * default countFailedValues=false already excludes failed tasks). */
+  private final case class PartCounts(pid: Int, n: Long, groups: Map[Seq[Any], Long])
 
   private def core(df: DataFrame, order: Seq[Column], groupCols: Seq[String],
                    globalRankCol: Option[String], groupRankCol: Option[String]): Ranked = {
@@ -110,12 +147,19 @@ object DistRank {
       StructField(LrnCol, LongType, nullable = false),
       StructField(GrnCol, LongType, nullable = false)))
 
-    // one narrow pass: partition-local row number + per-group row number
+    // one narrow pass: partition-local row number + per-group row number.
+    // The same pass REPORTS the per-partition census through the
+    // accumulator when its input is exhausted — the checkpoint job that
+    // materializes the ranked rows therefore also delivers the counts,
+    // where the previous construction paid a separate aggregate+collect
+    // job per rank pass (visible overhead on multi-pass callers like
+    // q134/q183).
+    val acc = s.sparkContext.collectionAccumulator[PartCounts]("distrank_counts")
     val local = parted.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var n = 0L
       val perGroup = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
-      it.map { r =>
+      val mapped = it.map { r =>
         n += 1
         val gn =
           if (gIdx.isEmpty) 0L
@@ -127,39 +171,43 @@ object DistRank {
           }
         Row.fromSeq(r.toSeq ++ Seq[Any](pid, n, gn))
       }
+      new Iterator[Row] {
+        private var reported = false
+        def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h && !reported) {
+            reported = true
+            acc.add(PartCounts(pid, n,
+              if (gIdx.isEmpty) Map(Seq.empty[Any] -> 0L) else perGroup.toMap))
+          }
+          h
+        }
+        def next(): Row = mapped.next()
+      }
     }(Encoders.row(outSchema)).localCheckpoint(true)
 
-    // bounded collect: P rows (global) / ≤ P·|groups| rows (grouped).
-    // max(LrnCol) per pid is the partition size because LrnCol is the
-    // partition-wide running count; max(GrnCol) per (pid, group) is that
-    // group's in-partition count.
-    val cntRows = local
-      .groupBy((PidCol +: groupCols).map(col): _*)
-      .agg(max(col(LrnCol)).as("pn"), max(col(GrnCol)).as("gn"))
-      .collect()
+    // the census is bounded: P entries (global) / ≤ P·|groups| group
+    // cells, both driver-safe by the bounded-cardinality group contract
+    val counts: Seq[PartCounts] = acc.value.asScala.toSeq
+      .groupBy(_.pid).map(_._2.head).toSeq
 
-    val partTotals: Map[Int, Long] =
-      cntRows.groupBy(_.getInt(0)).map { case (pid, rs) => pid -> rs.map(_.getLong(rs.head.length - 2)).max }
+    val partTotals: Map[Int, Long] = counts.map(c => c.pid -> c.n).toMap
     val total = partTotals.values.sum
     val pidsAsc = partTotals.keys.toSeq.sorted
     val globalOff: Map[Int, Long] =
       pidsAsc.zip(pidsAsc.scanLeft(0L)((acc, pid) => acc + partTotals(pid)).dropRight(1)).toMap
 
     // offsets frame: (pid, group…, global offset, group offset), built on
-    // the driver from the bounded collect, broadcast back
-    val nG = groupCols.size
-    val grouped = cntRows
-      .groupBy(r => (0 until nG).map(i => r.get(i + 1)))
-      .toSeq
-      .flatMap { case (_, rs) =>
-        val byPid = rs.sortBy(_.getInt(0))
-        var acc = 0L
-        byPid.map { r =>
-          val off = acc
-          acc += r.getLong(r.length - 1)
-          (r.getInt(0), (0 until nG).map(i => r.get(i + 1)), off)
-        }
+    // the driver from the census, broadcast back
+    val grouped = counts.flatMap(_.groups.keys).distinct.flatMap { gk =>
+      val byPid = counts.filter(_.groups.contains(gk)).sortBy(_.pid)
+      var accum = 0L
+      byPid.map { c =>
+        val off = accum
+        accum += c.groups(gk)
+        (c.pid, gk, off)
       }
+    }
 
     val offSchema = StructType(
       StructField(PidCol, IntegerType, nullable = false) +:

@@ -1023,12 +1023,12 @@ object EventAnalytics {
     * frequency (purchase count) and monetary (value sum), each cut into
     * quartiles by ntile over a TOTAL order (metric, then user_id — ties
     * must break identically in every engine or segment counts drift),
-    * then segment sizes. Each quartile label is a
-    * [[DistRank.withNtile]] pass (range-partitioned exact rank +
-    * broadcast offsets — no global window funnels the user table through
-    * one task); the per-user frame is checkpointed once so the three
-    * rank passes re-read one materialization instead of re-aggregating
-    * the fact table. Money is carried as
+    * then segment sizes. All three quartile labels come from ONE fused
+    * [[DistRank.withNtiles]] pass (long-format union, range-partitioned
+    * exact rank with the metric id as the bounded group, broadcast
+    * offsets — no global window funnels the user table through one task,
+    * and no per-metric shuffle repeats); the per-user frame is
+    * checkpointed once. Money is carried as
     * EXACT integer cents from the first aggregation (per-event
     * round(value·100) — one deterministic per-row op), so sums, sort
     * keys, and the segment average are engine- and order-invariant;
@@ -1048,9 +1048,9 @@ object EventAnalytics {
     val per = per0.crossJoin(broadcast(maxDay))
       .withColumn("recency_d", datediff(col("max_day"), col("last_day")))
       .localCheckpoint(true)
-    // one payload materialization, three NARROW (user_id, metric) rank
-    // passes joined back by key — not three chained full-payload
-    // range-shuffles+checkpoints (round-5 shape, 3× the materialization)
+    // one payload materialization, ONE fused rank pass for all three
+    // metrics — not three chained full-payload range-shuffles+checkpoints
+    // (round-5 shape, 3× the materialization and 3× the jobs)
     val labeled = DistRank.withNtiles(per, 4, "user_id", Seq(
       ("recency_d", true,  "r_q"),   // recent = 1
       ("freq",      false, "f_q"),   // frequent = 1

@@ -57,6 +57,30 @@ class DistRankSpec extends SparkSpec {
     }
   }
 
+  test("withNtiles (fused multi-metric) equals independent ntile windows") {
+    import spark.implicits._
+    // integral metrics with ties; unique key breaks them
+    val df = (1L to 61L).map(id => (id, (id % 9), (id % 5) * 100L))
+      .toDF("id", "m1", "m2")
+      .withColumn("m1", col("m1").cast("int"))
+    val naive = df
+      .withColumn("a", ntile(4).over(Window.orderBy(col("m1"), col("id"))))
+      .withColumn("b", ntile(4).over(Window.orderBy(col("m2").desc, col("id"))))
+    val got = DistRank.withNtiles(df, 4, "id",
+      Seq(("m1", true, "a"), ("m2", false, "b")))
+    assert(got.select("id", "a", "b").except(naive.select("id", "a", "b")).isEmpty)
+    assert(naive.select("id", "a", "b").except(got.select("id", "a", "b")).isEmpty)
+    // payload columns survive the join back
+    assert(got.columns.toSet == Set("id", "m1", "m2", "a", "b"))
+    // non-integral metrics are rejected loudly (double cast could merge
+    // distinct values and corrupt the tie order)
+    val bad = df.withColumn("d", col("m1").cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      DistRank.withNtiles(bad, 4, "id", Seq(("d", true, "t")))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("NULL group keys rank as their own partition, exactly like PARTITION BY") {
     import spark.implicits._
     val rows = Seq((1L, Some("en"), 3.0), (2L, None, 1.0), (3L, Some("en"), 2.0),
