@@ -60,20 +60,26 @@ object DistRank {
                     order: Seq[Column], globalRankCol: Option[String] = None): Ranked =
     core(df, order, groupCols, globalRankCol, Some(groupRankCol))
 
-  /** ANSI `ntile(k) OVER (ORDER BY order)` as `outCol`: first n%k buckets
-    * get n/k+1 rows, the rest n/k — computed arithmetically from the
-    * exact global rank, never a window. */
-  def withNtile(df: DataFrame, k: Int, outCol: String, order: Seq[Column]): DataFrame = {
-    val rk = "__gr_ntile_rank"
-    val Ranked(ranked, n) = withGlobalRank(df, rk, order)
+  /** ANSI ntile bucket from a 0-based rank `z` over `n` rows: first n%k
+    * buckets get n/k+1 rows, the rest n/k. ONE definition shared by the
+    * single- and multi-metric paths — the formula must stay bit-identical
+    * between them or the oracle gate desynchronizes. */
+  private def bucketExpr(n: Long, k: Int, z: Column): Column = {
     val q = n / k
     val r = n % k
-    val z = col(rk) - 1 // 0-based rank
-    val bucket =
+    val b =
       if (q == 0L) z // fewer rows than buckets: bucket i gets row i
       else when(z < lit((q + 1) * r), (z / lit(q + 1)).cast("long"))
         .otherwise(lit(r) + ((z - lit((q + 1) * r)) / lit(q)).cast("long"))
-    ranked.withColumn(outCol, (bucket + 1).cast("int")).drop(rk)
+    (b + 1).cast("int")
+  }
+
+  /** ANSI `ntile(k) OVER (ORDER BY order)` as `outCol`: computed
+    * arithmetically from the exact global rank, never a window. */
+  def withNtile(df: DataFrame, k: Int, outCol: String, order: Seq[Column]): DataFrame = {
+    val rk = "__gr_ntile_rank"
+    val Ranked(ranked, n) = withGlobalRank(df, rk, order)
+    ranked.withColumn(outCol, bucketExpr(n, k, col(rk) - 1)).drop(rk)
   }
 
   /** Several independent ntile labelings against ONE payload
@@ -88,13 +94,19 @@ object DistRank {
     * row per key, joined to the payload on its unique `key`.
     *
     * Contract: every metric column must be INTEGRAL (int/long) — descent
-    * is encoded by negation, which is order-exact for integers where a
-    * double cast could merge distinct values and corrupt the tie order.
-    * Ties break by (metric value, key), so `key` must be unique per row —
-    * the same contract as the ntile window `ORDER BY metric, key` this
-    * replaces bit-identically (the oracles keep the naive SQL). */
+    * is encoded by BITWISE complement (`~x`, an exact order reversal for
+    * every Long including Long.MinValue, where arithmetic negation
+    * overflows), and a double cast could merge distinct values and
+    * corrupt the tie order. NULL metric values keep Spark's window
+    * placement — NULLS FIRST under asc, NULLS LAST under desc — via an
+    * explicit null-rank flag, since complementing NULL would otherwise
+    * float it to the wrong end. Ties break by (metric value, key), so
+    * `key` must be unique per row — the same contract as the ntile
+    * window `ORDER BY metric, key` this replaces bit-identically (the
+    * oracles keep the naive SQL). */
   def withNtiles(df: DataFrame, k: Int, keyCol: String,
                  specs: Seq[(String, Boolean, String)]): DataFrame = {
+    require(specs.nonEmpty, "withNtiles needs at least one metric spec")
     specs.foreach { case (m, _, _) =>
       val t = df.schema(m).dataType
       require(t == org.apache.spark.sql.types.LongType ||
@@ -103,20 +115,19 @@ object DistRank {
         s"withNtiles requires integral metric columns, got $m: $t")
     }
     val long = specs.zipWithIndex.map { case ((m, asc, _), i) =>
-      val v = if (asc) col(m).cast("long") else lit(0L) - col(m).cast("long")
-      df.select(lit(i).as("__gr_m"), v.as("__gr_v"), col(keyCol))
+      val v = if (asc) col(m).cast("long") else expr(s"~ CAST(`$m` AS BIGINT)")
+      // Spark window null placement: asc → NULLS FIRST (flag 0 sorts
+      // before non-null 1), desc → NULLS LAST (flag 1 after 0)
+      val nf = if (asc) when(col(m).isNull, 0).otherwise(1)
+               else when(col(m).isNull, 1).otherwise(0)
+      df.select(lit(i).as("__gr_m"), nf.as("__gr_nf"),
+        coalesce(v, lit(0L)).as("__gr_v"), col(keyCol))
     }.reduce(_ unionAll _)
     val Ranked(ranked, grand) = core(long,
-      Seq(col("__gr_m"), col("__gr_v"), col(keyCol)), Seq("__gr_m"), None, Some("__gr_r"))
+      Seq(col("__gr_m"), col("__gr_nf"), col("__gr_v"), col(keyCol)),
+      Seq("__gr_m"), None, Some("__gr_r"))
     val n = grand / specs.length // each metric ranks every payload row
-    val q = n / k
-    val r = n % k
-    val z = col("__gr_r") - 1 // 0-based per-metric rank
-    val bucket =
-      if (q == 0L) z
-      else when(z < lit((q + 1) * r), (z / lit(q + 1)).cast("long"))
-        .otherwise(lit(r) + ((z - lit((q + 1) * r)) / lit(q)).cast("long"))
-    val labeled = ranked.withColumn("__gr_b", (bucket + 1).cast("int"))
+    val labeled = ranked.withColumn("__gr_b", bucketExpr(n, k, col("__gr_r") - 1))
     val wide = labeled.groupBy(col(keyCol))
       .agg(
         max(when(col("__gr_m") === 0, col("__gr_b"))).as(specs.head._3),

@@ -15,9 +15,12 @@ import graft.tables.Tables
   *
   * Same scale contract as [[Mp4]]: partition-local, one payload held at a
   * time, parser state is element-header-sized; the per-media aggregate is
-  * map-side combined. BlockGroup-wrapped Blocks (lacing, the non-simple
-  * path) are out of scope — SimpleBlock is what WebM writers emit for
-  * video frames; unknown elements are skipped by the generic walk.
+  * map-side combined. Handled beyond the synthetic shape: unknown-size
+  * Segments/Clusters (the streamed-WebM form — a Cluster ends at its next
+  * sibling) and all three SimpleBlock lacing modes (Xiph/EBML/fixed),
+  * expanded to exact per-frame sizes and offsets. BlockGroup-wrapped
+  * Blocks (reference frames/durations) are out of scope; unknown elements
+  * are skipped by the generic walk.
   */
 object Mkv {
 
@@ -35,27 +38,56 @@ object Mkv {
   private def vintLen(b0: Int): Int =
     if (b0 == 0) -1 else Integer.numberOfLeadingZeros(b0) - 23
 
-  /** Parse one element header at `o`: (id with marker, dataStart, dataEnd).
-    * None on truncation/malformed width — callers end their walk, so a
-    * corrupt blob degrades to the empty index instead of throwing. */
-  private def element(b: Array[Byte], o: Int, end: Int): Option[(Long, Int, Int)] = {
+  /** Read one size/track VINT at `o` (marker stripped): (value, length);
+    * an ALL-ONES data payload is the EBML "unknown size" reservation,
+    * returned as -1. None on truncation/invalid width. */
+  private def readVint(b: Array[Byte], o: Int, end: Int): Option[(Long, Int)] = {
+    if (o >= end) return None
+    val s0 = b(o) & 0xff
+    val sl = vintLen(s0)
+    if (sl < 1 || sl > 8 || o + sl > end) return None
+    var v = (s0 & (0xff >>> sl)).toLong
+    var k = 1
+    while (k < sl) { v = (v << 8) | (b(o + k) & 0xff); k += 1 }
+    val allOnes = if (sl == 8) 0xffffffffffffffL /* 56 data bits */
+                  else (1L << (7 * sl)) - 1
+    Some((if (v == allOnes) -1L else v, sl))
+  }
+
+  /** Element id (with marker) at `o`, without consuming — for ending an
+    * unknown-size Cluster at the next sibling Cluster. */
+  private def peekId(b: Array[Byte], o: Int, end: Int): Option[Long] = {
     if (o >= end) return None
     val il = vintLen(b(o) & 0xff)
     if (il < 1 || il > 4 || o + il > end) return None
     var id = 0L
     var k = 0
     while (k < il) { id = (id << 8) | (b(o + k) & 0xff); k += 1 }
-    val so = o + il
-    if (so >= end) return None
-    val s0 = b(so) & 0xff
-    val sl = vintLen(s0)
-    if (sl < 1 || sl > 8 || so + sl > end) return None
-    var sz = (s0 & (0xff >>> sl)).toLong
-    k = 1
-    while (k < sl) { sz = (sz << 8) | (b(so + k) & 0xff); k += 1 }
-    val ds = so + sl
-    if (ds + sz > end) return None
-    Some((id, ds, (ds + sz).toInt))
+    Some(id)
+  }
+
+  /** Parse one element header at `o`: (id with marker, dataStart,
+    * dataEnd, unknownSize). Streamed Matroska/WebM writes Segment (and
+    * sometimes Cluster) with the reserved all-ones "unknown size" VINT —
+    * mapped to extends-to-`end` here, with the Cluster walk additionally
+    * ending an unknown-size Cluster at the next Cluster sibling. None on
+    * truncation/malformed width — callers end their walk, so a corrupt
+    * blob degrades to the empty index instead of throwing. */
+  private def element(b: Array[Byte], o: Int, end: Int): Option[(Long, Int, Int, Boolean)] = {
+    peekId(b, o, end) match {
+      case None => None
+      case Some(id) =>
+        val il = vintLen(b(o) & 0xff)
+        readVint(b, o + il, end) match {
+          case None => None
+          case Some((sz0, sl)) =>
+            val ds = o + il + sl
+            val unknown = sz0 < 0L
+            val sz = if (unknown) (end - ds).toLong else sz0
+            if (sz < 0 || ds + sz > end) None
+            else Some((id, ds, (ds + sz).toInt, unknown))
+        }
+    }
   }
 
   /** Unsigned big-endian integer payload (EBML uint). */
@@ -65,9 +97,67 @@ object Mkv {
     v
   }
 
-  /** Index every SimpleBlock: exact track, absolute timestamp (cluster
-    * timestamp + signed 16-bit relative), payload size and absolute byte
-    * offset. Empty on malformed input. */
+  /** Per-frame sizes of one SimpleBlock payload after the flags byte:
+    * handles all three lacing modes (Xiph 255-run sizes, EBML vint +
+    * signed-vint deltas, fixed equal split) plus the unlaced case —
+    * returns (frame sizes, first frame's offset within [p, be)), or None
+    * on malformed lace data. */
+  private def laceSizes(b: Array[Byte], flags: Int, p0: Int, be: Int): Option[(Seq[Int], Int)] = {
+    val mode = (flags >> 1) & 0x3 // 0 none, 1 Xiph, 2 fixed, 3 EBML
+    if (mode == 0) return Some((Seq(be - p0), p0))
+    if (p0 >= be) return None
+    val total = (b(p0) & 0xff) + 1 // lace count - 1 on the wire
+    var p = p0 + 1
+    mode match {
+      case 2 => // fixed: remaining bytes split equally
+        val rem = be - p
+        if (rem < 0 || rem % total != 0) None
+        else Some((Seq.fill(total)(rem / total), p))
+      case 1 => // Xiph: 255-run byte sums for all but the last frame
+        val szs = new Array[Int](total)
+        var i = 0
+        while (i < total - 1) {
+          var s = 0
+          var more = true
+          while (more) {
+            if (p >= be) return None
+            val v = b(p) & 0xff; p += 1; s += v; more = v == 255
+          }
+          szs(i) = s; i += 1
+        }
+        val last = be - p - szs.take(total - 1).sum
+        if (last < 0) None else { szs(total - 1) = last; Some((szs.toSeq, p)) }
+      case _ => // EBML: first size a vint, then signed-vint deltas
+        readVint(b, p, be) match {
+          case None => None
+          case Some((first, fl)) =>
+            if (first < 0) return None
+            p += fl
+            val szs = new Array[Int](total)
+            szs(0) = first.toInt
+            var i = 1
+            while (i < total - 1) {
+              readVint(b, p, be) match {
+                case None => return None
+                case Some((raw, l)) =>
+                  // signed vint: raw − (2^(7·len−1) − 1)
+                  val delta = raw - ((1L << (7 * l - 1)) - 1)
+                  val sz = szs(i - 1) + delta
+                  if (sz < 0 || sz > be - p) return None
+                  szs(i) = sz.toInt; p += l; i += 1
+              }
+            }
+            val last = be - p - szs.take(total - 1).sum
+            if (last < 0) None else { szs(total - 1) = last; Some((szs.toSeq, p)) }
+        }
+    }
+  }
+
+  /** Index every SimpleBlock FRAME: exact track, absolute timestamp
+    * (cluster timestamp + signed 16-bit relative), payload size and
+    * absolute byte offset — laced blocks (Xiph/EBML/fixed) expand to one
+    * row per frame with exact per-frame sizes/offsets. Empty on
+    * malformed input; a partial index on mid-file corruption. */
   def parseBlocks(mediaId: Long, payload: Array[Byte]): Seq[MkvBlock] = {
     val out = Seq.newBuilder[MkvBlock]
     var blockIdx = 0
@@ -77,8 +167,8 @@ object Mkv {
     var segment: Option[(Int, Int)] = None
     while (segment.isEmpty) {
       element(payload, o, payload.length) match {
-        case Some((SegmentId, ds, de)) => segment = Some((ds, de))
-        case Some((_, _, de)) => o = de
+        case Some((SegmentId, ds, de, _)) => segment = Some((ds, de))
+        case Some((_, _, de, _)) => o = de
         case None => return Seq.empty
       }
     }
@@ -86,16 +176,20 @@ object Mkv {
     var so = ss
     while (so < se) {
       element(payload, so, se) match {
-        case Some((ClusterId, cs, ce)) =>
+        case Some((ClusterId, cs, ce, unk)) =>
           clusterIdx += 1
           var clusterTs = 0L
           var co = cs
-          while (co < ce) {
-            element(payload, co, ce) match {
-              case Some((ClusterTsId, ts, te)) =>
+          var clusterOpen = true
+          while (clusterOpen && co < ce) {
+            // an unknown-size Cluster ends at the next Cluster sibling
+            if (unk && peekId(payload, co, ce).contains(ClusterId)) {
+              clusterOpen = false
+            } else element(payload, co, ce) match {
+              case Some((ClusterTsId, ts, te, _)) =>
                 clusterTs = uintAt(payload, ts, te); co = te
-              case Some((SimpleBlockId, bs, be)) =>
-                // block payload: [track VINT][int16 rel ts][flags][frame…];
+              case Some((SimpleBlockId, bs, be, _)) =>
+                // block payload: [track VINT][int16 rel ts][flags][lace…];
                 // a zero-size block puts bs == be, so bound BEFORE reading
                 // the track byte (degrade, never throw)
                 if (bs >= be) return out.result()
@@ -105,17 +199,25 @@ object Mkv {
                   ((1L << (7 * tl)) - 1)).toInt // strip the VINT marker bit
                 val rel = ((payload(bs + tl) << 8) |
                   (payload(bs + tl + 1) & 0xff)).toShort.toInt
-                val frameStart = bs + tl + 3
-                out += MkvBlock(mediaId, blockIdx, clusterIdx, track,
-                  (clusterTs + rel).toInt, be - frameStart, frameStart.toLong)
-                blockIdx += 1
+                val flags = payload(bs + tl + 2) & 0xff
+                laceSizes(payload, flags, bs + tl + 3, be) match {
+                  case None => return out.result()
+                  case Some((sizes, firstOff)) =>
+                    var off = firstOff.toLong
+                    sizes.foreach { sz =>
+                      out += MkvBlock(mediaId, blockIdx, clusterIdx, track,
+                        (clusterTs + rel).toInt, sz, off)
+                      blockIdx += 1
+                      off += sz
+                    }
+                }
                 co = be
-              case Some((_, _, de)) => co = de
+              case Some((_, _, de, _)) => co = de
               case None => return out.result()
             }
           }
-          so = ce
-        case Some((_, _, de)) => so = de
+          so = if (unk && !clusterOpen) co else ce
+        case Some((_, _, de, _)) => so = de
         case None => return out.result()
       }
     }

@@ -77,6 +77,15 @@ object ScaleProbe {
     // built by an older generator (e.g. pre-orders-replication) would
     // otherwise be silently reused and corrupt the new measurements
     val layoutV = 2
+    // one-time cleanup of pre-versioning replica dirs — multi-GB at
+    // 100×, they would otherwise sit in /tmp forever next to the _v2 set
+    ks.foreach { k =>
+      val old = java.nio.file.Paths.get(s"/tmp/graft_sfx$k")
+      if (java.nio.file.Files.exists(old)) {
+        import scala.sys.process._
+        Seq("rm", "-rf", old.toString).!
+      }
+    }
     val dirs: Seq[(Int, String)] = ks.map { k =>
       val big = s"/tmp/graft_sfx${k}_v$layoutV"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(big, "_READY"))) {

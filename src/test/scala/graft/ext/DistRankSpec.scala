@@ -79,6 +79,27 @@ class DistRankSpec extends SparkSpec {
       DistRank.withNtiles(bad, 4, "id", Seq(("d", true, "t")))
     }
     assert(e.getMessage.contains("integral"))
+    // empty specs are rejected, not an opaque empty-reduce crash
+    intercept[IllegalArgumentException] {
+      DistRank.withNtiles(df, 4, "id", Seq.empty)
+    }
+  }
+
+  test("withNtiles places NULLs and Long extremes exactly like the window") {
+    import spark.implicits._
+    // NULL metrics (window: NULLS FIRST asc, NULLS LAST desc) and the
+    // values where arithmetic negation breaks (Long.MinValue/MaxValue)
+    val df = Seq[(Long, java.lang.Long)](
+      (1L, null), (2L, Long.MinValue), (3L, -5L), (4L, 0L),
+      (5L, Long.MaxValue), (6L, null), (7L, 42L), (8L, Long.MinValue + 1))
+      .toDF("id", "m")
+    val naive = df
+      .withColumn("a", ntile(3).over(Window.orderBy(col("m").asc, col("id"))))
+      .withColumn("b", ntile(3).over(Window.orderBy(col("m").desc, col("id"))))
+    val got = DistRank.withNtiles(df, 3, "id",
+      Seq(("m", true, "a"), ("m", false, "b")))
+    assert(got.select("id", "a", "b").except(naive.select("id", "a", "b")).isEmpty)
+    assert(naive.select("id", "a", "b").except(got.select("id", "a", "b")).isEmpty)
   }
 
   test("NULL group keys rank as their own partition, exactly like PARTITION BY") {

@@ -43,6 +43,62 @@ class MkvSpec extends AnyFunSuite {
     assert(got.map(b => (b.ts_ms, b.size)) == Seq((4800, 4)))
   }
 
+  private def be(v: Long, n: Int) =
+    (n - 1 to 0 by -1).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+  private def cluster1(content: Array[Byte]) =
+    be(0x1F43B675L, 4) ++ Array((0x80 | content.length).toByte) ++ content
+  private def segment1(content: Array[Byte]) =
+    be(0x18538067L, 4) ++ Array((0x80 | content.length).toByte) ++ content
+
+  test("unknown-size Segment and Cluster (streamed WebM) still index; cluster ends at next sibling") {
+    val tsA = Array(0xE7.toByte, 0x81.toByte, 0x01.toByte)          // ts 1
+    val tsB = Array(0xE7.toByte, 0x81.toByte, 0x02.toByte)          // ts 2
+    def blk(sz: Int) = Array(0xA3.toByte, (0x80 | (4 + sz)).toByte,
+      0x81.toByte) ++ be(0L, 2) ++ Array(0x00.toByte) ++ new Array[Byte](sz)
+    // cluster A: UNKNOWN size (0xFF 1-byte vint), ends where cluster B begins
+    val clusterA = be(0x1F43B675L, 4) ++ Array(0xFF.toByte) ++ tsA ++ blk(3)
+    val clusterB = cluster1(tsB ++ blk(5))
+    // segment: UNKNOWN size (8-byte all-ones vint)
+    val segBody = clusterA ++ clusterB
+    val seg = be(0x18538067L, 4) ++
+      (Array(0x01.toByte) ++ Array.fill(7)(0xFF.toByte)) ++ segBody
+    val got = Mkv.parseBlocks(1L, seg)
+    assert(got.map(b => (b.cluster_idx, b.ts_ms, b.size)) == Seq((0, 1, 3), (1, 2, 5)))
+  }
+
+  test("laced SimpleBlocks expand to exact per-frame sizes and offsets") {
+    def vint2(v: Int) = Array((0x40 | (v >> 8)).toByte, (v & 0xff).toByte)
+    // Xiph lacing: 3 frames of sizes 2, 300, 4 (300 = 255 + 45 run)
+    val xiphBody = Array(0x81.toByte) ++ be(0L, 2) ++ Array(0x02.toByte) ++ // flags: Xiph
+      Array(0x02.toByte) ++                                   // laceN = 2 → 3 frames
+      Array(0x02.toByte, 0xFF.toByte, 0x2D.toByte) ++         // sizes 2, 255+45
+      new Array[Byte](2 + 300 + 4)
+    val xiph = Array(0xA3.toByte) ++ vint2(xiphBody.length) ++ xiphBody
+    // fixed lacing: 4 equal frames of 6 bytes
+    val fixedBody = Array(0x81.toByte) ++ be(0L, 2) ++ Array(0x04.toByte) ++ // flags: fixed
+      Array(0x03.toByte) ++ new Array[Byte](24)
+    val fixed = Array(0xA3.toByte) ++ vint2(fixedBody.length) ++ fixedBody
+    // EBML lacing: frames 10, 7, 9 (first vint 10, signed delta −3, last implicit)
+    val ebmlBody = Array(0x81.toByte) ++ be(0L, 2) ++ Array(0x06.toByte) ++ // flags: EBML
+      Array(0x02.toByte) ++                                   // laceN = 2 → 3 frames
+      Array(0x8A.toByte) ++                                   // first = 10 (1-byte vint)
+      Array(0xBC.toByte) ++                                   // vint 60 → 60 − 63 = −3 → 7
+      new Array[Byte](10 + 7 + 9)
+    val ebml = Array(0xA3.toByte) ++ vint2(ebmlBody.length) ++ ebmlBody
+    val ts = Array(0xE7.toByte, 0x81.toByte, 0x00.toByte)
+    val content = ts ++ xiph ++ fixed ++ ebml
+    val clu = be(0x1F43B675L, 4) ++ vint2(content.length) ++ content
+    val seg = be(0x18538067L, 4) ++ vint2(clu.length) ++ clu
+    val got = Mkv.parseBlocks(2L, seg)
+    assert(got.map(_.size) == Seq(2, 300, 4, 6, 6, 6, 6, 10, 7, 9))
+    // frames within a lace sit back-to-back at exact offsets
+    def offs(from: Int, n: Int) = got.slice(from, from + n)
+    for (g <- Seq(offs(0, 3), offs(3, 4), offs(7, 3)); Seq(a, b) <- g.sliding(2))
+      assert(b.offset == a.offset + a.size, s"frames not contiguous: $a -> $b")
+    // block indices are global and dense
+    assert(got.map(_.block_idx) == (0 until 10))
+  }
+
   test("malformed input degrades to empty, never throws") {
     val good = Mkv.synthMkv(5L)
     assert(Mkv.parseBlocks(5L, Array.emptyByteArray).isEmpty)

@@ -20,10 +20,17 @@ class QueryDocSpec extends AnyFunSuite {
 
   test("every registered query has a real one-liner, not a name echo") {
     val rendered = QueryDoc.render()
-    // every query name appears exactly once as a row
+    // every query name appears as a row
     graft.SparkEntry.queries.keys.foreach { n =>
       assert(rendered.contains(s"| `$n` |"), s"$n missing from QUERIES.md")
     }
+    // and none fell back to the name echo (empty module cell) — a query
+    // def without a scaladoc renders `| \`q…\` |  | …` and must fail HERE,
+    // not ship a description-free row
+    val undocumented = rendered.linesIterator
+      .filter(l => l.startsWith("| `q") && l.contains("` |  |")).toSeq
+    assert(undocumented.isEmpty,
+      s"queries without a definition-site scaladoc:\n${undocumented.mkString("\n")}")
   }
 
   test("firstSentence strips scaladoc markup") {
