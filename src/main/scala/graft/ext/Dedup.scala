@@ -540,6 +540,29 @@ object Dedup {
        |ORDER BY c.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q197: star-linked cluster resolution (clique-safe)
+  /** Per-(session, dir) star-resolved cluster table — the q197 sibling
+    * of [[clusterCache]]: the star-link resolution is a corpus artifact
+    * (one row per near-dup-subgraph node) a pipeline materializes once
+    * and reads from every consumer. */
+  private val starClusterCache = new graft.util.SessionDirCache[DataFrame]
+
+  private def starClustersOf(s: SparkSession, dir: String): DataFrame =
+    starClusterCache(s, dir) { (sess, d) =>
+      val buckets = bandBuckets(sess, d).persist()
+      // one representative per (band, bucket): min doc id — an aggregate +
+      // equi-join, never a bucket self-join
+      val reps = buckets.groupBy(col("band"), col("bkey")).agg(min(col("doc_id")).as("d1"))
+      val stars = buckets.join(reps, Seq("band", "bkey"))
+        .filter(col("doc_id") > col("d1"))
+        .select(col("d1"), col("doc_id").as("d2"))
+        .distinct()
+        .localCheckpoint(true)   // forces while buckets is cached
+      buckets.unpersist()
+      val edges = verifyPairs(sess, d, stars).filter(col("jacc") >= 0.5)
+        .select(col("d1"), col("d2"))
+      connectedComponents(edges, "d1", "d2") // already checkpointed
+    }
+
   /** Near-dup clusters via STAR linking — the clique-safe alternative to
     * q55's all-pairs candidate enumeration, motivated by the measured
     * 10× probe (SCALE.md): on a corpus with dup-cliques of size m, a
@@ -560,19 +583,7 @@ object Dedup {
     * the case that breaks all-pairs) star and all-pairs clusters are
     * identical; the oracle pins the star semantics exactly. */
   def q197StarClusters(s: SparkSession, dir: String): DataFrame = {
-    val buckets = bandBuckets(s, dir).persist()
-    // one representative per (band, bucket): min doc id — an aggregate +
-    // equi-join, never a bucket self-join
-    val reps = buckets.groupBy(col("band"), col("bkey")).agg(min(col("doc_id")).as("d1"))
-    val stars = buckets.join(reps, Seq("band", "bkey"))
-      .filter(col("doc_id") > col("d1"))
-      .select(col("d1"), col("doc_id").as("d2"))
-      .distinct()
-      .localCheckpoint(true)   // forces while buckets is cached
-    buckets.unpersist()
-    val edges = verifyPairs(s, dir, stars).filter(col("jacc") >= 0.5)
-      .select(col("d1"), col("d2"))
-    val comp = connectedComponents(edges, "d1", "d2")
+    val comp = starClustersOf(s, dir)
     val sizes = comp.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
     comp.join(sizes, Seq("cluster"))
       .select(col("node").as("doc_id"), col("cluster"), col("csize"),
