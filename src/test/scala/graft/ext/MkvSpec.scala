@@ -99,6 +99,31 @@ class MkvSpec extends AnyFunSuite {
     assert(got.map(_.block_idx) == (0 until 10))
   }
 
+  test("fuzz: random bytes and random corruptions never throw") {
+    val rnd = new scala.util.Random(0xEB31)
+    (1 to 300).foreach { _ =>
+      val bs = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(bs)
+      Mkv.parseBlocks(1L, bs) // must not throw
+    }
+    val good = Mkv.synthMkv(9L)
+    val maxBlocks = Mkv.clusterCount(9L) * Mkv.BlocksPerCluster
+    (1 to 500).foreach { _ =>
+      val b = good.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      // corruption can flip a size VINT to "unknown" or re-lace a block,
+      // so only the no-throw property and a sanity bound are asserted
+      val r = Mkv.parseBlocks(9L, b)
+      assert(r.length <= maxBlocks + 300, "corruption exploded the index")
+    }
+    (1 to 200).foreach { _ =>
+      val cut = rnd.nextInt(good.length)
+      Mkv.parseBlocks(9L, good.take(cut)) // truncations
+    }
+  }
+
   test("malformed input degrades to empty, never throws") {
     val good = Mkv.synthMkv(5L)
     assert(Mkv.parseBlocks(5L, Array.emptyByteArray).isEmpty)

@@ -82,6 +82,33 @@ class Mp4Spec extends AnyFunSuite {
     assert(Mp4.parseSampleTable(4L, chain(stts, stsc, stsz, stco)).isEmpty)
   }
 
+  test("fuzz: random bytes and random corruptions never throw") {
+    // deterministic fuzz (fixed seed — Date/random-free per repo policy
+    // for RESULTS; a seeded RNG in a test is reproducible): the parser's
+    // degrade contract must hold for arbitrary garbage AND for valid
+    // containers with point corruptions, where naive offset math would
+    // index out of bounds
+    val rnd = new scala.util.Random(0x5eed)
+    (1 to 300).foreach { _ =>
+      val bs = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(bs)
+      Mp4.parseSampleTable(1L, bs) // must not throw
+    }
+    val good = Mp4.synthMp4(9L)
+    (1 to 500).foreach { _ =>
+      val b = good.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      val r = Mp4.parseSampleTable(9L, b) // must not throw
+      assert(r.length <= Mp4.sampleCount(9L))
+    }
+    (1 to 200).foreach { _ =>
+      val cut = rnd.nextInt(good.length)
+      Mp4.parseSampleTable(9L, good.take(cut)) // truncations
+    }
+  }
+
   test("hostile counts and degenerate stsc degrade to empty, never throw or OOM") {
     val stts1 = box("stts", be32(0), be32(1), be32(1), be32(100))
     val stsc1 = box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1))
