@@ -1035,19 +1035,24 @@ object EventAnalytics {
     * summing raw doubles and rounding at the end is half-a-cent
     * nondeterministic (observed at sf0.01). */
   def q134RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    // the fact aggregation is checkpointed BEFORE the max-day broadcast:
+    // deriving maxDay from the un-materialized per0 would re-run the
+    // events aggregation inside the broadcast subquery — two fact passes
+    // for one materialization
     val per0 = Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(max(date_trunc("day", col("ts"))).as("last_day"),
         count(lit(1)).as("freq"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
     // corpus max day via aggregate + broadcast, not a global unpartitioned
     // window (which funnels the whole entity table through one partition
-    // for a single scalar — the q123 anti-pattern)
+    // for a single scalar — the q123 anti-pattern); recency is a narrow
+    // projection over the checkpointed frame, needing no re-materialization
     val maxDay = per0.agg(max(col("last_day")).as("max_day"))
     val per = per0.crossJoin(broadcast(maxDay))
       .withColumn("recency_d", datediff(col("max_day"), col("last_day")))
-      .localCheckpoint(true)
     // one payload materialization, ONE fused rank pass for all three
     // metrics — not three chained full-payload range-shuffles+checkpoints
     // (round-5 shape, 3× the materialization and 3× the jobs)
