@@ -35,6 +35,23 @@ class StreamSpec extends SparkSpec {
     assert(TraceStore.read(spark, table).count() == 15)
   }
 
+  test("ingest markers stay bounded: retention prunes all but the replayable tail") {
+    val watch = tmpDir("watch6"); val table = tmpDir("table6"); val ckpt = tmpDir("ckpt6")
+    (1 to 4).foreach(i => writeTrace(watch, s"trace.$i.json", 1557761852L + i * 100, 2))
+    val cfg = TraceStream.Config(watch, table, ckpt, maxFilesPerTrigger = 1)
+    val q = TraceStream.start(spark, cfg)
+    q.awaitTermination()
+    assert(TraceStore.read(spark, table).count() == 8)
+    // 4 micro-batches ran (v0..v3); only the current batch and one grace
+    // predecessor can ever replay, so retention must have pruned v0/v1
+    val incDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(table, "_ingest_batches")).iterator()
+    val inc = incDirs.next(); assert(!incDirs.hasNext, "one lineage dir expected")
+    val markers = graft.store.FsMaint.listDir(inc).map(_.getFileName.toString)
+      .filterNot(_.endsWith(".crc")).sorted // local-FS checksum sidecars
+    assert(markers == Seq("v2", "v3"), s"markers not pruned: $markers")
+  }
+
   test("streaming hourly rollup aggregates per (hour, Type) with watermark") {
     val watch = tmpDir("watch3"); val ckpt = tmpDir("ckpt3")
     // 1557761852 ≈ 15:37 UTC; add events in two different hours
