@@ -75,27 +75,60 @@ object Bench {
     // successful run — fail loudly like the SPARK_GRAFT_PASSES parse does
     require(only.isEmpty || ordered.nonEmpty,
       s"SPARK_GRAFT_ONLY=${only.get.mkString(",")} matches no registered query")
-    def runOnce(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+    // Per-query I/O attribution: shuffle read/write + spill bytes from
+    // task metrics, drained through the listener bus before each
+    // snapshot. Seconds tell WHETHER a query is slow; shuffle bytes tell
+    // WHY — and whether a plan change moved data or just time.
+    val io = new org.apache.spark.scheduler.SparkListener {
+      val sr = new java.util.concurrent.atomic.AtomicLong
+      val sw = new java.util.concurrent.atomic.AtomicLong
+      val sp = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          sp.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+          ()
+        }
+      }
+      def snap(): (Long, Long, Long) = {
+        org.apache.spark.sql.graftshim.Shim.flushListenerBus(spark.sparkContext)
+        (sr.get, sw.get, sp.get)
+      }
+    }
+    spark.sparkContext.addSparkListener(io)
+    def runOnce(): Seq[(String, (Double, (Long, Long, Long)))] = ordered.map { case (name, fn) =>
+      val pre = io.snap()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val post = io.snap()
       // negative duration marks a failed query in the emitted JSON
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) sec else -1.0,
+        (post._1 - pre._1, post._2 - pre._2, post._3 - pre._3))
     }
     val allPasses = (1 to passes).map(_ => runOnce().toMap)
     val results = ordered.map { case (name, _) =>
-      val times = allPasses.map(_.apply(name))
+      val times = allPasses.map(_.apply(name)._1)
       // a query that failed in ANY pass stays marked failed
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // I/O attribution from the LAST pass (warm-cache state — the one the
+    // reported min time also reflects)
+    val ioMap = ordered.map { case (name, _) =>
+      val (_, (sr, sw, sp)) = allPasses.last(name)
+      s"\"$name\":{\"sr\":$sr,\"sw\":$sw,\"sp\":$sp}"
+    }.mkString("{", ",", "}")
     // failed queries (-1 markers) must not subtract from the headline
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_bytes":$ioMap,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a truncated stdout tail, which hides most of
     // the per-query map; persist the full JSON line as an artifact so every

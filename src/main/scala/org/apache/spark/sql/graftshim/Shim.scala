@@ -15,6 +15,14 @@ object Shim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Drain the async listener bus so SparkListener-collected task
+    * metrics are complete before a snapshot — `listenerBus` is
+    * private[spark], hence the shim residence. Benchmark-grade
+    * attribution (per-query shuffle bytes) is wrong without the drain:
+    * task-end events for a finished job can still be in flight. */
+  def flushListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Session timezone (driver side) — what `to_json`/`toJSON` serialize
     * timestamps in; connectors capture it at plan time so their output
     * matches the built-in serializers byte-for-byte. */
