@@ -93,24 +93,39 @@ object Bench {
         }
       }
       def snap(): (Long, Long, Long) = {
-        org.apache.spark.sql.graftshim.Shim.flushListenerBus(spark.sparkContext)
+        // a drain that exceeds the bus's internal timeout degrades THIS
+        // snapshot's attribution; it must never abort the bench run (the
+        // per-query count() is fail-isolated, so the metrics must be too)
+        try org.apache.spark.sql.graftshim.Shim.flushListenerBus(spark.sparkContext)
+        catch { case _: java.util.concurrent.TimeoutException => () }
         (sr.get, sw.get, sp.get)
       }
     }
     spark.sparkContext.addSparkListener(io)
-    def runOnce(): Seq[(String, (Double, (Long, Long, Long)))] = ordered.map { case (name, fn) =>
-      val pre = io.snap()
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val post = io.snap()
-      // negative duration marks a failed query in the emitted JSON
-      name -> (if (ok) sec else -1.0,
-        (post._1 - pre._1, post._2 - pre._2, post._3 - pre._3))
+    def runOnce(): Seq[(String, (Double, (Long, Long, Long)))] = {
+      // query N's post-snapshot IS query N+1's pre state (nothing runs
+      // between them) — threading it forward halves the bus drains.
+      // Caveat (accepted): tasks of a FAILED query cancelled async can
+      // end during the next query's window and leak into its delta; the
+      // failed query's own io is marked -1 below, and the neighbour's
+      // reading is treated as suspect in analysis.
+      var pre = io.snap()
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val post = io.snap()
+        val delta =
+          if (ok) (post._1 - pre._1, post._2 - pre._2, post._3 - pre._3)
+          else (-1L, -1L, -1L) // partial-run bytes are not a measurement
+        pre = post
+        // negative duration marks a failed query in the emitted JSON
+        name -> (if (ok) sec else -1.0, delta)
+      }
     }
     val allPasses = (1 to passes).map(_ => runOnce().toMap)
     val results = ordered.map { case (name, _) =>

@@ -44,9 +44,10 @@ class StreamSpec extends SparkSpec {
     assert(TraceStore.read(spark, table).count() == 8)
     // 4 micro-batches ran (v0..v3); only the current batch and one grace
     // predecessor can ever replay, so retention must have pruned v0/v1
-    val incDirs = java.nio.file.Files.list(
-      java.nio.file.Paths.get(table, "_ingest_batches")).iterator()
-    val inc = incDirs.next(); assert(!incDirs.hasNext, "one lineage dir expected")
+    val incDirs = graft.store.FsMaint.listDir(
+      java.nio.file.Paths.get(table, "_ingest_batches"))
+    assert(incDirs.size == 1, "one lineage dir expected")
+    val inc = incDirs.head
     val markers = graft.store.FsMaint.listDir(inc).map(_.getFileName.toString)
       .filterNot(_.endsWith(".crc")).sorted // local-FS checksum sidecars
     assert(markers == Seq("v2", "v3"), s"markers not pruned: $markers")
