@@ -143,12 +143,20 @@ object Bench {
     }.mkString("{", ",", "}")
     // failed queries (-1 markers) must not subtract from the headline
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_bytes":$ioMap,"sf":"$sfDir"}"""
+    // a filtered (isolation) run is a DIFFERENT measurement shape: mark it
+    // in the JSON so a later reader never compares its partial "total"
+    // against a full-suite artifact as if they were the same population
+    val onlyField = only.map(fs =>
+      s""","only":[${fs.map("\"" + _ + "\"").mkString(",")}]""").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_bytes":$ioMap,"sf":"$sfDir"$onlyField}"""
     println(line)
     // The driver captures only a truncated stdout tail, which hides most of
     // the per-query map; persist the full JSON line as an artifact so every
-    // query's timing survives the round (overridable for CI layouts).
-    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    // query's timing survives the round (overridable for CI layouts). An
+    // isolation run defaults to a SEPARATE path so it never clobbers the
+    // full-suite artifact with a partial result.
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "target/bench_only.json" else "target/bench.json")
     try {
       val p = java.nio.file.Paths.get(artifact)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

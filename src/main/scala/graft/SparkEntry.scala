@@ -25,6 +25,7 @@ object SparkEntry {
       ext.Multimodal.entries,
       ext.Mp4.entries,
       ext.Mkv.entries,
+      ext.Adts.entries,
       ext.Curation.entries,
       ext.EventAnalytics.entries,
       ext.SeriesStats.entries,

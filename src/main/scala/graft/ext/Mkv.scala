@@ -17,22 +17,29 @@ import graft.tables.Tables
   * time, parser state is element-header-sized; the per-media aggregate is
   * map-side combined. Handled beyond the synthetic shape: unknown-size
   * Segments/Clusters (the streamed-WebM form — a Cluster ends at its next
-  * sibling) and all three SimpleBlock lacing modes (Xiph/EBML/fixed),
-  * expanded to exact per-frame sizes and offsets. BlockGroup-wrapped
-  * Blocks (reference frames/durations) are out of scope; unknown elements
-  * are skipped by the generic walk.
+  * sibling), all three lacing modes (Xiph/EBML/fixed) expanded to exact
+  * per-frame sizes and offsets, and BlockGroup-wrapped Blocks with
+  * BlockDuration (the form real MKV uses for B-frames/duration-carrying
+  * streams) alongside SimpleBlocks; unknown elements are skipped by the
+  * generic walk.
   */
 object Mkv {
 
-  /** One indexed frame from a SimpleBlock. */
+  /** One indexed frame from a SimpleBlock or a BlockGroup-wrapped Block;
+    * `dur_ms` is the BlockDuration when the frame came from a BlockGroup
+    * carrying one, −1 otherwise (SimpleBlocks encode no duration). */
   final case class MkvBlock(media_id: Long, block_idx: Int, cluster_idx: Int,
-                            track: Int, ts_ms: Int, size: Int, offset: Long)
+                            track: Int, ts_ms: Int, size: Int, offset: Long,
+                            dur_ms: Int = -1)
 
   // EBML element ids (marker bits included, as they appear on the wire)
   private val SegmentId = 0x18538067L
   private val ClusterId = 0x1F43B675L
   private val ClusterTsId = 0xE7L
   private val SimpleBlockId = 0xA3L
+  private val BlockGroupId = 0xA0L
+  private val BlockId = 0xA1L
+  private val BlockDurationId = 0x9BL
 
   /** VINT width from the first byte: 1 + leading zeros (0 → invalid). */
   private def vintLen(b0: Int): Int =
@@ -108,6 +115,11 @@ object Mkv {
     if (p0 >= be) return None
     val total = (b(p0) & 0xff) + 1 // lace count - 1 on the wire
     var p = p0 + 1
+    // a laced block with ONE frame stores count-1 = 0 size entries in
+    // EVERY mode — short-circuit before the per-mode header reads (the
+    // EBML branch would otherwise consume a first-size VINT that the
+    // spec says is absent, mis-sizing a legal single-frame block)
+    if (total == 1) return if (be - p < 0) None else Some((Seq(be - p), p))
     mode match {
       case 2 => // fixed: remaining bytes split equally
         val rem = be - p
@@ -153,11 +165,48 @@ object Mkv {
     }
   }
 
-  /** Index every SimpleBlock FRAME: exact track, absolute timestamp
-    * (cluster timestamp + signed 16-bit relative), payload size and
-    * absolute byte offset — laced blocks (Xiph/EBML/fixed) expand to one
-    * row per frame with exact per-frame sizes/offsets. Empty on
-    * malformed input; a partial index on mid-file corruption. */
+  /** Parse one (Simple)Block body `[track VINT][s16 rel ts][flags][lace…]`
+    * in [bs, be): appends one row per frame starting at `blockIdx0`,
+    * returns the next block index, or None on malformed data (the caller
+    * surfaces the partial index built so far). Block and SimpleBlock share
+    * this exact wire layout — only flag SEMANTICS differ (keyframe/
+    * discardable vs reserved), and the lacing bits are common to both. */
+  private def emitFrames(b: Array[Byte], bs: Int, be: Int, mediaId: Long,
+                         clusterIdx: Int, clusterTs: Long, durMs: Int,
+                         blockIdx0: Int,
+                         out: scala.collection.mutable.Builder[MkvBlock, Seq[MkvBlock]]): Option[Int] = {
+    // a zero-size block puts bs == be, so bound BEFORE reading the track
+    // byte (degrade, never throw)
+    if (bs >= be) return None
+    val tl = vintLen(b(bs) & 0xff)
+    if (tl < 1 || bs + tl + 3 > be) return None
+    val track = (uintAt(b, bs, bs + tl) &
+      ((1L << (7 * tl)) - 1)).toInt // strip the VINT marker bit
+    val rel = ((b(bs + tl) << 8) | (b(bs + tl + 1) & 0xff)).toShort.toInt
+    val flags = b(bs + tl + 2) & 0xff
+    laceSizes(b, flags, bs + tl + 3, be) match {
+      case None => None
+      case Some((sizes, firstOff)) =>
+        var off = firstOff.toLong
+        var idx = blockIdx0
+        sizes.foreach { sz =>
+          out += MkvBlock(mediaId, idx, clusterIdx, track,
+            (clusterTs + rel).toInt, sz, off, durMs)
+          idx += 1
+          off += sz
+        }
+        Some(idx)
+    }
+  }
+
+  /** Index every block FRAME — SimpleBlocks AND BlockGroup-wrapped Blocks
+    * (the form real MKV uses for B-frames/duration-carrying streams):
+    * exact track, absolute timestamp (cluster timestamp + signed 16-bit
+    * relative), payload size, absolute byte offset, and the BlockDuration
+    * when the wrapping BlockGroup declares one — laced blocks
+    * (Xiph/EBML/fixed) expand to one row per frame with exact per-frame
+    * sizes/offsets in both forms. Empty on malformed input; a partial
+    * index on mid-file corruption. */
   def parseBlocks(mediaId: Long, payload: Array[Byte]): Seq[MkvBlock] = {
     val out = Seq.newBuilder[MkvBlock]
     var blockIdx = 0
@@ -189,29 +238,41 @@ object Mkv {
               case Some((ClusterTsId, ts, te, _)) =>
                 clusterTs = uintAt(payload, ts, te); co = te
               case Some((SimpleBlockId, bs, be, _)) =>
-                // block payload: [track VINT][int16 rel ts][flags][lace…];
-                // a zero-size block puts bs == be, so bound BEFORE reading
-                // the track byte (degrade, never throw)
-                if (bs >= be) return out.result()
-                val tl = vintLen(payload(bs) & 0xff)
-                if (tl < 1 || bs + tl + 3 > be) return out.result()
-                val track = (uintAt(payload, bs, bs + tl) &
-                  ((1L << (7 * tl)) - 1)).toInt // strip the VINT marker bit
-                val rel = ((payload(bs + tl) << 8) |
-                  (payload(bs + tl + 1) & 0xff)).toShort.toInt
-                val flags = payload(bs + tl + 2) & 0xff
-                laceSizes(payload, flags, bs + tl + 3, be) match {
+                emitFrames(payload, bs, be, mediaId, clusterIdx, clusterTs,
+                  -1, blockIdx, out) match {
                   case None => return out.result()
-                  case Some((sizes, firstOff)) =>
-                    var off = firstOff.toLong
-                    sizes.foreach { sz =>
-                      out += MkvBlock(mediaId, blockIdx, clusterIdx, track,
-                        (clusterTs + rel).toInt, sz, off)
-                      blockIdx += 1
-                      off += sz
-                    }
+                  case Some(next) => blockIdx = next
                 }
                 co = be
+              case Some((BlockGroupId, gs, ge, _)) =>
+                // children in any order: the Block plus optional
+                // BlockDuration (read BEFORE emitting so a duration that
+                // follows its Block still attaches). A malformed child
+                // ends the group walk but the group's extent is known, so
+                // the cluster walk continues past it — one corrupt group
+                // degrades to its own loss, not the whole cluster's.
+                var go = gs
+                var blk: Option[(Int, Int)] = None
+                var dur = -1
+                var groupOk = true
+                while (groupOk && go < ge) {
+                  element(payload, go, ge) match {
+                    case Some((BlockId, s2, e2, _)) =>
+                      if (blk.isEmpty) blk = Some((s2, e2)); go = e2
+                    case Some((BlockDurationId, s2, e2, _)) =>
+                      dur = uintAt(payload, s2, e2).toInt; go = e2
+                    case Some((_, _, de, _)) => go = de
+                    case None => groupOk = false
+                  }
+                }
+                blk.foreach { case (bs, be) =>
+                  emitFrames(payload, bs, be, mediaId, clusterIdx, clusterTs,
+                    dur, blockIdx, out) match {
+                    case None => return out.result()
+                    case Some(next) => blockIdx = next
+                  }
+                }
+                co = ge
               case Some((_, _, de, _)) => co = de
               case None => return out.result()
             }
@@ -276,6 +337,49 @@ object Mkv {
     ebml ++ segment
   }
 
+  /** Block duration formula shared with the q206 oracle (1-byte range). */
+  def blockDur(seed: Long, c: Int, b: Int): Int =
+    30 + java.lang.Math.floorMod(seed * 11 + c.toLong * 7 + b.toLong * 3, 20L).toInt
+
+  /** Deterministic Matroska file in the BLOCKGROUP form: identical
+    * header/Info/Tracks layout to [[synthMkv]] (clusters start at 51),
+    * but every frame rides as `BlockGroup(Block, BlockDuration)` — the
+    * wrapping real muxers emit for B-frame/duration-carrying streams,
+    * with the BlockDuration AFTER its Block (the common order, which the
+    * parser must attach retroactively). Per-block overhead is 13 bytes
+    * (3 group hdr + 3 block hdr + 4 body hdr + 3 duration el), so
+    * off(i) = 71 + 10·cluster + 13·i + Σ_{j<i} size_j stays closed-form
+    * for the oracle. */
+  def synthMkvGrouped(seed: Long): Array[Byte] = {
+    val nC = clusterCount(seed)
+    val ebml = {
+      val docType = Array(0x42.toByte, 0x82.toByte, 0x88.toByte) ++ "matroska".getBytes
+      be(0x1A45DFA3L, 4) ++ Array((0x80 | docType.length).toByte) ++ docType
+    }
+    val info = be(0x1549A966L, 4) ++ Array(0x88.toByte) ++
+      (be(0x2AD7B1L, 3) ++ Array(0x84.toByte) ++ be(1000000L, 4))
+    val tracks = be(0x1654AE6BL, 4) ++ Array(0x85.toByte) ++
+      (Array(0xAE.toByte, 0x83.toByte) ++ Array(0xD7.toByte, 0x81.toByte, 0x81.toByte))
+    val clusters = (0 until nC).flatMap { c =>
+      val tsEl = Array(0xE7.toByte, 0x82.toByte) ++ be(c * 1000L, 2)
+      val groups = (0 until BlocksPerCluster).flatMap { b =>
+        val sz = blockSize(seed, c, b)
+        val blockEl = Array(0xA1.toByte) ++ vint2(4 + sz) ++
+          Array(0x81.toByte) ++ be(b * 40L, 2) ++ Array(0x00.toByte) ++
+          new Array[Byte](sz)
+        val durEl = Array(0x9B.toByte, 0x81.toByte, blockDur(seed, c, b).toByte)
+        val body = blockEl ++ durEl
+        Array(0xA0.toByte) ++ vint2(body.length) ++ body
+      }
+      val content = tsEl ++ groups
+      be(ClusterId, 4) ++ vint2(content.length) ++ content
+    }
+    val segContent = info ++ tracks ++ clusters
+    val segment = be(SegmentId, 4) ++
+      (Array(0x01.toByte) ++ be(segContent.length.toLong, 7)) ++ segContent
+    ebml ++ segment
+  }
+
   // ------------------------------------------------------------- q203: EBML index through the gate
   /** REAL EBML walk through the DuckDB gate, the Matroska twin of
     * [[Mp4.q202Mp4Index]]: per document synthesize the deterministic
@@ -323,7 +427,59 @@ object Mkv {
       |  sum(ts)::BIGINT AS ts_sum
       |FROM o GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------------------- q206: BlockGroup index through the gate
+  /** REAL BlockGroup/Block(+BlockDuration) walk through the DuckDB gate —
+    * the grouped twin of [[q203MkvIndex]]: per document synthesize the
+    * BlockGroup-form container ([[synthMkvGrouped]], seed = doc_id), parse
+    * it back with [[parseBlocks]], and emit exact integer aggregates. The
+    * oracle reproduces everything in closed form; beyond q203's checks it
+    * pins the GROUP semantics — dur_sum/dur_posw break if BlockDurations
+    * fail to attach to their Blocks (or attach to the wrong one), and the
+    * 13-byte per-group overhead in the offset formula breaks off_sum if
+    * the walker mis-sizes the group envelope. Map-only like q202/q203. */
+  def q206MkvBlockgroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap(id => parseBlocks(id, synthMkvGrouped(id)))
+      }
+      .toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        (max(col("cluster_idx")) + 1).cast("long").as("n_clusters"),
+        sum(col("size")).as("bytes_total"),
+        sum(col("offset")).as("off_sum"),
+        max(col("offset")).as("last_off"),
+        sum(col("ts_ms")).as("ts_sum"),
+        sum(col("dur_ms")).as("dur_sum"),
+        sum(col("dur_ms") * col("block_idx")).as("dur_posw"))
+      .orderBy(col("media_id"))
+  }
+
+  val q206Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, (3 + doc_id % 4) * 5 AS nb FROM documents),
+      |s AS (SELECT media_id, nb, g.i AS i, g.i // 5 AS c, g.i % 5 AS b
+      |      FROM m, generate_series(0, 29) AS g(i) WHERE g.i < nb),
+      |z AS (SELECT media_id, i, c, b,
+      |             60 + (media_id * 23 + c * 31 + b * 17) % 48 AS sz,
+      |             c * 1000 + b * 40 AS ts,
+      |             30 + (media_id * 11 + c * 7 + b * 3) % 20 AS dur
+      |      FROM s),
+      |o AS (SELECT media_id, i, c, sz, ts, dur,
+      |             71 + 10 * c + 13 * i + coalesce(sum(sz) OVER (
+      |               PARTITION BY media_id ORDER BY i
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM z)
+      |SELECT media_id, count(*)::BIGINT AS n_blocks,
+      |  (max(c) + 1)::BIGINT AS n_clusters,
+      |  sum(sz)::BIGINT AS bytes_total,
+      |  sum(off)::BIGINT AS off_sum, max(off)::BIGINT AS last_off,
+      |  sum(ts)::BIGINT AS ts_sum, sum(dur)::BIGINT AS dur_sum,
+      |  sum(dur * i)::BIGINT AS dur_posw
+      |FROM o GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q203_mkv_index", q203MkvIndex _, Some(q203Sql)),
+    ("q206_mkv_blockgroup", q206MkvBlockgroup _, Some(q206Sql)),
   )
 }

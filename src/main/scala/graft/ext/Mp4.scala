@@ -75,15 +75,21 @@ object Mp4 {
 
     // stsz: version/flags(4) uniform_size(4) count(4) [sizes]. The count
     // is an untrusted u32: bound it before any allocation sized by it —
-    // a crafted blob must degrade to empty, not OOM the executor (more
-    // samples than payload bytes is structurally impossible anyway).
+    // a crafted blob must degrade to empty, not OOM the executor. The
+    // bound differs per branch: non-uniform stores 4·n table bytes that
+    // must physically exist in the box, so n is payload-bounded; uniform
+    // stores NO per-sample entries, so a moov-only ranged read (the
+    // 100 TB access mode — mdat never fetched) legitimately has far more
+    // samples than payload bytes — bound it by a fixed sanity cap
+    // instead (2^24 frames ≈ 77 h at 60 fps; the expansion is 4 B/sample).
     val sizes: IndexedSeq[Int] = findBox(payload, ss, se, "stsz") match {
       case Some((o, e)) if e - o >= 12 =>
         val uniform = u32(payload, o + 4)
         val n = u32(payload, o + 8)
-        if (n < 0L || n > payload.length) return Seq.empty
-        if (uniform != 0L) IndexedSeq.fill(n.toInt)(uniform.toInt)
-        else if (e - o >= 12 + 4L * n)
+        if (uniform != 0L) {
+          if (n > (1L << 24)) return Seq.empty
+          IndexedSeq.fill(n.toInt)(uniform.toInt)
+        } else if (n <= payload.length && e - o >= 12 + 4L * n)
           (0 until n.toInt).map(i => u32(payload, o + 12 + 4 * i).toInt)
         else return Seq.empty
       case _ => return Seq.empty

@@ -12,11 +12,16 @@ import graft.tables.Tables
   * so [[decodeImages]] produces actual pixels, oracle-gated via
   * [[q194ImageDecode]]. AUDIO decodes for real too: `javax.sound.sampled`
   * reads RIFF/WAVE PCM, so [[decodeAudio]] produces actual samples,
-  * oracle-gated via [[q195AudioDecode]]. Only VIDEO (and compressed
-  * audio) has no JDK demuxer and the container ships no codec, so
-  * [[decodeStub]]/[[sampleFramesStub]] stay clearly-marked deterministic
-  * fakes — but their Spark-side plumbing (schema, batch shape,
-  * partition-local execution, feature output) is real and tested.
+  * oracle-gated via [[q195AudioDecode]]. Container DEMUX is real as well:
+  * [[sampleFramesDispatch]] routes MP4 ([[Mp4]]), Matroska ([[Mkv]]) and
+  * ADTS/AAC ([[Adts]]) payloads through pure-byte parsers onto their TRUE
+  * sample boundaries (oracle-gated via [[q204ContainerSample]] and
+  * q202/q203/q205/q206). Only codec-level pixel/PCM DECODE of
+  * video/compressed-audio has no JDK implementation and the container
+  * ships no codec, so [[decodeStub]] (features) and [[sampleFramesStub]]
+  * (unstructured blobs only) remain clearly-marked deterministic fakes —
+  * with their Spark-side plumbing (schema, batch shape, partition-local
+  * execution, feature output) real and tested.
   * At 100 TB the pattern is: binary column in parquet (so column pruning
   * skips the bytes unless referenced), `repartition` to bound task input
   * size, `mapPartitions` so any native decoder initializes once per
@@ -68,11 +73,13 @@ object Multimodal {
   case class MediaFrame(media_id: Long, frame_idx: Int, offset: Long,
                         frame: Array[Byte])
 
-  /** STUB frame sampling (video → every k-th frame): a real build parses
-    * the container's seek table; the stub treats the payload as fixed-size
-    * frames. The Spark shape is the real thing — a generator (UDTF-style
+  /** Fallback frame sampling for UNSTRUCTURED blobs only (no container
+    * magic recognized): treats the payload as fixed-size frames. Real
+    * containers never reach this — [[sampleFramesDispatch]] routes
+    * MP4/MKV/ADTS payloads through their true seek tables. The Spark
+    * shape is shared with the real paths — a generator (UDTF-style
     * flatMap) that expands one row into many, partition-local so a
-    * demuxer would initialize once per partition. */
+    * demuxer initializes once per partition. */
   def sampleFramesStub(rows: Iterator[MediaRow], frameBytes: Int,
                        everyNth: Int): Iterator[MediaFrame] = {
     // demuxer init would happen here, once per partition
@@ -86,15 +93,61 @@ object Multimodal {
     }
   }
 
+  // magic-byte container detection — the dispatch key for real seek tables
+  private def isBmff(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f'.toByte && b(5) == 't'.toByte &&
+      b(6) == 'y'.toByte && b(7) == 'p'.toByte
+  private def isEbml(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0x1A && (b(1) & 0xff) == 0x45 &&
+      (b(2) & 0xff) == 0xDF && (b(3) & 0xff) == 0xA3
+  private def isAdts(b: Array[Byte]): Boolean =
+    b.length >= 7 && (b(0) & 0xff) == 0xFF && (b(1) & 0xf6) == 0xF0
+
+  /** REAL frame sampling with magic-byte container dispatch: ISO-BMFF
+    * payloads index through [[Mp4.parseSampleTable]], EBML through
+    * [[Mkv.parseBlocks]], ADTS through [[Adts.parseFrames]] — every
+    * emitted frame sits on a TRUE sample boundary with the container's
+    * own size/offset; only unstructured blobs (no magic) fall back to the
+    * fixed-stride [[sampleFramesStub]]. A recognized-but-malformed
+    * container degrades to its parser's empty/partial index — it does NOT
+    * fall through to the stride fake (stride frames over a corrupt MP4
+    * would be silently wrong data, worse than no data). Frame slices are
+    * clamped to the locally-present bytes, so a moov-only ranged read
+    * (offsets pointing into an unfetched mdat) yields correct metadata
+    * rows with empty payload slices rather than a throw. */
+  def sampleFramesDispatch(rows: Iterator[MediaRow], frameBytes: Int,
+                           everyNth: Int): Iterator[MediaFrame] = {
+    rows.flatMap { r =>
+      val p = r.payload
+      if (isBmff(p) || isEbml(p) || isAdts(p)) {
+        val table: Seq[(Int, Long, Int)] =
+          if (isBmff(p))
+            Mp4.parseSampleTable(r.media_id, p).map(s => (s.sample_idx, s.offset, s.size))
+          else if (isEbml(p))
+            Mkv.parseBlocks(r.media_id, p).map(b => (b.block_idx, b.offset, b.size))
+          else // ADTS: the codec payload region, past the per-frame header
+            Adts.parseFrames(r.media_id, p)
+              .map(f => (f.frame_idx, f.offset + f.hdr_len, f.frame_len - f.hdr_len))
+        table.iterator.filter(_._1 % everyNth == 0).map { case (i, off, sz) =>
+          val s = math.min(math.max(off, 0L), p.length.toLong).toInt
+          val e = math.max(math.min(off + sz, p.length.toLong).toInt, s)
+          MediaFrame(r.media_id, i, off, java.util.Arrays.copyOfRange(p, s, e))
+        }
+      } else sampleFramesStub(Iterator.single(r), frameBytes, everyNth)
+    }
+  }
+
   /** Frame-sample pipeline over a bounded-size repartition: numPartitions
     * bounds per-task payload volume (the knob that keeps task input ≈
     * constant as the corpus grows — at 100 TB this is a repartition on a
-    * size-aware key, not a fixed count). */
+    * size-aware key, not a fixed count). Containers index through their
+    * real seek tables via [[sampleFramesDispatch]]; `frameBytes` applies
+    * only to the unstructured-blob fallback. */
   def sampleFrames(df: Dataset[MediaRow], frameBytes: Int, everyNth: Int,
                    numPartitions: Int): Dataset[MediaFrame] = {
     import df.sparkSession.implicits._
     df.repartition(numPartitions)
-      .mapPartitions(rs => sampleFramesStub(rs, frameBytes, everyNth))
+      .mapPartitions(rs => sampleFramesDispatch(rs, frameBytes, everyNth))
   }
 
   /** STUB resize: a real build decodes + rescales pixels; the stub scales
@@ -322,12 +375,13 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q168: frame inventory through the gate
-  /** Frame-sample inventory over documents-as-blobs — puts the REAL
-    * multimodal execution path (binary payload → size-bounded repartition
-    * → partition-local [[sampleFramesStub]] generator → per-media
-    * aggregate) through the DuckDB oracle gate, not just a spec. The
-    * payload is the document's UTF-8 bytes standing in for a video
-    * container (no codecs in this container); 256-byte "frames", every
+  /** Frame-sample inventory over documents-as-blobs — puts the
+    * UNSTRUCTURED-blob leg of [[sampleFrames]] (binary payload →
+    * size-bounded repartition → partition-local fixed-stride generator →
+    * per-media aggregate) through the DuckDB oracle gate; the container
+    * legs of the same dispatch gate via [[q204ContainerSample]]. The
+    * payload is the document's UTF-8 bytes (no container magic, so the
+    * dispatch must take the stride path); 256-byte "frames", every
     * 4th sampled. The oracle can't run the generator, but every inventory
     * statistic it emits — sampled-frame count, last frame index/offset,
     * bytes materialized — is exact integer arithmetic on octet_length, so
@@ -367,6 +421,68 @@ object Multimodal {
       |  (last_step * 4 * 256)::BIGINT AS last_off,
       |  ((last_step + 1) * 256)::BIGINT AS bytes_read
       |FROM f ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q204: real container sampling through the gate
+  /** Frame sampling on TRUE container sample boundaries through the
+    * DuckDB gate: a mixed corpus — even doc_ids synthesize MP4
+    * ([[Mp4.synthMp4]]), odd ones Matroska ([[Mkv.synthMkv]]) — flows
+    * through the SAME [[sampleFrames]] pipeline q168 uses, where the
+    * magic-byte dispatch must route each payload to its real parser
+    * (every 4th sample/block of the container's seek table) instead of
+    * the fixed-stride fallback. The oracle reproduces both branches'
+    * sampled indexes, offsets and sizes in closed form — a dispatch that
+    * fell through to the stride stub, or a parser that mis-read either
+    * format, hash-mismatches on every column (stride offsets share no
+    * arithmetic with chunked/clustered container offsets). bytes_read
+    * additionally pins that the emitted SLICES carry the container's real
+    * per-frame byte lengths, not frameBytes-sized windows.
+    *
+    * Scale: identical shape to q168 — size-bounded repartition,
+    * partition-local demux, map-side-combined per-media aggregate. */
+  def q204ContainerSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        if (id % 2 == 0) MediaRow(id, "video/mp4", Mp4.synthMp4(id))
+        else MediaRow(id, "video/x-matroska", Mkv.synthMkv(id))
+      }
+    sampleFrames(media, frameBytes = 256, everyNth = 4, numPartitions = 32)
+      .toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        max(col("frame_idx")).as("last_idx"),
+        max(col("offset")).as("last_off"),
+        sum(col("offset")).as("off_sum"),
+        sum(expr("octet_length(frame)")).as("bytes_read"))
+      .orderBy(col("media_id"))
+  }
+
+  val q204Sql: String =
+    """WITH mp4 AS (SELECT doc_id AS media_id, 16 + doc_id % 17 AS n
+      |            FROM documents WHERE doc_id % 2 = 0),
+      |mp4s AS (SELECT media_id, g.i AS i,
+      |                100 + (media_id * 17 + g.i * 13) % 64 AS sz
+      |         FROM mp4, generate_series(0, 32) AS g(i) WHERE g.i < n),
+      |mp4o AS (SELECT media_id, i, sz,
+      |                32 + coalesce(sum(sz) OVER (PARTITION BY media_id ORDER BY i
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |         FROM mp4s),
+      |mkv AS (SELECT doc_id AS media_id, (3 + doc_id % 4) * 5 AS nb
+      |        FROM documents WHERE doc_id % 2 = 1),
+      |mkvs AS (SELECT media_id, g.i AS i,
+      |                60 + (media_id * 23 + (g.i // 5) * 31 + (g.i % 5) * 17) % 48 AS sz
+      |         FROM mkv, generate_series(0, 29) AS g(i) WHERE g.i < nb),
+      |mkvo AS (SELECT media_id, i, sz,
+      |                68 + 10 * (i // 5) + 7 * i + coalesce(sum(sz) OVER (
+      |                  PARTITION BY media_id ORDER BY i
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |         FROM mkvs),
+      |allf AS (SELECT * FROM mp4o UNION ALL SELECT * FROM mkvo),
+      |sel AS (SELECT * FROM allf WHERE i % 4 = 0)
+      |SELECT media_id, count(*)::BIGINT AS n_sampled,
+      |  max(i)::INTEGER AS last_idx, max(off)::BIGINT AS last_off,
+      |  sum(off)::BIGINT AS off_sum, sum(sz)::BIGINT AS bytes_read
+      |FROM sel GROUP BY media_id ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- q194: real decode through the gate
   /** REAL PNG encode→decode with decoded pixels through the DuckDB gate:
@@ -462,5 +578,6 @@ object Multimodal {
     ("q168_frame_inventory", q168FrameInventory _, Some(q168Sql)),
     ("q194_image_decode",    q194ImageDecode _,    Some(q194Sql)),
     ("q195_audio_decode",    q195AudioDecode _,    Some(q195Sql)),
+    ("q204_container_sample", q204ContainerSample _, Some(q204Sql)),
   )
 }

@@ -144,4 +144,119 @@ class MkvSpec extends AnyFunSuite {
       Array((0x80 | cluster.length).toByte) ++ cluster
     assert(Mkv.parseBlocks(6L, segment).isEmpty)
   }
+
+  test("single-frame laced blocks (lace count 1) carry ZERO size entries in every mode") {
+    // the spec stores count-1 sizes: with one frame, NO size bytes follow
+    // the lace-count byte — an EBML-mode reader that still consumed a
+    // first-size VINT would mis-size this legal block
+    def one(flags: Int, sz: Int) = {
+      val body = Array(0x81.toByte) ++ be(0L, 2) ++
+        Array(flags.toByte, 0x00.toByte) ++ new Array[Byte](sz)
+      Array(0xA3.toByte, (0x80 | body.length).toByte) ++ body
+    }
+    for (flags <- Seq(0x02, 0x04, 0x06)) { // Xiph, fixed, EBML
+      val content = Array(0xE7.toByte, 0x81.toByte, 0x00.toByte) ++ one(flags, 9)
+      val got = Mkv.parseBlocks(3L, segment1(cluster1(content)))
+      assert(got.map(_.size) == Seq(9), s"lacing mode flags=$flags")
+    }
+  }
+
+  test("BlockGroup synth round-trips: sizes, offsets, durations, timestamps") {
+    val seed = 11L
+    val blocks = Mkv.parseBlocks(seed, Mkv.synthMkvGrouped(seed))
+    val nC = Mkv.clusterCount(seed)
+    assert(blocks.length == nC * Mkv.BlocksPerCluster)
+    blocks.zipWithIndex.foreach { case (blk, i) =>
+      val (c, b) = (i / 5, i % 5)
+      assert(blk.block_idx == i && blk.cluster_idx == c)
+      assert(blk.size == Mkv.blockSize(seed, c, b))
+      assert(blk.ts_ms == c * 1000 + b * 40)
+      assert(blk.dur_ms == Mkv.blockDur(seed, c, b), s"duration of block $i")
+      val expOff = 71L + 10 * c + 13 * i +
+        (0 until i).map(j => Mkv.blockSize(seed, j / 5, j % 5).toLong).sum
+      assert(blk.offset == expOff, s"offset of block $i")
+    }
+    (0L to 20L).foreach { s =>
+      val r = Mkv.parseBlocks(s, Mkv.synthMkvGrouped(s))
+      assert(r.length == Mkv.clusterCount(s) * Mkv.BlocksPerCluster)
+      assert(r.forall(_.dur_ms >= 30))
+    }
+  }
+
+  test("BlockGroup × lacing matrix: wrapped laced Blocks expand with durations attached") {
+    def vint2(v: Int) = Array((0x40 | (v >> 8)).toByte, (v & 0xff).toByte)
+    def group(blockBody: Array[Byte], dur: Int, durFirst: Boolean) = {
+      val blockEl = Array(0xA1.toByte) ++ vint2(blockBody.length) ++ blockBody
+      val durEl = Array(0x9B.toByte, 0x81.toByte, dur.toByte)
+      val body = if (durFirst) durEl ++ blockEl else blockEl ++ durEl
+      Array(0xA0.toByte) ++ vint2(body.length) ++ body
+    }
+    // Xiph lacing: 3 frames 2, 300, 4; duration AFTER the Block
+    val xiphBody = Array(0x81.toByte) ++ be(0L, 2) ++ Array(0x02.toByte) ++
+      Array(0x02.toByte) ++
+      Array(0x02.toByte, 0xFF.toByte, 0x2D.toByte) ++
+      new Array[Byte](2 + 300 + 4)
+    // fixed lacing: 4 frames of 6; duration BEFORE the Block (legal order)
+    val fixedBody = Array(0x81.toByte) ++ be(0L, 2) ++ Array(0x04.toByte) ++
+      Array(0x03.toByte) ++ new Array[Byte](24)
+    // EBML lacing: frames 10, 7, 9
+    val ebmlBody = Array(0x81.toByte) ++ be(0L, 2) ++ Array(0x06.toByte) ++
+      Array(0x02.toByte) ++ Array(0x8A.toByte) ++ Array(0xBC.toByte) ++
+      new Array[Byte](10 + 7 + 9)
+    // unlaced Block with NO duration child at all
+    val plainBody = Array(0x81.toByte) ++ be(0L, 2) ++ Array(0x00.toByte) ++
+      new Array[Byte](5)
+    val ts = Array(0xE7.toByte, 0x81.toByte, 0x00.toByte)
+    // the last group carries NO duration element at all
+    val plainEl = Array(0xA1.toByte) ++ vint2(plainBody.length) ++ plainBody
+    val plainGroup = Array(0xA0.toByte) ++ vint2(plainEl.length) ++ plainEl
+    val content2 = ts ++ group(xiphBody, 33, durFirst = false) ++
+      group(fixedBody, 44, durFirst = true) ++
+      group(ebmlBody, 55, durFirst = false) ++ plainGroup
+    def vint2seg(c: Array[Byte]) = {
+      val clu = be(0x1F43B675L, 4) ++ vint2(c.length) ++ c
+      be(0x18538067L, 4) ++ vint2(clu.length) ++ clu
+    }
+    val got = Mkv.parseBlocks(4L, vint2seg(content2))
+    assert(got.map(_.size) == Seq(2, 300, 4, 6, 6, 6, 6, 10, 7, 9, 5))
+    assert(got.map(_.dur_ms) == Seq(33, 33, 33, 44, 44, 44, 44, 55, 55, 55, -1))
+    // frames within each laced group sit back-to-back
+    def offs(from: Int, n: Int) = got.slice(from, from + n)
+    for (g <- Seq(offs(0, 3), offs(3, 4), offs(7, 3)); Seq(a, b) <- g.sliding(2))
+      assert(b.offset == a.offset + a.size, s"frames not contiguous: $a -> $b")
+    assert(got.map(_.block_idx) == (0 until 11))
+    // SimpleBlocks and BlockGroups interleave in one cluster
+    val sb = Array(0xA3.toByte) ++ vint2(plainBody.length) ++ plainBody
+    val mixed = ts ++ sb ++ group(plainBody, 66, durFirst = false) ++ sb
+    val gotMixed = Mkv.parseBlocks(5L, vint2seg(mixed))
+    assert(gotMixed.map(_.dur_ms) == Seq(-1, 66, -1))
+    assert(gotMixed.map(_.size) == Seq(5, 5, 5))
+  }
+
+  test("a corrupt BlockGroup loses only itself; grouped fuzz never throws") {
+    val good = Mkv.synthMkvGrouped(9L)
+    val total = Mkv.clusterCount(9L) * Mkv.BlocksPerCluster
+    // zero out the first group's Block id: the group walk finds no Block
+    // and emits nothing, but later groups still index
+    val blocks = Mkv.parseBlocks(9L, good)
+    val firstBlockElOff = (blocks.head.offset - 7).toInt // group hdr consumed; block el id at off-7
+    val broken = good.clone()
+    broken(firstBlockElOff) = 0x6F.toByte // a valid-width but unknown id
+    val partial = Mkv.parseBlocks(9L, broken)
+    assert(partial.length == total - 1, "only the corrupted group should drop")
+    assert(partial.head.block_idx == 0 && partial.head.dur_ms >= 30)
+    // fuzz the grouped form like the SimpleBlock form
+    val rnd = new scala.util.Random(0xB10C)
+    (1 to 300).foreach { _ =>
+      val b = good.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      val r = Mkv.parseBlocks(9L, b)
+      assert(r.length <= total + 300, "corruption exploded the index")
+    }
+    (1 to 200).foreach { _ =>
+      Mkv.parseBlocks(9L, good.take(rnd.nextInt(good.length)))
+    }
+  }
 }

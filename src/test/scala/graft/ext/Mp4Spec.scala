@@ -50,6 +50,24 @@ class Mp4Spec extends AnyFunSuite {
     assert(got.map(_.duration) == Seq(500, 500, 500))
   }
 
+  test("moov-only ranged read: uniform stsz with more samples than local bytes parses") {
+    // the 100 TB access mode fetches ONLY the moov box; with uniform_size
+    // the table stores no per-sample entries, so a long video's sample
+    // count legitimately dwarfs the locally-present bytes — the
+    // payload-length bound applies only to the non-uniform table
+    val n = 10000
+    val stts = box("stts", be32(0), be32(1), be32(n.toLong), be32(512))
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(n.toLong), be32(1))
+    val stszUniform = box("stsz", be32(0), be32(64), be32(n.toLong))
+    val stco = box("stco", be32(0), be32(1), be32(1L << 20)) // mdat far past this buffer
+    val moovOnly = chain(stts, stsc, stszUniform, stco)
+    assert(moovOnly.length < n) // the premise: fewer local bytes than samples
+    val got = Mp4.parseSampleTable(1L, moovOnly)
+    assert(got.length == n)
+    assert(got.head.offset == (1L << 20) && got.head.size == 64)
+    assert(got.last.offset == (1L << 20) + 64L * (n - 1))
+  }
+
   test("largesize (size==1) boxes and unknown siblings are handled") {
     val stts = box("stts", be32(0), be32(1), be32(1), be32(100))
     val stsc = box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1))

@@ -38,6 +38,45 @@ class MultimodalSpec extends SparkSpec {
     assert(!frames.exists(_.media_id == 8L))   // sub-frame payload → no frames
   }
 
+  test("container payloads sample on REAL seek-table boundaries, not the stride stub") {
+    import spark.implicits._
+    val mp4 = Mp4.synthMp4(6L)
+    val mkv = Mkv.synthMkv(7L)
+    val adts = Adts.synthAdts(8L)
+    val text = "plain text payload with no container magic at all.".getBytes
+    val rows = Seq(
+      MediaRow(6L, "video/mp4", mp4), MediaRow(7L, "video/x-matroska", mkv),
+      MediaRow(8L, "audio/aac", adts), MediaRow(9L, "text/plain", text),
+    ).toDS()
+    val got = sampleFrames(rows, frameBytes = 16, everyNth = 2, numPartitions = 2)
+      .collect().groupBy(_.media_id).map { case (k, v) => k -> v.sortBy(_.frame_idx) }
+    // MP4: every 2nd entry of the true sample table, real sizes + offsets
+    val mp4Tab = Mp4.parseSampleTable(6L, mp4).filter(_.sample_idx % 2 == 0)
+    assert(got(6L).map(f => (f.frame_idx, f.offset)).toSeq ==
+      mp4Tab.map(s => (s.sample_idx, s.offset)))
+    assert(got(6L).map(_.frame.length).toSeq == mp4Tab.map(_.size))
+    // MKV: every 2nd block of the true block index
+    val mkvTab = Mkv.parseBlocks(7L, mkv).filter(_.block_idx % 2 == 0)
+    assert(got(7L).map(f => (f.frame_idx, f.offset)).toSeq ==
+      mkvTab.map(b => (b.block_idx, b.offset)))
+    assert(got(7L).map(_.frame.length).toSeq == mkvTab.map(_.size))
+    // ADTS: codec payload region (header excluded) of every 2nd frame
+    val adtsTab = Adts.parseFrames(8L, adts).filter(_.frame_idx % 2 == 0)
+    assert(got(8L).map(f => (f.frame_idx, f.offset)).toSeq ==
+      adtsTab.map(a => (a.frame_idx, a.offset + a.hdr_len)))
+    assert(got(8L).map(_.frame.length).toSeq ==
+      adtsTab.map(a => a.frame_len - a.hdr_len))
+    // unstructured text: the fixed-stride fallback (16-byte frames)
+    assert(got(9L).map(f => (f.frame_idx, f.offset, f.frame.length)).toSeq ==
+      (0 until text.length / 16 by 2).map(i => (i, i.toLong * 16, 16)))
+    // a recognized-but-corrupt container degrades to EMPTY — it must NOT
+    // fall through to stride frames over garbage
+    val corrupt = mp4.take(40).toArray // valid ftyp magic, truncated moov
+    val none = sampleFrames(Seq(MediaRow(10L, "video/mp4", corrupt)).toDS(),
+      frameBytes = 4, everyNth = 1, numPartitions = 1).collect()
+    assert(none.isEmpty)
+  }
+
   test("batched resize keeps ids and reshapes features") {
     import spark.implicits._
     val feats = (1L to 150L).map(i =>
