@@ -33,6 +33,21 @@ class QueryDocSpec extends AnyFunSuite {
       s"queries without a definition-site scaladoc:\n${undocumented.mkString("\n")}")
   }
 
+  test("COVERAGE.md's header count matches the live registry") {
+    // QUERIES.md is sync-enforced above; COVERAGE.md's count drifted two
+    // rounds running because nothing asserted it — derive it the same way
+    val p = java.nio.file.Paths.get("COVERAGE.md")
+    assert(java.nio.file.Files.exists(p), "COVERAGE.md missing")
+    val head = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.take(10).mkString("\n")
+    val n = graft.SparkEntry.queries.size
+    assert(head.contains(s"$n registered queries"),
+      s"COVERAGE.md header does not say '$n registered queries' — update the count when registering queries")
+    val withOracle = graft.SparkEntry.oracleSql.size
+    assert(head.contains(s"all $withOracle with oracles"),
+      s"COVERAGE.md header does not say 'all $withOracle with oracles'")
+  }
+
   test("firstSentence strips scaladoc markup") {
     assert(QueryDoc.firstSentence(
       " * Exact [[Dedup.exactByKey]] dedup over `doc_id`.\n * More text.") ==
