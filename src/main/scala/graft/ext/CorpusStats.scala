@@ -314,11 +314,16 @@ object CorpusStats {
     * checkpoint. */
   def q150QuantileNorm(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
-    val DistRank.Ranked(rk, nTot) = DistRank.withGroupRank(
+    val DistRank.Ranked(rk0, totalCol) = DistRank.withGroupRank(
       d, Seq("source"), "rs", Seq(col("n_chars"), col("doc_id")), globalRankCol = Some("gi"))
+    // THREE consumers read the ranked frame (self-join legs + ns agg):
+    // a lazy localCheckpoint materializes it once inside the single final
+    // action (entity-grain, far below the fact table) instead of
+    // re-sorting the reused exchange per consumer; N rides as the
+    // in-plan total column the rank pass now carries for free
+    val rk = rk0.withColumnRenamed(totalCol, "N").localCheckpoint(false)
     val ranked = rk
       .join(broadcast(rk.groupBy(col("source")).agg(count(lit(1)).as("ns"))), Seq("source"))
-      .withColumn("N", lit(nTot))
     val glob = rk.select(col("gi").as("ti"), col("n_chars").as("norm_chars"))
     ranked
       .withColumn("ti", expr("(rs * N + ns - 1) DIV ns"))

@@ -211,7 +211,7 @@ object Curation {
         when(col("n_lang") === 1, lit(0.0)).otherwise(
           round((col("__qr") - 1).cast("double") / (col("n_lang") - 1).cast("double"), 4)))
       .filter(col("pr") >= 0.25 || col("n_lang") < 8)
-      .drop("n_lang", "__qr")
+      .drop("n_lang", "__qr", DistRank.TotalCol)
   }
 
   /** Quality gate: per-language quality ranking (DistRank group rank, skew-proof) keeps the top quartile per language while languages with few documents pass whole. */

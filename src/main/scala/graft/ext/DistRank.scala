@@ -1,51 +1,73 @@
 package graft.ext
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-
-import scala.jdk.CollectionConverters._
 
 /** Exact distributed ranking — the scale-safe replacement for the
   * single-partition `row_number()/ntile() OVER (ORDER BY …)` window (and
   * its per-group skewed cousin `… OVER (PARTITION BY lang ORDER BY …)`
   * where one group holds ~90% of the corpus).
   *
-  * Construction (the range-partitioned sort + broadcast-offsets plan):
+  * Construction (the range-partitioned sort + broadcast-offsets plan),
+  * now a SINGLE lazy query — no driver round-trip, no eager checkpoint:
   *   1. `repartitionByRange` on the total order — Spark's own global-sort
   *      machinery: partition i holds keys strictly below partition i+1,
   *      each ~n/P rows (the order MUST end in a unique tiebreaker, so
-  *      range partitioning cannot pile equal keys into one partition);
-  *   2. one narrow `mapPartitions` pass assigns, per physical partition,
-  *      a partition-local row number AND a partition-local per-group row
+  *      range partitioning cannot pile equal keys into one partition) —
+  *      then a per-partition sort, exposed as ONE lazily-persisted RDD
+  *      both branches below share;
+  *   2. branch A — one narrow `mapPartitionsWithIndex` pass over the
+  *      sorted partitions assigns, per physical partition, a
+  *      partition-local row number AND a partition-local per-group row
   *      number (one counter + one bounded HashMap — groups are required
   *      to be bounded-cardinality dimensions: langs, sources, types);
-  *   3. per-partition (and per partition×group) totals collect to the
-  *      driver — P (+ P·|groups|) rows, both bounded — and prefix-sum
-  *      into starting offsets, re-joined via broadcast;
+  *   3. branch B — a second narrow pass over the SAME cached RDD emits
+  *      one (pid, group, count) row per observed group per partition:
+  *      ≤ P·|groups| rows, which a single bounded task (behind a
+  *      `repartition(1)` barrier) prefix-sums into per-(pid, group) and
+  *      per-pid starting offsets plus the grand total — the same
+  *      arithmetic the driver used to do, now inside the plan;
   *   4. global rank = offset(pid) + local rn; group rank =
-  *      offset(pid, group) + local group rn.
+  *      offset(pid, group) + local group rn, attached by broadcasting
+  *      the offsets table back onto branch A.
+  *
+  * Both branches hang off ONE persisted RDD, so the range shuffle and
+  * the sort run once (the offsets broadcast-build job populates the
+  * cache; the rank branch reads it back); the whole rank pass is lazy —
+  * no driver round-trip beyond the broadcast build over P-bounded rows,
+  * no eager materialization. The previous construction eagerly
+  * `localCheckpoint`ed the ranked frame and collected a census
+  * accumulator — a full materialization plus a driver barrier PER RANK
+  * PASS, which serialized multi-pass callers (q183's two legs, q134's
+  * fused metrics) and taxed every consumer with job-launch constants.
   *
   * The result is bit-identical to the naive window (the oracles keep the
   * naive SQL — the gate proves equality) with no `WindowExec` anywhere in
-  * the plan: every stage is either a linear pass or bounded-size driver
-  * work, so the plan survives a 1000-executor 100 TB run where the naive
+  * the plan: every stage is either a linear pass or bounded-size work,
+  * so the plan survives a 1000-executor 100 TB run where the naive
   * window serializes the entity table through one task.
   *
-  * The ranked frame is `localCheckpoint`ed (entity-grain, far below the
-  * fact table) so the offsets collect and the downstream query read one
-  * materialization instead of recomputing the upstream aggregate twice.
+  * Callers that consume the ranked frame MORE than once should
+  * `persist`/`localCheckpoint` it themselves (lazily) — the frame is
+  * entity-grain, far below the fact table — otherwise each consumer
+  * re-sorts the reused shuffle output.
   */
 object DistRank {
 
-  /** A ranked frame plus the exact global row count (free from the
-    * offsets collect — saves callers a second `count()` pass). */
-  final case class Ranked(df: DataFrame, total: Long)
+  /** A ranked frame; every row carries the exact global row count in
+    * column [[TotalCol]] (computed by the same bounded offsets task —
+    * free, no extra pass), so callers can use the total INSIDE the plan
+    * without a driver action. Drop it when unused. */
+  final case class Ranked(df: DataFrame, totalCol: String = TotalCol)
+
+  /** Column holding the exact global row count on every output row. */
+  val TotalCol = "__gr_total"
 
   private val PidCol = "__gr_pid"
   private val LrnCol = "__gr_lrn"
   private val GrnCol = "__gr_grn"
+  private val CntCol = "__gr_cnt"
 
   /** 1-based global `row_number()` over `order` (which must end in a
     * unique tiebreaker) as column `rankCol`. */
@@ -60,17 +82,26 @@ object DistRank {
                     order: Seq[Column], globalRankCol: Option[String] = None): Ranked =
     core(df, order, groupCols, globalRankCol, Some(groupRankCol))
 
-  /** ANSI ntile bucket from a 0-based rank `z` over `n` rows: first n%k
+  /** Exact integer division a DIV b for non-negative longs as Columns:
+    * (a − a mod b) is an exact multiple of b, and IEEE double division of
+    * an exactly-representable multiple returns the exact quotient — no
+    * truncate-after-inexact-division edge for counts < 2⁵³. */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** ANSI ntile bucket from a 0-based rank `z` over `n` rows (both as
+    * Columns — `n` comes from [[TotalCol]], inside the plan): first n%k
     * buckets get n/k+1 rows, the rest n/k. ONE definition shared by the
     * single- and multi-metric paths — the formula must stay bit-identical
     * between them or the oracle gate desynchronizes. */
-  private def bucketExpr(n: Long, k: Int, z: Column): Column = {
-    val q = n / k
-    val r = n % k
+  private def bucketExpr(n: Column, k: Int, z: Column): Column = {
+    val q = idiv(n, lit(k.toLong))
+    val r = n - q * k
+    val cut = (q + 1) * r
     val b =
-      if (q == 0L) z // fewer rows than buckets: bucket i gets row i
-      else when(z < lit((q + 1) * r), (z / lit(q + 1)).cast("long"))
-        .otherwise(lit(r) + ((z - lit((q + 1) * r)) / lit(q)).cast("long"))
+      when(q === 0L, z) // fewer rows than buckets: bucket i gets row i
+        .otherwise(when(z < cut, idiv(z, q + 1))
+          .otherwise(r + idiv(z - cut, q)))
     (b + 1).cast("int")
   }
 
@@ -78,20 +109,20 @@ object DistRank {
     * arithmetically from the exact global rank, never a window. */
   def withNtile(df: DataFrame, k: Int, outCol: String, order: Seq[Column]): DataFrame = {
     val rk = "__gr_ntile_rank"
-    val Ranked(ranked, n) = withGlobalRank(df, rk, order)
-    ranked.withColumn(outCol, bucketExpr(n, k, col(rk) - 1)).drop(rk)
+    val Ranked(ranked, totalCol) = withGlobalRank(df, rk, order)
+    ranked.withColumn(outCol, bucketExpr(col(totalCol), k, col(rk) - 1))
+      .drop(rk, totalCol)
   }
 
   /** Several independent ntile labelings against ONE payload
     * materialization and ONE ranking pass. The naive chain —
-    * `withNtile(withNtile(withNtile(payload, …)))` — range-shuffles,
-    * checkpoints and offset-joins the payload once per metric; this
-    * variant unions a narrow LONG-FORMAT projection
-    * `(metric-id, sort-value, key)` (one row per metric per payload row),
-    * runs a single group-ranked [[core]] pass with the metric id as the
-    * bounded group — one range shuffle, one checkpoint, one offsets
-    * broadcast for ALL metrics — and pivots the k-tile labels back to one
-    * row per key, joined to the payload on its unique `key`.
+    * `withNtile(withNtile(withNtile(payload, …)))` — range-shuffles and
+    * offset-joins the payload once per metric; this variant unions a
+    * narrow LONG-FORMAT projection `(metric-id, sort-value, key)` (one
+    * row per metric per payload row), runs a single group-ranked [[core]]
+    * pass with the metric id as the bounded group — one range shuffle,
+    * one offsets broadcast for ALL metrics — and pivots the k-tile labels
+    * back to one row per key, joined to the payload on its unique `key`.
     *
     * Contract: every metric column must be INTEGRAL (int/long) — descent
     * is encoded by BITWISE complement (`~x`, an exact order reversal for
@@ -123,10 +154,11 @@ object DistRank {
       df.select(lit(i).as("__gr_m"), nf.as("__gr_nf"),
         coalesce(v, lit(0L)).as("__gr_v"), col(keyCol))
     }.reduce(_ unionAll _)
-    val Ranked(ranked, grand) = core(long,
+    val Ranked(ranked, totalCol) = core(long,
       Seq(col("__gr_m"), col("__gr_nf"), col("__gr_v"), col(keyCol)),
       Seq("__gr_m"), None, Some("__gr_r"))
-    val n = grand / specs.length // each metric ranks every payload row
+    // each metric ranks every payload row: per-metric n = grand / |specs|
+    val n = idiv(col(totalCol), lit(specs.length.toLong))
     val labeled = ranked.withColumn("__gr_b", bucketExpr(n, k, col("__gr_r") - 1))
     val wide = labeled.groupBy(col(keyCol))
       .agg(
@@ -137,19 +169,12 @@ object DistRank {
     df.join(wide, Seq(keyCol))
   }
 
-  /** Per-partition census, reported by the ranking pass itself through an
-    * accumulator: partition row count plus each group's in-partition
-    * count. Deduped BY PID on the driver, which makes the accumulator
-    * path retry/speculation-safe: a re-run task reports the identical
-    * deterministic value for its pid, and duplicates collapse (the
-    * default countFailedValues=false already excludes failed tasks). */
-  private final case class PartCounts(pid: Int, n: Long, groups: Map[Seq[Any], Long])
-
   private def core(df: DataFrame, order: Seq[Column], groupCols: Seq[String],
                    globalRankCol: Option[String], groupRankCol: Option[String]): Ranked = {
     val s = df.sparkSession
     val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val parted = df.repartitionByRange(p, order: _*).sortWithinPartitions(order: _*)
+    val parted = df.repartitionByRange(p, order: _*)
+    val sorted = parted.sortWithinPartitions(order: _*)
 
     val inSchema = parted.schema
     val gIdx = groupCols.map(inSchema.fieldIndex)
@@ -158,19 +183,32 @@ object DistRank {
       StructField(LrnCol, LongType, nullable = false),
       StructField(GrnCol, LongType, nullable = false)))
 
-    // one narrow pass: partition-local row number + per-group row number.
-    // The same pass REPORTS the per-partition census through the
-    // accumulator when its input is exhausted — the checkpoint job that
-    // materializes the ranked rows therefore also delivers the counts,
-    // where the previous construction paid a separate aggregate+collect
-    // job per rank pass (visible overhead on multi-pass callers like
-    // q134/q183).
-    val acc = s.sparkContext.collectionAccumulator[PartCounts]("distrank_counts")
-    val local = parted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    // the ONE sorted RDD both branches hang off. Two deliberate choices:
+    //   * RDD-level `mapPartitionsWithIndex`, NOT Dataset mapPartitions +
+    //     TaskContext.getPartitionId(): the task id is the id of the TASK,
+    //     so any narrow coalesce() downstream (Verify writes results with
+    //     coalesce(1)) or a single-task offsets pass upstream would fold
+    //     several range partitions into one task and silently mislabel
+    //     their pids — ranks would collide per-partition with no error.
+    //     The RDD index is the partition SPLIT's own id and survives any
+    //     downstream stage layout.
+    //   * a lazy MEMORY_AND_DISK_SER persist: the first job to touch the
+    //     lineage (the offsets broadcast build) populates the cache, so
+    //     the range shuffle + per-partition sort run ONCE and the rank
+    //     branch reads cached rows — without the eager materialization +
+    //     driver barrier the previous localCheckpoint construction paid
+    //     per rank pass. The frame is entity-grain (far below the fact
+    //     table); SER keeps the cached bytes compact, and DISK spills
+    //     rather than recomputes under memory pressure.
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+    // branch A: one narrow pass assigns partition-local row numbers (and
+    // per-group row numbers from a bounded HashMap)
+    val localRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
       val perGroup = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
-      val mapped = it.map { r =>
+      it.map { r =>
         n += 1
         val gn =
           if (gIdx.isEmpty) 0L
@@ -182,56 +220,60 @@ object DistRank {
           }
         Row.fromSeq(r.toSeq ++ Seq[Any](pid, n, gn))
       }
-      new Iterator[Row] {
-        private var reported = false
-        def hasNext: Boolean = {
-          val h = mapped.hasNext
-          if (!h && !reported) {
-            reported = true
-            acc.add(PartCounts(pid, n,
-              if (gIdx.isEmpty) Map(Seq.empty[Any] -> 0L) else perGroup.toMap))
-          }
-          h
-        }
-        def next(): Row = mapped.next()
-      }
-    }(Encoders.row(outSchema)).localCheckpoint(true)
-
-    // the census is bounded: P entries (global) / ≤ P·|groups| group
-    // cells, both driver-safe by the bounded-cardinality group contract
-    val counts: Seq[PartCounts] = acc.value.asScala.toSeq
-      .groupBy(_.pid).map(_._2.head).toSeq
-
-    val partTotals: Map[Int, Long] = counts.map(c => c.pid -> c.n).toMap
-    val total = partTotals.values.sum
-    val pidsAsc = partTotals.keys.toSeq.sorted
-    val globalOff: Map[Int, Long] =
-      pidsAsc.zip(pidsAsc.scanLeft(0L)((acc, pid) => acc + partTotals(pid)).dropRight(1)).toMap
-
-    // offsets frame: (pid, group…, global offset, group offset), built on
-    // the driver from the census, broadcast back
-    val grouped = counts.flatMap(_.groups.keys).distinct.flatMap { gk =>
-      val byPid = counts.filter(_.groups.contains(gk)).sortBy(_.pid)
-      var accum = 0L
-      byPid.map { c =>
-        val off = accum
-        accum += c.groups(gk)
-        (c.pid, gk, off)
-      }
     }
+    val local = s.createDataFrame(localRdd, outSchema)
 
-    val offSchema = StructType(
+    // branch B: the census — per-partition row count and per-(partition,
+    // group) counts, ≤ |groups| rows out per partition, over the SAME
+    // cached sorted RDD
+    val countSchema = StructType(
       StructField(PidCol, IntegerType, nullable = false) +:
-        groupCols.map(g => inSchema(inSchema.fieldIndex(g))).toArray.toSeq :+
-        StructField("__gr_goff", LongType, nullable = false) :+
-        StructField("__gr_off", LongType, nullable = false))
-    val offRows = grouped.map { case (pid, gk, goff) =>
-      Row.fromSeq(pid +: gk :+ goff :+ globalOff(pid))
+        gIdx.map(inSchema.fields).toArray.toSeq :+
+        StructField(CntCol, LongType, nullable = false))
+    val countsRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      val perGroup = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+      it.foreach { r =>
+        val k = if (gIdx.isEmpty) Seq.empty[Any] else gIdx.map(r.get)
+        perGroup(k) = perGroup.getOrElse(k, 0L) + 1
+      }
+      perGroup.iterator.map { case (k, n) => Row.fromSeq(pid +: k :+ n) }
     }
-    val offsets = s.createDataFrame(offRows.asJava, offSchema)
+    val counts = s.createDataFrame(countsRdd, countSchema)
+
+    // offsets: ONE bounded task (≤ P·|groups| rows by the
+    // bounded-cardinality group contract) replays the prefix-sum
+    // arithmetic the driver used to run — per-(pid, group) group offsets,
+    // per-pid global offsets, and the grand total stamped on every row.
+    // repartition(1), not coalesce(1): the exchange ends the census stage,
+    // so the census runs one task per range partition and only the
+    // P·|groups|-row table funnels through the single prefix-sum task.
+    val offSchema = StructType(countSchema.fields.dropRight(1) ++ Seq(
+      StructField("__gr_goff", LongType, nullable = false),
+      StructField("__gr_off", LongType, nullable = false),
+      StructField(TotalCol, LongType, nullable = false)))
+    val nGroupCols = groupCols.length
+    val offsets = counts.repartition(1).mapPartitions { it =>
+      val rows = it.toIndexedSeq
+      val total = rows.iterator.map(_.getLong(1 + nGroupCols)).sum
+      val pidTotals = rows.groupBy(_.getInt(0))
+        .map { case (pid, rs) => pid -> rs.iterator.map(_.getLong(1 + nGroupCols)).sum }
+      val pidsAsc = pidTotals.keys.toSeq.sorted
+      val globalOff = pidsAsc
+        .zip(pidsAsc.scanLeft(0L)((acc, pid) => acc + pidTotals(pid)).dropRight(1)).toMap
+      val byGroup = rows.groupBy(r => (1 to nGroupCols).map(r.get))
+      byGroup.iterator.flatMap { case (gk, rs) =>
+        var acc = 0L
+        rs.sortBy(_.getInt(0)).map { r =>
+          val pid = r.getInt(0)
+          val goff = acc
+          acc += r.getLong(1 + nGroupCols)
+          Row.fromSeq(pid +: gk :+ goff :+ globalOff(pid) :+ total)
+        }
+      }
+    }(Encoders.row(offSchema))
 
     // NULL-SAFE group equality: a window's PARTITION BY treats NULL as its
-    // own partition, and the driver-side grouping above does too — a plain
+    // own partition, and the census grouping above does too — a plain
     // equi-join would silently drop NULL-group rows here and break the
     // documented bit-identity with the window this replaces
     val off = offsets.withColumnRenamed(PidCol, PidCol + "_o")
@@ -248,6 +290,6 @@ object DistRank {
       case (None, None) => joined
     }
     Ranked(withRanks.drop((Seq(PidCol, PidCol + "_o", LrnCol, GrnCol, "__gr_goff", "__gr_off") ++
-      groupCols.map(_ + "__o")): _*), total)
+      groupCols.map(_ + "__o")): _*), TotalCol)
   }
 }

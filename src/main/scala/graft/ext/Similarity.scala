@@ -1073,7 +1073,7 @@ object Similarity {
     // funnel every doc through one task, so the exact rank comes from
     // DistRank's range-partitioned sort + broadcast offsets instead
     val lexRank = DistRank.withGlobalRank(lex, "r_lex",
-      Seq(col("lexn").desc, col("doc_id"))).df
+      Seq(col("lexn").desc, col("doc_id"))).df.drop(DistRank.TotalCol)
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"))
@@ -1081,7 +1081,7 @@ object Similarity {
       .select(col("vec_id").as("doc_id"),
         round(graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")), 5).as("cos"))
     val vecRank = DistRank.withGlobalRank(vec, "r_vec",
-      Seq(col("cos").desc, col("doc_id"))).df
+      Seq(col("cos").desc, col("doc_id"))).df.drop(DistRank.TotalCol)
     lexRank.join(vecRank, "doc_id")
       .withColumn("rrf",
         round(lit(1.0) / (lit(60) + col("r_lex")) + lit(1.0) / (lit(60) + col("r_vec")), 6))

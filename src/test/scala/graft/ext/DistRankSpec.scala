@@ -24,9 +24,10 @@ class DistRankSpec extends SparkSpec {
     val df = fixture
     val naive = df.withColumn("rk",
       row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
-    val DistRank.Ranked(got, total) = DistRank.withGlobalRank(
+    val DistRank.Ranked(got, totalCol) = DistRank.withGlobalRank(
       df, "rk", Seq(col("score").desc, col("id")))
-    assert(total == 97L)
+    // the exact global count rides on every row, inside the plan
+    assert(got.select(totalCol).distinct().collect().map(_.getLong(0)).toSeq == Seq(97L))
     assert(got.select("id", "rk").except(naive.select("id", "rk")).isEmpty)
     assert(naive.select("id", "rk").except(got.select("id", "rk")).isEmpty)
   }
@@ -115,10 +116,25 @@ class DistRankSpec extends SparkSpec {
     assert(naive.select("id", "gr").except(got.select("id", "gr")).isEmpty)
   }
 
-  test("empty input yields empty output and zero total") {
+  test("empty input yields empty output") {
     val df = fixture.filter(col("id") < 0)
-    val DistRank.Ranked(got, total) = DistRank.withGlobalRank(df, "rk", Seq(col("id")))
-    assert(total == 0L && got.isEmpty)
+    val DistRank.Ranked(got, _) = DistRank.withGlobalRank(df, "rk", Seq(col("id")))
+    assert(got.isEmpty)
+  }
+
+  test("ranks survive a downstream narrow coalesce(1) — the Verify write path") {
+    // coalesce(1) folds every upstream partition into ONE task, so a
+    // TaskContext-based pid capture would label all rows pid 0 and make
+    // per-partition ranks collide; the RDD-split-index construction must
+    // keep the ranks exact under exactly this consumer.
+    val df = fixture
+    val naive = df.withColumn("rk",
+      row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+    val got = DistRank.withGlobalRank(df, "rk", Seq(col("score").desc, col("id")))
+      .df.coalesce(1)
+    val gotRows = got.select("id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naiveRows = naive.select("id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotRows == naiveRows)
   }
 
   test("no WindowExec anywhere in a DistRank plan") {
