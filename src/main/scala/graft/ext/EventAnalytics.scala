@@ -1038,14 +1038,16 @@ object EventAnalytics {
     // the fact aggregation is checkpointed BEFORE the max-day broadcast:
     // deriving maxDay from the un-materialized per0 would re-run the
     // events aggregation inside the broadcast subquery — two fact passes
-    // for one materialization
+    // for one materialization. LAZY checkpoint: the max-day broadcast
+    // build is the first consumer and populates the cache as a side
+    // effect, so the fact pass needs no dedicated job + driver barrier
     val per0 = Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(max(date_trunc("day", col("ts"))).as("last_day"),
         count(lit(1)).as("freq"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // corpus max day via aggregate + broadcast, not a global unpartitioned
     // window (which funnels the whole entity table through one partition
     // for a single scalar — the q123 anti-pattern); recency is a narrow

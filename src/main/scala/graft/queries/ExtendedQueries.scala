@@ -556,7 +556,7 @@ object ExtendedQueries {
   def q153RollupRoute(s: SparkSession, dir: String): DataFrame = {
     val rawPath = s"$dir/documents.parquet"
     val tmp = rollupRouteReg(s, dir) { (sess, _) =>
-      val t = java.nio.file.Files.createTempDirectory("graft-rollup").toString
+      val t = graft.util.TmpDirs.scratch("graft-rollup")
       sess.read.parquet(rawPath)
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_n_chars"))

@@ -125,7 +125,7 @@ object Bucketing {
 
   private def dayPartitionedEvents(s: SparkSession, dir: String): String =
     partitioned(s, dir) { (sess, d) =>
-      val out = java.nio.file.Files.createTempDirectory("graft_events_byday").toString
+      val out = graft.util.TmpDirs.scratch("graft_events_byday")
       Tables.events(sess, d)
         .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
         .write.mode("overwrite").partitionBy("day").parquet(out)
