@@ -26,6 +26,7 @@ object SparkEntry {
       ext.Mp4.entries,
       ext.Mkv.entries,
       ext.Adts.entries,
+      ext.Ogg.entries,
       ext.Curation.entries,
       ext.EventAnalytics.entries,
       ext.SeriesStats.entries,

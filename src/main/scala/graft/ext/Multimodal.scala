@@ -102,10 +102,15 @@ object Multimodal {
       (b(2) & 0xff) == 0xDF && (b(3) & 0xff) == 0xA3
   private def isAdts(b: Array[Byte]): Boolean =
     b.length >= 7 && (b(0) & 0xff) == 0xFF && (b(1) & 0xf6) == 0xF0
+  private def isOgg(b: Array[Byte]): Boolean =
+    b.length >= 27 && b(0) == 'O'.toByte && b(1) == 'g'.toByte &&
+      b(2) == 'g'.toByte && b(3) == 'S'.toByte
 
   /** REAL frame sampling with magic-byte container dispatch: ISO-BMFF
     * payloads index through [[Mp4.parseSampleTable]], EBML through
-    * [[Mkv.parseBlocks]], ADTS through [[Adts.parseFrames]] — every
+    * [[Mkv.parseBlocks]], ADTS through [[Adts.parseFrames]], Ogg through
+    * [[Ogg.parsePages]] (page-body grain — the packet boundaries inside a
+    * page live in the lacing table the parser already walked) — every
     * emitted frame sits on a TRUE sample boundary with the container's
     * own size/offset; only unstructured blobs (no magic) fall back to the
     * fixed-stride [[sampleFramesStub]]. A recognized-but-malformed
@@ -119,15 +124,18 @@ object Multimodal {
                            everyNth: Int): Iterator[MediaFrame] = {
     rows.flatMap { r =>
       val p = r.payload
-      if (isBmff(p) || isEbml(p) || isAdts(p)) {
+      if (isBmff(p) || isEbml(p) || isAdts(p) || isOgg(p)) {
         val table: Seq[(Int, Long, Int)] =
           if (isBmff(p))
             Mp4.parseSampleTable(r.media_id, p).map(s => (s.sample_idx, s.offset, s.size))
           else if (isEbml(p))
             Mkv.parseBlocks(r.media_id, p).map(b => (b.block_idx, b.offset, b.size))
-          else // ADTS: the codec payload region, past the per-frame header
+          else if (isAdts(p)) // ADTS: the codec payload region, past the per-frame header
             Adts.parseFrames(r.media_id, p)
               .map(f => (f.frame_idx, f.offset + f.hdr_len, f.frame_len - f.hdr_len))
+          else // Ogg: the page body, past the header + lacing table
+            Ogg.parsePages(r.media_id, p)
+              .map(g => (g.page_idx, g.offset + g.hdr_len, g.body_len))
         table.iterator.filter(_._1 % everyNth == 0).map { case (i, off, sz) =>
           val s = math.min(math.max(off, 0L), p.length.toLong).toInt
           val e = math.max(math.min(off + sz, p.length.toLong).toInt, s)

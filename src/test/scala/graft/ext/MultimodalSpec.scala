@@ -43,10 +43,12 @@ class MultimodalSpec extends SparkSpec {
     val mp4 = Mp4.synthMp4(6L)
     val mkv = Mkv.synthMkv(7L)
     val adts = Adts.synthAdts(8L)
+    val ogg = Ogg.synthOgg(11L)
     val text = "plain text payload with no container magic at all.".getBytes
     val rows = Seq(
       MediaRow(6L, "video/mp4", mp4), MediaRow(7L, "video/x-matroska", mkv),
       MediaRow(8L, "audio/aac", adts), MediaRow(9L, "text/plain", text),
+      MediaRow(11L, "audio/ogg", ogg),
     ).toDS()
     val got = sampleFrames(rows, frameBytes = 16, everyNth = 2, numPartitions = 2)
       .collect().groupBy(_.media_id).map { case (k, v) => k -> v.sortBy(_.frame_idx) }
@@ -66,6 +68,11 @@ class MultimodalSpec extends SparkSpec {
       adtsTab.map(a => (a.frame_idx, a.offset + a.hdr_len)))
     assert(got(8L).map(_.frame.length).toSeq ==
       adtsTab.map(a => a.frame_len - a.hdr_len))
+    // Ogg: page bodies (header + lacing table excluded) of every 2nd page
+    val oggTab = Ogg.parsePages(11L, ogg).filter(_.page_idx % 2 == 0)
+    assert(got(11L).map(f => (f.frame_idx, f.offset)).toSeq ==
+      oggTab.map(g => (g.page_idx, g.offset + g.hdr_len)))
+    assert(got(11L).map(_.frame.length).toSeq == oggTab.map(_.body_len))
     // unstructured text: the fixed-stride fallback (16-byte frames)
     assert(got(9L).map(f => (f.frame_idx, f.offset, f.frame.length)).toSeq ==
       (0 until text.length / 16 by 2).map(i => (i, i.toLong * 16, 16)))
