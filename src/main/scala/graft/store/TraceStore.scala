@@ -222,6 +222,44 @@ object TraceStore {
       }
   }
 
+  /** Month-partition retention — the MergeTree `TTL … DELETE` /
+    * `ALTER TABLE DROP PARTITION` analogue, the standard trace-log
+    * retention pattern for the reference's `toYYYYMM` layout: whole
+    * months strictly before `cutoffYm` (exclusive, "yyyyMM") are
+    * dropped. Cost is O(dropped files), zero data read or rewritten —
+    * retention by partition is why the store partitions by month at all.
+    *
+    * Swap protocol: each condemned month is RENAMED to a `.trash-*`
+    * sibling first (one atomic move — a racing reader sees the whole
+    * month or none of it, never a half-deleted directory), then the
+    * trash tree is deleted; a crash between the two leaves only a
+    * `.trash-*` orphan that the next maintenance call (this, compact, or
+    * deleteWhere via recoverAttempts) clears. Runs recovery first so a
+    * pending compact/delete manifest in a condemned month is resolved,
+    * not orphaned. Returns the dropped ym values. */
+  def dropPartitionsBefore(tablePath: String, cutoffYm: String): Seq[String] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(cutoffYm.matches("\\d{6}"), s"cutoffYm must be yyyyMM, got '$cutoffYm'")
+    val root = Paths.get(tablePath)
+    if (!Files.exists(root)) return Seq.empty
+    recoverAttempts(root)   // also clears any previous drop's .trash-* orphans
+    import FsMaint.{listDir, deleteTree}
+    listDir(root)
+      .filter { p =>
+        val n = p.getFileName.toString
+        Files.isDirectory(p) && n.startsWith(s"${TraceSchema.PartitionCol}=") &&
+          n.stripPrefix(s"${TraceSchema.PartitionCol}=") < cutoffYm
+      }
+      .map { monthDir =>
+        val ym = monthDir.getFileName.toString.stripPrefix(s"${TraceSchema.PartitionCol}=")
+        val trash = monthDir.resolveSibling(
+          s".trash-$ym-${java.util.UUID.randomUUID().toString.take(8)}")
+        Files.move(monthDir, trash, StandardCopyOption.ATOMIC_MOVE)
+        deleteTree(trash)
+        ym
+      }
+  }
+
   /** Crash recovery for a previous compact/delete attempt: complete any
     * manifest whose temp rewrite finished, then clear orphans. Safe under
     * the single-maintenance-writer assumption. */
@@ -249,8 +287,10 @@ object TraceStore {
         deleteTree(tmp)
       }
     }
-    listDir(root).filter(_.getFileName.toString.startsWith(".compact-"))
-      .foreach(deleteTree)
+    listDir(root).filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith(".compact-") || n.startsWith(".trash-")
+    }.foreach(deleteTree)
   }
 
   /** Shared month-swap: read exactly the captured files, apply

@@ -224,6 +224,60 @@ class StoreSpec extends SparkSpec {
     assert(TraceStore.read(spark, path).count() == 0)
   }
 
+  test("dropPartitionsBefore drops whole months, cleans crash leftovers, idempotent") {
+    import java.nio.file.{Files, Paths}
+    val path = tmpDir("store-ttl")
+    (1 to 3).foreach(_ => TraceStore.append(mkBatch(), path))   // 201905 + 201906
+    // a crashed previous drop left a trash orphan; next call must clear it
+    val orphan = Paths.get(path, ".trash-201904-deadbeef")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("stale.parquet"), Array[Byte](1, 2, 3))
+
+    val dropped = TraceStore.dropPartitionsBefore(path, "201906")
+    assert(dropped == Seq("201905"))
+    assert(!Files.exists(orphan), "crash leftover not cleared")
+    assert(!Files.exists(Paths.get(path, "ym=201905")))
+    val left = TraceStore.read(spark, path)
+    assert(left.count() == 3 &&
+      left.select("ym").distinct().collect().map(_.getString(0)).toSeq == Seq("201906"))
+    // idempotent; an equal-ym cutoff is exclusive (the cutoff month stays)
+    assert(TraceStore.dropPartitionsBefore(path, "201906").isEmpty)
+    assert(TraceStore.read(spark, path).count() == 3)
+    // malformed cutoff fails loudly instead of silently dropping nothing
+    intercept[IllegalArgumentException] {
+      TraceStore.dropPartitionsBefore(path, "2019-06")
+    }
+    // dropping everything leaves a valid empty table
+    assert(TraceStore.dropPartitionsBefore(path, "999912") == Seq("201906"))
+    assert(TraceStore.read(spark, path).count() == 0)
+  }
+
+  test("dropPartitionsBefore resolves a condemned month's pending manifest first") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = tmpDir("store-ttl2")
+    TraceStore.append(mkBatch(), path)
+    // pending rewrite in the month that is about to be dropped: recovery
+    // must complete it (restoring invariants) before the month goes
+    val monthDir = Paths.get(path, "ym=201905")
+    val old = Files.list(monthDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    val tmp = monthDir.resolveSibling(".compact-201905-ttlattempt")
+    spark.read.schema(graft.schema.TraceSchema.target)
+      .parquet(old.map(_.toString): _*)
+      .coalesce(1).write.option("compression", "zstd").parquet(tmp.toString)
+    val installs = Files.list(tmp).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.zipWithIndex
+      .map { case (f, i) => s"install\t${f.getFileName}\tcompacted-201905-ttlattempt-$i.parquet" }
+    Files.write(monthDir.resolve("_compact_manifest"),
+      ((".compact-201905-ttlattempt" +: installs) ++
+        old.map(p => s"delete\t${p.getFileName}")).mkString("\n").getBytes)
+
+    assert(TraceStore.dropPartitionsBefore(path, "201906") == Seq("201905"))
+    assert(!Files.exists(tmp) && !Files.exists(monthDir))
+    assert(TraceStore.read(spark, path).count() == 1)   // 201906 untouched
+  }
+
   test("analyze publishes rowCount and column NDV stats to the optimizer") {
     import org.apache.spark.sql.catalyst.TableIdentifier
     val path = tmpDir("storestats")
