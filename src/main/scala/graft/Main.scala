@@ -37,6 +37,8 @@ object Main {
                                 location: Option[String]) extends Action
   final case class Convert(files: Seq[String], tablePath: String,
                            splitsPerMonth: Int) extends Action
+  final case class Maintain(tablePath: String, dropBefore: Option[String],
+                            compactOver: Int, splitsPerMonth: Int) extends Action
   final case class Watch(cfg: TraceStream.Config,
                          schema: Option[(String, String)],
                          sentinel: Option[String]) extends Action
@@ -47,6 +49,8 @@ object Main {
       |  --print-schema          print the ClickHouse-dialect DDL and exit
       |  --create-schema         create the catalog database/table and exit
       |  --watch                 stream-ingest rotated *.json from the log dir
+      |  --maintain              run store maintenance (compact; with
+      |                          --drop-before YYYYMM also month retention)
       |  <trace-file.json ...>   one-shot convert the given files into the store
       |options (flag > env > default):
       |  --db NAME               catalog database    (GRAFT_DB | CLICKHOUSE_DB)
@@ -56,6 +60,8 @@ object Main {
       |  --checkpoint DIR        stream checkpoint   (GRAFT_CHECKPOINT,
       |                          default <table-path>/_checkpoint)
       |  --delete-logs           delete source files once committed (A13)
+      |  --drop-before YYYYMM    retention cutoff (exclusive) for --maintain
+      |  --compact-over N        compact months above N files (default 16)
       |  --max-files N           max files per micro-batch (default 64)
       |  --splits N              write splits per month partition (default 8)
       |  --completion-file NAME  exit when <log-dir>/NAME appears
@@ -69,8 +75,10 @@ object Main {
     val switches = scala.collection.mutable.Set[String]()
     val files = scala.collection.mutable.ArrayBuffer[String]()
     val takesValue = Set("--db", "--table", "--table-path", "--log-dir",
-      "--checkpoint", "--max-files", "--splits", "--completion-file")
-    val bare = Set("--print-schema", "--create-schema", "--watch", "--delete-logs")
+      "--checkpoint", "--max-files", "--splits", "--completion-file",
+      "--drop-before", "--compact-over")
+    val bare = Set("--print-schema", "--create-schema", "--watch", "--maintain",
+      "--delete-logs")
     var i = 0
     while (i < args.length) {
       val a = args(i)
@@ -95,7 +103,8 @@ object Main {
         case Some(v) => v.toIntOption.toRight(s"ERROR: $flag must be an int, got '$v'")
       }
 
-    val modes = switches.intersect(Set("--print-schema", "--create-schema", "--watch"))
+    val modes = switches.intersect(
+      Set("--print-schema", "--create-schema", "--watch", "--maintain"))
     if (modes.size > 1)
       return Left(s"ERROR: pick one mode, got ${modes.toSeq.sorted.mkString(", ")}")
 
@@ -129,6 +138,17 @@ object Main {
         Watch(cfg, schema,
           opt("--completion-file", "WATCH_COMPLETION_FILE").map(f => s"$logDir/$f"))
       }
+    else if (switches("--maintain"))
+      for {
+        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        over <- intOpt("--compact-over", 16)
+        splits <- intOpt("--splits", 4)
+        cutoff <- flags.get("--drop-before") match {
+          case Some(c) if !c.matches("\\d{6}") =>
+            Left(s"ERROR: --drop-before must be YYYYMM, got '$c'")
+          case other => Right(other)
+        }
+      } yield Maintain(tablePath, cutoff, over, splits)
     else if (files.nonEmpty)
       for {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
@@ -158,6 +178,16 @@ object Main {
         store.TraceStore.append(batch, tablePath, splits)
         out(s"converted $f")
       }
+    case Maintain(tablePath, dropBefore, compactOver, splits) =>
+      // retention first: a dropped month must not be compacted first
+      dropBefore.foreach { cutoff =>
+        val dropped = store.TraceStore.dropPartitionsBefore(tablePath, cutoff)
+        out(s"dropped ${dropped.size} months${
+          if (dropped.nonEmpty) dropped.mkString(": ", ", ", "") else ""}")
+      }
+      val compacted = store.TraceStore.compact(session(), tablePath, compactOver, splits)
+      out(s"compacted ${compacted.size} months${
+        if (compacted.nonEmpty) compacted.mkString(": ", ", ", "") else ""}")
     case Watch(cfg, schema, sentinel) =>
       val spark = session()
       schema.foreach { case (db, t) =>

@@ -65,6 +65,18 @@ class MainParseSpec extends AnyFunSuite {
     }
   }
 
+  test("--maintain maps cutoff/threshold flags and validates the cutoff") {
+    assert(Main.parse(Seq("--maintain", "--table-path", "/t"), noEnv) ==
+      Right(Main.Maintain("/t", None, 16, 4)))
+    assert(Main.parse(Seq("--maintain", "--table-path", "/t",
+      "--drop-before", "202401", "--compact-over", "8", "--splits", "2"), noEnv) ==
+      Right(Main.Maintain("/t", Some("202401"), 8, 2)))
+    val bad = Main.parse(Seq("--maintain", "--table-path", "/t",
+      "--drop-before", "2024-01"), noEnv)
+    assert(bad.isLeft && bad.swap.exists(_.contains("YYYYMM")))
+    assert(Main.parse(Seq("--maintain"), noEnv).isLeft)
+  }
+
   test("positional json files become a one-shot convert") {
     assert(Main.parse(Seq("a.json", "b.json", "--table-path", "/t"), noEnv) ==
       Right(Main.Convert(Seq("a.json", "b.json"), "/t", 8)))
@@ -108,6 +120,26 @@ class MainRunSpec extends SparkSpec {
       out.append(_), () => spark)
     assert(TraceStore.read(spark, table).count() == 7)
     assert(out.count(_.startsWith("converted ")) == 2)
+  }
+
+  test("maintain mode drops old months then compacts the rest") {
+    val in = tmpDir("cli-m-in"); val table = tmpDir("cli-m-table")
+    writeTrace(in, "old.json", 1557761852L, 3)   // 2019-05
+    writeTrace(in, "new.json", 1561000000L, 4)   // 2019-06
+    (1 to 3).foreach { i =>
+      Main.run(Main.Convert(Seq(s"$in/old.json", s"$in/new.json"), table, 1),
+        _ => (), () => spark)
+    }
+    assert(TraceStore.read(spark, table).count() == 21)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Main.run(Main.Maintain(table, Some("201906"), 2, 1), out.append(_), () => spark)
+    val left = TraceStore.read(spark, table)
+    assert(left.count() == 12)                     // May gone, June intact
+    assert(!new java.io.File(s"$table/ym=201905").exists())
+    assert(out.exists(_.startsWith("dropped 1 months: 201905")))
+    assert(out.exists(_.startsWith("compacted 1 months: 201906")))
+    assert(new java.io.File(s"$table/ym=201906").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
   }
 
   test("watch mode creates the schema, drains the log dir, and exits on the sentinel") {
