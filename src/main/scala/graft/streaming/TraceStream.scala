@@ -40,7 +40,20 @@ object TraceStream {
       * splits keep the commit parallel while files stay batch-sized (the
       * small-file/small-insert contract still holds: ≤ splits files per
       * month per commit). */
-    splitsPerMonth: Int = 8)
+    splitsPerMonth: Int = 8,
+    /** Background-merge cadence — the ClickHouse analogue for a
+      * long-running ingest (the reference counts on MergeTree merging
+      * its one-INSERT-per-file parts; a streaming parquet store must
+      * compact its own micro-batch files or range scans degrade).
+      * Some(n): after every n-th committed batch, compact months that
+      * exceed `compactOver` files. The stream is the store's single
+      * maintenance writer, so the protocol's single-writer rule holds by
+      * construction; compaction runs AFTER the batch's append + marker,
+      * off the commit's correctness path, and a replayed batch re-runs
+      * it harmlessly (compact is idempotent and skips small months). */
+    compactEveryBatches: Option[Int] = None,
+    /** File-count threshold for the cadenced compaction. */
+    compactOver: Int = 16)
 
   /** Streaming source over the watched directory (A1): new rotated
     * *.json files become micro-batch input. */
@@ -157,6 +170,14 @@ object TraceStream {
           // Keep batchId-1 as grace for the commit-in-flight window.
           ids.filter(_ < batchId - 1)
             .foreach(i => fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$i"), true))
+          // cadenced background merge (see Config.compactEveryBatches):
+          // runs after the commit + marker, so a crash mid-compaction
+          // never loses the batch — the manifest protocol repairs the
+          // half-done month on the next cadence hit or manual compact
+          cfg.compactEveryBatches.foreach { n =>
+            if (batchId % n == n - 1)
+              TraceStore.compact(s, cfg.tablePath, cfg.compactOver, cfg.splitsPerMonth)
+          }
           ()
         }
       }

@@ -53,6 +53,29 @@ class StreamSpec extends SparkSpec {
     assert(markers == Seq("v2", "v3"), s"markers not pruned: $markers")
   }
 
+  test("cadenced compaction merges the stream's own micro-batch files, lossless") {
+    val watch = tmpDir("watch-bg"); val table = tmpDir("table-bg")
+    val ckpt = tmpDir("ckpt-bg")
+    // 8 one-file batches into one month; compaction every 4th batch over 2
+    (1 to 8).foreach(i => writeTrace(watch, s"trace.$i.json", 1557761852L + i * 100, 2))
+    val cfg = TraceStream.Config(watch, table, ckpt, maxFilesPerTrigger = 1,
+      compactEveryBatches = Some(4), compactOver = 2, splitsPerMonth = 1)
+    val q = TraceStream.start(spark, cfg)
+    q.awaitTermination()
+    assert(TraceStore.read(spark, table).count() == 16, "compaction lost rows")
+    val files = new java.io.File(s"$table/ym=201905").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // batches 0-3 compacted at batch 3, 4-7 at batch 7: the last merge
+    // folds everything over the threshold into one compacted file set
+    assert(files.length <= 3, s"cadence did not merge: ${files.map(_.getName).toSeq}")
+    assert(files.exists(_.getName.startsWith("compacted-")))
+    // restart with one more file: checkpoint replays only the new batch
+    writeTrace(watch, "trace.9.json", 1557770852L, 2)
+    val q2 = TraceStream.start(spark, cfg)
+    q2.awaitTermination()
+    assert(TraceStore.read(spark, table).count() == 18)
+  }
+
   test("streaming hourly rollup aggregates per (hour, Type) with watermark") {
     val watch = tmpDir("watch3"); val ckpt = tmpDir("ckpt3")
     // 1557761852 ≈ 15:37 UTC; add events in two different hours
