@@ -38,7 +38,8 @@ object Main {
   final case class Convert(files: Seq[String], tablePath: String,
                            splitsPerMonth: Int) extends Action
   final case class Maintain(tablePath: String, dropBefore: Option[String],
-                            compactOver: Int, splitsPerMonth: Int) extends Action
+                            compactOver: Int, splitsPerMonth: Int,
+                            retainMonths: Option[Int] = None) extends Action
   final case class Watch(cfg: TraceStream.Config,
                          schema: Option[(String, String)],
                          sentinel: Option[String]) extends Action
@@ -50,7 +51,7 @@ object Main {
       |  --create-schema         create the catalog database/table and exit
       |  --watch                 stream-ingest rotated *.json from the log dir
       |  --maintain              run store maintenance (compact; with
-      |                          --drop-before YYYYMM also month retention)
+      |                          --drop-before / --retain-months also retention)
       |  <trace-file.json ...>   one-shot convert the given files into the store
       |options (flag > env > default):
       |  --db NAME               catalog database    (GRAFT_DB | CLICKHOUSE_DB)
@@ -61,7 +62,11 @@ object Main {
       |                          default <table-path>/_checkpoint)
       |  --delete-logs           delete source files once committed (A13)
       |  --drop-before YYYYMM    retention cutoff (exclusive) for --maintain
+      |  --retain-months N       keep only the newest N months (by data time);
+      |                          with --watch, applied on the merge cadence
       |  --compact-over N        compact months above N files (default 16)
+      |  --compact-every N       with --watch: every N batches, drop expired
+      |                          months and compact (TTL + background merges)
       |  --max-files N           max files per micro-batch (default 64)
       |  --splits N              write splits per month partition (default 8)
       |  --completion-file NAME  exit when <log-dir>/NAME appears
@@ -76,7 +81,7 @@ object Main {
     val files = scala.collection.mutable.ArrayBuffer[String]()
     val takesValue = Set("--db", "--table", "--table-path", "--log-dir",
       "--checkpoint", "--max-files", "--splits", "--completion-file",
-      "--drop-before", "--compact-over")
+      "--drop-before", "--compact-over", "--compact-every", "--retain-months")
     val bare = Set("--print-schema", "--create-schema", "--watch", "--maintain",
       "--delete-logs")
     var i = 0
@@ -102,6 +107,12 @@ object Main {
         case None => Right(default)
         case Some(v) => v.toIntOption.toRight(s"ERROR: $flag must be an int, got '$v'")
       }
+    def posIntFlag(flag: String): Either[String, Option[Int]] =
+      flags.get(flag) match {
+        case None => Right(None)
+        case Some(v) => v.toIntOption.filter(_ >= 1).map(Some(_))
+          .toRight(s"ERROR: $flag must be a positive int, got '$v'")
+      }
 
     val modes = switches.intersect(
       Set("--print-schema", "--create-schema", "--watch", "--maintain"))
@@ -120,6 +131,13 @@ object Main {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
         maxFiles <- intOpt("--max-files", 64)
         splits <- intOpt("--splits", 8)
+        every <- posIntFlag("--compact-every")
+        retain <- posIntFlag("--retain-months")
+        over <- intOpt("--compact-over", 16)
+        _ <- if (retain.isDefined && every.isEmpty)
+               Left("ERROR: --retain-months with --watch needs --compact-every " +
+                 "to supply the maintenance cadence")
+             else Right(())
       } yield {
         val logDir = opt("--log-dir", "LOG_DIR").getOrElse("/logs")
         val cfg = TraceStream.Config(
@@ -130,7 +148,10 @@ object Main {
           maxFilesPerTrigger = maxFiles,
           deleteOnSuccess = switches("--delete-logs"),
           trigger = Trigger.ProcessingTime("1 second"),
-          splitsPerMonth = splits)
+          splitsPerMonth = splits,
+          compactEveryBatches = every,
+          compactOver = over,
+          retainMonths = retain)
         val schema = for {
           db <- opt("--db", "GRAFT_DB", "CLICKHOUSE_DB")
           t <- opt("--table", "GRAFT_TABLE", "CLICKHOUSE_TABLE")
@@ -148,7 +169,8 @@ object Main {
             Left(s"ERROR: --drop-before must be YYYYMM, got '$c'")
           case other => Right(other)
         }
-      } yield Maintain(tablePath, cutoff, over, splits)
+        retain <- posIntFlag("--retain-months")
+      } yield Maintain(tablePath, cutoff, over, splits, retain)
     else if (files.nonEmpty)
       for {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
@@ -178,11 +200,16 @@ object Main {
         store.TraceStore.append(batch, tablePath, splits)
         out(s"converted $f")
       }
-    case Maintain(tablePath, dropBefore, compactOver, splits) =>
+    case Maintain(tablePath, dropBefore, compactOver, splits, retain) =>
       // retention first: a dropped month must not be compacted first
       dropBefore.foreach { cutoff =>
         val dropped = store.TraceStore.dropPartitionsBefore(tablePath, cutoff)
         out(s"dropped ${dropped.size} months${
+          if (dropped.nonEmpty) dropped.mkString(": ", ", ", "") else ""}")
+      }
+      retain.foreach { n =>
+        val dropped = store.TraceStore.retainLastMonths(tablePath, n)
+        out(s"retained newest $n months; dropped ${dropped.size}${
           if (dropped.nonEmpty) dropped.mkString(": ", ", ", "") else ""}")
       }
       val compacted = store.TraceStore.compact(session(), tablePath, compactOver, splits)

@@ -260,6 +260,32 @@ object TraceStore {
       }
   }
 
+  /** Relative retention — the `TTL Time + INTERVAL n MONTH DELETE` form
+    * of [[dropPartitionsBefore]], usable by a long-running ingest without
+    * an operator picking cutoffs: keep the newest `months` month
+    * partitions BY DATA TIME. The newest ym present in the store anchors
+    * the window — wall-clock anchoring would silently truncate a backfill
+    * of historical traces the moment it lands. Months strictly older than
+    * (newest − months + 1) drop through the same atomic-rename protocol;
+    * cost stays O(dropped files), zero data read. Returns dropped yms. */
+  def retainLastMonths(tablePath: String, months: Int): Seq[String] = {
+    require(months >= 1, s"months must be >= 1, got $months")
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(tablePath)
+    if (!Files.exists(root)) return Seq.empty
+    val yms = FsMaint.listDir(root).flatMap { p =>
+      val n = p.getFileName.toString
+      if (Files.isDirectory(p) && n.startsWith(s"${TraceSchema.PartitionCol}="))
+        Some(n.stripPrefix(s"${TraceSchema.PartitionCol}=")).filter(_.matches("\\d{6}"))
+      else None
+    }
+    if (yms.isEmpty) return Seq.empty
+    val newest = yms.max
+    val cut = java.time.YearMonth.of(newest.take(4).toInt, newest.drop(4).toInt)
+      .minusMonths((months - 1).toLong)
+    dropPartitionsBefore(tablePath, f"${cut.getYear}%04d${cut.getMonthValue}%02d")
+  }
+
   /** Crash recovery for a previous compact/delete attempt: complete any
     * manifest whose temp rewrite finished, then clear orphans. Safe under
     * the single-maintenance-writer assumption. */

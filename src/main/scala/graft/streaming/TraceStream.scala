@@ -53,7 +53,15 @@ object TraceStream {
       * it harmlessly (compact is idempotent and skips small months). */
     compactEveryBatches: Option[Int] = None,
     /** File-count threshold for the cadenced compaction. */
-    compactOver: Int = 16)
+    compactOver: Int = 16,
+    /** Data-time retention on the same cadence — the ClickHouse
+      * `TTL Time + INTERVAL n MONTH DELETE` analogue: on each cadence
+      * hit, keep only the newest n month partitions (anchored to the
+      * newest ym in the store, so a historical backfill is not
+      * truncated by wall-clock). Runs BEFORE compaction so a condemned
+      * month is never pointlessly rewritten first. Requires
+      * `compactEveryBatches` to supply the cadence. */
+    retainMonths: Option[Int] = None)
 
   /** Streaming source over the watched directory (A1): new rotated
     * *.json files become micro-batch input. */
@@ -175,8 +183,11 @@ object TraceStream {
           // never loses the batch — the manifest protocol repairs the
           // half-done month on the next cadence hit or manual compact
           cfg.compactEveryBatches.foreach { n =>
-            if (batchId % n == n - 1)
+            if (batchId % n == n - 1) {
+              cfg.retainMonths.foreach(m =>
+                TraceStore.retainLastMonths(cfg.tablePath, m))
               TraceStore.compact(s, cfg.tablePath, cfg.compactOver, cfg.splitsPerMonth)
+            }
           }
           ()
         }

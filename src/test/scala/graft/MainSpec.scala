@@ -75,6 +75,29 @@ class MainParseSpec extends AnyFunSuite {
       "--drop-before", "2024-01"), noEnv)
     assert(bad.isLeft && bad.swap.exists(_.contains("YYYYMM")))
     assert(Main.parse(Seq("--maintain"), noEnv).isLeft)
+    // relative retention: data-time TTL window
+    assert(Main.parse(Seq("--maintain", "--table-path", "/t",
+      "--retain-months", "6"), noEnv) ==
+      Right(Main.Maintain("/t", None, 16, 4, Some(6))))
+    assert(Main.parse(Seq("--maintain", "--table-path", "/t",
+      "--retain-months", "0"), noEnv).isLeft)
+  }
+
+  test("--watch wires the maintenance cadence and validates its flags") {
+    Main.parse(Seq("--watch", "--table-path", "/t",
+      "--compact-every", "32", "--retain-months", "12", "--compact-over", "8"),
+      noEnv) match {
+      case Right(Main.Watch(cfg, _, _)) =>
+        assert(cfg.compactEveryBatches.contains(32))
+        assert(cfg.retainMonths.contains(12) && cfg.compactOver == 8)
+      case other => fail(s"unexpected: $other")
+    }
+    // retention without a cadence has nothing to run on — reject loudly
+    val orphaned = Main.parse(Seq("--watch", "--table-path", "/t",
+      "--retain-months", "12"), noEnv)
+    assert(orphaned.isLeft && orphaned.swap.exists(_.contains("--compact-every")))
+    assert(Main.parse(Seq("--watch", "--table-path", "/t",
+      "--compact-every", "-1"), noEnv).isLeft)
   }
 
   test("positional json files become a one-shot convert") {

@@ -252,6 +252,25 @@ class StoreSpec extends SparkSpec {
     assert(TraceStore.read(spark, path).count() == 0)
   }
 
+  test("retainLastMonths anchors the TTL window to data time, not wall-clock") {
+    import java.nio.file.{Files, Paths}
+    val path = tmpDir("store-ttl3")
+    TraceStore.append(mkBatch(), path)   // 201905 + 201906
+    // window covers everything present → no-op
+    assert(TraceStore.retainLastMonths(path, 2).isEmpty)
+    // keep the newest month only: 201905 expires RELATIVE to 201906 — a
+    // 2019 backfill ages against itself, never against today's clock
+    assert(TraceStore.retainLastMonths(path, 1) == Seq("201905"))
+    assert(TraceStore.read(spark, path).select("ym").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("201906"))
+    assert(TraceStore.retainLastMonths(path, 1).isEmpty)   // idempotent
+    // year-boundary month arithmetic: newest 202001, keep 3 → cutoff 201911
+    Files.createDirectories(Paths.get(path, "ym=202001"))
+    assert(TraceStore.retainLastMonths(path, 3) == Seq("201906"))
+    intercept[IllegalArgumentException](TraceStore.retainLastMonths(path, 0))
+    assert(TraceStore.retainLastMonths(tmpDir("store-ttl3e"), 3).isEmpty)
+  }
+
   test("dropPartitionsBefore resolves a condemned month's pending manifest first") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

@@ -76,6 +76,22 @@ class StreamSpec extends SparkSpec {
     assert(TraceStore.read(spark, table).count() == 18)
   }
 
+  test("cadenced retention expires old months by data time during ingest") {
+    val watch = tmpDir("watch-ttl"); val table = tmpDir("table-ttl")
+    val ckpt = tmpDir("ckpt-ttl")
+    writeTrace(watch, "trace.apr.json", 1554100000L, 2)   // 201904
+    writeTrace(watch, "trace.may.json", 1557761852L, 2)   // 201905
+    val cfg = TraceStream.Config(watch, table, ckpt, maxFilesPerTrigger = 1,
+      compactEveryBatches = Some(2), compactOver = 64, retainMonths = Some(1),
+      splitsPerMonth = 1)
+    val q = TraceStream.start(spark, cfg)
+    q.awaitTermination()
+    // the cadence hit at batch 1 saw both months; only the newest survives
+    assert(!new java.io.File(s"$table/ym=201904").exists(), "TTL did not drop")
+    assert(new java.io.File(s"$table/ym=201905").exists())
+    assert(TraceStore.read(spark, table).count() == 2)
+  }
+
   test("streaming hourly rollup aggregates per (hour, Type) with watermark") {
     val watch = tmpDir("watch3"); val ckpt = tmpDir("ckpt3")
     // 1557761852 ≈ 15:37 UTC; add events in two different hours
