@@ -892,7 +892,91 @@ object SeriesStats {
       |UNION ALL SELECT event_type, x, y FROM lastpt
       |ORDER BY event_type, x""".stripMargin
 
+  // ---------------------------------------------------------------- q208: series codec round-trip
+  /** Block-codec round-trip over the events stream — the query-level gate
+    * for the reference store's per-column `CODEC(...)` declarations
+    * (trace-converter.py:86 stores Severity as `CODEC(Delta, ZSTD)`):
+    * granule-sized blocks (≤8192 rows) of time-sorted events are encoded
+    * with the three native codecs — timestamps DoubleDelta (fixed cadence
+    * → ~1 B/value), gauge doubles Gorilla-XOR, ids Delta — then decoded
+    * back THROUGH THE CATALYST EXPRESSIONS (`dd_dec`/`gorilla_dec`/
+    * `delta_dec`, codegen'd) and re-aggregated. The oracle computes the
+    * same aggregates from raw rows, so any lossy bit anywhere in the
+    * encode→decode pipeline (varint frames, zigzag wraparound, XOR
+    * window reuse) breaks n / min / max / the mod-prime checksums.
+    * Scale: one range shuffle on (type, time) — the realistic archive
+    * layout, skew-free because a hot type spreads across ranges — then
+    * the encode is partition-local with constant (granule-bounded)
+    * memory; decode is map-only; the final aggregate map-side combines.
+    * Blocks never span what matters: every aggregate is blocking- and
+    * partitioning-invariant, so the result is deterministic while block
+    * boundaries are free to follow the data layout. Bit-exactness of the
+    * codecs themselves (NaN payloads, ±0.0, Long overflow) is pinned in
+    * `CodecSpec`. */
+  def q208CodecRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{CodecKernels, Codecs}
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+        col("value"), col("event_id"))
+    val blocks = ev
+      .repartitionByRange(col("event_type"), col("tus"))
+      .sortWithinPartitions("event_type", "tus", "event_id")
+      .as[(String, Long, Double, Long)]
+      .mapPartitions { rows =>
+        val granule = 8192
+        val it = rows.buffered
+        new Iterator[(String, Array[Byte], Array[Byte], Array[Byte])] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (String, Array[Byte], Array[Byte], Array[Byte]) = {
+            val typ = it.head._1
+            val ts = Array.newBuilder[Long]
+            val vs = Array.newBuilder[Double]
+            val ids = Array.newBuilder[Long]
+            var n = 0
+            while (it.hasNext && n < granule && it.head._1 == typ) {
+              val r = it.next(); ts += r._2; vs += r._3; ids += r._4; n += 1
+            }
+            (typ, CodecKernels.ddEncodeLongs(ts.result()),
+              CodecKernels.gorillaEncodeDoubles(vs.result()),
+              CodecKernels.deltaEncodeLongs(ids.result()))
+          }
+        }
+      }
+      .toDF("event_type", "ts_enc", "val_enc", "id_enc")
+    blocks
+      .select(col("event_type"),
+        Codecs.dd_dec(col("ts_enc")).as("tus"),
+        Codecs.gorilla_dec(col("val_enc")).as("value"),
+        Codecs.delta_dec(col("id_enc")).as("event_id"))
+      .select(col("event_type"),
+        explode(arrays_zip(col("tus"), col("value"), col("event_id"))).as("r"))
+      .select(col("event_type"), col("r.tus").as("tus"),
+        col("r.value").as("value"), col("r.event_id").as("event_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("tus")).as("ts_min"), max(col("tus")).as("ts_max"),
+        sum(col("tus") % lit(1000003L)).as("ts_mod_sum"),
+        min(col("value")).as("v_min"), max(col("value")).as("v_max"),
+        sum(col("event_id") % lit(1000003L)).as("id_mod_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val q208Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |       min(epoch_us(ts)) AS ts_min, max(epoch_us(ts)) AS ts_max,
+      |       CAST(sum(epoch_us(ts) % 1000003) AS BIGINT) AS ts_mod_sum,
+      |       min(value) AS v_min, max(value) AS v_max,
+      |       CAST(sum(event_id % 1000003) AS BIGINT) AS id_mod_sum
+      |FROM events
+      |WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  AND event_id IS NOT NULL AND event_type IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q208_codec_roundtrip", q208CodecRoundtrip _, Some(q208Sql)),
     ("q199_lttb_downsample", q199LttbDownsample _, Some(q199Sql)),
     ("q193_equiheight_hist", q193EquiHeight _, Some(q193Sql)),
     ("q107_autocorr", q107Autocorr _, Some(q107Sql)),
