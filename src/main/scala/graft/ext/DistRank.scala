@@ -82,6 +82,28 @@ object DistRank {
                     order: Seq[Column], globalRankCol: Option[String] = None): Ranked =
     core(df, order, groupCols, globalRankCol, Some(groupRankCol))
 
+  /** Exact per-group INCLUSIVE weighted running sum over a total order —
+    * the distributed replacement for
+    * `sum(w) OVER (PARTITION BY g ORDER BY … ROWS UNBOUNDED PRECEDING)`
+    * plus the per-group total (`sum(w) OVER (PARTITION BY g)`), with no
+    * `WindowExec` anywhere: the rank machinery above generalizes by
+    * accumulating the row's WEIGHT instead of 1 in both narrow passes, so
+    * weighted quantiles (crossing cells: `2·cum ≥ tot > 2·(cum−w)`) stay
+    * fully range-distributed even when the per-group input is
+    * corpus-sized — the naive per-group cumsum window funnels each
+    * group's entire input through one task. `order` must end in a unique
+    * tiebreaker; `weightCol` must be a non-null LongType; `groupCols`
+    * bounded-cardinality. Adds `cumCol` (inclusive prefix) and `totCol`
+    * (per-group total) to every row. */
+  def withGroupPrefixSum(df: DataFrame, groupCols: Seq[String], weightCol: String,
+                         order: Seq[Column], cumCol: String, totCol: String): DataFrame = {
+    val t = df.schema(weightCol).dataType
+    require(t == LongType, s"withGroupPrefixSum requires a LongType weight, got $weightCol: $t")
+    core(df, order, groupCols, None, Some(cumCol),
+      weightIdx = Some(df.schema.fieldIndex(weightCol)), groupTotalCol = Some(totCol))
+      .df.drop(TotalCol)
+  }
+
   /** Exact integer division a DIV b for non-negative longs as Columns:
     * (a − a mod b) is an exact multiple of b, and IEEE double division of
     * an exactly-representable multiple returns the exact quotient — no
@@ -170,7 +192,9 @@ object DistRank {
   }
 
   private def core(df: DataFrame, order: Seq[Column], groupCols: Seq[String],
-                   globalRankCol: Option[String], groupRankCol: Option[String]): Ranked = {
+                   globalRankCol: Option[String], groupRankCol: Option[String],
+                   weightIdx: Option[Int] = None,
+                   groupTotalCol: Option[String] = None): Ranked = {
     val s = df.sparkSession
     val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val parted = df.repartitionByRange(p, order: _*)
@@ -218,16 +242,18 @@ object DistRank {
 
     // branch A: one narrow pass assigns partition-local row numbers (and
     // per-group row numbers from a bounded HashMap)
+    val wIdx = weightIdx.getOrElse(-1) // -1 = unweighted: every row weighs 1
     val localRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
       val perGroup = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
       it.map { r =>
-        n += 1
+        val w = if (wIdx < 0) 1L else r.getLong(wIdx)
+        n += w
         val gn =
           if (gIdx.isEmpty) 0L
           else {
             val k = gIdx.map(i => r.get(i, fieldTypes(i)))
-            val v = perGroup.getOrElse(k, 0L) + 1
+            val v = perGroup.getOrElse(k, 0L) + w
             perGroup(k) = v
             v
           }
@@ -254,7 +280,7 @@ object DistRank {
       it.foreach { r =>
         val k = if (gIdx.isEmpty) Seq.empty[Any]
                 else gIdx.map(i => r.get(i, fieldTypes(i)))
-        perGroup(k) = perGroup.getOrElse(k, 0L) + 1
+        perGroup(k) = perGroup.getOrElse(k, 0L) + (if (wIdx < 0) 1L else r.getLong(wIdx))
       }
       perGroup.iterator.map { case (k, n) =>
         new GenericInternalRow((pid +: k :+ n).toArray[Any]): InternalRow
@@ -271,6 +297,7 @@ object DistRank {
     // P·|groups|-row table funnels through the single prefix-sum task.
     val offSchema = StructType(countSchema.fields.dropRight(1) ++ Seq(
       StructField("__gr_goff", LongType, nullable = false),
+      StructField("__gr_gtot", LongType, nullable = false),
       StructField("__gr_off", LongType, nullable = false),
       StructField(TotalCol, LongType, nullable = false)))
     val nGroupCols = groupCols.length
@@ -284,12 +311,13 @@ object DistRank {
         .zip(pidsAsc.scanLeft(0L)((acc, pid) => acc + pidTotals(pid)).dropRight(1)).toMap
       val byGroup = rows.groupBy(r => (1 to nGroupCols).map(r.get))
       byGroup.iterator.flatMap { case (gk, rs) =>
+        val gtot = rs.iterator.map(_.getLong(1 + nGroupCols)).sum
         var acc = 0L
         rs.sortBy(_.getInt(0)).map { r =>
           val pid = r.getInt(0)
           val goff = acc
           acc += r.getLong(1 + nGroupCols)
-          Row.fromSeq(pid +: gk :+ goff :+ globalOff(pid) :+ total)
+          Row.fromSeq(pid +: gk :+ goff :+ gtot :+ globalOff(pid) :+ total)
         }
       }
     }(Encoders.row(offSchema))
@@ -303,7 +331,7 @@ object DistRank {
     val cond = (col(PidCol) === col(PidCol + "_o")) +:
       groupCols.map(g => col(g) <=> col(g + "__o"))
     val joined = local.join(broadcast(gRenamed), cond.reduce(_ && _))
-    val withRanks = (globalRankCol, groupRankCol) match {
+    val withRanks0 = (globalRankCol, groupRankCol) match {
       case (Some(g), Some(gr)) =>
         joined.withColumn(g, col("__gr_off") + col(LrnCol))
           .withColumn(gr, col("__gr_goff") + col(GrnCol))
@@ -311,7 +339,9 @@ object DistRank {
       case (None, Some(gr)) => joined.withColumn(gr, col("__gr_goff") + col(GrnCol))
       case (None, None) => joined
     }
-    Ranked(withRanks.drop((Seq(PidCol, PidCol + "_o", LrnCol, GrnCol, "__gr_goff", "__gr_off") ++
+    val withRanks = groupTotalCol.fold(withRanks0)(t => withRanks0.withColumn(t, col("__gr_gtot")))
+    Ranked(withRanks.drop((Seq(PidCol, PidCol + "_o", LrnCol, GrnCol,
+      "__gr_goff", "__gr_gtot", "__gr_off") ++
       groupCols.map(_ + "__o")): _*), TotalCol)
   }
 }

@@ -990,19 +990,22 @@ object ExtendedQueries {
 
   // ---------------------------------------------------------------- q123: weighted median (quantileExactWeighted)
   /** Exact weighted median: the l_extendedprice at which half the total
-    * QUANTITY is reached (ClickHouse `quantileExactWeighted`). The
-    * cumulative sum runs over a PRICE-GRAIN weight histogram — one
-    * `(l_returnflag, l_extendedprice) → Σqty` aggregate (map-side
-    * combined, well-distributed shuffle keys), then the crossing cell by
+    * QUANTITY is reached (ClickHouse `quantileExactWeighted`). Two
+    * stages, both fully distributed: (1) one `(l_returnflag,
+    * l_extendedprice) → Σqty` histogram aggregate (map-side combined,
+    * well-distributed shuffle keys) — prices repeat, so this can only
+    * shrink the input; (2) the per-flag inclusive running sum via
+    * `DistRank.withGroupPrefixSum` — range-partitioned on (flag, price),
+    * two narrow passes, P-bounded offsets — then the crossing cell by
     * `2·cum ≥ W > 2·(cum−w)` in pure BIGINT. Only the crossing PRICE is
     * exposed, and the row-grain crossing row always sits inside the
     * crossing price cell, so this is provably equal to the naive
-    * row-grain window the oracle still runs. The q193 move: the naive
-    * `PARTITION BY l_returnflag` window funnels the whole fact table
-    * through |flags|=3 tasks; the histogram window's input is bounded by
-    * PRICE RESOLUTION (cents-valued, fixed range) — a constant ceiling
-    * independent of corpus size, safe at 100 TB. Measured 6.4 s → the
-    * aggregate's cost at the sf1 bench point. */
+    * row-grain window the oracle still runs. The scale point: the naive
+    * `PARTITION BY l_returnflag` cumsum window funnels everything
+    * through |flags|=3 tasks, and the histogram does NOT bound that
+    * funnel in general (extendedprice is near-unique at low SF: 594k
+    * distinct cells of 600k rows at sf0.1) — the range-distributed
+    * prefix sum has no per-group funnel at any cardinality. */
   def q123WeightedMedian(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_extendedprice"),
@@ -1012,14 +1015,8 @@ object ExtendedQueries {
         floor(col("l_quantity")).cast("long").as("qty"))
     val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(sum(col("qty")).as("w"))
-    // group totals via a second map-side-combined aggregate off the
-    // price-grain histogram + broadcast — never an unordered window
-    val tot = hist.groupBy(col("l_returnflag")).agg(sum(col("w")).as("tot"))
-    val wnd = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist.withColumn("cum", sum(col("w")).over(wnd))
-      .join(broadcast(tot), Seq("l_returnflag"))
+    graft.ext.DistRank.withGroupPrefixSum(hist, Seq("l_returnflag"), "w",
+        Seq(col("l_returnflag"), col("l_extendedprice")), "cum", "tot")
       .filter(col("cum") * 2 >= col("tot") && (col("cum") - col("w")) * 2 < col("tot"))
       .select(col("l_returnflag"), col("l_extendedprice").as("weighted_median"),
         col("tot").as("total_qty"))

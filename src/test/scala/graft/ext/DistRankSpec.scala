@@ -45,6 +45,37 @@ class DistRankSpec extends SparkSpec {
     assert(naive.select("id", "gr", "rk").except(got.select("id", "gr", "rk")).isEmpty)
   }
 
+  test("withGroupPrefixSum equals the per-group cumsum window plus its total") {
+    import spark.implicits._
+    // weights exercise zero, ties on the order prefix (id breaks them),
+    // skewed groups, and a weight large enough to dominate its group
+    val df = fixture.withColumn("w",
+      when(col("id") % 13 === 0, lit(0L))
+        .when(col("id") === 40, lit(1000L))
+        .otherwise((col("id") % 5 + 1).cast("long")))
+    val wnd = Window.partitionBy(col("g"))
+      .orderBy(col("score"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df
+      .withColumn("cum", sum(col("w")).over(wnd))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy(col("g"))))
+    val got = DistRank.withGroupPrefixSum(df, Seq("g"), "w",
+      Seq(col("score"), col("id")), "cum", "tot")
+    val cols = Seq("id", "cum", "tot")
+    assert(got.select(cols.head, cols.tail: _*)
+      .except(naive.select(cols.head, cols.tail: _*)).isEmpty)
+    assert(naive.select(cols.head, cols.tail: _*)
+      .except(got.select(cols.head, cols.tail: _*)).isEmpty)
+    // empty input stays empty
+    assert(DistRank.withGroupPrefixSum(df.filter(lit(false)), Seq("g"), "w",
+      Seq(col("score"), col("id")), "cum", "tot").isEmpty)
+    // non-long weights are rejected loudly, not silently truncated
+    intercept[IllegalArgumentException] {
+      DistRank.withGroupPrefixSum(df.withColumn("w", col("w").cast("double")),
+        Seq("g"), "w", Seq(col("score"), col("id")), "cum", "tot")
+    }
+  }
+
   test("withNtile equals ANSI ntile for k dividing and not dividing n") {
     val df = fixture
     for (k <- Seq(4, 10, 97, 200)) {
