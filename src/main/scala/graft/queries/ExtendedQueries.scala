@@ -1038,6 +1038,61 @@ object ExtendedQueries {
       |WHERE cum * 2 >= tot AND (cum - qty) * 2 < tot
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q209: weighted quantile set
+  /** Exact weighted quantiles at several q from ONE pass (ClickHouse
+    * `quantilesExactWeighted(0.25,0.5,0.75,0.95)`): the same price-grain
+    * histogram and single `DistRank.withGroupPrefixSum` pass as q123 —
+    * the prefix sum is quantile-agnostic, so every additional quantile
+    * is free — then each cell claims the quantiles whose integer
+    * threshold `T_p = ceil(tot·p/100) = (tot·p + 99) DIV 100` falls in
+    * its covered weight interval `(cum−w, cum]`. The claim test runs as
+    * an array `filter` over the 4-element percentile array (no 4×
+    * explode of the histogram — rows that claim nothing, i.e. almost
+    * all, never widen). Row-grain/cell-grain equality is the q123
+    * argument verbatim, threshold by threshold: the first ROW with
+    * cum ≥ T_p sits inside the first CELL with cum ≥ T_p and only the
+    * price is exposed, so the oracle keeps the naive row-grain window.
+    * All thresholds in pure BIGINT — no float quantile boundary can
+    * desynchronize the engines. */
+  def q209WeightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val pcts = Seq(25, 50, 75, 95)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+    val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("qty")).as("w"))
+    def thr(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      // ceil(tot·p/100), exact for longs
+      val a = col("tot") * p.cast("long") + lit(99L)
+      ((a - pmod(a, lit(100L))) / 100L).cast("long")
+    }
+    graft.ext.DistRank.withGroupPrefixSum(hist, Seq("l_returnflag"), "w",
+        Seq(col("l_returnflag"), col("l_extendedprice")), "cum", "tot")
+      .withColumn("ps", filter(array(pcts.map(lit): _*),
+        p => thr(p) <= col("cum") && thr(p) > col("cum") - col("w")))
+      .filter(size(col("ps")) > 0)
+      .select(col("l_returnflag"), explode(col("ps")).as("p"),
+        col("l_extendedprice").as("q_value"))
+      .orderBy(col("l_returnflag"), col("p"))
+  }
+
+  val q209Sql: String =
+    """WITH c AS (SELECT l_returnflag, l_extendedprice,
+      |                  CAST(floor(l_quantity) AS BIGINT) AS qty,
+      |                  sum(CAST(floor(l_quantity) AS BIGINT)) OVER
+      |                    (PARTITION BY l_returnflag
+      |                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |                     ROWS UNBOUNDED PRECEDING) AS cum,
+      |                  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) OVER
+      |                    (PARTITION BY l_returnflag) AS BIGINT) AS tot
+      |           FROM lineitem),
+      |q AS (SELECT unnest([25, 50, 75, 95]) AS p)
+      |SELECT c.l_returnflag, q.p, c.l_extendedprice AS q_value
+      |FROM c, q
+      |WHERE c.cum >= (c.tot * q.p + 99) // 100
+      |  AND c.cum - c.qty < (c.tot * q.p + 99) // 100
+      |ORDER BY c.l_returnflag, q.p""".stripMargin
+
   // ---------------------------------------------------------------- q143: join fan-out audit
   /** Join fan-out (skew) audit for orders⋈lineitem: the distribution of
     * per-orderkey line multiplicities — the number that decides whether
@@ -1194,6 +1249,7 @@ object ExtendedQueries {
     ("q67_shipping_priority", q67ShippingPriority _, Some(q67Sql)),
     ("q122_waiting_orders",   q122WaitingOrders _,   Some(q122Sql)),
     ("q123_weighted_median",  q123WeightedMedian _,  Some(q123Sql)),
+    ("q209_weighted_quantiles", q209WeightedQuantiles _, Some(q209Sql)),
     ("q143_join_fanout",      q143JoinFanout _,      Some(q143Sql)),
     ("q151_uniq_upto",        q151UniqUpTo _,        Some(q151Sql)),
     ("q153_rollup_route",     q153RollupRoute _,     Some(q153Sql)),
