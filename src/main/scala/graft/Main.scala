@@ -39,7 +39,8 @@ object Main {
                            splitsPerMonth: Int) extends Action
   final case class Maintain(tablePath: String, dropBefore: Option[String],
                             compactOver: Int, splitsPerMonth: Int,
-                            retainMonths: Option[Int] = None) extends Action
+                            retainMonths: Option[Int] = None,
+                            thin: Option[(Int, Int)] = None) extends Action
   final case class Watch(cfg: TraceStream.Config,
                          schema: Option[(String, String)],
                          sentinel: Option[String]) extends Action
@@ -64,6 +65,10 @@ object Main {
       |  --drop-before YYYYMM    retention cutoff (exclusive) for --maintain
       |  --retain-months N       keep only the newest N months (by data time);
       |                          with --watch, applied on the merge cadence
+      |  --thin-keep-months N    with --maintain: months older than the newest
+      |                          N (by data time) keep a row sample only
+      |  --thin-factor K         sample rate for --thin-keep-months: keep a
+      |                          deterministic 1-in-K of each expired month
       |  --compact-over N        compact months above N files (default 16)
       |  --compact-every N       with --watch: every N batches, drop expired
       |                          months and compact (TTL + background merges)
@@ -81,7 +86,8 @@ object Main {
     val files = scala.collection.mutable.ArrayBuffer[String]()
     val takesValue = Set("--db", "--table", "--table-path", "--log-dir",
       "--checkpoint", "--max-files", "--splits", "--completion-file",
-      "--drop-before", "--compact-over", "--compact-every", "--retain-months")
+      "--drop-before", "--compact-over", "--compact-every", "--retain-months",
+      "--thin-keep-months", "--thin-factor")
     val bare = Set("--print-schema", "--create-schema", "--watch", "--maintain",
       "--delete-logs")
     var i = 0
@@ -170,7 +176,15 @@ object Main {
           case other => Right(other)
         }
         retain <- posIntFlag("--retain-months")
-      } yield Maintain(tablePath, cutoff, over, splits, retain)
+        thinKeep <- posIntFlag("--thin-keep-months")
+        thinK <- posIntFlag("--thin-factor")
+        thin <- (thinKeep, thinK) match {
+          case (Some(n), Some(k)) => Right(Some((n, k)))
+          case (None, None) => Right(None)
+          case _ => Left("ERROR: --thin-keep-months and --thin-factor " +
+            "must be given together")
+        }
+      } yield Maintain(tablePath, cutoff, over, splits, retain, thin)
     else if (files.nonEmpty)
       for {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
@@ -200,7 +214,7 @@ object Main {
         store.TraceStore.append(batch, tablePath, splits)
         out(s"converted $f")
       }
-    case Maintain(tablePath, dropBefore, compactOver, splits, retain) =>
+    case Maintain(tablePath, dropBefore, compactOver, splits, retain, thin) =>
       // retention first: a dropped month must not be compacted first
       dropBefore.foreach { cutoff =>
         val dropped = store.TraceStore.dropPartitionsBefore(tablePath, cutoff)
@@ -211,6 +225,13 @@ object Main {
         val dropped = store.TraceStore.retainLastMonths(tablePath, n)
         out(s"retained newest $n months; dropped ${dropped.size}${
           if (dropped.nonEmpty) dropped.mkString(": ", ", ", "") else ""}")
+      }
+      // thinning before compaction: a thinned month is immediately
+      // re-laid-out by the compact below if it crossed the threshold
+      thin.foreach { case (n, k) =>
+        val thinned = store.TraceStore.thinExpired(session(), tablePath, n, k, splits)
+        out(s"thinned ${thinned.size} months to 1-in-$k${
+          if (thinned.nonEmpty) thinned.mkString(": ", ", ", "") else ""}")
       }
       val compacted = store.TraceStore.compact(session(), tablePath, compactOver, splits)
       out(s"compacted ${compacted.size} months${

@@ -286,6 +286,62 @@ object TraceStore {
     dropPartitionsBefore(tablePath, f"${cut.getYear}%04d${cut.getMonthValue}%02d")
   }
 
+  /** Downsampling retention — the "thin old data instead of deleting it"
+    * TTL shape (ClickHouse expresses it as a `TTL … WHERE`-guarded delete
+    * over a sampling predicate; the operational pattern behind "keep 100%
+    * for N months, 1-in-k forever"): month partitions older than the
+    * newest `keepExactMonths` months BY DATA TIME (the
+    * [[retainLastMonths]] anchor — backfills age against themselves) are
+    * rewritten keeping a deterministic 1-in-`k` row sample; newer months
+    * stay exact and byte-identical.
+    *
+    * The keep predicate is a pure content hash (`xxhash64` over every
+    * data column) so the sample is
+    *  - DETERMINISTIC: the same logical row always makes the same
+    *    keep/drop decision — re-thinning an already-thinned month keeps
+    *    exactly the surviving rows, so the operation is idempotent by
+    *    construction, never compounding to 1-in-k²;
+    *  - UNBIASED at any scale: no coordinate, no global count, no RNG
+    *    state — executors decide row-locally, the 100 TB mode.
+    * A pushed-filter probe per candidate month (the [[deleteWhere]]
+    * pattern) skips months with nothing left to drop, so the idempotent
+    * re-run costs one count, not a rewrite. Matching months go through
+    * the same crash-safe manifest swap as [[compact]]. Returns thinned
+    * yms. */
+  def thinExpired(spark: SparkSession, tablePath: String, keepExactMonths: Int,
+                  k: Int, splitsPerMonth: Int = 4): Seq[String] = {
+    require(keepExactMonths >= 1, s"keepExactMonths must be >= 1, got $keepExactMonths")
+    require(k >= 1, s"k must be >= 1, got $k")
+    if (k == 1) return Seq.empty // 1-in-1 keeps everything
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(tablePath)
+    if (!Files.exists(root)) return Seq.empty
+    recoverAttempts(root)
+    import FsMaint.listDir
+    val pref = s"${TraceSchema.PartitionCol}="
+    val months = listDir(root).filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith(pref))
+    val yms = months.map(_.getFileName.toString.stripPrefix(pref)).filter(_.matches("\\d{6}"))
+    if (yms.isEmpty) return Seq.empty
+    val newest = yms.max
+    val cut = java.time.YearMonth.of(newest.take(4).toInt, newest.drop(4).toInt)
+      .minusMonths((keepExactMonths - 1).toLong)
+    val cutoff = f"${cut.getYear}%04d${cut.getMonthValue}%02d"
+    val keep = pmod(
+      xxhash64(TraceSchema.target.fieldNames.map(col).toIndexedSeq: _*),
+      lit(k.toLong)) === 0L
+    months
+      .filter(_.getFileName.toString.stripPrefix(pref) < cutoff)
+      .map(d => (d, listDir(d).filter(_.toString.endsWith(".parquet"))))
+      .filter { case (_, old) => // probe: anything left to drop?
+        old.nonEmpty && spark.read.schema(TraceSchema.target)
+          .parquet(old.map(_.toString): _*).filter(!keep).limit(1).count() > 0
+      }
+      .map { case (monthDir, old) =>
+        rewriteMonth(spark, monthDir, old, _.filter(keep), splitsPerMonth, "thinned")
+      }
+  }
+
   /** Crash recovery for a previous compact/delete attempt: complete any
     * manifest whose temp rewrite finished, then clear orphans. Safe under
     * the single-maintenance-writer assumption. */

@@ -81,6 +81,15 @@ class MainParseSpec extends AnyFunSuite {
       Right(Main.Maintain("/t", None, 16, 4, Some(6))))
     assert(Main.parse(Seq("--maintain", "--table-path", "/t",
       "--retain-months", "0"), noEnv).isLeft)
+    // downsampling TTL: both thin flags or neither
+    assert(Main.parse(Seq("--maintain", "--table-path", "/t",
+      "--thin-keep-months", "3", "--thin-factor", "10"), noEnv) ==
+      Right(Main.Maintain("/t", None, 16, 4, None, Some((3, 10)))))
+    val half = Main.parse(Seq("--maintain", "--table-path", "/t",
+      "--thin-factor", "10"), noEnv)
+    assert(half.isLeft && half.swap.exists(_.contains("together")))
+    assert(Main.parse(Seq("--maintain", "--table-path", "/t",
+      "--thin-keep-months", "3", "--thin-factor", "0"), noEnv).isLeft)
   }
 
   test("--watch wires the maintenance cadence and validates its flags") {

@@ -271,6 +271,43 @@ class StoreSpec extends SparkSpec {
     assert(TraceStore.retainLastMonths(tmpDir("store-ttl3e"), 3).isEmpty)
   }
 
+  test("thinExpired keeps a deterministic 1-in-k sample in expired months only") {
+    import spark.implicits._
+    import graft.schema.TraceSchema
+    val path = tmpDir("store-thin")
+    val batch = (0 until 200).flatMap { i =>
+      Seq("2019-04-05 08:00:00", "2019-05-05 08:00:00", "2019-06-05 08:00:00").map(t =>
+        (i, s"m${i % 7}", "default", Timestamp.valueOf(t), "Role", Option(s"id$i")))
+    }.toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID")
+    TraceStore.append(batch, path)
+    // keep the newest 2 months exact → only 201904 is thinned, and its
+    // survivors are exactly the content-hash predicate's rows
+    val stored = spark.read.schema(TraceSchema.target).parquet(s"$path/ym=201904")
+    val expected = stored
+      .filter(pmod(xxhash64(TraceSchema.target.fieldNames.map(col).toIndexedSeq: _*),
+        lit(4L)) === 0L)
+      .select("ID").collect().map(_.getString(0)).toSet
+    assert(expected.nonEmpty && expected.size < 200, "fixture must actually thin")
+    val mayFiles = new java.io.File(s"$path/ym=201905").list().sorted.toSeq
+    assert(TraceStore.thinExpired(spark, path, keepExactMonths = 2, k = 4) == Seq("201904"))
+    val after = TraceStore.read(spark, path)
+    assert(after.filter(col("ym") === "201904").select("ID")
+      .collect().map(_.getString(0)).toSet == expected)
+    assert(after.filter(col("ym") =!= "201904").count() == 400)
+    // exact months untouched on disk, not rewritten-to-equal
+    assert(new java.io.File(s"$path/ym=201905").list().sorted.toSeq == mayFiles)
+    // idempotent: survivors all satisfy the predicate → probe skips, no 1/k²
+    assert(TraceStore.thinExpired(spark, path, keepExactMonths = 2, k = 4).isEmpty)
+    assert(TraceStore.read(spark, path).filter(col("ym") === "201904")
+      .count().toInt == expected.size)
+    // window covering everything, or k=1: no-ops
+    assert(TraceStore.thinExpired(spark, path, keepExactMonths = 3, k = 4).isEmpty)
+    assert(TraceStore.thinExpired(spark, path, keepExactMonths = 1, k = 1).isEmpty)
+    intercept[IllegalArgumentException](TraceStore.thinExpired(spark, path, 0, 4))
+    intercept[IllegalArgumentException](TraceStore.thinExpired(spark, path, 1, 0))
+    assert(TraceStore.thinExpired(spark, tmpDir("store-thin-e"), 1, 4).isEmpty)
+  }
+
   test("dropPartitionsBefore resolves a condemned month's pending manifest first") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
