@@ -9,10 +9,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Concurrency + crash-point soak for the store maintenance protocol
-  * ([[TraceStore.compact]] / [[TraceStore.deleteWhere]]): the unit tests
-  * in StoreSpec exercise each operation alone; this spec drives the
-  * documented operating envelope — ONE maintenance writer interleaving
-  * compact and deleteWhere, concurrent APPENDS, and a concurrent reader —
+  * ([[TraceStore.compact]] / [[TraceStore.deleteWhere]] /
+  * [[TraceStore.thinExpired]]): the unit tests in StoreSpec exercise each
+  * operation alone; this spec drives the documented operating envelope —
+  * ONE maintenance writer interleaving compact, deleteWhere and
+  * downsampling retention, concurrent APPENDS, and a concurrent reader —
   * and the two crash points the manifest protocol promises to survive
   * (mid-install, and post-install/pre-delete).
   *
@@ -42,13 +43,32 @@ class StoreMaintSoakSpec extends SparkSpec {
   private def idsIn(path: String): Seq[Int] =
     TraceStore.read(spark, path).select("Severity").collect().map(_.getInt(0)).toSeq
 
-  test("soak: compact+deleteWhere interleaved with appends and a live reader") {
+  test("soak: compact+deleteWhere+thinExpired interleaved with appends and a live reader") {
     val path = tmpDir("soak")
     val doomed = (0 until 48).filter(_ % 12 == 7).toSet  // erased at some point mid-soak
     val baseIds = 0 until 48
     val lateIds = 48 until 72                            // appended DURING maintenance
     // seed as many micro-batches (8 files/month) so compact has real work
     baseIds.grouped(6).foreach(g => TraceStore.append(mkBatch(g, doomed), path))
+    // an EXPIRED month (201904 < the newest-2 window): thinned mid-soak to
+    // its deterministic content-hash survivor set, monotonically
+    val oldIds = 1000 until 1048
+    oldIds.grouped(6).foreach { g =>
+      import spark.implicits._
+      TraceStore.append(g.map(i => (i, s"m${i % 3}", "default",
+        Timestamp.valueOf(f"2019-04-${1 + (i % 27)}%02d 12:00:00"), "Role",
+        Option(s"id$i")))
+        .toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID"), path)
+    }
+    val thinSurvivors = {
+      import graft.schema.TraceSchema
+      spark.read.schema(TraceSchema.target).parquet(s"$path/ym=201904")
+        .filter(pmod(xxhash64(TraceSchema.target.fieldNames.map(col).toIndexedSeq: _*),
+          lit(3L)) === 0L)
+        .select("Severity").collect().map(_.getInt(0)).toSet
+    }
+    assert(thinSurvivors.nonEmpty && thinSurvivors.size < oldIds.size,
+      "fixture must actually thin")
 
     val firstError = new AtomicReference[Throwable]()
     def guarded(body: => Unit): Thread = {
@@ -62,11 +82,14 @@ class StoreMaintSoakSpec extends SparkSpec {
     val racedReads = new AtomicInteger(0)
     val violations = new CopyOnWriteArrayList[String]()
 
-    // single maintenance writer: compact and deleteWhere interleaved
+    // single maintenance writer: compact, deleteWhere and thinExpired
+    // interleaved (all three share the manifest swap protocol)
     val maint = guarded {
-      (1 to 4).foreach { _ =>
+      (1 to 4).foreach { r =>
         TraceStore.compact(spark, path, maxFilesPerMonth = 2, splitsPerMonth = 2)
         TraceStore.deleteWhere(spark, path, col("Machine") === "doomed", splitsPerMonth = 2)
+        if (r >= 2) // first round leaves 201904 fat so compact touches it too
+          TraceStore.thinExpired(spark, path, keepExactMonths = 2, k = 3, splitsPerMonth = 2)
       }
       maintDone.set(true)
     }
@@ -81,12 +104,14 @@ class StoreMaintSoakSpec extends SparkSpec {
     // concurrent reader: every successful snapshot must satisfy the
     // visibility contract; a raced file delete may fail the read loudly
     val reader = guarded {
-      val allowed = baseIds.toSet ++ lateIds
+      val allowed = baseIds.toSet ++ lateIds ++ oldIds
       while (!maintDone.get()) {
         try {
           val seen = idsIn(path)
           val counts = seen.groupBy(identity).view.mapValues(_.size)
-          val missing = (baseIds.toSet -- doomed) -- seen.toSet
+          // thin survivors must NEVER vanish; non-survivors may (that's
+          // the point), but only rows thinning/erasure condemns may go
+          val missing = ((baseIds.toSet -- doomed) ++ thinSurvivors) -- seen.toSet
           if (missing.nonEmpty)
             violations.add(s"lost rows in snapshot: $missing")
           val alien = seen.toSet -- allowed
@@ -111,10 +136,10 @@ class StoreMaintSoakSpec extends SparkSpec {
     // final compact of its files; appended-late rows were never doomed)
     TraceStore.deleteWhere(spark, path, col("Machine") === "doomed")
     val fin = idsIn(path)
+    val want = (baseIds.toSet -- doomed) ++ lateIds ++ thinSurvivors
     assert(fin.distinct.size == fin.size, "duplicates survived quiescence")
-    assert(fin.toSet == (baseIds.toSet -- doomed) ++ lateIds,
-      s"final id set off: missing=${((baseIds.toSet -- doomed) ++ lateIds) -- fin.toSet} " +
-        s"extra=${fin.toSet -- ((baseIds.toSet -- doomed) ++ lateIds)}")
+    assert(fin.toSet == want,
+      s"final id set off: missing=${want -- fin.toSet} extra=${fin.toSet -- want}")
   }
 
   /** Fabricate a crashed rewrite for month `ym`: temp output written,
