@@ -1151,8 +1151,110 @@ object Dedup {
        |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) >= 0.8
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- C2: symmetric-delete (SymSpell) edit-distance join
+  /** Edit-distance-1 entity-resolution join via a symmetric-delete
+    * (SymSpell) neighborhood index — the COMPLETE scale path next to
+    * q73's lossy blocking (first-char blocking misses a first-character
+    * typo; this index provably catches every d≤1 pair): each name maps
+    * to itself plus its |w| single-character deletions, candidates are
+    * names sharing any key (substitution pairs meet at the common
+    * deletion, insertion/deletion pairs meet at the shorter string), and
+    * the exact levenshtein verify keeps only true d=1 pairs. The
+    * deterministic 1-in-7 custkey slice keeps the all-pairs DuckDB
+    * ground truth quadratic-bounded; the index itself never goes
+    * quadratic.
+    * Scale: the key table is |names|·(len+1) rows — linear with a
+    * constant factor of the name length; candidates come from an
+    * equi-join on the key hash (at 100 TB: join on xxhash64(k), not the
+    * string), and verify cost is candidate-bounded. All-pairs levenshtein
+    * at 15 k names is 225 M evals; this path does ~300 k key rows. */
+  def q211SymspellJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.customer(s, dir).filter(col("c_custkey") % 7 === 0)
+      .select(col("c_name").as("w")).distinct()
+    val keyed = names.select(col("w"), explode(array_distinct(concat(
+        array(col("w")),
+        transform(sequence(lit(1), length(col("w"))),
+          i => concat(col("w").substr(lit(1), i - lit(1)),
+                      col("w").substr(i + lit(1), length(col("w")))))))).as("k"))
+    keyed.as("a").join(keyed.as("b"), Seq("k"))
+      .filter(col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .distinct()
+      .filter(levenshtein(col("w1"), col("w2")) === 1)
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  val q211Sql: String =
+    """WITH c AS (SELECT DISTINCT c_name AS w FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT a.w AS w1, b.w AS w2 FROM c a JOIN c b
+      |  ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= 1
+      | AND levenshtein(a.w, b.w) = 1
+      |ORDER BY w1, w2""".stripMargin
+
+  // ---------------------------------------------------------------- C2: content-defined chunking (CDC) dedup
+  /** Content-defined chunking dedup (the LBFS/rsync/borg storage-dedup
+    * primitive): split each document where a rolling hash of the last 4
+    * characters (a base-31 polynomial, mask mod 16 → ~16-char expected
+    * chunks) hits zero, then measure per-source chunk-level duplication.
+    * Boundaries depend only on LOCAL content, so a one-character insert
+    * re-synchronizes within one window — the insertion-robustness that
+    * q77's fixed 8-token grid loses (an edit shifts every later chunk).
+    * This is the dedup notion for raw bytes/blobs (multimodal columns
+    * included: the same walk runs on binary via a byte polynomial).
+    * Chunking is a pure map stage over codegen'd higher-order functions
+    * (split once to a char array, element_at is O(1)); the only shuffle
+    * is the per-source distinct-chunk aggregate — at 100 TB, aggregate
+    * xxhash64(chunk) instead of chunk text, and a dedicated byte-level
+    * Expression replaces the char-array walk. */
+  def q212CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    // defensive length-1 filter: engines disagree on whether a ""-regex
+    // split emits boundary empties; keeping exactly the 1-char cells
+    // pins the array to the text's characters
+    val ch = filter(split(col("text"), ""), c => length(c) === 1)
+    val n = size(col("ch"))
+    def code(i: Column): Column = ascii(element_at(col("ch"), i))
+    val bnd = when(n >= 4,
+      filter(sequence(lit(4), n), i =>
+        ((code(i - 3) * 29791 + code(i - 2) * 961 + code(i - 1) * 31 + code(i)) % 16) === 0)
+    ).otherwise(array().cast("array<int>"))
+    val chunks = transform(sequence(lit(1), size(col("edges"))), j => {
+      val e = element_at(col("edges"), j)
+      val p = when(j === 1, lit(0)).otherwise(element_at(col("edges"), j - 1))
+      col("text").substr(p + 1, e - p)
+    })
+    Tables.documents(s, dir)
+      .withColumn("ch", ch)
+      .withColumn("edges", array_distinct(concat(bnd, array(n))))
+      .select(col("source"), explode(chunks).as("chunk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk")).as("n_distinct"),
+        round(lit(1.0) - countDistinct(col("chunk")).cast("double") / count(lit(1)), 4).as("dup_frac"),
+        round(avg(length(col("chunk"))), 2).as("avg_len"))
+      .orderBy(col("source"))
+  }
+
+  val q212Sql: String =
+    """WITH d AS (SELECT doc_id, source, text, len(text) AS n FROM documents),
+      |pos AS (SELECT doc_id, text, n, unnest(generate_series(4, n)) AS i FROM d),
+      |bnd AS (SELECT doc_id, i FROM pos
+      |        WHERE (ascii(text[i-3]) * 29791 + ascii(text[i-2]) * 961
+      |             + ascii(text[i-1]) * 31 + ascii(text[i])) % 16 = 0),
+      |edges AS (SELECT doc_id, i FROM bnd UNION SELECT doc_id, n FROM d),
+      |ch AS (SELECT e.doc_id, d.source,
+      |         substr(d.text,
+      |                coalesce(lag(e.i) OVER (PARTITION BY e.doc_id ORDER BY e.i), 0) + 1,
+      |                e.i - coalesce(lag(e.i) OVER (PARTITION BY e.doc_id ORDER BY e.i), 0)) AS chunk
+      |       FROM edges e JOIN d ON d.doc_id = e.doc_id)
+      |SELECT source, count(*) AS n_chunks, count(DISTINCT chunk) AS n_distinct,
+      |       round(1 - count(DISTINCT chunk)::DOUBLE / count(*), 4) AS dup_frac,
+      |       round(avg(len(chunk)), 2) AS avg_len
+      |FROM ch GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_dedup_exact",     q24DedupExact _,     Some(q24Sql)),
+    ("q211_symspell_join",  q211SymspellJoin _,  Some(q211Sql)),
+    ("q212_cdc_chunks",     q212CdcChunks _,     Some(q212Sql)),
     ("q25_minhash_sig",     q25MinHashSig _,     Some(q25Sql)),
     ("q26_lsh_pairs",       q26LshPairs _,       Some(q26Sql)),
     ("q27_simhash",         q27SimHash _,        Some(q27Sql)),

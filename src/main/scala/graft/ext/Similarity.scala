@@ -1112,8 +1112,87 @@ object Similarity {
       |FROM lr JOIN vr ON vr.doc_id = lr.doc_id
       |ORDER BY rrf DESC, lr.doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- C3: semantic dedup (SemDeDup)
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the IVF coarse quantizer
+    * (deterministic seeds, [[assignCells]] — the file's ONE assignment
+    * definition, so the dedup can never cluster differently than the ANN
+    * index), then inside each cluster mark near-identical pairs (cosine
+    * ≥ 0.25 on the 4dp-rounded score) and drop the member that sits
+    * CLOSER to its centroid — the paper keeps the lowest-centroid-cosine
+    * exemplar so the surviving data stays diverse; 4dp ties → the lower
+    * vec_id survives. The rule is per-edge (a vector is dropped iff it
+    * loses any pair), which keeps the operator a join + aggregate — no
+    * transitive closure, no iteration — and the verdict deterministic.
+    * Scale: assignment is a broadcast-centroid map stage; the pair join
+    * is cell-confined (equi-join on c_id), so candidate volume is
+    * Σ|cell|² — the SemDeDup contract (k grows with the corpus to hold
+    * |cell| ≈ corpus/k); the drop set is pair-bounded. No all-pairs
+    * stage anywhere. */
+  def q210Semdedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_sim
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val withCc = assignCells(emb, cents)
+      .join(broadcast(cents), Seq("c_id"))
+      .withColumn("cc", round(cosine_sim(col("embedding"), col("ce")), 4))
+      .select(col("c_id"), col("vec_id"), col("embedding"), col("cc"))
+    // feeds both pair sides and the final verdict join: one scan+assign
+    withCc.persist()
+    try {
+      val a = withCc.select(col("c_id"), col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("cc").as("cc1"))
+      val b = withCc.select(col("c_id"), col("vec_id").as("v2"),
+        col("embedding").as("e2"), col("cc").as("cc2"))
+      val dup = a.join(b, Seq("c_id"))
+        .filter(col("v1") < col("v2"))
+        .filter(round(cosine_sim(col("e1"), col("e2")), 4) >= 0.25)
+      // v1 < v2 always holds, so a 4dp centroid-cosine tie drops v2
+      val losers = dup.select(
+          when(col("cc1") > col("cc2"), col("v1")).otherwise(col("v2")).as("vec_id"))
+        .distinct()
+        .withColumn("lost", lit(true))
+      withCc.join(losers, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("c_id").as("cell"), col("cc").as("cent_cos"),
+                coalesce(col("lost"), lit(false)).as("dropped"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint(true)
+    } finally withCc.unpersist(false)
+  }
+
+  val q210Sql: String =
+    """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
+      |            FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+      |cents AS (SELECT vec_id AS c_id FROM embeddings WHERE vec_id % 100 = 0),
+      |cdots AS (SELECT a.vec_id, c.c_id, sum(a.x * b.x) AS dot
+      |          FROM ex a CROSS JOIN cents c JOIN ex b ON b.vec_id = c.c_id AND b.i = a.i
+      |          GROUP BY a.vec_id, c.c_id),
+      |ccos AS (SELECT cd.vec_id, cd.c_id, cd.dot / (n1.nrm * n2.nrm) AS cc
+      |         FROM cdots cd JOIN norms n1 ON n1.vec_id = cd.vec_id
+      |         JOIN norms n2 ON n2.vec_id = cd.c_id),
+      |cells AS (SELECT vec_id, c_id AS cell, round(cc, 4) AS ccr FROM (
+      |            SELECT vec_id, c_id, cc, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, c_id) AS rn
+      |            FROM ccos) t WHERE rn = 1),
+      |pairs AS (SELECT a.vec_id AS v1, b.vec_id AS v2, a.ccr AS cc1, b.ccr AS cc2
+      |          FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      |pdots AS (SELECT p.v1, p.v2, sum(xa.x * xb.x) AS dot
+      |          FROM pairs p JOIN ex xa ON xa.vec_id = p.v1
+      |          JOIN ex xb ON xb.vec_id = p.v2 AND xb.i = xa.i
+      |          GROUP BY p.v1, p.v2),
+      |dup AS (SELECT p.v1, p.v2, p.cc1, p.cc2
+      |        FROM pairs p JOIN pdots d ON d.v1 = p.v1 AND d.v2 = p.v2
+      |        JOIN norms na ON na.vec_id = p.v1 JOIN norms nb ON nb.vec_id = p.v2
+      |        WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= 0.25),
+      |losers AS (SELECT DISTINCT CASE WHEN cc1 > cc2 THEN v1 ELSE v2 END AS vec_id FROM dup)
+      |SELECT c.vec_id, c.cell, c.ccr AS cent_cos, (l.vec_id IS NOT NULL) AS dropped
+      |FROM cells c LEFT JOIN losers l ON l.vec_id = c.vec_id
+      |ORDER BY c.vec_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q29_embed_norm", q29EmbedNorm _, Some(q29Sql)),
+    ("q210_semdedup", q210Semdedup _, Some(q210Sql)),
     ("q183_hybrid_rrf", q183HybridRrf _, Some(q183Sql)),
     ("q165_roc_auc",   q165RocAuc _,   Some(q165Sql)),
     ("q191_calibration", q191Calibration _, Some(q191Sql)),
