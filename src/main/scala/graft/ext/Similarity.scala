@@ -1113,15 +1113,16 @@ object Similarity {
       |ORDER BY rrf DESC, lr.doc_id LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- C3: semantic dedup (SemDeDup)
-  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    * arXiv:2303.09540): cluster the corpus with the IVF coarse quantizer
-    * (deterministic seeds, [[assignCells]] — the file's ONE assignment
-    * definition, so the dedup can never cluster differently than the ANN
-    * index), then inside each cluster mark near-identical pairs (cosine
-    * ≥ 0.25 on the 4dp-rounded score) and drop the member that sits
+  /** Semantic deduplication in the SemDeDup style (arXiv:2303.09540):
+    * cluster the corpus with the IVF coarse quantizer and, inside each
+    * cluster, drop the member of every near-identical pair that sits
     * CLOSER to its centroid — the paper keeps the lowest-centroid-cosine
-    * exemplar so the surviving data stays diverse; 4dp ties → the lower
-    * vec_id survives. The rule is per-edge (a vector is dropped iff it
+    * exemplar so the surviving data stays diverse. Clustering uses
+    * deterministic seeds through [[assignCells]] — the file's ONE
+    * assignment definition, so the dedup can never cluster differently
+    * than the ANN index. Near-identical = cosine ≥ 0.25 on the
+    * 4dp-rounded score; 4dp centroid-cosine ties → the lower vec_id
+    * survives. The rule is per-edge (a vector is dropped iff it
     * loses any pair), which keeps the operator a join + aggregate — no
     * transitive closure, no iteration — and the verdict deterministic.
     * Scale: assignment is a broadcast-centroid map stage; the pair join
