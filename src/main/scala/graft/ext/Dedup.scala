@@ -1201,31 +1201,15 @@ object Dedup {
     * q77's fixed 8-token grid loses (an edit shifts every later chunk).
     * This is the dedup notion for raw bytes/blobs (multimodal columns
     * included: the same walk runs on binary via a byte polynomial).
-    * Chunking is a pure map stage over codegen'd higher-order functions
-    * (split once to a char array, element_at is O(1)); the only shuffle
-    * is the per-source distinct-chunk aggregate — at 100 TB, aggregate
-    * xxhash64(chunk) instead of chunk text, and a dedicated byte-level
-    * Expression replaces the char-array walk. */
+    * Chunking is a single compiled pass per row through the native
+    * [[graft.functions.CdcChunksExpr]] (a higher-order-function
+    * formulation ran interpreted per character — 4.6× slower at sf0.1);
+    * the only shuffle is the per-source distinct-chunk aggregate — at
+    * 100 TB, aggregate xxhash64(chunk) instead of chunk text. */
   def q212CdcChunks(s: SparkSession, dir: String): DataFrame = {
-    // defensive length-1 filter: engines disagree on whether a ""-regex
-    // split emits boundary empties; keeping exactly the 1-char cells
-    // pins the array to the text's characters
-    val ch = filter(split(col("text"), ""), c => length(c) === 1)
-    val n = size(col("ch"))
-    def code(i: Column): Column = ascii(element_at(col("ch"), i))
-    val bnd = when(n >= 4,
-      filter(sequence(lit(4), n), i =>
-        ((code(i - 3) * 29791 + code(i - 2) * 961 + code(i - 1) * 31 + code(i)) % 16) === 0)
-    ).otherwise(array().cast("array<int>"))
-    val chunks = transform(sequence(lit(1), size(col("edges"))), j => {
-      val e = element_at(col("edges"), j)
-      val p = when(j === 1, lit(0)).otherwise(element_at(col("edges"), j - 1))
-      col("text").substr(p + 1, e - p)
-    })
     Tables.documents(s, dir)
-      .withColumn("ch", ch)
-      .withColumn("edges", array_distinct(concat(bnd, array(n))))
-      .select(col("source"), explode(chunks).as("chunk"))
+      .select(col("source"),
+        explode(graft.functions.GraftFunctions.cdc_chunks(col("text"))).as("chunk"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("chunk")).as("n_distinct"),

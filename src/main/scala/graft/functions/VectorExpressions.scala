@@ -321,6 +321,34 @@ object ExprKernels {
     }
     bestId
   }
+
+  /** Content-defined chunk decomposition (q212): boundary after char i
+    * (1-based, i ≥ 4) when the base-31 polynomial of the last 4 chars
+    * ≡ 0 (mod 16); the final position always closes the last chunk, and
+    * a length-0 string yields one empty chunk — identical edge algebra
+    * to `array_distinct(concat(boundaries, array(len)))`. Chars are
+    * UTF-16 units like [[polysum]] (identical to per-character indexing
+    * for BMP text; the oracle corpus is ASCII). Long arithmetic so
+    * supplementary-plane code units can't wrap the polynomial. */
+  def cdcChunks(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (n == 0) out += UTF8String.fromString("")
+    var start = 0
+    var i = 0
+    while (i < n) {
+      val boundary = i >= 3 &&
+        ((str.charAt(i - 3).toLong * 29791 + str.charAt(i - 2).toLong * 961 +
+          str.charAt(i - 1).toLong * 31 + str.charAt(i).toLong) % 16) == 0
+      if (boundary || i == n - 1) {
+        out += UTF8String.fromString(str.substring(start, i + 1))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** MinHash signature as a native Catalyst expression (SURVEY.md §7.3: the
@@ -443,10 +471,25 @@ case class NearestCellExpr(left: Expression, right: Expression) extends BinaryEx
 }
 
 /** Column-API and SQL surface for the native expressions. */
+/** CDC chunk decomposition (see [[ExprKernels.cdcChunks]]) as a native
+  * expression: the higher-order-function formulation (filter/transform
+  * lambdas over a per-char split array) runs interpreted per element —
+  * one compiled pass per row here. */
+case class CdcChunksExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.cdcChunks(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.cdcChunks($c)")
+  override protected def withNewChildInternal(c: Expression): CdcChunksExpr = copy(child = c)
+  override def prettyName: String = "cdc_chunks"
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.Shim.{column, expression}
 
   def minhash_sig(c: Column): Column = column(MinHashSigExpr(expression(c)))
+  def cdc_chunks(c: Column): Column = column(CdcChunksExpr(expression(c)))
   def minhash_shingle_sig(c: Column): Column = column(MinHashShingleSigExpr(expression(c)))
   def jaccard_shingles(a: Column, b: Column): Column =
     column(JaccardShinglesExpr(expression(a), expression(b)))
@@ -463,6 +506,7 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSigExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cdc_chunks", es => CdcChunksExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_shingle_sig", es => MinHashShingleSigExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_shingles", es => JaccardShinglesExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimExpr(es(0), es(1)), "scala_udf")
@@ -485,6 +529,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name), b))
     inject("minhash_sig", classOf[MinHashSigExpr], es => MinHashSigExpr(es.head))
+    inject("cdc_chunks", classOf[CdcChunksExpr], es => CdcChunksExpr(es.head))
     inject("minhash_shingle_sig", classOf[MinHashShingleSigExpr],
       es => MinHashShingleSigExpr(es.head))
     inject("jaccard_shingles", classOf[JaccardShinglesExpr],

@@ -64,4 +64,39 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(feats.sq_sum == sm.map(v => v.toLong * v).sum, s"case=$s")
     }
   }
+
+  // ---------------------------------------------------------------- CDC chunk kernel invariants
+  test("cdcChunks: lossless decomposition with local boundaries on 200 random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def chunksOf(t: String): Seq[String] = {
+      val arr = graft.functions.ExprKernels.cdcChunks(UTF8String.fromString(t))
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    val strGen = for {
+      n <- Gen.choose(0, 400)
+      cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'f') ++ Seq(' ')))
+    } yield cs.mkString
+    for (s <- 0 until 200) {
+      val t = sample(strGen, s.toLong)
+      val ch = chunksOf(t)
+      // lossless: chunks concatenate back to the input
+      assert(ch.mkString == t, s"seed=$s")
+      // empty text is the ONE case with an empty chunk (the [0] edge)
+      if (t.isEmpty) assert(ch == Seq(""), s"seed=$s")
+      else assert(ch.forall(_.nonEmpty), s"seed=$s")
+      // every chunk end (except the final forced one) is a hash boundary,
+      // and no interior position of any chunk is one — the content-defined
+      // property that makes boundaries re-synchronize after edits
+      def isBoundary(pos: Int): Boolean = pos >= 4 &&
+        ((t.charAt(pos - 4).toLong * 29791 + t.charAt(pos - 3).toLong * 961 +
+          t.charAt(pos - 2).toLong * 31 + t.charAt(pos - 1).toLong) % 16) == 0
+      var off = 0
+      for ((c, idx) <- ch.zipWithIndex) {
+        for (p <- off + 1 until off + c.length)
+          assert(!isBoundary(p), s"seed=$s: interior boundary at $p")
+        off += c.length
+        if (idx < ch.length - 1) assert(isBoundary(off), s"seed=$s: chunk end $off not a boundary")
+      }
+    }
+  }
 }
