@@ -44,6 +44,9 @@ object Main {
   final case class Watch(cfg: TraceStream.Config,
                          schema: Option[(String, String)],
                          sentinel: Option[String]) extends Action
+  final case class Snapshot(tablePath: String) extends Action
+  final case class ListSnapshots(tablePath: String) extends Action
+  final case class DropSnapshot(tablePath: String, id: String) extends Action
 
   val Usage: String =
     """usage: graft.Main <mode> [options] [trace-file.json ...]
@@ -53,6 +56,9 @@ object Main {
       |  --watch                 stream-ingest rotated *.json from the log dir
       |  --maintain              run store maintenance (compact; with
       |                          --drop-before / --retain-months also retention)
+      |  --snapshot              pin a time-travel snapshot; prints its id
+      |  --list-snapshots        list snapshot ids, oldest first
+      |  --drop-snapshot ID      release a snapshot and vacuum retired files
       |  <trace-file.json ...>   one-shot convert the given files into the store
       |options (flag > env > default):
       |  --db NAME               catalog database    (GRAFT_DB | CLICKHOUSE_DB)
@@ -87,9 +93,9 @@ object Main {
     val takesValue = Set("--db", "--table", "--table-path", "--log-dir",
       "--checkpoint", "--max-files", "--splits", "--completion-file",
       "--drop-before", "--compact-over", "--compact-every", "--retain-months",
-      "--thin-keep-months", "--thin-factor")
+      "--thin-keep-months", "--thin-factor", "--drop-snapshot")
     val bare = Set("--print-schema", "--create-schema", "--watch", "--maintain",
-      "--delete-logs")
+      "--delete-logs", "--snapshot", "--list-snapshots")
     var i = 0
     while (i < args.length) {
       val a = args(i)
@@ -121,7 +127,9 @@ object Main {
       }
 
     val modes = switches.intersect(
-      Set("--print-schema", "--create-schema", "--watch", "--maintain"))
+      Set("--print-schema", "--create-schema", "--watch", "--maintain",
+        "--snapshot", "--list-snapshots")) ++
+      (if (flags.contains("--drop-snapshot")) Set("--drop-snapshot") else Set.empty)
     if (modes.size > 1)
       return Left(s"ERROR: pick one mode, got ${modes.toSeq.sorted.mkString(", ")}")
 
@@ -185,6 +193,18 @@ object Main {
             "must be given together")
         }
       } yield Maintain(tablePath, cutoff, over, splits, retain, thin)
+    else if (switches("--snapshot"))
+      need("--table-path", "GRAFT_TABLE_PATH").map(Snapshot)
+    else if (switches("--list-snapshots"))
+      need("--table-path", "GRAFT_TABLE_PATH").map(ListSnapshots)
+    else if (flags.contains("--drop-snapshot"))
+      for {
+        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        id <- flags.get("--drop-snapshot")
+          .filter(_.matches("s\\d{6}"))
+          .toRight(s"ERROR: --drop-snapshot needs an id like s000001, got " +
+            s"'${flags("--drop-snapshot")}'")
+      } yield DropSnapshot(tablePath, id)
     else if (files.nonEmpty)
       for {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
@@ -236,6 +256,18 @@ object Main {
       val compacted = store.TraceStore.compact(session(), tablePath, compactOver, splits)
       out(s"compacted ${compacted.size} months${
         if (compacted.nonEmpty) compacted.mkString(": ", ", ", "") else ""}")
+    case Snapshot(tablePath) =>
+      out(s"snapshot ${store.TraceStore.snapshot(tablePath)}")
+    case ListSnapshots(tablePath) =>
+      store.TraceStore.listSnapshots(tablePath) match {
+        case Seq() => out("no snapshots")
+        case ids   => ids.foreach(out)
+      }
+    case DropSnapshot(tablePath, id) =>
+      val existed = store.TraceStore.dropSnapshot(tablePath, id)
+      val removed = store.TraceStore.vacuumSnapshots(tablePath)
+      out(if (existed) s"dropped $id; vacuumed ${removed.size} retired files"
+          else s"no such snapshot $id")
     case Watch(cfg, schema, sentinel) =>
       val spark = session()
       schema.foreach { case (db, t) =>

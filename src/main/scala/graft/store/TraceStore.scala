@@ -236,7 +236,12 @@ object TraceStore {
     * `.trash-*` orphan that the next maintenance call (this, compact, or
     * deleteWhere via recoverAttempts) clears. Runs recovery first so a
     * pending compact/delete manifest in a condemned month is resolved,
-    * not orphaned. Returns the dropped ym values. */
+    * not orphaned. Snapshot-pinned files are retired out of the month
+    * FIRST (so the trash tree holds only unpinned files and the
+    * unconditional orphan cleanup stays correct) — which means a month a
+    * live snapshot references drops file-by-file, not as one atomic
+    * rename; the whole-month-or-nothing reader guarantee holds only for
+    * unpinned months. Returns the dropped ym values. */
   def dropPartitionsBefore(tablePath: String, cutoffYm: String): Seq[String] = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(cutoffYm.matches("\\d{6}"), s"cutoffYm must be yyyyMM, got '$cutoffYm'")
@@ -244,6 +249,7 @@ object TraceStore {
     if (!Files.exists(root)) return Seq.empty
     recoverAttempts(root)   // also clears any previous drop's .trash-* orphans
     import FsMaint.{listDir, deleteTree}
+    val refs = snapshotRefs(root)
     listDir(root)
       .filter { p =>
         val n = p.getFileName.toString
@@ -252,6 +258,10 @@ object TraceStore {
       }
       .map { monthDir =>
         val ym = monthDir.getFileName.toString.stripPrefix(s"${TraceSchema.PartitionCol}=")
+        listDir(monthDir)
+          .filter(f => f.toString.endsWith(".parquet") &&
+            refs.contains(fileKey(monthDir, f.getFileName.toString)))
+          .foreach(f => retireOrDelete(root, monthDir, f.getFileName.toString, refs))
         val trash = monthDir.resolveSibling(
           s".trash-$ym-${java.util.UUID.randomUUID().toString.take(8)}")
         Files.move(monthDir, trash, StandardCopyOption.ATOMIC_MOVE)
@@ -342,6 +352,160 @@ object TraceStore {
       }
   }
 
+  // ------------------------------------------------------------------ snapshots (time travel)
+  private val SnapDir = "_snapshots"
+  private val RetiredDir = "_retired"
+
+  /** Relative manifest key for a live data file: "ym=yyyyMM/name.parquet".
+    * Underscore-prefixed siblings (_snapshots, _retired) are invisible to
+    * Spark's file index, so the live read path never sees them. */
+  private def fileKey(monthDir: java.nio.file.Path, name: String): String =
+    s"${monthDir.getFileName}/$name"
+
+  /** Union of file keys referenced by every snapshot manifest — loaded
+    * ONCE per maintenance entry point (metadata-sized; manifests are
+    * file lists, never data). */
+  private def snapshotRefs(root: java.nio.file.Path): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val dir = root.resolve(SnapDir)
+    if (!java.nio.file.Files.exists(dir)) Set.empty
+    else FsMaint.listDir(dir)
+      .filter(_.getFileName.toString.matches("s\\d{6}"))
+      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+      .filter(_.nonEmpty).toSet
+  }
+
+  /** Retire a superseded live file if any snapshot still references it
+    * (atomic move into `_retired/` preserving the ym= layout — names are
+    * attempt- or task-unique, so collisions cannot occur), else delete
+    * it. The retire/delete decision is what turns the live-file-set
+    * store into a time-travelable one without a manifest-routed read
+    * path: live reads stay plain directory scans, snapshot reads resolve
+    * each manifest key to its live or retired location. */
+  private def retireOrDelete(root: java.nio.file.Path, monthDir: java.nio.file.Path,
+                             name: String, refs: Set[String]): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val f = monthDir.resolve(name)
+    if (!Files.exists(f)) return
+    if (refs.contains(fileKey(monthDir, name))) {
+      val dest = root.resolve(RetiredDir).resolve(monthDir.getFileName.toString)
+      Files.createDirectories(dest)
+      Files.move(f, dest.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    } else Files.delete(f)
+  }
+
+  /** Capture a named, point-in-time snapshot of the table — the
+    * Delta/Iceberg time-travel analogue for this MergeTree-shaped store:
+    * the returned id pins exactly the current live file set, and every
+    * later compaction / DELETE WHERE / retention / thinning RETIRES
+    * (rather than deletes) any file the snapshot still references, so
+    * [[readSnapshot]] reproduces this instant's rows bit-for-bit until
+    * [[dropSnapshot]] + [[vacuumSnapshots]] release them.
+    *
+    * Runs under the same single-maintenance-writer contract as
+    * [[compact]] (it resolves pending attempts first so the captured
+    * file list is never a half-committed swap). Cost is one directory
+    * listing — metadata-only at any scale; the storage cost of keeping a
+    * snapshot is only the superseded files that maintenance would have
+    * deleted. */
+  def snapshot(tablePath: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(tablePath)
+    require(Files.exists(root), s"no store at $tablePath")
+    recoverAttempts(root)
+    val snapDir = root.resolve(SnapDir)
+    Files.createDirectories(snapDir)
+    val pref = s"${TraceSchema.PartitionCol}="
+    val keys = FsMaint.listDir(root)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(pref))
+      .flatMap(d => FsMaint.listDir(d).filter(_.toString.endsWith(".parquet"))
+        .map(f => fileKey(d, f.getFileName.toString)))
+      .sorted
+    val next = FsMaint.listDir(snapDir).map(_.getFileName.toString)
+      .filter(_.matches("s\\d{6}")).map(_.drop(1).toInt)
+      .foldLeft(0)(math.max) + 1
+    val id = f"s$next%06d"
+    // stage + atomic rename: a manifest is either absent or complete
+    val tmp = snapDir.resolve(s".tmp-$id")
+    Files.write(tmp, keys.mkString("\n").getBytes)
+    Files.move(tmp, snapDir.resolve(id), StandardCopyOption.ATOMIC_MOVE)
+    id
+  }
+
+  /** List snapshot ids, oldest first. */
+  def listSnapshots(tablePath: String): Seq[String] = {
+    val dir = java.nio.file.Paths.get(tablePath).resolve(SnapDir)
+    if (!java.nio.file.Files.exists(dir)) Seq.empty
+    else FsMaint.listDir(dir).map(_.getFileName.toString)
+      .filter(_.matches("s\\d{6}")).sorted
+  }
+
+  /** Read the table exactly as it was when `id` was captured. Each
+    * manifest key resolves to its live path (file not yet superseded) or
+    * its `_retired/` path (superseded since, kept for this snapshot);
+    * both groups read with the store schema + ym from the directory
+    * layout, so the result is indistinguishable from [[read]] at capture
+    * time. Fails loudly if a referenced file was vacuumed away. */
+  def readSnapshot(spark: SparkSession, tablePath: String, id: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tablePath)
+    val mf = root.resolve(SnapDir).resolve(id)
+    require(Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
+    val keys = Files.readAllLines(mf).asScala.toSeq.filter(_.nonEmpty)
+    val retiredRoot = root.resolve(RetiredDir)
+    val (live, retired) = keys.partition(k => Files.exists(root.resolve(k)))
+    retired.filterNot(k => Files.exists(retiredRoot.resolve(k))) match {
+      case missing if missing.nonEmpty =>
+        sys.error(s"snapshot $id references vacuumed file(s): ${missing.take(3).mkString(", ")}")
+      case _ =>
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      TraceSchema.target.fields :+
+      org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
+        org.apache.spark.sql.types.StringType))
+    def readFrom(base: java.nio.file.Path, ks: Seq[String]): Option[DataFrame] =
+      if (ks.isEmpty) None
+      else Some(spark.read.option("basePath", base.toString).schema(schema)
+        .parquet(ks.map(k => base.resolve(k).toString): _*))
+    (readFrom(root, live), readFrom(retiredRoot, retired)) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case _ => spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    }
+  }
+
+  /** Release a snapshot. Retired files it pinned become reclaimable by
+    * the next [[vacuumSnapshots]]. */
+  def dropSnapshot(tablePath: String, id: String): Boolean =
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(tablePath).resolve(SnapDir).resolve(id))
+
+  /** Reclaim retired files no remaining snapshot references (the Delta
+    * VACUUM analogue). Refcounting is a scan of the (metadata-sized)
+    * manifests; cost is O(retired files). Returns the removed keys. */
+  def vacuumSnapshots(tablePath: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(tablePath)
+    val retiredRoot = root.resolve(RetiredDir)
+    if (!Files.exists(retiredRoot)) return Seq.empty
+    val refs = snapshotRefs(root)
+    val removed = FsMaint.listDir(retiredRoot)
+      .filter(d => Files.isDirectory(d))
+      .flatMap { mdir =>
+        FsMaint.listDir(mdir).filter(_.toString.endsWith(".parquet"))
+          .filterNot(f => refs.contains(fileKey(mdir, f.getFileName.toString)))
+          .map { f => Files.delete(f); fileKey(mdir, f.getFileName.toString) }
+      }
+    FsMaint.listDir(retiredRoot)
+      .filter(d => Files.isDirectory(d) && FsMaint.listDir(d).isEmpty)
+      .foreach(Files.delete(_))
+    if (FsMaint.listDir(retiredRoot).isEmpty) Files.delete(retiredRoot)
+    removed
+  }
+
   /** Crash recovery for a previous compact/delete attempt: complete any
     * manifest whose temp rewrite finished, then clear orphans. Safe under
     * the single-maintenance-writer assumption. */
@@ -349,6 +513,7 @@ object TraceStore {
     import java.nio.file.{Files, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     import FsMaint.{listDir, deleteTree}
+    val refs = snapshotRefs(root)
     val monthDirs = listDir(root).filter(p => Files.isDirectory(p) &&
       p.getFileName.toString.startsWith(s"${TraceSchema.PartitionCol}="))
     monthDirs.foreach { monthDir =>
@@ -364,7 +529,10 @@ object TraceStore {
           if (Files.exists(src))
             Files.move(src, monthDir.resolve(to), StandardCopyOption.ATOMIC_MOVE)
         }
-        deletes.foreach(l => Files.deleteIfExists(monthDir.resolve(l.stripPrefix("delete\t"))))
+        // same retire-or-delete decision as the non-crashed path: a file
+        // a snapshot pinned before the crash must survive recovery too
+        deletes.foreach(l =>
+          retireOrDelete(root, monthDir, l.stripPrefix("delete\t"), refs))
         Files.delete(marker)
         deleteTree(tmp)
       }
@@ -417,7 +585,12 @@ object TraceStore {
       Files.move(tmp.resolve(from), monthDir.resolve(to),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    old.foreach(Files.deleteIfExists)
+    // snapshot-pinned files retire instead of dying (see [[snapshot]]);
+    // refs are re-read per month — rewrites are rare and manifest reads
+    // are metadata-sized, and a stale set here would break a snapshot
+    val refs = snapshotRefs(monthDir.getParent)
+    old.foreach(p => retireOrDelete(monthDir.getParent, monthDir,
+      p.getFileName.toString, refs))
     Files.delete(marker)
     deleteTree(tmp)
     ym

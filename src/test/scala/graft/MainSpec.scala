@@ -109,6 +109,22 @@ class MainParseSpec extends AnyFunSuite {
       "--compact-every", "-1"), noEnv).isLeft)
   }
 
+  test("snapshot modes parse, validate ids, and are mutually exclusive") {
+    assert(Main.parse(Seq("--snapshot", "--table-path", "/t"), noEnv) ==
+      Right(Main.Snapshot("/t")))
+    assert(Main.parse(Seq("--list-snapshots", "--table-path", "/t"), noEnv) ==
+      Right(Main.ListSnapshots("/t")))
+    assert(Main.parse(Seq("--drop-snapshot", "s000002", "--table-path", "/t"), noEnv) ==
+      Right(Main.DropSnapshot("/t", "s000002")))
+    assert(Main.parse(Seq("--snapshot"), noEnv).isLeft)           // needs path
+    val badId = Main.parse(Seq("--drop-snapshot", "nope", "--table-path", "/t"), noEnv)
+    assert(badId.isLeft && badId.swap.exists(_.contains("s000001")))
+    assert(Main.parse(Seq("--snapshot", "--maintain", "--table-path", "/t"), noEnv)
+      .swap.exists(_.contains("pick one mode")))
+    assert(Main.parse(Seq("--drop-snapshot", "s000001", "--list-snapshots",
+      "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
+  }
+
   test("positional json files become a one-shot convert") {
     assert(Main.parse(Seq("a.json", "b.json", "--table-path", "/t"), noEnv) ==
       Right(Main.Convert(Seq("a.json", "b.json"), "/t", 8)))
@@ -172,6 +188,27 @@ class MainRunSpec extends SparkSpec {
     assert(out.exists(_.startsWith("compacted 1 months: 201906")))
     assert(new java.io.File(s"$table/ym=201906").listFiles()
       .count(_.getName.endsWith(".parquet")) == 1)
+  }
+
+  test("snapshot lifecycle through the CLI: pin, list, survive maintenance, drop") {
+    val in = tmpDir("cli-s-in"); val table = tmpDir("cli-s-table")
+    writeTrace(in, "a.json", 1557761852L, 3)
+    (1 to 3).foreach { _ =>
+      Main.run(Main.Convert(Seq(s"$in/a.json"), table, 1), _ => (), () => spark)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Main.run(Main.Snapshot(table), out.append(_), () => spark)
+    val id = out.last.stripPrefix("snapshot ")
+    assert(id.matches("s\\d{6}"), out.last)
+    Main.run(Main.ListSnapshots(table), out.append(_), () => spark)
+    assert(out.last == id)
+    Main.run(Main.Maintain(table, None, 1, 1), _ => (), () => spark) // compacts
+    assert(TraceStore.readSnapshot(spark, table, id).count() == 9)
+    Main.run(Main.DropSnapshot(table, id), out.append(_), () => spark)
+    assert(out.last.startsWith(s"dropped $id"))
+    assert(!Files.exists(Paths.get(table).resolve("_retired")))
+    Main.run(Main.DropSnapshot(table, id), out.append(_), () => spark)
+    assert(out.last == s"no such snapshot $id")
   }
 
   test("watch mode creates the schema, drains the log dir, and exits on the sentinel") {

@@ -83,13 +83,24 @@ class StoreMaintSoakSpec extends SparkSpec {
     val violations = new CopyOnWriteArrayList[String]()
 
     // single maintenance writer: compact, deleteWhere and thinExpired
-    // interleaved (all three share the manifest swap protocol)
+    // interleaved (all three share the manifest swap protocol); a
+    // time-travel snapshot is taken mid-rotation (snapshot() runs
+    // recovery, so it belongs to the single-writer rotation too) and
+    // must stay bit-stable through the remaining rounds of rewrites
+    val snapId = new AtomicReference[String]()
+    val snapIds = new AtomicReference[Seq[Int]]()
     val maint = guarded {
       (1 to 4).foreach { r =>
         TraceStore.compact(spark, path, maxFilesPerMonth = 2, splitsPerMonth = 2)
         TraceStore.deleteWhere(spark, path, col("Machine") === "doomed", splitsPerMonth = 2)
         if (r >= 2) // first round leaves 201904 fat so compact touches it too
           TraceStore.thinExpired(spark, path, keepExactMonths = 2, k = 3, splitsPerMonth = 2)
+        if (r == 2) {
+          val sid = TraceStore.snapshot(path)
+          snapId.set(sid)
+          snapIds.set(TraceStore.readSnapshot(spark, path, sid)
+            .select("Severity").collect().map(_.getInt(0)).toSeq)
+        }
       }
       maintDone.set(true)
     }
@@ -140,6 +151,29 @@ class StoreMaintSoakSpec extends SparkSpec {
     assert(fin.distinct.size == fin.size, "duplicates survived quiescence")
     assert(fin.toSet == want,
       s"final id set off: missing=${want -- fin.toSet} extra=${fin.toSet -- want}")
+
+    // the mid-soak snapshot: taken post-recovery by the single writer, so
+    // it must be duplicate-free and complete for every row no mutation
+    // had condemned by its capture round (doomed erased in round 1, first
+    // thinning done) — and BIT-STABLE through the later rounds' rewrites
+    val capture = snapIds.get()
+    assert(capture != null, "snapshot round never ran")
+    assert(capture.distinct.size == capture.size, "mid-soak snapshot has dupes")
+    val mustHave = (baseIds.toSet -- doomed) ++ thinSurvivors
+    assert((mustHave -- capture.toSet).isEmpty,
+      s"snapshot lost rows: ${mustHave -- capture.toSet}")
+    assert((capture.toSet -- (baseIds.toSet ++ lateIds ++ oldIds)).isEmpty,
+      "snapshot fabricated ids")
+    val replay = TraceStore.readSnapshot(spark, path, snapId.get())
+      .select("Severity").collect().map(_.getInt(0)).toSeq
+    assert(replay.sorted == capture.sorted,
+      "snapshot not stable across subsequent maintenance")
+    // release + vacuum: retired storage reclaimed, live rows untouched
+    TraceStore.dropSnapshot(path, snapId.get())
+    TraceStore.vacuumSnapshots(path)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path).resolve("_retired")))
+    assert(idsIn(path).toSet == want, "vacuum disturbed live rows")
   }
 
   /** Fabricate a crashed rewrite for month `ym`: temp output written,
