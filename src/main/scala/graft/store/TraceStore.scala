@@ -477,6 +477,48 @@ object TraceStore {
     }
   }
 
+  /** Incremental consumption: the rows APPENDED since `id` was captured
+    * — exactly the live files absent from the snapshot's manifest (the
+    * store's append path only ever ADDS files, so file-set difference IS
+    * row-set difference). This is the batch-CDC reader pattern:
+    * snapshot → process → readAppendedSince → snapshot → … each cycle
+    * touching only the increment, never the accumulated table.
+    *
+    * Valid only while no maintenance REWRITE has superseded a pinned
+    * file (a rewrite renames existing rows into fresh files, which would
+    * surface old rows as "new"); detected by a pinned file having left
+    * the live set, and failed loudly instead of over-reporting — after
+    * maintenance, re-base on a fresh snapshot. */
+  def readAppendedSince(spark: SparkSession, tablePath: String, id: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tablePath)
+    val mf = root.resolve(SnapDir).resolve(id)
+    require(Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
+    val pinned = Files.readAllLines(mf).asScala.toSet.filter(_.nonEmpty)
+    val pref = s"${TraceSchema.PartitionCol}="
+    val live = FsMaint.listDir(root)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(pref))
+      .flatMap(d => FsMaint.listDir(d).filter(_.toString.endsWith(".parquet"))
+        .map(f => fileKey(d, f.getFileName.toString)))
+      .toSet
+    val rewritten = pinned -- live
+    require(rewritten.isEmpty,
+      s"maintenance rewrote pinned file(s) since $id (e.g. ${rewritten.take(3).mkString(", ")})" +
+        " — the increment is no longer append-only; re-base on a fresh snapshot")
+    val newKeys = (live -- pinned).toSeq.sorted
+    val schema = org.apache.spark.sql.types.StructType(
+      TraceSchema.target.fields :+
+      org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
+        org.apache.spark.sql.types.StringType))
+    if (newKeys.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else
+      spark.read.option("basePath", root.toString).schema(schema)
+        .parquet(newKeys.map(k => root.resolve(k).toString): _*)
+  }
+
   /** Release a snapshot. Retired files it pinned become reclaimable by
     * the next [[vacuumSnapshots]]. */
   def dropSnapshot(tablePath: String, id: String): Boolean =

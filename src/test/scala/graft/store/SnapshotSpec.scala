@@ -132,6 +132,31 @@ class SnapshotSpec extends SparkSpec {
     assert(Files.exists(Paths.get(path).resolve("_retired").resolve("ym=201905")))
   }
 
+  test("readAppendedSince yields exactly the increment; refuses after a rewrite") {
+    import spark.implicits._
+    val path = tmpDir("snap-incr")
+    mkStore(path, 3)
+    val s1 = TraceStore.snapshot(path)
+    // nothing appended yet → empty increment with the store schema
+    val empty = TraceStore.readAppendedSince(spark, path, s1)
+    assert(empty.count() == 0 && empty.columns.contains("ym"))
+    TraceStore.append(Seq(
+      row(100, "2019-06-02 09:00:00", Some("late"))
+    ).toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID"), path)
+    assert(rows(TraceStore.readAppendedSince(spark, path, s1)) == Set((100, "late")))
+    // cycle: re-base, append again, increment is only the second batch
+    val s2 = TraceStore.snapshot(path)
+    TraceStore.append(Seq(
+      row(101, "2019-06-03 09:00:00", Some("later"))
+    ).toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID"), path)
+    assert(rows(TraceStore.readAppendedSince(spark, path, s2)) == Set((101, "later")))
+    // a maintenance rewrite invalidates the append-only premise: refuse
+    TraceStore.compact(spark, path, maxFilesPerMonth = 1, splitsPerMonth = 1)
+    intercept[IllegalArgumentException] {
+      TraceStore.readAppendedSince(spark, path, s2)
+    }
+  }
+
   test("snapshot ids are monotonic and listable") {
     val path = tmpDir("snap-ids")
     mkStore(path, 2)
