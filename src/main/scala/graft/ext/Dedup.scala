@@ -1151,6 +1151,60 @@ object Dedup {
        |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) >= 0.8
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- C2: cluster-aware train/val/test split
+  /** Leakage-free dataset splitting: assign near-dup CLUSTERS — not
+    * documents — to train/val/test (cluster % 10 → 8/1/1 here; a salted
+    * hash of the cluster id in production), so two near-duplicate
+    * documents can never straddle a split boundary and leak eval answers
+    * into training. Docs outside the near-dup subgraph are their own
+    * singleton cluster. The query emits per-split volume (docs, clusters,
+    * tokens) plus the cross-split near-dup pair count, which the oracle
+    * pins to ZERO — the audit is gated, not just claimed.
+    * Scale: reuses the cached cluster table (one corpus artifact shared
+    * with q55/q79/q131); the split is a map over doc grain; the audit
+    * join is pair-table-sized. Nothing new shuffles at corpus scale. */
+  def q213ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    val comp = clustersOf(s, dir).withColumnRenamed("node", "doc_id")
+    val assign = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split",
+        when(col("cluster") % 10 <= 7, "train")
+          .when(col("cluster") % 10 === 8, "val")
+          .otherwise("test"))
+    val spl = assign.select(col("doc_id"), col("split"))
+    val leak = verifiedPairs(s, dir).filter(col("jacc") >= 0.5)
+      .join(spl.toDF("d1", "s1"), Seq("d1"))
+      .join(spl.toDF("d2", "s2"), Seq("d2"))
+      .filter(col("s1") =!= col("s2"))
+      .agg(count(lit(1)).as("leak_pairs"))
+    assign.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(col("n_tok")).as("n_tokens"))
+      .crossJoin(broadcast(leak))
+      .orderBy(col("split"))
+  }
+
+  val q213Sql: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |assign AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+       |           FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |spl AS (SELECT doc_id, cluster,
+       |          CASE WHEN cluster % 10 <= 7 THEN 'train'
+       |               WHEN cluster % 10 = 8 THEN 'val' ELSE 'test' END AS split
+       |        FROM assign),
+       |leak AS (SELECT count(*) AS leak_pairs
+       |         FROM verified v JOIN spl a ON a.doc_id = v.d1
+       |         JOIN spl b ON b.doc_id = v.d2
+       |         WHERE v.jacc >= 0.5 AND a.split <> b.split),
+       |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+       |SELECT s.split, count(*) AS n_docs, count(DISTINCT s.cluster) AS n_clusters,
+       |       sum(t.n_tok)::BIGINT AS n_tokens, leak_pairs
+       |FROM spl s JOIN tok t USING (doc_id) CROSS JOIN leak
+       |GROUP BY s.split, leak_pairs ORDER BY s.split""".stripMargin
+
   // ---------------------------------------------------------------- C2: symmetric-delete (SymSpell) edit-distance join
   /** Edit-distance-1 entity-resolution join via a symmetric-delete
     * (SymSpell) neighborhood index — the COMPLETE scale path next to
@@ -1239,6 +1293,7 @@ object Dedup {
     ("q24_dedup_exact",     q24DedupExact _,     Some(q24Sql)),
     ("q211_symspell_join",  q211SymspellJoin _,  Some(q211Sql)),
     ("q212_cdc_chunks",     q212CdcChunks _,     Some(q212Sql)),
+    ("q213_cluster_split",  q213ClusterSplit _,  Some(q213Sql)),
     ("q25_minhash_sig",     q25MinHashSig _,     Some(q25Sql)),
     ("q26_lsh_pairs",       q26LshPairs _,       Some(q26Sql)),
     ("q27_simhash",         q27SimHash _,        Some(q27Sql)),
