@@ -27,6 +27,9 @@ object SparkEntry {
       ext.Mkv.entries,
       ext.Adts.entries,
       ext.Ogg.entries,
+      ext.ImageHeaders.entries,
+      ext.AcScan.entries,
+      ext.HtmlExtract.entries,
       ext.Curation.entries,
       ext.EventAnalytics.entries,
       ext.SeriesStats.entries,
