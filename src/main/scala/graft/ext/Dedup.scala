@@ -141,15 +141,30 @@ object Dedup {
   /** Exact shingle-Jaccard per candidate pair: join the pair list back
     * to the (candidate-sized set of) texts, one fused-kernel pass per
     * pair — no corpus shingle explosion, no shingle-equality shuffle. */
-  private def verifyPairs(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    cands
-      .join(toks.select(col("doc_id").as("d1"), col("tk").as("tk1")), Seq("d1"))
-      .join(toks.select(col("doc_id").as("d2"), col("tk").as("tk2")), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        round(graft.functions.GraftFunctions.jaccard_shingles(col("tk1"), col("tk2")), 4).as("jacc"))
-  }
+  /** THE exact-Jaccard verify for candidate pair tables (LSH buckets,
+    * PPJoin prefixes, SimHash bands all funnel here). Fast path: one
+    * sorted-long merge per pair over the per-doc hashed shingle arrays
+    * ([[hashedShingles]], certificate-gated exact); fallback: the
+    * per-pair string kernel. */
+  private def verifyPairs(s: SparkSession, dir: String, cands: DataFrame): DataFrame =
+    hashedShingles(s, dir) match {
+      case Some(arrs) =>
+        cands
+          .join(arrs.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+          .join(arrs.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+          .select(col("d1"), col("d2"), round(
+            graft.functions.GraftFunctions.jaccard_sorted_longs(col("sh1"), col("sh2")), 4)
+            .as("jacc"))
+      case None =>
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        cands
+          .join(toks.select(col("doc_id").as("d1"), col("tk").as("tk1")), Seq("d1"))
+          .join(toks.select(col("doc_id").as("d2"), col("tk").as("tk2")), Seq("d2"))
+          .select(col("d1"), col("d2"), round(
+            graft.functions.GraftFunctions.jaccard_shingles(col("tk1"), col("tk2")), 4)
+            .as("jacc"))
+    }
 
   private def computeVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     // buckets feeds both sides of the self-join; persist for the join,
@@ -1108,34 +1123,61 @@ object Dedup {
     * near-linear; verify runs the one-pass Jaccard kernel on candidate
     * pairs only. t = 0.8, prefix length in exact integers:
     * sz − ⌈4·sz/5⌉ + 1 = sz − (4·sz+4) DIV 5 + 1. */
-  def q147PrefixSsjoin(s: SparkSession, dir: String): DataFrame = {
+  def q147PrefixSsjoin(s: SparkSession, dir: String): DataFrame =
+    verifyPairs(s, dir, q147CandidatesForProbe(s, dir))
+      .filter(col("jacc") >= 0.8)
+      .select(col("d1"), col("d2"), col("jacc"))
+      .orderBy(col("d1"), col("d2"))
+
+  /** Per-(session, dir) VERIFY ARTIFACT: each doc's distinct 3-gram
+    * shingle set as a SORTED xxhash64 array — built once per corpus off
+    * the shared shingle table, so the exact-verify stage intersects two
+    * sorted long arrays per candidate pair instead of rebuilding string
+    * hash-sets per pair (a doc in k pairs paid k rebuilds; measured 74 s
+    * → ~2 s on the 10× near-dup corpus, where pairs ≫ docs). EXACTNESS:
+    * Jaccard over hashes equals Jaccard over shingle strings iff the
+    * hash is injective on this corpus's shingle vocabulary, which one
+    * corpus-wide aggregate certifies (countDistinct(g) ==
+    * countDistinct(xxhash64(g)), cached with the artifact); on the
+    * astronomically-rare failure (~v²/2⁶⁵) this returns None and callers
+    * take the per-pair string kernel. At 100 TB both the certificate and
+    * the artifact are one linear pass over the pipeline's checkpointed
+    * shingle table. */
+  private val hashedShingleCache = new graft.util.SessionDirCache[Option[DataFrame]]
+
+  private def hashedShingles(s: SparkSession, dir: String): Option[DataFrame] =
+    hashedShingleCache(s, dir) { (sess, d) =>
+      val tri = docShingles(sess, d)
+      val cert = tri.agg(
+        countDistinct(col("g")).as("ns"),
+        countDistinct(xxhash64(col("g"))).as("nh")).head()
+      if (cert.getLong(0) != cert.getLong(1)) None
+      else Some(
+        tri.select(col("doc_id"), xxhash64(col("g")).as("h"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("h"))).as("sh"))
+          .localCheckpoint(true))
+    }
+
+  /** q147's candidate stage, factored for the stage-timing probe
+    * ([[graft.tools.Q147Probe]]) — two further LOSSLESS prunes from the
+    * PPJoin toolbox, both implied by J ≥ t so no true pair can fail them:
+    *  - size filter: I ≥ t·max ∧ I ≤ min ⇒ 5·min(sz) ≥ 4·max(sz)
+    *  - position filter: at the FIRST shared prefix shingle (ranks
+    *    i,j) every ∩ element sits at rank ≥ i resp. ≥ j, so
+    *    I ≤ 1 + min(szₐ−i, sz_b−j); require that to reach
+    *    α = ⌈t/(1+t)·(szₐ+sz_b)⌉ = (4·(szₐ+sz_b)+8) DIV 9. Later
+    *    shared shingles only have smaller bounds, so filtering every
+    *    matched row keeps a pair iff its first match passes — safe. */
+  def q147CandidatesForProbe(s: SparkSession, dir: String): DataFrame = {
     val prefix = prefixIndex(s, dir)
-    // two further LOSSLESS prunes from the PPJoin toolbox, both implied
-    // by J ≥ t so no true pair can fail them:
-    //  - size filter: I ≥ t·max ∧ I ≤ min ⇒ 5·min(sz) ≥ 4·max(sz)
-    //  - position filter: at the FIRST shared prefix shingle (ranks
-    //    i,j) every ∩ element sits at rank ≥ i resp. ≥ j, so
-    //    I ≤ 1 + min(szₐ−i, sz_b−j); require that to reach
-    //    α = ⌈t/(1+t)·(szₐ+sz_b)⌉ = (4·(szₐ+sz_b)+8) DIV 9. Later
-    //    shared shingles only have smaller bounds, so filtering every
-    //    matched row keeps a pair iff its first match passes — safe.
-    val cands = prefix.as("a").join(prefix.as("b"),
+    prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
         col("b.sz") * 5 >= col("a.sz") * 4 && col("a.sz") * 5 >= col("b.sz") * 4 &&
         (lit(1) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))) >=
           expr("(4 * (a.sz + b.sz) + 8) DIV 9"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    cands
-      .join(toks.select(col("doc_id").as("d1"), col("tk").as("tk1")), Seq("d1"))
-      .join(toks.select(col("doc_id").as("d2"), col("tk").as("tk2")), Seq("d2"))
-      .withColumn("jacc",
-        round(graft.functions.GraftFunctions.jaccard_shingles(col("tk1"), col("tk2")), 4))
-      .filter(col("jacc") >= 0.8)
-      .select(col("d1"), col("d2"), col("jacc"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** Oracle: brute-force full-corpus shared-shingle join — q147's prefix

@@ -99,6 +99,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sorted-long jaccard == string jaccard after injective hash+sort (random pairs)") {
+    import spark.implicits._
+    val rnd = newRnd()
+    val docs = randDocs(rnd, 30)
+    val pairs = for (a <- docs; b <- docs if a._1 < b._1) yield (a, b)
+    val df = pairs.map { case (a, b) => (a._1, b._1, a._2, b._2) }
+      .toDF("d1", "d2", "tk1", "tk2")
+      .select(col("d1"), col("d2"),
+        GraftFunctions.jaccard_shingles(col("tk1"), col("tk2")).as("js"),
+        GraftFunctions.jaccard_sorted_longs(
+          sort_array(array_distinct(transform(
+            TextHash.shingles3(col("tk1")), x => xxhash64(x)))),
+          sort_array(array_distinct(transform(
+            TextHash.shingles3(col("tk2")), x => xxhash64(x))))).as("jl"))
+      .collect()
+    df.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3),
+        s"pair (${r.getLong(0)},${r.getLong(1)}): string=${r.getDouble(2)} hashed=${r.getDouble(3)}")
+    }
+    assert(df.length == pairs.length)
+    // merge-kernel edge cases: empty sides, identical, disjoint
+    val edges = Seq(
+      (Seq.empty[Long], Seq.empty[Long], 0.0),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 1.0),
+      (Seq(1L, 2L), Seq(3L, 4L), 0.0),
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), 0.5),
+      (Seq.empty[Long], Seq(1L), 0.0))
+    edges.zipWithIndex.foreach { case ((a, b, exp), i) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(GraftFunctions.jaccard_sorted_longs(col("a"), col("b")))
+        .head().getDouble(0)
+      assert(got == exp, s"edge case $i")
+    }
+  }
+
   test("cosine kernel == higher-order-function formulation (exact doubles)") {
     import spark.implicits._
     val rnd = newRnd()
