@@ -86,4 +86,38 @@ class DedupPropertySpec extends SparkSpec {
     assert(gridShared < shared / 3,
       s"fixed grid shared $gridShared should be far below CDC's $shared")
   }
+
+  test("q147 verify takes the certified sorted-hash path, and it matches the string kernel") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("join", "hash", "scan", "merge", "filter", "table", "sort", "agg")
+    def doc() = Seq.fill(40)(words(rnd.nextInt(words.size))).mkString(" ")
+    val base = (0L until 20L).map(i => (i, doc()))
+    // plant near-dups (1 word mutated) so the join has real output
+    val dups = base.take(5).map { case (i, t) =>
+      val w = t.split(" "); w(3) = "mutant"; (100L + i, w.mkString(" "))
+    }
+    val dir = tmpDir("docs-ssj")
+    (base ++ dups).map { case (i, t) => (i, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val q = Dedup.q147PrefixSsjoin(spark, dir)
+    // the FAST path must be planned on a collision-free corpus — a silent
+    // regression to the per-pair string fallback would cost 10×+ at scale
+    assert(q.queryExecution.executedPlan.toString.contains("jaccard_sorted_longs"),
+      "q147 verify is not on the sorted-hash fast path")
+    // and its verdicts must equal the string kernel's, pair for pair
+    val fromHash = q.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val toks = (base ++ dups).toMap
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val ids = (base ++ dups).map(_._1)
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      sa = sh(toks(a)); sb = sh(toks(b))
+      u = (sa ++ sb).size if u > 0
+      j = math.rint((sa & sb).size.toDouble / u * 10000) / 10000 if j >= 0.8
+    } yield (a, b) -> j).toMap
+    assert(fromHash == brute, s"hash-path pairs $fromHash != brute $brute")
+  }
 }
