@@ -30,6 +30,7 @@ object SparkEntry {
       ext.ImageHeaders.entries,
       ext.AcScan.entries,
       ext.HtmlExtract.entries,
+      ext.UrlOps.entries,
       ext.Curation.entries,
       ext.EventAnalytics.entries,
       ext.SeriesStats.entries,
