@@ -21,6 +21,81 @@ import graft.schema.TraceSchema
   */
 object TraceStore {
 
+  // ------------------------------------------------------------------ schema evolution
+  private val SchemaDir = "_schema"
+
+  /** Current stored schema: the base whitelist plus any evolved columns —
+    * the reference's "extend the schema by editing `columns`"
+    * (README.md:135-137) made safe for a table with history: evolution is
+    * METADATA-ONLY (one versioned manifest write, no file rewritten at
+    * any scale); parquet's declared-schema read null-fills the new
+    * column in every pre-evolution file, so old and new files coexist in
+    * one scan. Every read AND every maintenance rewrite resolves this
+    * schema first — a compaction that read the base schema would silently
+    * drop evolved columns from rewritten months. */
+  def storedSchema(tablePath: String): org.apache.spark.sql.types.StructType =
+    storedSchema(java.nio.file.Paths.get(tablePath))
+
+  private def storedSchema(root: java.nio.file.Path): org.apache.spark.sql.types.StructType = {
+    val dir = root.resolve(SchemaDir)
+    if (!java.nio.file.Files.exists(dir)) return TraceSchema.target
+    FsMaint.listDir(dir).map(_.getFileName.toString).filter(_.matches("v\\d{6}\\.json"))
+      .sorted.lastOption match {
+      case None => TraceSchema.target
+      case Some(latest) =>
+        org.apache.spark.sql.types.DataType.fromJson(new String(
+          java.nio.file.Files.readAllBytes(dir.resolve(latest))))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+  }
+
+  /** Add a column to the stored schema (append-only evolution). The new
+    * column must be NULLABLE — that is what makes the change metadata-only:
+    * history has no values for it, and a declared-schema scan reads those
+    * files as NULL without rewriting a byte. Returns the new schema
+    * version number. Runs under the single-maintenance-writer contract
+    * (manifests are staged + atomically renamed, so readers see the old
+    * or the new schema, never a torn one). */
+  def evolveSchema(tablePath: String, field: org.apache.spark.sql.types.StructField): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(field.nullable,
+      s"evolved column '${field.name}' must be nullable — history has no values for it")
+    val root = Paths.get(tablePath)
+    require(Files.exists(root), s"no store at $tablePath")
+    val cur = storedSchema(root)
+    require(!cur.fieldNames.contains(field.name) &&
+            field.name != TraceSchema.PartitionCol,
+      s"column '${field.name}' already exists in the stored schema")
+    val next = org.apache.spark.sql.types.StructType(cur.fields :+ field)
+    val dir = root.resolve(SchemaDir)
+    Files.createDirectories(dir)
+    val ver = FsMaint.listDir(dir).map(_.getFileName.toString)
+      .filter(_.matches("v\\d{6}\\.json")).map(_.drop(1).take(6).toInt)
+      .foldLeft(1)(math.max) + 1 // base schema is implicitly v1
+    val tmp = dir.resolve(f".tmp-v$ver%06d")
+    Files.write(tmp, next.json.getBytes)
+    Files.move(tmp, dir.resolve(f"v$ver%06d.json"), StandardCopyOption.ATOMIC_MOVE)
+    ver
+  }
+
+  /** Align a batch to the stored schema before writing: evolved columns
+    * the batch does not carry are null-filled (files within one commit
+    * stay uniform), unknown columns are rejected loudly (a typo'd column
+    * silently dropped would be data loss at ingest). */
+  private def alignToStored(df: DataFrame, root: java.nio.file.Path): DataFrame = {
+    val stored = storedSchema(root)
+    val have = df.columns.toSet
+    val unknown = have -- stored.fieldNames.toSet
+    require(unknown.isEmpty,
+      s"batch carries column(s) not in the stored schema: ${unknown.mkString(", ")} — evolveSchema first")
+    val missingBase = TraceSchema.target.fieldNames.filterNot(have)
+    require(missingBase.isEmpty,
+      s"batch is missing base column(s): ${missingBase.mkString(", ")}")
+    stored.fields.foldLeft(df) { (d, f) =>
+      if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(stored.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** Append a normalized batch to the partitioned table path.
     *
     * `splitsPerMonth` bounds write parallelism per month partition: the
@@ -29,8 +104,8 @@ object TraceStore {
     * large cluster passes executor-count-sized splits so a single hot
     * month does not serialize onto one task. */
   def append(df: DataFrame, tablePath: String, splitsPerMonth: Int = 1): Unit = {
-    val withYm = df.withColumn(TraceSchema.PartitionCol,
-      date_format(col("Time"), "yyyyMM"))
+    val withYm = alignToStored(df, java.nio.file.Paths.get(tablePath))
+      .withColumn(TraceSchema.PartitionCol, date_format(col("Time"), "yyyyMM"))
     val parted =
       if (splitsPerMonth <= 1) withYm.repartition(col(TraceSchema.PartitionCol))
       else withYm.repartition(col(TraceSchema.PartitionCol),
@@ -56,7 +131,7 @@ object TraceStore {
   def read(spark: SparkSession, tablePath: String): DataFrame =
     spark.read
       .schema(org.apache.spark.sql.types.StructType(
-        TraceSchema.target.fields :+
+        storedSchema(tablePath).fields :+
         org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
           org.apache.spark.sql.types.StringType)))
       .parquet(tablePath)
@@ -74,7 +149,7 @@ object TraceStore {
     // explicit schema: without it, partition discovery infers ym=201905
     // as INT — the exact type hazard read() documents and defends
     // against, surfaced to every user of the registered table
-    val ddlCols = TraceSchema.target.fields
+    val ddlCols = storedSchema(tablePath).fields
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     spark.sql(
       s"CREATE TABLE IF NOT EXISTS $table ($ddlCols, `${TraceSchema.PartitionCol}` STRING) " +
@@ -209,7 +284,7 @@ object TraceStore {
     monthDirs
       .map(d => (d, listDir(d).filter(_.toString.endsWith(".parquet"))))
       .filter { case (_, old) =>
-        old.nonEmpty && spark.read.schema(TraceSchema.target)
+        old.nonEmpty && spark.read.schema(storedSchema(root))
           .parquet(old.map(_.toString): _*).filter(cond).limit(1).count() > 0
       }
       .map { case (monthDir, old) =>
@@ -337,6 +412,10 @@ object TraceStore {
     val cut = java.time.YearMonth.of(newest.take(4).toInt, newest.drop(4).toInt)
       .minusMonths((keepExactMonths - 1).toLong)
     val cutoff = f"${cut.getYear}%04d${cut.getMonthValue}%02d"
+    // the keep hash is pinned to the BASE columns on purpose: they exist
+    // in every file forever, so a row's keep/drop verdict survives schema
+    // evolution — hashing evolved columns would flip verdicts on already-
+    // thinned months (breaking idempotence) the first time one is added
     val keep = pmod(
       xxhash64(TraceSchema.target.fieldNames.map(col).toIndexedSeq: _*),
       lit(k.toLong)) === 0L
@@ -344,7 +423,7 @@ object TraceStore {
       .filter(_.getFileName.toString.stripPrefix(pref) < cutoff)
       .map(d => (d, listDir(d).filter(_.toString.endsWith(".parquet"))))
       .filter { case (_, old) => // probe: anything left to drop?
-        old.nonEmpty && spark.read.schema(TraceSchema.target)
+        old.nonEmpty && spark.read.schema(storedSchema(root))
           .parquet(old.map(_.toString): _*).filter(!keep).limit(1).count() > 0
       }
       .map { case (monthDir, old) =>
@@ -461,7 +540,7 @@ object TraceStore {
       case _ =>
     }
     val schema = org.apache.spark.sql.types.StructType(
-      TraceSchema.target.fields :+
+      storedSchema(root).fields :+
       org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
         org.apache.spark.sql.types.StringType))
     def readFrom(base: java.nio.file.Path, ks: Seq[String]): Option[DataFrame] =
@@ -508,7 +587,7 @@ object TraceStore {
         " — the increment is no longer append-only; re-base on a fresh snapshot")
     val newKeys = (live -- pinned).toSeq.sorted
     val schema = org.apache.spark.sql.types.StructType(
-      TraceSchema.target.fields :+
+      storedSchema(root).fields :+
       org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
         org.apache.spark.sql.types.StringType))
     if (newKeys.isEmpty)
@@ -603,7 +682,9 @@ object TraceStore {
     val tmpName = s".compact-$ym-$attempt"
     val tmp = monthDir.resolveSibling(tmpName)
     deleteTree(tmp)
-    transform(spark.read.schema(TraceSchema.target)
+    // the rewrite MUST read the evolved schema: reading the base schema
+    // here would silently drop evolved columns from every rewritten month
+    transform(spark.read.schema(storedSchema(monthDir.getParent))
         .parquet(old.map(_.toString): _*))          // exactly the captured files
       .repartitionByRange(splitsPerMonth, col("Time"))
       .sortWithinPartitions(col("Time"))
