@@ -31,6 +31,8 @@ object SparkEntry {
       ext.AcScan.entries,
       ext.HtmlExtract.entries,
       ext.UrlOps.entries,
+      ext.Bm25.entries,
+      ext.UnicodeNorm.entries,
       ext.Curation.entries,
       ext.EventAnalytics.entries,
       ext.SeriesStats.entries,

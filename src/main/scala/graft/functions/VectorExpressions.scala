@@ -155,6 +155,22 @@ object ExprKernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Unicode canonical composition (NFC) — the text-normalization step a
+    * multilingual corpus needs before ANY exact-match op (dedup keys,
+    * needle scans, token counts): the same visible text arrives from
+    * different sources as precomposed codepoints or base+combining-mark
+    * sequences, and byte-level equality misses the equivalence. JDK
+    * `java.text.Normalizer` is the engine; compatibility forms (NFKC —
+    * ligatures, fullwidth) are a separate, lossier choice exposed as its
+    * own function. */
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
+  def nfkcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFKC))
+
   /** One-pass 16-permutation MinHash over a string array. */
   def minhashSig(arr0: ArrayData): ArrayData = {
     val arr = skipNulls(arr0)
@@ -413,6 +429,28 @@ case class JaccardShinglesExpr(left: Expression, right: Expression) extends Bina
   override def prettyName: String = "jaccard_shingles"
 }
 
+/** Unicode NFC normalization of a string column (JDK Normalizer). */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.nfcNormalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalizeExpr = copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}
+
+/** Unicode NFKC (compatibility) normalization of a string column. */
+case class NfkcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.nfkcNormalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.nfkcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfkcNormalizeExpr = copy(child = c)
+  override def prettyName: String = "nfkc_normalize"
+}
+
 /** Exact Jaccard between two sorted, distinct long arrays (see
   * [[ExprKernels.jaccardSortedLongs]] for the contract and the exactness
   * certificate the caller owes). */
@@ -532,6 +570,8 @@ object GraftFunctions {
     column(JaccardShinglesExpr(expression(a), expression(b)))
   def jaccard_sorted_longs(a: Column, b: Column): Column =
     column(JaccardSortedLongsExpr(expression(a), expression(b)))
+  def nfc_normalize(c: Column): Column = column(NfcNormalizeExpr(expression(c)))
+  def nfkc_normalize(c: Column): Column = column(NfkcNormalizeExpr(expression(c)))
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
   def lsh_bucket(c: Column): Column = column(LshBucketExpr(expression(c)))
@@ -549,6 +589,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_shingle_sig", es => MinHashShingleSigExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_shingles", es => JaccardShinglesExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_sorted_longs", es => JaccardSortedLongsExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalizeExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfkc_normalize", es => NfkcNormalizeExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bucket", es => LshBucketExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash16", es => SimHashExpr(es.head), "scala_udf")
@@ -576,6 +618,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => JaccardShinglesExpr(es(0), es(1)))
     inject("jaccard_sorted_longs", classOf[JaccardSortedLongsExpr],
       es => JaccardSortedLongsExpr(es(0), es(1)))
+    inject("nfc_normalize", classOf[NfcNormalizeExpr], es => NfcNormalizeExpr(es.head))
+    inject("nfkc_normalize", classOf[NfkcNormalizeExpr], es => NfkcNormalizeExpr(es.head))
     inject("cosine_sim", classOf[CosineSimExpr], es => CosineSimExpr(es(0), es(1)))
     inject("lsh_bucket", classOf[LshBucketExpr], es => LshBucketExpr(es.head))
     inject("simhash16", classOf[SimHashExpr], es => SimHashExpr(es.head))
