@@ -33,6 +33,8 @@ object SparkEntry {
       ext.UrlOps.entries,
       ext.Bm25.entries,
       ext.UnicodeNorm.entries,
+      ext.SpanCorrupt.entries,
+      ext.ImageDhash.entries,
       ext.Curation.entries,
       ext.EventAnalytics.entries,
       ext.SeriesStats.entries,

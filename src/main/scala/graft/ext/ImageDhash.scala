@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Perceptual image near-dup via difference hash (dHash) — the
+  * embedding-free image dedup a multimodal curation pipeline runs before
+  * any model touches pixels: decode, downsample to a 9×8 grid, emit one
+  * bit per horizontal neighbor comparison (64 bits), and bucket by the
+  * hash. Robust to uniform brightness shifts BY CONSTRUCTION (both sides
+  * of every comparison shift together) — which the gate data exploits:
+  * docs are planted in pairs (even id = base image, odd id = the same
+  * image +1 brightness), and the query must cluster exactly those pairs.
+  *
+  * The Spark side is the REAL pipeline: encode ([[synthDhashPng]]) →
+  * JDK PNG decode → block-sum downsample → bit pack, all partition-local
+  * with one image held at a time; the per-hash cluster aggregate is
+  * map-side combined. The oracle never decodes — it recomputes every
+  * 8×8-block sum in closed form from the pixel formula, so a decoder
+  * that misread raster order, a downsampler that mis-tiled blocks, or a
+  * packer that put a bit in the wrong half hash-mismatches. */
+object ImageDhash {
+
+  private val W = 72; private val H = 64 // 9×8 grid of 8×8 blocks
+
+  /** Deterministic grayscale test image: pixel(x,y) =
+    * ((x·7 + y·13 + base·31) % 251) + odd, base = the pair's even id.
+    * The +1 on odd ids shifts every pixel uniformly — same dHash. */
+  def synthDhashPng(id: Long): Array[Byte] = {
+    val base = (id / 2) * 2
+    val odd = (id % 2).toInt
+    val im = new java.awt.image.BufferedImage(W, H,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = im.getRaster
+    var y = 0
+    while (y < H) {
+      var x = 0
+      while (x < W) {
+        raster.setSample(x, y, 0,
+          (java.lang.Math.floorMod(x.toLong * 7 + y.toLong * 13 + base * 31, 251L) + odd).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(W * H / 2 + 128)
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode + downsample + pack. Returns (lo, hi): bits of rows 0-3 in
+    * `lo`, rows 4-7 in `hi` (32 bits each — two signed BIGINTs avoid the
+    * sign bit a single 64-bit pack would hit). None on undecodable. */
+  def dhash(png: Array[Byte]): Option[(Long, Long)] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.filter(i => i.getWidth == W && i.getHeight == H).map { im =>
+      val raster = im.getRaster
+      val cell = Array.ofDim[Long](8, 9)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 9) {
+          var s = 0L
+          var dy = 0
+          while (dy < 8) {
+            var dx = 0
+            while (dx < 8) { s += raster.getSample(c * 8 + dx, r * 8 + dy, 0); dx += 1 }
+            dy += 1
+          }
+          cell(r)(c) = s; c += 1
+        }
+        r += 1
+      }
+      var lo = 0L; var hi = 0L
+      r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (cell(r)(c) < cell(r)(c + 1)) {
+            if (r < 4) lo |= 1L << (r * 8 + c) else hi |= 1L << ((r - 4) * 8 + c)
+          }
+          c += 1
+        }
+        r += 1
+      }
+      (lo, hi)
+    }
+  }
+
+  /** Perceptual dedup through the gate: encode → decode → dHash → bucket;
+    * per-hash clusters (size, id range) must be exactly the planted
+    * brightness-shift pairs, with both 32-bit halves matching the
+    * oracle's closed-form block sums. */
+  def q221ImageDhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.flatMap(id => dhash(synthDhashPng(id)).map { case (lo, hi) => (id, lo, hi) })
+      }
+      .toDF("doc_id", "dhash_lo", "dhash_hi")
+      .groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(count(lit(1)).as("n_imgs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("dhash_hi"), col("dhash_lo"), col("min_doc"))
+  }
+
+  val q221Sql: String =
+    """WITH g AS (SELECT doc_id, (doc_id // 2) * 2 AS base, doc_id % 2 AS odd FROM documents),
+      |cells AS (
+      |  SELECT doc_id, rr.r, cc.c,
+      |    sum(((cc.c * 8 + dxx.dx) * 7 + (rr.r * 8 + dyy.dy) * 13 + base * 31) % 251
+      |        + odd)::BIGINT AS s
+      |  FROM g, range(8) rr(r), range(9) cc(c), range(8) dyy(dy), range(8) dxx(dx)
+      |  GROUP BY doc_id, rr.r, cc.c),
+      |bits AS (
+      |  SELECT a.doc_id, a.r, a.c, CASE WHEN a.s < b.s THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8),
+      |h AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN r < 4 THEN bit::BIGINT << (r * 8 + c) ELSE 0 END)::BIGINT AS dhash_lo,
+      |    sum(CASE WHEN r >= 4 THEN bit::BIGINT << ((r - 4) * 8 + c) ELSE 0 END)::BIGINT AS dhash_hi
+      |  FROM bits GROUP BY doc_id)
+      |SELECT dhash_hi, dhash_lo, count(*)::BIGINT AS n_imgs,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM h GROUP BY dhash_hi, dhash_lo ORDER BY dhash_hi, dhash_lo, min_doc""".stripMargin
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q221_image_dhash", q221ImageDhash _, Some(q221Sql)),
+  )
+}
