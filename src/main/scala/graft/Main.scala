@@ -47,6 +47,8 @@ object Main {
   final case class Snapshot(tablePath: String) extends Action
   final case class ListSnapshots(tablePath: String) extends Action
   final case class DropSnapshot(tablePath: String, id: String) extends Action
+  final case class EvolveSchema(tablePath: String, name: String,
+                                dtype: org.apache.spark.sql.types.DataType) extends Action
 
   val Usage: String =
     """usage: graft.Main <mode> [options] [trace-file.json ...]
@@ -59,6 +61,9 @@ object Main {
       |  --snapshot              pin a time-travel snapshot; prints its id
       |  --list-snapshots        list snapshot ids, oldest first
       |  --drop-snapshot ID      release a snapshot and vacuum retired files
+      |  --evolve-schema N:T     add nullable column N of DDL type T (e.g.
+      |                          Region:string) to the store schema —
+      |                          metadata-only, no file rewritten
       |  <trace-file.json ...>   one-shot convert the given files into the store
       |options (flag > env > default):
       |  --db NAME               catalog database    (GRAFT_DB | CLICKHOUSE_DB)
@@ -93,7 +98,7 @@ object Main {
     val takesValue = Set("--db", "--table", "--table-path", "--log-dir",
       "--checkpoint", "--max-files", "--splits", "--completion-file",
       "--drop-before", "--compact-over", "--compact-every", "--retain-months",
-      "--thin-keep-months", "--thin-factor", "--drop-snapshot")
+      "--thin-keep-months", "--thin-factor", "--drop-snapshot", "--evolve-schema")
     val bare = Set("--print-schema", "--create-schema", "--watch", "--maintain",
       "--delete-logs", "--snapshot", "--list-snapshots")
     var i = 0
@@ -129,7 +134,8 @@ object Main {
     val modes = switches.intersect(
       Set("--print-schema", "--create-schema", "--watch", "--maintain",
         "--snapshot", "--list-snapshots")) ++
-      (if (flags.contains("--drop-snapshot")) Set("--drop-snapshot") else Set.empty)
+      (if (flags.contains("--drop-snapshot")) Set("--drop-snapshot") else Set.empty) ++
+      (if (flags.contains("--evolve-schema")) Set("--evolve-schema") else Set.empty)
     if (modes.size > 1)
       return Left(s"ERROR: pick one mode, got ${modes.toSeq.sorted.mkString(", ")}")
 
@@ -205,6 +211,18 @@ object Main {
           .toRight(s"ERROR: --drop-snapshot needs an id like s000001, got " +
             s"'${flags("--drop-snapshot")}'")
       } yield DropSnapshot(tablePath, id)
+    else if (flags.contains("--evolve-schema"))
+      for {
+        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        spec = flags("--evolve-schema")
+        nt <- spec.split(":", 2) match {
+          case Array(n, t) if n.nonEmpty && t.nonEmpty => Right((n, t))
+          case _ => Left(s"ERROR: --evolve-schema needs NAME:TYPE, got '$spec'")
+        }
+        dtype <- scala.util.Try(
+            org.apache.spark.sql.types.DataType.fromDDL(nt._2)).toOption
+          .toRight(s"ERROR: unknown DDL type '${nt._2}' in --evolve-schema")
+      } yield EvolveSchema(tablePath, nt._1, dtype)
     else if (files.nonEmpty)
       for {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
@@ -268,6 +286,10 @@ object Main {
       val removed = store.TraceStore.vacuumSnapshots(tablePath)
       out(if (existed) s"dropped $id; vacuumed ${removed.size} retired files"
           else s"no such snapshot $id")
+    case EvolveSchema(tablePath, name, dtype) =>
+      val v = store.TraceStore.evolveSchema(tablePath,
+        org.apache.spark.sql.types.StructField(name, dtype, nullable = true))
+      out(s"evolved schema to v$v: added $name ${dtype.sql} (nullable)")
     case Watch(cfg, schema, sentinel) =>
       val spark = session()
       schema.foreach { case (db, t) =>

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.SparkSpec
 import graft.store.TraceStore
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** CLI dispatch contract: parse() is pure (args + env → action), so every
@@ -125,6 +126,17 @@ class MainParseSpec extends AnyFunSuite {
       "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
   }
 
+  test("--evolve-schema parses NAME:TYPE, validates, and runs metadata-only") {
+    assert(Main.parse(Seq("--evolve-schema", "Region:string", "--table-path", "/t"), noEnv) ==
+      Right(Main.EvolveSchema("/t", "Region",
+        org.apache.spark.sql.types.StringType)))
+    assert(Main.parse(Seq("--evolve-schema", "Region"), noEnv).isLeft)      // no type
+    assert(Main.parse(Seq("--evolve-schema", "R:nosuch", "--table-path", "/t"), noEnv)
+      .swap.exists(_.contains("unknown DDL type")))
+    assert(Main.parse(Seq("--evolve-schema", "R:string", "--snapshot",
+      "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
+  }
+
   test("positional json files become a one-shot convert") {
     assert(Main.parse(Seq("a.json", "b.json", "--table-path", "/t"), noEnv) ==
       Right(Main.Convert(Seq("a.json", "b.json"), "/t", 8)))
@@ -242,5 +254,17 @@ class MainRunSpec extends SparkSpec {
     assert(out.exists(_.startsWith("created schema fdbcli.traces_cli")))
     assert(out.exists(_.startsWith("watching logs in ")))
     assert(out.exists(_.startsWith("NOTE: found completion file")))
+  }
+
+  test("--evolve-schema via the CLI: metadata-only, old rows read as NULL") {
+    val in = tmpDir("cli-e-in"); val table = tmpDir("cli-e-table")
+    writeTrace(in, "trace.json", 1557761852L, 2)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Main.run(Main.Convert(Seq(s"$in/trace.json"), table, 1), out.append(_), () => spark)
+    Main.run(Main.EvolveSchema(table, "Region",
+      org.apache.spark.sql.types.StringType), out.append(_), () => spark)
+    assert(out.exists(_.startsWith("evolved schema to v2")))
+    val got = TraceStore.read(spark, table)
+    assert(got.columns.contains("Region") && got.filter(col("Region").isNull).count() == 2)
   }
 }
