@@ -35,6 +35,7 @@ object SparkEntry {
       ext.UnicodeNorm.entries,
       ext.SpanCorrupt.entries,
       ext.ImageDhash.entries,
+      ext.AudioFp.entries,
       ext.Curation.entries,
       ext.EventAnalytics.entries,
       ext.SeriesStats.entries,
