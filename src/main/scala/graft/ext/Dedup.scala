@@ -1089,18 +1089,34 @@ object Dedup {
     * shingle. */
   private val prefixCache = new graft.util.SessionDirCache[DataFrame]
 
+  /** Per-(session, dir) document-frequency table over the shared shingle
+    * table — vocab-sized, shared by the prefix index (rarest-first
+    * ordering) and the hashed-verify certificate (injectivity check), so
+    * the corpus-sized aggregate runs once per dir. */
+  private val dfreqCache = new graft.util.SessionDirCache[DataFrame]
+
+  private def dfreqOf(s: SparkSession, dir: String): DataFrame =
+    dfreqCache(s, dir) { (sess, d) =>
+      docShingles(sess, d).groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .localCheckpoint(true)
+    }
+
   private def prefixIndex(s: SparkSession, dir: String): DataFrame =
     prefixCache(s, s"$dir#prefix-t80") { (sess, _) =>
       val tri = docShingles(sess, dir) // already checkpointed
-      // df and size tables are vocab-/doc-count-sized — broadcast beats a
-      // g-keyed shuffle of the whole shingle table (at vocabularies past
-      // executor memory, fall back to the shuffle join; the algorithm is
-      // unchanged)
-      val dfreq = tri.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      // df and size tables are vocab-/doc-count-sized: SMALL on natural
+      // corpora (Zipf vocabularies), but a wide random vocabulary makes
+      // dfreq as big as the shingle table itself — a FORCED broadcast
+      // there built a multi-million-row hash relation on the driver
+      // (measured 170 s vs 40 s on a 50k-doc, 500-word-vocab stress
+      // corpus). No hints: both joins run post-aggregate, so AQE sees
+      // real sizes and broadcasts exactly when the table is actually
+      // small — the fast path on Zipf corpora, the shuffle join past it.
+      val dfreq = dfreqOf(sess, dir)
       val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-      tri.join(broadcast(dfreq), Seq("g")).join(broadcast(sizes), Seq("doc_id"))
+      tri.join(dfreq, Seq("g")).join(sizes, Seq("doc_id"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) DIV 5") + 1)
         .select(col("doc_id"), col("g"), col("rn"), col("sz"))
@@ -1147,15 +1163,24 @@ object Dedup {
 
   private def hashedShingles(s: SparkSession, dir: String): Option[DataFrame] =
     hashedShingleCache(s, dir) { (sess, d) =>
-      val tri = docShingles(sess, d)
-      val cert = tri.agg(
-        countDistinct(col("g")).as("ns"),
-        countDistinct(xxhash64(col("g"))).as("nh")).head()
-      if (cert.getLong(0) != cert.getLong(1)) None
+      // certificate off the (vocab-sized, cached) df table: its g column
+      // is already distinct, so ns is a count and nh one countDistinct —
+      // no second corpus-sized shuffle just to certify
+      val dq = dfreqOf(sess, d)
+      val ns = dq.count()
+      val nh = dq.agg(countDistinct(xxhash64(col("g")))).head().getLong(0)
+      if (ns != nh) None
       else Some(
-        tri.select(col("doc_id"), xxhash64(col("g")).as("h"))
-          .groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(col("h"))).as("sh"))
+        // map-only build: re-shingle each doc from its own text (same
+        // shingles3+distinct semantics as docShingles) — the per-doc
+        // array never needs a shuffle, unlike a groupBy over the
+        // exploded shingle table. tk is bound to an attribute first so
+        // shingles3 doesn't re-evaluate the split per element.
+        Tables.documents(sess, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), sort_array(array_distinct(transform(
+            graft.functions.TextHash.shingles3(col("tk")),
+            x => xxhash64(x)))).as("sh"))
           .localCheckpoint(true))
     }
 
