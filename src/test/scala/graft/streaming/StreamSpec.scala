@@ -35,6 +35,25 @@ class StreamSpec extends SparkSpec {
     assert(TraceStore.read(spark, table).count() == 15)
   }
 
+  test("schema evolution mid-stream: the next micro-batch null-fills the new column") {
+    val watch = tmpDir("watch-evo"); val table = tmpDir("table-evo"); val ckpt = tmpDir("ckpt-evo")
+    writeTrace(watch, "trace.1.json", 1557761852L, 4)
+    val cfg = TraceStream.Config(watch, table, ckpt)
+    TraceStream.start(spark, cfg).awaitTermination()
+    // evolve between micro-batch runs — a live operator action
+    TraceStore.evolveSchema(table,
+      org.apache.spark.sql.types.StructField("Region",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    writeTrace(watch, "trace.2.json", 1557761900L, 3)
+    TraceStream.start(spark, cfg).awaitTermination()
+    val got = TraceStore.read(spark, table)
+    assert(got.count() == 7)
+    // every row (pre- and post-evolution files) reads Region as NULL —
+    // the ingest projection doesn't carry it, and old files never will
+    assert(got.columns.contains("Region"))
+    assert(got.filter(org.apache.spark.sql.functions.col("Region").isNull).count() == 7)
+  }
+
   test("ingest markers stay bounded: retention prunes all but the replayable tail") {
     val watch = tmpDir("watch6"); val table = tmpDir("table6"); val ckpt = tmpDir("ckpt6")
     (1 to 4).foreach(i => writeTrace(watch, s"trace.$i.json", 1557761852L + i * 100, 2))
