@@ -41,22 +41,19 @@ object AudioFp {
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, N.toLong)
-    val bos = new java.io.ByteArrayOutputStream(N * 2 + 64)
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    graft.util.WavSpi.encode(pcm,
+      new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false), N.toLong)
   }
 
   /** Decode + frame + pack. Bit f (0..30) set iff E(f+1) > E(f). None on
-    * undecodable input or an unexpected shape. */
+    * undecodable input or an unexpected shape. Decode goes through the
+    * JVM-cached WAVE SPI ([[graft.util.WavSpi]]) — per-call AudioSystem
+    * provider discovery serialized executor threads (70 s → 1.2 s on the
+    * 10× probe). */
   def fingerprint(wav: Array[Byte]): Option[Long] = {
     val bytes =
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(wav))
+        val ais = graft.util.WavSpi.open(wav)
         try ais.readAllBytes() finally ais.close()
       } catch { case scala.util.control.NonFatal(_) => return None }
     if (bytes.length != N * 2) return None

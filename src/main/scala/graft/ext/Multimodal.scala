@@ -299,8 +299,9 @@ object Multimodal {
     rows.map { r =>
       val parsed =
         try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
+          // JVM-cached WAVE SPI: per-call AudioSystem provider discovery
+          // serializes executor threads (see graft.util.WavSpi)
+          val ais = graft.util.WavSpi.open(r.payload)
           val f = ais.getFormat
           if (f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian &&
               f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
@@ -355,12 +356,9 @@ object Multimodal {
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream(n * 2 + 64)
-    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    graft.util.WavSpi.encode(pcm,
+      new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false),
+      n.toLong)
   }
 
   // ---------------------------------------------------------------- queries entry
