@@ -129,7 +129,121 @@ object ImageDhash {
       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM h GROUP BY dhash_hi, dhash_lo ORDER BY dhash_hi, dhash_lo, min_doc""".stripMargin
 
+  // ------------------------------------------------------------- q223: banded near-dup pairs
+  /** NEAR-duplicate image pairs at Hamming ≤ 3 over the dHash — exact
+    * bucket equality (q221) misses a re-encode that flips a couple of
+    * comparison bits, so this is the image twin of q144's SimHash bands:
+    * the 64 bits split into 4×16-bit bands, pairs sharing ANY band are
+    * candidates (pigeonhole: ≤ 3 flipped bits can spoil at most 3 of 4
+    * bands — the candidate set is provably complete for the threshold),
+    * and the exact popcount verify runs on candidates only. Gate data
+    * plants odd ids as base + one brightened 8×8 block + uniform +1:
+    * exactly the ≤ 2-bit flip a crop/re-encode causes, which exact
+    * bucketing may miss but the banded join must catch. Scale: band
+    * buckets are hash-distributed; candidate volume is Σ|bucket|², the
+    * LSH contract; nothing all-pairs. */
+  def q223ImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.flatMap(id => dhash(synthNeardupPng(id)).map { case (lo, hi) => (id, lo, hi) })
+      }
+      .toDF("doc_id", "lo", "hi")
+    val bands = hashes.select(col("doc_id"), col("lo"), col("hi"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(0xffffL)),
+        shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(0xffffL)),
+        col("hi").bitwiseAND(lit(0xffffL)),
+        shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(0xffffL)))).as(Seq("b", "bv")))
+    bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.lo").as("lo1"), col("a.hi").as("hi1"),
+        col("b.lo").as("lo2"), col("b.hi").as("hi2"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("lo1").bitwiseXOR(col("lo2"))) +
+        bit_count(col("hi1").bitwiseXOR(col("hi2"))))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** q223's synth: odd ids get ONE brightened 8×8 block (r=2, c=3, +40
+    * per pixel) on top of the pair's base image plus a uniform +1 — the
+    * block shifts two adjacent cell comparisons, the uniform part none,
+    * so the planted pair sits at Hamming ≤ 2 of the base's dHash without
+    * equalling it (usually). Base pixels are scaled to %200 so the +41
+    * peak stays in 8-bit range. */
+  def synthNeardupPng(id: Long): Array[Byte] = {
+    val base = (id / 2) * 2
+    val odd = (id % 2).toInt
+    val im = new java.awt.image.BufferedImage(W, H,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = im.getRaster
+    var y = 0
+    while (y < H) {
+      var x = 0
+      while (x < W) {
+        val inBlock = odd == 1 && y >= 16 && y < 24 && x >= 24 && x < 32
+        // the gradient STRIDE mixes in the base id: a fixed-stride ramp
+        // gives near-identical contours (hence dHashes) across bases —
+        // measured 632k incidental pairs at sf0.1; per-base strides make
+        // contours distinct so the pair table is planted-pairs + a thin
+        // tail of true near-collisions
+        val p = java.lang.Math.floorMod(
+          (x.toLong * 7 + y.toLong * 13) * (1 + base % 89) + base * 31, 200L).toInt +
+          odd + (if (inBlock) 40 else 0)
+        raster.setSample(x, y, 0, p)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(W * H / 2 + 128)
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  val q223Sql: String =
+    """WITH g AS (SELECT doc_id, (doc_id // 2) * 2 AS base, doc_id % 2 AS odd FROM documents),
+      |cells AS (
+      |  SELECT doc_id, rr.r, cc.c,
+      |    sum(((((cc.c * 8 + dxx.dx) * 7 + (rr.r * 8 + dyy.dy) * 13) * (1 + base % 89)
+      |          + base * 31) % 200)
+      |        + odd
+      |        + CASE WHEN odd = 1 AND rr.r = 2 AND cc.c = 3 THEN 40 ELSE 0 END)::BIGINT AS s
+      |  FROM g, range(8) rr(r), range(9) cc(c), range(8) dyy(dy), range(8) dxx(dx)
+      |  GROUP BY doc_id, rr.r, cc.c),
+      |bits AS (
+      |  SELECT a.doc_id, a.r, a.c, CASE WHEN a.s < b.s THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8),
+      |h AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN r < 4 THEN bit::BIGINT << (r * 8 + c) ELSE 0 END)::BIGINT AS lo,
+      |    sum(CASE WHEN r >= 4 THEN bit::BIGINT << ((r - 4) * 8 + c) ELSE 0 END)::BIGINT AS hi
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, lo, hi, b.b,
+      |    CASE b.b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+      |             WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bv
+      |  FROM h, range(4) b(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |    a.lo AS lo1, a.hi AS hi1, b.lo AS lo2, b.hi AS hi2
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT d1, d2,
+      |  (bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)))::BIGINT AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= 3
+      |ORDER BY d1, d2""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q221_image_dhash", q221ImageDhash _, Some(q221Sql)),
+    ("q223_image_neardup", q223ImageNeardup _, Some(q223Sql)),
   )
 }
