@@ -47,8 +47,14 @@ object Main {
   final case class Snapshot(tablePath: String) extends Action
   final case class ListSnapshots(tablePath: String) extends Action
   final case class DropSnapshot(tablePath: String, id: String) extends Action
-  final case class EvolveSchema(tablePath: String, name: String,
-                                dtype: org.apache.spark.sql.types.DataType) extends Action
+  sealed trait EvolveOp
+  final case class AddCol(name: String,
+                          dtype: org.apache.spark.sql.types.DataType) extends EvolveOp
+  final case class DropCol(name: String) extends EvolveOp
+  final case class RenameCol(from: String, to: String) extends EvolveOp
+  final case class WidenCol(name: String,
+                            dtype: org.apache.spark.sql.types.DataType) extends EvolveOp
+  final case class EvolveSchema(tablePath: String, op: EvolveOp) extends Action
 
   val Usage: String =
     """usage: graft.Main <mode> [options] [trace-file.json ...]
@@ -61,9 +67,14 @@ object Main {
       |  --snapshot              pin a time-travel snapshot; prints its id
       |  --list-snapshots        list snapshot ids, oldest first
       |  --drop-snapshot ID      release a snapshot and vacuum retired files
-      |  --evolve-schema N:T     add nullable column N of DDL type T (e.g.
-      |                          Region:string) to the store schema —
-      |                          metadata-only, no file rewritten
+      |  --evolve-schema OP      evolve the store schema — metadata-only,
+      |                          no file rewritten. OP is one of:
+      |                            [add:]N:T        add nullable column N of
+      |                                             DDL type T (Region:string)
+      |                            drop:N           drop evolved column N
+      |                            rename:OLD:NEW   rename evolved column
+      |                            widen:N:T        widen N's type (int→bigint,
+      |                                             float→double, …)
       |  <trace-file.json ...>   one-shot convert the given files into the store
       |options (flag > env > default):
       |  --db NAME               catalog database    (GRAFT_DB | CLICKHOUSE_DB)
@@ -215,20 +226,38 @@ object Main {
       for {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
         spec = flags("--evolve-schema")
-        nt <- spec.split(":", 2) match {
-          case Array(n, t) if n.nonEmpty && t.nonEmpty => Right((n, t))
-          case _ => Left(s"ERROR: --evolve-schema needs NAME:TYPE, got '$spec'")
-        }
-        dtype <- scala.util.Try(
-            org.apache.spark.sql.types.DataType.fromDDL(nt._2)).toOption
-          .toRight(s"ERROR: unknown DDL type '${nt._2}' in --evolve-schema")
-      } yield EvolveSchema(tablePath, nt._1, dtype)
+        op <- parseEvolveOp(spec)
+      } yield EvolveSchema(tablePath, op)
     else if (files.nonEmpty)
       for {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
         splits <- intOpt("--splits", 8)
       } yield Convert(files.toSeq, tablePath, splits)
     else Left(s"ERROR: nothing to do\n$Usage")
+  }
+
+  /** Parse an `--evolve-schema` operand. The bare `NAME:TYPE` form stays
+    * an alias of `add:NAME:TYPE` (pre-round-8 scripts keep working);
+    * `drop`/`rename`/`widen` mirror the ClickHouse ALTER family the
+    * reference's DDL targets. A NAME containing `:` is impossible in
+    * both surfaces, so the 3-way split is unambiguous. */
+  def parseEvolveOp(spec: String): Either[String, EvolveOp] = {
+    def ddl(t: String): Either[String, org.apache.spark.sql.types.DataType] =
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromDDL(t)).toOption
+        .toRight(s"ERROR: unknown DDL type '$t' in --evolve-schema")
+    // op keywords are reserved in the legacy NAME:TYPE form — otherwise a
+    // malformed `rename:X` would silently parse as "add column 'rename'"
+    val reserved = Set("add", "drop", "rename", "widen")
+    spec.split(":", -1).toSeq match {
+      case Seq("drop", n) if n.nonEmpty => Right(DropCol(n))
+      case Seq("rename", from, to) if from.nonEmpty && to.nonEmpty =>
+        Right(RenameCol(from, to))
+      case Seq("widen", n, t) if n.nonEmpty && t.nonEmpty => ddl(t).map(WidenCol(n, _))
+      case Seq("add", n, t) if n.nonEmpty && t.nonEmpty => ddl(t).map(AddCol(n, _))
+      case Seq(n, t) if n.nonEmpty && t.nonEmpty && !reserved(n) => ddl(t).map(AddCol(n, _))
+      case _ => Left("ERROR: --evolve-schema needs [add:]NAME:TYPE, drop:NAME, " +
+        s"rename:OLD:NEW or widen:NAME:TYPE, got '$spec'")
+    }
   }
 
   /** Execute a parsed action. `out` receives printable results (stdout in
@@ -286,10 +315,23 @@ object Main {
       val removed = store.TraceStore.vacuumSnapshots(tablePath)
       out(if (existed) s"dropped $id; vacuumed ${removed.size} retired files"
           else s"no such snapshot $id")
-    case EvolveSchema(tablePath, name, dtype) =>
-      val v = store.TraceStore.evolveSchema(tablePath,
-        org.apache.spark.sql.types.StructField(name, dtype, nullable = true))
-      out(s"evolved schema to v$v: added $name ${dtype.sql} (nullable)")
+    case EvolveSchema(tablePath, op) =>
+      val msg = op match {
+        case AddCol(name, dtype) =>
+          val v = store.TraceStore.evolveSchema(tablePath,
+            org.apache.spark.sql.types.StructField(name, dtype, nullable = true))
+          s"evolved schema to v$v: added $name ${dtype.sql} (nullable)"
+        case DropCol(name) =>
+          val v = store.TraceStore.dropColumn(tablePath, name)
+          s"evolved schema to v$v: dropped $name"
+        case RenameCol(from, to) =>
+          val v = store.TraceStore.renameColumn(tablePath, from, to)
+          s"evolved schema to v$v: renamed $from -> $to"
+        case WidenCol(name, dtype) =>
+          val v = store.TraceStore.widenColumn(tablePath, name, dtype)
+          s"evolved schema to v$v: widened $name to ${dtype.sql}"
+      }
+      out(msg)
     case Watch(cfg, schema, sentinel) =>
       val spark = session()
       schema.foreach { case (db, t) =>

@@ -42,6 +42,7 @@ object SparkEntry {
       ext.CorpusStats.entries,
       ext.GraphOps.entries,
       store.Bucketing.entries,
+      store.EvolutionQuery.entries,
     )
 
   private lazy val all = {

@@ -1140,7 +1140,7 @@ object Dedup {
     * pairs only. t = 0.8, prefix length in exact integers:
     * sz − ⌈4·sz/5⌉ + 1 = sz − (4·sz+4) DIV 5 + 1. */
   def q147PrefixSsjoin(s: SparkSession, dir: String): DataFrame =
-    verifyPairs(s, dir, q147CandidatesForProbe(s, dir))
+    verifyPairs(s, dir, candidatesForProbe147(s, dir))
       .filter(col("jacc") >= 0.8)
       .select(col("d1"), col("d2"), col("jacc"))
       .orderBy(col("d1"), col("d2"))
@@ -1194,7 +1194,7 @@ object Dedup {
     *    α = ⌈t/(1+t)·(szₐ+sz_b)⌉ = (4·(szₐ+sz_b)+8) DIV 9. Later
     *    shared shingles only have smaller bounds, so filtering every
     *    matched row keeps a pair iff its first match passes — safe. */
-  def q147CandidatesForProbe(s: SparkSession, dir: String): DataFrame = {
+  def candidatesForProbe147(s: SparkSession, dir: String): DataFrame = {
     val prefix = prefixIndex(s, dir)
     prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&

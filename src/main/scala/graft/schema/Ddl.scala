@@ -35,10 +35,14 @@ object Ddl {
 
   /** Spark SQL DDL for the native store: parquet + zstd, Hive-style month
     * partitions (the pruning analogue of PARTITION BY toYYYYMM, SURVEY.md
-    * §1.5). */
-  def spark(db: String, table: String, location: Option[String] = None): Seq[String] = {
-    val cols = TraceSchema.columns
-      .map(c => s"  ${c.name} ${c.spark.sql} COMMENT '${c.comment}'")
+    * §1.5). `schema` defaults to the base whitelist; pass a store's
+    * evolved schema to render its current shape. */
+  def spark(db: String, table: String, location: Option[String] = None,
+            schema: org.apache.spark.sql.types.StructType = TraceSchema.target): Seq[String] = {
+    val comments = TraceSchema.columns.map(c => c.name -> c.comment).toMap
+    val cols = schema.fields
+      .map(f => s"  ${f.name} ${f.dataType.sql}" +
+        comments.get(f.name).map(c => s" COMMENT '$c'").getOrElse(""))
       .mkString(",\n")
     val loc = location.map(p => s"\nLOCATION '$p'").getOrElse("")
     Seq(
@@ -54,8 +58,30 @@ object Ddl {
 
   /** Idempotent bootstrap (E3): CREATE DATABASE + CREATE TABLE in the
     * session catalog, mirroring create_schema
-    * (/root/reference/trace-converter.py:58-61). */
+    * (/root/reference/trace-converter.py:58-61). When `location` holds
+    * an existing store, the table is created with its CURRENT (evolved)
+    * schema, and a previously-registered table whose columns drifted
+    * from it (a --create-schema re-run after --evolve-schema) is dropped
+    * and re-registered — CREATE IF NOT EXISTS alone would silently keep
+    * the stale pre-evolution DDL while path-based reads see the evolved
+    * column. External-table drop is metadata-only; files are untouched. */
   def createSchema(spark0: org.apache.spark.sql.SparkSession, db: String,
-                   table: String, location: Option[String] = None): Unit =
-    spark(db, table, location).foreach(spark0.sql(_))
+                   table: String, location: Option[String] = None): Unit = {
+    val schema = location match {
+      case Some(p) if java.nio.file.Files.exists(java.nio.file.Paths.get(p)) =>
+        graft.store.TraceStore.storedSchema(p)
+      case _ => TraceSchema.target
+    }
+    spark0.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    if (spark0.catalog.tableExists(s"$db.$table")) {
+      val have = spark0.table(s"$db.$table").schema
+        .fields.map(f => (f.name, f.dataType)).toSeq
+      val want = schema.fields.map(f =>
+        (f.name, f.dataType): (String, org.apache.spark.sql.types.DataType)).toSeq :+
+        ((TraceSchema.PartitionCol,
+          org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType))
+      if (have != want) spark0.sql(s"DROP TABLE $db.$table")
+    }
+    spark(db, table, location, schema).foreach(spark0.sql(_))
+  }
 }

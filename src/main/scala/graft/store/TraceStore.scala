@@ -24,6 +24,18 @@ object TraceStore {
   // ------------------------------------------------------------------ schema evolution
   private val SchemaDir = "_schema"
 
+  /** Field-metadata key: the historical physical names this column's
+    * values may be stored under in pre-rename files (oldest first). The
+    * whole rename design rides on parquet reading by NAME: a renamed
+    * column is a metadata mapping, and the read path coalesces the
+    * current name with its aliases — no file is ever rewritten. */
+  private val RenamedFromKey = "graft.renamedFrom"
+
+  private def aliasesOf(f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(RenamedFromKey))
+      f.metadata.getStringArray(RenamedFromKey).toSeq
+    else Seq.empty
+
   /** Current stored schema: the base whitelist plus any evolved columns —
     * the reference's "extend the schema by editing `columns`"
     * (README.md:135-137) made safe for a table with history: evolution is
@@ -49,39 +61,220 @@ object TraceStore {
     }
   }
 
-  /** Add a column to the stored schema (append-only evolution). The new
-    * column must be NULLABLE — that is what makes the change metadata-only:
-    * history has no values for it, and a declared-schema scan reads those
-    * files as NULL without rewriting a byte. Returns the new schema
-    * version number. Runs under the single-maintenance-writer contract
-    * (manifests are staged + atomically renamed, so readers see the old
-    * or the new schema, never a torn one). */
-  def evolveSchema(tablePath: String, field: org.apache.spark.sql.types.StructField): Int = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    require(field.nullable,
-      s"evolved column '${field.name}' must be nullable — history has no values for it")
-    val root = Paths.get(tablePath)
-    require(Files.exists(root), s"no store at $tablePath")
-    val cur = storedSchema(root)
-    require(!cur.fieldNames.contains(field.name) &&
-            field.name != TraceSchema.PartitionCol,
-      s"column '${field.name}' already exists in the stored schema")
-    val next = org.apache.spark.sql.types.StructType(cur.fields :+ field)
+  /** Every physical column name any file of this store may carry: the
+    * union, across the base schema and every schema version ever
+    * written, of field names and their rename aliases. Add/rename
+    * targets are validated against this set — re-using a retired name
+    * would RESURRECT old files' values into the new column (parquet
+    * reads by name; this store has no field ids), so name re-use is
+    * forbidden for the store's lifetime. Metadata-sized: one small JSON
+    * per evolution, read only at evolve time. */
+  private def historicalNames(root: java.nio.file.Path): Set[String] = {
+    val dir = root.resolve(SchemaDir)
+    val versions: Seq[org.apache.spark.sql.types.StructType] =
+      TraceSchema.target +: (
+        if (!java.nio.file.Files.exists(dir)) Seq.empty
+        else FsMaint.listDir(dir).map(_.getFileName.toString)
+          .filter(_.matches("v\\d{6}\\.json")).sorted
+          .map(v => org.apache.spark.sql.types.DataType.fromJson(new String(
+            java.nio.file.Files.readAllBytes(dir.resolve(v))))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+    versions.flatMap(_.fields.flatMap(f => f.name +: aliasesOf(f))).toSet
+  }
+
+  /** Stage + atomically install the next schema version manifest.
+    * Readers see the old or the new schema, never a torn one; runs under
+    * the single-maintenance-writer contract. Base schema is implicitly
+    * v1. Returns the new version number. */
+  private def writeSchemaVersion(root: java.nio.file.Path,
+                                 next: org.apache.spark.sql.types.StructType): Int = {
+    import java.nio.file.{Files, StandardCopyOption}
     val dir = root.resolve(SchemaDir)
     Files.createDirectories(dir)
     val ver = FsMaint.listDir(dir).map(_.getFileName.toString)
       .filter(_.matches("v\\d{6}\\.json")).map(_.drop(1).take(6).toInt)
-      .foldLeft(1)(math.max) + 1 // base schema is implicitly v1
+      .foldLeft(1)(math.max) + 1
     val tmp = dir.resolve(f".tmp-v$ver%06d")
     Files.write(tmp, next.json.getBytes)
     Files.move(tmp, dir.resolve(f"v$ver%06d.json"), StandardCopyOption.ATOMIC_MOVE)
     ver
   }
 
+  private def requireStore(tablePath: String): java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(tablePath)
+    require(java.nio.file.Files.exists(root), s"no store at $tablePath")
+    root
+  }
+
+  private def isBase(name: String): Boolean =
+    TraceSchema.target.fieldNames.contains(name)
+
+  /** Add a column to the stored schema (ADD COLUMN evolution). The new
+    * column must be NULLABLE — that is what makes the change metadata-only:
+    * history has no values for it, and a declared-schema scan reads those
+    * files as NULL without rewriting a byte. The name must never have
+    * been used before (see [[historicalNames]] — re-use would resurrect
+    * dropped/renamed values from old files). Returns the new schema
+    * version number. */
+  def evolveSchema(tablePath: String, field: org.apache.spark.sql.types.StructField): Int = {
+    require(field.nullable,
+      s"evolved column '${field.name}' must be nullable — history has no values for it")
+    val root = requireStore(tablePath)
+    require(field.name != TraceSchema.PartitionCol,
+      s"'${field.name}' is the partition column")
+    require(!historicalNames(root).contains(field.name),
+      s"column name '${field.name}' is or was already used in this store — " +
+        "re-using it would resurrect old files' values (parquet reads by name); pick a fresh name")
+    writeSchemaVersion(root,
+      org.apache.spark.sql.types.StructType(storedSchema(root).fields :+ field))
+  }
+
+  /** DROP COLUMN — metadata-only at any scale: the column (and its
+    * rename aliases) leaves the stored schema, so no read declares it
+    * and parquet never materializes its pages again; history is not
+    * rewritten (maintenance rewrites physically shed it month by month).
+    * Base (ingest-whitelist) columns cannot be dropped — `Time` anchors
+    * partitioning/sort and the rest are the ingest contract
+    * ([[alignToStored]]), the same reason ClickHouse refuses to drop
+    * ORDER BY columns. The dropped name stays retired forever
+    * ([[historicalNames]]). Returns the new schema version. */
+  def dropColumn(tablePath: String, name: String): Int = {
+    val root = requireStore(tablePath)
+    val cur = storedSchema(root)
+    require(cur.fieldNames.contains(name), s"no column '$name' in the stored schema")
+    require(!isBase(name),
+      s"'$name' is a base ingest column — the append contract requires it; " +
+        "only evolved columns can be dropped")
+    writeSchemaVersion(root,
+      org.apache.spark.sql.types.StructType(cur.fields.filterNot(_.name == name)))
+  }
+
+  /** RENAME COLUMN — metadata-only: the manifest records the old name as
+    * a read alias of the new one ([[RenamedFromKey]]), and every read
+    * path coalesces `new, old…` so pre-rename files keep serving their
+    * values under the new name without a byte rewritten. New appends
+    * write the new name; maintenance rewrites migrate old files to it as
+    * a side effect. The new name must be globally fresh (alias
+    * resolution relies on exactly one physical name per logical column
+    * per file — [[historicalNames]]). Base columns cannot be renamed
+    * (they are the ingest contract). Returns the new schema version. */
+  def renameColumn(tablePath: String, from: String, to: String): Int = {
+    val root = requireStore(tablePath)
+    val cur = storedSchema(root)
+    require(cur.fieldNames.contains(from), s"no column '$from' in the stored schema")
+    require(!isBase(from),
+      s"'$from' is a base ingest column — the append contract requires it; " +
+        "only evolved columns can be renamed")
+    require(to.nonEmpty && to != TraceSchema.PartitionCol, s"invalid new name '$to'")
+    require(!historicalNames(root).contains(to),
+      s"column name '$to' is or was already used in this store — " +
+        "re-using it would resurrect old files' values; pick a fresh name")
+    val next = cur.fields.map { f =>
+      if (f.name != from) f
+      else f.copy(name = to, metadata =
+        new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+          .putStringArray(RenamedFromKey, (aliasesOf(f) :+ from).toArray).build())
+    }
+    writeSchemaVersion(root, org.apache.spark.sql.types.StructType(next))
+  }
+
+  /** Widening promotions the parquet readers execute natively (verified
+    * against this Spark build in `SchemaEvolutionSpec`): an old file's
+    * narrower physical column decodes straight into the widened declared
+    * type, which is what makes [[widenColumn]] metadata-only. Lossy or
+    * unsupported casts (long→double, anything→int shrink, …) are
+    * rejected at evolve time, not discovered at read time. */
+  private[graft] def widens(from: org.apache.spark.sql.types.DataType,
+                            to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val rank = Map[DataType, Int](ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+    (from, to) match {
+      case (a, b) if rank.contains(a) && rank.contains(b) => rank(a) < rank(b)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** Safe type widening (MODIFY COLUMN …): metadata-only because the
+    * parquet reader promotes the narrower physical type of old files
+    * into the widened declared type natively ([[widens]] — int→long,
+    * float→double, int→double and the byte/short chains; long→double is
+    * lossy and refused). `Time` is the partition/sort anchor and cannot
+    * change. Widening a base column is allowed (the ClickHouse
+    * UInt32→UInt64 shape): [[alignToStored]] up-casts incoming batches,
+    * and [[thinExpired]] pins its sampling hash to the ORIGINAL base
+    * types so thinning verdicts survive the widening. Returns the new
+    * schema version. */
+  def widenColumn(tablePath: String, name: String,
+                  to: org.apache.spark.sql.types.DataType): Int = {
+    val root = requireStore(tablePath)
+    val cur = storedSchema(root)
+    require(name != "Time" && name != TraceSchema.PartitionCol,
+      s"'$name' anchors partitioning/sort and cannot change type")
+    val f = cur.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column '$name' in the stored schema"))
+    require(widens(f.dataType, to),
+      s"${f.dataType.sql} -> ${to.sql} is not a supported metadata-only widening " +
+        "(supported: byte/short/int up-chain to bigint, float->double, byte/short/int->double)")
+    writeSchemaVersion(root, org.apache.spark.sql.types.StructType(
+      cur.fields.map(x => if (x.name == name) x.copy(dataType = to) else x)))
+  }
+
+  /** Physical read schema for a stored schema: each field under its
+    * current name PLUS one nullable field per rename alias, typed at the
+    * field's CURRENT (widest) type — parquet's native widening promotion
+    * ([[widens]]) decodes a narrower old file column straight into it.
+    * Any one file carries exactly one of a column's physical names (the
+    * no-reuse rule on [[historicalNames]] guarantees it), so the
+    * [[resolveAliases]] coalesce is exact. */
+  private def physicalSchema(stored: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(stored.fields.flatMap { f =>
+      f +: aliasesOf(f).map(a =>
+        org.apache.spark.sql.types.StructField(a, f.dataType, nullable = true))
+    })
+
+  /** Collapse the physical (aliased) read back to the logical schema:
+    * one `coalesce(current, aliases…)` per renamed column, a plain
+    * column reference otherwise; manifest metadata is stripped from the
+    * output. Identity when no rename has happened — the common case
+    * keeps its exact pre-evolution plan (a bare Project collapses into
+    * the scan; column pruning still reaches parquet because each output
+    * column references only its own physical columns). */
+  private def resolveAliases(df: DataFrame,
+                             stored: org.apache.spark.sql.types.StructType,
+                             extra: Seq[String]): DataFrame =
+    if (stored.fields.forall(f => aliasesOf(f).isEmpty)) df
+    else {
+      val noMeta = org.apache.spark.sql.types.Metadata.empty
+      val cols = stored.fields.map { f =>
+        val als = aliasesOf(f)
+        if (als.isEmpty) col(f.name)
+        else coalesce((f.name +: als).map(col): _*).as(f.name, noMeta)
+      } ++ extra.map(col)
+      df.select(cols.toIndexedSeq: _*)
+    }
+
+  /** Alias-aware scan of an explicit file list (maintenance rewrites,
+    * probes, snapshot reads) — every internal read funnels through here
+    * so no path can forget rename resolution and silently null a
+    * renamed column's history. */
+  private def readFiles(spark: SparkSession, root: java.nio.file.Path,
+                        files: Seq[java.nio.file.Path]): DataFrame = {
+    val stored = storedSchema(root)
+    resolveAliases(
+      spark.read.schema(physicalSchema(stored)).parquet(files.map(_.toString): _*),
+      stored, Seq.empty)
+  }
+
   /** Align a batch to the stored schema before writing: evolved columns
     * the batch does not carry are null-filled (files within one commit
     * stay uniform), unknown columns are rejected loudly (a typo'd column
-    * silently dropped would be data loss at ingest). */
+    * silently dropped would be data loss at ingest), and a column the
+    * batch carries at a pre-widening type is up-cast to the stored type
+    * (so an ingest pipeline built before `widenColumn` keeps working
+    * unchanged — any other type mismatch fails loudly). */
   private def alignToStored(df: DataFrame, root: java.nio.file.Path): DataFrame = {
     val stored = storedSchema(root)
     val have = df.columns.toSet
@@ -91,8 +284,17 @@ object TraceStore {
     val missingBase = TraceSchema.target.fieldNames.filterNot(have)
     require(missingBase.isEmpty,
       s"batch is missing base column(s): ${missingBase.mkString(", ")}")
+    val batchTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     stored.fields.foldLeft(df) { (d, f) =>
-      if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
+      batchTypes.get(f.name) match {
+        case None => d.withColumn(f.name, lit(null).cast(f.dataType))
+        case Some(t) if t == f.dataType => d
+        case Some(t) if widens(t, f.dataType) =>
+          d.withColumn(f.name, col(f.name).cast(f.dataType))
+        case Some(t) => throw new IllegalArgumentException(
+          s"batch column '${f.name}' is ${t.sql} but the stored schema says " +
+            s"${f.dataType.sql} and that is not a widening — fix the batch")
+      }
     }.select(stored.fieldNames.map(col).toIndexedSeq: _*)
   }
 
@@ -127,14 +329,20 @@ object TraceStore {
   /** Read the stored table; time predicates prune ym partitions first.
     * The schema is declared explicitly so ym keeps its contractual STRING
     * type (partition-type inference would read ym=201905 back as int) —
-    * without touching any session-global configuration. */
-  def read(spark: SparkSession, tablePath: String): DataFrame =
-    spark.read
-      .schema(org.apache.spark.sql.types.StructType(
-        storedSchema(tablePath).fields :+
-        org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
-          org.apache.spark.sql.types.StringType)))
-      .parquet(tablePath)
+    * without touching any session-global configuration. Renamed columns
+    * resolve through their aliases ([[resolveAliases]]); pre-evolution
+    * stores get the identical plan they always had. */
+  def read(spark: SparkSession, tablePath: String): DataFrame = {
+    val stored = storedSchema(tablePath)
+    resolveAliases(
+      spark.read
+        .schema(org.apache.spark.sql.types.StructType(
+          physicalSchema(stored).fields :+
+          org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
+            org.apache.spark.sql.types.StringType)))
+        .parquet(tablePath),
+      stored, Seq(TraceSchema.PartitionCol))
+  }
 
   /** Catalog statistics for cost-based planning: register the store path
     * as an external table (idempotent), recover its ym partitions, and
@@ -148,9 +356,25 @@ object TraceStore {
               columns: Seq[String] = Nil): Unit = {
     // explicit schema: without it, partition discovery infers ym=201905
     // as INT — the exact type hazard read() documents and defends
-    // against, surfaced to every user of the registered table
-    val ddlCols = storedSchema(tablePath).fields
+    // against, surfaced to every user of the registered table.
+    // Catalog caveat (documented contract): catalog scans read physical
+    // names directly — after renameColumn, run compact() so maintenance
+    // migrates old files to the new name before relying on catalog-table
+    // scans; TraceStore.read is the always-correct surface.
+    val want = logicalWithYm(storedSchema(tablePath))
+    val ddlCols = want.fields.dropRight(1)
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    // an already-registered table keeps the DDL it was created with —
+    // after evolveSchema/renameColumn/widenColumn that is STALE (the
+    // evolved column would be invisible through the catalog while
+    // path-based reads see it), so a schema drift drops + recreates the
+    // external registration (metadata-only; the data files are untouched)
+    val stale = spark.catalog.tableExists(table) && {
+      val have = spark.table(table).schema
+      have.fields.map(f => (f.name, f.dataType)).toSeq !=
+        want.fields.map(f => (f.name, f.dataType)).toSeq
+    }
+    if (stale) spark.sql(s"DROP TABLE $table")
     spark.sql(
       s"CREATE TABLE IF NOT EXISTS $table ($ddlCols, `${TraceSchema.PartitionCol}` STRING) " +
       s"USING parquet PARTITIONED BY (`${TraceSchema.PartitionCol}`) LOCATION '$tablePath'")
@@ -284,8 +508,7 @@ object TraceStore {
     monthDirs
       .map(d => (d, listDir(d).filter(_.toString.endsWith(".parquet"))))
       .filter { case (_, old) =>
-        old.nonEmpty && spark.read.schema(storedSchema(root))
-          .parquet(old.map(_.toString): _*).filter(cond).limit(1).count() > 0
+        old.nonEmpty && readFiles(spark, root, old).filter(cond).limit(1).count() > 0
       }
       .map { case (monthDir, old) =>
         // SQL DELETE semantics: only cond=TRUE rows go. A bare !cond maps
@@ -412,19 +635,22 @@ object TraceStore {
     val cut = java.time.YearMonth.of(newest.take(4).toInt, newest.drop(4).toInt)
       .minusMonths((keepExactMonths - 1).toLong)
     val cutoff = f"${cut.getYear}%04d${cut.getMonthValue}%02d"
-    // the keep hash is pinned to the BASE columns on purpose: they exist
-    // in every file forever, so a row's keep/drop verdict survives schema
-    // evolution — hashing evolved columns would flip verdicts on already-
-    // thinned months (breaking idempotence) the first time one is added
+    // the keep hash is pinned to the BASE columns AT THEIR BASE TYPES on
+    // purpose: base columns exist in every file forever (they cannot be
+    // dropped or renamed), and the cast undoes any later widenColumn —
+    // xxhash64 of 3L differs from 3 (int), so hashing the widened type
+    // would flip verdicts on already-thinned months (breaking
+    // idempotence); the down-cast is exact for every value written
+    // before the widening, which is all idempotence needs
     val keep = pmod(
-      xxhash64(TraceSchema.target.fieldNames.map(col).toIndexedSeq: _*),
+      xxhash64(TraceSchema.target.fields
+        .map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*),
       lit(k.toLong)) === 0L
     months
       .filter(_.getFileName.toString.stripPrefix(pref) < cutoff)
       .map(d => (d, listDir(d).filter(_.toString.endsWith(".parquet"))))
       .filter { case (_, old) => // probe: anything left to drop?
-        old.nonEmpty && spark.read.schema(storedSchema(root))
-          .parquet(old.map(_.toString): _*).filter(!keep).limit(1).count() > 0
+        old.nonEmpty && readFiles(spark, root, old).filter(!keep).limit(1).count() > 0
       }
       .map { case (monthDir, old) =>
         rewriteMonth(spark, monthDir, old, _.filter(keep), splitsPerMonth, "thinned")
@@ -539,22 +765,36 @@ object TraceStore {
         sys.error(s"snapshot $id references vacuumed file(s): ${missing.take(3).mkString(", ")}")
       case _ =>
     }
-    val schema = org.apache.spark.sql.types.StructType(
-      storedSchema(root).fields :+
+    val stored = storedSchema(root)
+    val phys = org.apache.spark.sql.types.StructType(
+      physicalSchema(stored).fields :+
       org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
         org.apache.spark.sql.types.StringType))
     def readFrom(base: java.nio.file.Path, ks: Seq[String]): Option[DataFrame] =
       if (ks.isEmpty) None
-      else Some(spark.read.option("basePath", base.toString).schema(schema)
-        .parquet(ks.map(k => base.resolve(k).toString): _*))
+      else Some(resolveAliases(
+        spark.read.option("basePath", base.toString).schema(phys)
+          .parquet(ks.map(k => base.resolve(k).toString): _*),
+        stored, Seq(TraceSchema.PartitionCol)))
     (readFrom(root, live), readFrom(retiredRoot, retired)) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None)    => a
       case (None, Some(b))    => b
       case _ => spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        logicalWithYm(stored))
     }
   }
+
+  /** Logical output schema of a table read: stored fields (manifest
+    * metadata stripped — it is a storage detail, not part of the user
+    * surface) plus the ym partition column. */
+  private def logicalWithYm(stored: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      stored.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)) :+
+      org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
+        org.apache.spark.sql.types.StringType))
 
   /** Incremental consumption: the rows APPENDED since `id` was captured
     * — exactly the live files absent from the snapshot's manifest (the
@@ -586,16 +826,20 @@ object TraceStore {
       s"maintenance rewrote pinned file(s) since $id (e.g. ${rewritten.take(3).mkString(", ")})" +
         " — the increment is no longer append-only; re-base on a fresh snapshot")
     val newKeys = (live -- pinned).toSeq.sorted
-    val schema = org.apache.spark.sql.types.StructType(
-      storedSchema(root).fields :+
-      org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
-        org.apache.spark.sql.types.StringType))
+    val stored = storedSchema(root)
     if (newKeys.isEmpty)
       spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        logicalWithYm(stored))
     else
-      spark.read.option("basePath", root.toString).schema(schema)
-        .parquet(newKeys.map(k => root.resolve(k).toString): _*)
+      resolveAliases(
+        spark.read.option("basePath", root.toString)
+          .schema(org.apache.spark.sql.types.StructType(
+            physicalSchema(stored).fields :+
+            org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
+              org.apache.spark.sql.types.StringType)))
+          .parquet(newKeys.map(k => root.resolve(k).toString): _*),
+        stored, Seq(TraceSchema.PartitionCol))
   }
 
   /** Release a snapshot. Retired files it pinned become reclaimable by
@@ -682,10 +926,13 @@ object TraceStore {
     val tmpName = s".compact-$ym-$attempt"
     val tmp = monthDir.resolveSibling(tmpName)
     deleteTree(tmp)
-    // the rewrite MUST read the evolved schema: reading the base schema
-    // here would silently drop evolved columns from every rewritten month
-    transform(spark.read.schema(storedSchema(monthDir.getParent))
-        .parquet(old.map(_.toString): _*))          // exactly the captured files
+    // the rewrite MUST read the evolved schema WITH alias resolution:
+    // reading the base schema would silently drop evolved columns from
+    // every rewritten month, and skipping rename resolution would null
+    // out a renamed column's pre-rename history. Side effect worth
+    // having: the rewrite writes CURRENT physical names, so compaction
+    // physically migrates old files to the post-rename layout.
+    transform(readFiles(spark, monthDir.getParent, old)) // exactly the captured files
       .repartitionByRange(splitsPerMonth, col("Time"))
       .sortWithinPartitions(col("Time"))
       .write.mode("overwrite").option("compression", "zstd")

@@ -27,7 +27,7 @@ object Q147Probe {
       graft.ext.Dedup.q147PrefixSsjoin(spark, dir).count()
     }
     val cands = t("candidates only (pass 3: join+distinct, no verify)") {
-      graft.ext.Dedup.q147CandidatesForProbe(spark, dir).count()
+      graft.ext.Dedup.candidatesForProbe147(spark, dir).count()
     }
     println(s"[probe] pairs=$n1/$n2 candidates=$cands")
     spark.stop()

@@ -128,13 +128,32 @@ class MainParseSpec extends AnyFunSuite {
 
   test("--evolve-schema parses NAME:TYPE, validates, and runs metadata-only") {
     assert(Main.parse(Seq("--evolve-schema", "Region:string", "--table-path", "/t"), noEnv) ==
-      Right(Main.EvolveSchema("/t", "Region",
-        org.apache.spark.sql.types.StringType)))
+      Right(Main.EvolveSchema("/t", Main.AddCol("Region",
+        org.apache.spark.sql.types.StringType))))
     assert(Main.parse(Seq("--evolve-schema", "Region"), noEnv).isLeft)      // no type
     assert(Main.parse(Seq("--evolve-schema", "R:nosuch", "--table-path", "/t"), noEnv)
       .swap.exists(_.contains("unknown DDL type")))
     assert(Main.parse(Seq("--evolve-schema", "R:string", "--snapshot",
       "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
+  }
+
+  test("--evolve-schema parses the drop/rename/widen ALTER family") {
+    assert(Main.parse(Seq("--evolve-schema", "add:Region:string", "--table-path", "/t"), noEnv) ==
+      Right(Main.EvolveSchema("/t", Main.AddCol("Region",
+        org.apache.spark.sql.types.StringType))))
+    assert(Main.parse(Seq("--evolve-schema", "drop:Region", "--table-path", "/t"), noEnv) ==
+      Right(Main.EvolveSchema("/t", Main.DropCol("Region"))))
+    assert(Main.parse(Seq("--evolve-schema", "rename:Region:Zone", "--table-path", "/t"), noEnv) ==
+      Right(Main.EvolveSchema("/t", Main.RenameCol("Region", "Zone"))))
+    assert(Main.parse(Seq("--evolve-schema", "widen:Score:bigint", "--table-path", "/t"), noEnv) ==
+      Right(Main.EvolveSchema("/t", Main.WidenCol("Score",
+        org.apache.spark.sql.types.LongType))))
+    // malformed operands fail loudly, never silently become an add
+    assert(Main.parse(Seq("--evolve-schema", "drop:", "--table-path", "/t"), noEnv).isLeft)
+    assert(Main.parse(Seq("--evolve-schema", "rename:OnlyOld", "--table-path", "/t"), noEnv)
+      .swap.exists(_.contains("rename:OLD:NEW")))
+    assert(Main.parse(Seq("--evolve-schema", "widen:Score:nosuch", "--table-path", "/t"), noEnv)
+      .swap.exists(_.contains("unknown DDL type")))
   }
 
   test("positional json files become a one-shot convert") {
@@ -261,10 +280,31 @@ class MainRunSpec extends SparkSpec {
     writeTrace(in, "trace.json", 1557761852L, 2)
     val out = scala.collection.mutable.ArrayBuffer[String]()
     Main.run(Main.Convert(Seq(s"$in/trace.json"), table, 1), out.append(_), () => spark)
-    Main.run(Main.EvolveSchema(table, "Region",
-      org.apache.spark.sql.types.StringType), out.append(_), () => spark)
+    Main.run(Main.EvolveSchema(table, Main.AddCol("Region",
+      org.apache.spark.sql.types.StringType)), out.append(_), () => spark)
     assert(out.exists(_.startsWith("evolved schema to v2")))
     val got = TraceStore.read(spark, table)
     assert(got.columns.contains("Region") && got.filter(col("Region").isNull).count() == 2)
+  }
+
+  test("--evolve-schema rename/widen/drop via the CLI round-trip") {
+    val in = tmpDir("cli-e2-in"); val table = tmpDir("cli-e2-table")
+    writeTrace(in, "trace.json", 1557761852L, 2)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Main.run(Main.Convert(Seq(s"$in/trace.json"), table, 1), out.append(_), () => spark)
+    Main.run(Main.EvolveSchema(table, Main.AddCol("Score",
+      org.apache.spark.sql.types.IntegerType)), out.append(_), () => spark)
+    Main.run(Main.EvolveSchema(table, Main.WidenCol("Score",
+      org.apache.spark.sql.types.LongType)), out.append(_), () => spark)
+    Main.run(Main.EvolveSchema(table, Main.RenameCol("Score", "Pts")),
+      out.append(_), () => spark)
+    assert(out.exists(_.startsWith("evolved schema to v3: widened Score")))
+    assert(out.exists(_.startsWith("evolved schema to v4: renamed Score -> Pts")))
+    val got = TraceStore.read(spark, table)
+    assert(got.columns.contains("Pts") && !got.columns.contains("Score"))
+    assert(got.schema("Pts").dataType == org.apache.spark.sql.types.LongType)
+    Main.run(Main.EvolveSchema(table, Main.DropCol("Pts")), out.append(_), () => spark)
+    assert(out.exists(_.startsWith("evolved schema to v5: dropped Pts")))
+    assert(!TraceStore.read(spark, table).columns.contains("Pts"))
   }
 }

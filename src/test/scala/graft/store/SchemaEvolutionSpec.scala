@@ -3,7 +3,8 @@ package graft.store
 import java.sql.Timestamp
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
+  IntegerType, LongType, ShortType, StringType, StructField}
 
 /** Schema evolution contract: adding a nullable column is metadata-only
   * (old files null-fill in the same scan), validation is loud, and every
@@ -96,5 +97,182 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(old.count() == 3 && old.filter(col("Region").isNotNull).count() == 0)
     val delta = TraceStore.readAppendedSince(spark, path, snap)
     assert(delta.count() == 2 && delta.filter(col("Region") === "eu").count() == 1)
+  }
+
+  // append one row carrying evolved column `name` with the given value
+  private def oneRow(sev: Int, pairs: (String, org.apache.spark.sql.Column)*) =
+    pairs.foldLeft(
+      baseBatch().filter(col("Severity") === 10)
+        .withColumn("Severity", lit(sev))) { case (d, (n, c)) => d.withColumn(n, c) }
+
+  test("widenColumn is metadata-only for every promotion the parquet reader executes") {
+    // the allowed set is exactly what this Spark build's vectorized
+    // parquet reader promotes natively — each pair is proven by writing
+    // a NARROW file and reading it under the WIDE declared schema
+    val matrix: Seq[(DataType, DataType, Any)] = Seq(
+      (ByteType, ShortType, 3.toByte), (ByteType, IntegerType, 3.toByte),
+      (ByteType, LongType, 3.toByte), (ByteType, DoubleType, 3.toByte),
+      (ShortType, IntegerType, 7.toShort), (ShortType, LongType, 7.toShort),
+      (ShortType, DoubleType, 7.toShort),
+      (IntegerType, LongType, 11), (IntegerType, DoubleType, 11),
+      (FloatType, DoubleType, 2.5f))
+    matrix.zipWithIndex.foreach { case ((from, to, v), i) =>
+      val path = tmpDir(s"widen-$i")
+      TraceStore.append(baseBatch(), path)
+      TraceStore.evolveSchema(path, StructField("W", from, nullable = true))
+      TraceStore.append(oneRow(90, "W" -> lit(v).cast(from)), path)
+      TraceStore.widenColumn(path, "W", to)
+      // the narrow file decodes under the widened schema without rewrite
+      val got = TraceStore.read(spark, path)
+      assert(got.schema("W").dataType == to, s"$from->$to")
+      val wide = got.filter(col("Severity") === 90).select(col("W").cast("double"))
+        .head().getDouble(0)
+      assert(math.abs(wide - (v match {
+        case b: Byte => b.toDouble; case s: Short => s.toDouble
+        case n: Int => n.toDouble; case f: Float => f.toDouble
+      })) < 1e-9, s"$from->$to read $wide")
+      // a pre-widening-typed batch still appends (up-cast in alignToStored)
+      TraceStore.append(oneRow(91, "W" -> lit(v).cast(from)), path)
+      assert(TraceStore.read(spark, path).filter(col("W").isNotNull).count() == 2)
+    }
+    // refused widenings fail at evolve time, not at read time
+    val path = tmpDir("widen-bad")
+    TraceStore.append(baseBatch(), path)
+    TraceStore.evolveSchema(path, StructField("L", LongType, nullable = true))
+    intercept[IllegalArgumentException] { TraceStore.widenColumn(path, "L", DoubleType) }
+    intercept[IllegalArgumentException] { TraceStore.widenColumn(path, "L", IntegerType) }
+    intercept[IllegalArgumentException] { TraceStore.widenColumn(path, "Time", LongType) }
+  }
+
+  test("widening a base column up-casts appends and survives maintenance") {
+    val path = tmpDir("widen-base")
+    TraceStore.append(baseBatch(), path)
+    TraceStore.widenColumn(path, "Severity", LongType)
+    // int-typed batches (the pre-widening ingest shape) still append
+    TraceStore.append(baseBatch().withColumn("Severity", col("Severity") + 100), path)
+    // and a post-widening batch can carry values beyond int range
+    TraceStore.append(
+      baseBatch().withColumn("Severity", col("Severity") + lit(5000000000L)), path)
+    val got = TraceStore.read(spark, path)
+    assert(got.schema("Severity").dataType == LongType)
+    assert(got.count() == 9 && got.filter(col("Severity") > 4000000000L).count() == 3)
+    // compaction reads narrow+wide files together and rewrites wide
+    TraceStore.compact(spark, path, maxFilesPerMonth = 0)
+    val after = TraceStore.read(spark, path)
+    assert(after.count() == 9 && after.filter(col("Severity") === 110L).count() == 1)
+  }
+
+  test("renameColumn keeps pre-rename history readable under the new name") {
+    val path = tmpDir("ren1")
+    TraceStore.append(baseBatch(), path)
+    TraceStore.evolveSchema(path, StructField("Region", StringType, nullable = true))
+    TraceStore.append(evolvedBatch(), path)                   // files carry 'Region'
+    TraceStore.renameColumn(path, "Region", "Zone")
+    val got = TraceStore.read(spark, path)
+    assert(got.columns.contains("Zone") && !got.columns.contains("Region"))
+    // the pre-rename file's value surfaces under the NEW name, unrewritten
+    assert(got.filter(col("Zone") === "eu").select("Severity").head().getInt(0) == 40)
+    // new appends write the new name and coexist with old files
+    TraceStore.append(oneRow(60, "Zone" -> lit("us")), path)
+    val both = TraceStore.read(spark, path)
+    assert(both.filter(col("Zone").isNotNull).count() == 2)
+    // predicate erasure told in NEW-name terms must hit OLD-name files
+    val erased = TraceStore.deleteWhere(spark, path, col("Zone") === "eu")
+    assert(erased == Seq("201905"))
+    assert(TraceStore.read(spark, path).filter(col("Zone") === "eu").count() == 0)
+    // chained rename: values written under all three names resolve
+    TraceStore.renameColumn(path, "Zone", "Area")
+    val chained = TraceStore.read(spark, path)
+    assert(chained.filter(col("Area") === "us").count() == 1)
+    // compaction migrates old files to the current physical name...
+    TraceStore.compact(spark, path, maxFilesPerMonth = 0)
+    val after = TraceStore.read(spark, path)
+    assert(after.filter(col("Area") === "us").count() == 1)
+    // ...verified at the parquet level: no rewritten file carries a retired name
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+      .filterNot(_.toString.contains("_retired")).toSeq
+    files.foreach { f =>
+      val cols = spark.read.parquet(f.toString).columns.toSet
+      assert(!cols.contains("Region") && !cols.contains("Zone"), s"$f kept a retired name")
+    }
+  }
+
+  test("rename validation: base columns pinned, names never reused") {
+    val path = tmpDir("ren2")
+    TraceStore.append(baseBatch(), path)
+    TraceStore.evolveSchema(path, StructField("Region", StringType, nullable = true))
+    intercept[IllegalArgumentException] { TraceStore.renameColumn(path, "Machine", "Host") }
+    intercept[IllegalArgumentException] { TraceStore.renameColumn(path, "Region", "Severity") }
+    intercept[IllegalArgumentException] { TraceStore.renameColumn(path, "Nope", "X") }
+    TraceStore.renameColumn(path, "Region", "Zone")
+    // the retired name can never come back: old files would resurrect
+    intercept[IllegalArgumentException] {
+      TraceStore.evolveSchema(path, StructField("Region", StringType, nullable = true))
+    }
+    TraceStore.evolveSchema(path, StructField("Nu", LongType, nullable = true))
+    intercept[IllegalArgumentException] { TraceStore.renameColumn(path, "Nu", "Region") }
+  }
+
+  test("dropColumn removes the surface; the name stays retired") {
+    val path = tmpDir("drop1")
+    TraceStore.append(baseBatch(), path)
+    TraceStore.evolveSchema(path, StructField("Region", StringType, nullable = true))
+    TraceStore.append(evolvedBatch(), path)
+    TraceStore.dropColumn(path, "Region")
+    val got = TraceStore.read(spark, path)
+    assert(!got.columns.contains("Region") && got.count() == 5)
+    // appends carrying the dropped column are rejected (not silently shed)
+    intercept[IllegalArgumentException] { TraceStore.append(evolvedBatch(), path) }
+    // re-adding the name would resurrect the old files' values — refused
+    intercept[IllegalArgumentException] {
+      TraceStore.evolveSchema(path, StructField("Region", StringType, nullable = true))
+    }
+    // base columns cannot be dropped: they are the ingest contract
+    intercept[IllegalArgumentException] { TraceStore.dropColumn(path, "Machine") }
+    // maintenance after the drop physically sheds the column
+    TraceStore.compact(spark, path, maxFilesPerMonth = 0)
+    assert(TraceStore.read(spark, path).count() == 5)
+  }
+
+  test("snapshots pinned before a rename resolve values under the current name") {
+    val path = tmpDir("ren-snap")
+    TraceStore.append(baseBatch(), path)
+    TraceStore.evolveSchema(path, StructField("Region", StringType, nullable = true))
+    TraceStore.append(evolvedBatch(), path)
+    val snap = TraceStore.snapshot(path)
+    TraceStore.renameColumn(path, "Region", "Zone")
+    TraceStore.append(oneRow(70, "Zone" -> lit("ap")), path)
+    // snapshot = pre-rename files, read under the CURRENT schema
+    val old = TraceStore.readSnapshot(spark, path, snap)
+    assert(old.columns.contains("Zone") && old.filter(col("Zone") === "eu").count() == 1)
+    assert(old.count() == 5)
+    val delta = TraceStore.readAppendedSince(spark, path, snap)
+    assert(delta.count() == 1 && delta.head().getAs[String]("Zone") == "ap")
+  }
+
+  test("catalog registration refreshes after evolution instead of keeping stale DDL") {
+    val path = tmpDir("cat1")
+    TraceStore.append(baseBatch(), path)
+    try {
+      TraceStore.analyze(spark, path, "evo_cat_t")
+      assert(!spark.table("evo_cat_t").columns.contains("Region"))
+      TraceStore.evolveSchema(path, StructField("Region", StringType, nullable = true))
+      // re-running the registration must surface the evolved column —
+      // CREATE IF NOT EXISTS alone would keep the pre-evolution DDL
+      TraceStore.analyze(spark, path, "evo_cat_t")
+      assert(spark.table("evo_cat_t").columns.contains("Region"))
+      // same contract through the CLI bootstrap path
+      graft.schema.Ddl.createSchema(spark, "evo_cat_db", "t", Some(path))
+      assert(spark.table("evo_cat_db.t").columns.contains("Region"))
+      TraceStore.evolveSchema(path, StructField("Score", LongType, nullable = true))
+      graft.schema.Ddl.createSchema(spark, "evo_cat_db", "t", Some(path))
+      assert(spark.table("evo_cat_db.t").columns.contains("Score"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS evo_cat_t")
+      spark.sql("DROP TABLE IF EXISTS evo_cat_db.t")
+      spark.sql("DROP DATABASE IF EXISTS evo_cat_db")
+    }
   }
 }
