@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The bench run's LAST stdout line must survive the driver's bounded
+  * stdout tail (~2000 chars) AND parse as JSON — every prior round's
+  * artifact carried `"parsed": null` because the only JSON line was the
+  * 17 KB full map, truncated from the front. [[Bench.compactLine]] is a
+  * pure function, so the contract pins down without running Spark. */
+class BenchEmitSpec extends AnyFunSuite {
+
+  private def results(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"q$i%03d_some_longer_query_name", i * 0.013))
+
+  test("compact line is valid single-line JSON within the tail budget") {
+    for (n <- Seq(0, 5, 224, 500)) {
+      val line = Bench.compactLine(results(n), "/root/testdata/sf0.1", "target/bench.json")
+      assert(!line.contains("\n"))
+      assert(line.length <= 1400, s"n=$n emitted ${line.length} chars")
+      val js = JsonMethods.parse(line) // throws on malformed JSON
+      assert((js \ "metric") == JString("total"))
+      assert((js \ "unit") == JString("sec"))
+      assert((js \ "n_queries") == JInt(n))
+      val JDouble(total) = (js \ "value"): @unchecked
+      assert(math.abs(total - results(n).map(_._2).sum) < 1e-3)
+    }
+  }
+
+  test("slowest queries survive truncation; failed queries are listed, not summed") {
+    val rs = results(300) :+ ("q999_failed", -1.0)
+    val line = Bench.compactLine(rs, "sf", "a.json")
+    val js = JsonMethods.parse(line)
+    assert((js \ "queries_truncated") == JBool(true))
+    // the slowest real query must be present in the kept prefix
+    val JObject(qs) = (js \ "queries"): @unchecked
+    assert(qs.exists(_._1 == "q300_some_longer_query_name"))
+    assert((js \ "failed") == JArray(List(JString("q999_failed"))))
+    val JDouble(total) = (js \ "value"): @unchecked
+    assert(total > 0) // the -1 marker did not subtract
+  }
+
+  test("small suites emit the full per-query map untruncated") {
+    val line = Bench.compactLine(results(10), "sf", "a.json")
+    val js = JsonMethods.parse(line)
+    assert((js \ "queries_truncated") == JBool(false))
+    val JObject(qs) = (js \ "queries"): @unchecked
+    assert(qs.size == 10)
+  }
+
+  test("calibration readings ride along when supplied") {
+    val line = Bench.compactLine(results(224), "sf", "a.json",
+      calib = Some((1.234, 1.567)))
+    val js = JsonMethods.parse(line)
+    assert((js \ "calib_before") == JDouble(1.234))
+    assert((js \ "calib_after") == JDouble(1.567))
+    assert(line.length <= 1400)
+  }
+}
