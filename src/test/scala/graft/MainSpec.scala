@@ -275,6 +275,68 @@ class MainRunSpec extends SparkSpec {
     assert(out.exists(_.startsWith("NOTE: found completion file")))
   }
 
+  test("watch lifecycle soak: rotated files + mid-stream evolve + sentinel " +
+      "(the reference's entrypoint.sh:8-29 in one run)") {
+    val watch = tmpDir("cli-soak"); val table = tmpDir("cli-soak-table")
+    val ckpt = tmpDir("cli-soak-ckpt")
+    writeTrace(watch, "trace.1.json", 1557761852L, 5)    // 2019-05, pre-evolution
+    val out = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val cfg = graft.streaming.TraceStream.Config(
+      watch, table, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+    // operator thread: once the first rotation has committed, evolve the
+    // schema THROUGH THE CLI DISPATCH (a second graft.Main invocation, as
+    // an operator would), rotate a second file in, wait for it to land,
+    // then drop the completion sentinel
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try {
+        val deadline = System.nanoTime() + 120e9.toLong
+        def waitFor(n: Long): Unit =
+          while (TraceStore.read(spark, table).count() < n &&
+                 System.nanoTime() < deadline) Thread.sleep(100)
+        waitFor(5)
+        Main.run(Main.EvolveSchema(table, Main.AddCol("Region",
+          org.apache.spark.sql.types.StringType)), out.add(_), () => spark)
+        writeTrace(watch, "trace.2.json", 1561000000L, 4) // 2019-06, post-evolution
+        waitFor(9)
+        Files.write(Paths.get(watch, "soak-completed"), Array.empty[Byte])
+      } catch { case e: Throwable =>
+        errs.set(e) // surface helper failures instead of hanging the test
+        Files.write(Paths.get(watch, "soak-completed"), Array.empty[Byte])
+      }
+    })
+    t.start()
+    try
+      Main.run(
+        Main.Watch(cfg, Some(("fdbsoak", "traces_soak")), Some(s"$watch/soak-completed")),
+        out.add(_), () => spark)
+    finally {
+      t.join(130000)
+      spark.sql("DROP TABLE IF EXISTS fdbsoak.traces_soak")
+      spark.sql("DROP DATABASE IF EXISTS fdbsoak")
+    }
+    assert(errs.get() == null, s"helper thread failed: ${errs.get()}")
+    import scala.jdk.CollectionConverters._
+    val o = out.asScala
+    assert(o.exists(_.startsWith("created schema fdbsoak.traces_soak")))
+    assert(o.exists(_.startsWith("evolved schema to v2: added Region")))
+    assert(o.exists(_.startsWith("NOTE: found completion file")))
+    // final store: both rotations landed, under the evolved schema
+    val got = TraceStore.read(spark, table)
+    assert(got.count() == 9)
+    assert(got.columns.contains("Region"))
+    // the stream's post-evolution micro-batch aligned to the evolved
+    // schema (null-filled), so EVERY row reads Region as NULL
+    assert(got.filter(col("Region").isNull).count() == 9)
+    assert(got.filter(col("ym") === "201906").count() == 4)
+    // schema version on disk is v2 (base is implicitly v1)
+    assert(TraceStore.storedSchema(table).fieldNames.last == "Region")
+    assert(graft.store.FsMaint.listDir(Paths.get(table).resolve("_schema"))
+      .map(_.getFileName.toString) == Seq("v000002.json"))
+  }
+
   test("--evolve-schema via the CLI: metadata-only, old rows read as NULL") {
     val in = tmpDir("cli-e-in"); val table = tmpDir("cli-e-table")
     writeTrace(in, "trace.json", 1557761852L, 2)
