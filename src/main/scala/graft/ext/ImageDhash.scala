@@ -242,8 +242,69 @@ object ImageDhash {
       |WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= 3
       |ORDER BY d1, d2""".stripMargin
 
+  // ------------------------------------------------------------- q225: cross-modal dedup
+  /** Cross-modality duplicate audit: pages whose IMAGERY is
+    * near-duplicated (q223's banded dHash pairs) scored by how similar
+    * their TEXT is (q144's 60-bit SimHash distance) — the curation
+    * signal for template farms and re-branded mirrors, where a page's
+    * text is rewritten but its images are lifted verbatim. `img_only`
+    * flags pairs past q144's text threshold: duplicated imagery, unique
+    * prose — exactly the pages a text-only dedup pass would wrongly
+    * keep as distinct.
+    *
+    * Pure composition of two bucketed paths — no new kernel, no
+    * all-pairs anywhere: the image side is the 4×16-bit band LSH join
+    * (candidate volume Σ|bucket|²), the text side one map-only SimHash
+    * pass joined to the (much smaller) pair table on doc_id. The oracle
+    * recomputes BOTH signatures from first principles, so the gate
+    * covers the join wiring and every per-pair distance value, not just
+    * the boolean. */
+  def q225CrossmodalDedup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash60(split(col("text"), " ")).as("tsh"))
+    q223ImageNeardup(s, dir)
+      .withColumnRenamed("hamming", "img_hamming")
+      .join(sigs.select(col("doc_id").as("d1"), col("tsh").as("t1")), Seq("d1"))
+      .join(sigs.select(col("doc_id").as("d2"), col("tsh").as("t2")), Seq("d2"))
+      .withColumn("text_hamming",
+        bit_count(col("t1").bitwiseXOR(col("t2"))).cast("long"))
+      .select(col("d1"), col("d2"), col("img_hamming"), col("text_hamming"),
+        (col("text_hamming") > 5).as("img_only"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q225Sql: String = {
+    // q223's image-pair CTEs verbatim + q144's text-SimHash CTEs
+    // (renamed ttoks/ttv/tc/tsig to avoid colliding with the image
+    // `bits` CTE), joined on the pair's doc ids
+    val imageCtes = q223Sql
+      .stripSuffix("ORDER BY d1, d2")
+      .replaceFirst("(?s)SELECT d1, d2,.*$", "") // drop q223's final SELECT
+      .trim.stripSuffix(",") // normalize, then rejoin the CTE chain below
+    s"""$imageCtes,
+       |pairs AS (
+       |  SELECT d1, d2,
+       |    (bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)))::BIGINT AS img_hamming
+       |  FROM cand
+       |  WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= 3),
+       |ttoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |ttv AS (SELECT doc_id, ${graft.functions.TextHash.tokvalSql("tok")} AS tv FROM ttoks),
+       |tc AS (SELECT doc_id, t.j,
+       |         sum(CASE WHEN (tv * (t.j * 2 + 3)) % 65536 >= 32768 THEN 1 ELSE -1 END) AS csum
+       |       FROM ttv CROSS JOIN range(60) t(j) GROUP BY doc_id, t.j),
+       |tsig AS (SELECT doc_id, sum(CASE WHEN csum > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sh
+       |         FROM tc GROUP BY doc_id)
+       |SELECT p.d1, p.d2, p.img_hamming,
+       |  bit_count(xor(a.sh, b.sh))::BIGINT AS text_hamming,
+       |  bit_count(xor(a.sh, b.sh)) > 5 AS img_only
+       |FROM pairs p JOIN tsig a ON a.doc_id = p.d1 JOIN tsig b ON b.doc_id = p.d2
+       |ORDER BY p.d1, p.d2""".stripMargin
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q221_image_dhash", q221ImageDhash _, Some(q221Sql)),
     ("q223_image_neardup", q223ImageNeardup _, Some(q223Sql)),
+    ("q225_crossmodal_dedup", q225CrossmodalDedup _, Some(q225Sql)),
   )
 }

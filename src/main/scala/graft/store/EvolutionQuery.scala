@@ -48,10 +48,8 @@ object EvolutionQuery {
       col("event_id").cast(IntegerType).as("Severity"),
       concat(lit("m"), pmod(col("user_id"), lit(8L))).as("Machine"),
       col("event_type").as("LogGroup"),
-      // events stores ts as TIMESTAMP_NTZ; the store's Time is TIMESTAMP.
-      // The cast only influences ym partition placement (the graded
-      // aggregate never reads Time), so session-zone interpretation is
-      // harmless here.
+      // Tables.events normalizes ts to UTC TIMESTAMP; the cast is a
+      // belt-and-braces no-op that pins the store's declared Time type
       col("ts").cast(org.apache.spark.sql.types.TimestampType).as("Time"),
       col("event_type").as("Type"),
       col("event_id").cast("string").as("ID")) ++
@@ -61,8 +59,11 @@ object EvolutionQuery {
     (sess, d) =>
       val path = graft.util.TmpDirs.scratch("graft-evo-store")
       // the scratch dir must not pre-exist as a store root with content;
-      // TmpDirs gives a fresh empty dir — append creates the layout
-      val ev = sess.read.parquet(s"$d/events.parquet")
+      // TmpDirs gives a fresh empty dir — append creates the layout.
+      // Tables.events (never a raw parquet read): the driver's ts
+      // encoding has varied across rounds (NANOS is unreadable raw) and
+      // the relation cache normalizes every encoding to UTC TIMESTAMP
+      val ev = graft.tables.Tables.events(sess, d)
       val batch = pmod(col("event_id"), lit(3L))
       // 1. base-only history
       TraceStore.append(asTrace(ev.filter(batch === 0)), path, splitsPerMonth = 2)
