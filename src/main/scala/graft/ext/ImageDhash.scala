@@ -43,20 +43,16 @@ object ImageDhash {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream(W * H / 2 + 128)
-    javax.imageio.ImageIO.setUseCache(false)
-    javax.imageio.ImageIO.write(im, "png", bos)
-    bos.toByteArray
+    graft.util.PngSpi.write(im)
   }
 
   /** Decode + downsample + pack. Returns (lo, hi): bits of rows 0-3 in
     * `lo`, rows 4-7 in `hi` (32 bits each — two signed BIGINTs avoid the
     * sign bit a single 64-bit pack would hit). None on undecodable. */
   def dhash(png: Array[Byte]): Option[(Long, Long)] = {
-    val img =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
-      catch { case scala.util.control.NonFatal(_) => None }
-    img.filter(i => i.getWidth == W && i.getHeight == H).map { im =>
+    // cached PNG reader SPI: ImageIO.read's per-call registry lookup
+    // serializes local[32] threads (the q222 WavSpi lesson, milder here)
+    graft.util.PngSpi.read(png).filter(i => i.getWidth == W && i.getHeight == H).map { im =>
       val raster = im.getRaster
       val cell = Array.ofDim[Long](8, 9)
       var r = 0
@@ -201,10 +197,7 @@ object ImageDhash {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream(W * H / 2 + 128)
-    javax.imageio.ImageIO.setUseCache(false)
-    javax.imageio.ImageIO.write(im, "png", bos)
-    bos.toByteArray
+    graft.util.PngSpi.write(im)
   }
 
   val q223Sql: String =

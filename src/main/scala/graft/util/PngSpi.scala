@@ -36,13 +36,19 @@ object PngSpi {
     readerSpi match {
       case Some(spi) =>
         val r = spi.createReaderInstance()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(png))
         try {
-          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(png))
           r.setInput(iis, true, true)
           Some(r.read(0))
         } catch { case scala.util.control.NonFatal(_) => None }
-        finally r.dispose()
+        finally {
+          r.dispose()
+          // ImageIO.read closes its stream in a finally; an unclosed
+          // MemoryCacheImageInputStream keeps its cache blocks live
+          // until GC — at 500k images that is an old-gen storm
+          try iis.close() catch { case scala.util.control.NonFatal(_) => () }
+        }
       case None =>
         javax.imageio.ImageIO.setUseCache(false)
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
@@ -55,12 +61,16 @@ object PngSpi {
     writerSpi match {
       case Some(spi) =>
         val w = spi.createWriterInstance()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
         try {
-          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
           w.setOutput(ios)
           w.write(im)
-          ios.flush()
-        } finally w.dispose()
+        } finally {
+          w.dispose()
+          // close() flushes the remaining cached bytes to bos AND frees
+          // the cache blocks (see the reader note above)
+          try ios.close() catch { case scala.util.control.NonFatal(_) => () }
+        }
       case None =>
         javax.imageio.ImageIO.setUseCache(false)
         javax.imageio.ImageIO.write(im, "png", bos)
