@@ -5,27 +5,36 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udf
 
 /** Bitmap aggregate family (ClickHouse `groupBitmapState` /
-  * `bitmap*Cardinality`): per-group membership as a dense word-aligned
-  * bitmap over a bounded non-negative integer domain, mergeable by OR,
-  * serialized as the raw byte array — so set algebra downstream
-  * (AND/OR cardinality, Jaccard) is pure word arithmetic on two blobs
-  * instead of a row-level join.
+  * `bitmap*Cardinality`): per-group membership as a CHUNKED SPARSE
+  * bitmap over the full non-negative 64-bit id domain, mergeable by OR,
+  * serialized canonically — so set algebra downstream (AND/OR
+  * cardinality, Jaccard) is pure word arithmetic on two blobs instead
+  * of a row-level join.
   *
-  * Contrast with the relational formulation (q127: the deduped membership
-  * table IS the bitmap, partitioned by user): the aggregate materializes
-  * each group's set ONCE into O(domain/8) bytes; every pairwise overlap
-  * after that costs a byte-AND of two buffers, not a shuffle. The
-  * crossover is pair count — with P pairwise questions over the same
-  * groups, the relational join re-shuffles membership once, while bitmaps
-  * answer all P from |groups| blobs. ClickHouse ships this as a first-
-  * class state type for exactly that reason (segment-overlap dashboards).
+  * Container layout (the Roaring idea, minimal form): ids partition by
+  * their high 48 bits into 64Ki-wide chunks; each POPULATED chunk is a
+  * dense 8 KiB bitset over the low 16 bits. Memory is
+  * O(populated chunks), never O(domain width) — the round-8 lesson: a
+  * dense array over the domain was fine for compact synthetic ids but
+  * allocated domain/8 bytes per GROUP the moment 64-bit entity ids
+  * appeared (replica ids at k·10⁹ → 375 MB/group → OOM; real 100 TB
+  * corpora use snowflake-style ids that are ALWAYS like this). Dense
+  * sub-containers keep the hot loop branch-free; clustered id spaces
+  * (the common case) populate few chunks densely.
   *
-  * State bound: domain/8 bytes per partial buffer (1500 users → 188 B;
-  * 10M users → 1.25 MB — still one buffer per group per partition, far
-  * under executor memory at 32 groups). The 100 TB swap for SPARSE
-  * domains (64-bit ids) is Roaring containers — same algebra, same
-  * merge-by-OR contract; dense words are the right container here
-  * because the synthetic user domain is compact.
+  * Contrast with the relational formulation (q127: the deduped
+  * membership table IS the bitmap, partitioned by user): the aggregate
+  * materializes each group's set ONCE; every pairwise overlap after
+  * that costs a chunk-aligned byte-AND of two buffers, not a shuffle.
+  * With P pairwise questions over the same groups, the relational join
+  * re-shuffles membership once per formulation, while bitmaps answer
+  * all P from |groups| blobs. ClickHouse ships this as a first-class
+  * state type for exactly that reason (segment-overlap dashboards).
+  *
+  * Serialized form (canonical: equal sets ⇒ identical bytes): chunks
+  * ascending by key, each as [key: 8B BE][len: 4B BE][len bytes,
+  * trailing zeros trimmed]. The scalar algebra walks two blobs with a
+  * two-pointer merge on the sorted keys.
   *
   * Exactness: a bit is set iff the value occurred; OR is commutative,
   * associative, idempotent — merge order and partial-aggregation split
@@ -34,47 +43,62 @@ import org.apache.spark.sql.functions.udf
   */
 object BitmapAgg {
 
-  /** Growable byte-backed bitset buffer. */
-  final case class Buf(var bytes: Array[Byte])
+  private val ChunkBytes = 8192 // 64Ki bits: low 16 bits of the id
 
-  private def ensure(b: Buf, byteIdx: Int): Unit =
-    if (byteIdx >= b.bytes.length) {
-      // grow to the next power of two past the index: amortized O(1)
-      var n = math.max(16, b.bytes.length)
-      while (n <= byteIdx) n <<= 1
-      b.bytes = java.util.Arrays.copyOf(b.bytes, n)
-    }
+  /** Partial state: populated chunk bitsets by high-48-bit key.
+    * java.util.HashMap for dependable kryo round-trips. */
+  final case class Buf(m: java.util.HashMap[java.lang.Long, Array[Byte]])
 
   class BitmapStateAgg extends Aggregator[Long, Buf, Array[Byte]] {
-    override def zero: Buf = Buf(Array.emptyByteArray)
+    override def zero: Buf = Buf(new java.util.HashMap)
 
     override def reduce(b: Buf, v: Long): Buf = {
-      require(v >= 0 && v <= Int.MaxValue,
-        s"bitmap_state domain is non-negative ints, got $v")
-      val idx = (v >>> 3).toInt
-      ensure(b, idx)
-      b.bytes(idx) = (b.bytes(idx) | (1 << (v & 7).toInt)).toByte
+      require(v >= 0, s"bitmap_state domain is non-negative longs, got $v")
+      val key = java.lang.Long.valueOf(v >>> 16)
+      var chunk = b.m.get(key)
+      if (chunk == null) { chunk = new Array[Byte](ChunkBytes); b.m.put(key, chunk) }
+      val low = (v & 0xffffL).toInt
+      chunk(low >>> 3) = (chunk(low >>> 3) | (1 << (low & 7))).toByte
       b
     }
 
     override def merge(x: Buf, y: Buf): Buf = {
-      if (y.bytes.length > x.bytes.length) {
-        val t = x.bytes; x.bytes = y.bytes.clone(); return mergeInto(x, t)
+      val (big, small) = if (x.m.size >= y.m.size) (x, y) else (y, x)
+      small.m.forEach { (k, sc) =>
+        val bc = big.m.get(k)
+        if (bc == null) big.m.put(k, sc)
+        else {
+          var i = 0
+          while (i < ChunkBytes) { bc(i) = (bc(i) | sc(i)).toByte; i += 1 }
+        }
       }
-      mergeInto(x, y.bytes)
-    }
-    private def mergeInto(x: Buf, small: Array[Byte]): Buf = {
-      var i = 0
-      while (i < small.length) { x.bytes(i) = (x.bytes(i) | small(i)).toByte; i += 1 }
-      x
+      big
     }
 
-    // canonical form: trailing zero bytes trimmed, so equal sets have
-    // byte-identical states regardless of growth history
+    // canonical form: keys ascending, trailing zero bytes trimmed per
+    // chunk, so equal sets have byte-identical states regardless of
+    // growth/merge history
     override def finish(b: Buf): Array[Byte] = {
-      var n = b.bytes.length
-      while (n > 0 && b.bytes(n - 1) == 0) n -= 1
-      java.util.Arrays.copyOf(b.bytes, n)
+      val keys = new Array[Long](b.m.size)
+      var n = 0
+      val it = b.m.keySet().iterator()
+      while (it.hasNext) { keys(n) = it.next(); n += 1 }
+      java.util.Arrays.sort(keys)
+      val bos = new java.io.ByteArrayOutputStream(64 + n * 64)
+      val out = new java.io.DataOutputStream(bos)
+      var i = 0
+      while (i < n) {
+        val chunk = b.m.get(keys(i))
+        var len = ChunkBytes
+        while (len > 0 && chunk(len - 1) == 0) len -= 1
+        if (len > 0) { // an all-zero chunk cannot occur, but stay canonical
+          out.writeLong(keys(i))
+          out.writeInt(len)
+          out.write(chunk, 0, len)
+        }
+        i += 1
+      }
+      bos.toByteArray
     }
     override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
@@ -84,28 +108,79 @@ object BitmapAgg {
   def bitmap_state(c: Column): Column =
     org.apache.spark.sql.functions.udaf(new BitmapStateAgg, Encoders.scalaLong)(c)
 
-  private def popcount(a: Array[Byte]): Long = {
+  // ---- serialized-blob walkers (driver/group-cardinality rows only) ----
+
+  /** Cursor over the canonical serialized form. */
+  private final class Cur(val a: Array[Byte]) {
+    var pos = 0
+    var key = 0L
+    var len = 0
+    var off = 0 // chunk bytes start
+    def hasNext: Boolean = pos < a.length
+    def advance(): Unit = { // load the chunk header at pos
+      val bb = java.nio.ByteBuffer.wrap(a, pos, 12)
+      key = bb.getLong; len = bb.getInt; off = pos + 12; pos = off + len
+    }
+  }
+
+  private def popcountRange(a: Array[Byte], off: Int, len: Int): Long = {
     var n = 0L; var i = 0
-    while (i < a.length) { n += java.lang.Integer.bitCount(a(i) & 0xff); i += 1 }
+    while (i < len) { n += java.lang.Integer.bitCount(a(off + i) & 0xff); i += 1 }
+    n
+  }
+
+  private def popcountAll(a: Array[Byte]): Long = {
+    var n = 0L
+    val c = new Cur(a)
+    while (c.hasNext) { c.advance(); n += popcountRange(a, c.off, c.len) }
     n
   }
 
   // The scalar algebra runs on GROUP-cardinality rows (|groups| blobs,
   // |groups|² pairs), never on the corpus — a Scala UDF is fine here; the
-  // corpus-sized work is all inside the codegen'd aggregate above.
-  val bitmap_cardinality = udf((a: Array[Byte]) => popcount(a))
+  // corpus-sized work is all inside the aggregate above.
+  val bitmap_cardinality = udf((a: Array[Byte]) => popcountAll(a))
+
   val bitmap_and_cardinality = udf((a: Array[Byte], b: Array[Byte]) => {
-    val n = math.min(a.length, b.length)
-    var c = 0L; var i = 0
-    while (i < n) { c += java.lang.Integer.bitCount(a(i) & b(i) & 0xff); i += 1 }
-    c
-  })
-  val bitmap_or_cardinality = udf((a: Array[Byte], b: Array[Byte]) => {
-    val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
-    var c = popcount(big); var i = 0
-    while (i < small.length) {
-      c += java.lang.Integer.bitCount((small(i) & ~big(i)) & 0xff); i += 1
+    var n = 0L
+    val ca = new Cur(a); val cb = new Cur(b)
+    var haveA = ca.hasNext; if (haveA) ca.advance()
+    var haveB = cb.hasNext; if (haveB) cb.advance()
+    while (haveA && haveB) {
+      if (ca.key < cb.key) { haveA = ca.hasNext; if (haveA) ca.advance() }
+      else if (cb.key < ca.key) { haveB = cb.hasNext; if (haveB) cb.advance() }
+      else {
+        val len = math.min(ca.len, cb.len)
+        var i = 0
+        while (i < len) {
+          n += java.lang.Integer.bitCount(a(ca.off + i) & b(cb.off + i) & 0xff); i += 1
+        }
+        haveA = ca.hasNext; if (haveA) ca.advance()
+        haveB = cb.hasNext; if (haveB) cb.advance()
+      }
     }
-    c
+    n
+  })
+
+  val bitmap_or_cardinality = udf((a: Array[Byte], b: Array[Byte]) => {
+    // |A ∪ B| = |A| + |B| − |A ∩ B|, all three linear walks of the blobs
+    var inter = 0L
+    val ca = new Cur(a); val cb = new Cur(b)
+    var haveA = ca.hasNext; if (haveA) ca.advance()
+    var haveB = cb.hasNext; if (haveB) cb.advance()
+    while (haveA && haveB) {
+      if (ca.key < cb.key) { haveA = ca.hasNext; if (haveA) ca.advance() }
+      else if (cb.key < ca.key) { haveB = cb.hasNext; if (haveB) cb.advance() }
+      else {
+        val len = math.min(ca.len, cb.len)
+        var i = 0
+        while (i < len) {
+          inter += java.lang.Integer.bitCount(a(ca.off + i) & b(cb.off + i) & 0xff); i += 1
+        }
+        haveA = ca.hasNext; if (haveA) ca.advance()
+        haveB = cb.hasNext; if (haveB) cb.advance()
+      }
+    }
+    popcountAll(a) + popcountAll(b) - inter
   })
 }

@@ -45,7 +45,10 @@ object EvolutionQuery {
   private def asTrace(ev: DataFrame,
                       extra: (String, org.apache.spark.sql.Column)*): DataFrame =
     ev.select(Seq(
-      col("event_id").cast(IntegerType).as("Severity"),
+      // event_id can exceed int range on replica corpora (snowflake-style
+      // shifted ids at k·10⁹); Severity is a label here, not an output —
+      // pmod keeps it in range without touching the oracle's columns
+      pmod(col("event_id"), lit(1000000000L)).cast(IntegerType).as("Severity"),
       concat(lit("m"), pmod(col("user_id"), lit(8L))).as("Machine"),
       col("event_type").as("LogGroup"),
       // Tables.events normalizes ts to UTC TIMESTAMP; the cast is a

@@ -42,4 +42,34 @@ class BitmapAggSpec extends SparkSpec {
     assert(r.getLong(0) == (x & y).size.toLong)
     assert(r.getLong(1) == (x | y).size.toLong)
   }
+
+  test("64-bit id domains: sparse snowflake-style ids across distant chunks") {
+    import spark.implicits._
+    // the round-8 regression shape: replica/snowflake ids at k·10⁹ (and
+    // beyond int range) must aggregate in O(populated chunks), not
+    // O(domain width) — and the algebra must align chunks by KEY, not
+    // by buffer offset
+    def ids(seed: Long): Set[Long] =
+      (0 until 300).map(i => seed + (i * 65537L) % 1000003L).toSet ++
+        Set(0L, 3000000092L, Long.MaxValue - 7, 1L << 40)
+    val x = ids(2999999000L)
+    val y = ids(2999999000L).take(150) ++ ids(8000000000L).take(40)
+    val df = x.toSeq.toDF("v").repartition(7)
+      .agg(BitmapAgg.bitmap_state(col("v")).as("a"))
+      .crossJoin(y.toSeq.toDF("v").agg(BitmapAgg.bitmap_state(col("v")).as("b")))
+      .select(
+        BitmapAgg.bitmap_cardinality(col("a")).as("na"),
+        BitmapAgg.bitmap_cardinality(col("b")).as("nb"),
+        BitmapAgg.bitmap_and_cardinality(col("a"), col("b")).as("and"),
+        BitmapAgg.bitmap_or_cardinality(col("a"), col("b")).as("or"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == x.size.toLong)
+    assert(r.getLong(1) == y.size.toLong)
+    assert(r.getLong(2) == (x & y).size.toLong)
+    assert(r.getLong(3) == (x | y).size.toLong)
+    // negative ids stay a loud contract violation
+    intercept[Exception] {
+      Seq(-1L).toDF("v").agg(BitmapAgg.bitmap_state(col("v"))).collect()
+    }
+  }
 }
