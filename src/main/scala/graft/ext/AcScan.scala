@@ -137,8 +137,14 @@ object AcScan {
   val q215Sql: String = {
     val vals = needles.map(p => s"('${p}')").mkString(", ")
     s"""WITH pats(pat) AS (VALUES $vals),
-       |nums AS (SELECT CAST(t.i AS INTEGER) AS i FROM generate_series(1, 1000000) t(i)
-       |         WHERE t.i <= (SELECT max(length(text)) FROM documents)),
+       |-- start positions derived from the corpus itself (scalar range()
+       |-- accepts subquery bounds where the generate_series TABLE function
+       |-- does not): a fixed cap would silently drop matches past it on a
+       |-- longer-than-expected document, making the oracle under-count
+       |-- while the automaton finds them
+       |nums AS (SELECT CAST(t.i AS INTEGER) AS i FROM (
+       |           SELECT unnest(range(1,
+       |             (SELECT max(length(text))::BIGINT FROM documents) + 1)) AS i) t),
        |hits AS (
        |  SELECT d.doc_id, p.pat, n.i + length(p.pat) - 1 AS end_pos
        |  FROM documents d, pats p, nums n

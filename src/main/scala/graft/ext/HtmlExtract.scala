@@ -145,7 +145,10 @@ object HtmlExtract {
       |  SELECT doc_id, idx // 20 AS p,
       |         (sum(length(tok)) + count(*) - 1)::BIGINT AS chars,
       |         sum(CASE WHEN idx % 7 = 0 THEN length(tok) ELSE 0 END)::BIGINT AS links,
-      |         count(*)::BIGINT AS words
+      |         -- the walker counts visible character RUNS: an empty token
+      |         -- (consecutive/leading/trailing spaces in text) contributes a
+      |         -- space to chars but NO word — count(*) would overcount it
+      |         sum(CASE WHEN length(tok) > 0 THEN 1 ELSE 0 END)::BIGINT AS words
       |  FROM ex GROUP BY doc_id, idx // 20),
       |chrome AS (
       |  SELECT doc_id, 10::BIGINT AS chars, 9::BIGINT AS links, 2::BIGINT AS words FROM documents

@@ -95,6 +95,20 @@ class AcHtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-space text: empty split tokens add chars but never words (oracle parity)") {
+    // "a  b" splits to ["a", "", "b"]: the synth page renders "a  b" (the
+    // empty token contributes its separator space), the walker counts 2
+    // word RUNS and 4 chars — and the oracle formula must agree:
+    // chars = sum(len) + count − 1 = 2 + 3 − 1 = 4; words = nonempty = 2
+    val bs = HtmlExtract.extractBlocks(5L, HtmlExtract.synthHtml("a  b"))
+    val para = bs(1) // nav, para, footer
+    assert(para.chars == 4, s"chars ${para.chars}")
+    assert(para.words == 2, s"words ${para.words}")
+    // leading/trailing spaces: ["", "x", ""] → 3 chars ("␣x␣"), 1 word
+    val bs2 = HtmlExtract.extractBlocks(6L, HtmlExtract.synthHtml(" x "))
+    assert(bs2(1).chars == 3 && bs2(1).words == 1)
+  }
+
   test("degenerate all-anchor last paragraph is dropped by the integer verdict") {
     // 21 tokens: last paragraph = 1 token at global idx 20, and 21 % 7 != 0…
     // pick 36 tokens: last para = idx 20..35 — need a 1-token para whose
