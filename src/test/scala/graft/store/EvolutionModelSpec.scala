@@ -43,6 +43,12 @@ class EvolutionModelSpec extends SparkSpec {
       // snapshot id -> (rows at pin, col ids at pin) — cols added after
       // the pin read as NULL; cols dropped since are simply not selected
       var snaps = Map.empty[String, Vector[MRow]]
+      // CDC-cursor model: sev watermark at pin + whether maintenance has
+      // rewritten files since (a rewrite invalidates the append-only
+      // cursor and readAppendedSince must refuse LOUDLY, not over-report)
+      var snapSevAtPin = Map.empty[String, Int]
+      var snapDirty = Map.empty[String, Boolean]
+      def markDirty(): Unit = snapDirty = snapDirty.map { case (k, _) => k -> true }
 
       def mkDf(rows: Seq[MRow], withCols: Seq[MCol]) = {
         val base = rows.map { r =>
@@ -95,27 +101,47 @@ class EvolutionModelSpec extends SparkSpec {
             TraceStore.evolveSchema(path, StructField(c.name, IntegerType, nullable = true))
             cols :+= c
           case 3 if model.nonEmpty => // compact everything (threshold 0)
-            TraceStore.compact(spark, path, maxFilesPerMonth = 0, splitsPerMonth = 2)
+            if (TraceStore.compact(spark, path,
+                maxFilesPerMonth = 0, splitsPerMonth = 2).nonEmpty) markDirty()
           case 4 if model.nonEmpty => // erase: on a base col, or an evolved col
             if (cols.nonEmpty && rnd.nextBoolean()) {
               val c = cols(rnd.nextInt(cols.size))
               val v = rnd.nextInt(100).toLong
-              TraceStore.deleteWhere(spark, path, col(c.name) === v)
+              if (TraceStore.deleteWhere(spark, path, col(c.name) === v).nonEmpty)
+                markDirty()
               model = model.filterNot(_.extra.getOrElse(c.id, None).contains(v))
             } else {
               val sev = rnd.nextInt(math.max(nextSev, 1))
-              TraceStore.deleteWhere(spark, path, col("Severity") === sev)
+              if (TraceStore.deleteWhere(spark, path, col("Severity") === sev).nonEmpty)
+                markDirty()
               model = model.filterNot(_.sev == sev)
             }
           case 5 if model.nonEmpty => // snapshot now; maybe read an old one
             val id = TraceStore.snapshot(path)
             snaps += id -> model
+            snapSevAtPin += id -> nextSev
+            snapDirty += id -> false
             if (snaps.size > 1 && rnd.nextBoolean()) {
               val (sid, srows) = snaps.toSeq(rnd.nextInt(snaps.size))
               // a snapshot reads under the CURRENT schema: renames
               // resolve, later-added cols are NULL, dropped cols gone
               val got = collectRows(TraceStore.readSnapshot(spark, path, sid))
               assert(got == modelRows(srows), s"seed=$seed step=$step snapshot $sid")
+              // CDC cursor against the same pin: on a clean (no-rewrite)
+              // cursor the increment is exactly the rows appended since —
+              // read under the CURRENT schema, through any rename/widen;
+              // after a rewrite the cursor must refuse loudly
+              if (snapDirty(sid)) {
+                val e = intercept[Exception] {
+                  TraceStore.readAppendedSince(spark, path, sid).collect()
+                }
+                assert(e.getMessage.contains("re-base"),
+                  s"seed=$seed step=$step dirty cursor $sid: ${e.getMessage}")
+              } else {
+                val gotInc = collectRows(TraceStore.readAppendedSince(spark, path, sid))
+                val wantInc = modelRows(model.filter(_.sev >= snapSevAtPin(sid)))
+                assert(gotInc == wantInc, s"seed=$seed step=$step cdc $sid")
+              }
             }
           case 6 if cols.nonEmpty => // RENAME a random evolved column
             val i = rnd.nextInt(cols.size)
