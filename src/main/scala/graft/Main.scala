@@ -239,24 +239,38 @@ object Main {
   /** Parse an `--evolve-schema` operand. The bare `NAME:TYPE` form stays
     * an alias of `add:NAME:TYPE` (pre-round-8 scripts keep working);
     * `drop`/`rename`/`widen` mirror the ClickHouse ALTER family the
-    * reference's DDL targets. A NAME containing `:` is impossible in
-    * both surfaces, so the 3-way split is unambiguous. */
+    * reference's DDL targets. Splits are LIMIT-2 everywhere a TYPE
+    * follows, so nested DDL types that themselves contain `:`
+    * (`Meta:struct<a:int,b:string>`, `add:Meta:struct<...>`) parse;
+    * only column NAMES are colon-free in both surfaces. */
   def parseEvolveOp(spec: String): Either[String, EvolveOp] = {
     def ddl(t: String): Either[String, org.apache.spark.sql.types.DataType] =
       scala.util.Try(org.apache.spark.sql.types.DataType.fromDDL(t)).toOption
         .toRight(s"ERROR: unknown DDL type '$t' in --evolve-schema")
+    def nameType(rest: String): Option[(String, String)] =
+      rest.split(":", 2) match {
+        case Array(n, t) if n.nonEmpty && t.nonEmpty => Some((n, t))
+        case _ => None
+      }
     // op keywords are reserved in the legacy NAME:TYPE form — otherwise a
     // malformed `rename:X` would silently parse as "add column 'rename'"
     val reserved = Set("add", "drop", "rename", "widen")
-    spec.split(":", -1).toSeq match {
-      case Seq("drop", n) if n.nonEmpty => Right(DropCol(n))
-      case Seq("rename", from, to) if from.nonEmpty && to.nonEmpty =>
-        Right(RenameCol(from, to))
-      case Seq("widen", n, t) if n.nonEmpty && t.nonEmpty => ddl(t).map(WidenCol(n, _))
-      case Seq("add", n, t) if n.nonEmpty && t.nonEmpty => ddl(t).map(AddCol(n, _))
+    val fail = Left("ERROR: --evolve-schema needs [add:]NAME:TYPE, drop:NAME, " +
+      s"rename:OLD:NEW or widen:NAME:TYPE, got '$spec'")
+    spec.split(":", 2).toSeq match {
+      case Seq("drop", n) if n.nonEmpty && !n.contains(":") => Right(DropCol(n))
+      case Seq("rename", rest) => rest.split(":", -1).toSeq match {
+        case Seq(from, to) if from.nonEmpty && to.nonEmpty => Right(RenameCol(from, to))
+        case _ => fail
+      }
+      case Seq("widen", rest) =>
+        nameType(rest).fold(fail: Either[String, EvolveOp]) {
+          case (n, t) => ddl(t).map(WidenCol(n, _)) }
+      case Seq("add", rest) =>
+        nameType(rest).fold(fail: Either[String, EvolveOp]) {
+          case (n, t) => ddl(t).map(AddCol(n, _)) }
       case Seq(n, t) if n.nonEmpty && t.nonEmpty && !reserved(n) => ddl(t).map(AddCol(n, _))
-      case _ => Left("ERROR: --evolve-schema needs [add:]NAME:TYPE, drop:NAME, " +
-        s"rename:OLD:NEW or widen:NAME:TYPE, got '$spec'")
+      case _ => fail
     }
   }
 

@@ -62,11 +62,15 @@ object BitmapAgg {
       b
     }
 
+    // Merges INTO the larger of the two buffers (possibly y — safe
+    // because Spark kryo-deserializes a fresh buffer per merged partial;
+    // the chunk CLONE below keeps that the only assumption: no adopted
+    // array is ever shared between two live buffers).
     override def merge(x: Buf, y: Buf): Buf = {
       val (big, small) = if (x.m.size >= y.m.size) (x, y) else (y, x)
       small.m.forEach { (k, sc) =>
         val bc = big.m.get(k)
-        if (bc == null) big.m.put(k, sc)
+        if (bc == null) big.m.put(k, java.util.Arrays.copyOf(sc, ChunkBytes))
         else {
           var i = 0
           while (i < ChunkBytes) { bc(i) = (bc(i) | sc(i)).toByte; i += 1 }

@@ -73,6 +73,17 @@ object Ddl {
       case _ => TraceSchema.target
     }
     spark0.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // a store with rename history needs the physical-files-table + view
+    // shape (a plain catalog table would NULL pre-rename values — the
+    // hazard TraceStore.registerCatalog exists to close); delegate so
+    // the CLI bootstrap and analyze() register the identical surface
+    location match {
+      case Some(p) if java.nio.file.Files.exists(java.nio.file.Paths.get(p)) &&
+          graft.store.TraceStore.hasRenameAliases(p) =>
+        graft.store.TraceStore.registerCatalog(spark0, p, s"$db.$table")
+        return
+      case _ => ()
+    }
     if (spark0.catalog.tableExists(s"$db.$table")) {
       val have = spark0.table(s"$db.$table").schema
         .fields.map(f => (f.name, f.dataType)).toSeq

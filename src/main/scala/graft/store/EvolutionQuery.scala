@@ -70,11 +70,17 @@ object EvolutionQuery {
       val batch = pmod(col("event_id"), lit(3L))
       // 1. base-only history
       TraceStore.append(asTrace(ev.filter(batch === 0)), path, splitsPerMonth = 2)
-      // 2. ADD Score INT; batch B carries int scores
+      // 2. ADD Score INT; batch B carries int scores. pmod-clamped to
+      // [0, 1e9) BEFORE the int32 stage on both sides (oracle arm 1
+      // applies the identical mod): a corpus where |floor(value)| ≥ 2³¹
+      // would otherwise wrap/null only on the Spark side and fail the
+      // gate for data reasons unrelated to evolution correctness — the
+      // same snowflake-scale hazard the Severity pmod above guards.
       TraceStore.evolveSchema(path, StructField("Score", IntegerType, nullable = true))
       TraceStore.append(
         asTrace(ev.filter(batch === 1),
-          "Score" -> floor(col("value")).cast(IntegerType)),
+          "Score" -> pmod(floor(col("value")).cast(LongType), lit(1000000000L))
+            .cast(IntegerType)),
         path, splitsPerMonth = 2)
       // 3-4. WIDEN to BIGINT, RENAME to Pts — zero files touched
       TraceStore.widenColumn(path, "Score", LongType)
@@ -107,17 +113,22 @@ object EvolutionQuery {
       .orderBy(col("Machine"))
   }
 
+  // arm 1 applies the same non-negative mod as the Spark-side pmod
+  // (DuckDB % keeps the dividend's sign, hence the double-mod form)
   val q224Sql: String =
     """SELECT 'm' || (user_id % 8) AS Machine,
       |  count(*) AS n,
       |  count(CASE WHEN event_id % 3 <> 0 THEN 1 END) AS n_pts,
-      |  (sum(CASE WHEN event_id % 3 = 1 THEN CAST(floor(value) AS BIGINT)
+      |  (sum(CASE WHEN event_id % 3 = 1
+      |            THEN ((CAST(floor(value) AS BIGINT) % 1000000000) + 1000000000) % 1000000000
       |            WHEN event_id % 3 = 2 THEN CAST(floor(value) AS BIGINT) + 1000
       |       END))::BIGINT AS sum_pts,
-      |  min(CASE WHEN event_id % 3 = 1 THEN CAST(floor(value) AS BIGINT)
+      |  min(CASE WHEN event_id % 3 = 1
+      |           THEN ((CAST(floor(value) AS BIGINT) % 1000000000) + 1000000000) % 1000000000
       |           WHEN event_id % 3 = 2 THEN CAST(floor(value) AS BIGINT) + 1000
       |      END) AS min_pts,
-      |  max(CASE WHEN event_id % 3 = 1 THEN CAST(floor(value) AS BIGINT)
+      |  max(CASE WHEN event_id % 3 = 1
+      |           THEN ((CAST(floor(value) AS BIGINT) % 1000000000) + 1000000000) % 1000000000
       |           WHEN event_id % 3 = 2 THEN CAST(floor(value) AS BIGINT) + 1000
       |      END) AS max_pts
       |FROM events GROUP BY 1 ORDER BY Machine""".stripMargin

@@ -36,6 +36,12 @@ object TraceStore {
       f.metadata.getStringArray(RenamedFromKey).toSeq
     else Seq.empty
 
+  /** Whether any column of this store has rename history — the signal
+    * that catalog registration needs the files-table + view shape
+    * ([[registerCatalog]]) rather than one plain external table. */
+  def hasRenameAliases(tablePath: String): Boolean =
+    storedSchema(tablePath).fields.exists(f => aliasesOf(f).nonEmpty)
+
   /** Current stored schema: the base whitelist plus any evolved columns —
     * the reference's "extend the schema by editing `columns`"
     * (README.md:135-137) made safe for a table with history: evolution is
@@ -354,34 +360,70 @@ object TraceStore {
     * or large appends (stats are snapshots, not maintained). */
   def analyze(spark: SparkSession, tablePath: String, table: String,
               columns: Seq[String] = Nil): Unit = {
-    // explicit schema: without it, partition discovery infers ym=201905
-    // as INT — the exact type hazard read() documents and defends
-    // against, surfaced to every user of the registered table.
-    // Catalog caveat (documented contract): catalog scans read physical
-    // names directly — after renameColumn, run compact() so maintenance
-    // migrates old files to the new name before relying on catalog-table
-    // scans; TraceStore.read is the always-correct surface.
-    val want = logicalWithYm(storedSchema(tablePath))
-    val ddlCols = want.fields.dropRight(1)
-      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-    // an already-registered table keeps the DDL it was created with —
-    // after evolveSchema/renameColumn/widenColumn that is STALE (the
-    // evolved column would be invisible through the catalog while
-    // path-based reads see it), so a schema drift drops + recreates the
-    // external registration (metadata-only; the data files are untouched)
+    val scanTable = registerCatalog(spark, tablePath, table)
+    spark.sql(s"ANALYZE TABLE $scanTable COMPUTE STATISTICS")
+    // a renamed column's CURRENT name is also a physical column (new
+    // files carry it), so logical column names analyze directly
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $scanTable COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+  }
+
+  /** Register the store in the session catalog under `table`, with the
+    * SAME rename semantics as [[read]]. Without rename aliases this is
+    * one external parquet table. With aliases, a catalog table that
+    * declared only the logical names would silently read NULL for every
+    * pre-rename file's values (catalog scans read physical names) — so
+    * the files are registered under `table__files` with the PHYSICAL
+    * schema (current + alias columns) and `table` becomes a view
+    * applying the same per-column coalesce as [[resolveAliases]].
+    * Returns the files-level table name — the one to MSCK/ANALYZE
+    * (stats on it reach the view's scans; views hold no stats).
+    *
+    * Explicit schema everywhere: partition discovery would infer
+    * ym=201905 as INT — the exact type hazard [[read]] documents. A
+    * previously-registered table whose shape drifted (evolution since
+    * registration — every ALTER changes the logical schema) is dropped
+    * and re-created; external-table drop is metadata-only. */
+  def registerCatalog(spark: SparkSession, tablePath: String,
+                      table: String): String = {
+    val stored = storedSchema(tablePath)
+    val want = logicalWithYm(stored)
+    val aliased = stored.fields.exists(f => aliasesOf(f).nonEmpty)
+    val filesTable = s"${table}__files"
+    def dropAny(name: String): Unit = if (spark.catalog.tableExists(name)) {
+      val kind = spark.catalog.getTable(name).tableType
+      spark.sql(s"DROP ${if (kind == "VIEW") "VIEW" else "TABLE"} $name")
+    }
+    // drift check on the USER-FACING name: every evolution op changes
+    // the logical (name, type) sequence, so this catches them all —
+    // including the plain-table → view shape transition after a rename
     val stale = spark.catalog.tableExists(table) && {
       val have = spark.table(table).schema
       have.fields.map(f => (f.name, f.dataType)).toSeq !=
         want.fields.map(f => (f.name, f.dataType)).toSeq
     }
-    if (stale) spark.sql(s"DROP TABLE $table")
+    if (stale) { dropAny(table); dropAny(filesTable) }
+    val scanTable = if (aliased) filesTable else table
+    val scanSchema = if (aliased) physicalSchema(stored) else stored
+    val ddlCols = scanSchema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS $table ($ddlCols, `${TraceSchema.PartitionCol}` STRING) " +
+      s"CREATE TABLE IF NOT EXISTS $scanTable ($ddlCols, `${TraceSchema.PartitionCol}` STRING) " +
       s"USING parquet PARTITIONED BY (`${TraceSchema.PartitionCol}`) LOCATION '$tablePath'")
-    spark.sql(s"MSCK REPAIR TABLE $table")
-    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
-    if (columns.nonEmpty)
-      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+    // partition recovery belongs to registration: a registered-but-
+    // empty partitioned table silently reads ZERO rows on every path
+    // that forgets MSCK (the CLI bootstrap hit exactly that)
+    spark.sql(s"MSCK REPAIR TABLE $scanTable")
+    if (aliased) {
+      val select = (stored.fields.map { f =>
+        val als = aliasesOf(f)
+        if (als.isEmpty) s"`${f.name}`"
+        else (f.name +: als).map(n => s"`$n`")
+          .mkString("coalesce(", ", ", s") AS `${f.name}`")
+      } :+ s"`${TraceSchema.PartitionCol}`").mkString(", ")
+      spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT $select FROM $scanTable")
+    }
+    scanTable
   }
 
   /** Month-pruned time-range scan (B1): the partition filter on ym is

@@ -49,6 +49,24 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(qs.size == 10)
   }
 
+  test("a mass-failure run still fits the tail budget") {
+    // failures sit in the FIXED part of the line — without a cap, the
+    // exact runs grading most needs to see would tail-truncate at k=0
+    val rs = (1 to 225).map(i => (f"q$i%03d_some_longer_query_name", -1.0))
+    val line = Bench.compactLine(rs, "sf", "a.json")
+    assert(!line.contains("\n"))
+    assert(line.length <= 1400, s"mass-failure line is ${line.length} chars")
+    val js = JsonMethods.parse(line)
+    val JArray(failed) = (js \ "failed"): @unchecked
+    assert(failed.size == 15)
+    assert((js \ "failed_more") == JInt(210))
+    // a lightly-failing run lists every name and omits the marker
+    val light = Bench.compactLine(results(20) :+ ("q999_failed", -1.0), "sf", "a.json")
+    val js2 = JsonMethods.parse(light)
+    assert((js2 \ "failed") == JArray(List(JString("q999_failed"))))
+    assert((js2 \ "failed_more") == JNothing)
+  }
+
   test("calibration readings ride along when supplied") {
     val line = Bench.compactLine(results(224), "sf", "a.json",
       calib = Some((1.234, 1.567)))

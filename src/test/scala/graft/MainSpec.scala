@@ -156,6 +156,25 @@ class MainParseSpec extends AnyFunSuite {
       .swap.exists(_.contains("unknown DDL type")))
   }
 
+  test("--evolve-schema accepts colon-bearing nested DDL types") {
+    // the TYPE tail may itself contain ':' (struct/map DDL) — the split
+    // is limit-2 past the name, in both the legacy and add:/widen: forms
+    val nested = org.apache.spark.sql.types.DataType
+      .fromDDL("struct<a:int,b:string>")
+    assert(Main.parseEvolveOp("Meta:struct<a:int,b:string>") ==
+      Right(Main.AddCol("Meta", nested)))
+    assert(Main.parseEvolveOp("add:Meta:struct<a:int,b:string>") ==
+      Right(Main.AddCol("Meta", nested)))
+    assert(Main.parseEvolveOp("widen:Meta:struct<a:int,b:string>") ==
+      Right(Main.WidenCol("Meta", nested)))
+    assert(Main.parseEvolveOp("Tags:map<string,array<int>>") ==
+      Right(Main.AddCol("Tags",
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,array<int>>"))))
+    // rename still rejects a third segment (names are colon-free)
+    assert(Main.parseEvolveOp("rename:a:b:c").isLeft)
+    assert(Main.parseEvolveOp("drop:a:b").isLeft)
+  }
+
   test("positional json files become a one-shot convert") {
     assert(Main.parse(Seq("a.json", "b.json", "--table-path", "/t"), noEnv) ==
       Right(Main.Convert(Seq("a.json", "b.json"), "/t", 8)))

@@ -72,4 +72,18 @@ class BitmapAggSpec extends SparkSpec {
       Seq(-1L).toDF("v").agg(BitmapAgg.bitmap_state(col("v"))).collect()
     }
   }
+
+  test("merge never aliases a chunk array between two live buffers") {
+    // driver-level unit for the adopt path: after merging small into
+    // big, further reduces into the SMALL buffer must not corrupt big
+    // (the adopted chunk is a clone, not a shared reference)
+    val agg = new BitmapAgg.BitmapStateAgg
+    val big = agg.reduce(agg.reduce(agg.zero, 1L), 100000L)  // 2 chunks
+    val small = agg.reduce(agg.zero, 1L << 20)               // 1 new chunk
+    val merged = agg.merge(big, small)
+    val before = agg.finish(merged).toSeq
+    agg.reduce(small, (1L << 20) + 5L) // mutate small's original chunk
+    assert(agg.finish(merged).toSeq == before,
+      "merged buffer changed when the donor buffer was mutated")
+  }
 }

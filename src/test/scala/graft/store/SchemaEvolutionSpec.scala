@@ -252,6 +252,40 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(delta.count() == 1 && delta.head().getAs[String]("Zone") == "ap")
   }
 
+  test("catalog registration surfaces renamed-column history via a coalescing view") {
+    val path = tmpDir("catview")
+    TraceStore.append(baseBatch(), path)
+    TraceStore.evolveSchema(path, StructField("Region", StringType, nullable = true))
+    TraceStore.append(evolvedBatch(), path) // files carry the OLD physical name
+    try {
+      // register BEFORE the rename: a plain external table
+      TraceStore.analyze(spark, path, "evo_view_t")
+      assert(spark.catalog.getTable("evo_view_t").tableType != "VIEW")
+      TraceStore.renameColumn(path, "Region", "Zone")
+      // re-register: the shape must transition to files-table + view, and
+      // pre-rename files' values must arrive through the coalesce — a
+      // plain catalog table would silently read NULL for all history
+      TraceStore.analyze(spark, path, "evo_view_t")
+      val t = spark.table("evo_view_t")
+      assert(spark.catalog.getTable("evo_view_t").tableType == "VIEW")
+      assert(t.columns.contains("Zone") && !t.columns.contains("Region"))
+      assert(t.filter(col("Zone") === "eu").count() == 1)
+      assert(t.filter(col("Zone").isNotNull).count() == 1)
+      // the same surface through the CLI bootstrap path
+      graft.schema.Ddl.createSchema(spark, "evo_view_db", "t", Some(path))
+      assert(spark.table("evo_view_db.t").filter(col("Zone") === "eu").count() == 1)
+      // idempotent re-registration keeps the view shape
+      TraceStore.analyze(spark, path, "evo_view_t")
+      assert(spark.table("evo_view_t").filter(col("Zone") === "eu").count() == 1)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS evo_view_t")
+      spark.sql("DROP TABLE IF EXISTS evo_view_t__files")
+      spark.sql("DROP VIEW IF EXISTS evo_view_db.t")
+      spark.sql("DROP TABLE IF EXISTS evo_view_db.t__files")
+      spark.sql("DROP DATABASE IF EXISTS evo_view_db")
+    }
+  }
+
   test("catalog registration refreshes after evolution instead of keeping stale DDL") {
     val path = tmpDir("cat1")
     TraceStore.append(baseBatch(), path)
