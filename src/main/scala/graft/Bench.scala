@@ -16,13 +16,23 @@ object Bench {
                                  artifact: String, budget: Int = 1400,
                                  calib: Option[(Double, Double)] = None): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
+    // the failed list sits in the FIXED part of the line, so it must be
+    // bounded too — a mass-failure run would otherwise blow the budget
+    // at k=0 and get tail-truncated exactly when grading needs it most;
+    // failed_more carries the omitted count
+    val allFailed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
+    val MaxFailedNames = 15
+    val failed = allFailed.take(MaxFailedNames)
+    val failedMore =
+      if (allFailed.size > MaxFailedNames)
+        s""","failed_more":${allFailed.size - MaxFailedNames}"""
+      else ""
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val calibField = calib.map { case (b, a) =>
       s""","calib_before":${f3(b)},"calib_after":${f3(a)}""" }.getOrElse("")
     def render(qs: Seq[(String, Double)], truncated: Boolean): String = {
       val qj = qs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":[${failed.mkString(",")}]$calibField,"queries_truncated":$truncated,"artifact":"$artifact","queries":$qj}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":[${failed.mkString(",")}]$failedMore$calibField,"queries_truncated":$truncated,"artifact":"$artifact","queries":$qj}"""
     }
     val bySlowest = results.filter(_._2 >= 0).sortBy(-_._2)
     // largest prefix of the slowest-first ordering that fits the budget
@@ -138,6 +148,39 @@ object Bench {
       }
     }
     spark.sparkContext.addSparkListener(io)
+    // Cache-pressure eviction (round-8 finding: per-dir localCheckpoint
+    // intermediates accumulated ~45 GiB across 225 queries at sf1 and
+    // OOM'd the default 24 GiB driver). The accumulating quantity is
+    // block-manager STORAGE, so that is what's measured — no GC-noise
+    // heuristics: when cached-RDD bytes exceed the budget, sweep cache
+    // entries idle since the previous query (SessionDirCache removes the
+    // entry before freeing blocks; consumers rebuild on next use). At
+    // sf0.1 storage never nears the budget and behavior is byte-for-byte
+    // the old one. Budget: 35% of max heap (storage must leave room for
+    // execution memory), override SPARK_GRAFT_STORAGE_BUDGET_MB;
+    // SPARK_GRAFT_EVICT=off disables.
+    val evictOn = sys.env.getOrElse("SPARK_GRAFT_EVICT", "on") != "off"
+    val storageBudget = sys.env.get("SPARK_GRAFT_STORAGE_BUDGET_MB")
+      .flatMap(_.toLongOption).map(_ * 1024 * 1024)
+      .getOrElse((Runtime.getRuntime.maxMemory * 0.35).toLong)
+    var storagePeak = 0L
+    var heapPeak = 0L
+    var evicted = 0
+    def afterQuery(name: String): Unit = {
+      graft.util.SessionDirCache.tick()
+      val rt = Runtime.getRuntime
+      heapPeak = math.max(heapPeak, rt.totalMemory - rt.freeMemory)
+      val storage = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+      storagePeak = math.max(storagePeak, storage)
+      if (evictOn && storage > storageBudget) {
+        val n = graft.util.SessionDirCache.sweep(1)
+        if (n > 0) {
+          evicted += n
+          System.err.println(f"[bench] swept $n idle cache entries after $name " +
+            f"(storage ${storage / 1e9}%.1f GB > budget ${storageBudget / 1e9}%.1f GB)")
+        }
+      }
+    }
     def runOnce(): Seq[(String, (Double, (Long, Long, Long)))] = {
       // query N's post-snapshot IS query N+1's pre state (nothing runs
       // between them) — threading it forward halves the bus drains.
@@ -159,6 +202,7 @@ object Bench {
           if (ok) (post._1 - pre._1, post._2 - pre._2, post._3 - pre._3)
           else (-1L, -1L, -1L) // partial-run bytes are not a measurement
         pre = post
+        afterQuery(name)
         // negative duration marks a failed query in the emitted JSON
         name -> (if (ok) sec else -1.0, delta)
       }
@@ -202,7 +246,7 @@ object Bench {
     // against a full-suite artifact as if they were the same population
     val onlyField = only.map(fs =>
       s""","only":[${fs.map("\"" + _ + "\"").mkString(",")}]""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_bytes":$ioMap,"calib_before":$calibBefore,"calib_after":$calibAfter,"sf":"$sfDir"$onlyField}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_bytes":$ioMap,"calib_before":$calibBefore,"calib_after":$calibAfter,"storage_peak_bytes":$storagePeak,"heap_peak_bytes":$heapPeak,"evicted":$evicted,"sf":"$sfDir"$onlyField}"""
     println(line)
     // The driver captures only a truncated stdout tail, which hides most of
     // the per-query map; persist the full JSON line as an artifact so every

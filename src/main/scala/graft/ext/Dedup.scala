@@ -58,7 +58,7 @@ object Dedup {
     * [[pairCache]]; at 100 TB this is a parquet checkpoint table the
     * pipeline stages share. Same immutable-dir contract as
     * [[graft.tables.Tables]]. */
-  private val shingleCache = new graft.util.SessionDirCache[DataFrame]
+  private val shingleCache = new graft.util.SessionDirCache[DataFrame](graft.util.SessionDirCache.releaseDf)
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache(s, dir) { (sess, d) =>
@@ -118,7 +118,7 @@ object Dedup {
     * dir per fixture for exactly this reason. Entries live until the
     * session stops (they pin their checkpoint blocks); the suite touches
     * a handful of dirs, each contributing a few KB of pairs. */
-  private val pairCache = new graft.util.SessionDirCache[DataFrame]
+  private val pairCache = new graft.util.SessionDirCache[DataFrame](graft.util.SessionDirCache.releaseDf)
 
   /** LSH candidate generation + exact verification, shared by q26 (pair
     * listing) and q55 (cluster resolution). Returns (d1, d2, jacc). */
@@ -512,7 +512,7 @@ object Dedup {
     * runs once. Same immutable-dir contract as pairCache; the table is
     * one row per near-dup-subgraph node, already materialized by
     * [[connectedComponents]]. */
-  private val clusterCache = new graft.util.SessionDirCache[DataFrame]
+  private val clusterCache = new graft.util.SessionDirCache[DataFrame](graft.util.SessionDirCache.releaseDf)
 
   private def clustersOf(s: SparkSession, dir: String): DataFrame =
     clusterCache(s, dir) { (sess, d) =>
@@ -559,7 +559,7 @@ object Dedup {
     * of [[clusterCache]]: the star-link resolution is a corpus artifact
     * (one row per near-dup-subgraph node) a pipeline materializes once
     * and reads from every consumer. */
-  private val starClusterCache = new graft.util.SessionDirCache[DataFrame]
+  private val starClusterCache = new graft.util.SessionDirCache[DataFrame](graft.util.SessionDirCache.releaseDf)
 
   private def starClustersOf(s: SparkSession, dir: String): DataFrame =
     starClusterCache(s, dir) { (sess, d) =>
@@ -1087,13 +1087,13 @@ object Dedup {
     * cache key, so another t would build its own index). Built off the
     * shared shingle table; rarest-first order, one row per prefix
     * shingle. */
-  private val prefixCache = new graft.util.SessionDirCache[DataFrame]
+  private val prefixCache = new graft.util.SessionDirCache[DataFrame](graft.util.SessionDirCache.releaseDf)
 
   /** Per-(session, dir) document-frequency table over the shared shingle
     * table — vocab-sized, shared by the prefix index (rarest-first
     * ordering) and the hashed-verify certificate (injectivity check), so
     * the corpus-sized aggregate runs once per dir. */
-  private val dfreqCache = new graft.util.SessionDirCache[DataFrame]
+  private val dfreqCache = new graft.util.SessionDirCache[DataFrame](graft.util.SessionDirCache.releaseDf)
 
   private def dfreqOf(s: SparkSession, dir: String): DataFrame =
     dfreqCache(s, dir) { (sess, d) =>
@@ -1159,7 +1159,7 @@ object Dedup {
     * take the per-pair string kernel. At 100 TB both the certificate and
     * the artifact are one linear pass over the pipeline's checkpointed
     * shingle table. */
-  private val hashedShingleCache = new graft.util.SessionDirCache[Option[DataFrame]]
+  private val hashedShingleCache = new graft.util.SessionDirCache[Option[DataFrame]](graft.util.SessionDirCache.releaseOptDf)
 
   private def hashedShingles(s: SparkSession, dir: String): Option[DataFrame] =
     hashedShingleCache(s, dir) { (sess, d) =>

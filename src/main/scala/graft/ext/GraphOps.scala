@@ -42,7 +42,7 @@ object GraphOps {
     * near-dup-pair caches. Same immutable-dir contract as
     * [[graft.tables.Tables]]; at 100 TB this is the checkpointed pair
     * parquet every basket/graph job reads. */
-  private val pairCache = new graft.util.SessionDirCache[DataFrame]
+  private val pairCache = new graft.util.SessionDirCache[DataFrame](graft.util.SessionDirCache.releaseDf)
 
   /** Supported co-purchase pairs (p1, p2, sup): parts ordered together in
     * ≥ 2 distinct orders. Basket pair expansion is map-side off one
@@ -79,7 +79,7 @@ object GraphOps {
     * per-call cost of q171/q172 just their score/frontier-sized rounds.
     * At 100 TB this is the degree-annotated edge parquet a production
     * graph job checkpoints once and reuses across all iterative runs. */
-  private val edgeDegCache = new graft.util.SessionDirCache[DataFrame]
+  private val edgeDegCache = new graft.util.SessionDirCache[DataFrame](graft.util.SessionDirCache.releaseDf)
   private def edgesWithDeg(s: SparkSession, dir: String): DataFrame =
     edgeDegCache(s, dir) { (sess, d) =>
       val e = edges(sess, d)
@@ -88,7 +88,7 @@ object GraphOps {
     }
 
   /** Node degrees off the materialized edge table — node-sized, cached. */
-  private val degCache = new graft.util.SessionDirCache[DataFrame]
+  private val degCache = new graft.util.SessionDirCache[DataFrame](graft.util.SessionDirCache.releaseDf)
   private def degrees(s: SparkSession, dir: String): DataFrame =
     degCache(s, dir) { (sess, d) =>
       edgesWithDeg(sess, d).groupBy(col("src")).agg(max(col("deg")).as("deg"))

@@ -15,7 +15,7 @@ import graft.tables.Tables
   * [[graft.tables.Tables]].
   */
 object Toks {
-  private val cache = new graft.util.SessionDirCache[DataFrame]
+  private val cache = new graft.util.SessionDirCache[DataFrame](graft.util.SessionDirCache.releaseDf)
 
   def apply(s: SparkSession, dir: String): DataFrame =
     cache(s, dir) { (sess, d) =>
