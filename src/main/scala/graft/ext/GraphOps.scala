@@ -233,28 +233,63 @@ object GraphOps {
   def q182Triangles(s: SparkSession, dir: String): DataFrame = {
     val up = supportedPairs(s, dir).select(col("p1"), col("p2"))
     val deg = degrees(s, dir) // (src, deg): symmetric-edge degrees, cached
+    val tri = triCountAdjForm(orientedEdges(up, deg))
+    val wedges = deg.agg(expr("sum(deg * (deg - 1) DIV 2)").as("n_wedges"))
+    tri.join(broadcast(wedges)) // both 1-row frames
+      .select(col("n_triangles"), col("n_wedges"),
+        round(col("n_triangles") * 3.0 / col("n_wedges"), 6).as("global_clustering"))
+  }
+
+  /** Degree-rank-oriented edge table u→v (rank(u) < rank(v) under the
+    * (deg, id) total order), with v's degree riding along. Checkpointed:
+    * both census forms reference it more than once. `up` must be
+    * id-canonical distinct pairs (p1 < p2); `deg` the symmetric-edge
+    * degree table (src, deg). */
+  private[graft] def orientedEdges(up: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = up
       .join(deg.select(col("src").as("p1"), col("deg").as("d1")), "p1")
       .join(deg.select(col("src").as("p2"), col("deg").as("d2")), "p2")
     val lowFirst = col("d1") < col("d2") ||
       (col("d1") === col("d2") && col("p1") < col("p2"))
-    // oriented edge u→v with rank(u) < rank(v) under the (deg, id) order;
-    // v's rank rides along for the wedge-side comparison
-    val o = withDeg.select(
+    withDeg.select(
         when(lowFirst, col("p1")).otherwise(col("p2")).as("u"),
         when(lowFirst, col("p2")).otherwise(col("p1")).as("v"),
         when(lowFirst, col("d2")).otherwise(col("d1")).as("dv"))
-      .localCheckpoint(true) // referenced three times below (e1, e2, closing)
+      .localCheckpoint(true)
+  }
+
+  /** Wedge enumeration as an oriented-edge SELF-JOIN on u plus a rank
+    * filter — the round-8 formulation, kept for in-session alternation
+    * in tools/TriProbe. Two shuffled copies of o meet in the join, and
+    * HALF the joined candidates are discarded by the rank(x) < rank(y)
+    * filter after materializing. */
+  private[graft] def triCountJoinForm(o: DataFrame): DataFrame = {
     val e1 = o.select(col("u"), col("v").as("x"), col("dv").as("dx"))
     val e2 = o.select(col("u"), col("v").as("y"), col("dv").as("dy"))
-    val tri = e1.join(e2, Seq("u"))
+    e1.join(e2, Seq("u"))
       .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
       .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
       .agg(count(lit(1)).as("n_triangles"))
-    val wedges = deg.agg(expr("sum(deg * (deg - 1) DIV 2)").as("n_wedges"))
-    tri.join(broadcast(wedges)) // both 1-row frames
-      .select(col("n_triangles"), col("n_wedges"),
-        round(col("n_triangles") * 3.0 / col("n_wedges"), 6).as("global_clustering"))
+  }
+
+  /** Wedge enumeration via per-node adjacency lists — the round-9 form:
+    * group o by u into the rank-sorted out-neighbor array (bounded
+    * O(√m) by orientation, so the row is always small), then expand
+    * ordered pairs MAP-SIDE with the same slice/transform idiom as
+    * [[supportedPairs]]. vs the self-join form: one shuffle of o
+    * replaces two join-shuffled copies, and the discarded half of the
+    * candidates (rank(x) > rank(y)) is never generated — array position
+    * IS the rank order, so only the surviving wedges materialize. The
+    * closing edge check stays a hash join on (x, y). */
+  private[graft] def triCountAdjForm(o: DataFrame): DataFrame = {
+    val adj = o.groupBy(col("u"))
+      .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("ns"))
+    val wedges = adj.select(explode(flatten(transform(col("ns"), (x, i) =>
+        transform(slice(col("ns"), i + lit(2), size(col("ns"))),
+          y => struct(x.getField("v").as("x"), y.getField("v").as("y")))))).as("w"))
+      .select(col("w.x").as("x"), col("w.y").as("y"))
+    wedges.join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
   }
 
   val q182Sql: String =
