@@ -47,6 +47,7 @@ object Main {
   final case class Snapshot(tablePath: String) extends Action
   final case class ListSnapshots(tablePath: String) extends Action
   final case class DropSnapshot(tablePath: String, id: String) extends Action
+  final case class ChangesSince(tablePath: String, id: String) extends Action
   sealed trait EvolveOp
   final case class AddCol(name: String,
                           dtype: org.apache.spark.sql.types.DataType) extends EvolveOp
@@ -67,6 +68,9 @@ object Main {
       |  --snapshot              pin a time-travel snapshot; prints its id
       |  --list-snapshots        list snapshot ids, oldest first
       |  --drop-snapshot ID      release a snapshot and vacuum retired files
+      |  --changes-since ID      row-level change feed since snapshot ID —
+      |                          survives compaction/erase/retention; prints
+      |                          insert/delete counts per month
       |  --evolve-schema OP      evolve the store schema — metadata-only,
       |                          no file rewritten. OP is one of:
       |                            [add:]N:T        add nullable column N of
@@ -109,7 +113,8 @@ object Main {
     val takesValue = Set("--db", "--table", "--table-path", "--log-dir",
       "--checkpoint", "--max-files", "--splits", "--completion-file",
       "--drop-before", "--compact-over", "--compact-every", "--retain-months",
-      "--thin-keep-months", "--thin-factor", "--drop-snapshot", "--evolve-schema")
+      "--thin-keep-months", "--thin-factor", "--drop-snapshot", "--evolve-schema",
+      "--changes-since")
     val bare = Set("--print-schema", "--create-schema", "--watch", "--maintain",
       "--delete-logs", "--snapshot", "--list-snapshots")
     var i = 0
@@ -222,6 +227,14 @@ object Main {
           .toRight(s"ERROR: --drop-snapshot needs an id like s000001, got " +
             s"'${flags("--drop-snapshot")}'")
       } yield DropSnapshot(tablePath, id)
+    else if (flags.contains("--changes-since"))
+      for {
+        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        id <- flags.get("--changes-since")
+          .filter(_.matches("s\\d{6}"))
+          .toRight(s"ERROR: --changes-since needs an id like s000001, got " +
+            s"'${flags("--changes-since")}'")
+      } yield ChangesSince(tablePath, id)
     else if (flags.contains("--evolve-schema"))
       for {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
@@ -329,6 +342,18 @@ object Main {
       val removed = store.TraceStore.vacuumSnapshots(tablePath)
       out(if (existed) s"dropped $id; vacuumed ${removed.size} retired files"
           else s"no such snapshot $id")
+    case ChangesSince(tablePath, id) =>
+      // per-month insert/delete counts: the operational summary a CDC
+      // consumer checks before pulling the row-level feed itself
+      val per = store.TraceStore.readChangesSince(session(), tablePath, id)
+        .groupBy(org.apache.spark.sql.functions.col("ym"),
+          org.apache.spark.sql.functions.col("_change"))
+        .count()
+        .orderBy("ym", "_change")
+        .collect()
+      if (per.isEmpty) out(s"no changes since $id")
+      else per.foreach(r =>
+        out(s"${r.getString(0)} ${r.getString(1)} ${r.getLong(2)}"))
     case EvolveSchema(tablePath, op) =>
       val msg = op match {
         case AddCol(name, dtype) =>

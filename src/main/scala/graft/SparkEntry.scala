@@ -43,6 +43,7 @@ object SparkEntry {
       ext.GraphOps.entries,
       store.Bucketing.entries,
       store.EvolutionQuery.entries,
+      store.ChangeFeedQuery.entries,
     )
 
   private lazy val all = {

@@ -292,6 +292,43 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Hub-guarded adjacency expansion — same census as [[triCountAdjForm]]
+    * with the one scale hazard removed: the round-9 form's
+    * `flatten(transform(…))` allocates the FULL O(outdeg²) wedge array as
+    * one row value before explode, and although orientation bounds outdeg
+    * at O(√m), a √m-degree hub at 100× still means an O(m)-struct single
+    * row (multi-GiB task allocation → OOM) where the join form streams.
+    * Here the neighbor array is expanded per bounded CHUNK PAIR instead:
+    * explode chunk index c1, then c2 ≥ c1 (two scalar sequences, each
+    * ≤ ⌈outdeg/W⌉ long), and only then build the ≤ W² wedge structs
+    * between chunk c1 and chunk c2 (within-chunk pairs keep the i < j
+    * filter; array position IS rank order, so cross-chunk pairs need no
+    * filter at all). No allocation anywhere exceeds max(⌈√m/W⌉, W²)
+    * elements regardless of hub degree, nothing re-shuffles (the chunk
+    * indices generate map-side between the groupBy and the closing join),
+    * and the output is struct-for-struct the round-9 form's. */
+  private[graft] def triCountAdjChunked(o: DataFrame, w: Int = 64): DataFrame = {
+    val adj = o.groupBy(col("u"))
+      .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("ns"))
+    // Column./ is double division; chunk indices must be integral
+    val lastChunk = ((size(col("ns")) - lit(1)) / lit(w)).cast("int")
+    val withC = adj
+      .select(col("ns"), explode(sequence(lit(0), lastChunk)).as("c1"))
+      .select(col("ns"), col("c1"), explode(sequence(col("c1"), lastChunk)).as("c2"))
+    val ck1 = slice(col("ns"), col("c1") * w + 1, lit(w))
+    val ck2 = slice(col("ns"), col("c2") * w + 1, lit(w))
+    def p(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(x.getField("v").as("x"), y.getField("v").as("y"))
+    val pairs = when(col("c1") === col("c2"),
+        flatten(transform(ck1, (x, i) =>
+          transform(slice(ck1, i + lit(2), lit(w)), y => p(x, y)))))
+      .otherwise(flatten(transform(ck1, x => transform(ck2, y => p(x, y)))))
+    val wedges = withC.select(explode(pairs).as("wdg"))
+      .select(col("wdg.x").as("x"), col("wdg.y").as("y"))
+    wedges.join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   val q182Sql: String =
     s"""WITH $edgeCtes,
        |tri AS (SELECT count(*) AS n_triangles

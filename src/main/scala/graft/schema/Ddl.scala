@@ -73,13 +73,16 @@ object Ddl {
       case _ => TraceSchema.target
     }
     spark0.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    // a store with rename history needs the physical-files-table + view
-    // shape (a plain catalog table would NULL pre-rename values — the
-    // hazard TraceStore.registerCatalog exists to close); delegate so
-    // the CLI bootstrap and analyze() register the identical surface
+    // ANY existing store delegates to TraceStore.registerCatalog, which
+    // owns the full registration contract: MSCK partition recovery (a
+    // partitioned external table registered without it reads ZERO rows —
+    // the CLI bootstrap hit exactly that on a no-rename store), the
+    // files-table + coalescing-view shape for rename history, and the
+    // drift drop/re-create after evolution. Only the fresh-bootstrap
+    // case (no store directory yet) renders the comment-bearing DDL
+    // below — there are no partitions to recover before the first append.
     location match {
-      case Some(p) if java.nio.file.Files.exists(java.nio.file.Paths.get(p)) &&
-          graft.store.TraceStore.hasRenameAliases(p) =>
+      case Some(p) if java.nio.file.Files.exists(java.nio.file.Paths.get(p)) =>
         graft.store.TraceStore.registerCatalog(spark0, p, s"$db.$table")
         return
       case _ => ()

@@ -1,0 +1,89 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** q226 — the rewrite-surviving change feed proven end to end through a
+  * REAL store lifecycle, oracle-gated (the reference's whole framing is
+  * CDC-ish ETL — /root/reference/trace-converter.py:66-72,
+  * README.md:193-206 — and a CDC consumer must survive the sink's own
+  * maintenance, not just clean appends).
+  *
+  * The fixture drives [[TraceStore.readChangesSince]] across BOTH
+  * rewrite shapes [[TraceStore.readAppendedSince]] refuses:
+  *
+  *   1. append batch A (event_id % 3 == 0), pin snapshot s1  ← baseline
+  *   2. append batch B (event_id % 3 == 1)                   ← inserts
+  *   3. DELETE WHERE Type = 'error'                          ← erase:
+  *      rewrites every matching month; A's erased rows must surface as
+  *      deletes, B's erased rows must NEVER surface (inserted and
+  *      erased within the window)
+  *   4. compact()                                            ← rewrite:
+  *      every multi-file month rewritten; must be INVISIBLE in the feed
+  *
+  * The graded read is the feed aggregated per (change, Machine); the
+  * DuckDB oracle recomputes both sides from the raw events table, so an
+  * over-report (compaction rows leaking as insert+delete pairs) or an
+  * under-report (erased rows lost) fails the hash gate.
+  *
+  * Scale: the feed's cost is file-set pruning + EXCEPT ALL over only the
+  * files touched since the snapshot (see readChangesSince) — the fixture
+  * is small, the shape is the 100 TB one.
+  */
+object ChangeFeedQuery {
+
+  private val built = new graft.util.SessionDirCache[(String, String)]
+
+  /** events → trace-store rows; same closed-form mapping discipline as
+    * [[EvolutionQuery.asTrace]] so the oracle reproduces every value. */
+  private def asTrace(ev: DataFrame): DataFrame =
+    ev.select(
+      pmod(col("event_id"), lit(1000000000L)).cast(IntegerType).as("Severity"),
+      concat(lit("m"), pmod(col("user_id"), lit(8L))).as("Machine"),
+      col("event_type").as("LogGroup"),
+      col("ts").cast(org.apache.spark.sql.types.TimestampType).as("Time"),
+      col("event_type").as("Type"),
+      col("event_id").cast("string").as("ID"))
+
+  private def buildStore(s: SparkSession, dir: String): (String, String) =
+    built(s, dir) { (sess, d) =>
+      val path = graft.util.TmpDirs.scratch("graft-cdc-store")
+      val ev = graft.tables.Tables.events(sess, d)
+      val batch = pmod(col("event_id"), lit(3L))
+      TraceStore.append(asTrace(ev.filter(batch === 0)), path, splitsPerMonth = 2)
+      val snap = TraceStore.snapshot(path)
+      TraceStore.append(asTrace(ev.filter(batch === 1)), path, splitsPerMonth = 2)
+      TraceStore.deleteWhere(sess, path, col("Type") === "error", splitsPerMonth = 2)
+      TraceStore.compact(sess, path, maxFilesPerMonth = 1, splitsPerMonth = 2)
+      (path, snap)
+    }
+
+  /** q226: the feed since the pre-maintenance snapshot, aggregated.
+    * Expected: inserts = batch B minus its erased rows; deletes = batch
+    * A's erased rows; compaction contributes nothing. */
+  def q226ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val (path, snap) = buildStore(s, dir)
+    TraceStore.readChangesSince(s, path, snap)
+      .groupBy(col("_change").as("change"), col("Machine"))
+      .agg(count(lit(1)).as("n"), sum(col("Severity")).as("sum_sev"))
+      .orderBy(col("change"), col("Machine"))
+  }
+
+  // DuckDB % keeps the dividend's sign — double-mod like q224's oracle
+  val q226Sql: String =
+    """SELECT chg AS change, Machine, count(*) AS n,
+      |  (sum(((event_id % 1000000000) + 1000000000) % 1000000000))::BIGINT AS sum_sev
+      |FROM (
+      |  SELECT 'insert' AS chg, 'm' || (user_id % 8) AS Machine, event_id
+      |  FROM events WHERE event_id % 3 = 1 AND event_type <> 'error'
+      |  UNION ALL
+      |  SELECT 'delete' AS chg, 'm' || (user_id % 8) AS Machine, event_id
+      |  FROM events WHERE event_id % 3 = 0 AND event_type = 'error'
+      |)
+      |GROUP BY 1, 2 ORDER BY change, Machine""".stripMargin
+
+  def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
+  )
+}

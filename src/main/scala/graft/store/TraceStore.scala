@@ -363,9 +363,18 @@ object TraceStore {
     val scanTable = registerCatalog(spark, tablePath, table)
     spark.sql(s"ANALYZE TABLE $scanTable COMPUTE STATISTICS")
     // a renamed column's CURRENT name is also a physical column (new
-    // files carry it), so logical column names analyze directly
-    if (columns.nonEmpty)
-      spark.sql(s"ANALYZE TABLE $scanTable COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+    // files carry it), but on an aliased store pre-rename files hold the
+    // column's history under its ALIAS names — analyzing only the current
+    // name would base null-count/NDV/min-max on post-rename files alone
+    // and skew CBO estimates through the view, so expand each requested
+    // logical column to itself plus its aliases (all physical on the
+    // files table)
+    if (columns.nonEmpty) {
+      val byName = storedSchema(tablePath).fields
+        .map(f => f.name -> aliasesOf(f)).toMap
+      val phys = columns.flatMap(c => c +: byName.getOrElse(c, Seq.empty))
+      spark.sql(s"ANALYZE TABLE $scanTable COMPUTE STATISTICS FOR COLUMNS ${phys.mkString(", ")}")
+    }
   }
 
   /** Register the store in the session catalog under `table`, with the
@@ -402,7 +411,20 @@ object TraceStore {
       have.fields.map(f => (f.name, f.dataType)).toSeq !=
         want.fields.map(f => (f.name, f.dataType)).toSeq
     }
-    if (stale) { dropAny(table); dropAny(filesTable) }
+    // the files table needs its own drift check: if the user-facing view
+    // was dropped manually but table__files survived a later evolution,
+    // the view-side check above sees no table (stale=false) and CREATE
+    // IF NOT EXISTS below would silently keep the stale physical schema —
+    // the recreated view would then miss the evolved column
+    val staleFiles = aliased && spark.catalog.tableExists(filesTable) && {
+      val have = spark.table(filesTable).schema
+      val wantPhys = physicalSchema(stored).fields
+        .map(f => (f.name, f.dataType)).toSeq :+
+        ((TraceSchema.PartitionCol,
+          org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType))
+      have.fields.map(f => (f.name, f.dataType)).toSeq != wantPhys
+    }
+    if (stale || staleFiles) { dropAny(table); dropAny(filesTable) }
     val scanTable = if (aliased) filesTable else table
     val scanSchema = if (aliased) physicalSchema(stored) else stored
     val ddlCols = scanSchema.fields
@@ -882,6 +904,74 @@ object TraceStore {
               org.apache.spark.sql.types.StringType)))
           .parquet(newKeys.map(k => root.resolve(k).toString): _*),
         stored, Seq(TraceSchema.PartitionCol))
+  }
+
+  /** Row-level change feed since `id`, SURVIVING maintenance rewrites —
+    * the growth edge [[readAppendedSince]] refuses: that reader is the
+    * cheap fast path while the store is append-only; this one stays
+    * correct across compact / DELETE WHERE / retention / thinning.
+    * Returns the logical columns + ym + `_change` ("insert" | "delete").
+    *
+    * The file sets do the pruning, the rows do the semantics:
+    *   - files in BOTH the manifest and the live set contribute nothing
+    *     (never read — at 100 TB the untouched bulk of the table);
+    *   - live files absent from the manifest hold the CANDIDATE new
+    *     rows; pinned files that left the live set hold the CANDIDATE
+    *     old rows (readable from `_retired/` — the snapshot pins them,
+    *     so every rewrite retired rather than deleted them);
+    *   - inserts = new EXCEPT ALL old, deletes = old EXCEPT ALL new
+    *     (multiset semantics, so duplicate rows carry their counts).
+    * A compaction rewrites the same rows into fresh files: its old and
+    * new candidate sets cancel row-for-row and the feed is a NO-OP, at
+    * cost proportional to the rewritten months — never the table. A
+    * DELETE WHERE's condemned rows survive only on the old side →
+    * deletes; appends have no old side → inserts. Both sides read
+    * through the CURRENT stored schema with alias resolution (exactly
+    * like [[readSnapshot]]), so evolution between the snapshot and now
+    * compares under current names — a rename does not fake a rewrite.
+    *
+    * Fails loudly if a pinned file was vacuumed away (dropSnapshot +
+    * vacuum released it): the baseline is gone and no diff is honest. */
+  def readChangesSince(spark: SparkSession, tablePath: String, id: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tablePath)
+    val mf = root.resolve(SnapDir).resolve(id)
+    require(Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
+    val pinned = Files.readAllLines(mf).asScala.toSet.filter(_.nonEmpty)
+    val pref = s"${TraceSchema.PartitionCol}="
+    val live = FsMaint.listDir(root)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(pref))
+      .flatMap(d => FsMaint.listDir(d).filter(_.toString.endsWith(".parquet"))
+        .map(f => fileKey(d, f.getFileName.toString)))
+      .toSet
+    val newKeys = (live -- pinned).toSeq.sorted
+    val goneKeys = (pinned -- live).toSeq.sorted
+    val retiredRoot = root.resolve(RetiredDir)
+    goneKeys.filterNot(k => Files.exists(retiredRoot.resolve(k))) match {
+      case missing if missing.nonEmpty =>
+        sys.error(s"change feed since $id references vacuumed file(s): " +
+          missing.take(3).mkString(", "))
+      case _ =>
+    }
+    val stored = storedSchema(root)
+    val phys = org.apache.spark.sql.types.StructType(
+      physicalSchema(stored).fields :+
+      org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
+        org.apache.spark.sql.types.StringType))
+    def readFrom(base: java.nio.file.Path, ks: Seq[String]): DataFrame =
+      if (ks.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          logicalWithYm(stored))
+      else resolveAliases(
+        spark.read.option("basePath", base.toString).schema(phys)
+          .parquet(ks.map(k => base.resolve(k).toString): _*),
+        stored, Seq(TraceSchema.PartitionCol))
+    val newRows = readFrom(root, newKeys)
+    val oldRows = readFrom(retiredRoot, goneKeys)
+    newRows.exceptAll(oldRows).withColumn("_change", lit("insert"))
+      .unionByName(oldRows.exceptAll(newRows).withColumn("_change", lit("delete")))
   }
 
   /** Release a snapshot. Retired files it pinned become reclaimable by

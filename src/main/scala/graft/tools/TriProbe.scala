@@ -86,12 +86,20 @@ object TriProbe {
     // counts must agree before timings mean anything
     val cJoin = graft.ext.GraphOps.triCountJoinForm(o).head().getLong(0)
     val cAdj = graft.ext.GraphOps.triCountAdjForm(o).head().getLong(0)
-    require(cJoin == cAdj, s"census mismatch: join=$cJoin adj=$cAdj")
-    println(s"[tri] n_triangles=$cJoin (join and adj forms agree)")
+    val cChk = graft.ext.GraphOps.triCountAdjChunked(o).head().getLong(0)
+    require(cJoin == cAdj && cJoin == cChk,
+      s"census mismatch: join=$cJoin adj=$cAdj adj-chunked=$cChk")
+    println(s"[tri] n_triangles=$cJoin (join, adj, adj-chunked forms agree)")
+    // the old id-canonical control is skipped on the powerlaw corpus: its
+    // hub out-degree is the full hub degree, so its candidate set blows
+    // up past probe scale there (that blow-up is WHY orientation exists)
+    val withOld = corpus != "powerlaw" ||
+      sys.env.get("SPARK_GRAFT_TRI_OLD").contains("on")
     for (r <- 1 to 3) {
-      time(s"old-idcanon#$r")(oldTri())
+      if (withOld) time(s"old-idcanon#$r")(oldTri())
       time(s"join-form#$r")(graft.ext.GraphOps.triCountJoinForm(o).count())
       time(s"adj-form#$r")(graft.ext.GraphOps.triCountAdjForm(o).count())
+      time(s"adj-chunked#$r")(graft.ext.GraphOps.triCountAdjChunked(o).count())
     }
     spark.stop()
   }

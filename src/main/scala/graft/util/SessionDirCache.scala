@@ -36,12 +36,26 @@ final class SessionDirCache[T](release: Option[T => Unit] = None) {
 
   /** Get or build the value for (s, dir). `build` runs at most once per
     * key (ConcurrentHashMap.computeIfAbsent semantics); each hit stamps
-    * the entry with the current generation for idle-age sweeping. */
+    * the entry with the current generation for idle-age sweeping.
+    *
+    * Runs under the shared side of [[SessionDirCache.lock]]: a sweep can
+    * never interleave between computeIfAbsent returning an entry and the
+    * generation stamp landing — without the lock, a concurrent sweeper
+    * could remove the entry and free its localCheckpoint blocks in that
+    * window, and a freed localCheckpoint is unrecoverable (lineage
+    * truncated). With it, any sweep ordered after this call sees
+    * lastUsed = current generation, which `sweep(keep ≥ 1)` spares.
+    * Holding the returned value ACROSS a later tick+sweep remains the
+    * caller's contract (one unit of work per tick). */
   def apply(s: SparkSession, dir: String)(build: (SparkSession, String) => T): T = {
-    val e = m.computeIfAbsent((s, dir), { case (a, b) =>
-      new SessionDirCache.Entry(build(a, b), SessionDirCache.generation) })
-    e.lastUsed = SessionDirCache.generation
-    e.value
+    val rl = SessionDirCache.lock.readLock
+    rl.lock()
+    try {
+      val e = m.computeIfAbsent((s, dir), { case (a, b) =>
+        new SessionDirCache.Entry(build(a, b), SessionDirCache.generation) })
+      e.lastUsed = SessionDirCache.generation
+      e.value
+    } finally rl.unlock()
   }
 
   /** Instance-scoped sweep (tests; targeted eviction): evict THIS
@@ -52,17 +66,23 @@ final class SessionDirCache[T](release: Option[T => Unit] = None) {
     else sweepOlder(SessionDirCache.generation - keep)
 
   private[util] def sweepOlder(cutoff: Long): Int = {
-    var n = 0
-    val it = m.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getValue.lastUsed < cutoff) {
-        it.remove() // remove FIRST: no consumer may see a freed checkpoint
-        release.foreach(f => f(e.getValue.value))
-        n += 1
+    // exclusive side of the apply/sweep lock: no apply may be mid-flight
+    // while entries are removed and their storage freed
+    val wl = SessionDirCache.lock.writeLock
+    wl.lock()
+    try {
+      var n = 0
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.lastUsed < cutoff) {
+          it.remove() // remove FIRST: no consumer may see a freed checkpoint
+          release.foreach(f => f(e.getValue.value))
+          n += 1
+        }
       }
-    }
-    n
+      n
+    } finally wl.unlock()
   }
 }
 
@@ -70,6 +90,12 @@ object SessionDirCache {
   private[util] final class Entry[T](val value: T, @volatile var lastUsed: Long)
 
   private val gen = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** apply (shared) vs sweep (exclusive) exclusion across ALL caches: the
+    * enforcement of the "sweep only between units of work" contract the
+    * scaladoc used to merely document. Reads are uncontended readLock
+    * acquisitions; sweeps are rare (storage pressure only). */
+  private[util] val lock = new java.util.concurrent.locks.ReentrantReadWriteLock()
   private val registry =
     new java.util.concurrent.ConcurrentLinkedQueue[SessionDirCache[_]]()
   private def register(c: SessionDirCache[_]): Unit = { registry.add(c); () }

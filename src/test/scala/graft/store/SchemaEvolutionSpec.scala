@@ -286,6 +286,48 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("CLI bootstrap over an existing NO-rename store recovers partitions (reads rows)") {
+    // the round-9 advisory medium: createSchema used to delegate to
+    // registerCatalog (which MSCK-repairs) only for rename-bearing
+    // stores; the common no-rename bootstrap registered a partitioned
+    // external table with ZERO recovered partitions → zero rows
+    val path = tmpDir("boot1")
+    TraceStore.append(baseBatch(), path)
+    try {
+      graft.schema.Ddl.createSchema(spark, "boot_db", "t", Some(path))
+      assert(spark.table("boot_db.t").count() == 3,
+        "bootstrap over a populated store must read its rows")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS boot_db.t")
+      spark.sql("DROP DATABASE IF EXISTS boot_db")
+    }
+  }
+
+  test("files table left stale by a manual view drop is drift-checked and recreated") {
+    // the round-9 advisory low: view dropped manually, then an evolution
+    // lands — the view-side drift check sees no table, and IF NOT EXISTS
+    // would keep the stale physical files table (missing the new column)
+    val path = tmpDir("boot2")
+    TraceStore.append(baseBatch(), path)
+    TraceStore.evolveSchema(path, StructField("Region", StringType, nullable = true))
+    TraceStore.append(evolvedBatch(), path)
+    TraceStore.renameColumn(path, "Region", "Zone")
+    try {
+      TraceStore.registerCatalog(spark, path, "stale_t")
+      assert(spark.catalog.getTable("stale_t").tableType == "VIEW")
+      spark.sql("DROP VIEW stale_t") // manual drop; stale_t__files survives
+      TraceStore.evolveSchema(path, StructField("Score", LongType, nullable = true))
+      TraceStore.registerCatalog(spark, path, "stale_t")
+      assert(spark.table("stale_t__files").columns.contains("Score"),
+        "stale files table must be drift-checked against the evolved physical schema")
+      assert(spark.table("stale_t").columns.contains("Score"))
+      assert(spark.table("stale_t").filter(col("Zone") === "eu").count() == 1)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS stale_t")
+      spark.sql("DROP TABLE IF EXISTS stale_t__files")
+    }
+  }
+
   test("catalog registration refreshes after evolution instead of keeping stale DDL") {
     val path = tmpDir("cat1")
     TraceStore.append(baseBatch(), path)

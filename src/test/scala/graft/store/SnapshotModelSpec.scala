@@ -34,6 +34,16 @@ class SnapshotModelSpec extends SparkSpec {
     TraceStore.readSnapshot(spark, path, id).select("Severity", "ID").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSet
 
+  /** (inserts, deletes) of the rewrite-surviving change feed. */
+  private def feedRows(path: String, id: String): (Set[Row], Set[Row]) = {
+    val rows = TraceStore.readChangesSince(spark, path, id)
+      .select("_change", "Severity", "ID").collect()
+    (rows.filter(_.getString(0) == "insert")
+       .map(r => (r.getInt(1), r.getString(2))).toSet,
+     rows.filter(_.getString(0) == "delete")
+       .map(r => (r.getInt(1), r.getString(2))).toSet)
+  }
+
   /** The store's deterministic 1-in-k thinning predicate, replayed on the
     * model (content-hash over all columns; only months older than the
     * newest keepExact months thin). Computed by asking Spark for the
@@ -100,6 +110,14 @@ class SnapshotModelSpec extends SparkSpec {
         snaps.foreach { case (sid, want) =>
           assert(snapRows(path, sid) == want,
             s"seed=$seed step=$step: snapshot $sid diverged")
+          // the change feed must equal the model diff after EVERY op —
+          // compactions and erase-rewrites included (the states
+          // readAppendedSince refuses are exactly the interesting ones)
+          val (ins, del) = feedRows(path, sid)
+          assert(ins == live -- want,
+            s"seed=$seed step=$step: feed inserts since $sid diverged")
+          assert(del == want -- live,
+            s"seed=$seed step=$step: feed deletes since $sid diverged")
         }
       }
       // teardown sanity: dropping every snapshot lets vacuum clear _retired

@@ -157,6 +157,46 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("readChangesSince survives rewrites: compaction no-op, erase → deletes") {
+    import spark.implicits._
+    val path = tmpDir("snap-feed")
+    mkStore(path, 4) // ids 0..3, May 2019
+    val s1 = TraceStore.snapshot(path)
+    def feed(): Map[String, Set[(Int, String)]] =
+      TraceStore.readChangesSince(spark, path, s1)
+        .select(col("_change"), col("Severity"), col("ID")).collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rs) => k -> rs.map(r => (r.getInt(1), r.getString(2))).toSet }
+    assert(feed() == Map.empty) // no changes yet
+    // pure compaction must be INVISIBLE — the exact state
+    // readAppendedSince refuses (its own spec above proves the refusal)
+    TraceStore.compact(spark, path, maxFilesPerMonth = 1, splitsPerMonth = 1)
+    assert(feed() == Map.empty, "a pure rewrite must not surface in the feed")
+    // append B, then erase one baseline row and one B row
+    TraceStore.append(Seq(
+      row(100, "2019-06-02 09:00:00", Some("b0")),
+      row(101, "2019-06-02 10:00:00", Some("b1"))
+    ).toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID"), path)
+    TraceStore.deleteWhere(spark, path, col("ID") === "id1" || col("ID") === "b1")
+    // compact again across the erase boundary
+    TraceStore.compact(spark, path, maxFilesPerMonth = 1, splitsPerMonth = 1)
+    assert(feed() == Map(
+      "insert" -> Set((100, "b0")),          // b1 inserted+erased in-window: never surfaces
+      "delete" -> Set((1, "id1"))))          // baseline row erased → delete
+    // retention drop of the baseline month → remaining baseline rows delete
+    TraceStore.dropPartitionsBefore(path, "201906")
+    assert(feed() == Map(
+      "insert" -> Set((100, "b0")),
+      "delete" -> Set((0, "id0"), (1, "id1"), (2, "id2"), (3, "id3"))))
+    // releasing the snapshot destroys the baseline: refuse loudly (a
+    // pinned-but-manually-deleted retired file fails the same way via
+    // the vacuumed-file check; vacuum itself can never remove a pin of
+    // a LIVE manifest, so that arm is only reachable by interference)
+    TraceStore.dropSnapshot(path, s1)
+    TraceStore.vacuumSnapshots(path)
+    intercept[IllegalArgumentException] { TraceStore.readChangesSince(spark, path, s1) }
+  }
+
   test("snapshot ids are monotonic and listable") {
     val path = tmpDir("snap-ids")
     mkStore(path, 2)

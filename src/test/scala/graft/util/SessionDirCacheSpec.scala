@@ -53,6 +53,42 @@ class SessionDirCacheSpec extends SparkSpec {
     assert(!resident(), "swept entry's blocks must leave the block manager")
   }
 
+  test("a sweep cannot interleave with an in-flight apply") {
+    // the round-9 advisory hazard: entry removed + checkpoint freed
+    // between computeIfAbsent returning and the caller's first use. The
+    // lock makes apply/sweep mutually exclusive, so a sweep issued while
+    // an apply is mid-build must block until the apply completes — and
+    // then sees the fresh generation stamp, which keep=0 still spares
+    // (the stamp IS this generation, strictly newer than the cutoff).
+    val cache = new SessionDirCache[DataFrame](SessionDirCache.releaseDf)
+    val inBuild = new java.util.concurrent.CountDownLatch(1)
+    val finishBuild = new java.util.concurrent.CountDownLatch(1)
+    val applier = new Thread(() => {
+      cache(spark, "/race") { (_, _) =>
+        inBuild.countDown()
+        finishBuild.await()
+        checkpointed(7)
+      }
+      ()
+    })
+    applier.start()
+    inBuild.await()
+    // age the clock so a non-blocking sweep WOULD evict, then race it
+    SessionDirCache.tick(); SessionDirCache.tick()
+    val sweepResult = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val sweeper = new Thread(() => sweepResult.set(cache.sweepIdle(0)))
+    sweeper.start()
+    Thread.sleep(100)
+    assert(sweepResult.get == -1, "sweep must block while an apply is in flight")
+    finishBuild.countDown()
+    applier.join(10000); sweeper.join(10000)
+    assert(sweepResult.get == 0,
+      "the blocked sweep must spare the entry the apply just stamped")
+    var rebuilt = false
+    val df = cache(spark, "/race") { (_, _) => rebuilt = true; checkpointed(8) }
+    assert(!rebuilt && df.count() == 1000)
+  }
+
   test("caches without a release hook are never swept") {
     val cache = new SessionDirCache[String]()
     var builds = 0
