@@ -233,7 +233,13 @@ object GraphOps {
   def q182Triangles(s: SparkSession, dir: String): DataFrame = {
     val up = supportedPairs(s, dir).select(col("p1"), col("p2"))
     val deg = degrees(s, dir) // (src, deg): symmetric-edge degrees, cached
-    val tri = triCountAdjForm(orientedEdges(up, deg))
+    // join-form, MEASURED round 10 (bench/DRIFT_r10.md): clean in-session
+    // alternation shows it fastest on BOTH corpora — replica sfx10
+    // (hub-free, join 3.3-6.2 s vs adj 6.3-9.4 s vs chunked 6.7-7.4 s)
+    // and powerlaw 100k/2M (maxdeg 11k, join 1.9 s vs adj 2.4-2.7 s vs
+    // chunked 2.6-2.9 s warm). The round-9 adj swap is reverted; the adj
+    // and hub-guarded chunked forms stay in-tree for TriProbe alternation.
+    val tri = triCountJoinForm(orientedEdges(up, deg))
     val wedges = deg.agg(expr("sum(deg * (deg - 1) DIV 2)").as("n_wedges"))
     tri.join(broadcast(wedges)) // both 1-row frames
       .select(col("n_triangles"), col("n_wedges"),

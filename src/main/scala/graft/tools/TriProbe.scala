@@ -49,9 +49,25 @@ object TriProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val corpus = sys.env.getOrElse("SPARK_GRAFT_TRI_CORPUS", "pairs")
+    // peak single-task execution memory per timed window: the hub-guard
+    // criterion — an unguarded wedge expansion shows a per-task peak that
+    // GROWS with max degree (one task allocates the hub's O(outdeg²)
+    // array); the chunked form must stay flat
+    val peak = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        ()
+      }
+    })
     def time(name: String)(f: => Long): Unit = {
+      peak.set(0)
       val t0 = System.nanoTime(); val n = f
-      println(f"[tri] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  rows=$n")
+      val sec = (System.nanoTime() - t0) / 1e9
+      try org.apache.spark.sql.graftshim.Shim.flushListenerBus(spark.sparkContext)
+      catch { case _: java.util.concurrent.TimeoutException => () }
+      println(f"[tri] $name%-28s $sec%.2f s  rows=$n  taskpeak=${peak.get / 1048576} MB")
     }
     val up: DataFrame = corpus match {
       case "powerlaw" =>

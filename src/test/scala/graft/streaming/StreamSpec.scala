@@ -185,6 +185,45 @@ class StreamSpec extends SparkSpec {
     assert(ex2.getMessage.contains("wiped in place"))
   }
 
+  test("maintained rollup + store stay consistent across mid-stream rename/widen evolution") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    // round-8 task 5: the two newest subsystems meet — the store evolves
+    // (widen a base column, add + rename an evolved one) BETWEEN
+    // micro-batches while both the ingest stream and the rollup
+    // maintainer run over the same checkpoint lineage; the rollup must
+    // stay equal to a full recompute across the boundary and the store's
+    // read path must resolve every generation of files in one scan
+    val watch = tmpDir("watch-roll-evo"); val table = tmpDir("table-roll-evo")
+    val ckpt = tmpDir("ckpt-roll-evo"); val roll = tmpDir("roll-evo")
+    writeTrace(watch, "trace.1.json", 1557761852L, 5)          // hour 15
+    val cfg = TraceStream.Config(watch, table, ckpt, maxFilesPerTrigger = 1)
+    TraceStream.start(spark, cfg).awaitTermination()
+    TraceStream.maintainRollup(spark, cfg, roll).awaitTermination()
+    // live operator actions between micro-batches: widen a base ingest
+    // column, add an evolved column, rename it — all metadata-only
+    TraceStore.widenColumn(table, "Severity", LongType)
+    TraceStore.evolveSchema(table, StructField("Region", StringType, nullable = true))
+    TraceStore.renameColumn(table, "Region", "Zone")
+    writeTrace(watch, "trace.2.json", 1557765452L, 7)          // hour 16
+    TraceStream.start(spark, cfg).awaitTermination()           // same lineage
+    TraceStream.maintainRollup(spark, cfg, roll).awaitTermination()
+    // store: one scan resolves pre-widen int32 files + post-widen int64
+    // files + the renamed column (null for every file — no batch ever
+    // carried it)
+    val got = TraceStore.read(spark, table)
+    assert(got.schema("Severity").dataType == LongType)
+    assert(got.columns.contains("Zone") && !got.columns.contains("Region"))
+    assert(got.count() == 12 && got.filter(col("Zone").isNull).count() == 12)
+    // rollup across the boundary == full recompute from the evolved store
+    val snap = TraceStream.readRollup(spark, roll)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = got.groupBy(date_format(col("Time"), "yyyyMM").as("ym"), col("Type"))
+      .agg(count(lit(1)).as("n"), sum(col("Severity")).as("sev_sum"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(snap == want && snap.map(_._3).sum == 12)
+  }
+
   test("sentinel file stops a continuous query (A4)") {
     val watch = tmpDir("watch2"); val table = tmpDir("table2"); val ckpt = tmpDir("ckpt2")
     writeTrace(watch, "trace.1.json", 1557761852L, 2)
