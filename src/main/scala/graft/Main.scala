@@ -151,6 +151,7 @@ object Main {
       Set("--print-schema", "--create-schema", "--watch", "--maintain",
         "--snapshot", "--list-snapshots")) ++
       (if (flags.contains("--drop-snapshot")) Set("--drop-snapshot") else Set.empty) ++
+      (if (flags.contains("--changes-since")) Set("--changes-since") else Set.empty) ++
       (if (flags.contains("--evolve-schema")) Set("--evolve-schema") else Set.empty)
     if (modes.size > 1)
       return Left(s"ERROR: pick one mode, got ${modes.toSeq.sorted.mkString(", ")}")

@@ -70,6 +70,39 @@ object ChangeFeedQuery {
       .orderBy(col("change"), col("Machine"))
   }
 
+  /** q227: CDC-DRIVEN incremental rollup maintenance — the change feed
+    * applied to a pre-aggregated rollup: final = merge(rollup@snapshot,
+    * +inserts, −deletes). Decomposable measures (count, sum) merge by
+    * signed summation, so maintaining a 100 TB rollup across arbitrary
+    * store maintenance costs one pass over the CHANGES — never a
+    * re-aggregation of the accumulated table, and (unlike
+    * [[TraceStream.upsertRollup]]'s append-only batches) it stays
+    * correct across DELETE WHERE / retention, because deletes arrive as
+    * negative increments. The oracle recomputes the final state from the
+    * raw events table, so a sign error, a compaction leak (spurious
+    * insert+delete pairs cancel — but only if BOTH sides arrive), or a
+    * missed delete fails the hash gate. */
+  def q227CdcRollup(s: SparkSession, dir: String): DataFrame = {
+    val (path, snap) = buildStore(s, dir)
+    val base = TraceStore.readSnapshot(s, path, snap)
+      .groupBy(col("Machine"))
+      .agg(count(lit(1)).as("n"), sum(col("Severity").cast("long")).as("sum_sev"))
+    val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+    val delta = TraceStore.readChangesSince(s, path, snap)
+      .groupBy(col("Machine"))
+      .agg(sum(sign).as("n"), sum(sign * col("Severity").cast("long")).as("sum_sev"))
+    TraceStore.mergeRollups(base, delta, Seq("Machine"), Seq("n", "sum_sev"))
+      .filter(col("n") > 0) // a fully-deleted group leaves the rollup
+      .orderBy(col("Machine"))
+  }
+
+  val q227Sql: String =
+    """SELECT 'm' || (user_id % 8) AS Machine, count(*) AS n,
+      |  (sum(((event_id % 1000000000) + 1000000000) % 1000000000))::BIGINT AS sum_sev
+      |FROM events
+      |WHERE event_id % 3 IN (0, 1) AND event_type <> 'error'
+      |GROUP BY 1 ORDER BY Machine""".stripMargin
+
   // DuckDB % keeps the dividend's sign — double-mod like q224's oracle
   val q226Sql: String =
     """SELECT chg AS change, Machine, count(*) AS n,
@@ -85,5 +118,6 @@ object ChangeFeedQuery {
 
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
+    ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
   )
 }

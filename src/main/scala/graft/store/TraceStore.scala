@@ -312,24 +312,50 @@ object TraceStore {
     * large cluster passes executor-count-sized splits so a single hot
     * month does not serialize onto one task. */
   def append(df: DataFrame, tablePath: String, splitsPerMonth: Int = 1): Unit = {
-    val withYm = alignToStored(df, java.nio.file.Paths.get(tablePath))
+    val root = java.nio.file.Paths.get(tablePath)
+    val withYm = alignToStored(df, root)
       .withColumn(TraceSchema.PartitionCol, date_format(col("Time"), "yyyyMM"))
     val parted =
       if (splitsPerMonth <= 1) withYm.repartition(col(TraceSchema.PartitionCol))
       else withYm.repartition(col(TraceSchema.PartitionCol),
         pmod(xxhash64(col("Time")), lit(splitsPerMonth.toLong)))
-    parted
-      .sortWithinPartitions(col("Time"))
-      .write
-      .mode("append")
-      .option("compression", "zstd")
-      // the MergeTree skip-index analogue: point predicates on the
-      // non-sort dimensions (Machine, Type) skip row groups via parquet
-      // bloom filters — Time already skips via sorted min/max stats
-      .option("parquet.bloom.filter.enabled#Machine", "true")
-      .option("parquet.bloom.filter.enabled#Type", "true")
+    withBloomOptions(
+      parted
+        .sortWithinPartitions(col("Time"))
+        .write
+        .mode("append")
+        .option("compression", "zstd"),
+      root)
       .partitionBy(TraceSchema.PartitionCol)
       .parquet(tablePath)
+  }
+
+  /** The store's skip-index write options — the MergeTree skip-index
+    * analogue: point predicates on the non-sort dimensions skip row
+    * groups via parquet footer blooms (Time already skips via sorted
+    * min/max stats). Base dims Machine/Type always; the sidecar FOLLOWS
+    * THE SCHEMA — every evolved string/integral column gets a bloom
+    * under its CURRENT physical name, so post-rename appends index the
+    * new name with zero rewrites (widen is trivially safe: each file's
+    * bloom hashes values at that file's own stored type). Shared by
+    * [[append]] and [[rewriteMonth]], so maintenance rewrites preserve
+    * the blooms — and physically migrate them to post-rename names —
+    * instead of silently dropping the index on every compacted month. */
+  private def withBloomOptions(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      root: java.nio.file.Path): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val evolved =
+      (if (java.nio.file.Files.exists(root)) storedSchema(root)
+       else TraceSchema.target).fields
+        .filterNot(f => isBase(f.name))
+        .filter(_.dataType match {
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }).map(_.name).toSeq
+    (Seq("Machine", "Type") ++ evolved).foldLeft(w)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
   }
 
   /** Read the stored table; time predicates prune ym partitions first.
@@ -1064,10 +1090,12 @@ object TraceStore {
     // out a renamed column's pre-rename history. Side effect worth
     // having: the rewrite writes CURRENT physical names, so compaction
     // physically migrates old files to the post-rename layout.
-    transform(readFiles(spark, monthDir.getParent, old)) // exactly the captured files
-      .repartitionByRange(splitsPerMonth, col("Time"))
-      .sortWithinPartitions(col("Time"))
-      .write.mode("overwrite").option("compression", "zstd")
+    withBloomOptions(
+      transform(readFiles(spark, monthDir.getParent, old)) // exactly the captured files
+        .repartitionByRange(splitsPerMonth, col("Time"))
+        .sortWithinPartitions(col("Time"))
+        .write.mode("overwrite").option("compression", "zstd"),
+      monthDir.getParent)
       .parquet(tmp.toString)
     val installs = parquetFiles(tmp).zipWithIndex.map { case (f, i) =>
       (f.getFileName.toString, f"$tag-$ym-$attempt-$i%05d.parquet")

@@ -124,6 +124,13 @@ class MainParseSpec extends AnyFunSuite {
       .swap.exists(_.contains("pick one mode")))
     assert(Main.parse(Seq("--drop-snapshot", "s000001", "--list-snapshots",
       "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
+    // the change feed: same id validation, same mode exclusivity
+    assert(Main.parse(Seq("--changes-since", "s000003", "--table-path", "/t"), noEnv) ==
+      Right(Main.ChangesSince("/t", "s000003")))
+    val badFeedId = Main.parse(Seq("--changes-since", "nope", "--table-path", "/t"), noEnv)
+    assert(badFeedId.isLeft && badFeedId.swap.exists(_.contains("s000001")))
+    assert(Main.parse(Seq("--changes-since", "s000001", "--snapshot",
+      "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
   }
 
   test("--evolve-schema parses NAME:TYPE, validates, and runs metadata-only") {
@@ -259,6 +266,24 @@ class MainRunSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(table).resolve("_retired")))
     Main.run(Main.DropSnapshot(table, id), out.append(_), () => spark)
     assert(out.last == s"no such snapshot $id")
+  }
+
+  test("change feed through the CLI: per-month insert/delete counts across maintenance") {
+    val in = tmpDir("cli-cf-in"); val table = tmpDir("cli-cf-table")
+    writeTrace(in, "a.json", 1557761852L, 3)   // 201905
+    Main.run(Main.Convert(Seq(s"$in/a.json"), table, 1), _ => (), () => spark)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Main.run(Main.Snapshot(table), out.append(_), () => spark)
+    val id = out.last.stripPrefix("snapshot ")
+    Main.run(Main.ChangesSince(table, id), out.append(_), () => spark)
+    assert(out.last == s"no changes since $id")
+    // append a second batch, then a compaction (a rewrite the feed must
+    // see through), then ask again
+    writeTrace(in, "b.json", 1557761900L, 2)   // 201905 too
+    Main.run(Main.Convert(Seq(s"$in/b.json"), table, 1), _ => (), () => spark)
+    Main.run(Main.Maintain(table, None, 1, 1), _ => (), () => spark) // compacts
+    Main.run(Main.ChangesSince(table, id), out.append(_), () => spark)
+    assert(out.last == "201905 insert 2", out.mkString("; "))
   }
 
   test("watch mode creates the schema, drains the log dir, and exits on the sentinel") {

@@ -286,6 +286,63 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("evolved column gets a footer bloom that survives rename and compaction") {
+    import scala.jdk.CollectionConverters._
+    // parquet materializes a bloom only once the dictionary overflows, so
+    // the evolved dimension needs production-like cardinality (same
+    // fixture discipline as StoreSpec's base-dim bloom test)
+    def bigBase = spark.range(50000).select(
+      lit(10).as("Severity"),
+      lit("m1").as("Machine"),
+      lit("default").as("LogGroup"),
+      to_timestamp(lit("2019-05-13 15:37:32")).as("Time"),
+      lit("Role").as("Type"),
+      col("id").cast("string").as("ID"))
+    def withDim(colName: String) = bigBase.withColumn(colName,
+      concat(lit("region-with-a-long-prefix-"), col("id").cast("string")))
+    def bloomOf(file: java.nio.file.Path, name: String): Boolean = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.toString),
+          new org.apache.hadoop.conf.Configuration()))
+      try {
+        val block = reader.getFooter.getBlocks.get(0)
+        val bf = reader.getBloomFilterDataReader(block)
+        block.getColumns.asScala.find(_.getPath.toDotString == name)
+          .exists(c => bf.readBloomFilter(c) != null)
+      } finally reader.close()
+    }
+    def parquetFiles(path: String): Seq[java.nio.file.Path] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+    val path = tmpDir("bloomevo")
+    TraceStore.append(bigBase, path) // one pre-evolution file, same month
+    TraceStore.evolveSchema(path, StructField("Region", StringType, nullable = true))
+    TraceStore.append(withDim("Region"), path)
+    val f1 = parquetFiles(path).maxBy(p =>
+      java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    assert(bloomOf(f1, "Region"), "evolved column must carry a footer bloom")
+    // no rename yet → the scan is alias-free and the point predicate on
+    // the evolved column reaches parquet (where the bloom skips groups)
+    val plan = TraceStore.read(spark, path)
+      .filter(col("Region") === "region-with-a-long-prefix-7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(Region"),
+      "evolved-column point predicate must be pushed to the scan")
+    // rename: NEW files index the new physical name with zero rewrites
+    TraceStore.renameColumn(path, "Region", "Zone")
+    TraceStore.append(withDim("Zone"), path)
+    val newest = parquetFiles(path).maxBy(p =>
+      java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    assert(bloomOf(newest, "Zone"), "post-rename append must bloom the new name")
+    // compaction migrates the OLD files' bloom to the post-rename name
+    TraceStore.compact(spark, path, maxFilesPerMonth = 1, splitsPerMonth = 1)
+    val after = parquetFiles(path)
+    assert(after.forall(bloomOf(_, "Zone")),
+      "compaction must rewrite every file with the current-name bloom")
+    assert(after.forall(f => !bloomOf(f, "Region")))
+  }
+
   test("CLI bootstrap over an existing NO-rename store recovers partitions (reads rows)") {
     // the round-9 advisory medium: createSchema used to delegate to
     // registerCatalog (which MSCK-repairs) only for rename-bearing
