@@ -848,11 +848,21 @@ object TraceStore {
     val mf = root.resolve(SnapDir).resolve(id)
     require(Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
     val keys = Files.readAllLines(mf).asScala.toSeq.filter(_.nonEmpty)
+    readResolvedKeys(spark, root, keys, s"snapshot $id")
+  }
+
+  /** Alias-aware scan of manifest keys, each resolved to its live path
+    * (not yet superseded) or its `_retired/` one (superseded but pinned)
+    * — the shared read kernel of [[readSnapshot]] and the snapshot-diff
+    * readers. Fails loudly on a vacuumed key: no honest read exists. */
+  private def readResolvedKeys(spark: SparkSession, root: java.nio.file.Path,
+                               keys: Seq[String], what: String): DataFrame = {
+    import java.nio.file.Files
     val retiredRoot = root.resolve(RetiredDir)
     val (live, retired) = keys.partition(k => Files.exists(root.resolve(k)))
     retired.filterNot(k => Files.exists(retiredRoot.resolve(k))) match {
       case missing if missing.nonEmpty =>
-        sys.error(s"snapshot $id references vacuumed file(s): ${missing.take(3).mkString(", ")}")
+        sys.error(s"$what references vacuumed file(s): ${missing.take(3).mkString(", ")}")
       case _ =>
     }
     val stored = storedSchema(root)
@@ -998,6 +1008,54 @@ object TraceStore {
     val oldRows = readFrom(retiredRoot, goneKeys)
     newRows.exceptAll(oldRows).withColumn("_change", lit("insert"))
       .unionByName(oldRows.exceptAll(newRows).withColumn("_change", lit("delete")))
+  }
+
+  /** Row-level change feed BETWEEN two snapshots — the completion of the
+    * time-travel diff algebra ([[readChangesSince]] is the to-now form):
+    * what happened to the table between pin `fromId` and pin `toId`,
+    * answerable long after both states were superseded, because every
+    * file either manifest references is still live or retired. Same
+    * file-set pruning (shared keys contribute nothing and are never
+    * read) + EXCEPT ALL row diff; output is the logical columns + ym +
+    * `_change` relative to the `toId` state ("insert" = arrived,
+    * "delete" = left). `fromId`/`toId` need not be ordered — swapping
+    * them flips the signs, which is the algebra a reconciliation job
+    * expects. Cost ∝ files that differ, never the table. */
+  def readChangesBetween(spark: SparkSession, tablePath: String,
+                         fromId: String, toId: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tablePath)
+    def keysOf(id: String): Set[String] = {
+      val mf = root.resolve(SnapDir).resolve(id)
+      require(Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
+      Files.readAllLines(mf).asScala.toSet.filter(_.nonEmpty)
+    }
+    val from = keysOf(fromId); val to = keysOf(toId)
+    val oldRows = readResolvedKeys(spark, root, (from -- to).toSeq.sorted,
+      s"snapshot $fromId")
+    val newRows = readResolvedKeys(spark, root, (to -- from).toSeq.sorted,
+      s"snapshot $toId")
+    newRows.exceptAll(oldRows).withColumn("_change", lit("insert"))
+      .unionByName(oldRows.exceptAll(newRows).withColumn("_change", lit("delete")))
+  }
+
+  /** One step of the operational CDC cursor cycle: pin the CURRENT state
+    * as a fresh snapshot and return the row-level changes from `prevId`
+    * to it — the packaged form of the snapshot → process → re-base loop
+    * the readers above document, with the rotation made atomic-enough
+    * for an at-least-once consumer: the NEW pin lands before the diff is
+    * computed, so a consumer that crashes mid-process re-runs the same
+    * `advanceCursor(prevId)` and gets a superset-equal feed (both pins
+    * still exist; nothing was dropped). The caller drops `prevId` (and
+    * vacuums) only AFTER durably committing the processed changes —
+    * exactly the two-phase shape a downstream rollup maintainer (q227's
+    * algebra) needs. Cost: one directory listing + the diff's pruned
+    * file reads. */
+  def advanceCursor(spark: SparkSession, tablePath: String,
+                    prevId: String): (DataFrame, String) = {
+    val next = snapshot(tablePath)
+    (readChangesBetween(spark, tablePath, prevId, next), next)
   }
 
   /** Release a snapshot. Retired files it pinned become reclaimable by

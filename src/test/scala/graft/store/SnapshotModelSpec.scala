@@ -119,6 +119,23 @@ class SnapshotModelSpec extends SparkSpec {
           assert(del == want -- live,
             s"seed=$seed step=$step: feed deletes since $sid diverged")
         }
+        // snapshot-PAIR diff (oldest vs newest live pin): readChangesBetween
+        // must equal the model diff of the two frozen states, whatever
+        // maintenance ran between or after them
+        if (snaps.size >= 2) {
+          val ids = snaps.keys.toSeq.sorted
+          val (a, b) = (ids.head, ids.last)
+          val rows = TraceStore.readChangesBetween(spark, path, a, b)
+            .select("_change", "Severity", "ID").collect()
+          val ins2 = rows.filter(_.getString(0) == "insert")
+            .map(r => (r.getInt(1), r.getString(2))).toSet
+          val del2 = rows.filter(_.getString(0) == "delete")
+            .map(r => (r.getInt(1), r.getString(2))).toSet
+          assert(ins2 == snaps(b) -- snaps(a),
+            s"seed=$seed step=$step: between-inserts $a->$b diverged")
+          assert(del2 == snaps(a) -- snaps(b),
+            s"seed=$seed step=$step: between-deletes $a->$b diverged")
+        }
       }
       // teardown sanity: dropping every snapshot lets vacuum clear _retired
       snaps.keys.foreach(TraceStore.dropSnapshot(path, _))

@@ -197,6 +197,39 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TraceStore.readChangesSince(spark, path, s1) }
   }
 
+  test("advanceCursor drives an at-least-once CDC consumer loop across maintenance") {
+    import spark.implicits._
+    val path = tmpDir("snap-cursor")
+    mkStore(path, 3) // ids 0..2
+    val s0 = TraceStore.snapshot(path)
+    TraceStore.append(Seq(
+      row(100, "2019-06-02 09:00:00", Some("b0"))
+    ).toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID"), path)
+    TraceStore.deleteWhere(spark, path, col("ID") === "id1")
+    TraceStore.compact(spark, path, maxFilesPerMonth = 1, splitsPerMonth = 1)
+    def asSets(df: DataFrame) = {
+      val rs = df.select(col("_change"), col("Severity"), col("ID")).collect()
+      (rs.filter(_.getString(0) == "insert").map(r => (r.getInt(1), r.getString(2))).toSet,
+       rs.filter(_.getString(0) == "delete").map(r => (r.getInt(1), r.getString(2))).toSet)
+    }
+    val (feed1, s1) = TraceStore.advanceCursor(spark, path, s0)
+    assert(asSets(feed1) == (Set((100, "b0")), Set((1, "id1"))))
+    // crash before commit → re-run from the SAME prev pin: identical feed
+    // (both pins still exist; the extra pin is dropped with the old one)
+    val (feed1b, s1b) = TraceStore.advanceCursor(spark, path, s0)
+    assert(asSets(feed1b) == asSets(feed1))
+    // durable commit → release everything before the new cursor
+    TraceStore.dropSnapshot(path, s0); TraceStore.dropSnapshot(path, s1)
+    TraceStore.vacuumSnapshots(path)
+    // next cycle sees only the new increment
+    TraceStore.append(Seq(
+      row(101, "2019-06-03 09:00:00", Some("b1"))
+    ).toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID"), path)
+    val (feed2, s2) = TraceStore.advanceCursor(spark, path, s1b)
+    assert(asSets(feed2) == (Set((101, "b1")), Set.empty[(Int, String)]))
+    assert(TraceStore.listSnapshots(path) == Seq(s1b, s2))
+  }
+
   test("snapshot ids are monotonic and listable") {
     val path = tmpDir("snap-ids")
     mkStore(path, 2)
