@@ -967,7 +967,14 @@ object TraceStore {
     * compares under current names — a rename does not fake a rewrite.
     *
     * Fails loudly if a pinned file was vacuumed away (dropSnapshot +
-    * vacuum released it): the baseline is gone and no diff is honest. */
+    * vacuum released it): the baseline is gone and no diff is honest.
+    *
+    * Concurrency caveat (same as [[compact]]'s reader note): the live
+    * file listing is not atomic against an in-flight rewrite's
+    * install-then-delete window, so run the feed on the maintenance
+    * cadence, not concurrently with it — or pin a fresh snapshot first
+    * and use [[readChangesBetween]], whose both sides are immutable
+    * manifests. */
   def readChangesSince(spark: SparkSession, tablePath: String, id: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
