@@ -956,7 +956,9 @@ object TraceStore {
     *     old rows (readable from `_retired/` — the snapshot pins them,
     *     so every rewrite retired rather than deleted them);
     *   - inserts = new EXCEPT ALL old, deletes = old EXCEPT ALL new
-    *     (multiset semantics, so duplicate rows carry their counts).
+    *     (multiset semantics, so duplicate rows carry their counts) —
+    *     both sides computed in ONE signed pass ([[signedDiff]]: each
+    *     changed file scanned once, one exchange, not two of each).
     * A compaction rewrites the same rows into fresh files: its old and
     * new candidate sets cancel row-for-row and the feed is a NO-OP, at
     * cost proportional to the rewritten months — never the table. A
@@ -1011,10 +1013,28 @@ object TraceStore {
         spark.read.option("basePath", base.toString).schema(phys)
           .parquet(ks.map(k => base.resolve(k).toString): _*),
         stored, Seq(TraceSchema.PartitionCol))
-    val newRows = readFrom(root, newKeys)
-    val oldRows = readFrom(retiredRoot, goneKeys)
-    newRows.exceptAll(oldRows).withColumn("_change", lit("insert"))
-      .unionByName(oldRows.exceptAll(newRows).withColumn("_change", lit("delete")))
+    signedDiff(readFrom(root, newKeys), readFrom(retiredRoot, goneKeys))
+  }
+
+  /** Both sides of a multiset row diff in ONE pass: union the sides with
+    * +1/−1 signs, aggregate the sign sum per full row, keep |sum| copies
+    * on the winning side. Row-for-row identical to the
+    * `new EXCEPT ALL old` / `old EXCEPT ALL new` pair (insert count =
+    * max(n−o, 0), delete count = max(o−n, 0); GROUP BY's null-safe key
+    * equality matches EXCEPT ALL's) — but the pair compiles to TWO
+    * independent union+aggregate subplans, scanning every changed file
+    * and shuffling the union twice; this shape reads each file once and
+    * exchanges once, halving the feed's I/O and shuffle at any scale. */
+  private def signedDiff(newRows: DataFrame, oldRows: DataFrame): DataFrame = {
+    val cols = newRows.columns.toSeq
+    newRows.withColumn("_sign", lit(1L))
+      .unionByName(oldRows.withColumn("_sign", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("_sign")).as("_n"))
+      .filter(col("_n") =!= 0L)
+      .withColumn("_change", when(col("_n") > 0, lit("insert")).otherwise(lit("delete")))
+      .withColumn("_r", explode(array_repeat(lit(1), abs(col("_n")).cast("int"))))
+      .select((cols :+ "_change").map(col): _*)
   }
 
   /** Row-level change feed BETWEEN two snapshots — the completion of the
@@ -1039,12 +1059,9 @@ object TraceStore {
       Files.readAllLines(mf).asScala.toSet.filter(_.nonEmpty)
     }
     val from = keysOf(fromId); val to = keysOf(toId)
-    val oldRows = readResolvedKeys(spark, root, (from -- to).toSeq.sorted,
-      s"snapshot $fromId")
-    val newRows = readResolvedKeys(spark, root, (to -- from).toSeq.sorted,
-      s"snapshot $toId")
-    newRows.exceptAll(oldRows).withColumn("_change", lit("insert"))
-      .unionByName(oldRows.exceptAll(newRows).withColumn("_change", lit("delete")))
+    signedDiff(
+      readResolvedKeys(spark, root, (to -- from).toSeq.sorted, s"snapshot $toId"),
+      readResolvedKeys(spark, root, (from -- to).toSeq.sorted, s"snapshot $fromId"))
   }
 
   /** One step of the operational CDC cursor cycle: pin the CURRENT state
