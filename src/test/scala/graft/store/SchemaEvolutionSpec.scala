@@ -343,6 +343,33 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(after.forall(f => !bloomOf(f, "Region")))
   }
 
+  test("change feed resolves renamed columns across the evolution boundary") {
+    import spark.implicits._
+    // the two newest store features meet: a row written pre-rename is
+    // erased post-rename, and the feed must surface its DELETE with the
+    // value under the CURRENT name (read from a retired pre-rename file
+    // through the alias coalesce) — a resolution miss would emit a NULL
+    // delete and the rewritten survivors would stop cancelling
+    val path = tmpDir("feed-evo")
+    TraceStore.append(baseBatch(), path)
+    TraceStore.evolveSchema(path, StructField("Region", StringType, nullable = true))
+    TraceStore.append(evolvedBatch(), path) // carries Region: one 'eu', one null
+    val s1 = TraceStore.snapshot(path)
+    TraceStore.renameColumn(path, "Region", "Zone")
+    TraceStore.append(Seq(
+      (60, "m4", "default", java.sql.Timestamp.valueOf("2019-05-28 09:00:00"),
+        "Role", Option("d"), Option("us"))
+    ).toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID", "Zone"), path)
+    TraceStore.deleteWhere(spark, path, col("Zone") === "eu") // erases through the alias
+    val feed = TraceStore.readChangesSince(spark, path, s1)
+    assert(feed.columns.contains("Zone") && !feed.columns.contains("Region"))
+    val rows = feed.select(col("_change"), col("Severity"), col("Zone")).collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)))).toSet
+    assert(rows == Set(
+      ("insert", 60, Some("us")),   // post-rename append
+      ("delete", 40, Some("eu")))) // pre-rename row, value alias-resolved
+  }
+
   test("CLI bootstrap over an existing NO-rename store recovers partitions (reads rows)") {
     // the round-9 advisory medium: createSchema used to delegate to
     // registerCatalog (which MSCK-repairs) only for rename-bearing
