@@ -73,16 +73,17 @@ object Ddl {
       case _ => TraceSchema.target
     }
     spark0.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    // ANY existing store delegates to TraceStore.registerCatalog, which
-    // owns the full registration contract: MSCK partition recovery (a
-    // partitioned external table registered without it reads ZERO rows —
-    // the CLI bootstrap hit exactly that on a no-rename store), the
-    // files-table + coalescing-view shape for rename history, and the
-    // drift drop/re-create after evolution. Only the fresh-bootstrap
-    // case (no store directory yet) renders the comment-bearing DDL
-    // below — there are no partitions to recover before the first append.
+    val storeExists = location.exists(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    // a store with rename history needs registerCatalog's files-table +
+    // coalescing-view shape (a plain catalog table would NULL pre-rename
+    // values). A NO-rename store keeps the comment-bearing, zstd-
+    // TBLPROPERTIES DDL below — registerCatalog's bare DDL would drop
+    // both — but an EXISTING store still needs partition recovery after
+    // the CREATE (a partitioned external table registered without MSCK
+    // reads ZERO rows; the CLI bootstrap hit exactly that).
     location match {
-      case Some(p) if java.nio.file.Files.exists(java.nio.file.Paths.get(p)) =>
+      case Some(p) if storeExists && graft.store.TraceStore.hasRenameAliases(p) =>
         graft.store.TraceStore.registerCatalog(spark0, p, s"$db.$table")
         return
       case _ => ()
@@ -97,5 +98,6 @@ object Ddl {
       if (have != want) spark0.sql(s"DROP TABLE $db.$table")
     }
     spark(db, table, location, schema).foreach(spark0.sql(_))
+    if (storeExists) spark0.sql(s"MSCK REPAIR TABLE $db.$table")
   }
 }

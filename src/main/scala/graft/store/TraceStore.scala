@@ -128,6 +128,9 @@ object TraceStore {
     val root = requireStore(tablePath)
     require(field.name != TraceSchema.PartitionCol,
       s"'${field.name}' is the partition column")
+    require(!field.name.startsWith("_"),
+      s"'${field.name}': underscore-prefixed names are reserved for the " +
+        "store's own surfaces (the change feed's _change and its working columns)")
     require(!historicalNames(root).contains(field.name),
       s"column name '${field.name}' is or was already used in this store — " +
         "re-using it would resurrect old files' values (parquet reads by name); pick a fresh name")
@@ -172,6 +175,9 @@ object TraceStore {
       s"'$from' is a base ingest column — the append contract requires it; " +
         "only evolved columns can be renamed")
     require(to.nonEmpty && to != TraceSchema.PartitionCol, s"invalid new name '$to'")
+    require(!to.startsWith("_"),
+      s"'$to': underscore-prefixed names are reserved for the " +
+        "store's own surfaces (the change feed's _change and its working columns)")
     require(!historicalNames(root).contains(to),
       s"column name '$to' is or was already used in this store — " +
         "re-using it would resurrect old files' values; pick a fresh name")
@@ -281,8 +287,8 @@ object TraceStore {
     * batch carries at a pre-widening type is up-cast to the stored type
     * (so an ingest pipeline built before `widenColumn` keeps working
     * unchanged — any other type mismatch fails loudly). */
-  private def alignToStored(df: DataFrame, root: java.nio.file.Path): DataFrame = {
-    val stored = storedSchema(root)
+  private def alignToStored(df: DataFrame,
+                            stored: org.apache.spark.sql.types.StructType): DataFrame = {
     val have = df.columns.toSet
     val unknown = have -- stored.fieldNames.toSet
     require(unknown.isEmpty,
@@ -313,7 +319,11 @@ object TraceStore {
     * month does not serialize onto one task. */
   def append(df: DataFrame, tablePath: String, splitsPerMonth: Int = 1): Unit = {
     val root = java.nio.file.Paths.get(tablePath)
-    val withYm = alignToStored(df, root)
+    // the stored schema is read ONCE per batch and shared by alignment
+    // and the bloom options — on the streaming path this is per-micro-
+    // batch metadata I/O, not worth doing twice
+    val stored = storedSchema(root)
+    val withYm = alignToStored(df, stored)
       .withColumn(TraceSchema.PartitionCol, date_format(col("Time"), "yyyyMM"))
     val parted =
       if (splitsPerMonth <= 1) withYm.repartition(col(TraceSchema.PartitionCol))
@@ -325,7 +335,7 @@ object TraceStore {
         .write
         .mode("append")
         .option("compression", "zstd"),
-      root)
+      stored)
       .partitionBy(TraceSchema.PartitionCol)
       .parquet(tablePath)
   }
@@ -343,10 +353,9 @@ object TraceStore {
     * instead of silently dropping the index on every compacted month. */
   private def withBloomOptions(
       w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
-      root: java.nio.file.Path): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+      stored: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     val evolved =
-      (if (java.nio.file.Files.exists(root)) storedSchema(root)
-       else TraceSchema.target).fields
+      stored.fields
         .filterNot(f => isBase(f.name))
         .filter(_.dataType match {
           case org.apache.spark.sql.types.StringType |
@@ -981,6 +990,11 @@ object TraceStore {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val root = Paths.get(tablePath)
+    // resolve any crashed maintenance attempt FIRST (same as snapshot()):
+    // a compact that died between install and delete leaves both the old
+    // pinned files and their rewritten copies live, and a diff over that
+    // half-committed state would report the whole month as inserts
+    recoverAttempts(root)
     val mf = root.resolve(SnapDir).resolve(id)
     require(Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
     val pinned = Files.readAllLines(mf).asScala.toSet.filter(_.nonEmpty)
@@ -990,30 +1004,9 @@ object TraceStore {
       .flatMap(d => FsMaint.listDir(d).filter(_.toString.endsWith(".parquet"))
         .map(f => fileKey(d, f.getFileName.toString)))
       .toSet
-    val newKeys = (live -- pinned).toSeq.sorted
-    val goneKeys = (pinned -- live).toSeq.sorted
-    val retiredRoot = root.resolve(RetiredDir)
-    goneKeys.filterNot(k => Files.exists(retiredRoot.resolve(k))) match {
-      case missing if missing.nonEmpty =>
-        sys.error(s"change feed since $id references vacuumed file(s): " +
-          missing.take(3).mkString(", "))
-      case _ =>
-    }
-    val stored = storedSchema(root)
-    val phys = org.apache.spark.sql.types.StructType(
-      physicalSchema(stored).fields :+
-      org.apache.spark.sql.types.StructField(TraceSchema.PartitionCol,
-        org.apache.spark.sql.types.StringType))
-    def readFrom(base: java.nio.file.Path, ks: Seq[String]): DataFrame =
-      if (ks.isEmpty)
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          logicalWithYm(stored))
-      else resolveAliases(
-        spark.read.option("basePath", base.toString).schema(phys)
-          .parquet(ks.map(k => base.resolve(k).toString): _*),
-        stored, Seq(TraceSchema.PartitionCol))
-    signedDiff(readFrom(root, newKeys), readFrom(retiredRoot, goneKeys))
+    signedDiff(
+      readResolvedKeys(spark, root, (live -- pinned).toSeq.sorted, s"change feed since $id"),
+      readResolvedKeys(spark, root, (pinned -- live).toSeq.sorted, s"change feed since $id"))
   }
 
   /** Both sides of a multiset row diff in ONE pass: union the sides with
@@ -1177,7 +1170,7 @@ object TraceStore {
         .repartitionByRange(splitsPerMonth, col("Time"))
         .sortWithinPartitions(col("Time"))
         .write.mode("overwrite").option("compression", "zstd"),
-      monthDir.getParent)
+      storedSchema(monthDir.getParent))
       .parquet(tmp.toString)
     val installs = parquetFiles(tmp).zipWithIndex.map { case (f, i) =>
       (f.getFileName.toString, f"$tag-$ym-$attempt-$i%05d.parquet")

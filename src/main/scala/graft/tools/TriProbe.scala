@@ -111,6 +111,11 @@ object TriProbe {
     // up past probe scale there (that blow-up is WHY orientation exists)
     val withOld = corpus != "powerlaw" ||
       sys.env.get("SPARK_GRAFT_TRI_OLD").contains("on")
+    // drain straggler task-end events from the (untimed) agreement runs
+    // before the first timed window resets the peak counter — otherwise
+    // window #1's taskpeak can absorb the adj census's allocations
+    try org.apache.spark.sql.graftshim.Shim.flushListenerBus(spark.sparkContext)
+    catch { case _: java.util.concurrent.TimeoutException => () }
     for (r <- 1 to 3) {
       if (withOld) time(s"old-idcanon#$r")(oldTri())
       time(s"join-form#$r")(graft.ext.GraphOps.triCountJoinForm(o).count())

@@ -58,6 +58,15 @@ class SchemaEvolutionSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TraceStore.evolveSchema(path, StructField("Severity", StringType, nullable = true))
     }
+    // underscore-prefixed names are reserved for the store's own
+    // surfaces (the change feed's _change would collide/ambiguate)
+    intercept[IllegalArgumentException] {
+      TraceStore.evolveSchema(path, StructField("_change", StringType, nullable = true))
+    }
+    TraceStore.evolveSchema(path, StructField("Tmp", StringType, nullable = true))
+    intercept[IllegalArgumentException] {
+      TraceStore.renameColumn(path, "Tmp", "_sign")
+    }
     intercept[IllegalArgumentException] {
       TraceStore.evolveSchema(path, StructField("ym", StringType, nullable = true))
     }

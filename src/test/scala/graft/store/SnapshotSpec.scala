@@ -123,6 +123,11 @@ class SnapshotSpec extends SparkSpec {
     installs.foreach { case (from, to) =>
       Files.move(tmp.resolve(from), monthDir.resolve(to))
     }
+    // the change feed must resolve the crashed attempt BEFORE diffing:
+    // without recovery the installed copies are live-but-unpinned and
+    // the whole month would over-report as inserts
+    assert(TraceStore.readChangesSince(spark, path, id).count() == 0,
+      "a half-committed rewrite must not surface in the feed")
     // next maintenance call runs recovery: the delete-set must RETIRE
     // (snapshot pins it), and the snapshot must still read exactly
     TraceStore.compact(spark, path, maxFilesPerMonth = 9999)
