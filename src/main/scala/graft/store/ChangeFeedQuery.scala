@@ -116,8 +116,82 @@ object ChangeFeedQuery {
       |)
       |GROUP BY 1, 2 ORDER BY change, Machine""".stripMargin
 
+  private val streamed = new graft.util.SessionDirCache[String]
+
+  /** q228 — the change feed consumed through the ACTUAL `graft-cdc`
+    * Structured Streaming source (graft.sources.CdcSource), end to end
+    * and oracle-gated: the store lives through the same lifecycle as
+    * q226 (append A → append B → DELETE WHERE → compact), but here each
+    * mutation is delivered as its own MICRO-BATCH by a
+    * Trigger.AvailableNow run resuming from the shared checkpoint — so
+    * the gate pins, per batch id, exactly what the streaming offset
+    * machinery delivered: batch 0 = the initial load (A as inserts,
+    * `initialLoad=true`), batch 1 = B's inserts, batch 2 = the erased
+    * rows as deletes, batch 3 = the compaction, which must cancel to
+    * ZERO rows (it contributes no group). Every drain is also a restart
+    * from the checkpointed offset, so offset replay is on the graded
+    * path, not just in the spec.
+    *
+    * Scale: each micro-batch's plan scans only the files that changed
+    * since its start offset (the same file-set pruning as q226); the
+    * AvailableNow-between-mutations cadence is the documented
+    * maintenance contract for a CDC reader. */
+  def q228CdcStream(s: SparkSession, dir: String): DataFrame = {
+    val out = streamed(s, dir) { (sess, d) =>
+      val store = graft.util.TmpDirs.scratch("graft-cdcstream-store")
+      val outDir = graft.util.TmpDirs.scratch("graft-cdcstream-out")
+      val ck = graft.util.TmpDirs.scratch("graft-cdcstream-ck")
+      val ev = graft.tables.Tables.events(sess, d)
+      val batch = pmod(col("event_id"), lit(3L))
+      val sink: (DataFrame, Long) => Unit = (bdf, bid) => {
+        bdf.withColumn("_batch", lit(bid))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      def drainOnce(): Unit = {
+        val q = sess.readStream.format("graft-cdc")
+          .option("path", store).option("initialLoad", "true")
+          .load()
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch(sink)
+          .start()
+        q.awaitTermination()
+      }
+      TraceStore.append(asTrace(ev.filter(batch === 0)), store, splitsPerMonth = 2)
+      drainOnce() // batch 0: initial load — A as inserts
+      TraceStore.append(asTrace(ev.filter(batch === 1)), store, splitsPerMonth = 2)
+      drainOnce() // batch 1: B as inserts
+      TraceStore.deleteWhere(sess, store, col("Type") === "error", splitsPerMonth = 2)
+      drainOnce() // batch 2: erased rows as deletes
+      TraceStore.compact(sess, store, maxFilesPerMonth = 1, splitsPerMonth = 2)
+      drainOnce() // batch 3: compaction — must cancel to zero rows
+      outDir
+    }
+    s.read.parquet(out)
+      .groupBy(col("_batch").as("batch"), col("_change").as("change"), col("Machine"))
+      .agg(count(lit(1)).as("n"), sum(col("Severity").cast("long")).as("sum_sev"))
+      .orderBy(col("batch"), col("change"), col("Machine"))
+  }
+
+  val q228Sql: String =
+    """SELECT batch, chg AS change, Machine, count(*) AS n,
+      |  (sum(((event_id % 1000000000) + 1000000000) % 1000000000))::BIGINT AS sum_sev
+      |FROM (
+      |  SELECT 0::BIGINT AS batch, 'insert' AS chg, 'm' || (user_id % 8) AS Machine, event_id
+      |  FROM events WHERE event_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 1::BIGINT, 'insert', 'm' || (user_id % 8), event_id
+      |  FROM events WHERE event_id % 3 = 1
+      |  UNION ALL
+      |  SELECT 2::BIGINT, 'delete', 'm' || (user_id % 8), event_id
+      |  FROM events WHERE event_id % 3 IN (0, 1) AND event_type = 'error'
+      |)
+      |GROUP BY 1, 2, 3 ORDER BY batch, change, Machine""".stripMargin
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
+    ("q228_cdc_stream",  q228CdcStream _, Some(q228Sql)),
   )
 }

@@ -769,12 +769,26 @@ object TraceStore {
   /** Union of file keys referenced by every snapshot manifest — loaded
     * ONCE per maintenance entry point (metadata-sized; manifests are
     * file lists, never data). */
+  /** The current live file set (month-partition parquet keys) — the
+    * store's state fingerprint: two instants with equal live sets hold
+    * identical rows (files are immutable and never reused). One
+    * directory listing; metadata-only at any scale. */
+  private def liveKeys(root: java.nio.file.Path): Set[String] = {
+    import java.nio.file.Files
+    val pref = s"${TraceSchema.PartitionCol}="
+    FsMaint.listDir(root)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(pref))
+      .flatMap(d => FsMaint.listDir(d).filter(_.toString.endsWith(".parquet"))
+        .map(f => fileKey(d, f.getFileName.toString)))
+      .toSet
+  }
+
   private def snapshotRefs(root: java.nio.file.Path): Set[String] = {
     import scala.jdk.CollectionConverters._
     val dir = root.resolve(SnapDir)
     if (!java.nio.file.Files.exists(dir)) Set.empty
     else FsMaint.listDir(dir)
-      .filter(_.getFileName.toString.matches("s\\d{6}"))
+      .filter(_.getFileName.toString.matches("s\\d{6,}"))
       .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
       .filter(_.nonEmpty).toSet
   }
@@ -819,15 +833,26 @@ object TraceStore {
     recoverAttempts(root)
     val snapDir = root.resolve(SnapDir)
     Files.createDirectories(snapDir)
-    val pref = s"${TraceSchema.PartitionCol}="
-    val keys = FsMaint.listDir(root)
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(pref))
-      .flatMap(d => FsMaint.listDir(d).filter(_.toString.endsWith(".parquet"))
-        .map(f => fileKey(d, f.getFileName.toString)))
-      .sorted
-    val next = FsMaint.listDir(snapDir).map(_.getFileName.toString)
-      .filter(_.matches("s\\d{6}")).map(_.drop(1).toInt)
-      .foldLeft(0)(math.max) + 1
+    val keys = liveKeys(root).toSeq.sorted
+    // id allocation never reuses a dropped id: a high-water mark file
+    // remembers the largest id ever issued, so an offset held OUTSIDE
+    // the store (a streaming checkpoint's offset log) can never be
+    // silently re-bound to a different manifest after drop + re-pin.
+    // hwm is persisted BEFORE the manifest: a crash between the two
+    // skips an id, it never reuses one.
+    val hwmFile = snapDir.resolve(".hwm")
+    val hwm =
+      if (Files.exists(hwmFile))
+        new String(Files.readAllBytes(hwmFile)).trim.toIntOption.getOrElse(0)
+      else 0
+    val scanMax = FsMaint.listDir(snapDir).map(_.getFileName.toString)
+      .filter(_.matches("s\\d{6,}")).map(_.drop(1).toInt)
+      .foldLeft(0)(math.max)
+    val next = math.max(hwm, scanMax) + 1
+    val tmpH = snapDir.resolve(".tmp-hwm")
+    Files.write(tmpH, next.toString.getBytes)
+    Files.move(tmpH, hwmFile, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
     val id = f"s$next%06d"
     // stage + atomic rename: a manifest is either absent or complete
     val tmp = snapDir.resolve(s".tmp-$id")
@@ -836,12 +861,39 @@ object TraceStore {
     id
   }
 
-  /** List snapshot ids, oldest first. */
+  /** Pin the current state only if it differs from the NEWEST existing
+    * snapshot; returns (id, created). This is the polling primitive a
+    * streaming CDC consumer needs: an idle store must not grow one pin
+    * per trigger, and a changed store must pin exactly the state the
+    * consumer is about to read so the read stays replayable forever
+    * (the pin is the offset's durable baseline). Cost is two directory
+    * listings + one manifest read — metadata-only at any scale.
+    *
+    * Same single-maintenance-writer contract as [[snapshot]]: poll on
+    * the maintenance cadence, never concurrently with a rewrite (a
+    * mid-rewrite listing could pin a half-installed month). */
+  def snapshotIfChanged(tablePath: String): (String, Boolean) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tablePath)
+    require(Files.exists(root), s"no store at $tablePath")
+    recoverAttempts(root)
+    listSnapshots(tablePath).lastOption match {
+      case Some(id) =>
+        val pinned = Files.readAllLines(root.resolve(SnapDir).resolve(id))
+          .asScala.toSet.filter(_.nonEmpty)
+        if (pinned == liveKeys(root)) (id, false) else (snapshot(tablePath), true)
+      case None => (snapshot(tablePath), true)
+    }
+  }
+
+  /** List snapshot ids, oldest first (numeric order — ids past the
+    * 6-digit zero-padding would mis-sort lexicographically). */
   def listSnapshots(tablePath: String): Seq[String] = {
     val dir = java.nio.file.Paths.get(tablePath).resolve(SnapDir)
     if (!java.nio.file.Files.exists(dir)) Seq.empty
     else FsMaint.listDir(dir).map(_.getFileName.toString)
-      .filter(_.matches("s\\d{6}")).sorted
+      .filter(_.matches("s\\d{6,}")).sortBy(_.drop(1).toLong)
   }
 
   /** Read the table exactly as it was when `id` was captured. Each
@@ -924,12 +976,7 @@ object TraceStore {
     val mf = root.resolve(SnapDir).resolve(id)
     require(Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
     val pinned = Files.readAllLines(mf).asScala.toSet.filter(_.nonEmpty)
-    val pref = s"${TraceSchema.PartitionCol}="
-    val live = FsMaint.listDir(root)
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(pref))
-      .flatMap(d => FsMaint.listDir(d).filter(_.toString.endsWith(".parquet"))
-        .map(f => fileKey(d, f.getFileName.toString)))
-      .toSet
+    val live = liveKeys(root)
     val rewritten = pinned -- live
     require(rewritten.isEmpty,
       s"maintenance rewrote pinned file(s) since $id (e.g. ${rewritten.take(3).mkString(", ")})" +
@@ -998,12 +1045,7 @@ object TraceStore {
     val mf = root.resolve(SnapDir).resolve(id)
     require(Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
     val pinned = Files.readAllLines(mf).asScala.toSet.filter(_.nonEmpty)
-    val pref = s"${TraceSchema.PartitionCol}="
-    val live = FsMaint.listDir(root)
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(pref))
-      .flatMap(d => FsMaint.listDir(d).filter(_.toString.endsWith(".parquet"))
-        .map(f => fileKey(d, f.getFileName.toString)))
-      .toSet
+    val live = liveKeys(root)
     signedDiff(
       readResolvedKeys(spark, root, (live -- pinned).toSeq.sorted, s"change feed since $id"),
       readResolvedKeys(spark, root, (pinned -- live).toSeq.sorted, s"change feed since $id"))

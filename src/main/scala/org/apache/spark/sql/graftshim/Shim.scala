@@ -31,6 +31,26 @@ object Shim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Wrap a (batch) DataFrame's compiled plan as a STREAMING DataFrame —
+    * what a V1 streaming Source's `getBatch` must return
+    * (MicroBatchExecution asserts `isStreaming`); the same
+    * `internalCreateDataFrame(…, isStreaming = true)` exit Delta Lake's
+    * streaming source uses. Evaluation stays lazy: `toRdd` compiles the
+    * plan on the driver, the job runs when the micro-batch executes. */
+  def streamingOfRows(spark: org.apache.spark.sql.SparkSession,
+                      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+
+  /** A zero-row streaming DataFrame with the given schema — a V1 source's
+    * no-new-data batch. */
+  def emptyStreaming(spark: org.apache.spark.sql.SparkSession,
+                     schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+        schema, isStreaming = true)
+
   /** Drain the async listener bus so SparkListener-collected task
     * metrics are complete before a snapshot — `listenerBus` is
     * private[spark], hence the shim residence. Benchmark-grade

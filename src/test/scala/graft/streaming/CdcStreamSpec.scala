@@ -1,0 +1,182 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.sources.CdcOffset
+import graft.store.TraceStore
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The `graft-cdc` streaming source: snapshot-pinned offsets, file-set-
+  * pruned micro-batches, compaction invisibility, restart-from-checkpoint,
+  * commit-time pin GC, and the mid-stream schema-evolution contract. */
+class CdcStreamSpec extends SparkSpec {
+
+  private def mk(rows: (Int, String, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.map { case (sev, m, ty, t) =>
+      (sev, m, "default", Timestamp.valueOf(t), ty, s"id$sev")
+    }.toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID")
+  }
+
+  /** One Trigger.AvailableNow pass over the feed; returns the batches it
+    * delivered as (batchId, rows). Each call is a RESTART from the same
+    * checkpoint — resumption from the committed offset is exercised by
+    * every multi-drain test below. */
+  private def drain(store: String, ck: String,
+                    opts: Map[String, String] = Map.empty)
+      : Seq[(Long, Seq[(String, Int, String)])] = {
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Seq[(String, Int, String)])]()
+    val fn: (DataFrame, Long) => Unit = (df, id) => {
+      buf += ((id, df.select("_change", "Severity", "Machine").collect()
+        .map((r: Row) => (r.getString(0), r.getInt(1), r.getString(2))).toSeq.sorted))
+      ()
+    }
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", store).options(opts)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(fn)
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
+  test("micro-batches deliver inserts and deletes; compaction cancels to an empty batch") {
+    val store = tmpDir("cdcstream"); val ck = tmpDir("cdcstream-ck")
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 15:37:32"),
+      (20, "m2", "bad", "2019-05-14 10:00:00"),
+      (30, "m1", "ok", "2019-06-01 00:00:00")), store, splitsPerMonth = 2)
+
+    // run 1 (initialLoad): batch 0 = the pinned table as inserts
+    val r1 = drain(store, ck, Map("initialLoad" -> "true"))
+    assert(r1.map(_._1) == Seq(0L))
+    assert(r1.head._2 == Seq(("insert", 10, "m1"), ("insert", 20, "m2"), ("insert", 30, "m1")).sorted)
+
+    // run 2: appended rows arrive as inserts
+    TraceStore.append(mk(
+      (40, "m3", "bad", "2019-05-20 12:00:00"),
+      (50, "m2", "ok", "2019-06-02 09:00:00")), store, splitsPerMonth = 2)
+    val r2 = drain(store, ck, Map("initialLoad" -> "true")) // option only affects first-ever batch
+    assert(r2.map(_._1) == Seq(1L))
+    assert(r2.head._2 == Seq(("insert", 40, "m3"), ("insert", 50, "m2")).sorted)
+
+    // run 3: DELETE WHERE rewrites months — condemned rows arrive as deletes
+    TraceStore.deleteWhere(spark, store, col("Type") === "bad", splitsPerMonth = 2)
+    val r3 = drain(store, ck)
+    assert(r3.map(_._1) == Seq(2L))
+    assert(r3.head._2 == Seq(("delete", 20, "m2"), ("delete", 40, "m3")).sorted)
+
+    // run 4: compaction rewrites every multi-file month — the old and new
+    // candidate rows cancel row-for-row and the batch is EMPTY
+    TraceStore.compact(spark, store, maxFilesPerMonth = 1, splitsPerMonth = 1)
+    val r4 = drain(store, ck)
+    assert(r4.map(_._1) == Seq(3L))
+    assert(r4.head._2.isEmpty, s"compaction must be invisible, got ${r4.head._2}")
+
+    // run 5: idle store → no new offset, no batch at all
+    assert(drain(store, ck).isEmpty)
+  }
+
+  test("startingSnapshot=latest (default) skips history; an explicit pin starts there") {
+    val store = tmpDir("cdcstream2"); val ck = tmpDir("cdcstream2-ck")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 15:37:32")), store)
+    // default: first batch pins the current state and delivers nothing
+    val r1 = drain(store, ck)
+    assert(r1.map(_._2) == Seq(Seq.empty))
+    TraceStore.append(mk((20, "m2", "ok", "2019-05-14 10:00:00")), store)
+    val r2 = drain(store, ck)
+    assert(r2.map(_._2.map(_._2)) == Seq(Seq(20)))
+
+    // explicit pin: a fresh stream (new checkpoint) starting from it sees
+    // exactly the changes since the pin
+    val pin = TraceStore.listSnapshots(store).head
+    val r3 = drain(store, tmpDir("cdcstream2-ck2"), Map("startingSnapshot" -> pin))
+    assert(r3.map(_._2.map(_._2)) == Seq(Seq(20)))
+  }
+
+  test("commit GC drops only this stream's own pins below the committed offset") {
+    val store = tmpDir("cdcstream3"); val ck = tmpDir("cdcstream3-ck")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 15:37:32")), store)
+    val userPin = TraceStore.snapshot(store)
+    drain(store, ck, Map("initialLoad" -> "true"))
+    TraceStore.append(mk((20, "m2", "ok", "2019-05-14 10:00:00")), store)
+    drain(store, ck)
+    TraceStore.append(mk((30, "m3", "ok", "2019-05-15 10:00:00")), store)
+    drain(store, ck)
+    TraceStore.append(mk((40, "m4", "ok", "2019-05-16 10:00:00")), store)
+    drain(store, ck)
+    // the engine calls Source.commit(batch N-1's end) when it CONSTRUCTS
+    // batch N, so pin GC lags one batch: at most one superseded own pin
+    // is outstanding at any time, and each new batch retires the one
+    // before last. After batches at s2, s3, s4: s2 is GC'd, s3 pending.
+    val left = TraceStore.listSnapshots(store)
+    assert(left.contains(userPin), "a user pin must never be GC'd by a stream")
+    assert(!left.contains("s000002"), s"superseded own pin must be GC'd, got $left")
+    assert(left.size == 3, s"expected userPin + pending + current, got $left")
+  }
+
+  test("snapshot ids are never reused after a drop — offsets can't re-bind") {
+    val store = tmpDir("cdcstream4")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 15:37:32")), store)
+    val s1 = TraceStore.snapshot(store)
+    TraceStore.dropSnapshot(store, s1)
+    val s2 = TraceStore.snapshot(store)
+    assert(s1 == "s000001" && s2 == "s000002",
+      s"dropped id must not be reissued: $s1 then $s2")
+  }
+
+  test("schema evolution mid-stream fails loudly; a restarted stream adopts it") {
+    val store = tmpDir("cdcstream5"); val ck = tmpDir("cdcstream5-ck")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 15:37:32")), store)
+
+    // the mismatch can only fire WITHIN one running source instance (a
+    // fresh load() re-derives the evolved schema and just works), so
+    // this test keeps one query alive across the evolution
+    val fn0: (DataFrame, Long) => Unit = (df, _) => { df.count(); () }
+    val q0 = spark.readStream.format("graft-cdc")
+      .option("path", store).option("initialLoad", "true").load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch(fn0).start()
+    val ex = try {
+      q0.processAllAvailable() // batch 0: the initial load
+      TraceStore.evolveSchema(store,
+        org.apache.spark.sql.types.StructField("Region",
+          org.apache.spark.sql.types.StringType, nullable = true))
+      TraceStore.append(mk((20, "m2", "ok", "2019-05-14 10:00:00"))
+        .withColumn("Region", lit("eu")), store)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q0.processAllAvailable()
+        q0.awaitTermination(30000)
+      }
+    } finally q0.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("Restart the stream")),
+      s"wanted the restart instruction, got: ${messages(ex)}")
+
+    // the restarted stream (fresh load() = fresh declared schema, same
+    // checkpoint) replays the failed batch under the evolved schema
+    val buf = scala.collection.mutable.ArrayBuffer[Seq[(Int, String)]]()
+    val fn: (DataFrame, Long) => Unit = (df, _) => {
+      buf += df.select("Severity", "Region").collect()
+        .map((r: Row) => (r.getInt(0), Option(r.getString(1)).getOrElse("-"))).toSeq.sorted
+      ()
+    }
+    val q = spark.readStream.format("graft-cdc").option("path", store).load()
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).foreachBatch(fn).start()
+    q.awaitTermination()
+    assert(buf.flatten.contains((20, "eu")), s"evolved batch lost: $buf")
+  }
+
+  test("offset json round-trips and rejects foreign offsets") {
+    val o = CdcOffset("s000042")
+    assert(CdcOffset.parse(o.json) == o)
+    intercept[IllegalArgumentException] { CdcOffset.parse("""{"file":"x"}""") }
+  }
+}
