@@ -287,8 +287,16 @@ object TraceStream {
     * Cost per batch ∝ rollup cardinality + batch size — never the
     * accumulated raw history. */
   def upsertRollup(batch: DataFrame, batchId: Long, rollupPath: String,
-                   incarnation: String = "default"): Unit = {
-    val spark = batch.sparkSession
+                   incarnation: String = "default"): Unit =
+    upsertDelta(batch.sparkSession, rollOf(batch), batchId, rollupPath, incarnation)
+
+  /** The shared versioned-merge step behind [[upsertRollup]] (unsigned
+    * micro-batch deltas) and [[followRollup]] (signed change-feed
+    * deltas). `delta` must already be aggregated to (ym, Type, n,
+    * sev_sum); groups whose count reaches zero after the merge (a signed
+    * feed deleted every row) leave the rollup. */
+  private def upsertDelta(spark: SparkSession, delta: DataFrame, batchId: Long,
+                          rollupPath: String, incarnation: String): Unit = {
     val (fs, root) = fsOf(spark, rollupPath)
     // Batch ids are only meaningful within ONE checkpoint lineage: a
     // fresh/wiped checkpoint restarts ids at 0, and treating the old
@@ -328,13 +336,13 @@ object TraceStream {
     // version a concurrent reader may have just resolved as current.
     if (existing.exists(_._1 == batchId)) return
     val base = existing.filter(_._1 < batchId).lastOption
-    val delta = rollOf(batch)
     val merged = base match {
       case Some((_, p)) => TraceStore.mergeRollups(
         spark.read.parquet(p.toString), delta, Seq("ym", "Type"), Seq("n", "sev_sum"))
       case None => delta
     }
-    merged.coalesce(1).write.mode("overwrite").parquet(own.toString)
+    merged.filter(col("n") =!= 0L)
+      .coalesce(1).write.mode("overwrite").parquet(own.toString)
     // prune: keep the current version, the replay merge source for the
     // NEXT batch, and one more as a grace window for readers holding a
     // lazy DataFrame over a recently-current version (readRollup).
@@ -376,6 +384,46 @@ object TraceStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (inc == null) inc = lineageOf(batch.sparkSession, ckpt)
         upsertRollup(batch, batchId, rollupPath, inc)
+      }
+      .start()
+  }
+
+  /** CDC-DRIVEN rollup maintenance as a running stream — q227's signed
+    * algebra made operational: follow a trace STORE's change feed
+    * (`format("graft-cdc")`, offsets = pinned snapshots) and fold each
+    * micro-batch's signed increments into the versioned rollup. Unlike
+    * [[maintainRollup]] (which folds the ingest's append-only
+    * micro-batches), this maintainer stays correct across the store's
+    * OWN maintenance: DELETE WHERE / retention arrive as negative
+    * increments, compaction arrives as an empty batch, and a group whose
+    * count reaches zero leaves the rollup. The first batch is the full
+    * table as inserts (`initialLoad`), so the rollup bootstraps itself.
+    *
+    * Same crash/replay story as [[upsertRollup]]: the CDC source replays
+    * a batch as the IDENTICAL snapshot diff (pins are immutable), and
+    * the version-dir guard rebuilds rather than double-counts it. Cost
+    * per batch ∝ changed files + rollup cardinality — never the
+    * accumulated table, which is what makes maintaining a 100 TB store's
+    * rollup a trickle job rather than a recurring full scan. */
+  def followRollup(spark: SparkSession, storePath: String, rollupPath: String,
+                   checkpointDir: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    var inc: String = null   // resolved on first batch — metadata exists by then
+    spark.readStream.format("graft-cdc")
+      .option("path", storePath)
+      .option("initialLoad", "true")
+      .load()
+      .writeStream
+      .queryName("trace-cdc-rollup")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (inc == null) inc = lineageOf(batch.sparkSession, checkpointDir)
+        val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+        val delta = batch
+          .groupBy(col("ym"), col("Type"))
+          .agg(sum(sign).as("n"), sum(sign * col("Severity").cast("long")).as("sev_sum"))
+        upsertDelta(batch.sparkSession, delta, batchId, rollupPath, inc)
       }
       .start()
   }

@@ -174,6 +174,50 @@ class CdcStreamSpec extends SparkSpec {
     assert(buf.flatten.contains((20, "eu")), s"evolved batch lost: $buf")
   }
 
+  test("followRollup keeps a stored rollup correct across append, delete, and compaction") {
+    val store = tmpDir("cdcroll"); val roll = tmpDir("cdcroll-out")
+    val ck = tmpDir("cdcroll-ck")
+    def run(): Unit = {
+      val q = TraceStream.followRollup(spark, store, roll, ck)
+      q.awaitTermination()
+    }
+    def expect(): Seq[(String, String, Long, Long)] =
+      TraceStore.read(spark, store)
+        .groupBy(col("ym"), col("Type"))
+        .agg(count(lit(1)).as("n"), sum(col("Severity").cast("long")).as("sev_sum"))
+        .collect().map((r: Row) =>
+          (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    def got(): Seq[(String, String, Long, Long)] =
+      TraceStream.readRollup(spark, roll)
+        .select("ym", "Type", "n", "sev_sum")
+        .collect().map((r: Row) =>
+          (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 15:37:32"),
+      (20, "m2", "bad", "2019-05-14 10:00:00"),
+      (30, "m1", "ok", "2019-06-01 00:00:00")), store, splitsPerMonth = 2)
+    run() // bootstrap: initial load as inserts
+    assert(got() == expect())
+
+    TraceStore.append(mk(
+      (40, "m3", "bad", "2019-05-20 12:00:00"),
+      (50, "m2", "ok", "2019-06-02 09:00:00")), store, splitsPerMonth = 2)
+    run() // inserts fold in
+    assert(got() == expect())
+
+    // negative increments: every (ym, 'bad') group empties and must
+    // LEAVE the rollup, not linger at n=0
+    TraceStore.deleteWhere(spark, store, col("Type") === "bad", splitsPerMonth = 2)
+    run()
+    assert(got() == expect())
+    assert(!got().exists(_._2 == "bad"), s"emptied group lingered: ${got()}")
+
+    TraceStore.compact(spark, store, maxFilesPerMonth = 1, splitsPerMonth = 1)
+    run() // compaction: empty batch, rollup unchanged
+    assert(got() == expect())
+  }
+
   test("offset json round-trips and rejects foreign offsets") {
     val o = CdcOffset("s000042")
     assert(CdcOffset.parse(o.json) == o)
