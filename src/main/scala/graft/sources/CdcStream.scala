@@ -69,7 +69,8 @@ final class CdcSource(
     metadataPath: String,
     startingSnapshot: Option[String],
     initialLoad: Boolean,
-    cleanupCommitted: Boolean) extends Source {
+    cleanupCommitted: Boolean,
+    maxFilesPerTrigger: Option[Int]) extends Source {
 
   private val spark: SparkSession = sqlContext.sparkSession
 
@@ -94,25 +95,104 @@ final class CdcSource(
 
   private def num(id: String): Long = id.drop(1).toLong
 
-  override def getOffset: Option[OffsetV1] = {
+  // ---- bootstrap admission control (maxFilesPerTrigger): the engine's
+  // v1 getOffset() takes no "current position", so the source tracks the
+  // last offset a batch actually covered — in memory on the hot path,
+  // mirrored to a progress file under the checkpoint so a restart whose
+  // batches were all committed resumes the bootstrap where it stopped
+  // (a restart with an uncommitted batch is repositioned by the replayed
+  // getBatch before getOffset runs). A lost/corrupt progress file only
+  // re-delivers bootstrap chunks — at-least-once, never loss.
+  private val progressFile = new org.apache.hadoop.fs.Path(metadataPath, "progress")
+  @volatile private var lastSeen: Option[CdcOffset] = None
+
+  /** (snapshot number, chunk position) order; a complete offset outranks
+    * any chunk of the same snapshot. */
+  private def ord(o: CdcOffset): (Long, Long) =
+    (num(o.snapshotId), o.upTo.map(_.toLong).getOrElse(Long.MaxValue))
+
+  private def recordProgress(o: CdcOffset): Unit = {
+    // never regress: a replayed/stale batch must not pull the bootstrap
+    // cursor backwards (it would re-chunk already-delivered slices)
+    import scala.math.Ordering.Implicits._
+    lastSeen.orElse(readProgress()).filter(p => ord(p) >= ord(o)) match {
+      case Some(p) => lastSeen = Some(p); return
+      case None =>
+    }
+    lastSeen = Some(o)
+    val tmp = new org.apache.hadoop.fs.Path(metadataPath, ".progress.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(o.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(progressFile, false)
+    fs.rename(tmp, progressFile)
+  }
+
+  private def readProgress(): Option[CdcOffset] =
+    if (!fs.exists(progressFile)) None
+    else {
+      val in = fs.open(progressFile)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      try Some(CdcOffset.parse(txt)) catch { case _: IllegalArgumentException => None }
+    }
+
+  private def poll(): CdcOffset = {
     val (id, created) = TraceStore.snapshotIfChanged(path)
     if (created) markCreated(id)
-    Some(CdcOffset(id))
+    CdcOffset(id)
+  }
+
+  override def getOffset: Option[OffsetV1] = Some {
+    lastSeen.orElse(readProgress()) match {
+      // mid-bootstrap: advance by one bounded chunk of the SAME pin
+      // (a restart without maxFilesPerTrigger finishes in one chunk)
+      case Some(CdcOffset(id, Some(k))) if k < TraceStore.snapshotFileCount(path, id) =>
+        val m = TraceStore.snapshotFileCount(path, id)
+        CdcOffset(id, Some(math.min(m, k + maxFilesPerTrigger.getOrElse(m))))
+      // bootstrap complete: poll normally, but an unchanged store must
+      // return the SAME (chunked) offset, not a differently-spelled one
+      case Some(o @ CdcOffset(id, Some(_))) =>
+        val next = poll()
+        if (next.snapshotId == id) o else next
+      // fresh stream with admission control: pin, emit the first chunk
+      case None if initialLoad && maxFilesPerTrigger.isDefined =>
+        val pinned = poll()
+        val m = TraceStore.snapshotFileCount(path, pinned.snapshotId)
+        if (m > maxFilesPerTrigger.get)
+          CdcOffset(pinned.snapshotId, Some(maxFilesPerTrigger.get))
+        else pinned
+      case _ => poll()
+    }
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val endId = CdcOffset.of(end).snapshotId
-    val df = start.map(o => CdcOffset.of(o).snapshotId) match {
-      case Some(s) if s == endId => null
-      case Some(s) => TraceStore.readChangesBetween(spark, path, s, endId)
-      case None if initialLoad =>
+    val endOff = CdcOffset.of(end)
+    val endId = endOff.snapshotId
+    start.map(CdcOffset.of).foreach(recordProgress) // reconcile after restart
+    recordProgress(endOff)
+    val df = (start.map(CdcOffset.of), endOff.upTo) match {
+      // bootstrap chunk: sorted-manifest slice of the pinned snapshot
+      case (from, Some(k)) =>
+        val j = from match {
+          case Some(CdcOffset(`endId`, Some(prev))) => prev
+          case None => 0
+          case Some(other) => throw new IllegalStateException(
+            s"graft-cdc: bootstrap chunk of $endId cannot follow offset ${other.json}")
+        }
+        if (j >= k) null
+        else TraceStore.readSnapshotSlice(spark, path, endId, j, k)
+          .withColumn("_change", lit("insert"))
+      case (Some(s), None) if s.snapshotId == endId => null
+      case (Some(s), None) =>
+        TraceStore.readChangesBetween(spark, path, s.snapshotId, endId)
+      case (None, None) if initialLoad =>
         // CDC bootstrap: the consumer materializes state from one full
         // load, then follows increments — so the first batch is the
         // pinned table AS inserts (equivalent to any earlier load plus
         // the changes since, by the snapshot-diff algebra)
         TraceStore.readSnapshot(spark, path, endId)
           .withColumn("_change", lit("insert"))
-      case None => startingSnapshot match {
+      case (None, None) => startingSnapshot match {
         case Some(s) => TraceStore.readChangesBetween(spark, path, s, endId)
         case None => null
       }
@@ -147,15 +227,25 @@ final class CdcSource(
   override def toString: String = s"CdcSource[$path]"
 }
 
-/** Offset = the id of a durable store snapshot pin (see [[CdcSource]]). */
-final case class CdcOffset(snapshotId: String) extends OffsetV1 {
-  override def json: String = s"""{"snapshot":"$snapshotId"}"""
+/** Offset = the id of a durable store snapshot pin; during an
+  * admission-controlled bootstrap, `upTo` marks how many of the pinned
+  * manifest's sorted files have been delivered so far (see
+  * [[CdcSource]]). */
+final case class CdcOffset(snapshotId: String, upTo: Option[Int] = None)
+    extends OffsetV1 {
+  override def json: String = upTo match {
+    case Some(k) => s"""{"snapshot":"$snapshotId","upto":$k}"""
+    case None    => s"""{"snapshot":"$snapshotId"}"""
+  }
 }
 
 object CdcOffset {
   private val Pat = """\{\s*"snapshot"\s*:\s*"(s\d{6,})"\s*\}""".r
+  private val PatUpTo =
+    """\{\s*"snapshot"\s*:\s*"(s\d{6,})"\s*,\s*"upto"\s*:\s*(\d+)\s*\}""".r
   def parse(json: String): CdcOffset = json.trim match {
     case Pat(id) => CdcOffset(id)
+    case PatUpTo(id, k) => CdcOffset(id, Some(k.toInt))
     case other =>
       throw new IllegalArgumentException(s"not a graft-cdc offset: $other")
   }
@@ -180,6 +270,13 @@ object CdcOffset {
   *    pinned id starts it there (first batch = changes from that pin).
   *  - `cleanupCommitted` (default true): on commit, drop the pins this
   *    stream created below the committed offset and vacuum.
+  *  - `maxFilesPerTrigger` (default unbounded): admission control for
+  *    the `initialLoad` bootstrap — the pinned table is delivered as
+  *    sorted-manifest slices of at most this many files per micro-batch
+  *    (sub-snapshot offsets `{"snapshot":…,"upto":n}`, progress mirrored
+  *    under the checkpoint), so a 100 TB bootstrap is bounded batches,
+  *    not one table-sized one. Post-bootstrap change batches are sized
+  *    by the store's own maintenance cadence and are not chunked.
   */
 final class CdcStreamProvider extends StreamSourceProvider with DataSourceRegister {
   import CdcStreamProvider._
@@ -205,10 +302,13 @@ final class CdcStreamProvider extends StreamSourceProvider with DataSourceRegist
       require(TraceStore.listSnapshots(path).contains(id),
         s"startingSnapshot '$id' is not a pinned snapshot of $path")
     }
+    val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
+    maxFiles.foreach(n => require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
     new CdcSource(sqlContext, path, metadataPath,
       starting,
       parameters.get("initialLoad").exists(_.toBoolean),
-      parameters.get("cleanupCommitted").forall(_.toBoolean))
+      parameters.get("cleanupCommitted").forall(_.toBoolean),
+      maxFiles)
   }
 }
 

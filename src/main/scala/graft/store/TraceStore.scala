@@ -912,6 +912,32 @@ object TraceStore {
     readResolvedKeys(spark, root, keys, s"snapshot $id")
   }
 
+  /** Number of files a snapshot's manifest pins — the chunk-progress
+    * denominator for an admission-controlled bootstrap (metadata read). */
+  def snapshotFileCount(tablePath: String, id: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val mf = java.nio.file.Paths.get(tablePath).resolve(SnapDir).resolve(id)
+    require(java.nio.file.Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
+    java.nio.file.Files.readAllLines(mf).asScala.count(_.nonEmpty)
+  }
+
+  /** A deterministic SLICE of a snapshot: manifest keys in sorted order,
+    * positions [from, until). The chunked-bootstrap reader for the CDC
+    * streaming source — N disjoint slices union to exactly
+    * [[readSnapshot]], and each slice's plan scans only its own files,
+    * so a 100 TB initial load can be delivered as bounded micro-batches
+    * instead of one table-sized one. */
+  def readSnapshotSlice(spark: SparkSession, tablePath: String, id: String,
+                        from: Int, until: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(tablePath)
+    val mf = root.resolve(SnapDir).resolve(id)
+    require(java.nio.file.Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
+    val keys = java.nio.file.Files.readAllLines(mf).asScala.toSeq
+      .filter(_.nonEmpty).sorted
+    readResolvedKeys(spark, root, keys.slice(from, until), s"snapshot $id")
+  }
+
   /** Alias-aware scan of manifest keys, each resolved to its live path
     * (not yet superseded) or its `_retired/` one (superseded but pinned)
     * — the shared read kernel of [[readSnapshot]] and the snapshot-diff

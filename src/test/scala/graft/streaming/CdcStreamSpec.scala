@@ -174,6 +174,33 @@ class CdcStreamSpec extends SparkSpec {
     assert(buf.flatten.contains((20, "eu")), s"evolved batch lost: $buf")
   }
 
+  test("maxFilesPerTrigger delivers the bootstrap as bounded manifest slices") {
+    val store = tmpDir("cdcchunk"); val ck = tmpDir("cdcchunk-ck")
+    // two appends × two months × splitsPerMonth=1 → 4 manifest files
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 15:37:32"),
+      (20, "m2", "ok", "2019-06-01 00:00:00")), store)
+    TraceStore.append(mk(
+      (30, "m1", "ok", "2019-05-20 10:00:00"),
+      (40, "m2", "ok", "2019-06-02 09:00:00")), store)
+    val opts = Map("initialLoad" -> "true", "maxFilesPerTrigger" -> "1")
+    // an AvailableNow run memoizes its target offset at start (v1
+    // wrapper), so each run advances exactly one chunk; loop to an idle
+    // run — every drain is also a mid-bootstrap restart from progress
+    val runs = Iterator.continually(drain(store, ck, opts))
+      .takeWhile(_.nonEmpty).toList.flatten
+    assert(runs.size == 4, s"4 files at 1/trigger should be 4 chunks: $runs")
+    assert(runs.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(runs.forall(r => r._2.nonEmpty && r._2.forall(_._1 == "insert")))
+    assert(runs.flatMap(_._2.map(_._2)).sorted == Seq(10, 20, 30, 40),
+      "the chunk union must be exactly the pinned table")
+
+    // post-bootstrap changes arrive as one plain diff batch
+    TraceStore.append(mk((50, "m3", "ok", "2019-06-03 09:00:00")), store)
+    val r = drain(store, ck, opts)
+    assert(r.map(_._2.map(_._2)) == Seq(Seq(50)))
+  }
+
   test("followRollup keeps a stored rollup correct across append, delete, and compaction") {
     val store = tmpDir("cdcroll"); val roll = tmpDir("cdcroll-out")
     val ck = tmpDir("cdcroll-ck")
@@ -221,6 +248,8 @@ class CdcStreamSpec extends SparkSpec {
   test("offset json round-trips and rejects foreign offsets") {
     val o = CdcOffset("s000042")
     assert(CdcOffset.parse(o.json) == o)
+    val c = CdcOffset("s000042", Some(128))
+    assert(CdcOffset.parse(c.json) == c)
     intercept[IllegalArgumentException] { CdcOffset.parse("""{"file":"x"}""") }
   }
 }
