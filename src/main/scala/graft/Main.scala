@@ -48,6 +48,8 @@ object Main {
   final case class ListSnapshots(tablePath: String) extends Action
   final case class DropSnapshot(tablePath: String, id: String) extends Action
   final case class ChangesSince(tablePath: String, id: String) extends Action
+  final case class FollowRollup(tablePath: String, rollupPath: String,
+                                checkpointDir: String) extends Action
   sealed trait EvolveOp
   final case class AddCol(name: String,
                           dtype: org.apache.spark.sql.types.DataType) extends EvolveOp
@@ -71,6 +73,10 @@ object Main {
       |  --changes-since ID      row-level change feed since snapshot ID —
       |                          survives compaction/erase/retention; prints
       |                          insert/delete counts per month
+      |  --follow-rollup PATH    catch the (ym, Type) rollup at PATH up with
+      |                          the store via the CDC stream (one
+      |                          AvailableNow pass; resumes from its
+      |                          checkpoint, survives store maintenance)
       |  --evolve-schema OP      evolve the store schema — metadata-only,
       |                          no file rewritten. OP is one of:
       |                            [add:]N:T        add nullable column N of
@@ -114,7 +120,7 @@ object Main {
       "--checkpoint", "--max-files", "--splits", "--completion-file",
       "--drop-before", "--compact-over", "--compact-every", "--retain-months",
       "--thin-keep-months", "--thin-factor", "--drop-snapshot", "--evolve-schema",
-      "--changes-since")
+      "--changes-since", "--follow-rollup")
     val bare = Set("--print-schema", "--create-schema", "--watch", "--maintain",
       "--delete-logs", "--snapshot", "--list-snapshots")
     var i = 0
@@ -152,7 +158,8 @@ object Main {
         "--snapshot", "--list-snapshots")) ++
       (if (flags.contains("--drop-snapshot")) Set("--drop-snapshot") else Set.empty) ++
       (if (flags.contains("--changes-since")) Set("--changes-since") else Set.empty) ++
-      (if (flags.contains("--evolve-schema")) Set("--evolve-schema") else Set.empty)
+      (if (flags.contains("--evolve-schema")) Set("--evolve-schema") else Set.empty) ++
+      (if (flags.contains("--follow-rollup")) Set("--follow-rollup") else Set.empty)
     if (modes.size > 1)
       return Left(s"ERROR: pick one mode, got ${modes.toSeq.sorted.mkString(", ")}")
 
@@ -224,7 +231,7 @@ object Main {
       for {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
         id <- flags.get("--drop-snapshot")
-          .filter(_.matches("s\\d{6}"))
+          .filter(_.matches("s\\d{6,}"))
           .toRight(s"ERROR: --drop-snapshot needs an id like s000001, got " +
             s"'${flags("--drop-snapshot")}'")
       } yield DropSnapshot(tablePath, id)
@@ -232,7 +239,7 @@ object Main {
       for {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
         id <- flags.get("--changes-since")
-          .filter(_.matches("s\\d{6}"))
+          .filter(_.matches("s\\d{6,}"))
           .toRight(s"ERROR: --changes-since needs an id like s000001, got " +
             s"'${flags("--changes-since")}'")
       } yield ChangesSince(tablePath, id)
@@ -242,6 +249,14 @@ object Main {
         spec = flags("--evolve-schema")
         op <- parseEvolveOp(spec)
       } yield EvolveSchema(tablePath, op)
+    else if (flags.contains("--follow-rollup"))
+      for {
+        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        rollup <- flags.get("--follow-rollup").filter(_.nonEmpty)
+          .toRight("ERROR: --follow-rollup needs a rollup path")
+      } yield FollowRollup(tablePath, rollup,
+        opt("--checkpoint", "GRAFT_CHECKPOINT")
+          .getOrElse(s"$rollup/_checkpoint"))
     else if (files.nonEmpty)
       for {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
@@ -355,6 +370,12 @@ object Main {
       if (per.isEmpty) out(s"no changes since $id")
       else per.foreach(r =>
         out(s"${r.getString(0)} ${r.getString(1)} ${r.getLong(2)}"))
+    case FollowRollup(tablePath, rollupPath, ck) =>
+      // one catch-up pass on the operational cadence: between (never
+      // concurrent with) store maintenance, per the CDC reader contract
+      val q = TraceStream.followRollup(session(), tablePath, rollupPath, ck)
+      q.awaitTermination()
+      out(s"rollup at $rollupPath caught up with $tablePath")
     case EvolveSchema(tablePath, op) =>
       val msg = op match {
         case AddCol(name, dtype) =>

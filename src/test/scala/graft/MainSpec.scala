@@ -131,6 +131,15 @@ class MainParseSpec extends AnyFunSuite {
     assert(badFeedId.isLeft && badFeedId.swap.exists(_.contains("s000001")))
     assert(Main.parse(Seq("--changes-since", "s000001", "--snapshot",
       "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
+    // CDC-driven rollup catch-up: path + checkpoint default, exclusivity
+    assert(Main.parse(Seq("--follow-rollup", "/r", "--table-path", "/t"), noEnv) ==
+      Right(Main.FollowRollup("/t", "/r", "/r/_checkpoint")))
+    assert(Main.parse(Seq("--follow-rollup", "/r", "--table-path", "/t",
+      "--checkpoint", "/ck"), noEnv) ==
+      Right(Main.FollowRollup("/t", "/r", "/ck")))
+    assert(Main.parse(Seq("--follow-rollup", "/r"), noEnv).isLeft) // needs path
+    assert(Main.parse(Seq("--follow-rollup", "/r", "--snapshot",
+      "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
   }
 
   test("--evolve-schema parses NAME:TYPE, validates, and runs metadata-only") {
@@ -284,6 +293,27 @@ class MainRunSpec extends SparkSpec {
     Main.run(Main.Maintain(table, None, 1, 1), _ => (), () => spark) // compacts
     Main.run(Main.ChangesSince(table, id), out.append(_), () => spark)
     assert(out.last == "201905 insert 2", out.mkString("; "))
+  }
+
+  test("--follow-rollup catches the rollup up with the store across maintenance") {
+    val in = tmpDir("cli-fr-in"); val table = tmpDir("cli-fr-table")
+    val roll = tmpDir("cli-fr-roll"); val ck = tmpDir("cli-fr-ck")
+    writeTrace(in, "a.json", 1557761852L, 3)   // 201905
+    Main.run(Main.Convert(Seq(s"$in/a.json"), table, 1), _ => (), () => spark)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Main.run(Main.FollowRollup(table, roll, ck), out.append(_), () => spark)
+    assert(out.last == s"rollup at $roll caught up with $table")
+    def rollTotal(): Long =
+      graft.streaming.TraceStream.readRollup(spark, roll)
+        .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(rollTotal() == 3)
+    // more data + a compaction, then a second catch-up run (same
+    // checkpoint): the rollup follows, the compaction adds nothing
+    writeTrace(in, "b.json", 1557761900L, 2)   // 201905 too
+    Main.run(Main.Convert(Seq(s"$in/b.json"), table, 1), _ => (), () => spark)
+    Main.run(Main.Maintain(table, None, 1, 1), _ => (), () => spark)
+    Main.run(Main.FollowRollup(table, roll, ck), out.append(_), () => spark)
+    assert(rollTotal() == 5)
   }
 
   test("watch mode creates the schema, drains the log dir, and exits on the sentinel") {
