@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -20,48 +20,63 @@ import graft.store.TraceStore
   * {{{
   * spark.readStream.format("graft-cdc")
   *   .option("path", storePath)          // required
-  *   .option("initialLoad", "true")      // first batch = full snapshot as inserts
+  *   .option("initialLoad", "true")      // bootstrap: full snapshot as inserts
+  *   .option("maxFilesPerTrigger", "64") // bound each bootstrap micro-batch
   *   .load()                              // columns: store schema + ym + _change
   * }}}
   *
-  * Design (the Delta-CDF streaming-source pattern, re-derived for this
+  * Design (the Delta-CDF / FileStreamSource pattern, re-derived for this
   * store's manifest model):
   *
-  *  - '''Offset = a pinned snapshot.''' [[CdcOffset]] names a durable
-  *    manifest under `_snapshots/`; the pin is what makes `getBatch`
-  *    replayable after a crash — every file either manifest references
-  *    is still live or retired, so the SAME diff recomputes forever.
-  *    Snapshot ids are monotonic and never reused
-  *    ([[TraceStore.snapshot]]'s high-water mark), so an offset in the
-  *    checkpoint log can never be re-bound to a different state.
-  *  - '''getOffset pins at most one snapshot per trigger''', and none
-  *    at all while the store is idle ([[TraceStore.snapshotIfChanged]]
-  *    compares the live file set against the newest manifest first).
+  *  - '''Offset = a pin THIS stream created.''' [[CdcOffset]] names a
+  *    durable manifest under `_snapshots/`; the pin is what makes
+  *    `getBatch` replayable after a crash — every file either manifest
+  *    references is still live or retired, so the SAME diff recomputes
+  *    forever. The source only ever advances to pins it created itself
+  *    (never binds to a user pin or another stream's pin, so no other
+  *    actor's GC can invalidate a checkpointed offset), and snapshot ids
+  *    are never reused ([[TraceStore.snapshot]]'s tombstone scan), so an
+  *    offset in the checkpoint log can never be re-bound.
+  *  - '''Admission control via the engine''' (`SupportsAdmissionControl`,
+  *    like FileStreamSource): the engine hands `latestOffset` the last
+  *    processed offset, so the source is stateless across restarts —
+  *    resume position lives in the engine's own offset log, nowhere
+  *    else. An idle store returns the start offset unchanged and pins
+  *    nothing.
   *  - '''getBatch(a, b) = readChangesBetween(a, b)''' — file-set-pruned
   *    signed row diff: cost ∝ files that changed, never the table; a
   *    compaction between two offsets cancels row-for-row and delivers
   *    an EMPTY batch. At 100 TB the untouched bulk of the store never
   *    appears in any micro-batch's plan.
+  *  - '''Bounded bootstrap''': with `maxFilesPerTrigger`, the
+  *    `initialLoad` arrives as sorted-manifest slices (sub-snapshot
+  *    offsets `{"snapshot":…,"upto":n}`) of at most that many files per
+  *    micro-batch; the manifest is read ONCE per snapshot and cached
+  *    (immutable by construction). `Trigger.AvailableNow` runs every
+  *    chunk to the prepared target before terminating
+  *    (`SupportsTriggerAvailableNow`).
   *  - '''commit(end) garbage-collects this stream's own pins''' below
   *    the committed offset (tracked durably under the stream's
   *    checkpoint `sources/` metadata dir, so GC survives restarts) and
   *    vacuums unreferenced retired files. The engine calls commit(N-1)
   *    when it constructs batch N, so GC lags one batch: at most one
   *    superseded own pin is outstanding at any time (bounded, not
-  *    growing). User pins and other streams'
-  *    pins are never touched — N independent readers coexist, each
-  *    paying only the retired files its own lag keeps alive.
+  *    growing). User pins are never touched — N independent readers
+  *    coexist, each paying only the retired files its own lag keeps
+  *    alive. Residual: a crash in the two-filesystem-op window between
+  *    pin creation and its ownership marker leaks that one pin (visible
+  *    in `--list-snapshots`, reclaimable with `--drop-snapshot`).
   *  - '''Schema is fixed at stream start''' (Spark's streaming
   *    contract). If the store evolves mid-stream, the next batch fails
   *    loudly with a restart instruction — the restarted stream resumes
   *    from the checkpointed offset under the evolved schema (the feed
   *    reads old files through rename aliases, so replay is lossless).
   *
-  * Maintenance cadence contract: polling (`getOffset`) runs
-  * [[TraceStore.recoverAttempts]]-guarded manifest listings, which is
-  * the same single-maintenance-writer contract every store reader
-  * documents — run compaction/erasure between triggers (e.g. from the
-  * consuming job, or pause the trigger), not concurrently with one.
+  * Maintenance cadence contract: polling (`latestOffset`) runs
+  * recoverAttempts-guarded manifest listings, which is the same
+  * single-maintenance-writer contract every store reader documents —
+  * run compaction/erasure between triggers (e.g. from the consuming
+  * job, or pause the trigger), not concurrently with one.
   */
 final class CdcSource(
     sqlContext: SQLContext,
@@ -70,7 +85,8 @@ final class CdcSource(
     startingSnapshot: Option[String],
     initialLoad: Boolean,
     cleanupCommitted: Boolean,
-    maxFilesPerTrigger: Option[Int]) extends Source {
+    maxFilesPerTrigger: Option[Int])
+  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val spark: SparkSession = sqlContext.sparkSession
 
@@ -82,6 +98,14 @@ final class CdcSource(
   private val fs = new org.apache.hadoop.fs.Path(metadataPath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val pinsDir = new org.apache.hadoop.fs.Path(metadataPath, "pins")
+
+  // a startingSnapshot is only consumed by the stream's FIRST batch; once
+  // this stream has ever pinned an offset, the starting pin may have been
+  // legitimately dropped and its absence must not block restarts
+  startingSnapshot.filter(_ => !fs.exists(pinsDir)).foreach { id =>
+    require(TraceStore.listSnapshots(path).contains(id),
+      s"startingSnapshot '$id' is not a pinned snapshot of $path")
+  }
 
   private def markCreated(id: String): Unit = {
     fs.mkdirs(pinsDir)
@@ -95,101 +119,114 @@ final class CdcSource(
 
   private def num(id: String): Long = id.drop(1).toLong
 
-  // ---- bootstrap admission control (maxFilesPerTrigger): the engine's
-  // v1 getOffset() takes no "current position", so the source tracks the
-  // last offset a batch actually covered — in memory on the hot path,
-  // mirrored to a progress file under the checkpoint so a restart whose
-  // batches were all committed resumes the bootstrap where it stopped
-  // (a restart with an uncommitted batch is repositioned by the replayed
-  // getBatch before getOffset runs). A lost/corrupt progress file only
-  // re-delivers bootstrap chunks — at-least-once, never loss.
-  private val progressFile = new org.apache.hadoop.fs.Path(metadataPath, "progress")
-  @volatile private var lastSeen: Option[CdcOffset] = None
-
-  /** (snapshot number, chunk position) order; a complete offset outranks
-    * any chunk of the same snapshot. */
-  private def ord(o: CdcOffset): (Long, Long) =
-    (num(o.snapshotId), o.upTo.map(_.toLong).getOrElse(Long.MaxValue))
-
-  private def recordProgress(o: CdcOffset): Unit = {
-    // never regress: a replayed/stale batch must not pull the bootstrap
-    // cursor backwards (it would re-chunk already-delivered slices)
-    import scala.math.Ordering.Implicits._
-    lastSeen.orElse(readProgress()).filter(p => ord(p) >= ord(o)) match {
-      case Some(p) => lastSeen = Some(p); return
-      case None =>
-    }
-    lastSeen = Some(o)
-    val tmp = new org.apache.hadoop.fs.Path(metadataPath, ".progress.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(o.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(progressFile, false)
-    fs.rename(tmp, progressFile)
-  }
-
-  private def readProgress(): Option[CdcOffset] =
-    if (!fs.exists(progressFile)) None
-    else {
-      val in = fs.open(progressFile)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      try Some(CdcOffset.parse(txt)) catch { case _: IllegalArgumentException => None }
-    }
-
-  private def poll(): CdcOffset = {
-    val (id, created) = TraceStore.snapshotIfChanged(path)
-    if (created) markCreated(id)
+  /** Pin the current state as an OWN snapshot (marked for commit-GC). */
+  private def pinOwn(): CdcOffset = {
+    val id = TraceStore.snapshot(path)
+    markCreated(id)
     CdcOffset(id)
   }
 
-  override def getOffset: Option[OffsetV1] = Some {
-    lastSeen.orElse(readProgress()) match {
-      // mid-bootstrap: advance by one bounded chunk of the SAME pin
-      // (a restart without maxFilesPerTrigger finishes in one chunk)
-      case Some(CdcOffset(id, Some(k))) if k < TraceStore.snapshotFileCount(path, id) =>
-        val m = TraceStore.snapshotFileCount(path, id)
-        CdcOffset(id, Some(math.min(m, k + maxFilesPerTrigger.getOrElse(m))))
-      // bootstrap complete: poll normally, but an unchanged store must
-      // return the SAME (chunked) offset, not a differently-spelled one
-      case Some(o @ CdcOffset(id, Some(_))) =>
-        val next = poll()
-        if (next.snapshotId == id) o else next
-      // fresh stream with admission control: pin, emit the first chunk
-      case None if initialLoad && maxFilesPerTrigger.isDefined =>
-        val pinned = poll()
-        val m = TraceStore.snapshotFileCount(path, pinned.snapshotId)
-        if (m > maxFilesPerTrigger.get)
-          CdcOffset(pinned.snapshotId, Some(maxFilesPerTrigger.get))
-        else pinned
-      case _ => poll()
+  // manifest cache: one metadata read per snapshot id for the whole
+  // bootstrap (manifests are immutable), instead of one per chunk
+  @volatile private var keysCache: (String, IndexedSeq[String]) = null
+  private def keysOf(id: String): IndexedSeq[String] = {
+    val c = keysCache
+    if (c != null && c._1 == id) c._2
+    else {
+      val ks = TraceStore.snapshotKeys(path, id)
+      keysCache = (id, ks)
+      ks
     }
   }
+
+  // Trigger.AvailableNow: the run's end state, frozen at the first
+  // latestOffset call (start-aware, so an idle run pins nothing)
+  @volatile private var availableNowPending = false
+  @volatile private var availableNowTarget: Option[CdcOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowPending = true
+    availableNowTarget = None
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): OffsetV2 = CdcOffset.Start
+
+  /** The next offset after `start` — at most one bounded step. Fresh
+    * streams pin the current state (first chunk of it when bootstrap
+    * chunking applies); mid-bootstrap advances one chunk of the SAME
+    * pin; complete offsets re-pin only when the live file set changed,
+    * else echo `start` verbatim (idle = no batch, no pin). */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    // the engine passes null (not initialOffset) before the first batch
+    val s = Option(start).map(CdcOffset.of).getOrElse(CdcOffset.Start)
+    val chunk = limit match {
+      case mf: ReadMaxFiles => Some(mf.maxFiles())
+      case _ => None
+    }
+    def firstChunkOf(o: CdcOffset): CdcOffset = chunk match {
+      case Some(n) if initialLoad && keysOf(o.snapshotId).size > n =>
+        CdcOffset(o.snapshotId, Some(n))
+      case _ => o
+    }
+    val target = availableNowTarget
+    val next: CdcOffset = s match {
+      // fresh stream: pin the current state (or serve the frozen target)
+      case CdcOffset(id0, _) if num(id0) == 0 =>
+        firstChunkOf(target.getOrElse(pinOwn()))
+      // mid-bootstrap: one more chunk of the same immutable manifest
+      case CdcOffset(id, Some(k)) if k < keysOf(id).size =>
+        val m = keysOf(id).size
+        CdcOffset(id, Some(math.min(m, k + chunk.getOrElse(m))))
+      // complete (chunked-complete or plain): advance only on change
+      case CdcOffset(id, _) => target match {
+        case Some(t) => if (t.snapshotId == id) s else t
+        case None =>
+          if (TraceStore.snapshotMatchesLive(path, id)) s else pinOwn()
+      }
+    }
+    if (availableNowPending && target.isEmpty) {
+      // freeze the run's end state: the complete form of the offset the
+      // first poll produced (chunks of it still flow batch by batch)
+      availableNowTarget = Some(CdcOffset(next.snapshotId))
+      availableNowPending = false
+    }
+    next
+  }
+
+  override def getOffset: Option[OffsetV1] =
+    throw new UnsupportedOperationException(
+      "graft-cdc implements SupportsAdmissionControl; the engine calls " +
+        "latestOffset(start, limit) instead of getOffset")
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endOff = CdcOffset.of(end)
     val endId = endOff.snapshotId
-    start.map(CdcOffset.of).foreach(recordProgress) // reconcile after restart
-    recordProgress(endOff)
-    val df = (start.map(CdcOffset.of), endOff.upTo) match {
+    // the engine may hand initialOffset back as a real start; it means
+    // "nothing delivered yet", i.e. the same thing as None
+    val from = start.map(CdcOffset.of).filter(o => num(o.snapshotId) > 0)
+    val df = (from, endOff.upTo) match {
       // bootstrap chunk: sorted-manifest slice of the pinned snapshot
-      case (from, Some(k)) =>
-        val j = from match {
+      case (f, Some(k)) =>
+        val j = f match {
           case Some(CdcOffset(`endId`, Some(prev))) => prev
           case None => 0
           case Some(other) => throw new IllegalStateException(
             s"graft-cdc: bootstrap chunk of $endId cannot follow offset ${other.json}")
         }
         if (j >= k) null
-        else TraceStore.readSnapshotSlice(spark, path, endId, j, k)
+        else TraceStore.readKeys(spark, path,
+          keysOf(endId).slice(j, k), s"snapshot $endId")
           .withColumn("_change", lit("insert"))
       case (Some(s), None) if s.snapshotId == endId => null
       case (Some(s), None) =>
         TraceStore.readChangesBetween(spark, path, s.snapshotId, endId)
       case (None, None) if initialLoad =>
-        // CDC bootstrap: the consumer materializes state from one full
-        // load, then follows increments — so the first batch is the
-        // pinned table AS inserts (equivalent to any earlier load plus
-        // the changes since, by the snapshot-diff algebra)
+        // CDC bootstrap in one piece (no maxFilesPerTrigger): the
+        // consumer materializes state from one full load, then follows
+        // increments — the first batch is the pinned table AS inserts
         TraceStore.readSnapshot(spark, path, endId)
           .withColumn("_change", lit("insert"))
       case (None, None) => startingSnapshot match {
@@ -227,7 +264,7 @@ final class CdcSource(
   override def toString: String = s"CdcSource[$path]"
 }
 
-/** Offset = the id of a durable store snapshot pin; during an
+/** Offset = the id of a snapshot pin this stream created; during an
   * admission-controlled bootstrap, `upTo` marks how many of the pinned
   * manifest's sorted files have been delivered so far (see
   * [[CdcSource]]). */
@@ -240,6 +277,9 @@ final case class CdcOffset(snapshotId: String, upTo: Option[Int] = None)
 }
 
 object CdcOffset {
+  /** The before-anything offset `latestOffset` receives on a fresh
+    * stream (never logged by the engine as a batch boundary). */
+  val Start: CdcOffset = CdcOffset("s000000")
   private val Pat = """\{\s*"snapshot"\s*:\s*"(s\d{6,})"\s*\}""".r
   private val PatUpTo =
     """\{\s*"snapshot"\s*:\s*"(s\d{6,})"\s*,\s*"upto"\s*:\s*(\d+)\s*\}""".r
@@ -262,21 +302,22 @@ object CdcOffset {
   *
   * Options:
   *  - `path` (required): the trace-store root.
-  *  - `initialLoad` (default false): first micro-batch = the full table
-  *    at the stream's first pinned snapshot, as inserts (the CDC
-  *    consumer bootstrap). Overrides `startingSnapshot`.
+  *  - `initialLoad` (default false): bootstrap — the full table at the
+  *    stream's first pinned snapshot, as inserts. Overrides
+  *    `startingSnapshot`.
   *  - `startingSnapshot` (default `latest`): `latest` starts the feed
   *    at the stream's first trigger (changes AFTER start); an explicit
-  *    pinned id starts it there (first batch = changes from that pin).
+  *    pinned id starts it there (first batch = changes from that pin;
+  *    the pin stays the USER's to manage — drop it after the first
+  *    batch commits).
   *  - `cleanupCommitted` (default true): on commit, drop the pins this
   *    stream created below the committed offset and vacuum.
   *  - `maxFilesPerTrigger` (default unbounded): admission control for
   *    the `initialLoad` bootstrap — the pinned table is delivered as
-  *    sorted-manifest slices of at most this many files per micro-batch
-  *    (sub-snapshot offsets `{"snapshot":…,"upto":n}`, progress mirrored
-  *    under the checkpoint), so a 100 TB bootstrap is bounded batches,
-  *    not one table-sized one. Post-bootstrap change batches are sized
-  *    by the store's own maintenance cadence and are not chunked.
+  *    sorted-manifest slices of at most this many files per micro-batch,
+  *    so a 100 TB bootstrap is bounded batches, not one table-sized
+  *    one. Post-bootstrap change batches are sized by the store's own
+  *    maintenance cadence and are not chunked.
   */
 final class CdcStreamProvider extends StreamSourceProvider with DataSourceRegister {
   import CdcStreamProvider._
@@ -297,15 +338,10 @@ final class CdcStreamProvider extends StreamSourceProvider with DataSourceRegist
       providerName: String,
       parameters: Map[String, String]): Source = {
     val path = pathOf(parameters)
-    val starting = parameters.get("startingSnapshot").filterNot(_ == "latest")
-    starting.foreach { id =>
-      require(TraceStore.listSnapshots(path).contains(id),
-        s"startingSnapshot '$id' is not a pinned snapshot of $path")
-    }
     val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
     maxFiles.foreach(n => require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
     new CdcSource(sqlContext, path, metadataPath,
-      starting,
+      parameters.get("startingSnapshot").filterNot(_ == "latest"),
       parameters.get("initialLoad").exists(_.toBoolean),
       parameters.get("cleanupCommitted").forall(_.toBoolean),
       maxFiles)

@@ -36,8 +36,10 @@ object ChangeFeedQuery {
   private val built = new graft.util.SessionDirCache[(String, String)]
 
   /** events → trace-store rows; same closed-form mapping discipline as
-    * [[EvolutionQuery.asTrace]] so the oracle reproduces every value. */
-  private def asTrace(ev: DataFrame): DataFrame =
+    * [[EvolutionQuery.asTrace]] so the oracle reproduces every value
+    * (shared with `tools/CdcProbe` so the probe's store shape can never
+    * drift from the oracle-gated one). */
+  private[graft] def asTrace(ev: DataFrame): DataFrame =
     ev.select(
       pmod(col("event_id"), lit(1000000000L)).cast(IntegerType).as("Severity"),
       concat(lit("m"), pmod(col("user_id"), lit(8L))).as("Machine"),

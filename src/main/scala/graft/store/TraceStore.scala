@@ -834,57 +834,56 @@ object TraceStore {
     val snapDir = root.resolve(SnapDir)
     Files.createDirectories(snapDir)
     val keys = liveKeys(root).toSeq.sorted
-    // id allocation never reuses a dropped id: a high-water mark file
-    // remembers the largest id ever issued, so an offset held OUTSIDE
-    // the store (a streaming checkpoint's offset log) can never be
-    // silently re-bound to a different manifest after drop + re-pin.
-    // hwm is persisted BEFORE the manifest: a crash between the two
-    // skips an id, it never reuses one.
-    val hwmFile = snapDir.resolve(".hwm")
-    val hwm =
-      if (Files.exists(hwmFile))
-        new String(Files.readAllBytes(hwmFile)).trim.toIntOption.getOrElse(0)
-      else 0
-    val scanMax = FsMaint.listDir(snapDir).map(_.getFileName.toString)
-      .filter(_.matches("s\\d{6,}")).map(_.drop(1).toInt)
-      .foldLeft(0)(math.max)
-    val next = math.max(hwm, scanMax) + 1
-    val tmpH = snapDir.resolve(".tmp-hwm")
-    Files.write(tmpH, next.toString.getBytes)
-    Files.move(tmpH, hwmFile, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    val id = f"s$next%06d"
-    // stage + atomic rename: a manifest is either absent or complete
-    val tmp = snapDir.resolve(s".tmp-$id")
-    Files.write(tmp, keys.mkString("\n").getBytes)
-    Files.move(tmp, snapDir.resolve(id), StandardCopyOption.ATOMIC_MOVE)
+    // Id allocation never reuses an id and never shares one between
+    // CONCURRENT creators (N streaming readers polling one store): a
+    // caller RESERVES its candidate id with an exclusive `.claim-`
+    // create — rename(2) would silently replace, createFile cannot —
+    // and only the claim holder installs the manifest, so every offset
+    // held outside the store (a checkpoint's offset log) is bound to
+    // exactly one manifest forever. Claims are PERMANENT (one empty
+    // dot-file per id ever issued): they are the high-water record that
+    // keeps a dropped or crash-orphaned id from ever being reissued,
+    // and their immortality is what makes the claim race-free (a
+    // released claim could be re-won by a creator holding a stale
+    // scan). dropSnapshot's `.dropped-` tombstone covers manifests
+    // whose claim predates this scheme.
+    var id: String = null
+    while (id == null) {
+      val next = FsMaint.listDir(snapDir).map(_.getFileName.toString)
+        .collect {
+          case n if n.matches("s\\d{6,}") => n.drop(1).toInt
+          case n if n.matches("\\.dropped-s\\d{6,}") => n.stripPrefix(".dropped-s").toInt
+          case n if n.matches("\\.claim-s\\d{6,}") => n.stripPrefix(".claim-s").toInt
+        }
+        .foldLeft(0)(math.max) + 1
+      val candidate = f"s$next%06d"
+      val claim = snapDir.resolve(s".claim-$candidate")
+      val claimed =
+        try { Files.createFile(claim); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (claimed) {
+        // stage + atomic rename: a manifest is either absent or complete
+        val tmp = snapDir.resolve(s".tmp-$candidate")
+        Files.write(tmp, keys.mkString("\n").getBytes)
+        Files.move(tmp, snapDir.resolve(candidate), StandardCopyOption.ATOMIC_MOVE)
+        id = candidate
+      }
+    }
     id
   }
 
-  /** Pin the current state only if it differs from the NEWEST existing
-    * snapshot; returns (id, created). This is the polling primitive a
-    * streaming CDC consumer needs: an idle store must not grow one pin
-    * per trigger, and a changed store must pin exactly the state the
-    * consumer is about to read so the read stays replayable forever
-    * (the pin is the offset's durable baseline). Cost is two directory
-    * listings + one manifest read — metadata-only at any scale.
-    *
-    * Same single-maintenance-writer contract as [[snapshot]]: poll on
-    * the maintenance cadence, never concurrently with a rewrite (a
-    * mid-rewrite listing could pin a half-installed month). */
-  def snapshotIfChanged(tablePath: String): (String, Boolean) = {
+  /** Does `id`'s manifest pin exactly the current live file set? The
+    * idle-detection primitive a polling CDC reader needs: an unchanged
+    * store must not grow a pin per trigger. One directory listing + one
+    * manifest read — metadata-only at any scale. */
+  def snapshotMatchesLive(tablePath: String, id: String): Boolean = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val root = Paths.get(tablePath)
-    require(Files.exists(root), s"no store at $tablePath")
+    val mf = root.resolve(SnapDir).resolve(id)
+    if (!Files.exists(mf)) return false
     recoverAttempts(root)
-    listSnapshots(tablePath).lastOption match {
-      case Some(id) =>
-        val pinned = Files.readAllLines(root.resolve(SnapDir).resolve(id))
-          .asScala.toSet.filter(_.nonEmpty)
-        if (pinned == liveKeys(root)) (id, false) else (snapshot(tablePath), true)
-      case None => (snapshot(tablePath), true)
-    }
+    Files.readAllLines(mf).asScala.toSet.filter(_.nonEmpty) == liveKeys(root)
   }
 
   /** List snapshot ids, oldest first (numeric order — ids past the
@@ -912,14 +911,28 @@ object TraceStore {
     readResolvedKeys(spark, root, keys, s"snapshot $id")
   }
 
-  /** Number of files a snapshot's manifest pins — the chunk-progress
-    * denominator for an admission-controlled bootstrap (metadata read). */
-  def snapshotFileCount(tablePath: String, id: String): Int = {
+  /** A snapshot's manifest keys, sorted — ONE metadata read. A chunked
+    * bootstrap caches this once per snapshot (manifests are immutable)
+    * instead of re-reading a million-key manifest per chunk. */
+  def snapshotKeys(tablePath: String, id: String): IndexedSeq[String] = {
     import scala.jdk.CollectionConverters._
     val mf = java.nio.file.Paths.get(tablePath).resolve(SnapDir).resolve(id)
     require(java.nio.file.Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
-    java.nio.file.Files.readAllLines(mf).asScala.count(_.nonEmpty)
+    java.nio.file.Files.readAllLines(mf).asScala.toIndexedSeq
+      .filter(_.nonEmpty).sorted
   }
+
+  /** Number of files a snapshot's manifest pins — the chunk-progress
+    * denominator for an admission-controlled bootstrap (metadata read). */
+  def snapshotFileCount(tablePath: String, id: String): Int =
+    snapshotKeys(tablePath, id).size
+
+  /** Alias-aware read of pre-resolved manifest keys (each served from
+    * its live or `_retired/` location) — the slice reader a chunked
+    * consumer calls with keys it already holds. */
+  private[graft] def readKeys(spark: SparkSession, tablePath: String,
+                              keys: Seq[String], what: String): DataFrame =
+    readResolvedKeys(spark, java.nio.file.Paths.get(tablePath), keys, what)
 
   /** A deterministic SLICE of a snapshot: manifest keys in sorted order,
     * positions [from, until). The chunked-bootstrap reader for the CDC
@@ -928,15 +941,9 @@ object TraceStore {
     * so a 100 TB initial load can be delivered as bounded micro-batches
     * instead of one table-sized one. */
   def readSnapshotSlice(spark: SparkSession, tablePath: String, id: String,
-                        from: Int, until: Int): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(tablePath)
-    val mf = root.resolve(SnapDir).resolve(id)
-    require(java.nio.file.Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
-    val keys = java.nio.file.Files.readAllLines(mf).asScala.toSeq
-      .filter(_.nonEmpty).sorted
-    readResolvedKeys(spark, root, keys.slice(from, until), s"snapshot $id")
-  }
+                        from: Int, until: Int): DataFrame =
+    readKeys(spark, tablePath,
+      snapshotKeys(tablePath, id).slice(from, until), s"snapshot $id")
 
   /** Alias-aware scan of manifest keys, each resolved to its live path
     * (not yet superseded) or its `_retired/` one (superseded but pinned)
@@ -1144,10 +1151,19 @@ object TraceStore {
   }
 
   /** Release a snapshot. Retired files it pinned become reclaimable by
-    * the next [[vacuumSnapshots]]. */
-  def dropSnapshot(tablePath: String, id: String): Boolean =
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(tablePath).resolve(SnapDir).resolve(id))
+    * the next [[vacuumSnapshots]]. A `.dropped-<id>` tombstone lands
+    * BEFORE the manifest is removed, so the id is never reissued (see
+    * [[snapshot]]'s allocation scan) — a crash between the two leaves
+    * both, which only skips the id. */
+  def dropSnapshot(tablePath: String, id: String): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val snapDir = Paths.get(tablePath).resolve(SnapDir)
+    if (!Files.exists(snapDir.resolve(id))) return false
+    val tomb = snapDir.resolve(s".dropped-$id")
+    try Files.createFile(tomb)
+    catch { case _: java.nio.file.FileAlreadyExistsException => }
+    Files.deleteIfExists(snapDir.resolve(id))
+  }
 
   /** Reclaim retired files no remaining snapshot references (the Delta
     * VACUUM analogue). Refcounting is a scan of the (metadata-sized)

@@ -26,14 +26,10 @@ import graft.store.TraceStore
   */
 object CdcProbe {
 
+  // the same events→trace mapping as the oracle-gated queries, so the
+  // probe's store shape can never drift from theirs
   private def asTrace(ev: DataFrame): DataFrame =
-    ev.select(
-      pmod(col("event_id"), lit(1000000000L)).cast("int").as("Severity"),
-      concat(lit("m"), pmod(col("user_id"), lit(8L))).as("Machine"),
-      col("event_type").as("LogGroup"),
-      col("ts").cast("timestamp").as("Time"),
-      col("event_type").as("Type"),
-      col("event_id").cast("string").as("ID"))
+    graft.store.ChangeFeedQuery.asTrace(ev)
 
   def main(args: Array[String]): Unit = {
     val ks = args.headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 10))

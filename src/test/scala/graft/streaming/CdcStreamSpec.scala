@@ -184,9 +184,10 @@ class CdcStreamSpec extends SparkSpec {
       (30, "m1", "ok", "2019-05-20 10:00:00"),
       (40, "m2", "ok", "2019-06-02 09:00:00")), store)
     val opts = Map("initialLoad" -> "true", "maxFilesPerTrigger" -> "1")
-    // an AvailableNow run memoizes its target offset at start (v1
-    // wrapper), so each run advances exactly one chunk; loop to an idle
-    // run — every drain is also a mid-bootstrap restart from progress
+    // SupportsTriggerAvailableNow: ONE AvailableNow run drives every
+    // chunk to the frozen target before terminating (the engine passes
+    // the last processed offset back into latestOffset each time); the
+    // loop here only proves the idle follow-up run delivers nothing
     val runs = Iterator.continually(drain(store, ck, opts))
       .takeWhile(_.nonEmpty).toList.flatten
     assert(runs.size == 4, s"4 files at 1/trigger should be 4 chunks: $runs")
@@ -243,6 +244,25 @@ class CdcStreamSpec extends SparkSpec {
     TraceStore.compact(spark, store, maxFilesPerMonth = 1, splitsPerMonth = 1)
     run() // compaction: empty batch, rollup unchanged
     assert(got() == expect())
+  }
+
+  test("concurrent snapshot creators never share or corrupt an id") {
+    val store = tmpDir("cdcconc")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 15:37:32")), store)
+    // N streams polling one store race snapshot(): the unique staging
+    // name + install-retry must give every caller its own complete pin
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ids = Await.result(
+      Future.sequence((1 to 8).map(_ => Future(TraceStore.snapshot(store)))),
+      30.seconds)
+    assert(ids.distinct.size == 8, s"id collision: $ids")
+    val expect = TraceStore.read(spark, store).count()
+    ids.foreach { id =>
+      assert(TraceStore.readSnapshot(spark, store, id).count() == expect,
+        s"manifest $id incomplete")
+    }
   }
 
   test("offset json round-trips and rejects foreign offsets") {
