@@ -427,4 +427,42 @@ object TraceStream {
       }
       .start()
   }
+
+  /** Continuous replication of a trace STORE over the reference's HTTP
+    * bulk-insert transport — the CDC completion of its pipeline: where
+    * [[start]] ships newly rotated FILES, this follows the store itself
+    * (including its own maintenance) and posts each micro-batch's
+    * changes as JSONEachRow with a CollapsingMergeTree-style `_sign`
+    * column (+1 insert / −1 delete — the ClickHouse collapsing
+    * convention, so the receiving table can be a CollapsingMergeTree
+    * that nets deletions out on merge). Idempotency ids are scoped by
+    * the checkpointed batch id (`cdc-<id>/partition/chunk/hash`), the
+    * same at-least-once-never-loss contract as the ingest transport;
+    * a compaction between offsets diffs to nothing and posts nothing.
+    * Scale: each batch posts only the CHANGES (file-set-pruned), so
+    * replicating a 100 TB store costs its change rate, not its size. */
+  def replicateChanges(spark: SparkSession, storePath: String,
+                       http: graft.sources.HttpBulkSink.Config,
+                       checkpointDir: String,
+                       initialLoad: Boolean = true,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.format("graft-cdc")
+      .option("path", storePath)
+      .option("initialLoad", initialLoad.toString)
+      .load()
+      .writeStream
+      .queryName("trace-cdc-replicate")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val signed = batch
+          .withColumn("_sign",
+            when(col("_change") === "insert", lit(1)).otherwise(lit(-1)))
+          .drop("_change")
+        // empty diffs post nothing (append() only flushes non-empty
+        // partition buffers), so maintenance noise never reaches the wire
+        graft.sources.HttpBulkSink.append(signed, http,
+          batchId = Some(s"cdc-$batchId"))
+      }
+      .start()
 }

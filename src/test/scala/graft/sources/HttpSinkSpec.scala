@@ -231,6 +231,53 @@ class HttpSinkSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("replicateChanges follows a store's CDC feed onto the wire with collapsing signs") {
+    import java.sql.Timestamp
+    import graft.store.TraceStore
+    val (url, got, stop) = server(200)
+    try {
+      val cfg = HttpBulkSink.Config(url, "fdb", "trace", None, None)
+      val store = tmpDir("cdcrepl"); val ck = tmpDir("cdcrepl-ck")
+      def rows(xs: (Int, String, String)*) = {
+        import spark.implicits._
+        xs.toSeq.map { case (sev, ty, t) =>
+          (sev, "m1", "default", Timestamp.valueOf(t), ty, s"id$sev")
+        }.toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID")
+      }
+      def drain(): Unit = {
+        val q = graft.streaming.TraceStream.replicateChanges(spark, store, cfg, ck)
+        q.awaitTermination()
+      }
+      def posted(): Seq[(Int, Int)] = // (Severity, _sign) across all bodies
+        got.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[Captured].body)
+          .flatMap(_.split("\n")).filter(_.nonEmpty).toSeq
+          .map { line =>
+            val sev = """"Severity":(-?\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
+            val sign = """"_sign":(-?\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
+            (sev, sign)
+          }.sorted
+
+      TraceStore.append(rows((10, "ok", "2019-05-13 15:37:32"),
+        (20, "bad", "2019-05-14 10:00:00")), store)
+      drain() // bootstrap: both rows as +1
+      assert(posted() == Seq((10, 1), (20, 1)))
+
+      TraceStore.deleteWhere(spark, store, org.apache.spark.sql.functions.col("Type") === "bad")
+      drain() // erased row arrives as -1 (CollapsingMergeTree nets it out)
+      assert(posted() == Seq((10, 1), (20, -1), (20, 1)))
+
+      val before = got.size
+      TraceStore.compact(spark, store, maxFilesPerMonth = 1, splitsPerMonth = 1)
+      drain() // compaction diffs to nothing and posts nothing
+      assert(got.size == before, "maintenance noise must never reach the wire")
+
+      // idempotency ids are scoped by the checkpointed cdc batch id
+      val scopes = got.toArray(Array.empty[AnyRef])
+        .map(_.asInstanceOf[Captured].insertId.split("/").head).toSet
+      assert(scopes.forall(_.startsWith("cdc-")), scopes.toString)
+    } finally stop()
+  }
+
   test("streaming foreachBatch: one micro-batch = one logical insert") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
