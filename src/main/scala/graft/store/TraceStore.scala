@@ -840,22 +840,16 @@ object TraceStore {
     // create — rename(2) would silently replace, createFile cannot —
     // and only the claim holder installs the manifest, so every offset
     // held outside the store (a checkpoint's offset log) is bound to
-    // exactly one manifest forever. Claims are PERMANENT (one empty
-    // dot-file per id ever issued): they are the high-water record that
-    // keeps a dropped or crash-orphaned id from ever being reissued,
-    // and their immortality is what makes the claim race-free (a
-    // released claim could be re-won by a creator holding a stale
-    // scan). dropSnapshot's `.dropped-` tombstone covers manifests
-    // whose claim predates this scheme.
+    // exactly one manifest forever. Claims are never released by their
+    // creator (a released claim could be re-won by a creator holding a
+    // stale scan); together with dropSnapshot's `.dropped-` tombstones
+    // they form the high-water record that keeps a dropped or
+    // crash-orphaned id from ever being reissued, and vacuumSnapshots
+    // COMPACTS them into a single create-only `.floor-N` marker so the
+    // record stays bounded (compactSnapshotMeta).
     var id: String = null
     while (id == null) {
-      val next = FsMaint.listDir(snapDir).map(_.getFileName.toString)
-        .collect {
-          case n if n.matches("s\\d{6,}") => n.drop(1).toInt
-          case n if n.matches("\\.dropped-s\\d{6,}") => n.stripPrefix(".dropped-s").toInt
-          case n if n.matches("\\.claim-s\\d{6,}") => n.stripPrefix(".claim-s").toInt
-        }
-        .foldLeft(0)(math.max) + 1
+      val next = allocationFloor(snapDir) + 1
       val candidate = f"s$next%06d"
       val claim = snapDir.resolve(s".claim-$candidate")
       val claimed =
@@ -870,6 +864,62 @@ object TraceStore {
       }
     }
     id
+  }
+
+  /** Compact the per-id allocation markers into one create-only floor
+    * record so `_snapshots/` stays bounded: without this, a stream that
+    * pins-and-drops per trigger leaves one immortal `.claim-` and one
+    * `.dropped-` file per snapshot forever. A `.floor-N` marker is
+    * written FIRST (createFile — never mutated, so concurrent compactors
+    * and creators are monotone by construction: the max over floor files
+    * only grows), then every claim/tombstone/stale-floor/legacy-.hwm
+    * record ≤ N is deleted — each id they recorded stays unreissuable
+    * through the surviving floor. Deleting an IN-FLIGHT creator's claim
+    * is also safe: the floor marker (computed over that claim) keeps its
+    * id unreissuable — no later creator can re-claim it (candidates
+    * always exceed the floor) — and the in-flight manifest install
+    * proceeds regardless of the claim file's existence. */
+  private def compactSnapshotMeta(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val snapDir = root.resolve(SnapDir)
+    if (!Files.exists(snapDir)) return
+    val floor = allocationFloor(snapDir)
+    if (floor == 0) return
+    val marker = snapDir.resolve(s".floor-$floor")
+    try Files.createFile(marker)
+    catch { case _: java.nio.file.FileAlreadyExistsException => }
+    FsMaint.listDir(snapDir).map(_.getFileName.toString).foreach { n =>
+      val stale =
+        (n.matches("\\.claim-s\\d{6,}") && n.stripPrefix(".claim-s").toInt <= floor) ||
+        (n.matches("\\.dropped-s\\d{6,}") && n.stripPrefix(".dropped-s").toInt <= floor) ||
+        (n.matches("\\.floor-\\d+") && n.stripPrefix(".floor-").toInt < floor) ||
+        n == ".hwm"
+      if (stale) Files.deleteIfExists(snapDir.resolve(n))
+    }
+  }
+
+  /** Largest snapshot id ever issued, from every record that can carry
+    * one: live manifests, permanent `.claim-`/`.dropped-` markers,
+    * create-only `.floor-N` compaction markers (see [[vacuumSnapshots]])
+    * and the legacy mutable `.hwm` file an earlier scheme wrote —
+    * dropping any of these from the max would let an id be reissued and
+    * silently re-bind an offset held outside the store. */
+  private def allocationFloor(snapDir: java.nio.file.Path): Int = {
+    import java.nio.file.Files
+    val scanned = FsMaint.listDir(snapDir).map(_.getFileName.toString)
+      .collect {
+        case n if n.matches("s\\d{6,}") => n.drop(1).toInt
+        case n if n.matches("\\.dropped-s\\d{6,}") => n.stripPrefix(".dropped-s").toInt
+        case n if n.matches("\\.claim-s\\d{6,}") => n.stripPrefix(".claim-s").toInt
+        case n if n.matches("\\.floor-\\d+") => n.stripPrefix(".floor-").toInt
+      }
+      .foldLeft(0)(math.max)
+    val hwmFile = snapDir.resolve(".hwm")
+    val legacy =
+      if (Files.exists(hwmFile))
+        new String(Files.readAllBytes(hwmFile)).trim.toIntOption.getOrElse(0)
+      else 0
+    math.max(scanned, legacy)
   }
 
   /** Does `id`'s manifest pin exactly the current live file set? The
@@ -934,16 +984,6 @@ object TraceStore {
                               keys: Seq[String], what: String): DataFrame =
     readResolvedKeys(spark, java.nio.file.Paths.get(tablePath), keys, what)
 
-  /** A deterministic SLICE of a snapshot: manifest keys in sorted order,
-    * positions [from, until). The chunked-bootstrap reader for the CDC
-    * streaming source — N disjoint slices union to exactly
-    * [[readSnapshot]], and each slice's plan scans only its own files,
-    * so a 100 TB initial load can be delivered as bounded micro-batches
-    * instead of one table-sized one. */
-  def readSnapshotSlice(spark: SparkSession, tablePath: String, id: String,
-                        from: Int, until: Int): DataFrame =
-    readKeys(spark, tablePath,
-      snapshotKeys(tablePath, id).slice(from, until), s"snapshot $id")
 
   /** Alias-aware scan of manifest keys, each resolved to its live path
     * (not yet superseded) or its `_retired/` one (superseded but pinned)
@@ -1167,10 +1207,14 @@ object TraceStore {
 
   /** Reclaim retired files no remaining snapshot references (the Delta
     * VACUUM analogue). Refcounting is a scan of the (metadata-sized)
-    * manifests; cost is O(retired files). Returns the removed keys. */
+    * manifests; cost is O(retired files). Returns the removed keys.
+    * Also compacts the id-allocation markers ([[compactSnapshotMeta]]),
+    * so a store whose streams pin-and-drop per trigger keeps a bounded
+    * `_snapshots/` directory. */
   def vacuumSnapshots(tablePath: String): Seq[String] = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(tablePath)
+    compactSnapshotMeta(root)
     val retiredRoot = root.resolve(RetiredDir)
     if (!Files.exists(retiredRoot)) return Seq.empty
     val refs = snapshotRefs(root)

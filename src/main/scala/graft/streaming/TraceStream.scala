@@ -407,14 +407,17 @@ object TraceStream {
     * rollup a trickle job rather than a recurring full scan. */
   def followRollup(spark: SparkSession, storePath: String, rollupPath: String,
                    checkpointDir: String,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     var inc: String = null   // resolved on first batch — metadata exists by then
-    spark.readStream.format("graft-cdc")
+    val reader = spark.readStream.format("graft-cdc")
       .option("path", storePath)
       .option("initialLoad", "true")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    reader
       .load()
       .writeStream
-      .queryName("trace-cdc-rollup")
+      .queryName(s"trace-cdc-rollup-${incarnationOf(rollupPath)}")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -445,13 +448,18 @@ object TraceStream {
                        http: graft.sources.HttpBulkSink.Config,
                        checkpointDir: String,
                        initialLoad: Boolean = true,
-                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    spark.readStream.format("graft-cdc")
+                       trigger: Trigger = Trigger.AvailableNow(),
+                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.format("graft-cdc")
       .option("path", storePath)
       .option("initialLoad", initialLoad.toString)
+    // at scale the bootstrap must ride the bounded-chunk path — one
+    // table-sized POST loop would defeat the admission control
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    reader
       .load()
       .writeStream
-      .queryName("trace-cdc-replicate")
+      .queryName(s"trace-cdc-replicate-${incarnationOf(checkpointDir)}")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -465,4 +473,5 @@ object TraceStream {
           batchId = Some(s"cdc-$batchId"))
       }
       .start()
+  }
 }

@@ -308,6 +308,26 @@ class CdcStreamSpec extends SparkSpec {
     }
   }
 
+  test("vacuum compacts id markers to one floor; ids stay monotonic across it") {
+    val store = tmpDir("cdcfloor")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 15:37:32")), store)
+    (1 to 5).foreach { _ =>
+      val id = TraceStore.snapshot(store)
+      TraceStore.dropSnapshot(store, id)
+    }
+    TraceStore.vacuumSnapshots(store)
+    val dir = java.nio.file.Paths.get(store).resolve("_snapshots")
+    val names = java.nio.file.Files.list(dir).iterator()
+    val listed = scala.jdk.CollectionConverters.IteratorHasAsScala(names)
+      .asScala.map(_.getFileName.toString).toSeq
+    assert(listed.count(_.startsWith(".claim-")) == 0 &&
+      listed.count(_.startsWith(".dropped-")) == 0,
+      s"markers must compact away: $listed")
+    assert(listed.count(_.startsWith(".floor-")) == 1, s"one floor: $listed")
+    // the floor alone keeps allocation monotonic: no dropped id returns
+    assert(TraceStore.snapshot(store) == "s000006")
+  }
+
   test("offset json round-trips and rejects foreign offsets") {
     val o = CdcOffset("s000042")
     assert(CdcOffset.parse(o.json) == o)
