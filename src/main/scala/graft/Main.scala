@@ -50,6 +50,10 @@ object Main {
   final case class ChangesSince(tablePath: String, id: String) extends Action
   final case class FollowRollup(tablePath: String, rollupPath: String,
                                 checkpointDir: String) extends Action
+  final case class Replicate(tablePath: String,
+                             http: graft.sources.HttpBulkSink.Config,
+                             checkpointDir: String,
+                             maxFiles: Option[Int]) extends Action
   sealed trait EvolveOp
   final case class AddCol(name: String,
                           dtype: org.apache.spark.sql.types.DataType) extends EvolveOp
@@ -77,6 +81,13 @@ object Main {
       |                          the store via the CDC stream (one
       |                          AvailableNow pass; resumes from its
       |                          checkpoint, survives store maintenance)
+      |  --replicate             ship the store's changes to the ClickHouse
+      |                          HTTP endpoint as JSONEachRow with a
+      |                          CollapsingMergeTree _sign column (one
+      |                          AvailableNow pass; endpoint from --addr /
+      |                          $CLICKHOUSE_ADDR, creds from
+      |                          $CLICKHOUSE_USER + $CLICKHOUSE_PASS,
+      |                          --max-files bounds the bootstrap batches)
       |  --evolve-schema OP      evolve the store schema — metadata-only,
       |                          no file rewritten. OP is one of:
       |                            [add:]N:T        add nullable column N of
@@ -120,9 +131,9 @@ object Main {
       "--checkpoint", "--max-files", "--splits", "--completion-file",
       "--drop-before", "--compact-over", "--compact-every", "--retain-months",
       "--thin-keep-months", "--thin-factor", "--drop-snapshot", "--evolve-schema",
-      "--changes-since", "--follow-rollup")
+      "--changes-since", "--follow-rollup", "--addr")
     val bare = Set("--print-schema", "--create-schema", "--watch", "--maintain",
-      "--delete-logs", "--snapshot", "--list-snapshots")
+      "--delete-logs", "--snapshot", "--list-snapshots", "--replicate")
     var i = 0
     while (i < args.length) {
       val a = args(i)
@@ -155,7 +166,7 @@ object Main {
 
     val modes = switches.intersect(
       Set("--print-schema", "--create-schema", "--watch", "--maintain",
-        "--snapshot", "--list-snapshots")) ++
+        "--snapshot", "--list-snapshots", "--replicate")) ++
       (if (flags.contains("--drop-snapshot")) Set("--drop-snapshot") else Set.empty) ++
       (if (flags.contains("--changes-since")) Set("--changes-since") else Set.empty) ++
       (if (flags.contains("--evolve-schema")) Set("--evolve-schema") else Set.empty) ++
@@ -257,6 +268,29 @@ object Main {
       } yield FollowRollup(tablePath, rollup,
         opt("--checkpoint", "GRAFT_CHECKPOINT")
           .getOrElse(s"$rollup/_checkpoint"))
+    else if (switches("--replicate"))
+      // the reference's own endpoint contract (trace-converter.py:13-16,
+      // 102): CLICKHOUSE_ADDR required, basic auth only when BOTH
+      // CLICKHOUSE_USER and CLICKHOUSE_PASS are set
+      for {
+        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        addr <- need("--addr", "GRAFT_ADDR", "CLICKHOUSE_ADDR")
+        db <- need("--db", "GRAFT_DB", "CLICKHOUSE_DB")
+        table <- need("--table", "GRAFT_TABLE", "CLICKHOUSE_TABLE")
+        maxFiles <- posIntFlag("--max-files")
+      } yield {
+        val (user, pass) =
+          (env.get("CLICKHOUSE_USER").filter(_.nonEmpty),
+           env.get("CLICKHOUSE_PASS").filter(_.nonEmpty)) match {
+            case (Some(u), Some(p)) => (Some(u), Some(p))
+            case _ => (None, None)
+          }
+        Replicate(tablePath,
+          graft.sources.HttpBulkSink.Config(addr, db, table, user, pass),
+          opt("--checkpoint", "GRAFT_CHECKPOINT")
+            .getOrElse(s"$tablePath/_replicate-checkpoint"),
+          maxFiles)
+      }
     else if (files.nonEmpty)
       for {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
@@ -376,6 +410,11 @@ object Main {
       val q = TraceStream.followRollup(session(), tablePath, rollupPath, ck)
       q.awaitTermination()
       out(s"rollup at $rollupPath caught up with $tablePath")
+    case Replicate(tablePath, http, ck, maxFiles) =>
+      val q = TraceStream.replicateChanges(session(), tablePath, http, ck,
+        maxFilesPerTrigger = maxFiles)
+      q.awaitTermination()
+      out(s"replicated changes of $tablePath to ${http.addr}")
     case EvolveSchema(tablePath, op) =>
       val msg = op match {
         case AddCol(name, dtype) =>

@@ -142,6 +142,34 @@ class MainParseSpec extends AnyFunSuite {
       "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
   }
 
+  test("--replicate resolves the reference's endpoint contract from flags and env") {
+    import graft.sources.HttpBulkSink
+    // flag form, no creds
+    assert(Main.parse(Seq("--replicate", "--table-path", "/t", "--addr",
+      "http://ch:8123", "--db", "fdb", "--table", "trace"), noEnv) ==
+      Right(Main.Replicate("/t",
+        HttpBulkSink.Config("http://ch:8123", "fdb", "trace", None, None),
+        "/t/_replicate-checkpoint", None)))
+    // the reference's env names carry everything; creds only as a PAIR
+    // (trace-converter.py:13-14)
+    val env = Map("CLICKHOUSE_ADDR" -> "http://ch:8123", "CLICKHOUSE_DB" -> "fdb",
+      "CLICKHOUSE_TABLE" -> "trace", "CLICKHOUSE_USER" -> "u",
+      "CLICKHOUSE_PASS" -> "p", "GRAFT_TABLE_PATH" -> "/t")
+    assert(Main.parse(Seq("--replicate", "--max-files", "8"), env) ==
+      Right(Main.Replicate("/t",
+        HttpBulkSink.Config("http://ch:8123", "fdb", "trace", Some("u"), Some("p")),
+        "/t/_replicate-checkpoint", Some(8))))
+    assert(Main.parse(Seq("--replicate"), env - "CLICKHOUSE_ADDR").isLeft)
+    // a lone user (no pass) posts unauthenticated, like the reference
+    Main.parse(Seq("--replicate"), env - "CLICKHOUSE_PASS") match {
+      case Right(Main.Replicate(_, cfg, _, _)) =>
+        assert(cfg.user.isEmpty && cfg.pass.isEmpty)
+      case other => fail(other.toString)
+    }
+    assert(Main.parse(Seq("--replicate", "--snapshot"), env)
+      .swap.exists(_.contains("pick one mode")))
+  }
+
   test("--evolve-schema parses NAME:TYPE, validates, and runs metadata-only") {
     assert(Main.parse(Seq("--evolve-schema", "Region:string", "--table-path", "/t"), noEnv) ==
       Right(Main.EvolveSchema("/t", Main.AddCol("Region",
@@ -314,6 +342,40 @@ class MainRunSpec extends SparkSpec {
     Main.run(Main.Maintain(table, None, 1, 1), _ => (), () => spark)
     Main.run(Main.FollowRollup(table, roll, ck), out.append(_), () => spark)
     assert(rollTotal() == 5)
+  }
+
+  test("--replicate ships store changes to the HTTP endpoint across maintenance") {
+    import java.nio.charset.StandardCharsets
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      bodies.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val resp = "ok".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp); ex.close()
+    })
+    srv.start()
+    try {
+      val addr = s"http://127.0.0.1:${srv.getAddress.getPort}/"
+      val in = tmpDir("cli-rep-in"); val table = tmpDir("cli-rep-table")
+      writeTrace(in, "a.json", 1557761852L, 3)   // 201905
+      Main.run(Main.Convert(Seq(s"$in/a.json"), table, 1), _ => (), () => spark)
+      val action = Main.parse(Seq("--replicate"), Map(
+        "GRAFT_TABLE_PATH" -> table, "CLICKHOUSE_ADDR" -> addr,
+        "CLICKHOUSE_DB" -> "fdb", "CLICKHOUSE_TABLE" -> "trace"))
+        .fold(e => fail(e), identity)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      Main.run(action, out.append(_), () => spark)
+      assert(out.last == s"replicated changes of $table to $addr")
+      def lines() = bodies.toArray(Array.empty[AnyRef]).map(_.toString)
+        .flatMap(_.split("\n")).filter(_.nonEmpty)
+      assert(lines().length == 3 && lines().forall(_.contains(""""_sign":1""")))
+      // a compaction between runs posts nothing; a new file posts its rows
+      Main.run(Main.Maintain(table, None, 1, 1), _ => (), () => spark)
+      Main.run(action, _ => (), () => spark)
+      assert(lines().length == 3, "maintenance must not reach the wire")
+    } finally srv.stop(0)
   }
 
   test("watch mode creates the schema, drains the log dir, and exits on the sentinel") {
