@@ -21,8 +21,8 @@ import graft.store.TraceStore
   * spark.readStream.format("graft-cdc")
   *   .option("path", storePath)          // required
   *   .option("initialLoad", "true")      // bootstrap: full snapshot as inserts
-  *   .option("maxFilesPerTrigger", "64") // bound each bootstrap micro-batch
-  *   .load()                              // columns: store schema + ym + _change
+  *   .option("maxFilesPerTrigger", "64") // bound EVERY micro-batch
+  *   .load() // columns: store schema + ym + _change + _commit_snapshot/_commit_ts
   * }}}
   *
   * Design (the Delta-CDF / FileStreamSource pattern, re-derived for this
@@ -48,13 +48,18 @@ import graft.store.TraceStore
   *    compaction between two offsets cancels row-for-row and delivers
   *    an EMPTY batch. At 100 TB the untouched bulk of the store never
   *    appears in any micro-batch's plan.
-  *  - '''Bounded bootstrap''': with `maxFilesPerTrigger`, the
-  *    `initialLoad` arrives as sorted-manifest slices (sub-snapshot
-  *    offsets `{"snapshot":…,"upto":n}`) of at most that many files per
-  *    micro-batch; the manifest is read ONCE per snapshot and cached
-  *    (immutable by construction). `Trigger.AvailableNow` runs every
-  *    chunk to the prepared target before terminating
-  *    (`SupportsTriggerAvailableNow`).
+  *  - '''Bounded bootstrap AND bounded diffs''': with
+  *    `maxFilesPerTrigger`, the `initialLoad` arrives as sorted-manifest
+  *    slices (sub-snapshot offsets `{"snapshot":…,"upto":n}`), and every
+  *    post-bootstrap diff arrives as slices of the signed changed-file
+  *    worklist (offsets `{"snapshot":…,"from":…,"upto":n}`) — at most
+  *    that many files per micro-batch, so a table-scale retention
+  *    rewrite between two offsets is bounded batches, not one
+  *    rewrite-sized batch. Worklists are computed ONCE per transition
+  *    and cached (both manifests immutable); the final slice lands as
+  *    the complete offset, releasing the diff's base pin to commit-GC.
+  *    `Trigger.AvailableNow` runs every chunk to the prepared target
+  *    before terminating (`SupportsTriggerAvailableNow`).
   *  - '''commit(end) garbage-collects this stream's own pins''' below
   *    the committed offset (tracked durably under the stream's
   *    checkpoint `sources/` metadata dir, so GC survives restarts) and
@@ -63,9 +68,10 @@ import graft.store.TraceStore
   *    superseded own pin is outstanding at any time (bounded, not
   *    growing). User pins are never touched — N independent readers
   *    coexist, each paying only the retired files its own lag keeps
-  *    alive. Residual: a crash in the two-filesystem-op window between
-  *    pin creation and its ownership marker leaks that one pin (visible
-  *    in `--list-snapshots`, reclaimable with `--drop-snapshot`).
+  *    alive. Ownership markers land BEFORE the manifest (snapshot's
+  *    pre-install hook), so a crash mid-pin leaves an inert marker with
+  *    no pin, never an orphan pin; live offset pins are annotated in
+  *    `--list-snapshots` so cleanup can't mistake one for a leak.
   *  - '''Schema is fixed at stream start''' (Spark's streaming
   *    contract). If the store evolves mid-stream, the next batch fails
   *    loudly with a restart instruction — the restarted stream resumes
@@ -91,6 +97,11 @@ final class CdcSource(
   private val spark: SparkSession = sqlContext.sparkSession
 
   override val schema: StructType = CdcStreamProvider.feedSchema(path)
+
+  // the store-derived part of the feed (everything before the commit
+  // metadata columns) — what evolution-detection compares against
+  private val coreSchema: StructType =
+    StructType(schema.fields.dropRight(CdcStreamProvider.commitFields.length))
 
   // ---- durable record of the pins THIS stream created, under the
   // stream's own checkpoint metadata dir (per-stream by construction,
@@ -119,10 +130,20 @@ final class CdcSource(
 
   private def num(id: String): Long = id.drop(1).toLong
 
-  /** Pin the current state as an OWN snapshot (marked for commit-GC). */
+  /** Pin the current state as an OWN snapshot (marked for commit-GC).
+    * MARKER-FIRST via the snapshot pre-install hook: the ownership marker
+    * (and the operator-facing `.owner-` note) land after the id claim but
+    * before the manifest, so a crash anywhere in the window leaves a
+    * marker with NO pin — inert (commit-GC treats a markered id without a
+    * manifest as already dropped and just clears the marker) — never a
+    * pin with no marker that no GC would claim. */
   private def pinOwn(): CdcOffset = {
-    val id = TraceStore.snapshot(path)
-    markCreated(id)
+    val id = TraceStore.snapshot(path, { candidate =>
+      markCreated(candidate)
+      TraceStore.annotateSnapshotOwner(path, candidate,
+        s"graft-cdc stream offset pin (checkpoint: $metadataPath) — " +
+          "dropping it breaks the stream's next batch; GC'd automatically on commit")
+    })
     CdcOffset(id)
   }
 
@@ -137,6 +158,34 @@ final class CdcSource(
       keysCache = (id, ks)
       ks
     }
+  }
+
+  // changed-file worklist cache: one pair of manifest reads per
+  // (from, to) transition for all its chunks (both manifests immutable)
+  @volatile private var diffCache: ((String, String), IndexedSeq[(String, Boolean)]) = null
+  private def diffKeys(fromId: String, toId: String): IndexedSeq[(String, Boolean)] = {
+    val c = diffCache
+    if (c != null && c._1 == ((fromId, toId))) c._2
+    else {
+      val ks = TraceStore.changedKeysBetween(path, fromId, toId)
+      diffCache = ((fromId, toId), ks)
+      ks
+    }
+  }
+
+  // idle-poll fast path: a fingerprint (one stat per month dir — O(
+  // partitions), never O(files)) certified idle by a FULL check. While
+  // it holds, polls skip the live file-set listing entirely, so a
+  // short-interval trigger on an ~800k-file store pays metadata stats,
+  // not a full listing, per poll. Captured BEFORE the authoritative
+  // check: a mutation landing in between invalidates conservatively.
+  @volatile private var idleCache: (String, String) = null
+  private def matchesLive(id: String): Boolean = {
+    val fp = TraceStore.liveFingerprint(path)
+    val c = idleCache
+    if (c != null && c._1 == id && c._2 == fp) true
+    else if (TraceStore.snapshotMatchesLive(path, id)) { idleCache = (id, fp); true }
+    else false
   }
 
   // Trigger.AvailableNow: the run's end state, frozen at the first
@@ -155,10 +204,14 @@ final class CdcSource(
   override def initialOffset(): OffsetV2 = CdcOffset.Start
 
   /** The next offset after `start` — at most one bounded step. Fresh
-    * streams pin the current state (first chunk of it when bootstrap
-    * chunking applies); mid-bootstrap advances one chunk of the SAME
-    * pin; complete offsets re-pin only when the live file set changed,
-    * else echo `start` verbatim (idle = no batch, no pin). */
+    * streams pin the current state (first chunk of it when chunking
+    * applies); mid-bootstrap advances one chunk of the SAME pin;
+    * mid-diff advances one slice of the SAME frozen worklist (the final
+    * slice lands as the complete offset, releasing the diff's base pin
+    * to commit-GC); complete offsets step toward change only when the
+    * live file set moved — as a bounded chunked diff under
+    * `maxFilesPerTrigger` — else echo `start` verbatim (idle = no
+    * batch, no pin). */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     // the engine passes null (not initialOffset) before the first batch
     val s = Option(start).map(CdcOffset.of).getOrElse(CdcOffset.Start)
@@ -166,31 +219,57 @@ final class CdcSource(
       case mf: ReadMaxFiles => Some(mf.maxFiles())
       case _ => None
     }
+    // one admission-controlled step from complete-at-fromId toward toId:
+    // a small diff arrives whole; a table-scale one (retention sweep,
+    // mass erase) arrives as bounded worklist slices
+    def diffStep(fromId: String, toId: String): CdcOffset = chunk match {
+      case Some(n) if diffKeys(fromId, toId).size > n =>
+        CdcOffset(toId, Some(n), Some(fromId))
+      case _ => CdcOffset(toId)
+    }
     def firstChunkOf(o: CdcOffset): CdcOffset = chunk match {
       case Some(n) if initialLoad && keysOf(o.snapshotId).size > n =>
         CdcOffset(o.snapshotId, Some(n))
+      case Some(n) if !initialLoad &&
+          startingSnapshot.exists(f => diffKeys(f, o.snapshotId).size > n) =>
+        CdcOffset(o.snapshotId, Some(n), startingSnapshot)
       case _ => o
     }
     val target = availableNowTarget
     val next: CdcOffset = s match {
       // fresh stream: pin the current state (or serve the frozen target)
-      case CdcOffset(id0, _) if num(id0) == 0 =>
+      case CdcOffset(id0, _, _) if num(id0) == 0 =>
         firstChunkOf(target.getOrElse(pinOwn()))
       // mid-bootstrap: one more chunk of the same immutable manifest
-      case CdcOffset(id, Some(k)) if k < keysOf(id).size =>
+      case CdcOffset(id, Some(k), None) if k < keysOf(id).size =>
         val m = keysOf(id).size
         CdcOffset(id, Some(math.min(m, k + chunk.getOrElse(m))))
+      // mid-diff: one more slice of the same frozen worklist
+      case CdcOffset(id, Some(k), Some(f)) if k < diffKeys(f, id).size =>
+        val m = diffKeys(f, id).size
+        val k2 = math.min(m, k + chunk.getOrElse(m))
+        if (k2 >= m) CdcOffset(id) else CdcOffset(id, Some(k2), Some(f))
       // complete (chunked-complete or plain): advance only on change
-      case CdcOffset(id, _) => target match {
-        case Some(t) => if (t.snapshotId == id) s else t
+      case CdcOffset(id, _, _) => target match {
+        case Some(t) => if (t.snapshotId == id) s else diffStep(id, t.snapshotId)
         case None =>
-          if (TraceStore.snapshotMatchesLive(path, id)) s else pinOwn()
+          if (matchesLive(id)) s else diffStep(id, pinOwn().snapshotId)
       }
     }
     if (availableNowPending && target.isEmpty) {
       // freeze the run's end state: the complete form of the offset the
-      // first poll produced (chunks of it still flow batch by batch)
-      availableNowTarget = Some(CdcOffset(next.snapshotId))
+      // first poll produced (chunks of it still flow batch by batch).
+      // Resuming a chunked bootstrap (or chunked diff) whose end pin no
+      // longer matches the live set freezes a FRESH pin instead, so one
+      // run finishes the in-flight chunk sequence AND delivers the
+      // accumulated diff — otherwise the CLI would report "caught up"
+      // with available changes undelivered until the next invocation.
+      val endId = next match {
+        case CdcOffset(id, Some(_), _)
+            if num(s.snapshotId) > 0 && !matchesLive(id) => pinOwn().snapshotId
+        case o => o.snapshotId
+      }
+      availableNowTarget = Some(CdcOffset(endId))
       availableNowPending = false
     }
     next
@@ -201,17 +280,38 @@ final class CdcSource(
       "graft-cdc implements SupportsAdmissionControl; the engine calls " +
         "latestOffset(start, limit) instead of getOffset")
 
+  /** Slice (j, k] of the changed-file worklist between two pins, as
+    * signed rows. Any partition of the worklist sums to exactly the
+    * whole diff (signed row algebra is additive over file sets); a
+    * rewrite's cancelling pair split across slices surfaces as
+    * insert+delete of the same row in different batches — net zero for
+    * every signed consumer (rollup maintenance, `_sign` replication). */
+  private def sliceDiff(fromId: String, toId: String, j: Int, k: Int): DataFrame =
+    if (j >= k) null
+    else TraceStore.readChangedKeys(spark, path,
+      diffKeys(fromId, toId).slice(j, k), s"changes $fromId..$toId")
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endOff = CdcOffset.of(end)
     val endId = endOff.snapshotId
     // the engine may hand initialOffset back as a real start; it means
     // "nothing delivered yet", i.e. the same thing as None
     val from = start.map(CdcOffset.of).filter(o => num(o.snapshotId) > 0)
-    val df = (from, endOff.upTo) match {
-      // bootstrap chunk: sorted-manifest slice of the pinned snapshot
-      case (f, Some(k)) =>
+    val df = (from, endOff.upTo, endOff.fromSnapshot) match {
+      // diff chunk: worklist slice between the diff's base and endId
+      case (f, Some(k), Some(base)) =>
         val j = f match {
-          case Some(CdcOffset(`endId`, Some(prev))) => prev
+          case Some(CdcOffset(`endId`, Some(prev), Some(`base`))) => prev
+          case Some(CdcOffset(`base`, _, _)) => 0 // complete at the base
+          case None => 0 // fresh stream chunking from startingSnapshot
+          case Some(other) => throw new IllegalStateException(
+            s"graft-cdc: diff chunk $base..$endId cannot follow offset ${other.json}")
+        }
+        sliceDiff(base, endId, j, k)
+      // bootstrap chunk: sorted-manifest slice of the pinned snapshot
+      case (f, Some(k), None) =>
+        val j = f match {
+          case Some(CdcOffset(`endId`, Some(prev), None)) => prev
           case None => 0
           case Some(other) => throw new IllegalStateException(
             s"graft-cdc: bootstrap chunk of $endId cannot follow offset ${other.json}")
@@ -220,24 +320,36 @@ final class CdcSource(
         else TraceStore.readKeys(spark, path,
           keysOf(endId).slice(j, k), s"snapshot $endId")
           .withColumn("_change", lit("insert"))
-      case (Some(s), None) if s.snapshotId == endId => null
-      case (Some(s), None) =>
+      case (Some(s), None, None) if s.snapshotId == endId =>
+        s.fromSnapshot match {
+          // final slice of a chunked diff (the complete offset closes it)
+          case Some(base) =>
+            sliceDiff(base, endId, s.upTo.getOrElse(0), diffKeys(base, endId).size)
+          case None => null
+        }
+      case (Some(s), None, None) =>
+        if (s.fromSnapshot.isDefined) throw new IllegalStateException(
+          s"graft-cdc: complete offset $endId cannot follow a mid-diff " +
+            s"offset of another snapshot (${s.json})")
         TraceStore.readChangesBetween(spark, path, s.snapshotId, endId)
-      case (None, None) if initialLoad =>
+      case (None, None, None) if initialLoad =>
         // CDC bootstrap in one piece (no maxFilesPerTrigger): the
         // consumer materializes state from one full load, then follows
         // increments — the first batch is the pinned table AS inserts
         TraceStore.readSnapshot(spark, path, endId)
           .withColumn("_change", lit("insert"))
-      case (None, None) => startingSnapshot match {
+      case (None, None, None) => startingSnapshot match {
         case Some(s) => TraceStore.readChangesBetween(spark, path, s, endId)
         case None => null
       }
+      // a diff-marked end without a chunk index is never constructed
+      case (f, _, _) => throw new IllegalStateException(
+        s"graft-cdc: unrecognized offset pair start=${f.map(_.json)} end=${endOff.json}")
     }
     if (df == null) Shim.emptyStreaming(spark, schema)
     else {
       val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      val want = schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val want = coreSchema.fields.map(f => (f.name, f.dataType)).toSeq
       if (got != want)
         throw new IllegalStateException(
           s"graft-cdc: store schema evolved mid-stream (stream declared " +
@@ -245,13 +357,26 @@ final class CdcSource(
             s"${got.map(_._1).mkString(",")}). Restart the stream to adopt " +
             "the evolved schema — it resumes from the checkpointed offset " +
             "with no loss (old files read through rename aliases).")
-      Shim.streamingOfRows(spark, df)
+      // commit metadata: which pin produced this batch and when it was
+      // captured (manifest install time — stable across replays), the
+      // Delta-CDF _commit_version/_commit_timestamp analogue, so a
+      // windowed or late-data consumer can reason about change time
+      // without the batch-id side channel
+      Shim.streamingOfRows(spark, df
+        .withColumn("_commit_snapshot", lit(endId))
+        .withColumn("_commit_ts", lit(TraceStore.snapshotTimestamp(path, endId))))
     }
   }
 
   override def commit(end: OffsetV1): Unit = if (cleanupCommitted) {
-    val endN = num(CdcOffset.of(end).snapshotId)
-    val dropped = ownPins().filter(num(_) < endN)
+    val e = CdcOffset.of(end)
+    // a mid-diff chunk still replays against BOTH manifests: GC below
+    // the diff's base until the complete offset closes the sequence
+    val floor = e.fromSnapshot match {
+      case Some(base) if e.upTo.isDefined => num(base)
+      case _ => num(e.snapshotId)
+    }
+    val dropped = ownPins().filter(num(_) < floor)
     dropped.foreach { id =>
       TraceStore.dropSnapshot(path, id)
       fs.delete(new org.apache.hadoop.fs.Path(pinsDir, id), false)
@@ -268,11 +393,14 @@ final class CdcSource(
   * admission-controlled bootstrap, `upTo` marks how many of the pinned
   * manifest's sorted files have been delivered so far (see
   * [[CdcSource]]). */
-final case class CdcOffset(snapshotId: String, upTo: Option[Int] = None)
+final case class CdcOffset(snapshotId: String, upTo: Option[Int] = None,
+                           fromSnapshot: Option[String] = None)
     extends OffsetV1 {
-  override def json: String = upTo match {
-    case Some(k) => s"""{"snapshot":"$snapshotId","upto":$k}"""
-    case None    => s"""{"snapshot":"$snapshotId"}"""
+  override def json: String = (fromSnapshot, upTo) match {
+    case (Some(f), Some(k)) =>
+      s"""{"snapshot":"$snapshotId","from":"$f","upto":$k}"""
+    case (None, Some(k)) => s"""{"snapshot":"$snapshotId","upto":$k}"""
+    case _               => s"""{"snapshot":"$snapshotId"}"""
   }
 }
 
@@ -283,9 +411,13 @@ object CdcOffset {
   private val Pat = """\{\s*"snapshot"\s*:\s*"(s\d{6,})"\s*\}""".r
   private val PatUpTo =
     """\{\s*"snapshot"\s*:\s*"(s\d{6,})"\s*,\s*"upto"\s*:\s*(\d+)\s*\}""".r
+  private val PatDiff =
+    ("""\{\s*"snapshot"\s*:\s*"(s\d{6,})"\s*,\s*"from"\s*:\s*"(s\d{6,})"""" +
+      """\s*,\s*"upto"\s*:\s*(\d+)\s*\}""").r
   def parse(json: String): CdcOffset = json.trim match {
     case Pat(id) => CdcOffset(id)
     case PatUpTo(id, k) => CdcOffset(id, Some(k.toInt))
+    case PatDiff(id, f, k) => CdcOffset(id, Some(k.toInt), Some(f))
     case other =>
       throw new IllegalArgumentException(s"not a graft-cdc offset: $other")
   }
@@ -297,10 +429,21 @@ object CdcOffset {
   }
 }
 
-/** `spark.readStream.format("graft-cdc")` provider (DataSourceRegister
-  * via META-INF/services, same as `graft-ndjson`).
+/** `spark.readStream.format("graft-cdc")` / `spark.read.format("graft-cdc")`
+  * provider (DataSourceRegister via META-INF/services, same as
+  * `graft-ndjson`). The BATCH form is the Delta `table_changes` shape —
+  * SQL/DataFrame users get the snapshot-diff feed without `foreachBatch`:
   *
-  * Options:
+  * {{{
+  * spark.read.format("graft-cdc")
+  *   .option("path", storePath)
+  *   .option("startingSnapshot", "s000001")  // required (batch)
+  *   .option("endingSnapshot", "s000007")    // optional: default = live state
+  *   .load()  // same columns as the stream; _commit_snapshot/_commit_ts
+  *            // carry the ending pin (null when diffing to live state)
+  * }}}
+  *
+  * Streaming options:
   *  - `path` (required): the trace-store root.
   *  - `initialLoad` (default false): bootstrap — the full table at the
   *    stream's first pinned snapshot, as inserts. Overrides
@@ -313,16 +456,43 @@ object CdcOffset {
   *  - `cleanupCommitted` (default true): on commit, drop the pins this
   *    stream created below the committed offset and vacuum.
   *  - `maxFilesPerTrigger` (default unbounded): admission control for
-  *    the `initialLoad` bootstrap — the pinned table is delivered as
-  *    sorted-manifest slices of at most this many files per micro-batch,
-  *    so a 100 TB bootstrap is bounded batches, not one table-sized
-  *    one. Post-bootstrap change batches are sized by the store's own
-  *    maintenance cadence and are not chunked.
+  *    EVERY batch — the `initialLoad` bootstrap arrives as
+  *    sorted-manifest slices, and post-bootstrap diffs arrive as slices
+  *    of the signed changed-file worklist, each of at most this many
+  *    files per micro-batch. A 100 TB bootstrap AND a table-scale
+  *    maintenance rewrite (retention sweep, mass erase) are both
+  *    bounded batches, never one table-sized one. Chunked diffs may
+  *    split a rewrite's cancelling insert+delete pair across batches —
+  *    net zero for signed consumers (rollup maintenance, `_sign`
+  *    replication); exact-batch consumers should leave it unset.
   */
-final class CdcStreamProvider extends StreamSourceProvider with DataSourceRegister {
+final class CdcStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
   import CdcStreamProvider._
 
   override def shortName(): String = "graft-cdc"
+
+  /** Batch read: the feed between two pins (or a pin and the live
+    * state), as a relation — Catalyst sees the feed schema and plans
+    * over it like any table. The scan hands Spark the diff plan's
+    * InternalRow RDD directly (`needConversion=false`, the standard
+    * connector exit), so no external-Row re-encode rides the hot path. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    val path = pathOf(parameters)
+    val from = parameters.getOrElse("startingSnapshot",
+      throw new IllegalArgumentException(
+        "graft-cdc batch read requires option 'startingSnapshot' (a pinned " +
+          "snapshot id — the diff's base); streaming reads via readStream " +
+          "manage their own offsets instead"))
+    require(from.matches("s\\d{6,}"),
+      s"startingSnapshot must be a snapshot id like s000001, got '$from'")
+    val to = parameters.get("endingSnapshot")
+    to.foreach(t => require(t.matches("s\\d{6,}"),
+      s"endingSnapshot must be a snapshot id like s000001, got '$t'"))
+    new CdcBatchRelation(sqlContext, path, from, to)
+  }
 
   override def sourceSchema(
       sqlContext: SQLContext,
@@ -348,19 +518,77 @@ final class CdcStreamProvider extends StreamSourceProvider with DataSourceRegist
   }
 }
 
+/** The batch twin of [[CdcSource]]: ONE signed diff between two pins
+  * (or a pin and the live state), exposed as a relation. Same file-set
+  * pruning as the stream (`readChangesBetween`/`readChangesSince` —
+  * cost ∝ changed files, never the table); commit metadata columns
+  * carry the ending pin, or null when diffing to the un-pinned live
+  * state. Both pins stay the CALLER's to manage — a batch read never
+  * creates or drops snapshots. */
+final class CdcBatchRelation(
+    override val sqlContext: SQLContext,
+    path: String,
+    fromId: String,
+    toId: Option[String])
+  extends org.apache.spark.sql.sources.BaseRelation
+  with org.apache.spark.sql.sources.TableScan {
+
+  override val schema: StructType = CdcStreamProvider.feedSchema(path)
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val spark = sqlContext.sparkSession
+    import org.apache.spark.sql.types.TimestampType
+    val df = toId match {
+      case Some(t) =>
+        TraceStore.readChangesBetween(spark, path, fromId, t)
+          .withColumn("_commit_snapshot", lit(t))
+          .withColumn("_commit_ts", lit(TraceStore.snapshotTimestamp(path, t)))
+      case None =>
+        TraceStore.readChangesSince(spark, path, fromId)
+          .withColumn("_commit_snapshot", lit(null).cast(StringType))
+          .withColumn("_commit_ts", lit(null).cast(TimestampType))
+    }
+    val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    if (got != want)
+      throw new IllegalStateException(
+        s"graft-cdc: store schema evolved between load() and the scan " +
+          s"(declared ${want.map(_._1).mkString(",")}; feed produces " +
+          s"${got.map(_._1).mkString(",")}) — re-run load() to adopt it")
+    // needConversion=false: hand Catalyst the diff plan's InternalRow RDD
+    Shim.toInternalRdd(df)
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+  }
+
+  override def toString: String =
+    s"CdcBatchRelation[$path, $fromId..${toId.getOrElse("live")}]"
+}
+
 object CdcStreamProvider {
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-cdc requires option 'path'"))
 
+  /** Commit metadata appended to every feed row (the Delta-CDF
+    * `_commit_version`/`_commit_timestamp` analogue): the pin that
+    * produced the batch and its capture time (manifest install time —
+    * immutable, so replays read the same values). */
+  val commitFields: Array[StructField] = Array(
+    StructField("_commit_snapshot", StringType),
+    StructField("_commit_ts", org.apache.spark.sql.types.TimestampType))
+
   /** The feed's fixed schema: the store's logical columns (manifest
     * metadata stripped — storage detail, not user surface) + the ym
-    * partition column + `_change` ("insert" | "delete"). */
+    * partition column + `_change` ("insert" | "delete") + the commit
+    * metadata columns. */
   def feedSchema(tablePath: String): StructType = {
     val stored = TraceStore.storedSchema(tablePath)
     StructType(
       stored.fields.map(_.copy(metadata = Metadata.empty)) :+
         StructField(graft.schema.TraceSchema.PartitionCol, StringType) :+
-        StructField("_change", StringType))
+        StructField("_change", StringType) :++
+        commitFields)
   }
 }

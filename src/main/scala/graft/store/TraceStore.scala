@@ -826,7 +826,19 @@ object TraceStore {
     * listing — metadata-only at any scale; the storage cost of keeping a
     * snapshot is only the superseded files that maintenance would have
     * deleted. */
-  def snapshot(tablePath: String): String = {
+  def snapshot(tablePath: String): String = snapshot(tablePath, _ => ())
+
+  /** [[snapshot]] with a pre-install hook: `preInstall(id)` runs after the
+    * id claim succeeds but BEFORE the manifest lands. A caller that must
+    * record ownership of the pin (a CDC stream's commit-GC bookkeeping)
+    * runs its marker write here, closing the crash window the
+    * marker-after-pin ordering would leave: a crash after `preInstall`
+    * leaves a marker with NO pin (inert — cleanup treats a markered id
+    * without a manifest as already dropped) instead of a pin with no
+    * marker (an orphan no GC would ever claim). The claim keeps the id
+    * unreissuable either way. If `preInstall` throws, no manifest is
+    * installed and the error propagates. */
+  def snapshot(tablePath: String, preInstall: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(tablePath)
     require(Files.exists(root), s"no store at $tablePath")
@@ -856,6 +868,7 @@ object TraceStore {
         try { Files.createFile(claim); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       if (claimed) {
+        preInstall(candidate)
         // stage + atomic rename: a manifest is either absent or complete
         val tmp = snapDir.resolve(s".tmp-$candidate")
         Files.write(tmp, keys.mkString("\n").getBytes)
@@ -884,15 +897,17 @@ object TraceStore {
     val snapDir = root.resolve(SnapDir)
     if (!Files.exists(snapDir)) return
     val floor = allocationFloor(snapDir)
-    if (floor == 0) return
+    if (floor == 0L) return
     val marker = snapDir.resolve(s".floor-$floor")
     try Files.createFile(marker)
     catch { case _: java.nio.file.FileAlreadyExistsException => }
     FsMaint.listDir(snapDir).map(_.getFileName.toString).foreach { n =>
       val stale =
-        (n.matches("\\.claim-s\\d{6,}") && n.stripPrefix(".claim-s").toInt <= floor) ||
-        (n.matches("\\.dropped-s\\d{6,}") && n.stripPrefix(".dropped-s").toInt <= floor) ||
-        (n.matches("\\.floor-\\d+") && n.stripPrefix(".floor-").toInt < floor) ||
+        (n.matches("\\.claim-s\\d{6,}") && n.stripPrefix(".claim-s").toLong <= floor) ||
+        (n.matches("\\.dropped-s\\d{6,}") && n.stripPrefix(".dropped-s").toLong <= floor) ||
+        (n.matches("\\.floor-\\d+") && n.stripPrefix(".floor-").toLong < floor) ||
+        (n.matches("\\.owner-s\\d{6,}") && n.stripPrefix(".owner-s").toLong <= floor &&
+          !Files.exists(snapDir.resolve("s" + n.stripPrefix(".owner-s")))) ||
         n == ".hwm"
       if (stale) Files.deleteIfExists(snapDir.resolve(n))
     }
@@ -904,21 +919,24 @@ object TraceStore {
     * and the legacy mutable `.hwm` file an earlier scheme wrote —
     * dropping any of these from the max would let an id be reissued and
     * silently re-bind an offset held outside the store. */
-  private def allocationFloor(snapDir: java.nio.file.Path): Int = {
+  private def allocationFloor(snapDir: java.nio.file.Path): Long = {
     import java.nio.file.Files
+    // toLong throughout, matching listSnapshots' sort key and the CDC
+    // source's offset arithmetic — an id past Int.MaxValue must scan here
+    // exactly as it lists elsewhere
     val scanned = FsMaint.listDir(snapDir).map(_.getFileName.toString)
       .collect {
-        case n if n.matches("s\\d{6,}") => n.drop(1).toInt
-        case n if n.matches("\\.dropped-s\\d{6,}") => n.stripPrefix(".dropped-s").toInt
-        case n if n.matches("\\.claim-s\\d{6,}") => n.stripPrefix(".claim-s").toInt
-        case n if n.matches("\\.floor-\\d+") => n.stripPrefix(".floor-").toInt
+        case n if n.matches("s\\d{6,}") => n.drop(1).toLong
+        case n if n.matches("\\.dropped-s\\d{6,}") => n.stripPrefix(".dropped-s").toLong
+        case n if n.matches("\\.claim-s\\d{6,}") => n.stripPrefix(".claim-s").toLong
+        case n if n.matches("\\.floor-\\d+") => n.stripPrefix(".floor-").toLong
       }
-      .foldLeft(0)(math.max)
+      .foldLeft(0L)(math.max)
     val hwmFile = snapDir.resolve(".hwm")
     val legacy =
       if (Files.exists(hwmFile))
-        new String(Files.readAllBytes(hwmFile)).trim.toIntOption.getOrElse(0)
-      else 0
+        new String(Files.readAllBytes(hwmFile)).trim.toLongOption.getOrElse(0L)
+      else 0L
     math.max(scanned, legacy)
   }
 
@@ -936,6 +954,28 @@ object TraceStore {
     Files.readAllLines(mf).asScala.toSet.filter(_.nonEmpty) == liveKeys(root)
   }
 
+  /** Cheap fingerprint of the live file set: the root's and each month
+    * directory's (name, mtime-with-nanos), hashed — one stat per month
+    * dir, O(partitions) not O(files). Any mutation of the live set
+    * (append, compact, DELETE WHERE, retention, crash recovery) creates
+    * or removes an entry in some month dir (or a month dir itself),
+    * which bumps that directory's mtime, so an unchanged fingerprint
+    * taken BEFORE a successful [[snapshotMatchesLive]] check certifies
+    * the store is still idle without re-listing ~800k files per poll.
+    * Collision risk is a same-nanosecond mutation of the same dir —
+    * capture the fingerprint before the authoritative check and any
+    * in-between mutation invalidates it conservatively. */
+  def liveFingerprint(tablePath: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(tablePath)
+    val pref = s"${TraceSchema.PartitionCol}="
+    val parts = FsMaint.listDir(root)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(pref))
+      .map(p => s"${p.getFileName}@${Files.getLastModifiedTime(p).toInstant}")
+      .sorted
+    (s"root@${Files.getLastModifiedTime(root).toInstant}" +: parts).mkString("|")
+  }
+
   /** List snapshot ids, oldest first (numeric order — ids past the
     * 6-digit zero-padding would mis-sort lexicographically). */
   def listSnapshots(tablePath: String): Seq[String] = {
@@ -943,6 +983,37 @@ object TraceStore {
     if (!java.nio.file.Files.exists(dir)) Seq.empty
     else FsMaint.listDir(dir).map(_.getFileName.toString)
       .filter(_.matches("s\\d{6,}")).sortBy(_.drop(1).toLong)
+  }
+
+  /** Record who holds a pin and why, as a `.owner-<id>` note beside the
+    * manifest — the operator-facing annotation `--list-snapshots` prints,
+    * so cleanup advice ("drop the leaked pin") can tell a stream's LIVE
+    * offset pin from a genuinely leaked one before anyone drops it.
+    * Best-effort metadata: dropping the snapshot removes the note, and
+    * [[vacuumSnapshots]]' marker compaction sweeps notes whose pin is
+    * gone. Overwrites any previous note for the id. */
+  def annotateSnapshotOwner(tablePath: String, id: String, note: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val snapDir = Paths.get(tablePath).resolve(SnapDir)
+    Files.createDirectories(snapDir)
+    Files.write(snapDir.resolve(s".owner-$id"),
+      note.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The owner notes recorded by [[annotateSnapshotOwner]], keyed by
+    * snapshot id. Unannotated ids (user pins taken directly through
+    * [[snapshot]]) are simply absent. */
+  def snapshotOwners(tablePath: String): Map[String, String] = {
+    import java.nio.file.{Files, Paths}
+    val snapDir = Paths.get(tablePath).resolve(SnapDir)
+    if (!Files.exists(snapDir)) Map.empty
+    else FsMaint.listDir(snapDir).map(_.getFileName.toString)
+      .filter(_.matches("\\.owner-s\\d{6,}"))
+      .map { n =>
+        val id = n.stripPrefix(".owner-")
+        id -> new String(Files.readAllBytes(snapDir.resolve(n)),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      }.toMap
   }
 
   /** Read the table exactly as it was when `id` was captured. Each
@@ -976,6 +1047,17 @@ object TraceStore {
     * denominator for an admission-controlled bootstrap (metadata read). */
   def snapshotFileCount(tablePath: String, id: String): Int =
     snapshotKeys(tablePath, id).size
+
+  /** When a snapshot was captured: its manifest's modification time. The
+    * manifest is installed once (atomic rename) and never rewritten, so
+    * this is stable across replays — the commit-time column a CDC feed
+    * exposes (`_commit_ts`) reads the same value forever. */
+  def snapshotTimestamp(tablePath: String, id: String): java.sql.Timestamp = {
+    import java.nio.file.{Files, Paths}
+    val mf = Paths.get(tablePath).resolve(SnapDir).resolve(id)
+    require(Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
+    new java.sql.Timestamp(Files.getLastModifiedTime(mf).toMillis)
+  }
 
   /** Alias-aware read of pre-resolved manifest keys (each served from
     * its live or `_retired/` location) — the slice reader a chunked
@@ -1157,7 +1239,25 @@ object TraceStore {
     * them flips the signs, which is the algebra a reconciliation job
     * expects. Cost ∝ files that differ, never the table. */
   def readChangesBetween(spark: SparkSession, tablePath: String,
-                         fromId: String, toId: String): DataFrame = {
+                         fromId: String, toId: String): DataFrame =
+    readChangedKeys(spark, tablePath, changedKeysBetween(tablePath, fromId, toId),
+      s"changes $fromId..$toId")
+
+  /** The signed changed-FILE worklist between two pins: every manifest
+    * key present in exactly one of the two, tagged with its side
+    * (`true` = only in `toId` → insert candidates; `false` = only in
+    * `fromId` → delete candidates), sorted by key then side. This is the
+    * admission-control unit for a chunked diff consumer: any partition
+    * of this list into slices, each read via [[readChangedKeys]], sums
+    * to EXACTLY [[readChangesBetween]]'s feed (signed row algebra is
+    * additive over file sets) — a rewrite's cancelling pairs may land in
+    * different slices, surfacing transiently as insert+delete of the
+    * same row, which nets to zero for any signed consumer. Key-order
+    * sorting keeps a month's retired and rewritten files adjacent, so
+    * most cancelling pairs stay intra-slice anyway. Two metadata reads,
+    * no data I/O. */
+  def changedKeysBetween(tablePath: String, fromId: String,
+                         toId: String): IndexedSeq[(String, Boolean)] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val root = Paths.get(tablePath)
@@ -1167,9 +1267,23 @@ object TraceStore {
       Files.readAllLines(mf).asScala.toSet.filter(_.nonEmpty)
     }
     val from = keysOf(fromId); val to = keysOf(toId)
+    (((to -- from).iterator.map(_ -> true)) ++
+      ((from -- to).iterator.map(_ -> false))).toIndexedSeq.sorted
+  }
+
+  /** Signed row diff over a slice of [[changedKeysBetween]]'s worklist —
+    * the chunked consumer's read kernel (the whole-list call IS
+    * [[readChangesBetween]]). Insert-side and delete-side keys of the
+    * slice are read alias-resolved (live or `_retired/`) and combined in
+    * one signed pass ([[signedDiff]]). */
+  private[graft] def readChangedKeys(spark: SparkSession, tablePath: String,
+                                     slice: Seq[(String, Boolean)],
+                                     what: String): DataFrame = {
+    val root = java.nio.file.Paths.get(tablePath)
+    val (news, olds) = slice.partition(_._2)
     signedDiff(
-      readResolvedKeys(spark, root, (to -- from).toSeq.sorted, s"snapshot $toId"),
-      readResolvedKeys(spark, root, (from -- to).toSeq.sorted, s"snapshot $fromId"))
+      readResolvedKeys(spark, root, news.map(_._1), what),
+      readResolvedKeys(spark, root, olds.map(_._1), what))
   }
 
   /** One step of the operational CDC cursor cycle: pin the CURRENT state
@@ -1202,6 +1316,7 @@ object TraceStore {
     val tomb = snapDir.resolve(s".dropped-$id")
     try Files.createFile(tomb)
     catch { case _: java.nio.file.FileAlreadyExistsException => }
+    Files.deleteIfExists(snapDir.resolve(s".owner-$id"))
     Files.deleteIfExists(snapDir.resolve(id))
   }
 

@@ -466,7 +466,9 @@ object TraceStream {
         val signed = batch
           .withColumn("_sign",
             when(col("_change") === "insert", lit(1)).otherwise(lit(-1)))
-          .drop("_change")
+          // the wire payload is the replica table's columns + _sign; the
+          // feed's commit metadata is reader-side bookkeeping, not data
+          .drop("_change", "_commit_snapshot", "_commit_ts")
         // empty diffs post nothing (append() only flushes non-empty
         // partition buffers), so maintenance noise never reaches the wire
         graft.sources.HttpBulkSink.append(signed, http,

@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.store.TraceStore
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** The batch (`spark.read`) form of `graft-cdc` — the Delta
+  * `table_changes` shape: options contract, feed schema with commit
+  * metadata, pin-to-pin and pin-to-live diffs, and the no-side-effects
+  * guarantee (a batch read never creates or drops snapshots). */
+class CdcBatchSpec extends SparkSpec {
+
+  private def mk(rows: (Int, String, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.map { case (sev, m, ty, t) =>
+      (sev, m, "default", Timestamp.valueOf(t), ty, s"id$sev")
+    }.toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID")
+  }
+
+  test("pin-to-pin read delivers the signed diff with the ending pin's commit metadata") {
+    val store = tmpDir("cdcbatch")
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "bad", "2019-05-14 10:00:00")), store, splitsPerMonth = 2)
+    val s1 = TraceStore.snapshot(store)
+    TraceStore.append(mk((30, "m3", "ok", "2019-06-01 10:00:00")), store)
+    TraceStore.deleteWhere(spark, store, col("Type") === "bad", splitsPerMonth = 1)
+    val s2 = TraceStore.snapshot(store)
+
+    val feed = spark.read.format("graft-cdc")
+      .option("path", store)
+      .option("startingSnapshot", s1)
+      .option("endingSnapshot", s2)
+      .load()
+    val rows = feed.select("_change", "Severity", "_commit_snapshot").collect()
+      .map((r: Row) => (r.getString(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    assert(rows == Seq(("delete", 20, s2), ("insert", 30, s2)))
+    // _commit_ts matches the ending manifest's install time, replay-stable
+    val ts = feed.select("_commit_ts").distinct().collect().map(_.getTimestamp(0)).toSeq
+    assert(ts == Seq(TraceStore.snapshotTimestamp(store, s2)))
+    // a batch read leaves the snapshot set exactly as it found it
+    assert(TraceStore.listSnapshots(store) == Seq(s1, s2))
+  }
+
+  test("omitting endingSnapshot diffs to the LIVE state with null commit metadata") {
+    val store = tmpDir("cdcbatch-live")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 10:00:00")), store)
+    val s1 = TraceStore.snapshot(store)
+    TraceStore.append(mk((20, "m2", "ok", "2019-06-01 10:00:00")), store)
+    val rows = spark.read.format("graft-cdc")
+      .option("path", store).option("startingSnapshot", s1).load()
+      .select("_change", "Severity", "_commit_snapshot", "_commit_ts").collect()
+      .map((r: Row) => (r.getString(0), r.getInt(1), r.getString(2), r.getTimestamp(3)))
+    assert(rows.toSeq == Seq(("insert", 20, null, null)))
+    assert(TraceStore.listSnapshots(store) == Seq(s1))
+  }
+
+  test("the relation's schema is the feed schema; Catalyst plans over it (filter + agg)") {
+    val store = tmpDir("cdcbatch-plan")
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "bad", "2019-05-14 10:00:00")), store)
+    val s1 = TraceStore.snapshot(store)
+    TraceStore.append(mk((30, "m1", "ok", "2019-06-01 10:00:00"),
+      (40, "m2", "ok", "2019-06-02 10:00:00")), store)
+    val s2 = TraceStore.snapshot(store)
+    val feed = spark.read.format("graft-cdc")
+      .option("path", store).option("startingSnapshot", s1)
+      .option("endingSnapshot", s2).load()
+    assert(feed.schema == CdcStreamProvider.feedSchema(store))
+    val agg = feed.filter(col("Machine") === "m1")
+      .groupBy(col("_change")).agg(sum(col("Severity")).as("s"))
+      .collect().map((r: Row) => (r.getString(0), r.getLong(1))).toSeq
+    assert(agg == Seq(("insert", 30L)))
+  }
+
+  test("options contract: missing or malformed pins fail loudly") {
+    val store = tmpDir("cdcbatch-opts")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 10:00:00")), store)
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-cdc").option("path", store).load()
+    }
+    assert(ex.getMessage.contains("startingSnapshot"))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-cdc").option("path", store)
+        .option("startingSnapshot", "latest").load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-cdc").option("path", store)
+        .option("startingSnapshot", "s000001")
+        .option("endingSnapshot", "nope").load()
+    }
+  }
+
+  test("swapping the pins flips the signs (reconciliation algebra)") {
+    val store = tmpDir("cdcbatch-swap")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 10:00:00")), store)
+    val s1 = TraceStore.snapshot(store)
+    TraceStore.append(mk((20, "m2", "ok", "2019-06-01 10:00:00")), store)
+    val s2 = TraceStore.snapshot(store)
+    def changes(a: String, b: String): Seq[(String, Int)] =
+      spark.read.format("graft-cdc").option("path", store)
+        .option("startingSnapshot", a).option("endingSnapshot", b).load()
+        .select("_change", "Severity").collect()
+        .map((r: Row) => (r.getString(0), r.getInt(1))).toSeq.sorted
+    assert(changes(s1, s2) == Seq(("insert", 20)))
+    assert(changes(s2, s1) == Seq(("delete", 20)))
+  }
+}

@@ -328,11 +328,221 @@ class CdcStreamSpec extends SparkSpec {
     assert(TraceStore.snapshot(store) == "s000006")
   }
 
+  test("maxFilesPerTrigger chunks a POST-BOOTSTRAP diff into bounded signed slices") {
+    val store = tmpDir("cdcdiffchunk"); val ck = tmpDir("cdcdiffchunk-ck")
+    // 4 months × (1 ok + 1 bad), one file per month
+    val months = Seq("2019-05-10", "2019-06-10", "2019-07-10", "2019-08-10")
+    TraceStore.append(mk(months.zipWithIndex.flatMap { case (d, i) =>
+      Seq((10 + i, "m1", "ok", s"$d 10:00:00"), (20 + i, "m2", "bad", s"$d 11:00:00"))
+    }: _*), store, splitsPerMonth = 1)
+    val opts = Map("initialLoad" -> "true", "maxFilesPerTrigger" -> "2")
+    drain(store, ck, opts) // bootstrap (4 files → 2 chunks, already proven shape)
+
+    // DELETE WHERE rewrites EVERY month: worklist = 4 old + 4 new files.
+    // At 2 files/trigger that is 4 bounded diff slices — the shape a
+    // table-scale retention sweep arrives in, instead of one batch
+    TraceStore.deleteWhere(spark, store, col("Type") === "bad", splitsPerMonth = 1)
+    val runs = drain(store, ck, opts)
+    assert(runs.size == 4, s"8-entry worklist at 2/trigger should be 4 slices: $runs")
+    // signed EXACTNESS across the slice union: cancelling pairs may split
+    // across slices, but the net per row must equal the unchunked feed —
+    // deletes of exactly the 'bad' severities, net zero for 'ok'
+    val net = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+    runs.flatMap(_._2).foreach { case (chg, sev, _) =>
+      net(sev) += (if (chg == "insert") 1 else -1)
+    }
+    val expected = months.indices.map(i => (20 + i) -> -1).toMap
+    assert(net.toMap.filter(_._2 != 0) == expected,
+      s"chunked diff must sum to the unchunked feed, got net=$net")
+
+    // idle follow-up: nothing re-delivered
+    assert(drain(store, ck, opts).isEmpty)
+  }
+
+  test("a mid-diff crash resumes slice-exact from the checkpoint (replayable chunk offsets)") {
+    val store = tmpDir("cdcdiffcrash"); val ck = tmpDir("cdcdiffcrash-ck")
+    val months = Seq("2019-05-10", "2019-06-10", "2019-07-10", "2019-08-10")
+    TraceStore.append(mk(months.zipWithIndex.flatMap { case (d, i) =>
+      Seq((10 + i, "m1", "ok", s"$d 10:00:00"), (20 + i, "m2", "bad", s"$d 11:00:00"))
+    }: _*), store, splitsPerMonth = 1)
+    drain(store, ck, Map("initialLoad" -> "true"))
+    TraceStore.deleteWhere(spark, store, col("Type") === "bad", splitsPerMonth = 1)
+
+    // crash the stream after the SECOND diff slice is delivered (but not
+    // committed — foreachBatch failure aborts the epoch)
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Seq[(String, Int, String)])]()
+    val failing: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, id) => {
+      seen += ((id, df.select("_change", "Severity", "Machine").collect()
+        .map((r: Row) => (r.getString(0), r.getInt(1), r.getString(2))).toSeq.sorted))
+      if (seen.size == 2) sys.error("injected mid-diff crash")
+      ()
+    }
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", store).option("maxFilesPerTrigger", "2").load()
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).foreachBatch(failing).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { q.awaitTermination() }
+
+    // resume: the uncommitted slice replays IDENTICALLY, then the rest
+    val resumed = drain(store, ck, Map("maxFilesPerTrigger" -> "2"))
+    val perBatch = (seen.toSeq ++ resumed).groupBy(_._1).map { case (id, ds) =>
+      // every delivery of one batch id must be byte-identical (frozen worklist)
+      assert(ds.map(_._2).distinct.size == 1, s"batch $id replayed differently: $ds")
+      id -> ds.head._2
+    }
+    val net = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+    perBatch.values.flatten.foreach { case (chg, sev, _) =>
+      net(sev) += (if (chg == "insert") 1 else -1)
+    }
+    val expected = months.indices.map(i => (20 + i) -> -1).toMap
+    assert(net.toMap.filter(_._2 != 0) == expected,
+      s"crash+resume must still sum to the exact feed, got $net")
+  }
+
+  test("a fresh stream from a user pin honors maxFilesPerTrigger (chunked first diff)") {
+    val store = tmpDir("cdcuserchunk")
+    val months = Seq("2019-05-10", "2019-06-10", "2019-07-10", "2019-08-10")
+    TraceStore.append(mk((1, "m0", "ok", "2019-04-01 00:00:00")), store, splitsPerMonth = 1)
+    val pin = TraceStore.snapshot(store)
+    TraceStore.append(mk(months.zipWithIndex.map { case (d, i) =>
+      (10 + i, "m1", "ok", s"$d 10:00:00")
+    }: _*), store, splitsPerMonth = 1)
+    val runs = drain(store, tmpDir("cdcuserchunk-ck"),
+      Map("startingSnapshot" -> pin, "maxFilesPerTrigger" -> "2"))
+    assert(runs.size == 2, s"4 new files at 2/trigger should be 2 slices: $runs")
+    assert(runs.flatMap(_._2.map(_._2)).sorted == Seq(10, 11, 12, 13))
+  }
+
+  test("AvailableNow resuming a mid-bootstrap checkpoint catches up to the LIVE state") {
+    val store = tmpDir("cdcresume"); val ck = tmpDir("cdcresume-ck")
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "ok", "2019-06-01 10:00:00"),
+      (30, "m3", "ok", "2019-07-01 10:00:00"),
+      (40, "m4", "ok", "2019-08-01 10:00:00")), store, splitsPerMonth = 1)
+    // crash the bootstrap after 2 of 4 chunks
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+    val failing: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) => {
+      seen += df.select("Severity").collect().map((r: Row) => r.getInt(0)).toSeq.sorted
+      if (seen.size == 2) sys.error("injected mid-bootstrap crash")
+      ()
+    }
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", store).option("initialLoad", "true")
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).foreachBatch(failing).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { q.awaitTermination() }
+
+    // the store moves on while the stream is down
+    TraceStore.append(mk((50, "m5", "ok", "2019-09-01 10:00:00")), store, splitsPerMonth = 1)
+
+    // ONE AvailableNow resume must finish the bootstrap AND deliver the
+    // accumulated diff (round-10 gap: it froze the run target at the
+    // bootstrap pin and stopped short of the live state)
+    val resumed = drain(store, ck,
+      Map("initialLoad" -> "true", "maxFilesPerTrigger" -> "1"))
+    val all = (seen.flatten ++ resumed.flatMap(_._2.map(_._2))).toSet
+    assert(all == Set(10, 20, 30, 40, 50),
+      s"one resume run must deliver bootstrap remainder + live diff, got $all")
+    assert(drain(store, ck, Map("initialLoad" -> "true")).isEmpty, "nothing left after catch-up")
+  }
+
+  test("feed rows carry commit metadata: the producing pin and its capture time") {
+    val store = tmpDir("cdcmeta"); val ck = tmpDir("cdcmeta-ck")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 10:00:00")), store)
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, String, java.sql.Timestamp)]()
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) => {
+      rows ++= df.select("Severity", "_commit_snapshot", "_commit_ts").collect()
+        .map((r: Row) => (r.getInt(0), r.getString(1), r.getTimestamp(2)))
+      ()
+    }
+    def go(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", store).option("initialLoad", "true").load()
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).foreachBatch(fn).start()
+      q.awaitTermination()
+    }
+    go()
+    TraceStore.append(mk((20, "m2", "ok", "2019-06-01 10:00:00")), store)
+    go()
+    val byCommit = rows.toSeq.groupBy(_._2)
+    assert(byCommit.size == 2, s"two commits expected: $rows")
+    // each commit's snapshot is a real pin id and its ts matches the
+    // manifest's install time (replay-stable), increasing across commits
+    val ordered = byCommit.toSeq.sortBy(_._1)
+    ordered.foreach { case (snap, rs) =>
+      assert(snap.matches("s\\d{6,}"))
+      rs.foreach(r => assert(r._3 != null))
+    }
+    assert(ordered(0)._2.head._3.getTime <= ordered(1)._2.head._3.getTime)
+    assert(ordered(0)._2.map(_._1) == Seq(10) && ordered(1)._2.map(_._1) == Seq(20))
+  }
+
+  test("pin-leak crash window: the ownership marker lands BEFORE the manifest") {
+    val store = tmpDir("cdcpinleak")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 15:37:32")), store)
+    // simulate a crash inside the pin-creation window: the pre-install
+    // hook (where the stream writes its marker) dies before the manifest
+    var cand: String = null
+    intercept[RuntimeException] {
+      TraceStore.snapshot(store, { c => cand = c; sys.error("crash mid-pin") })
+    }
+    assert(cand != null)
+    assert(!TraceStore.listSnapshots(store).contains(cand),
+      "a crash before manifest install must leave NO pin (nothing to leak)")
+    // the claimed id is burned, never reissued — an offset can't re-bind
+    assert(TraceStore.snapshot(store) != cand)
+  }
+
+  test("an orphan ownership marker (crash artifact) is inert and swept by commit GC") {
+    val store = tmpDir("cdcorphan"); val ck = tmpDir("cdcorphan-ck")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 15:37:32")), store)
+    drain(store, ck, Map("initialLoad" -> "true")) // batch 0 at s000001
+    // plant a marker with NO pin below future offsets — exactly what a
+    // crash between marker write and manifest install leaves behind
+    val pins = java.nio.file.Paths.get(ck, "sources", "0", "pins")
+    assert(java.nio.file.Files.exists(pins), s"pins dir expected at $pins")
+    java.nio.file.Files.createFile(pins.resolve("s000000"))
+    TraceStore.append(mk((20, "m2", "ok", "2019-05-14 10:00:00")), store)
+    drain(store, ck)
+    TraceStore.append(mk((30, "m3", "ok", "2019-05-15 10:00:00")), store)
+    drain(store, ck) // commit GC runs below the new offset
+    assert(!java.nio.file.Files.exists(pins.resolve("s000000")),
+      "orphan marker must be swept once the committed offset passes it")
+    assert(TraceStore.listSnapshots(store).nonEmpty) // stream pins intact
+  }
+
+  test("a stream's live offset pin carries an owner annotation; GC removes it") {
+    val store = tmpDir("cdcowner"); val ck = tmpDir("cdcowner-ck")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 15:37:32")), store)
+    val userPin = TraceStore.snapshot(store)
+    drain(store, ck, Map("initialLoad" -> "true"))
+    val owners1 = TraceStore.snapshotOwners(store)
+    val streamPins1 = TraceStore.listSnapshots(store).filterNot(_ == userPin)
+    assert(streamPins1.nonEmpty)
+    streamPins1.foreach(id => assert(owners1.get(id).exists(_.contains("graft-cdc")),
+      s"stream pin $id must be annotated; owners=$owners1"))
+    assert(!owners1.contains(userPin), "user pins are not the stream's to annotate")
+    // advance twice so the earliest stream pin is GC'd — its note must go too
+    TraceStore.append(mk((20, "m2", "ok", "2019-05-14 10:00:00")), store)
+    drain(store, ck)
+    TraceStore.append(mk((30, "m3", "ok", "2019-05-15 10:00:00")), store)
+    drain(store, ck)
+    val owners2 = TraceStore.snapshotOwners(store)
+    val live = TraceStore.listSnapshots(store).toSet
+    assert(owners2.keySet.forall(live.contains),
+      s"GC'd pins must shed their notes: notes=${owners2.keySet}, live=$live")
+  }
+
   test("offset json round-trips and rejects foreign offsets") {
     val o = CdcOffset("s000042")
     assert(CdcOffset.parse(o.json) == o)
     val c = CdcOffset("s000042", Some(128))
     assert(CdcOffset.parse(c.json) == c)
+    val d = CdcOffset("s000042", Some(128), Some("s000040"))
+    assert(CdcOffset.parse(d.json) == d)
     intercept[IllegalArgumentException] { CdcOffset.parse("""{"file":"x"}""") }
   }
 }
