@@ -139,15 +139,31 @@ object ChangeFeedQuery {
     * AvailableNow-between-mutations cadence is the documented
     * maintenance contract for a CDC reader. */
   def q228CdcStream(s: SparkSession, dir: String): DataFrame = {
-    val out = streamed(s, dir) { (sess, d) =>
+    val out = q228Fixture(s, dir)
+    s.read.parquet(out)
+      .groupBy(col("batch").cast("long").as("batch"),
+        col("_change").as("change"), col("Machine"))
+      .agg(count(lit(1)).as("n"), sum(col("Severity").cast("long")).as("sum_sev"))
+      .orderBy(col("batch"), col("change"), col("Machine"))
+  }
+
+  /** The store-lifecycle-through-the-streaming-source fixture shared by
+    * q228 (per-batch gate) and q229 (commit-window gate): each mutation
+    * delivered as its own micro-batch into `batch=<id>` partition dirs. */
+  private def q228Fixture(s: SparkSession, dir: String): String =
+    streamed(s, dir) { (sess, d) =>
       val store = graft.util.TmpDirs.scratch("graft-cdcstream-store")
       val outDir = graft.util.TmpDirs.scratch("graft-cdcstream-out")
       val ck = graft.util.TmpDirs.scratch("graft-cdcstream-ck")
       val ev = graft.tables.Tables.events(sess, d)
       val batch = pmod(col("event_id"), lit(3L))
+      // idempotent per batch id: foreachBatch is at-least-once, so a
+      // replayed batch must OVERWRITE its own partition directory, never
+      // blind-append into the shared output (a mid-drain crash would
+      // otherwise double-write the batch and fail the hash gate) — the
+      // same replay-safe discipline upsertRollup documents
       val sink: (DataFrame, Long) => Unit = (bdf, bid) => {
-        bdf.withColumn("_batch", lit(bid))
-          .write.mode("append").parquet(outDir)
+        bdf.write.mode("overwrite").parquet(s"$outDir/batch=$bid")
         ()
       }
       def drainOnce(): Unit = {
@@ -170,11 +186,6 @@ object ChangeFeedQuery {
       drainOnce() // batch 3: compaction — must cancel to zero rows
       outDir
     }
-    s.read.parquet(out)
-      .groupBy(col("_batch").as("batch"), col("_change").as("change"), col("Machine"))
-      .agg(count(lit(1)).as("n"), sum(col("Severity").cast("long")).as("sum_sev"))
-      .orderBy(col("batch"), col("change"), col("Machine"))
-  }
 
   val q228Sql: String =
     """SELECT batch, chg AS change, Machine, count(*) AS n,
@@ -191,9 +202,196 @@ object ChangeFeedQuery {
       |)
       |GROUP BY 1, 2, 3 ORDER BY batch, change, Machine""".stripMargin
 
+  /** q229 — the feed consumed THROUGH its commit metadata columns
+    * (`_commit_snapshot` / `_commit_ts`, stamped by the `graft-cdc`
+    * source on every row): a windowed-by-commit-time consumer. The
+    * commit SEQUENCE is derived from the data itself — rank the
+    * distinct (commit_ts, commit_snapshot) pairs by capture time — not
+    * from q228's hand-rolled batch-id side channel, which is exactly
+    * what the metadata columns exist to replace. Per commit window the
+    * query reports the signed row delta and a running net total, the
+    * late-data-reasoning shape (\"how much had landed by commit k?\")
+    * a CDC auditor runs.
+    *
+    * Scale: both global windows run over COMMIT-bounded tables (the
+    * distinct-commit list and the per-commit aggregate — rows ∝
+    * maintenance operations, never data), the same bounded-window
+    * shape as q97's per-day block table; the feed itself is grouped
+    * distributively first. The oracle recomputes every value from the
+    * raw events table with the commit sequence known from the fixture's
+    * operation order, so a wrong snapshot attribution, a commit-time
+    * mis-ordering, or a lost empty-commit row fails the hash gate
+    * (the compaction commit contributes NO rows — an over-report
+    * surfaces as a spurious seq-4 group). */
+  def q229CommitWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val out = q228Fixture(s, dir)
+    val feed = s.read.parquet(out)
+    val commits = feed.select(col("_commit_ts"), col("_commit_snapshot")).distinct()
+    val seqd = commits.withColumn("commit_seq",
+      dense_rank().over(Window.orderBy(col("_commit_ts"), col("_commit_snapshot"))))
+    val perCommit = feed
+      .join(broadcast(seqd), Seq("_commit_ts", "_commit_snapshot"))
+      .groupBy(col("commit_seq"), col("_change").as("change"))
+      .agg(count(lit(1)).as("n"), sum(col("Severity").cast("long")).as("sum_sev"))
+    perCommit
+      .withColumn("running_net",
+        sum(when(col("change") === "insert", col("n")).otherwise(-col("n")))
+          .over(Window.orderBy(col("commit_seq"), col("change"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .orderBy(col("commit_seq"), col("change"))
+  }
+
+  val q229Sql: String =
+    """WITH feed AS (
+      |  SELECT 1 AS commit_seq, 'insert' AS chg, event_id
+      |  FROM events WHERE event_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 2, 'insert', event_id
+      |  FROM events WHERE event_id % 3 = 1
+      |  UNION ALL
+      |  SELECT 3, 'delete', event_id
+      |  FROM events WHERE event_id % 3 IN (0, 1) AND event_type = 'error'
+      |), agg AS (
+      |  SELECT commit_seq, chg AS change, count(*)::BIGINT AS n,
+      |    (sum(((event_id % 1000000000) + 1000000000) % 1000000000))::BIGINT AS sum_sev
+      |  FROM feed GROUP BY 1, 2
+      |)
+      |SELECT commit_seq, change, n, sum_sev,
+      |  (sum(CASE WHEN change = 'insert' THEN n ELSE -n END)
+      |     OVER (ORDER BY commit_seq, change))::BIGINT AS running_net
+      |FROM agg ORDER BY commit_seq, change""".stripMargin
+
+  private val batchPinned = new graft.util.SessionDirCache[(String, String, String)]
+
+  /** q230 — the BATCH form of the feed (`spark.read.format("graft-cdc")`,
+    * the Delta `table_changes` shape): the same store lifecycle as q226,
+    * read between the pre-maintenance pin and a post-maintenance pin
+    * through the relation rather than `TraceStore` calls — so the graded
+    * surface is the options-and-schema contract SQL users touch,
+    * commit-metadata columns included. Oracle: identical change algebra
+    * to q226 plus the ending-pin attribution (deterministic: the fixture
+    * pins exactly twice on this store — buildStore's baseline `s000001`,
+    * then this query's end pin `s000002`). */
+  def q230BatchChanges(s: SparkSession, dir: String): DataFrame = {
+    val (path, snap, end) = batchPinned(s, dir) { (sess, d) =>
+      val (p, sn) = buildStore(sess, d)
+      (p, sn, TraceStore.snapshot(p))
+    }
+    s.read.format("graft-cdc")
+      .option("path", path)
+      .option("startingSnapshot", snap)
+      .option("endingSnapshot", end)
+      .load()
+      .groupBy(col("_change").as("change"), col("Machine"),
+        col("_commit_snapshot").as("commit_snapshot"))
+      .agg(count(lit(1)).as("n"), sum(col("Severity")).as("sum_sev"))
+      .orderBy(col("change"), col("Machine"))
+  }
+
+  val q230Sql: String =
+    """SELECT chg AS change, Machine, 's000002' AS commit_snapshot, count(*) AS n,
+      |  (sum(((event_id % 1000000000) + 1000000000) % 1000000000))::BIGINT AS sum_sev
+      |FROM (
+      |  SELECT 'insert' AS chg, 'm' || (user_id % 8) AS Machine, event_id
+      |  FROM events WHERE event_id % 3 = 1 AND event_type <> 'error'
+      |  UNION ALL
+      |  SELECT 'delete' AS chg, 'm' || (user_id % 8) AS Machine, event_id
+      |  FROM events WHERE event_id % 3 = 0 AND event_type = 'error'
+      |)
+      |GROUP BY 1, 2, 3 ORDER BY change, Machine""".stripMargin
+
+  /** The per-row LSH bucket rows (band, bkey) a near-dup index keeps for
+    * a trace row: distinct character trigrams of `Machine/Type/ID` →
+    * cross-engine tokval → 4 MinHash permutations → 2 bands of 2 packed
+    * base-P (injective: each minhash < P). The same integer hash algebra
+    * as the q25/q26 document pipeline ([[graft.functions.TextHash]]), so
+    * the DuckDB oracle reproduces every bucket key exactly. Map-only:
+    * higher-order functions, no explode/shuffle per row. */
+  private def bucketRows(rows: DataFrame, carry: Seq[String] = Seq.empty): DataFrame = {
+    import graft.functions.TextHash
+    val key = concat(col("Machine"), lit("/"), col("Type"), lit("/"), col("ID"))
+    val tris = array_distinct(
+      transform(sequence(lit(1), length(key) - 2), i => substring(key, i, lit(3))))
+    val tvs = transform(tris, g => TextHash.tokval(g))
+    def sigH(h: Int) =
+      aggregate(tvs, lit(TextHash.MinHashP),
+        (acc, tv) => least(acc, TextHash.minhashTerm(tv, lit(h))))
+    val p = lit(TextHash.MinHashP)
+    rows.filter(length(key) >= 3)
+      .select(carry.map(col) :+ explode(array(
+        struct(lit(0).as("band"), (sigH(0) * p + sigH(1)).as("bkey")),
+        struct(lit(1).as("band"), (sigH(2) * p + sigH(3)).as("bkey")))).as("b"): _*)
+      .select(carry.map(col) :+ col("b.band").as("band") :+ col("b.bkey").as("bkey"): _*)
+  }
+
+  /** q231 — INCREMENTAL LSH-index maintenance from the change feed: the
+    * dedup family's band-bucket index (the table q26-style candidate
+    * joins run on) kept current by SIGNED increments instead of
+    * rebuilds. final bucket census = census@snapshot + Σ sign·buckets
+    * (changes) — inserts add their bucket rows, deletes retract them, a
+    * compaction's cancelling pairs net out, and an emptied bucket leaves
+    * the index. Cost ∝ changed rows + index cardinality, never the
+    * accumulated corpus: the q25 signature pass that a rebuild would
+    * re-run over 100 TB runs only over the feed.
+    *
+    * The oracle rebuilds the index from scratch over the raw events
+    * table with the same cross-engine hash algebra, so a sign error, a
+    * missed retraction, or any bucket-key divergence between the
+    * incremental and rebuilt index fails the hash gate. */
+  def q231IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val (path, snap) = buildStore(s, dir)
+    val base = bucketRows(TraceStore.readSnapshot(s, path, snap))
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+    val changes = TraceStore.readChangesSince(s, path, snap)
+    val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+    val signedDelta = bucketRows(changes.withColumn("_s", sign), carry = Seq("_s"))
+      .groupBy(col("band"), col("bkey")).agg(sum(col("_s")).as("n"))
+    TraceStore.mergeRollups(base, signedDelta, Seq("band", "bkey"), Seq("n"))
+      .filter(col("n") > 0)
+      .orderBy(col("band"), col("bkey"))
+  }
+
+  val q231Sql: String = {
+    import graft.functions.TextHash.{tokvalSql, minhashTermSql}
+    s"""WITH rows_ AS (
+       |  SELECT event_id,
+       |    'm' || (user_id % 8) || '/' || event_type || '/' || event_id AS key
+       |  FROM events
+       |  WHERE event_id % 3 IN (0, 1) AND event_type <> 'error'
+       |), tri AS (
+       |  SELECT DISTINCT event_id,
+       |    unnest(list_transform(range(1, length(key) - 1),
+       |                          i -> substr(key, i::INT, 3))) AS g
+       |  FROM rows_ WHERE length(key) >= 3
+       |), tv AS (
+       |  SELECT event_id, ${tokvalSql("g")} AS tv FROM tri
+       |), sig AS (
+       |  SELECT event_id, h, min(${minhashTermSql("tv", "h")}) AS mh
+       |  FROM tv CROSS JOIN (SELECT h FROM range(4) t(h)) GROUP BY 1, 2
+       |), packed AS (
+       |  SELECT event_id,
+       |    (min(CASE WHEN h = 0 THEN mh END) * 2147483647
+       |       + min(CASE WHEN h = 1 THEN mh END)) AS b0,
+       |    (min(CASE WHEN h = 2 THEN mh END) * 2147483647
+       |       + min(CASE WHEN h = 3 THEN mh END)) AS b1
+       |  FROM sig GROUP BY 1
+       |), buckets AS (
+       |  SELECT 0 AS band, b0 AS bkey FROM packed
+       |  UNION ALL
+       |  SELECT 1, b1 FROM packed
+       |)
+       |SELECT band, bkey, count(*)::BIGINT AS n
+       |FROM buckets GROUP BY 1, 2 ORDER BY band, bkey""".stripMargin
+  }
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
     ("q228_cdc_stream",  q228CdcStream _, Some(q228Sql)),
+    ("q229_commit_window", q229CommitWindow _, Some(q229Sql)),
+    ("q230_batch_changes", q230BatchChanges _, Some(q230Sql)),
+    ("q231_incremental_lsh", q231IncrementalLsh _, Some(q231Sql)),
   )
 }

@@ -41,7 +41,8 @@ class PlanSweepSpec extends SparkSpec {
     "q159_benford"          -> "9-row leading-digit table",
     "q163_skyline"          -> "per-delay-day threshold table (delay-resolution bounded)",
     "q165_roc_auc"          -> "distinct-score histogram + 2-row label table",
-    "q193_equiheight_hist"  -> "distinct-value histogram of l_extendedprice (price-resolution bounded)"
+    "q193_equiheight_hist"  -> "distinct-value histogram of l_extendedprice (price-resolution bounded)",
+    "q229_commit_window"    -> "distinct-commit list + per-commit aggregate (rows ∝ maintenance ops, never data)"
   )
 
   test("no registered query runs an unpartitioned WindowExec over unbounded input") {
