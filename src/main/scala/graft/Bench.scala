@@ -29,7 +29,8 @@ object Bench {
       else ""
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val calibField = calib.map { case (b, a) =>
-      s""","calib_before":${f3(b)},"calib_after":${f3(a)}""" }.getOrElse("")
+      s""","calib_before":${f3(b)},"calib_after":${f3(a)}${calibWarnField(b, a)}"""
+    }.getOrElse("")
     def render(qs: Seq[(String, Double)], truncated: Boolean): String = {
       val qj = qs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":[${failed.mkString(",")}]$failedMore$calibField,"queries_truncated":$truncated,"artifact":"$artifact","queries":$qj}"""
@@ -48,6 +49,23 @@ object Bench {
       line
     }
   }
+  /** A loud in-artifact warning when the run's own calibration pair
+    * drifted more than 2× either way: the machine's speed changed
+    * mid-run, so the totals are drift-contaminated and must not be
+    * quoted as a precise cross-round ratio (round 10's driver artifact
+    * drifted 4.7× internally and was mis-quotable; `tools/BenchCompare`
+    * refuses such pairs, but the warning has to live in the artifact
+    * itself for readers that never reach the tool). */
+  private[graft] def calibWarnField(before: Double, after: Double): String = {
+    val ratio = if (before > 0 && after > 0) math.max(before / after, after / before)
+                else Double.PositiveInfinity
+    if (ratio > 2.0)
+      f""","calib_drift_warning":"calibration drifted $ratio%.1fx during the run; """ +
+        """totals are not a stationary measurement - rerun on a quiet machine or """ +
+        """normalize via tools/BenchCompare""""
+    else ""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] per the target environment (32-thread single JVM); shuffle
@@ -246,7 +264,7 @@ object Bench {
     // against a full-suite artifact as if they were the same population
     val onlyField = only.map(fs =>
       s""","only":[${fs.map("\"" + _ + "\"").mkString(",")}]""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_bytes":$ioMap,"calib_before":$calibBefore,"calib_after":$calibAfter,"storage_peak_bytes":$storagePeak,"heap_peak_bytes":$heapPeak,"evicted":$evicted,"sf":"$sfDir"$onlyField}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_bytes":$ioMap,"calib_before":$calibBefore,"calib_after":$calibAfter${calibWarnField(calibBefore, calibAfter)},"storage_peak_bytes":$storagePeak,"heap_peak_bytes":$heapPeak,"evicted":$evicted,"sf":"$sfDir"$onlyField}"""
     println(line)
     // The driver captures only a truncated stdout tail, which hides most of
     // the per-query map; persist the full JSON line as an artifact so every

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.store.TraceStore
 
-/** Scale probe for the `graft-cdc` streaming source — measures the two
+/** Scale probe for the `graft-cdc` streaming source — measures the
   * claims the 100 TB design rests on, as numbers rather than arguments:
   *
   *  1. '''Bootstrap is bounded''': with `maxFilesPerTrigger`, the
@@ -15,14 +15,30 @@ import graft.store.TraceStore
   *     the bootstrap, delivering a FIXED-size append costs the same on a
   *     1× store and a 10× store (file-set pruning: the untouched bulk
   *     never appears in the micro-batch's plan).
+  *  3. '''Post-bootstrap diffs are bounded too''': a DELETE WHERE that
+  *     rewrites HALF the store (the table-scale maintenance shape)
+  *     arrives as worklist slices of at most `maxFilesPerTrigger` files
+  *     — max batch rows set by the chunk, batch COUNT by the rewrite.
+  *  4. '''Idle polls are O(partitions), not O(files)''': once a poll
+  *     certifies the store idle, subsequent polls ride a month-dir
+  *     fingerprint (one stat per partition dir) instead of re-listing
+  *     the live file set — flat wall time from 1× to 100× file count.
   *
   * Store shape mirrors ScaleProbe's replication (shifted entity ids over
   * the same calendar). The probe prints one JSON line per scale:
-  * bootstrap wall time + chunk census (count, max rows), then the
-  * fixed-increment wall time + rows. Run on a quiet machine; the
-  * AvailableNow harness start/stop (~1 s) rides every number equally.
+  * bootstrap wall time + chunk census (count, max rows), the
+  * fixed-increment wall time + rows, the half-store delete census, and
+  * idle-poll latencies (fingerprint-cached vs full listing). Run on a
+  * quiet machine; the AvailableNow harness start/stop (~1 s) rides every
+  * number equally.
   *
-  * Usage: runMain graft.tools.CdcProbe [K[,K2,…]]   (default 1,10)
+  * Usage:
+  *   runMain graft.tools.CdcProbe [K[,K2,…]]      (default 1,10)
+  *   runMain graft.tools.CdcProbe multi [K] [Ns]  concurrent followers
+  *     at K× (default 10) for each N in Ns (default 1,4,8): N streams
+  *     each pinning independently while DELETE WHERE maintenance runs;
+  *     retired-file retention must be bounded by the SLOWEST reader's
+  *     lag and reclaimed once every follower commits.
   */
 object CdcProbe {
 
@@ -31,9 +47,7 @@ object CdcProbe {
   private def asTrace(ev: DataFrame): DataFrame =
     graft.store.ChangeFeedQuery.asTrace(ev)
 
-  def main(args: Array[String]): Unit = {
-    val ks = args.headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 10))
-    val base = "/root/testdata/sf0.1"
+  private def session(): SparkSession = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -44,6 +58,42 @@ object CdcProbe {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  private def buildStore(spark: SparkSession, ev: DataFrame, k: Int,
+                         name: String, splits: Int = 16): String = {
+    val store = graft.util.TmpDirs.scratch(s"$name-x$k")
+    // one commit per replica at ingest-like write splits: the store's
+    // file count grows with the data (the shape a micro-batched ingest
+    // actually leaves), so the chunked paths have files to chunk
+    (0 until k).foreach { c =>
+      TraceStore.append(asTrace(ev
+        .withColumn("event_id", col("event_id") + lit(c.toLong * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(c.toLong * 1000000000L))),
+        store, splitsPerMonth = splits)
+    }
+    store
+  }
+
+  private def retiredCount(store: String): Int = {
+    val p = java.nio.file.Paths.get(store, "_retired")
+    if (!java.nio.file.Files.exists(p)) 0
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+  }
+
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("multi")) multi(args.drop(1)) else single(args)
+
+  private def single(args: Array[String]): Unit = {
+    val ks = args.headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 10))
+    val base = "/root/testdata/sf0.1"
+    val spark = session()
     val ev = graft.tables.Tables.events(spark, base)
 
     // the fixed increment: the same absolute rows at every scale (1/64th
@@ -52,31 +102,24 @@ object CdcProbe {
       .withColumn("event_id", col("event_id") + lit(900L * 1000000000L)))
 
     val lines = ks.map { k =>
-      val store = graft.util.TmpDirs.scratch(s"cdcprobe-store-x$k")
-      // one commit per replica at ingest-like write splits: the store's
-      // file count grows with the data (the shape a micro-batched ingest
-      // actually leaves), so the chunked bootstrap has files to chunk
-      (0 until k).foreach { c =>
-        TraceStore.append(asTrace(ev
-          .withColumn("event_id", col("event_id") + lit(c.toLong * 1000000000L))
-          .withColumn("user_id", col("user_id") + lit(c.toLong * 1000000000L))),
-          store, splitsPerMonth = 16)
-      }
+      val store = buildStore(spark, ev, k, "cdcprobe-store")
+      val ck = graft.util.TmpDirs.scratch(s"cdcprobe-ck-x$k")
       val nFiles = TraceStore.snapshotFileCount(store, TraceStore.snapshot(store))
 
       // chunked bootstrap under a CONTINUOUS query: chunks flow
       // back-to-back inside one run; census per batch
       val batchRows = scala.collection.mutable.ArrayBuffer[Long]()
       val sink: (DataFrame, Long) => Unit = (df, _) => { batchRows += df.count(); () }
-      val q = spark.readStream.format("graft-cdc")
+      def openStream() = spark.readStream.format("graft-cdc")
         .option("path", store)
         .option("initialLoad", "true")
         .option("maxFilesPerTrigger", "8")
         .load()
         .writeStream
-        .option("checkpointLocation", graft.util.TmpDirs.scratch(s"cdcprobe-ck-x$k"))
+        .option("checkpointLocation", ck)
         .foreachBatch(sink)
         .start()
+      val q = openStream()
       val t0 = System.nanoTime()
       q.processAllAvailable()
       val bootS = (System.nanoTime() - t0) / 1e9
@@ -89,16 +132,124 @@ object CdcProbe {
       val t1 = System.nanoTime()
       q.processAllAvailable()
       val incS = (System.nanoTime() - t1) / 1e9
-      q.stop()
       val incRows = batchRows.sum
+      q.stop()
+
+      // post-bootstrap admission control: DELETE WHERE rewriting HALF
+      // of every month — the table-scale maintenance shape. Run between
+      // triggers (the documented cadence), then drained as worklist
+      // slices: max batch rows must stay chunk-sized at every scale
+      batchRows.clear()
+      TraceStore.deleteWhere(spark, store,
+        pmod(col("Severity"), lit(2)) === 0, splitsPerMonth = 16)
+      val t2 = System.nanoTime()
+      val q2 = openStream()
+      q2.processAllAvailable()
+      val delS = (System.nanoTime() - t2) / 1e9
+      q2.stop()
+      val (delChunks, delMaxChunk, delRows) =
+        (batchRows.size, batchRows.max, batchRows.sum)
+
+      // idle-poll latency on the real source poll path: first poll pins,
+      // second certifies idle + arms the fingerprint; the steady-state
+      // median must be flat across k (O(month dirs), not O(files)),
+      // vs. the full-listing check re-run per poll for contrast
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      val meta = graft.util.TmpDirs.scratch(s"cdcprobe-idlemeta-x$k")
+      val src = new graft.sources.CdcSource(spark.sqlContext, store, meta,
+        None, false, true, None)
+      val off = src.latestOffset(null, ReadLimit.allAvailable())
+      src.latestOffset(off, ReadLimit.allAvailable()) // certify + arm
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      val polls = (1 to 30).map { _ =>
+        val p0 = System.nanoTime()
+        src.latestOffset(off, ReadLimit.allAvailable())
+        (System.nanoTime() - p0) / 1e6
+      }
+      val id = graft.sources.CdcOffset.of(off).snapshotId
+      val fulls = (1 to 10).map { _ =>
+        val p0 = System.nanoTime()
+        TraceStore.snapshotMatchesLive(store, id)
+        (System.nanoTime() - p0) / 1e6
+      }
 
       val line = f""""x$k":{"files":$nFiles,"bootstrap_s":$bootS%.2f,""" +
         f""""chunks":$nChunks,"max_chunk_rows":$maxChunk,""" +
-        f""""incr_s":$incS%.2f,"incr_rows":$incRows}"""
+        f""""incr_s":$incS%.2f,"incr_rows":$incRows,""" +
+        f""""del_s":$delS%.2f,"del_chunks":$delChunks,""" +
+        f""""del_max_chunk_rows":$delMaxChunk,"del_rows":$delRows,""" +
+        f""""idle_poll_ms":${med(polls)}%.2f,"idle_full_ms":${med(fulls)}%.2f}"""
       System.err.println(s"[cdcprobe] $line")
       line
     }
     println(lines.mkString("""{"metric":"cdc_probe","chunk_files":8,""", ",", "}"))
+    spark.stop()
+  }
+
+  /** N concurrent followers over ONE store under maintenance: the
+    * retired-file coexistence contract, measured. Each follower pins its
+    * own offsets; after a DELETE WHERE retires files, the retired set
+    * must persist while ANY follower still references it (bounded by the
+    * slowest reader's lag) and vacuum must reclaim it once every
+    * follower has committed past the rewrite. */
+  private def multi(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val ns = args.drop(1).headOption.map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(1, 4, 8))
+    val spark = session()
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.1")
+
+    val lines = ns.map { n =>
+      val store = buildStore(spark, ev, k, s"cdcmulti-store-n$n")
+      val cks = (0 until n).map(i =>
+        graft.util.TmpDirs.scratch(s"cdcmulti-ck-n$n-f$i"))
+      def drain(ck: String): Double = {
+        val q = spark.readStream.format("graft-cdc")
+          .option("path", store).option("initialLoad", "true")
+          .option("maxFilesPerTrigger", "64")
+          .load()
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch((df: DataFrame, _: Long) => { df.count(); () })
+          .start()
+        val t0 = System.nanoTime()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      cks.foreach(drain) // every follower bootstraps and pins the state
+
+      // maintenance between triggers: retire ~half of every month
+      TraceStore.deleteWhere(spark, store,
+        pmod(col("Severity"), lit(2)) === 0, splitsPerMonth = 16)
+      val r0 = retiredCount(store)
+
+      // the fastest follower catches up; stragglers still pin the old
+      // state, so vacuum must NOT reclaim (lag-bounded retention)
+      val firstS = drain(cks.head)
+      TraceStore.vacuumSnapshots(store)
+      val r1 = retiredCount(store)
+
+      // every follower commits past the rewrite → reclaimable. Commit-GC
+      // lags one batch (the engine commits N-1 when constructing N), so
+      // a final tiny append + drain is what retires each follower's
+      // pre-delete pin before the last vacuum
+      val restS = cks.tail.map(drain)
+      TraceStore.append(asTrace(ev
+        .filter(pmod(col("event_id"), lit(4096L)) === 0)
+        .withColumn("event_id", col("event_id") + lit(950L * 1000000000L))),
+        store, splitsPerMonth = 1)
+      cks.foreach(drain)
+      TraceStore.vacuumSnapshots(store)
+      val r2 = retiredCount(store)
+
+      val drains = (firstS +: restS).map(s => f"$s%.2f").mkString("[", ",", "]")
+      val line = f""""n$n":{"retired_after_delete":$r0,""" +
+        f""""retired_after_first":$r1,"retired_after_all":$r2,""" +
+        f""""follower_drain_s":$drains}"""
+      System.err.println(s"[cdcprobe-multi] $line")
+      line
+    }
+    println(lines.mkString(s"""{"metric":"cdc_multi","scale":$k,""", ",", "}"))
     spark.stop()
   }
 }

@@ -75,4 +75,20 @@ class BenchEmitSpec extends AnyFunSuite {
     assert((js \ "calib_after") == JDouble(1.567))
     assert(line.length <= 1400)
   }
+
+  test("a >2x internal calibration drift stamps a loud warning into the artifact") {
+    // stationary pair: no warning field (round 10's driver artifact
+    // drifted 4.7x internally with nothing in-band to flag it)
+    val quiet = Bench.compactLine(results(5), "sf", "a.json", calib = Some((0.40, 0.55)))
+    assert((JsonMethods.parse(quiet) \ "calib_drift_warning") == JNothing)
+    // drifted pair (either direction): warning rides the compact line...
+    val slow = Bench.compactLine(results(5), "sf", "a.json", calib = Some((0.426, 2.019)))
+    val JString(w) = (JsonMethods.parse(slow) \ "calib_drift_warning"): @unchecked
+    assert(w.contains("4.7x") && w.contains("not a stationary measurement"))
+    val fast = Bench.compactLine(results(5), "sf", "a.json", calib = Some((2.019, 0.426)))
+    assert((JsonMethods.parse(fast) \ "calib_drift_warning") != JNothing)
+    // ...and the shared field builder feeds the full line too
+    assert(Bench.calibWarnField(0.5, 0.6).isEmpty)
+    assert(Bench.calibWarnField(0.5, 1.2).nonEmpty)
+  }
 }
