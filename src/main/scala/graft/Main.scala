@@ -49,11 +49,14 @@ object Main {
   final case class DropSnapshot(tablePath: String, id: String) extends Action
   final case class ChangesSince(tablePath: String, id: String) extends Action
   final case class FollowRollup(tablePath: String, rollupPath: String,
-                                checkpointDir: String) extends Action
+                                checkpointDir: String,
+                                maxFiles: Option[Int] = None,
+                                maxBytes: Option[Long] = None) extends Action
   final case class Replicate(tablePath: String,
                              http: graft.sources.HttpBulkSink.Config,
                              checkpointDir: String,
-                             maxFiles: Option[Int]) extends Action
+                             maxFiles: Option[Int],
+                             maxBytes: Option[Long] = None) extends Action
   sealed trait EvolveOp
   final case class AddCol(name: String,
                           dtype: org.apache.spark.sql.types.DataType) extends EvolveOp
@@ -115,7 +118,12 @@ object Main {
       |  --compact-over N        compact months above N files (default 16)
       |  --compact-every N       with --watch: every N batches, drop expired
       |                          months and compact (TTL + background merges)
-      |  --max-files N           max files per micro-batch (default 64)
+      |  --max-files N           max files per micro-batch (default 64;
+      |                          with --follow-rollup/--replicate: bounds
+      |                          every CDC batch, bootstrap AND diffs)
+      |  --max-bytes N           with --follow-rollup/--replicate: byte
+      |                          budget per CDC micro-batch (composes
+      |                          with --max-files, tightest wins)
       |  --splits N              write splits per month partition (default 8)
       |  --completion-file NAME  exit when <log-dir>/NAME appears
       |                          (WATCH_COMPLETION_FILE)""".stripMargin
@@ -128,7 +136,7 @@ object Main {
     val switches = scala.collection.mutable.Set[String]()
     val files = scala.collection.mutable.ArrayBuffer[String]()
     val takesValue = Set("--db", "--table", "--table-path", "--log-dir",
-      "--checkpoint", "--max-files", "--splits", "--completion-file",
+      "--checkpoint", "--max-files", "--max-bytes", "--splits", "--completion-file",
       "--drop-before", "--compact-over", "--compact-every", "--retain-months",
       "--thin-keep-months", "--thin-factor", "--drop-snapshot", "--evolve-schema",
       "--changes-since", "--follow-rollup", "--addr")
@@ -162,6 +170,12 @@ object Main {
         case None => Right(None)
         case Some(v) => v.toIntOption.filter(_ >= 1).map(Some(_))
           .toRight(s"ERROR: $flag must be a positive int, got '$v'")
+      }
+    def posLongFlag(flag: String): Either[String, Option[Long]] =
+      flags.get(flag) match {
+        case None => Right(None)
+        case Some(v) => v.toLongOption.filter(_ >= 1L).map(Some(_))
+          .toRight(s"ERROR: $flag must be a positive integer, got '$v'")
       }
 
     val modes = switches.intersect(
@@ -265,9 +279,11 @@ object Main {
         tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
         rollup <- flags.get("--follow-rollup").filter(_.nonEmpty)
           .toRight("ERROR: --follow-rollup needs a rollup path")
+        maxFiles <- posIntFlag("--max-files")
+        maxBytes <- posLongFlag("--max-bytes")
       } yield FollowRollup(tablePath, rollup,
         opt("--checkpoint", "GRAFT_CHECKPOINT")
-          .getOrElse(s"$rollup/_checkpoint"))
+          .getOrElse(s"$rollup/_checkpoint"), maxFiles, maxBytes)
     else if (switches("--replicate"))
       // the reference's own endpoint contract (trace-converter.py:13-16,
       // 102): CLICKHOUSE_ADDR required, basic auth only when BOTH
@@ -278,6 +294,7 @@ object Main {
         db <- need("--db", "GRAFT_DB", "CLICKHOUSE_DB")
         table <- need("--table", "GRAFT_TABLE", "CLICKHOUSE_TABLE")
         maxFiles <- posIntFlag("--max-files")
+        maxBytes <- posLongFlag("--max-bytes")
       } yield {
         val (user, pass) =
           (env.get("CLICKHOUSE_USER").filter(_.nonEmpty),
@@ -289,7 +306,7 @@ object Main {
           graft.sources.HttpBulkSink.Config(addr, db, table, user, pass),
           opt("--checkpoint", "GRAFT_CHECKPOINT")
             .getOrElse(s"$tablePath/_replicate-checkpoint"),
-          maxFiles)
+          maxFiles, maxBytes)
       }
     else if (files.nonEmpty)
       for {
@@ -408,15 +425,16 @@ object Main {
       if (per.isEmpty) out(s"no changes since $id")
       else per.foreach(r =>
         out(s"${r.getString(0)} ${r.getString(1)} ${r.getLong(2)}"))
-    case FollowRollup(tablePath, rollupPath, ck) =>
+    case FollowRollup(tablePath, rollupPath, ck, maxFiles, maxBytes) =>
       // one catch-up pass on the operational cadence: between (never
       // concurrent with) store maintenance, per the CDC reader contract
-      val q = TraceStream.followRollup(session(), tablePath, rollupPath, ck)
+      val q = TraceStream.followRollup(session(), tablePath, rollupPath, ck,
+        maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
       q.awaitTermination()
       out(s"rollup at $rollupPath caught up with $tablePath")
-    case Replicate(tablePath, http, ck, maxFiles) =>
+    case Replicate(tablePath, http, ck, maxFiles, maxBytes) =>
       val q = TraceStream.replicateChanges(session(), tablePath, http, ck,
-        maxFilesPerTrigger = maxFiles)
+        maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
       q.awaitTermination()
       out(s"replicated changes of $tablePath to ${http.addr}")
     case EvolveSchema(tablePath, op) =>

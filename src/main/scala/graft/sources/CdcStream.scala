@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => OffsetV2, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -91,7 +91,8 @@ final class CdcSource(
     startingSnapshot: Option[String],
     initialLoad: Boolean,
     cleanupCommitted: Boolean,
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long] = None)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val spark: SparkSession = sqlContext.sparkSession
@@ -173,6 +174,70 @@ final class CdcSource(
     }
   }
 
+  // file-size caches for byte-budgeted admission: one stat per file per
+  // snapshot/transition, computed only when a bytes budget is in force
+  @volatile private var bootSizesCache: (String, IndexedSeq[Long]) = null
+  private def bootSizes(id: String): IndexedSeq[Long] = {
+    val c = bootSizesCache
+    if (c != null && c._1 == id) c._2
+    else {
+      val sz = TraceStore.keyBytes(path, keysOf(id))
+      bootSizesCache = (id, sz)
+      sz
+    }
+  }
+  @volatile private var diffSizesCache: ((String, String), IndexedSeq[Long]) = null
+  private def diffSizes(fromId: String, toId: String): IndexedSeq[Long] = {
+    val c = diffSizesCache
+    if (c != null && c._1 == ((fromId, toId))) c._2
+    else {
+      val sz = TraceStore.keyBytes(path, diffKeys(fromId, toId).map(_._1))
+      diffSizesCache = ((fromId, toId), sz)
+      sz
+    }
+  }
+
+  /** The files/bytes budgets a ReadLimit carries (composite = tightest
+    * of each kind); (None, None) = unbounded. */
+  private def budgets(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
+    case f: ReadMaxFiles => (Some(f.maxFiles()), None)
+    case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(budgets).foldLeft((Option.empty[Int], Option.empty[Long])) {
+        case ((f1, b1), (f2, b2)) =>
+          (Seq(f1, f2).flatten.reduceOption(_ min _),
+            Seq(b1, b2).flatten.reduceOption(_ min _))
+      }
+    case _ => (None, None)
+  }
+
+  /** Worklist index where the chunk starting at `from` ends: admit files
+    * until the files or bytes budget would be exceeded — always at least
+    * one, so an oversized file arrives alone (FileStreamSource's
+    * maxBytesPerTrigger contract; the batch is then bounded by the
+    * store's own file-size policy, which ingest and maintenance both
+    * honor). `sizeAt` is only consulted under a bytes budget, so the
+    * per-file stat pass is never paid for pure file-count admission. */
+  private def admit(count: Int, sizeAt: Int => Long, from: Int,
+                    limit: ReadLimit): Int = {
+    val (mf, mb) = budgets(limit)
+    if (mf.isEmpty && mb.isEmpty) count
+    else {
+      var k = from
+      var bytes = 0L
+      var stop = false
+      while (k < count && !stop) {
+        val sz = if (mb.isDefined) sizeAt(k) else 0L
+        val fits = mf.forall(k - from + 1 <= _) && mb.forall(bytes + sz <= _)
+        if (fits || k == from) {
+          bytes += sz; k += 1
+          if (!fits) stop = true // oversized lone file admitted by itself
+        } else stop = true
+      }
+      k
+    }
+  }
+
   // idle-poll fast path: a fingerprint (one stat per month dir — O(
   // partitions), never O(files)) certified idle by a FULL check. While
   // it holds, polls skip the live file-set listing entirely, so a
@@ -199,7 +264,13 @@ final class CdcSource(
   }
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+    (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
 
   override def initialOffset(): OffsetV2 = CdcOffset.Start
 
@@ -215,26 +286,29 @@ final class CdcSource(
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     // the engine passes null (not initialOffset) before the first batch
     val s = Option(start).map(CdcOffset.of).getOrElse(CdcOffset.Start)
-    val chunk = limit match {
-      case mf: ReadMaxFiles => Some(mf.maxFiles())
-      case _ => None
-    }
+    val unbounded = budgets(limit) == ((None, None))
+    def bootStep(id: String, k: Int): Int =
+      admit(keysOf(id).size, i => bootSizes(id)(i), k, limit)
+    def diffChunkEnd(fromId: String, toId: String, k: Int): Int =
+      admit(diffKeys(fromId, toId).size, i => diffSizes(fromId, toId)(i), k, limit)
     // one admission-controlled step from complete-at-fromId toward toId:
     // a small diff arrives whole; a table-scale one (retention sweep,
     // mass erase) arrives as bounded worklist slices
-    def diffStep(fromId: String, toId: String): CdcOffset = chunk match {
-      case Some(n) if diffKeys(fromId, toId).size > n =>
-        CdcOffset(toId, Some(n), Some(fromId))
-      case _ => CdcOffset(toId)
+    def diffStep(fromId: String, toId: String): CdcOffset = {
+      val m = diffKeys(fromId, toId).size
+      val n = if (unbounded) m else diffChunkEnd(fromId, toId, 0)
+      if (n >= m) CdcOffset(toId) else CdcOffset(toId, Some(n), Some(fromId))
     }
-    def firstChunkOf(o: CdcOffset): CdcOffset = chunk match {
-      case Some(n) if initialLoad && keysOf(o.snapshotId).size > n =>
-        CdcOffset(o.snapshotId, Some(n))
-      case Some(n) if !initialLoad &&
-          startingSnapshot.exists(f => diffKeys(f, o.snapshotId).size > n) =>
-        CdcOffset(o.snapshotId, Some(n), startingSnapshot)
-      case _ => o
-    }
+    def firstChunkOf(o: CdcOffset): CdcOffset =
+      if (unbounded) o
+      else if (initialLoad) {
+        val m = keysOf(o.snapshotId).size
+        val n = bootStep(o.snapshotId, 0)
+        if (n >= m) o else CdcOffset(o.snapshotId, Some(n))
+      } else startingSnapshot match {
+        case Some(f) => diffStep(f, o.snapshotId)
+        case None => o
+      }
     val target = availableNowTarget
     val next: CdcOffset = s match {
       // fresh stream: pin the current state (or serve the frozen target)
@@ -242,12 +316,11 @@ final class CdcSource(
         firstChunkOf(target.getOrElse(pinOwn()))
       // mid-bootstrap: one more chunk of the same immutable manifest
       case CdcOffset(id, Some(k), None) if k < keysOf(id).size =>
-        val m = keysOf(id).size
-        CdcOffset(id, Some(math.min(m, k + chunk.getOrElse(m))))
+        CdcOffset(id, Some(bootStep(id, k)))
       // mid-diff: one more slice of the same frozen worklist
       case CdcOffset(id, Some(k), Some(f)) if k < diffKeys(f, id).size =>
         val m = diffKeys(f, id).size
-        val k2 = math.min(m, k + chunk.getOrElse(m))
+        val k2 = if (unbounded) m else diffChunkEnd(f, id, k)
         if (k2 >= m) CdcOffset(id) else CdcOffset(id, Some(k2), Some(f))
       // complete (chunked-complete or plain): advance only on change
       case CdcOffset(id, _, _) => target match {
@@ -465,6 +538,13 @@ object CdcOffset {
   *    split a rewrite's cancelling insert+delete pair across batches —
   *    net zero for signed consumers (rollup maintenance, `_sign`
   *    replication); exact-batch consumers should leave it unset.
+  *  - `maxBytesPerTrigger` (default unbounded): byte-budgeted admission
+  *    for the same chunked paths — composes with `maxFilesPerTrigger`
+  *    (tightest wins per batch). Bounds batch SIZE even when file
+  *    counts mislead (a maintenance rewrite that coalesced into few
+  *    fat files); an oversized single file still arrives alone, so the
+  *    floor is the store's own file-size policy (FileStreamSource's
+  *    maxBytesPerTrigger contract).
   */
 final class CdcStreamProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
@@ -510,11 +590,13 @@ final class CdcStreamProvider extends StreamSourceProvider
     val path = pathOf(parameters)
     val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
     maxFiles.foreach(n => require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    maxBytes.foreach(n => require(n > 0, s"maxBytesPerTrigger must be positive, got $n"))
     new CdcSource(sqlContext, path, metadataPath,
       parameters.get("startingSnapshot").filterNot(_ == "latest"),
       parameters.get("initialLoad").exists(_.toBoolean),
       parameters.get("cleanupCommitted").forall(_.toBoolean),
-      maxFiles)
+      maxFiles, maxBytes)
   }
 }
 

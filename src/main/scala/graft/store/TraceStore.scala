@@ -1048,6 +1048,21 @@ object TraceStore {
   def snapshotFileCount(tablePath: String, id: String): Int =
     snapshotKeys(tablePath, id).size
 
+  /** Byte size of each manifest key, resolved live-or-retired — the
+    * admission-control weight for byte-bounded chunking (one stat per
+    * listed file, metadata only; a vacuumed key weighs 0 and the read
+    * path fails loudly on it later). */
+  def keyBytes(tablePath: String, keys: Seq[String]): IndexedSeq[Long] = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(tablePath)
+    val retired = root.resolve(RetiredDir)
+    keys.iterator.map { k =>
+      val live = root.resolve(k)
+      val p = if (Files.exists(live)) live else retired.resolve(k)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.toIndexedSeq
+  }
+
   /** When a snapshot was captured: its manifest's modification time. The
     * manifest is installed once (atomic rename) and never rewritten, so
     * this is stable across replays — the commit-time column a CDC feed

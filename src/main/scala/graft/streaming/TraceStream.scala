@@ -408,12 +408,14 @@ object TraceStream {
   def followRollup(spark: SparkSession, storePath: String, rollupPath: String,
                    checkpointDir: String,
                    trigger: Trigger = Trigger.AvailableNow(),
-                   maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+                   maxFilesPerTrigger: Option[Int] = None,
+                   maxBytesPerTrigger: Option[Long] = None): StreamingQuery = {
     var inc: String = null   // resolved on first batch — metadata exists by then
     val reader = spark.readStream.format("graft-cdc")
       .option("path", storePath)
       .option("initialLoad", "true")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
     reader
       .load()
       .writeStream
@@ -449,13 +451,15 @@ object TraceStream {
                        checkpointDir: String,
                        initialLoad: Boolean = true,
                        trigger: Trigger = Trigger.AvailableNow(),
-                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+                       maxFilesPerTrigger: Option[Int] = None,
+                       maxBytesPerTrigger: Option[Long] = None): StreamingQuery = {
     val reader = spark.readStream.format("graft-cdc")
       .option("path", storePath)
       .option("initialLoad", initialLoad.toString)
     // at scale the bootstrap must ride the bounded-chunk path — one
     // table-sized POST loop would defeat the admission control
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
     reader
       .load()
       .writeStream

@@ -114,6 +114,9 @@ object CdcProbe {
         .option("path", store)
         .option("initialLoad", "true")
         .option("maxFilesPerTrigger", "8")
+        // byte budget composes with the file budget: batches stay
+        // size-bounded even where file counts mislead
+        .option("maxBytesPerTrigger", (4L * 1024 * 1024).toString)
         .load()
         .writeStream
         .option("checkpointLocation", ck)
@@ -138,10 +141,15 @@ object CdcProbe {
       // post-bootstrap admission control: DELETE WHERE rewriting HALF
       // of every month — the table-scale maintenance shape. Run between
       // triggers (the documented cadence), then drained as worklist
-      // slices: max batch rows must stay chunk-sized at every scale
+      // slices: max batch rows must stay chunk-sized at every scale.
+      // The rewrite's splits scale with k so its output files stay
+      // ingest-sized (a real store's maintenance honors the same
+      // file-size policy as its ingest — k× the data is k× more files
+      // of the same size, exactly the replication philosophy of the
+      // store build above); the byte budget then bounds every batch
       batchRows.clear()
       TraceStore.deleteWhere(spark, store,
-        pmod(col("Severity"), lit(2)) === 0, splitsPerMonth = 16)
+        pmod(col("Severity"), lit(2)) === 0, splitsPerMonth = 16 * k)
       val t2 = System.nanoTime()
       val q2 = openStream()
       q2.processAllAvailable()

@@ -137,6 +137,13 @@ class MainParseSpec extends AnyFunSuite {
     assert(Main.parse(Seq("--follow-rollup", "/r", "--table-path", "/t",
       "--checkpoint", "/ck"), noEnv) ==
       Right(Main.FollowRollup("/t", "/r", "/ck")))
+    // admission knobs ride through; both budgets compose at the source
+    assert(Main.parse(Seq("--follow-rollup", "/r", "--table-path", "/t",
+      "--max-files", "8", "--max-bytes", "4194304"), noEnv) ==
+      Right(Main.FollowRollup("/t", "/r", "/r/_checkpoint",
+        Some(8), Some(4194304L))))
+    assert(Main.parse(Seq("--follow-rollup", "/r", "--table-path", "/t",
+      "--max-bytes", "no"), noEnv).swap.exists(_.contains("--max-bytes")))
     assert(Main.parse(Seq("--follow-rollup", "/r"), noEnv).isLeft) // needs path
     assert(Main.parse(Seq("--follow-rollup", "/r", "--snapshot",
       "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
@@ -155,14 +162,15 @@ class MainParseSpec extends AnyFunSuite {
     val env = Map("CLICKHOUSE_ADDR" -> "http://ch:8123", "CLICKHOUSE_DB" -> "fdb",
       "CLICKHOUSE_TABLE" -> "trace", "CLICKHOUSE_USER" -> "u",
       "CLICKHOUSE_PASS" -> "p", "GRAFT_TABLE_PATH" -> "/t")
-    assert(Main.parse(Seq("--replicate", "--max-files", "8"), env) ==
+    assert(Main.parse(Seq("--replicate", "--max-files", "8", "--max-bytes",
+      "1048576"), env) ==
       Right(Main.Replicate("/t",
         HttpBulkSink.Config("http://ch:8123", "fdb", "trace", Some("u"), Some("p")),
-        "/t/_replicate-checkpoint", Some(8))))
+        "/t/_replicate-checkpoint", Some(8), Some(1048576L))))
     assert(Main.parse(Seq("--replicate"), env - "CLICKHOUSE_ADDR").isLeft)
     // a lone user (no pass) posts unauthenticated, like the reference
     Main.parse(Seq("--replicate"), env - "CLICKHOUSE_PASS") match {
-      case Right(Main.Replicate(_, cfg, _, _)) =>
+      case Right(Main.Replicate(_, cfg, _, _, _)) =>
         assert(cfg.user.isEmpty && cfg.pass.isEmpty)
       case other => fail(other.toString)
     }

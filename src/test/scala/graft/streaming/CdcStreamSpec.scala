@@ -399,6 +399,40 @@ class CdcStreamSpec extends SparkSpec {
       s"crash+resume must still sum to the exact feed, got $net")
   }
 
+  test("maxBytesPerTrigger bounds batches by size; an oversized file arrives alone") {
+    val store = tmpDir("cdcbytes"); val ck = tmpDir("cdcbytes-ck")
+    // 4 months × 1 file each
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "ok", "2019-06-01 10:00:00"),
+      (30, "m3", "ok", "2019-07-01 10:00:00"),
+      (40, "m4", "ok", "2019-08-01 10:00:00")), store, splitsPerMonth = 1)
+    // a 1-byte budget is smaller than ANY parquet file: every file is
+    // "oversized" and must be admitted ALONE → 4 single-file batches
+    val runs = drain(store, ck,
+      Map("initialLoad" -> "true", "maxBytesPerTrigger" -> "1"))
+    assert(runs.size == 4, s"1-byte budget → one file per batch: $runs")
+    assert(runs.flatMap(_._2.map(_._2)).sorted == Seq(10, 20, 30, 40))
+
+    // post-bootstrap diff under the same budget: 2 new files → 2 batches
+    TraceStore.append(mk(
+      (50, "m5", "ok", "2019-09-01 10:00:00"),
+      (60, "m6", "ok", "2019-10-01 10:00:00")), store, splitsPerMonth = 1)
+    val r2 = drain(store, ck, Map("maxBytesPerTrigger" -> "1"))
+    assert(r2.size == 2, s"diff slices must honor the byte budget: $r2")
+    assert(r2.flatMap(_._2.map(_._2)).sorted == Seq(50, 60))
+
+    // a generous budget delivers the next diff whole, and composing a
+    // tighter file budget wins (tightest-of-each admission)
+    TraceStore.append(mk(
+      (70, "m7", "ok", "2019-11-01 10:00:00"),
+      (80, "m8", "ok", "2019-12-01 10:00:00")), store, splitsPerMonth = 1)
+    val r3 = drain(store, ck,
+      Map("maxBytesPerTrigger" -> s"${10L * 1024 * 1024}", "maxFilesPerTrigger" -> "1"))
+    assert(r3.size == 2, s"composite: the 1-file budget must win: $r3")
+    assert(r3.flatMap(_._2.map(_._2)).sorted == Seq(70, 80))
+  }
+
   test("a fresh stream from a user pin honors maxFilesPerTrigger (chunked first diff)") {
     val store = tmpDir("cdcuserchunk")
     val months = Seq("2019-05-10", "2019-06-10", "2019-07-10", "2019-08-10")
