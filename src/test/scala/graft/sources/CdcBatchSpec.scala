@@ -94,6 +94,33 @@ class CdcBatchSpec extends SparkSpec {
     }
   }
 
+  test("pure-SQL surface: CREATE TEMPORARY VIEW ... USING graft-cdc") {
+    val store = tmpDir("cdcbatch-sql")
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "bad", "2019-05-14 10:00:00")), store)
+    val s1 = TraceStore.snapshot(store)
+    TraceStore.deleteWhere(spark, store, col("Type") === "bad", splitsPerMonth = 1)
+    val s2 = TraceStore.snapshot(store)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW store_changes
+         |USING `graft-cdc`
+         |OPTIONS (path '$store', startingSnapshot '$s1', endingSnapshot '$s2')
+         |""".stripMargin)
+    try {
+      val rows = spark.sql(
+        """SELECT _change, Severity, _commit_snapshot FROM store_changes
+          |ORDER BY _change, Severity""".stripMargin).collect()
+        .map((r: Row) => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+      assert(rows == Seq(("delete", 20, s2)))
+      // SQL aggregation plans over the relation like any table
+      val n = spark.sql(
+        "SELECT count(*) FROM store_changes WHERE _change = 'delete'")
+        .collect().head.getLong(0)
+      assert(n == 1L)
+    } finally spark.sql("DROP VIEW IF EXISTS store_changes")
+  }
+
   test("swapping the pins flips the signs (reconciliation algebra)") {
     val store = tmpDir("cdcbatch-swap")
     TraceStore.append(mk((10, "m1", "ok", "2019-05-13 10:00:00")), store)
