@@ -400,13 +400,17 @@ object Main {
     case Snapshot(tablePath) =>
       out(s"snapshot ${store.TraceStore.snapshot(tablePath)}")
     case ListSnapshots(tablePath) =>
-      // annotate owned ids (a CDC stream's live offset pins) so cleanup
-      // advice can't point --drop-snapshot at a pin a stream depends on
+      // annotate capture time (the feed's _commit_ts) and owned ids (a
+      // CDC stream's live offset pins) so cleanup advice can't point
+      // --drop-snapshot at a pin a stream depends on
       val owners = store.TraceStore.snapshotOwners(tablePath)
       store.TraceStore.listSnapshots(tablePath) match {
         case Seq() => out("no snapshots")
-        case ids   => ids.foreach(id =>
-          out(owners.get(id).fold(id)(note => s"$id\t[$note]")))
+        case ids   => ids.foreach { id =>
+          val ts = store.TraceStore.snapshotTimestamp(tablePath, id)
+            .toInstant.toString
+          out(owners.get(id).fold(s"$id\t$ts")(note => s"$id\t$ts\t[$note]"))
+        }
       }
     case DropSnapshot(tablePath, id) =>
       val existed = store.TraceStore.dropSnapshot(tablePath, id)

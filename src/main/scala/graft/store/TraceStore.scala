@@ -1261,16 +1261,24 @@ object TraceStore {
   /** The signed changed-FILE worklist between two pins: every manifest
     * key present in exactly one of the two, tagged with its side
     * (`true` = only in `toId` → insert candidates; `false` = only in
-    * `fromId` → delete candidates), sorted by key then side. This is the
-    * admission-control unit for a chunked diff consumer: any partition
-    * of this list into slices, each read via [[readChangedKeys]], sums
-    * to EXACTLY [[readChangesBetween]]'s feed (signed row algebra is
-    * additive over file sets) — a rewrite's cancelling pairs may land in
-    * different slices, surfacing transiently as insert+delete of the
-    * same row, which nets to zero for any signed consumer. Key-order
-    * sorting keeps a month's retired and rewritten files adjacent, so
-    * most cancelling pairs stay intra-slice anyway. Two metadata reads,
-    * no data I/O. */
+    * `fromId` → delete candidates). This is the admission-control unit
+    * for a chunked diff consumer: any partition of this list into
+    * slices, each read via [[readChangedKeys]], sums to EXACTLY
+    * [[readChangesBetween]]'s feed (signed row algebra is additive over
+    * file sets) — a rewrite's cancelling pairs may land in different
+    * slices, surfacing transiently as insert+delete of the same row,
+    * which nets to zero for any signed consumer (amplification ≤ 2×,
+    * structural: each changed file is read once).
+    *
+    * Ordering is chosen to keep cancelling pairs IN the same slice:
+    * within each month, each side is sorted by name and assigned a
+    * fractional position, and the sides are merged by position — both
+    * the ingest and every maintenance rewrite range-partition a month's
+    * files by `Time`, so old file i/N and new file j/M at the same
+    * fraction cover the same time range and their rows cancel
+    * in-slice instead of across slices. Deterministic (a pure function
+    * of the two immutable manifests), so chunk offsets replay
+    * identically. Two metadata reads, no data I/O. */
   def changedKeysBetween(tablePath: String, fromId: String,
                          toId: String): IndexedSeq[(String, Boolean)] = {
     import java.nio.file.{Files, Paths}
@@ -1282,8 +1290,24 @@ object TraceStore {
       Files.readAllLines(mf).asScala.toSet.filter(_.nonEmpty)
     }
     val from = keysOf(fromId); val to = keysOf(toId)
-    (((to -- from).iterator.map(_ -> true)) ++
-      ((from -- to).iterator.map(_ -> false))).toIndexedSeq.sorted
+    val tagged = ((to -- from).iterator.map(_ -> true) ++
+      (from -- to).iterator.map(_ -> false)).toIndexedSeq
+    def monthOf(key: String): String = key.takeWhile(_ != '/')
+    tagged.groupBy(k => monthOf(k._1)).toIndexedSeq.sortBy(_._1)
+      .flatMap { case (_, entries) =>
+        val bySide = entries.groupBy(_._2).map { case (side, es) =>
+          side -> es.map(_._1).sorted
+        }
+        bySide.toIndexedSeq
+          .flatMap { case (side, names) =>
+            val n = names.size.toDouble
+            names.zipWithIndex.map { case (name, i) =>
+              ((i + 0.5) / n, name, side)
+            }
+          }
+          .sortBy { case (pos, name, side) => (pos, name, side) }
+          .map { case (_, name, side) => (name, side) }
+      }
   }
 
   /** Signed row diff over a slice of [[changedKeysBetween]]'s worklist —

@@ -303,7 +303,9 @@ class MainRunSpec extends SparkSpec {
     val id = out.last.stripPrefix("snapshot ")
     assert(id.matches("s\\d{6}"), out.last)
     Main.run(Main.ListSnapshots(table), out.append(_), () => spark)
-    assert(out.last == id)
+    // id<TAB>capture-time (ISO instant); user pins carry no owner note
+    assert(out.last.startsWith(s"$id\t"), out.last)
+    assert(out.last.split("\t")(1).endsWith("Z") && !out.last.contains("["), out.last)
     Main.run(Main.Maintain(table, None, 1, 1), _ => (), () => spark) // compacts
     assert(TraceStore.readSnapshot(spark, table, id).count() == 9)
     Main.run(Main.DropSnapshot(table, id), out.append(_), () => spark)

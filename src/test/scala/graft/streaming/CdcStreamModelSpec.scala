@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.store.TraceStore
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Model check for the `graft-cdc` source: across a RANDOMIZED store
+  * lifecycle (appends, DELETE WHEREs, compactions in arbitrary order)
+  * drained under RANDOMIZED admission control (unchunked, file-budget,
+  * byte-budget per drain), the signed accumulation of every delivered
+  * micro-batch must reconstruct the store's final content EXACTLY —
+  * the streaming completion of `SnapshotModelSpec`'s batch-feed model
+  * check. Fixed seed: failures reproduce. */
+class CdcStreamModelSpec extends SparkSpec {
+
+  private def mk(rows: Seq[(Int, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (sev, m, ty, t) =>
+      (sev, m, "default", Timestamp.valueOf(t), ty, s"id$sev")
+    }.toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID")
+  }
+
+  test("randomized lifecycle × randomized admission: the signed feed reconstructs the table") {
+    val rnd = new scala.util.Random(20260816L)
+    val store = tmpDir("cdcmodel"); val ck = tmpDir("cdcmodel-ck")
+
+    // signed multiset accumulation of every delivered batch
+    val acc = scala.collection.mutable.Map[(Int, String, String), Long]()
+      .withDefaultValue(0L)
+    val sink: (DataFrame, Long) => Unit = (df, _) => {
+      df.select("Severity", "Machine", "Type", "_change").collect().foreach {
+        (r: Row) =>
+          val k = (r.getInt(0), r.getString(1), r.getString(2))
+          val d = if (r.getString(3) == "insert") 1L else -1L
+          if (acc(k) + d == 0L) acc.remove(k) else acc(k) += d
+      }
+      ()
+    }
+    def drain(): Unit = {
+      val reader = spark.readStream.format("graft-cdc")
+        .option("path", store).option("initialLoad", "true")
+      // randomized admission per drain: the offsets in ONE shared
+      // checkpoint mix unchunked, file-budgeted, and byte-budgeted
+      // epochs — chunk-boundary replay must stay exact through all
+      rnd.nextInt(3) match {
+        case 0 =>
+        case 1 => reader.option("maxFilesPerTrigger", (1 + rnd.nextInt(3)).toString)
+        case 2 => reader.option("maxBytesPerTrigger",
+          if (rnd.nextBoolean()) "1" else (64L * 1024).toString)
+      }
+      val q = reader.load()
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).foreachBatch(sink).start()
+      q.awaitTermination()
+    }
+
+    var sev = 0
+    def randRows(n: Int): Seq[(Int, String, String, String)] =
+      (1 to n).map { _ =>
+        sev += 1
+        (sev, s"m${rnd.nextInt(4)}",
+          if (rnd.nextBoolean()) "ok" else "bad",
+          f"2019-0${5 + rnd.nextInt(3)}%d-1${rnd.nextInt(9)}%d 10:00:00")
+      }
+
+    TraceStore.append(mk(randRows(6)), store, splitsPerMonth = 2)
+    drain() // bootstrap
+
+    (1 to 18).foreach { _ =>
+      rnd.nextInt(5) match {
+        case 0 | 1 | 2 =>
+          TraceStore.append(mk(randRows(1 + rnd.nextInt(5))), store,
+            splitsPerMonth = 1 + rnd.nextInt(2))
+        case 3 =>
+          TraceStore.deleteWhere(spark, store,
+            pmod(col("Severity"), lit(5)) === rnd.nextInt(5),
+            splitsPerMonth = 1 + rnd.nextInt(2))
+        case 4 =>
+          TraceStore.compact(spark, store, maxFilesPerMonth = 1,
+            splitsPerMonth = 1)
+      }
+      drain() // every mutation drained under a fresh random budget
+    }
+
+    val expected = TraceStore.read(spark, store)
+      .groupBy(col("Severity"), col("Machine"), col("Type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map((r: Row) => (r.getInt(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(acc.toMap == expected,
+      s"signed feed diverged from the table: extra=${(acc.toMap.toSet -- expected.toSet).take(5)} " +
+        s"missing=${(expected.toSet -- acc.toMap.toSet).take(5)}")
+    assert(acc.nonEmpty, "degenerate run: the lifecycle left an empty table")
+  }
+}
