@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Model check for the `graft-cdc` source: across a RANDOMIZED store
-  * lifecycle (appends, DELETE WHEREs, compactions in arbitrary order)
+  * lifecycle (appends, DELETE WHEREs, compactions, month retention in
+  * arbitrary order — including re-appending into a retained-away month)
   * drained under RANDOMIZED admission control (unchunked, file-budget,
   * byte-budget per drain), the signed accumulation of every delivered
   * micro-batch must reconstruct the store's final content EXACTLY —
@@ -70,7 +71,7 @@ class CdcStreamModelSpec extends SparkSpec {
     drain() // bootstrap
 
     (1 to 18).foreach { _ =>
-      rnd.nextInt(5) match {
+      rnd.nextInt(7) match {
         case 0 | 1 | 2 =>
           TraceStore.append(mk(randRows(1 + rnd.nextInt(5))), store,
             splitsPerMonth = 1 + rnd.nextInt(2))
@@ -81,6 +82,14 @@ class CdcStreamModelSpec extends SparkSpec {
         case 4 =>
           TraceStore.compact(spark, store, maxFilesPerMonth = 1,
             splitsPerMonth = 1)
+        case 5 =>
+          // month retention: dropped months must arrive as deletes; a
+          // later random append may re-create a dropped month (legal —
+          // its rows arrive as fresh inserts)
+          TraceStore.retainLastMonths(store, 2)
+        case 6 =>
+          TraceStore.append(mk(randRows(1 + rnd.nextInt(3))), store,
+            splitsPerMonth = 1 + rnd.nextInt(2))
       }
       drain() // every mutation drained under a fresh random budget
     }

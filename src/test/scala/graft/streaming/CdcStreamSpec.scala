@@ -399,6 +399,51 @@ class CdcStreamSpec extends SparkSpec {
       s"crash+resume must still sum to the exact feed, got $net")
   }
 
+  test("schema evolution mid-CHUNKED-DIFF: restart resumes the slice sequence under the new schema") {
+    val store = tmpDir("cdcevodiff"); val ck = tmpDir("cdcevodiff-ck")
+    val months = Seq("2019-05-10", "2019-06-10", "2019-07-10", "2019-08-10")
+    TraceStore.append(mk((1, "m0", "ok", "2019-04-01 10:00:00")), store, splitsPerMonth = 1)
+    drain(store, ck, Map("initialLoad" -> "true"))
+    // 4 new one-file months → a 4-slice diff at 1 file/trigger
+    TraceStore.append(mk(months.zipWithIndex.map { case (d, i) =>
+      (10 + i, "m1", "ok", s"$d 10:00:00")
+    }: _*), store, splitsPerMonth = 1)
+
+    // evolve the store after the FIRST slice lands: the next slice reads
+    // through the evolved stored schema and must fail with the restart
+    // instruction, mid-diff
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+    val fn: (DataFrame, Long) => Unit = (df, _) => {
+      seen += df.select("Severity").collect().map((r: Row) => r.getInt(0)).toSeq.sorted
+      if (seen.size == 1)
+        TraceStore.evolveSchema(store,
+          org.apache.spark.sql.types.StructField("Region",
+            org.apache.spark.sql.types.StringType, nullable = true))
+      ()
+    }
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", store).option("maxFilesPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).foreachBatch(fn).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("Restart the stream")), messages(ex))
+    val delivered = seen.flatten.toSet
+    assert(delivered.nonEmpty && delivered.subsetOf(Set(10, 11, 12, 13)))
+
+    // a fresh stream (evolved schema, same checkpoint) resumes the
+    // remaining slices — nothing re-delivered, nothing lost
+    val rest = drain(store, ck, Map("maxFilesPerTrigger" -> "1"))
+    val resumed = rest.flatMap(_._2.map(_._2)).toSet
+    assert(delivered.intersect(resumed).isEmpty,
+      s"slice re-delivery across the evolution restart: $delivered vs $resumed")
+    assert(delivered ++ resumed == Set(10, 11, 12, 13),
+      s"diff lost rows across the restart: $delivered ++ $resumed")
+  }
+
   test("maxBytesPerTrigger bounds batches by size; an oversized file arrives alone") {
     val store = tmpDir("cdcbytes"); val ck = tmpDir("cdcbytes-ck")
     // 4 months × 1 file each
