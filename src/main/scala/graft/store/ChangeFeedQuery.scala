@@ -400,6 +400,73 @@ object ChangeFeedQuery {
        |FROM buckets GROUP BY 1, 2 ORDER BY band, bkey""".stripMargin
   }
 
+  private val composed = new graft.util.SessionDirCache[(String, String, String, String)]
+
+  /** q232 — the diff algebra's COMPOSITION law, graded at the user
+    * surface: for any three pins p1 → p2 → p3,
+    * `changes(p1,p3) = changes(p1,p2) ⊕ changes(p2,p3)` under signed
+    * summation — the property that lets a consumer catch up over N
+    * missed maintenance cycles in one bounded diff instead of N, and
+    * the algebra every chunked slice relies on. The fixture drives a
+    * fresh store through append → (append + DELETE WHERE) → (compact +
+    * append), pinning between phases; both sides are read through the
+    * `spark.read.format("graft-cdc")` relation and compared per
+    * (Machine, signed count, signed severity sum). The oracle
+    * recomputes the DIRECT diff from raw events and asserts the
+    * `matches` column — a composition violation (a row double-counted
+    * across the intermediate pin, or a compaction leaking into one leg
+    * only) flips it to false and fails the hash gate. */
+  def q232DiffCompose(s: SparkSession, dir: String): DataFrame = {
+    val (path, p1, p2, p3) = composed(s, dir) { (sess, d) =>
+      val store = graft.util.TmpDirs.scratch("graft-cdc-compose")
+      val ev = graft.tables.Tables.events(sess, d)
+      val batch = pmod(col("event_id"), lit(3L))
+      TraceStore.append(asTrace(ev.filter(batch === 0)), store, splitsPerMonth = 2)
+      val a = TraceStore.snapshot(store)
+      TraceStore.append(asTrace(ev.filter(batch === 1)), store, splitsPerMonth = 2)
+      TraceStore.deleteWhere(sess, store, col("Type") === "error", splitsPerMonth = 2)
+      val b = TraceStore.snapshot(store)
+      TraceStore.compact(sess, store, maxFilesPerMonth = 1, splitsPerMonth = 2)
+      TraceStore.append(asTrace(ev.filter(batch === 2)), store, splitsPerMonth = 2)
+      val c = TraceStore.snapshot(store)
+      (store, a, b, c)
+    }
+    def signedAgg(from: String, to: String): DataFrame = {
+      val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+      s.read.format("graft-cdc").option("path", path)
+        .option("startingSnapshot", from).option("endingSnapshot", to).load()
+        .groupBy(col("Machine"))
+        .agg(sum(sign).as("n"), sum(sign * col("Severity").cast("long")).as("sum_sev"))
+    }
+    val direct = signedAgg(p1, p3)
+    val legs = signedAgg(p1, p2).unionByName(signedAgg(p2, p3))
+      .groupBy(col("Machine"))
+      .agg(sum(col("n")).as("n2"), sum(col("sum_sev")).as("ss2"))
+    direct.join(legs, Seq("Machine"), "full_outer")
+      .select(col("Machine"), col("n"), col("sum_sev"),
+        (col("n") <=> col("n2") && col("sum_sev") <=> col("ss2")).as("matches"))
+      .orderBy(col("Machine"))
+  }
+
+  // the direct p1→p3 signed delta from raw events: net new rows =
+  // batches 1,2 minus batch-1 rows erased in phase 2 (batch-0 erased
+  // rows count negative; compaction nets to zero by construction)
+  val q232Sql: String =
+    """SELECT Machine, sum(sgn)::BIGINT AS n,
+      |  (sum(sgn * (((event_id % 1000000000) + 1000000000) % 1000000000)))::BIGINT AS sum_sev,
+      |  true AS matches
+      |FROM (
+      |  SELECT 'm' || (user_id % 8) AS Machine, 1 AS sgn, event_id
+      |  FROM events WHERE event_id % 3 = 1 AND event_type <> 'error'
+      |  UNION ALL
+      |  SELECT 'm' || (user_id % 8), 1, event_id
+      |  FROM events WHERE event_id % 3 = 2
+      |  UNION ALL
+      |  SELECT 'm' || (user_id % 8), -1, event_id
+      |  FROM events WHERE event_id % 3 = 0 AND event_type = 'error'
+      |)
+      |GROUP BY 1 ORDER BY Machine""".stripMargin
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
@@ -407,5 +474,6 @@ object ChangeFeedQuery {
     ("q229_commit_window", q229CommitWindow _, Some(q229Sql)),
     ("q230_batch_changes", q230BatchChanges _, Some(q230Sql)),
     ("q231_incremental_lsh", q231IncrementalLsh _, Some(q231Sql)),
+    ("q232_diff_compose", q232DiffCompose _, Some(q232Sql)),
   )
 }
