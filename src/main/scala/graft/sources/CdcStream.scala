@@ -606,29 +606,55 @@ final class CdcStreamProvider extends StreamSourceProvider
   * cost ∝ changed files, never the table); commit metadata columns
   * carry the ending pin, or null when diffing to the un-pinned live
   * state. Both pins stay the CALLER's to manage — a batch read never
-  * creates or drops snapshots. */
+  * creates or drops snapshots.
+  *
+  * Filter pushdown CROSSES the diff: a deterministic row predicate
+  * over the data columns distributes over multiset difference, so it
+  * filters both candidate sides before the signed pass and reaches the
+  * parquet scans — a consumer reading one machine's changes out of a
+  * 100 TB store's rewrite pays for that machine's rows of the changed
+  * files, not all rows. Column pruning stays ABOVE the diff (pruning
+  * below it would cancel rows that differ only in dropped columns);
+  * filters on `_change`/`_commit_*` are left to Spark's re-application
+  * above the scan. */
 final class CdcBatchRelation(
     override val sqlContext: SQLContext,
     path: String,
     fromId: String,
     toId: Option[String])
   extends org.apache.spark.sql.sources.BaseRelation
-  with org.apache.spark.sql.sources.TableScan {
+  with org.apache.spark.sql.sources.PrunedFilteredScan {
 
   override val schema: StructType = CdcStreamProvider.feedSchema(path)
 
   override def needConversion: Boolean = false
 
-  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+  // every filter is re-applied by Spark above the scan (unhandledFilters
+  // default), so the pushdown below is a pure I/O optimization — a
+  // filter this relation declines to translate costs nothing in
+  // correctness, only in bytes read
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     val spark = sqlContext.sparkSession
     import org.apache.spark.sql.types.TimestampType
+    // predicates over the DATA columns distribute over the signed diff
+    // and push below it, reaching the parquet scans of both candidate
+    // sides; predicates touching _change/_commit_* only exist above the
+    // diff and stay with Spark's re-application
+    val dataCols = schema.fieldNames.toSet --
+      Set("_change") -- CdcStreamProvider.commitFields.map(_.name)
+    val pushed = filters.toSeq
+      .filter(_.references.forall(dataCols.contains))
+      .flatMap(CdcBatchRelation.translate)
+      .reduceOption(_ && _)
     val df = toId match {
       case Some(t) =>
-        TraceStore.readChangesBetween(spark, path, fromId, t)
+        TraceStore.readChangesBetween(spark, path, fromId, t, pushed)
           .withColumn("_commit_snapshot", lit(t))
           .withColumn("_commit_ts", lit(TraceStore.snapshotTimestamp(path, t)))
       case None =>
-        TraceStore.readChangesSince(spark, path, fromId)
+        TraceStore.readChangesSince(spark, path, fromId, pushed)
           .withColumn("_commit_snapshot", lit(null).cast(StringType))
           .withColumn("_commit_ts", lit(null).cast(TimestampType))
     }
@@ -639,13 +665,44 @@ final class CdcBatchRelation(
         s"graft-cdc: store schema evolved between load() and the scan " +
           s"(declared ${want.map(_._1).mkString(",")}; feed produces " +
           s"${got.map(_._1).mkString(",")}) — re-run load() to adopt it")
+    // column pruning happens ABOVE the diff (pruning below it would let
+    // rows differing only in dropped columns cancel — wrong multiset);
+    // it still spares the InternalRow hand-off the dropped columns
+    val projected =
+      if (requiredColumns.toSeq == schema.fieldNames.toSeq) df
+      else df.select(requiredColumns.map(col).toIndexedSeq: _*)
     // needConversion=false: hand Catalyst the diff plan's InternalRow RDD
-    Shim.toInternalRdd(df)
+    Shim.toInternalRdd(projected)
       .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   }
 
   override def toString: String =
     s"CdcBatchRelation[$path, $fromId..${toId.getOrElse("live")}]"
+}
+
+object CdcBatchRelation {
+  import org.apache.spark.sql.sources._
+
+  /** source.Filter → Column for the common shapes; None declines the
+    * pushdown (Spark still applies the filter above — see buildScan). */
+  private[sources] def translate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case Or(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case Not(c) => translate(c).map(!_)
+    case _ => None
+  }
 }
 
 object CdcStreamProvider {

@@ -1203,7 +1203,14 @@ object TraceStore {
     * cadence, not concurrently with it — or pin a fresh snapshot first
     * and use [[readChangesBetween]], whose both sides are immutable
     * manifests. */
-  def readChangesSince(spark: SparkSession, tablePath: String, id: String): DataFrame = {
+  def readChangesSince(spark: SparkSession, tablePath: String, id: String): DataFrame =
+    readChangesSince(spark, tablePath, id, None)
+
+  /** [[readChangesSince]] with a row predicate pushed below the diff —
+    * same distribution argument (and same column-pruning caveat) as the
+    * filtered [[readChangesBetween]]. */
+  def readChangesSince(spark: SparkSession, tablePath: String, id: String,
+                       rowFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val root = Paths.get(tablePath)
@@ -1216,9 +1223,13 @@ object TraceStore {
     require(Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
     val pinned = Files.readAllLines(mf).asScala.toSet.filter(_.nonEmpty)
     val live = liveKeys(root)
+    def side(keys: Seq[String]): DataFrame = {
+      val df = readResolvedKeys(spark, root, keys, s"change feed since $id")
+      rowFilter.fold(df)(df.filter)
+    }
     signedDiff(
-      readResolvedKeys(spark, root, (live -- pinned).toSeq.sorted, s"change feed since $id"),
-      readResolvedKeys(spark, root, (pinned -- live).toSeq.sorted, s"change feed since $id"))
+      side((live -- pinned).toSeq.sorted),
+      side((pinned -- live).toSeq.sorted))
   }
 
   /** Both sides of a multiset row diff in ONE pass: union the sides with
@@ -1255,8 +1266,23 @@ object TraceStore {
     * expects. Cost ∝ files that differ, never the table. */
   def readChangesBetween(spark: SparkSession, tablePath: String,
                          fromId: String, toId: String): DataFrame =
+    readChangesBetween(spark, tablePath, fromId, toId, None)
+
+  /** [[readChangesBetween]] with a row predicate pushed BELOW the diff:
+    * a deterministic per-row filter over the data columns distributes
+    * over multiset difference (`filter(f)(A ⊖ B) = filter(f)(A) ⊖
+    * filter(f)(B)` — membership of a row in either side depends only on
+    * that row), so both candidate sides filter before the signed pass
+    * and Catalyst pushes the predicate into the parquet scans. The I/O
+    * saving a filtering CDC consumer expects: changed files are still
+    * the pruning unit, but only matching ROWS of them are read. NOT
+    * sound for column pruning (projection below the diff can cancel
+    * rows that differ only in dropped columns) — prune ABOVE the diff. */
+  def readChangesBetween(spark: SparkSession, tablePath: String,
+                         fromId: String, toId: String,
+                         rowFilter: Option[org.apache.spark.sql.Column]): DataFrame =
     readChangedKeys(spark, tablePath, changedKeysBetween(tablePath, fromId, toId),
-      s"changes $fromId..$toId")
+      s"changes $fromId..$toId", rowFilter)
 
   /** The signed changed-FILE worklist between two pins: every manifest
     * key present in exactly one of the two, tagged with its side
@@ -1317,12 +1343,15 @@ object TraceStore {
     * one signed pass ([[signedDiff]]). */
   private[graft] def readChangedKeys(spark: SparkSession, tablePath: String,
                                      slice: Seq[(String, Boolean)],
-                                     what: String): DataFrame = {
+                                     what: String,
+                                     rowFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val root = java.nio.file.Paths.get(tablePath)
     val (news, olds) = slice.partition(_._2)
-    signedDiff(
-      readResolvedKeys(spark, root, news.map(_._1), what),
-      readResolvedKeys(spark, root, olds.map(_._1), what))
+    def side(keys: Seq[String]): DataFrame = {
+      val df = readResolvedKeys(spark, root, keys, what)
+      rowFilter.fold(df)(df.filter)
+    }
+    signedDiff(side(news.map(_._1)), side(olds.map(_._1)))
   }
 
   /** One step of the operational CDC cursor cycle: pin the CURRENT state

@@ -94,6 +94,53 @@ class CdcBatchSpec extends SparkSpec {
     }
   }
 
+  test("filter pushdown crosses the diff; pruning stays above it; _change filters stay with Spark") {
+    val store = tmpDir("cdcbatch-push")
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "bad", "2019-05-14 10:00:00"),
+      (30, "m1", "bad", "2019-06-01 10:00:00")), store, splitsPerMonth = 1)
+    val s1 = TraceStore.snapshot(store)
+    TraceStore.append(mk((40, "m1", "ok", "2019-07-01 10:00:00")), store)
+    TraceStore.deleteWhere(spark, store, col("Type") === "bad", splitsPerMonth = 1)
+    val s2 = TraceStore.snapshot(store)
+    def feed = spark.read.format("graft-cdc")
+      .option("path", store).option("startingSnapshot", s1)
+      .option("endingSnapshot", s2).load()
+
+    // a data-column filter (pushed below the diff into both sides)
+    val m1 = feed.filter(col("Machine") === "m1")
+      .select("_change", "Severity").collect()
+      .map((r: Row) => (r.getString(0), r.getInt(1))).toSeq.sorted
+    assert(m1 == Seq(("delete", 30), ("insert", 40)))
+    // range + conjunction
+    val hi = feed.filter(col("Severity") >= 25 && col("Machine").startsWith("m"))
+      .select("_change", "Severity").collect()
+      .map((r: Row) => (r.getString(0), r.getInt(1))).toSeq.sorted
+    assert(hi == Seq(("delete", 20), ("delete", 30), ("insert", 40)).filter(_._2 >= 25))
+    // a feed-metadata filter is NOT pushable — still exact via Spark
+    val dels = feed.filter(col("_change") === "delete").count()
+    assert(dels == 2L)
+    // pruning above the diff: a single-column projection and a bare count
+    assert(feed.select("Severity").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(20, 30, 40))
+    assert(feed.count() == 3L)
+  }
+
+  test("the filter translator covers the common shapes and declines the rest") {
+    import org.apache.spark.sql.sources._
+    assert(CdcBatchRelation.translate(EqualTo("Machine", "m1")).isDefined)
+    assert(CdcBatchRelation.translate(In("Severity", Array(1, 2))).isDefined)
+    assert(CdcBatchRelation.translate(
+      And(GreaterThan("Severity", 5), StringContains("Type", "o"))).isDefined)
+    assert(CdcBatchRelation.translate(
+      Or(IsNull("Type"), Not(LessThanOrEqual("Severity", 3)))).isDefined)
+    // an untranslatable leaf poisons the whole conjunct — declined, and
+    // Spark's re-application keeps the result exact
+    assert(CdcBatchRelation.translate(
+      And(EqualTo("Machine", "m1"), AlwaysTrue())).isEmpty)
+  }
+
   test("pure-SQL surface: CREATE TEMPORARY VIEW ... USING graft-cdc") {
     val store = tmpDir("cdcbatch-sql")
     TraceStore.append(mk(
