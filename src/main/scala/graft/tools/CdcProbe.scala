@@ -148,6 +148,7 @@ object CdcProbe {
       // of the same size, exactly the replication philosophy of the
       // store build above); the byte budget then bounds every batch
       batchRows.clear()
+      val preDel = TraceStore.snapshot(store) // user pin: the batch read's base
       TraceStore.deleteWhere(spark, store,
         pmod(col("Severity"), lit(2)) === 0, splitsPerMonth = 16 * k)
       val t2 = System.nanoTime()
@@ -157,6 +158,25 @@ object CdcProbe {
       q2.stop()
       val (delChunks, delMaxChunk, delRows) =
         (batchRows.size, batchRows.max, batchRows.sum)
+
+      // batch (table_changes) read of the same rewrite: full diff vs a
+      // one-machine filter pushed BELOW the diff into the parquet scans
+      // of both candidate sides — the filtered read's advantage must
+      // come from rows skipped at the scan, and both are exact
+      val postDel = TraceStore.snapshot(store)
+      def timeRead(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+          : (Double, Long) = {
+        val b0 = System.nanoTime()
+        val n = f(spark.read.format("graft-cdc").option("path", store)
+          .option("startingSnapshot", preDel).option("endingSnapshot", postDel)
+          .load()).count()
+        ((System.nanoTime() - b0) / 1e9, n)
+      }
+      val (fullS, fullN) = timeRead(identity)
+      val (filtS, filtN) = timeRead(_.filter(col("Machine") === "m3"))
+      TraceStore.dropSnapshot(store, preDel)
+      TraceStore.dropSnapshot(store, postDel)
+      TraceStore.vacuumSnapshots(store)
 
       // idle-poll latency on the real source poll path: first poll pins,
       // second certifies idle + arms the fingerprint; the steady-state
@@ -186,6 +206,8 @@ object CdcProbe {
         f""""incr_s":$incS%.2f,"incr_rows":$incRows,""" +
         f""""del_s":$delS%.2f,"del_chunks":$delChunks,""" +
         f""""del_max_chunk_rows":$delMaxChunk,"del_rows":$delRows,""" +
+        f""""batch_full_s":$fullS%.2f,"batch_full_rows":$fullN,""" +
+        f""""batch_filt_s":$filtS%.2f,"batch_filt_rows":$filtN,""" +
         f""""idle_poll_ms":${med(polls)}%.2f,"idle_full_ms":${med(fulls)}%.2f}"""
       System.err.println(s"[cdcprobe] $line")
       line
