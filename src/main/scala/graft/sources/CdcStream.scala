@@ -523,9 +523,12 @@ object CdcOffset {
   *    `startingSnapshot`.
   *  - `startingSnapshot` (default `latest`): `latest` starts the feed
   *    at the stream's first trigger (changes AFTER start); an explicit
-  *    pinned id starts it there (first batch = changes from that pin;
-  *    the pin stays the USER's to manage — drop it after the first
-  *    batch commits).
+  *    pinned id starts it there (first delivery = changes from that
+  *    pin; the pin stays the USER's to manage — under admission
+  *    control the first diff arrives as SEVERAL chunks that all
+  *    replay against it, so drop it only after the stream's offset
+  *    reaches a complete `{"snapshot":…}` form, not after the first
+  *    batch).
   *  - `cleanupCommitted` (default true): on commit, drop the pins this
   *    stream created below the committed offset and vacuum.
   *  - `maxFilesPerTrigger` (default unbounded): admission control for

@@ -1304,7 +1304,11 @@ object TraceStore {
     * fraction cover the same time range and their rows cancel
     * in-slice instead of across slices. Deterministic (a pure function
     * of the two immutable manifests), so chunk offsets replay
-    * identically. Two metadata reads, no data I/O. */
+    * identically — which also makes this ordering part of the OFFSET
+    * CONTRACT: changing it while any checkpoint holds a mid-diff
+    * offset would silently re-slice that diff, so a future reorder
+    * must version the offset (a new json field) rather than redefine
+    * the existing one. Two metadata reads, no data I/O. */
   def changedKeysBetween(tablePath: String, fromId: String,
                          toId: String): IndexedSeq[(String, Boolean)] = {
     import java.nio.file.{Files, Paths}

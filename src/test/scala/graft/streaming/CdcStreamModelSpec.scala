@@ -25,7 +25,11 @@ class CdcStreamModelSpec extends SparkSpec {
   }
 
   test("randomized lifecycle × randomized admission: the signed feed reconstructs the table") {
-    val rnd = new scala.util.Random(20260816L)
+    // fixed default seed (deterministic CI); soak runs override it:
+    //   GRAFT_CDC_MODEL_SEED=n sbt "testOnly graft.streaming.CdcStreamModelSpec"
+    val seed = sys.env.get("GRAFT_CDC_MODEL_SEED").map(_.toLong).getOrElse(20260816L)
+    info(s"model seed = $seed")
+    val rnd = new scala.util.Random(seed)
     val store = tmpDir("cdcmodel"); val ck = tmpDir("cdcmodel-ck")
 
     // signed multiset accumulation of every delivered batch
