@@ -407,9 +407,14 @@ object Main {
       store.TraceStore.listSnapshots(tablePath) match {
         case Seq() => out("no snapshots")
         case ids   => ids.foreach { id =>
-          val ts = store.TraceStore.snapshotTimestamp(tablePath, id)
-            .toInstant.toString
-          out(owners.get(id).fold(s"$id\t$ts")(note => s"$id\t$ts\t[$note]"))
+          // a concurrent stream's commit-GC (or another operator's
+          // --drop-snapshot) may drop the manifest between the listing
+          // and this stat — skip the vanished id instead of crashing
+          // the whole listing mid-print
+          scala.util.Try(store.TraceStore.snapshotTimestamp(tablePath, id)
+            .toInstant.toString).toOption.foreach { ts =>
+            out(owners.get(id).fold(s"$id\t$ts")(note => s"$id\t$ts\t[$note]"))
+          }
         }
       }
     case DropSnapshot(tablePath, id) =>

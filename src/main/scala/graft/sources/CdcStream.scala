@@ -244,13 +244,27 @@ final class CdcSource(
   // short-interval trigger on an ~800k-file store pays metadata stats,
   // not a full listing, per poll. Captured BEFORE the authoritative
   // check: a mutation landing in between invalidates conservatively.
-  @volatile private var idleCache: (String, String) = null
+  //
+  // The fingerprint is mtime-based, and filesystems with coarse
+  // timestamp granularity (HDFS ms, 1 s on older local/NFS) can absorb
+  // a mutation landing in the SAME tick right after a successful
+  // certification — last-write-then-quiet would then be withheld for as
+  // long as the store stays otherwise idle. Bound that window: the
+  // certification expires after IdleRecheckEvery fingerprint hits, so a
+  // full snapshotMatchesLive re-runs at worst every N polls (amortized
+  // 1/N of the full-listing cost; a tick-absorbed change is delivered
+  // at most N trigger intervals late instead of indefinitely).
+  private val IdleRecheckEvery = 64
+  @volatile private var idleCache: (String, String, Int) = null
   private def matchesLive(id: String): Boolean = {
     val fp = TraceStore.liveFingerprint(path)
     val c = idleCache
-    if (c != null && c._1 == id && c._2 == fp) true
-    else if (TraceStore.snapshotMatchesLive(path, id)) { idleCache = (id, fp); true }
-    else false
+    if (c != null && c._1 == id && c._2 == fp && c._3 < IdleRecheckEvery) {
+      idleCache = (c._1, c._2, c._3 + 1)
+      true
+    } else if (TraceStore.snapshotMatchesLive(path, id)) {
+      idleCache = (id, fp, 1); true
+    } else false
   }
 
   // Trigger.AvailableNow: the run's end state, frozen at the first
@@ -591,10 +605,18 @@ final class CdcStreamProvider extends StreamSourceProvider
       providerName: String,
       parameters: Map[String, String]): Source = {
     val path = pathOf(parameters)
-    val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
-    maxFiles.foreach(n => require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
-    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
-    maxBytes.foreach(n => require(n > 0, s"maxBytesPerTrigger must be positive, got $n"))
+    // descriptive failure for a non-numeric value, matching the batch
+    // relation's startingSnapshot validation style (a bare .toInt/.toLong
+    // would surface as a raw NumberFormatException naming no option)
+    def numeric[T](opt: String, parse: String => Option[T])(check: T => Boolean): Option[T] =
+      parameters.get(opt).map { v =>
+        val n = parse(v).getOrElse(throw new IllegalArgumentException(
+          s"$opt must be a positive integer, got '$v'"))
+        require(check(n), s"$opt must be positive, got $v")
+        n
+      }
+    val maxFiles = numeric("maxFilesPerTrigger", _.toIntOption)(_ > 0)
+    val maxBytes = numeric("maxBytesPerTrigger", _.toLongOption)(_ > 0)
     new CdcSource(sqlContext, path, metadataPath,
       parameters.get("startingSnapshot").filterNot(_ == "latest"),
       parameters.get("initialLoad").exists(_.toBoolean),
@@ -651,13 +673,21 @@ final class CdcBatchRelation(
       .filter(_.references.forall(dataCols.contains))
       .flatMap(CdcBatchRelation.translate)
       .reduceOption(_ && _)
+    // partition-level pruning of the changed-file WORKLIST: `ym`-only
+    // predicates drop non-matching months before any file is scheduled
+    // or opened (files never mix months), so a month-scoped consumer of
+    // a table-scale rewrite pays O(that month's changes) in metadata AND
+    // I/O. The same predicates stay in `pushed` (and in Spark's
+    // re-application above), so the prune can only remove files whose
+    // every row the filters discard — exactness is untouched.
+    val months = CdcBatchRelation.monthPredicate(filters)
     val df = toId match {
       case Some(t) =>
-        TraceStore.readChangesBetween(spark, path, fromId, t, pushed)
+        TraceStore.readChangesBetween(spark, path, fromId, t, pushed, months)
           .withColumn("_commit_snapshot", lit(t))
           .withColumn("_commit_ts", lit(TraceStore.snapshotTimestamp(path, t)))
       case None =>
-        TraceStore.readChangesSince(spark, path, fromId, pushed)
+        TraceStore.readChangesSince(spark, path, fromId, pushed, months)
           .withColumn("_commit_snapshot", lit(null).cast(StringType))
           .withColumn("_commit_ts", lit(null).cast(TimestampType))
     }
@@ -705,6 +735,42 @@ object CdcBatchRelation {
     case Or(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc || rc
     case Not(c) => translate(c).map(!_)
     case _ => None
+  }
+
+  /** Compile the `ym`-only conjuncts of a pushed filter array into a
+    * month predicate for metadata-level worklist pruning. Only filters
+    * whose EVERY reference is the partition column qualify (a mixed
+    * disjunction like `ym = x OR Machine = y` can keep rows of any
+    * month, so it must not prune); `yyyyMM` is fixed-width, so string
+    * order is chronological order and range filters evaluate directly.
+    * Returns None when no filter can prune — the caller then reads the
+    * full worklist, exactly as before. Evaluability is structural
+    * (probed once with a dummy month), so the returned predicate never
+    * silently widens per-key. */
+  private[sources] def monthPredicate(filters: Array[Filter]): Option[String => Boolean] = {
+    val Ym = graft.schema.TraceSchema.PartitionCol
+    def eval(f: Filter, m: String): Option[Boolean] = f match {
+      case EqualTo(Ym, v) => Some(m == String.valueOf(v))
+      case EqualNullSafe(Ym, v) => Some(m == String.valueOf(v))
+      case In(Ym, vs) => Some(vs.exists(v => String.valueOf(v) == m))
+      case GreaterThan(Ym, v) => Some(m > String.valueOf(v))
+      case GreaterThanOrEqual(Ym, v) => Some(m >= String.valueOf(v))
+      case LessThan(Ym, v) => Some(m < String.valueOf(v))
+      case LessThanOrEqual(Ym, v) => Some(m <= String.valueOf(v))
+      case StringStartsWith(Ym, v) => Some(m.startsWith(v))
+      case StringEndsWith(Ym, v) => Some(m.endsWith(v))
+      case StringContains(Ym, v) => Some(m.contains(v))
+      case IsNotNull(Ym) => Some(true)   // the layout never yields a null month
+      case IsNull(Ym) => Some(false)
+      case And(l, r) => for (a <- eval(l, m); b <- eval(r, m)) yield a && b
+      case Or(l, r) => for (a <- eval(l, m); b <- eval(r, m)) yield a || b
+      case Not(c) => eval(c, m).map(!_)
+      case _ => None
+    }
+    val usable = filters.toSeq.filter(f =>
+      f.references.toSet == Set(Ym) && eval(f, "000000").isDefined)
+    if (usable.isEmpty) None
+    else Some(m => usable.forall(f => eval(f, m).getOrElse(true)))
   }
 }
 

@@ -309,7 +309,7 @@ object ChangeFeedQuery {
     * as the q25/q26 document pipeline ([[graft.functions.TextHash]]), so
     * the DuckDB oracle reproduces every bucket key exactly. Map-only:
     * higher-order functions, no explode/shuffle per row. */
-  private def bucketRows(rows: DataFrame, carry: Seq[String] = Seq.empty): DataFrame = {
+  private[graft] def bucketRows(rows: DataFrame, carry: Seq[String] = Seq.empty): DataFrame = {
     import graft.functions.TextHash
     val key = concat(col("Machine"), lit("/"), col("Type"), lit("/"), col("ID"))
     val tris = array_distinct(
@@ -442,9 +442,14 @@ object ChangeFeedQuery {
     val legs = signedAgg(p1, p2).unionByName(signedAgg(p2, p3))
       .groupBy(col("Machine"))
       .agg(sum(col("n")).as("n2"), sum(col("sum_sev")).as("ss2"))
+    // coalesce both sides to 0 before comparing: a group absent from one
+    // leg (no changed rows at all) and a group present with a NET-ZERO
+    // aggregate (rows canceling within the leg) are the same state under
+    // the composition law — null <=> 0 must not read as a violation
+    def z(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
     direct.join(legs, Seq("Machine"), "full_outer")
       .select(col("Machine"), col("n"), col("sum_sev"),
-        (col("n") <=> col("n2") && col("sum_sev") <=> col("ss2")).as("matches"))
+        (z(col("n")) === z(col("n2")) && z(col("sum_sev")) === z(col("ss2"))).as("matches"))
       .orderBy(col("Machine"))
   }
 
@@ -467,6 +472,142 @@ object ChangeFeedQuery {
       |)
       |GROUP BY 1 ORDER BY Machine""".stripMargin
 
+  private val followed = new graft.util.SessionDirCache[String]
+
+  /** q233 — the incremental LSH index maintained AS A RUNNING STREAM
+    * ([[graft.streaming.TraceStream.followIndex]], the index-family twin
+    * of `followRollup`): a fresh store lives through append → append →
+    * DELETE WHERE → compact → append, and between every mutation a
+    * `Trigger.AvailableNow` catch-up run (each one a RESTART from the
+    * shared checkpoint, under `maxFilesPerTrigger` chunking) folds the
+    * feed's signed bucket deltas into the versioned on-disk index. The
+    * graded read is the maintained index itself; the oracle REBUILDS the
+    * index from scratch over the final state with the same cross-engine
+    * hash algebra — so index-after-stream must equal
+    * rebuild-from-scratch exactly: a sign error, a replayed version
+    * double-count, a missed retraction, a chunk-split compaction pair
+    * that fails to net out, or any bucket-key divergence fails the hash
+    * gate. The post-compact append pins that maintenance doesn't wedge
+    * the follower.
+    *
+    * Scale: each catch-up costs one map-only signature pass over the
+    * CHANGES plus a merge against index cardinality — the rebuild that
+    * would re-shingle the corpus never runs (q231 proves the algebra in
+    * batch; this proves the operational, checkpointed form). */
+  def q233FollowIndex(s: SparkSession, dir: String): DataFrame = {
+    val idx = followed(s, dir) { (sess, d) =>
+      val store = graft.util.TmpDirs.scratch("graft-cdc-fidx-store")
+      val index = graft.util.TmpDirs.scratch("graft-cdc-fidx-index")
+      val ck = graft.util.TmpDirs.scratch("graft-cdc-fidx-ck")
+      val ev = graft.tables.Tables.events(sess, d)
+      val batch = pmod(col("event_id"), lit(3L))
+      def drain(): Unit = {
+        val q = graft.streaming.TraceStream.followIndex(sess, store, index, ck,
+          maxFilesPerTrigger = Some(2))
+        q.awaitTermination()
+      }
+      TraceStore.append(asTrace(ev.filter(batch === 0)), store, splitsPerMonth = 2)
+      drain() // chunked bootstrap: A as inserts
+      TraceStore.append(asTrace(ev.filter(batch === 1)), store, splitsPerMonth = 2)
+      drain() // B's bucket rows add
+      TraceStore.deleteWhere(sess, store, col("Type") === "error", splitsPerMonth = 2)
+      drain() // erased rows retract their buckets
+      TraceStore.compact(sess, store, maxFilesPerMonth = 1, splitsPerMonth = 2)
+      drain() // rewrite: cancelling pairs net out (possibly across chunks)
+      TraceStore.append(asTrace(ev.filter(batch === 2)), store, splitsPerMonth = 2)
+      drain() // post-compact append: the follower keeps following
+      index
+    }
+    graft.streaming.TraceStream.readIndex(s, idx)
+      .orderBy(col("band"), col("bkey"))
+  }
+
+  /** Rebuild-from-scratch over the final state: batches 0,1 minus their
+    * erased rows (the DELETE WHERE ran before batch 2 landed), plus all
+    * of batch 2 — same packed-band algebra as q231's oracle. */
+  val q233Sql: String = {
+    import graft.functions.TextHash.{tokvalSql, minhashTermSql}
+    s"""WITH rows_ AS (
+       |  SELECT event_id,
+       |    'm' || (user_id % 8) || '/' || event_type || '/' || event_id AS key
+       |  FROM events
+       |  WHERE (event_id % 3 IN (0, 1) AND event_type <> 'error')
+       |     OR event_id % 3 = 2
+       |), tri AS (
+       |  SELECT DISTINCT event_id,
+       |    unnest(list_transform(range(1, length(key) - 1),
+       |                          i -> substr(key, i::INT, 3))) AS g
+       |  FROM rows_ WHERE length(key) >= 3
+       |), tv AS (
+       |  SELECT event_id, ${tokvalSql("g")} AS tv FROM tri
+       |), sig AS (
+       |  SELECT event_id, h, min(${minhashTermSql("tv", "h")}) AS mh
+       |  FROM tv CROSS JOIN (SELECT h FROM range(4) t(h)) GROUP BY 1, 2
+       |), packed AS (
+       |  SELECT event_id,
+       |    (min(CASE WHEN h = 0 THEN mh END) * 2147483647
+       |       + min(CASE WHEN h = 1 THEN mh END)) AS b0,
+       |    (min(CASE WHEN h = 2 THEN mh END) * 2147483647
+       |       + min(CASE WHEN h = 3 THEN mh END)) AS b1
+       |  FROM sig GROUP BY 1
+       |), buckets AS (
+       |  SELECT 0 AS band, b0 AS bkey FROM packed
+       |  UNION ALL
+       |  SELECT 1, b1 FROM packed
+       |)
+       |SELECT band, bkey, count(*)::BIGINT AS n
+       |FROM buckets GROUP BY 1, 2 ORDER BY band, bkey""".stripMargin
+  }
+
+  /** q234 — the batch feed consumed through a PARTITION predicate: the
+    * q230 read with `WHERE ym = <first month>`, which the relation turns
+    * into metadata-level pruning of the changed-file WORKLIST
+    * ([[CdcBatchRelation]] → the month-filtered
+    * [[TraceStore.readChangesBetween]]) — non-matching months are
+    * dropped before any file is scheduled or opened, so a month-scoped
+    * consumer of a table-scale rewrite pays O(that month's changes), the
+    * `PARTITION BY toYYYYMM` promise
+    * (/root/reference/trace-converter.py:23) carried through to the CDC
+    * surface. The filter month is derived from the data (the events
+    * table's earliest month), so the same query grades at every SF; the
+    * oracle applies the identical month restriction to the raw-events
+    * change algebra — a pruned-away month that should have matched, or a
+    * kept month's rows lost to the prune, fails the hash gate
+    * (`CdcBatchSpec` pins the files-never-opened half with a poisoned
+    * non-matching month). */
+  def q234PrunedChanges(s: SparkSession, dir: String): DataFrame = {
+    val (path, snap, end) = batchPinned(s, dir) { (sess, d) =>
+      val (p, sn) = buildStore(sess, d)
+      (p, sn, TraceStore.snapshot(p))
+    }
+    val ym0 = graft.tables.Tables.events(s, dir)
+      .agg(date_format(min(col("ts").cast("timestamp")), "yyyyMM").as("m"))
+      .collect()(0).getString(0)
+    s.read.format("graft-cdc")
+      .option("path", path)
+      .option("startingSnapshot", snap)
+      .option("endingSnapshot", end)
+      .load()
+      .filter(col("ym") === ym0)
+      .groupBy(col("_change").as("change"), col("Machine"))
+      .agg(count(lit(1)).as("n"), sum(col("Severity")).as("sum_sev"))
+      .orderBy(col("change"), col("Machine"))
+  }
+
+  val q234Sql: String =
+    """WITH m AS (SELECT strftime(min(ts), '%Y%m') AS ym FROM events)
+      |SELECT chg AS change, Machine, count(*) AS n,
+      |  (sum(((event_id % 1000000000) + 1000000000) % 1000000000))::BIGINT AS sum_sev
+      |FROM (
+      |  SELECT 'insert' AS chg, 'm' || (user_id % 8) AS Machine, event_id, ts
+      |  FROM events WHERE event_id % 3 = 1 AND event_type <> 'error'
+      |  UNION ALL
+      |  SELECT 'delete', 'm' || (user_id % 8), event_id, ts
+      |  FROM events WHERE event_id % 3 = 0 AND event_type = 'error'
+      |) f, m
+      |WHERE strftime(f.ts, '%Y%m') = m.ym
+      |GROUP BY 1, 2 ORDER BY change, Machine""".stripMargin
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
@@ -475,5 +616,7 @@ object ChangeFeedQuery {
     ("q230_batch_changes", q230BatchChanges _, Some(q230Sql)),
     ("q231_incremental_lsh", q231IncrementalLsh _, Some(q231Sql)),
     ("q232_diff_compose", q232DiffCompose _, Some(q232Sql)),
+    ("q233_follow_index", q233FollowIndex _, Some(q233Sql)),
+    ("q234_pruned_changes", q234PrunedChanges _, Some(q234Sql)),
   )
 }

@@ -584,6 +584,50 @@ object TraceStore {
       }
   }
 
+  /** Re-layout every month on a chosen clustering key — the
+    * `ALTER TABLE … ORDER BY` / OPTIMIZE-ZORDER analogue: each month is
+    * rewritten range-partitioned and sorted by `by` (append the
+    * tiebreaker dims you still scan on — e.g. `Seq("Machine", "Time")`),
+    * under the same crash-safe manifest protocol as [[compact]]. After
+    * it, point/range predicates on the LEADING key skip whole files and
+    * row groups via ordinary parquet min/max stats (and the footer
+    * blooms stop being saturated — a hash-scattered layout puts every
+    * value in every row group, so blooms never exclude anything), which
+    * is what makes a `Machine`-scoped consumer of the store — or of its
+    * CDC feed, whose candidate sides are these same files — read ~1/K of
+    * the bytes instead of all of them. The price: `Time` is only sorted
+    * WITHIN each leading-key run, so pure time-range row-group skipping
+    * (B2) degrades on clustered months — choose the layout per table by
+    * its dominant filter key, exactly the reference's `ORDER BY` design
+    * choice (/root/reference/trace-converter.py:24). For two equally-hot
+    * dimensions, feed [[Zorder.cell]]+[[Zorder.interleave]] through a
+    * computed column instead of a raw dim here.
+    *
+    * CDC note: the chunk-slicing heuristic that pairs cancelling rewrite
+    * halves by fractional file position assumes Time-ranged files; a
+    * clustered month still diffs EXACTLY (the signed algebra never
+    * depended on layout), but a chunked consumer may see transient
+    * insert/delete pairs across slices — the structural ≤2× bound, not a
+    * correctness change. Returns the rewritten ym values. */
+  def clusterMonths(spark: SparkSession, tablePath: String,
+                    by: Seq[String], splitsPerMonth: Int = 4): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    require(by.nonEmpty, "clusterMonths needs at least one layout column")
+    val root = Paths.get(tablePath)
+    if (!Files.exists(root)) return Seq.empty
+    recoverAttempts(root)
+    import FsMaint.listDir
+    val monthDirs = listDir(root).filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith(s"${TraceSchema.PartitionCol}="))
+    monthDirs
+      .map(d => (d, listDir(d).filter(_.toString.endsWith(".parquet"))))
+      .filter(_._2.nonEmpty)
+      .map { case (monthDir, old) =>
+        rewriteMonth(spark, monthDir, old, identity, splitsPerMonth,
+          "clustered", layoutBy = by)
+      }
+  }
+
   /** Predicate erasure — the `ALTER TABLE … DELETE WHERE` / GDPR-redaction
     * analogue (ClickHouse runs it as a background mutation rewriting
     * parts; a parquet store must rewrite files the same way). Months with
@@ -596,7 +640,8 @@ object TraceStore {
     * call). Returns the ym values that were rewritten. */
   def deleteWhere(spark: SparkSession, tablePath: String,
                   cond: org.apache.spark.sql.Column,
-                  splitsPerMonth: Int = 4): Seq[String] = {
+                  splitsPerMonth: Int = 4,
+                  layoutBy: Seq[String] = Seq("Time")): Seq[String] = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(tablePath)
     if (!Files.exists(root)) return Seq.empty
@@ -614,8 +659,12 @@ object TraceStore {
         // NULL→NULL and filter would drop every row where the predicate
         // is merely UNKNOWN (e.g. ID === "x" on a NULL ID) — silent
         // over-erasure the match probe above never counted.
+        // layoutBy lets maintenance on a [[clusterMonths]]-laid-out store
+        // PRESERVE the clustering instead of silently reverting rewritten
+        // months to the Time layout.
         rewriteMonth(spark, monthDir, old,
-          _.filter(!coalesce(cond, lit(false))), splitsPerMonth, "redacted")
+          _.filter(!coalesce(cond, lit(false))), splitsPerMonth, "redacted",
+          layoutBy = layoutBy)
       }
   }
 
@@ -962,9 +1011,14 @@ object TraceStore {
     * which bumps that directory's mtime, so an unchanged fingerprint
     * taken BEFORE a successful [[snapshotMatchesLive]] check certifies
     * the store is still idle without re-listing ~800k files per poll.
-    * Collision risk is a same-nanosecond mutation of the same dir —
-    * capture the fingerprint before the authoritative check and any
-    * in-between mutation invalidates it conservatively. */
+    * Collision risk is a mutation of the same dir within one timestamp
+    * TICK of the certification — nanoseconds locally, but milliseconds
+    * on HDFS and a full second on older/NFS filesystems, where a
+    * last-write-then-quiet store could be absorbed. Capture the
+    * fingerprint before the authoritative check (an in-between mutation
+    * then invalidates conservatively) AND bound reliance on it: a
+    * cached certification must expire after N uses (CdcSource re-runs
+    * the full check every 64 fingerprint hits). */
   def liveFingerprint(tablePath: String): String = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(tablePath)
@@ -1210,7 +1264,16 @@ object TraceStore {
     * same distribution argument (and same column-pruning caveat) as the
     * filtered [[readChangesBetween]]. */
   def readChangesSince(spark: SparkSession, tablePath: String, id: String,
-                       rowFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
+                       rowFilter: Option[org.apache.spark.sql.Column]): DataFrame =
+    readChangesSince(spark, tablePath, id, rowFilter, None)
+
+  /** [[readChangesSince]] with the changed-file worklist pruned by a
+    * month predicate before any file I/O — see the filtered
+    * [[readChangesBetween]] for the soundness argument and the caller
+    * contract (prune only months the row filters already exclude). */
+  def readChangesSince(spark: SparkSession, tablePath: String, id: String,
+                       rowFilter: Option[org.apache.spark.sql.Column],
+                       monthFilter: Option[String => Boolean]): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val root = Paths.get(tablePath)
@@ -1223,13 +1286,14 @@ object TraceStore {
     require(Files.exists(mf), s"unknown snapshot '$id' at $tablePath")
     val pinned = Files.readAllLines(mf).asScala.toSet.filter(_.nonEmpty)
     val live = liveKeys(root)
+    def keep(k: String): Boolean = monthFilter.forall(_(monthValueOf(k)))
     def side(keys: Seq[String]): DataFrame = {
       val df = readResolvedKeys(spark, root, keys, s"change feed since $id")
       rowFilter.fold(df)(df.filter)
     }
     signedDiff(
-      side((live -- pinned).toSeq.sorted),
-      side((pinned -- live).toSeq.sorted))
+      side((live -- pinned).toSeq.sorted.filter(keep)),
+      side((pinned -- live).toSeq.sorted.filter(keep)))
   }
 
   /** Both sides of a multiset row diff in ONE pass: union the sides with
@@ -1281,8 +1345,36 @@ object TraceStore {
   def readChangesBetween(spark: SparkSession, tablePath: String,
                          fromId: String, toId: String,
                          rowFilter: Option[org.apache.spark.sql.Column]): DataFrame =
-    readChangedKeys(spark, tablePath, changedKeysBetween(tablePath, fromId, toId),
-      s"changes $fromId..$toId", rowFilter)
+    readChangesBetween(spark, tablePath, fromId, toId, rowFilter, None)
+
+  /** [[readChangesBetween]] with the changed-file WORKLIST pruned by a
+    * month predicate before any file I/O — the partition-level
+    * completion of the row-filter pushdown: a month-scoped consumer
+    * (`WHERE ym = '202401'`) of a table-scale rewrite schedules and
+    * opens only that month's changed files, not every changed file with
+    * the predicate re-checked per row. Sound because files never mix
+    * months (the `ym=` directory layout), so dropping a non-matching
+    * month's files from the worklist removes exactly the rows a
+    * `ym`-predicate would remove — the diff restricted to a month equals
+    * the month-restriction of the diff. The predicate receives the month
+    * VALUE (`"202401"`). Callers must still apply the equivalent row
+    * predicate above (the batch relation keeps `ym` filters in both
+    * `rowFilter` and Spark's re-application, so an over-broad month
+    * predicate costs I/O, never correctness — but an under-selective one
+    * would silently drop changes: pass only predicates implied by the
+    * row filters). */
+  def readChangesBetween(spark: SparkSession, tablePath: String,
+                         fromId: String, toId: String,
+                         rowFilter: Option[org.apache.spark.sql.Column],
+                         monthFilter: Option[String => Boolean]): DataFrame = {
+    val keys = changedKeysBetween(tablePath, fromId, toId)
+    val work = monthFilter.fold(keys)(p => keys.filter(k => p(monthValueOf(k._1))))
+    readChangedKeys(spark, tablePath, work, s"changes $fromId..$toId", rowFilter)
+  }
+
+  /** The month value (`"201905"`) of a manifest key (`"ym=201905/…"`). */
+  private def monthValueOf(key: String): String =
+    key.takeWhile(_ != '/').stripPrefix(s"${TraceSchema.PartitionCol}=")
 
   /** The signed changed-FILE worklist between two pins: every manifest
     * key present in exactly one of the two, tagged with its side
@@ -1464,7 +1556,8 @@ object TraceStore {
                            old: Seq[java.nio.file.Path],
                            transform: DataFrame => DataFrame,
                            splitsPerMonth: Int,
-                           tag: String): String = {
+                           tag: String,
+                           layoutBy: Seq[String] = Seq("Time")): String = {
     import java.nio.file.{Files, StandardCopyOption}
     import FsMaint.deleteTree
     def parquetFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] =
@@ -1480,10 +1573,11 @@ object TraceStore {
     // out a renamed column's pre-rename history. Side effect worth
     // having: the rewrite writes CURRENT physical names, so compaction
     // physically migrates old files to the post-rename layout.
+    val layout = layoutBy.map(col)
     withBloomOptions(
       transform(readFiles(spark, monthDir.getParent, old)) // exactly the captured files
-        .repartitionByRange(splitsPerMonth, col("Time"))
-        .sortWithinPartitions(col("Time"))
+        .repartitionByRange(splitsPerMonth, layout: _*)
+        .sortWithinPartitions(layout: _*)
         .write.mode("overwrite").option("compression", "zstd"),
       storedSchema(monthDir.getParent))
       .parquet(tmp.toString)

@@ -291,12 +291,14 @@ object TraceStream {
     upsertDelta(batch.sparkSession, rollOf(batch), batchId, rollupPath, incarnation)
 
   /** The shared versioned-merge step behind [[upsertRollup]] (unsigned
-    * micro-batch deltas) and [[followRollup]] (signed change-feed
-    * deltas). `delta` must already be aggregated to (ym, Type, n,
-    * sev_sum); groups whose count reaches zero after the merge (a signed
-    * feed deleted every row) leave the rollup. */
+    * micro-batch deltas), [[followRollup]] and [[followIndex]] (signed
+    * change-feed deltas). `delta` must already be aggregated to
+    * `keys ++ measures`; groups whose FIRST measure reaches zero after
+    * the merge (a signed feed deleted every row) leave the table. */
   private def upsertDelta(spark: SparkSession, delta: DataFrame, batchId: Long,
-                          rollupPath: String, incarnation: String): Unit = {
+                          rollupPath: String, incarnation: String,
+                          keys: Seq[String] = Seq("ym", "Type"),
+                          measures: Seq[String] = Seq("n", "sev_sum")): Unit = {
     val (fs, root) = fsOf(spark, rollupPath)
     // Batch ids are only meaningful within ONE checkpoint lineage: a
     // fresh/wiped checkpoint restarts ids at 0, and treating the old
@@ -338,10 +340,10 @@ object TraceStream {
     val base = existing.filter(_._1 < batchId).lastOption
     val merged = base match {
       case Some((_, p)) => TraceStore.mergeRollups(
-        spark.read.parquet(p.toString), delta, Seq("ym", "Type"), Seq("n", "sev_sum"))
+        spark.read.parquet(p.toString), delta, keys, measures)
       case None => delta
     }
-    merged.filter(col("n") =!= 0L)
+    merged.filter(col(measures.head) =!= 0L)
       .coalesce(1).write.mode("overwrite").parquet(own.toString)
     // prune: keep the current version, the replay merge source for the
     // NEXT batch, and one more as a grace window for readers holding a
@@ -432,6 +434,64 @@ object TraceStream {
       }
       .start()
   }
+
+  /** CDC-DRIVEN near-dup-index maintenance as a running stream — q231's
+    * signed bucket algebra made operational, the index-family twin of
+    * [[followRollup]]: follow a trace store's change feed and keep the
+    * dedup family's band-bucket LSH index (the table q26-style candidate
+    * joins run on) current per micro-batch. Each batch's rows pass the
+    * map-only MinHash signature kernel
+    * ([[graft.store.ChangeFeedQuery.bucketRows]]) with a ±1 sign, and the
+    * signed per-(band, bkey) counts fold into a versioned, crash-safe
+    * parquet index under `indexPath`: inserts add their bucket rows,
+    * DELETE WHERE / retention retract them, a compaction's cancelling
+    * pairs net out (possibly across chunked batches — transient
+    * insert+delete of the same row sums to zero here by construction),
+    * and an emptied bucket leaves the index. The first batch is the full
+    * table as inserts (`initialLoad`), so the index bootstraps itself.
+    *
+    * Same crash/replay story as [[followRollup]]: versions are
+    * `v<batchId>` dirs merged from the highest complete predecessor, so
+    * an at-least-once replay rebuilds its own version instead of
+    * double-counting, and a crash mid-write leaves an invisible
+    * no-_SUCCESS dir. Cost per batch ∝ changed rows (one signature pass
+    * over the feed) + index cardinality (the merge) — never the corpus:
+    * the rebuild that would re-shingle 100 TB never runs. */
+  def followIndex(spark: SparkSession, storePath: String, indexPath: String,
+                  checkpointDir: String,
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  maxFilesPerTrigger: Option[Int] = None,
+                  maxBytesPerTrigger: Option[Long] = None): StreamingQuery = {
+    var inc: String = null   // resolved on first batch — metadata exists by then
+    val reader = spark.readStream.format("graft-cdc")
+      .option("path", storePath)
+      .option("initialLoad", "true")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
+    reader
+      .load()
+      .writeStream
+      .queryName(s"trace-cdc-index-${incarnationOf(indexPath)}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (inc == null) inc = lineageOf(batch.sparkSession, checkpointDir)
+        val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+        val delta = graft.store.ChangeFeedQuery
+          .bucketRows(batch.withColumn("_s", sign), carry = Seq("_s"))
+          .groupBy(col("band"), col("bkey"))
+          .agg(sum(col("_s")).as("n"))
+        upsertDelta(batch.sparkSession, delta, batchId, indexPath, inc,
+          keys = Seq("band", "bkey"), measures = Seq("n"))
+      }
+      .start()
+  }
+
+  /** Read the current maintained band-bucket index (highest complete
+    * version) — the same versioned layout as [[readRollup]], read the
+    * same way. */
+  def readIndex(spark: SparkSession, indexPath: String): DataFrame =
+    readRollup(spark, indexPath)
 
   /** Continuous replication of a trace STORE over the reference's HTTP
     * bulk-insert transport — the CDC completion of its pipeline: where

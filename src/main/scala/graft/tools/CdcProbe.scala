@@ -88,7 +88,71 @@ object CdcProbe {
   }
 
   def main(args: Array[String]): Unit =
-    if (args.headOption.contains("multi")) multi(args.drop(1)) else single(args)
+    if (args.headOption.contains("multi")) multi(args.drop(1))
+    else if (args.headOption.contains("clustered")) clustered(args.drop(1))
+    else single(args)
+
+  /** Bytes actually read from local files so far (row-group skipping
+    * shows up here; the scheduled-file size does not shrink when the
+    * reader skips inside a file). Hadoop's global per-scheme statistics
+    * are exact and synchronous — no listener-bus race. */
+  private def fileBytesRead(): Long = {
+    val it = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.iterator()
+    var total = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getScheme == "file")
+        total += Option(s.getLong("bytesRead")).map(_.longValue).getOrElse(0L)
+    }
+    total
+  }
+
+  /** The q230 batch read against a CLUSTERED layout — DRIFT_r11 §10's
+    * probe re-run where the filter key matches the physical order: the
+    * same half-store DELETE WHERE, on (a) the default Time layout and
+    * (b) a `clusterMonths(Machine, Time)` store whose maintenance
+    * preserves the clustering. On (a) `Machine` values saturate every
+    * row group, so the pushed filter cannot skip and the ~25% win is
+    * decode-only; on (b) each file/row group holds a narrow Machine
+    * range, so min/max stats + blooms skip most of the diff's candidate
+    * bytes — bytes-read is the honest metric (scheduled-file size never
+    * shrinks from row-group skipping).
+    *
+    *   runMain graft.tools.CdcProbe clustered [K[,K2,…]]   (default 10)
+    */
+  private def clustered(args: Array[String]): Unit = {
+    val ks = args.headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(10))
+    val spark = session()
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.1")
+    val lines = ks.map { k =>
+      def arm(tag: String, layout: Seq[String]): String = {
+        val store = buildStore(spark, ev, k, s"cdcclu-$tag")
+        if (layout != Seq("Time"))
+          TraceStore.clusterMonths(spark, store, layout, splitsPerMonth = 16 * k)
+        val p1 = TraceStore.snapshot(store)
+        TraceStore.deleteWhere(spark, store,
+          pmod(col("Severity"), lit(2)) === 0,
+          splitsPerMonth = 16 * k, layoutBy = layout)
+        val p2 = TraceStore.snapshot(store)
+        def read(f: DataFrame => DataFrame): (Double, Long, Long) = {
+          val b0 = fileBytesRead(); val t0 = System.nanoTime()
+          val n = f(spark.read.format("graft-cdc").option("path", store)
+            .option("startingSnapshot", p1).option("endingSnapshot", p2)
+            .load()).count()
+          ((System.nanoTime() - t0) / 1e9, n, fileBytesRead() - b0)
+        }
+        val (fs, fn, fb) = read(identity)
+        val (ms, mn, mb) = read(_.filter(col("Machine") === "m3"))
+        f""""${tag}_full_s":$fs%.2f,"${tag}_full_rows":$fn,"${tag}_full_mb":${fb / 1e6}%.1f,""" +
+          f""""${tag}_filt_s":$ms%.2f,"${tag}_filt_rows":$mn,"${tag}_filt_mb":${mb / 1e6}%.1f"""
+      }
+      val line = s""""x$k":{${arm("time", Seq("Time"))},${arm("mach", Seq("Machine", "Time"))}}"""
+      System.err.println(s"[cdcprobe-clustered] $line")
+      line
+    }
+    println(lines.mkString("""{"metric":"cdc_clustered",""", ",", "}"))
+    spark.stop()
+  }
 
   private def single(args: Array[String]): Unit = {
     val ks = args.headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 10))
@@ -174,6 +238,16 @@ object CdcProbe {
       }
       val (fullS, fullN) = timeRead(identity)
       val (filtS, filtN) = timeRead(_.filter(col("Machine") === "m3"))
+
+      // partition-level worklist pruning: a ONE-MONTH consumer of the
+      // same table-scale rewrite. files-opened must be ∝ the selected
+      // month's changes (worklist pruned at metadata level, before any
+      // I/O), not the rewrite's full worklist
+      val worklist = TraceStore.changedKeysBetween(store, preDel, postDel)
+      def monthOf(k: String) = k.takeWhile(_ != '/').stripPrefix("ym=")
+      val m0 = worklist.map(w => monthOf(w._1)).min
+      val monthFiles = worklist.count(w => monthOf(w._1) == m0)
+      val (monthS, monthN) = timeRead(_.filter(col("ym") === m0))
       TraceStore.dropSnapshot(store, preDel)
       TraceStore.dropSnapshot(store, postDel)
       TraceStore.vacuumSnapshots(store)
@@ -208,6 +282,8 @@ object CdcProbe {
         f""""del_max_chunk_rows":$delMaxChunk,"del_rows":$delRows,""" +
         f""""batch_full_s":$fullS%.2f,"batch_full_rows":$fullN,""" +
         f""""batch_filt_s":$filtS%.2f,"batch_filt_rows":$filtN,""" +
+        f""""worklist_files":${worklist.size},"month_files":$monthFiles,""" +
+        f""""batch_month_s":$monthS%.2f,"batch_month_rows":$monthN,""" +
         f""""idle_poll_ms":${med(polls)}%.2f,"idle_full_ms":${med(fulls)}%.2f}"""
       System.err.println(s"[cdcprobe] $line")
       line

@@ -354,6 +354,42 @@ class MainRunSpec extends SparkSpec {
     assert(rollTotal() == 5)
   }
 
+  test("--follow-rollup resuming a MID-BOOTSTRAP checkpoint catches up in ONE pass") {
+    // the CdcStream freeze-a-fresh-pin path (CdcSource.latestOffset's
+    // AvailableNow target resolution): a chunked bootstrap interrupted
+    // mid-sequence, the store moves on, and the next CLI invocation must
+    // finish the in-flight chunk sequence AND deliver the accumulated
+    // diff — "caught up" printed with changes undelivered is the
+    // regression this pins at the CLI contract level
+    val in = tmpDir("cli-frmb-in"); val table = tmpDir("cli-frmb-table")
+    val roll = tmpDir("cli-frmb-roll"); val ck = tmpDir("cli-frmb-ck")
+    writeTrace(in, "a.json", 1557761852L, 2)   // 201905
+    writeTrace(in, "b.json", 1568000000L, 3)   // 201909
+    Main.run(Main.Convert(Seq(s"$in/a.json", s"$in/b.json"), table, 1),
+      _ => (), () => spark)
+    // ONE micro-batch of a maxFiles=1 chunked bootstrap, then stop: the
+    // checkpoint is left mid-bootstrap (2 month files, 1 delivered)
+    val q = graft.streaming.TraceStream.followRollup(spark, table, roll, ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.Once(),
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    // the store moves while the follower is down
+    writeTrace(in, "c.json", 1577000000L, 4)   // 201912
+    Main.run(Main.Convert(Seq(s"$in/c.json"), table, 1), _ => (), () => spark)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Main.run(Main.FollowRollup(table, roll, ck, maxFiles = Some(1)),
+      out.append(_), () => spark)
+    assert(out.last == s"rollup at $roll caught up with $table")
+    val total = graft.streaming.TraceStream.readRollup(spark, roll)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(total == 9, s"second pass must deliver bootstrap remainder + live diff, got $total")
+    // and it really is caught up: a third pass adds nothing
+    Main.run(Main.FollowRollup(table, roll, ck, maxFiles = Some(1)),
+      _ => (), () => spark)
+    assert(graft.streaming.TraceStream.readRollup(spark, roll)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) == 9)
+  }
+
   test("--replicate ships store changes to the HTTP endpoint across maintenance") {
     import java.nio.charset.StandardCharsets
     val srv = com.sun.net.httpserver.HttpServer.create(

@@ -168,6 +168,69 @@ class CdcBatchSpec extends SparkSpec {
     } finally spark.sql("DROP VIEW IF EXISTS store_changes")
   }
 
+  test("a ym predicate prunes the changed-file WORKLIST: non-matching months are never opened") {
+    // the behavioral pin: physically remove a non-matching month's
+    // changed file. Metadata-level pruning never schedules it, so the
+    // filtered read succeeds; if pruning regressed to row-filtering
+    // only, readResolvedKeys would fail loudly on the missing file —
+    // this test cannot pass by accident.
+    import java.nio.file.{Files, Paths}
+    val store = tmpDir("cdcbatch-prune")
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "ok", "2019-06-13 10:00:00")), store, splitsPerMonth = 1)
+    val s1 = TraceStore.snapshot(store)
+    TraceStore.append(mk(
+      (30, "m1", "ok", "2019-05-20 10:00:00"),
+      (40, "m2", "ok", "2019-06-20 10:00:00")), store, splitsPerMonth = 1)
+    val s2 = TraceStore.snapshot(store)
+    def feed = spark.read.format("graft-cdc")
+      .option("path", store).option("startingSnapshot", s1)
+      .option("endingSnapshot", s2).load()
+    // sanity first, while all files exist: both months' inserts
+    assert(feed.select("Severity").collect().map(_.getInt(0)).sorted.toSeq == Seq(30, 40))
+    // poison June's CHANGED file (the s2-only key), then read only May
+    val juneNew = (TraceStore.snapshotKeys(store, s2).toSet --
+      TraceStore.snapshotKeys(store, s1).toSet).filter(_.startsWith("ym=201906"))
+    assert(juneNew.size == 1, s"fixture drift: $juneNew")
+    Files.delete(Paths.get(store).resolve(juneNew.head))
+    val may = feed.filter(col("ym") === "201905")
+      .select("_change", "Severity").collect()
+      .map((r: Row) => (r.getString(0), r.getInt(1))).toSeq
+    assert(may == Seq(("insert", 30)))
+    // range and IN shapes prune the same way
+    assert(feed.filter(col("ym") < "201906").select("Severity")
+      .collect().map(_.getInt(0)).toSeq == Seq(30))
+    assert(feed.filter(col("ym").isin("201905", "201904")).count() == 1L)
+    // and the unfiltered read still fails loudly — the poison is real
+    intercept[Exception] { feed.count() }
+  }
+
+  test("monthPredicate compiles ym-only conjuncts and refuses mixed or opaque ones") {
+    import org.apache.spark.sql.sources._
+    def p(fs: Filter*): Option[String => Boolean] =
+      CdcBatchRelation.monthPredicate(fs.toArray)
+    assert(p(EqualTo("ym", "201905")).get("201905"))
+    assert(!p(EqualTo("ym", "201905")).get("201906"))
+    assert(p(In("ym", Array("201905", "201907"))).get("201907"))
+    assert(!p(GreaterThan("ym", "201906")).get("201906"))
+    assert(p(GreaterThanOrEqual("ym", "201906")).get("201906"))
+    assert(p(And(GreaterThan("ym", "201904"), LessThan("ym", "201906"))).get("201905"))
+    assert(p(StringStartsWith("ym", "2019")).get("201912"))
+    assert(p(IsNotNull("ym")).get("201905"))
+    assert(!p(Not(EqualTo("ym", "201905"))).get("201905"))
+    // several conjuncts: ALL must hold
+    assert(!p(GreaterThan("ym", "201904"), LessThan("ym", "201905")).get("201905"))
+    // a mixed disjunction can keep rows of ANY month — must not prune
+    assert(p(Or(EqualTo("ym", "201905"), EqualTo("Machine", "m1"))).isEmpty)
+    // a data-column filter alone never produces a month predicate
+    assert(p(EqualTo("Machine", "m1")).isEmpty)
+    // an opaque leaf inside a ym-only tree declines (structurally unevaluable)
+    assert(p(AlwaysTrue()).isEmpty)
+    // usable + unusable mix: the usable conjunct still prunes
+    assert(!p(EqualTo("ym", "201905"), EqualTo("Machine", "m1")).get("201906"))
+  }
+
   test("swapping the pins flips the signs (reconciliation algebra)") {
     val store = tmpDir("cdcbatch-swap")
     TraceStore.append(mk((10, "m1", "ok", "2019-05-13 10:00:00")), store)

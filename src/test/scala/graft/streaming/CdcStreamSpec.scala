@@ -615,6 +615,99 @@ class CdcStreamSpec extends SparkSpec {
       s"GC'd pins must shed their notes: notes=${owners2.keySet}, live=$live")
   }
 
+  test("followIndex maintains the band-bucket index across restarts, delete, and compaction") {
+    import graft.store.ChangeFeedQuery
+    val store = tmpDir("cdcfidx"); val index = tmpDir("cdcfidx-idx")
+    val ck = tmpDir("cdcfidx-ck")
+    def rebuilt(): Set[(Int, Long, Long)] =
+      ChangeFeedQuery.bucketRows(TraceStore.read(spark, store))
+        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+        .collect().map((r: Row) => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def current(): Set[(Int, Long, Long)] =
+      TraceStream.readIndex(spark, index)
+        .collect().map((r: Row) => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def catchUp(): Unit = {
+      val q = TraceStream.followIndex(spark, store, index, ck,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+    }
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "bad", "2019-06-01 10:00:00"),
+      (30, "m3", "ok", "2019-07-01 10:00:00")), store, splitsPerMonth = 1)
+    // ONE micro-batch of the chunked bootstrap, then stop: the index is
+    // left mid-bootstrap and the next run must RESUME, not double-count
+    val q0 = TraceStream.followIndex(spark, store, index, ck,
+      trigger = Trigger.Once(), maxFilesPerTrigger = Some(1))
+    q0.awaitTermination()
+    // the store moves while the follower is down
+    TraceStore.append(mk((40, "m4", "ok", "2019-08-01 10:00:00")), store)
+    catchUp()
+    assert(current() == rebuilt(), "bootstrap remainder + live diff in one resume")
+    // deletes retract their bucket rows
+    TraceStore.deleteWhere(spark, store, col("Type") === "bad", splitsPerMonth = 1)
+    catchUp()
+    assert(current() == rebuilt(), "DELETE WHERE must retract bucket rows")
+    // a compaction's cancelling pairs (split across maxFiles=1 chunks) net out
+    TraceStore.compact(spark, store, maxFilesPerMonth = 1, splitsPerMonth = 1)
+    catchUp()
+    assert(current() == rebuilt(), "compaction must be invisible to the index")
+    // an idle catch-up changes nothing and creates no version churn
+    val before = current()
+    catchUp()
+    assert(current() == before)
+  }
+
+  test("idle certification expires: an mtime-absorbed mutation is delivered within the recheck bound") {
+    // coarse-timestamp hazard (ADVICE r11): a mutation landing in the
+    // same filesystem tick as the idle certification leaves the month-dir
+    // fingerprint unchanged. Simulate the absorption directly — append,
+    // then restore the directory mtimes — and pin the bound: polls ride
+    // the stale certification for a while (documenting the hazard is
+    // real) but a FULL check re-runs within 64 fingerprint hits, so the
+    // change is delivered, never withheld indefinitely.
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val store = tmpDir("cdcidle"); val meta = tmpDir("cdcidle-meta")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 10:00:00")), store)
+    val src = new graft.sources.CdcSource(
+      spark.sqlContext, store, meta, None, true, true, None)
+    val all = ReadLimit.allAvailable()
+    val o1 = CdcOffset.of(src.latestOffset(null, all))
+    assert(src.latestOffset(o1, all) == o1, "idle store echoes the offset (certifies)")
+    // mutate the store, then roll the mtimes back to the certified state
+    val root = Paths.get(store)
+    val dirs = root +: root.toFile.listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("ym=")).map(_.toPath)
+    val saved = dirs.map(d => d -> Files.getLastModifiedTime(d))
+    TraceStore.append(mk((20, "m1", "ok", "2019-05-14 10:00:00")), store)
+    saved.foreach { case (d, t) => Files.setLastModifiedTime(d, t) }
+    assert(src.latestOffset(o1, all) == o1,
+      "the absorbed mutation IS invisible to the fingerprint fast path — " +
+        "if this detects it, the simulation lost its bite and the expiry is untested")
+    var polls = 1
+    while (polls < 80 && CdcOffset.of(src.latestOffset(o1, all)) == o1) polls += 1
+    assert(polls <= 65, s"change still withheld after $polls polls — idle cache never expired")
+    assert(polls > 3, s"expected several absorbed polls before the recheck, got $polls")
+  }
+
+  test("non-numeric admission options fail with the option's name, not a bare NumberFormatException") {
+    val store = tmpDir("cdcopt")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 10:00:00")), store)
+    val provider = new graft.sources.CdcStreamProvider
+    def mkSource(opts: (String, String)*): Unit = {
+      provider.createSource(spark.sqlContext, tmpDir("cdcopt-meta"), None,
+        "graft-cdc", Map("path" -> store) ++ opts)
+      ()
+    }
+    val e1 = intercept[IllegalArgumentException] { mkSource("maxFilesPerTrigger" -> "lots") }
+    assert(e1.getMessage.contains("maxFilesPerTrigger") && e1.getMessage.contains("lots"))
+    val e2 = intercept[IllegalArgumentException] { mkSource("maxBytesPerTrigger" -> "10MB") }
+    assert(e2.getMessage.contains("maxBytesPerTrigger") && e2.getMessage.contains("10MB"))
+    val e3 = intercept[IllegalArgumentException] { mkSource("maxFilesPerTrigger" -> "0") }
+    assert(e3.getMessage.contains("maxFilesPerTrigger"))
+  }
+
   test("offset json round-trips and rejects foreign offsets") {
     val o = CdcOffset("s000042")
     assert(CdcOffset.parse(o.json) == o)
