@@ -21,14 +21,42 @@ object TraceIngest {
       .option("pathGlobFilter", "*.json")   // A3: suffix filter
       .json(path)
 
+  /** Ingest time granularity. [[Seconds]] is the normative reference
+    * rule (§1.4: `Time astype(int)` — whole seconds, matching its
+    * `DateTime` column); [[Micros]] is the opt-in sub-second mode the
+    * reference's own TODO considered and dropped
+    * (/root/reference/README.md:219-225) — the modern ClickHouse answer
+    * is `DateTime64(6)` ([[graft.schema.Ddl.clickhouse]] renders it),
+    * and Spark timestamps are microsecond-native, so the engine carries
+    * it without a storage change. */
+  sealed trait TimeResolution
+  object TimeResolution {
+    case object Seconds extends TimeResolution
+    case object Micros extends TimeResolution
+  }
+
   /** Normalize a raw frame to the target schema:
     *  - Severity → Int (ClickHouse UInt32 has no Spark unsigned analogue;
     *    values are small codes — negativity would indicate corrupt input
     *    and is filtered, SURVEY.md §7.4 risk 6)
     *  - Time: fractional epoch seconds → whole-second timestamp
-    *    (cast long truncates toward zero ≡ floor for positive epochs)
+    *    (cast long truncates toward zero ≡ floor for positive epochs);
+    *    under [[TimeResolution.Micros]], → microsecond timestamp
+    *    (round-to-nearest: the raw double's quantization near current
+    *    epochs is ~0.25 µs, under the 0.5 µs rounding radius, so a
+    *    micros-exact producer round-trips bit-exact through NDJSON —
+    *    truncation would leak the double's representation error into
+    *    off-by-one microseconds)
     *  - column order exactly as declared. */
   def normalize(raw: DataFrame): DataFrame =
+    normalize(raw, TimeResolution.Seconds)
+
+  def normalize(raw: DataFrame, res: TimeResolution): DataFrame = {
+    val time = res match {
+      case TimeResolution.Seconds => col("Time").cast("long").cast("timestamp")
+      case TimeResolution.Micros =>
+        timestamp_micros(round(col("Time") * lit(1e6)).cast("long"))
+    }
     raw
       .filter(col("Severity").isNotNull && col("Severity") >= 0 &&
               col("Time").isNotNull && col("Machine").isNotNull &&
@@ -37,13 +65,18 @@ object TraceIngest {
         col("Severity").cast("int").as("Severity"),
         col("Machine"),
         col("LogGroup"),
-        col("Time").cast("long").cast("timestamp").as("Time"),
+        time.as("Time"),
         col("Type"),
         col("ID"))
+  }
 
   /** End-to-end batch ingest of one path (file or directory). */
   def readBatch(spark: SparkSession, path: String): DataFrame =
     normalize(readRaw(spark, path))
+
+  /** [[readBatch]] at an explicit time resolution (see [[normalize]]). */
+  def readBatch(spark: SparkSession, path: String, res: TimeResolution): DataFrame =
+    normalize(readRaw(spark, path), res)
 
   /** Typed view for API consumers. */
   def typed(df: DataFrame): Dataset[TraceSchema.TraceEvent] = {

@@ -204,6 +204,51 @@ object ExtendedQueries {
       |  round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
       |FROM events""".stripMargin
 
+  // ------------------------------------------------------------------- sub-second ingest (§1.4 opt-in, DateTime64(6))
+  private val microsNdjson = new graft.util.SessionDirCache[String]
+
+  /** q236 — the reference TODO's sub-second mode, end to end: events
+    * rendered as raw NDJSON (`Time` = fractional epoch-seconds double,
+    * the wire format the reference tails), ingested through
+    * `TraceIngest.readBatch(…, TimeResolution.Micros)` (the opt-in
+    * DateTime64(6) answer to /root/reference/README.md:219-225 — the
+    * normative default stays whole-second §1.4), then graded on the
+    * MICROSECOND remainders: per event type, the row count, the sum of
+    * sub-second microseconds, and how many rows carry a nonzero
+    * fraction. The oracle computes the same from the original parquet
+    * timestamps — so a truncating ingest (whole-second mode), a
+    * lossy double round-trip (truncation instead of rounding leaks the
+    * double's ~0.25 µs quantization as off-by-one micros), or a
+    * timezone shear fails the hash gate. */
+  def q236MicrosTime(s: SparkSession, dir: String): DataFrame = {
+    val path = microsNdjson(s, dir) { (sess, d) =>
+      val out = graft.util.TmpDirs.scratch("graft-micros-ndjson")
+      Tables.events(sess, d).select(
+        pmod(col("event_id"), lit(1000000000L)).as("Severity"),
+        concat(lit("m"), pmod(col("user_id"), lit(8L))).as("Machine"),
+        lit("default").as("LogGroup"),
+        col("ts").cast("double").as("Time"),
+        col("event_type").as("Type"),
+        col("event_id").cast("string").as("ID"))
+        .coalesce(4).write.mode("overwrite").json(s"$out/data")
+      s"$out/data"
+    }
+    val us = unix_micros(col("Time")) % lit(1000000L)
+    graft.ingest.TraceIngest
+      .readBatch(s, path, graft.ingest.TraceIngest.TimeResolution.Micros)
+      .groupBy(col("Type"))
+      .agg(count(lit(1)).as("n"),
+        sum(us).as("sum_us"),
+        sum(when(us =!= 0L, 1L).otherwise(0L)).as("n_subsec"))
+      .orderBy(col("Type"))
+  }
+
+  val q236Sql: String =
+    """SELECT event_type AS Type, count(*) AS n,
+      |  (sum(epoch_us(ts) % 1000000))::BIGINT AS sum_us,
+      |  (sum(CASE WHEN epoch_us(ts) % 1000000 <> 0 THEN 1 ELSE 0 END))::BIGINT AS n_subsec
+      |FROM events GROUP BY 1 ORDER BY Type""".stripMargin
+
   // ------------------------------------------------------------------- salted join through the gate
   /** The skew-salted join (ext.Skew) producing byte-identical results to
     * the plain join the oracle runs — proving the rewrite is semantics-
@@ -1240,6 +1285,7 @@ object ExtendedQueries {
     ("q45_stats",      q45Stats _,      Some(q45Sql)),
     ("q48_window_analytics", q48WindowAnalytics _, Some(q48Sql)),
     ("q53_summary_stats",    q53SummaryStats _,    Some(q53Sql)),
+    ("q236_micros_time",     q236MicrosTime _,     Some(q236Sql)),
     ("q49_sql_surface",      q49SqlSurface _,      Some(q49Sql)),
     ("q50_salted_join",      q50SaltedJoin _,      Some(q50Sql)),
     ("q60_correlated_subq",  q60CorrelatedSubq _,  Some(q60Sql)),

@@ -16,11 +16,16 @@ object Ddl {
   val OrderBy = "(Time)"
 
   /** ClickHouse-dialect DDL, byte-compatible with the reference's
-    * `--print-schema` output format. */
-  def clickhouse(table: String): String = {
+    * `--print-schema` output format. `micros = true` renders the
+    * sub-second variant the reference's TODO considered
+    * (/root/reference/README.md:219-225): `Time` as `DateTime64(6)` —
+    * the modern ClickHouse answer to that TODO, paired with
+    * [[graft.ingest.TraceIngest.TimeResolution.Micros]] ingest. */
+  def clickhouse(table: String, micros: Boolean = false): String = {
     val rows = TraceSchema.columns.zipWithIndex.map { case (c, i) =>
       val lead = if (i == 0) "  ( " else "  , "
-      f"$lead${s"`${c.name}`"}%-14s ${c.chType}%-18s COMMENT ${s"'${c.comment}'"}%-20s ${c.codec}"
+      val chType = if (micros && c.name == "Time") "DateTime64(6)" else c.chType
+      f"$lead${s"`${c.name}`"}%-14s $chType%-18s COMMENT ${s"'${c.comment}'"}%-20s ${c.codec}"
     }
     s"""CREATE TABLE IF NOT EXISTS `$table`
        |${rows.mkString("\n")}

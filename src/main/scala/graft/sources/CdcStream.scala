@@ -516,6 +516,152 @@ object CdcOffset {
   }
 }
 
+/** One checkpoint over N stores — the fleet form of [[CdcSource]]: the
+  * reference's multi-cluster story is one table per cluster
+  * (/root/reference/README.md:55-62; `TraceStore.readMulti` is the batch
+  * union), and a fleet-wide replication consumer wants ONE offset log,
+  * not N checkpoints to keep consistent. The composite offset carries a
+  * per-store pin (`{"next":k,"stores":[…]}` — one embedded [[CdcOffset]]
+  * per configured path, positional), and every delivered row is tagged
+  * with its origin store (`_store` = the configured path), the
+  * `readMulti` cluster-tag analogue.
+  *
+  * Semantics = each child [[CdcSource]]'s, unchanged: per-store pins
+  * under per-store metadata subdirs, admission control, chunked
+  * bootstraps/diffs, commit-GC, AvailableNow — all delegate. ONE child
+  * advances per trigger (so `maxFilesPerTrigger`/`maxBytesPerTrigger`
+  * bound the BATCH, not the batch times N), chosen round-robin from the
+  * offset's own `next` cursor — deterministic, restart-safe, and fair
+  * when several stores mutate continuously.
+  *
+  * The path LIST is part of the checkpoint contract: parts are
+  * positional, so adding/removing/reordering stores under an existing
+  * checkpoint fails loudly (part-count mismatch) — start a new
+  * checkpoint for a new fleet shape, exactly like any source-config
+  * change in Structured Streaming. All stores must share the core
+  * schema (the fleet IS one logical table there; an evolved straggler
+  * fails at construction with both schemas named). */
+final class CdcMultiSource(
+    sqlContext: SQLContext,
+    paths: Seq[String],
+    metadataPath: String,
+    initialLoad: Boolean,
+    cleanupCommitted: Boolean,
+    maxFilesPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long])
+  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  require(paths.nonEmpty, "graft-cdc multi-store read needs at least one path")
+
+  private val children: IndexedSeq[CdcSource] = paths.toIndexedSeq.zipWithIndex
+    .map { case (p, i) =>
+      new CdcSource(sqlContext, p, s"$metadataPath/store-$i", None, initialLoad,
+        cleanupCommitted, maxFilesPerTrigger, maxBytesPerTrigger)
+    }
+
+  override val schema: StructType = {
+    val first = children.head.schema
+    children.zip(paths).foreach { case (c, p) =>
+      require(c.schema == first,
+        s"graft-cdc multi-store read needs one shared schema; ${paths.head} has " +
+          s"${first.fieldNames.mkString(",")} but $p has " +
+          s"${c.schema.fieldNames.mkString(",")} — evolve the straggler first")
+    }
+    StructType(first.fields :+ StructField("_store", StringType))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = children.head.getDefaultReadLimit
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    children.foreach(_.prepareForTriggerAvailableNow())
+
+  override def initialOffset(): OffsetV2 =
+    CdcMultiOffset(0, IndexedSeq.fill(children.size)(CdcOffset.Start))
+
+  /** One admission-bounded step of ONE child per trigger, scanning
+    * round-robin from the offset's `next` cursor; children before the
+    * advanced one echo their part. A child whose part is the Start
+    * sentinel has never run — it is handed `null`, the engine's
+    * before-first-batch convention. Idle fleet ⇒ every child echoes ⇒
+    * the composite echoes `start` verbatim (no batch, no pins). */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val s = Option(start).map(CdcMultiOffset.of)
+      .getOrElse(CdcMultiOffset(0, IndexedSeq.fill(children.size)(CdcOffset.Start)))
+    require(s.parts.size == children.size,
+      s"checkpoint offset carries ${s.parts.size} store pins but ${children.size} " +
+        "paths are configured — the path list is fixed per checkpoint; start a " +
+        "new checkpoint for a changed fleet")
+    val order = (s.next until children.size) ++ (0 until s.next)
+    var advancedAt = -1
+    val parts = Array(s.parts: _*)
+    order.iterator.takeWhile(_ => advancedAt < 0).foreach { i =>
+      val prev = parts(i)
+      val engineStart: OffsetV2 = if (prev == CdcOffset.Start) null else prev
+      val next = CdcOffset.of(children(i).latestOffset(engineStart, limit))
+      if (next != prev) { parts(i) = next; advancedAt = i }
+    }
+    if (advancedAt < 0) if (start != null) start else initialOffset()
+    else CdcMultiOffset((advancedAt + 1) % children.size, parts.toIndexedSeq)
+  }
+
+  override def getOffset: Option[OffsetV1] =
+    throw new UnsupportedOperationException(
+      "graft-cdc implements SupportsAdmissionControl; the engine calls " +
+        "latestOffset(start, limit) instead of getOffset")
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val e = CdcMultiOffset.of(end)
+    val s = start.map(CdcMultiOffset.of)
+    val frames = children.indices.flatMap { i =>
+      val ePart = e.parts(i)
+      val sPart = s.map(_.parts(i)).filterNot(_ == CdcOffset.Start)
+      if (ePart == CdcOffset.Start || sPart.contains(ePart)) None
+      else Some(children(i).getBatch(sPart, ePart)
+        .withColumn("_store", lit(paths(i))))
+    }
+    if (frames.isEmpty) Shim.emptyStreaming(sqlContext.sparkSession, schema)
+    else frames.reduce(_ unionByName _)
+  }
+
+  override def commit(end: OffsetV1): Unit = {
+    val e = CdcMultiOffset.of(end)
+    children.indices.foreach { i =>
+      if (e.parts(i) != CdcOffset.Start) children(i).commit(e.parts(i))
+    }
+  }
+
+  override def stop(): Unit = children.foreach(_.stop())
+
+  override def toString: String = s"CdcMultiSource[${paths.mkString(",")}]"
+}
+
+/** Composite offset: a per-store [[CdcOffset]] (positional, option
+  * order) + the round-robin cursor naming the store the NEXT trigger
+  * scans first. */
+final case class CdcMultiOffset(next: Int, parts: IndexedSeq[CdcOffset])
+    extends OffsetV1 {
+  override def json: String =
+    parts.map(_.json).mkString(s"""{"next":$next,"stores":[""", ",", "]}")
+}
+
+object CdcMultiOffset {
+  private val Shell = """\{\s*"next"\s*:\s*(\d+)\s*,\s*"stores"\s*:\s*\[(.*)\]\s*\}""".r
+  def parse(json: String): CdcMultiOffset = json.trim match {
+    case Shell(n, body) =>
+      // embedded CdcOffset jsons are flat objects — split on object
+      // boundaries (no nested braces inside them)
+      val parts = body.split("(?<=\\})\\s*,\\s*(?=\\{)").toIndexedSeq
+        .filter(_.nonEmpty).map(CdcOffset.parse)
+      CdcMultiOffset(n.toInt, parts)
+    case other =>
+      throw new IllegalArgumentException(s"not a graft-cdc multi offset: $other")
+  }
+  def of(o: OffsetV2): CdcMultiOffset = o match {
+    case c: CdcMultiOffset => c
+    case other => parse(other.json())
+  }
+}
+
 /** `spark.readStream.format("graft-cdc")` / `spark.read.format("graft-cdc")`
   * provider (DataSourceRegister via META-INF/services, same as
   * `graft-ndjson`). The BATCH form is the Delta `table_changes` shape —
@@ -531,7 +677,11 @@ object CdcOffset {
   * }}}
   *
   * Streaming options:
-  *  - `path` (required): the trace-store root.
+  *  - `path` (required): the trace-store root. OR `paths`: a
+  *    comma-separated LIST of store roots — one checkpoint over a fleet
+  *    ([[CdcMultiSource]]): per-store pins in one composite offset, one
+  *    store advances per trigger (round-robin), rows tagged `_store`;
+  *    the list is positional and fixed per checkpoint.
   *  - `initialLoad` (default false): bootstrap — the full table at the
   *    stream's first pinned snapshot, as inserts. Overrides
   *    `startingSnapshot`.
@@ -596,7 +746,11 @@ final class CdcStreamProvider extends StreamSourceProvider
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), feedSchema(pathOf(parameters)))
+    (shortName(), multiPaths(parameters) match {
+      case Some(ps) =>
+        StructType(feedSchema(ps.head).fields :+ StructField("_store", StringType))
+      case None => feedSchema(pathOf(parameters))
+    })
 
   override def createSource(
       sqlContext: SQLContext,
@@ -604,7 +758,6 @@ final class CdcStreamProvider extends StreamSourceProvider
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source = {
-    val path = pathOf(parameters)
     // descriptive failure for a non-numeric value, matching the batch
     // relation's startingSnapshot validation style (a bare .toInt/.toLong
     // would surface as a raw NumberFormatException naming no option)
@@ -617,11 +770,23 @@ final class CdcStreamProvider extends StreamSourceProvider
       }
     val maxFiles = numeric("maxFilesPerTrigger", _.toIntOption)(_ > 0)
     val maxBytes = numeric("maxBytesPerTrigger", _.toLongOption)(_ > 0)
-    new CdcSource(sqlContext, path, metadataPath,
-      parameters.get("startingSnapshot").filterNot(_ == "latest"),
-      parameters.get("initialLoad").exists(_.toBoolean),
-      parameters.get("cleanupCommitted").forall(_.toBoolean),
-      maxFiles, maxBytes)
+    multiPaths(parameters) match {
+      case Some(ps) =>
+        require(!parameters.contains("startingSnapshot"),
+          "graft-cdc multi-store read manages one pin PER STORE; " +
+            "startingSnapshot names a single pin and cannot apply — use " +
+            "initialLoad, or per-store single-path streams")
+        new CdcMultiSource(sqlContext, ps, metadataPath,
+          parameters.get("initialLoad").exists(_.toBoolean),
+          parameters.get("cleanupCommitted").forall(_.toBoolean),
+          maxFiles, maxBytes)
+      case None =>
+        new CdcSource(sqlContext, pathOf(parameters), metadataPath,
+          parameters.get("startingSnapshot").filterNot(_ == "latest"),
+          parameters.get("initialLoad").exists(_.toBoolean),
+          parameters.get("cleanupCommitted").forall(_.toBoolean),
+          maxFiles, maxBytes)
+    }
   }
 }
 
@@ -777,7 +942,22 @@ object CdcBatchRelation {
 object CdcStreamProvider {
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-cdc requires option 'path'"))
+      throw new IllegalArgumentException(
+        "graft-cdc requires option 'path' (or 'paths' for a multi-store stream)"))
+
+  /** The `paths` option (comma-separated store roots) → Some(list) for
+    * the multi-store streaming form ([[CdcMultiSource]]); exclusive
+    * with `path`. */
+  private def multiPaths(parameters: Map[String, String]): Option[Seq[String]] =
+    parameters.get("paths").map { raw =>
+      require(!parameters.contains("path"),
+        "graft-cdc takes 'path' (single store) OR 'paths' (fleet), not both")
+      val ps = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(ps.nonEmpty, "graft-cdc option 'paths' names no store")
+      require(ps.distinct.size == ps.size,
+        s"graft-cdc option 'paths' repeats a store: $raw")
+      ps
+    }
 
   /** Commit metadata appended to every feed row (the Delta-CDF
     * `_commit_version`/`_commit_timestamp` analogue): the pin that

@@ -608,6 +608,76 @@ object ChangeFeedQuery {
       |WHERE strftime(f.ts, '%Y%m') = m.ym
       |GROUP BY 1, 2 ORDER BY change, Machine""".stripMargin
 
+  private val multied = new graft.util.SessionDirCache[(String, String, String)]
+
+  /** q235 — the FLEET feed: two stores (the reference's one-table-per-
+    * cluster shape, README.md:55-62) followed through ONE checkpoint via
+    * `option("paths", "a,b")` ([[graft.sources.CdcMultiSource]]): per-
+    * store pins ride one composite offset, each trigger advances one
+    * store round-robin, and every row carries its origin as `_store`.
+    * The fixture bootstraps both stores (initial loads interleave as
+    * separate batches), then erases `error` rows from store A ONLY and
+    * drains again — so the gate pins per-store attribution (store B must
+    * see NO deletes), the signed algebra per store, and that one store's
+    * maintenance never leaks into the other's feed. Every drain is a
+    * restart from the shared checkpoint — composite-offset replay is on
+    * the graded path.
+    *
+    * Scale: one checkpoint for N stores costs what N single streams
+    * cost (per-store file-set-pruned diffs, one advancing per trigger)
+    * minus N−1 offset logs to operate. */
+  def q235MultiStore(s: SparkSession, dir: String): DataFrame = {
+    val (outDir, pa, pb) = multied(s, dir) { (sess, d) =>
+      val a = graft.util.TmpDirs.scratch("graft-cdc-multi-a")
+      val b = graft.util.TmpDirs.scratch("graft-cdc-multi-b")
+      val out = graft.util.TmpDirs.scratch("graft-cdc-multi-out")
+      val ck = graft.util.TmpDirs.scratch("graft-cdc-multi-ck")
+      val ev = graft.tables.Tables.events(sess, d)
+      val half = pmod(col("event_id"), lit(2L))
+      val sink: (DataFrame, Long) => Unit = (bdf, bid) => {
+        bdf.write.mode("overwrite").parquet(s"$out/batch=$bid")
+        ()
+      }
+      def drainOnce(): Unit = {
+        val q = sess.readStream.format("graft-cdc")
+          .option("paths", s"$a,$b").option("initialLoad", "true")
+          .load()
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch(sink)
+          .start()
+        q.awaitTermination()
+      }
+      TraceStore.append(asTrace(ev.filter(half === 0)), a, splitsPerMonth = 2)
+      TraceStore.append(asTrace(ev.filter(half === 1)), b, splitsPerMonth = 2)
+      drainOnce() // both initial loads, separate batches, tagged
+      TraceStore.deleteWhere(sess, a, col("Type") === "error", splitsPerMonth = 2)
+      drainOnce() // A's deletes only; B idle
+      (out, a, b)
+    }
+    s.read.parquet(outDir)
+      .withColumn("store",
+        when(col("_store") === pa, lit("a")).otherwise(lit("b")))
+      .groupBy(col("store"), col("_change").as("change"), col("Machine"))
+      .agg(count(lit(1)).as("n"), sum(col("Severity").cast("long")).as("sum_sev"))
+      .orderBy(col("store"), col("change"), col("Machine"))
+  }
+
+  val q235Sql: String =
+    """SELECT store, chg AS change, Machine, count(*) AS n,
+      |  (sum(((event_id % 1000000000) + 1000000000) % 1000000000))::BIGINT AS sum_sev
+      |FROM (
+      |  SELECT 'a' AS store, 'insert' AS chg, 'm' || (user_id % 8) AS Machine, event_id
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'b', 'insert', 'm' || (user_id % 8), event_id
+      |  FROM events WHERE event_id % 2 = 1
+      |  UNION ALL
+      |  SELECT 'a', 'delete', 'm' || (user_id % 8), event_id
+      |  FROM events WHERE event_id % 2 = 0 AND event_type = 'error'
+      |)
+      |GROUP BY 1, 2, 3 ORDER BY store, change, Machine""".stripMargin
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
@@ -618,5 +688,6 @@ object ChangeFeedQuery {
     ("q232_diff_compose", q232DiffCompose _, Some(q232Sql)),
     ("q233_follow_index", q233FollowIndex _, Some(q233Sql)),
     ("q234_pruned_changes", q234PrunedChanges _, Some(q234Sql)),
+    ("q235_multi_store", q235MultiStore _, Some(q235Sql)),
   )
 }

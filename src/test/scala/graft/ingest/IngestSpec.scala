@@ -43,6 +43,24 @@ class IngestSpec extends SparkSpec {
     assert(rows(0).getString(5) == "92f2ac1d4ebb1f2d")
   }
 
+  test("micros mode keeps sub-second time exactly; default stays whole-second") {
+    val dir = tmpDir("ingest-us")
+    writeFixture(dir)
+    val df = TraceIngest.readBatch(spark, dir, TraceIngest.TimeResolution.Micros)
+    val us = df.orderBy("Time")
+      .select(org.apache.spark.sql.functions.unix_micros(df.col("Time")))
+      .collect().map(_.getLong(0))
+    // 1557761852.941 / .499 / .0 — micros preserved, round-to-nearest
+    // (truncation would read the doubles' representation error as ±1 µs)
+    assert(us.toSeq == Seq(1557761852941000L, 1557761853499000L, 1557761854000000L))
+    // and the same fixture through the DEFAULT path still truncates (§1.4)
+    val secs = TraceIngest.readBatch(spark, dir).orderBy("Time")
+      .select(org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("Time")))
+      .collect().map(_.getLong(0))
+    assert(secs.toSeq == Seq(1557761852000000L, 1557761853000000L, 1557761854000000L))
+  }
+
   test("toJsonEachRow round-trips the declared schema") {
     val dir = tmpDir("ingest2")
     writeFixture(dir)

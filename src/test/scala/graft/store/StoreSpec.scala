@@ -135,6 +135,48 @@ class StoreSpec extends SparkSpec {
     assert(TraceStore.compact(spark, path, maxFilesPerMonth = 16).isEmpty)
   }
 
+  test("clusterMonths re-lays each month on the chosen key; maintenance preserves it") {
+    import spark.implicits._
+    val path = tmpDir("store-cluster")
+    // 4 machines interleaved in time, many appends → every file holds
+    // every machine (the hash-scattered shape that defeats skipping)
+    (0 until 8).foreach { i =>
+      val rows = (0 until 40).map { j =>
+        (i * 100 + j, s"m${j % 4}", "default",
+          Timestamp.valueOf(f"2019-05-${(j % 27) + 1}%02d 10:00:00"), "Role",
+          Option(s"id$i-$j"))
+      }
+      TraceStore.append(rows.toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID"),
+        path, splitsPerMonth = 2)
+    }
+    val before = TraceStore.read(spark, path).orderBy("Severity")
+      .collect().map(_.toSeq)
+    def fileMachineRanges(): Seq[Set[String]] =
+      new java.io.File(s"$path/ym=201905").listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+        .map(f => spark.read.parquet(f.getPath)
+          .select("Machine").distinct().collect().map(_.getString(0)).toSet)
+    assert(fileMachineRanges().count(_.size > 1) > 2, "fixture must start scattered")
+    val done = TraceStore.clusterMonths(spark, path, Seq("Machine", "Time"),
+      splitsPerMonth = 4)
+    assert(done.sorted == Seq("201905"))
+    // lossless, and each file now holds a narrow Machine range (4
+    // machines over 4 range splits → mostly single-machine files)
+    assert(TraceStore.read(spark, path).orderBy("Severity")
+      .collect().map(_.toSeq).toSeq == before.toSeq)
+    val ranges = fileMachineRanges()
+    assert(ranges.count(_.size == 1) >= ranges.size / 2,
+      s"clustered files must hold narrow Machine ranges: $ranges")
+    // layout-preserving maintenance: a DELETE WHERE with layoutBy keeps
+    // the clustering instead of reverting the rewritten month to Time
+    TraceStore.deleteWhere(spark, path, col("Machine") === "m3",
+      splitsPerMonth = 3, layoutBy = Seq("Machine", "Time"))
+    val ranges2 = fileMachineRanges()
+    assert(ranges2.count(_.size == 1) >= ranges2.size / 2,
+      s"post-maintenance layout must stay clustered: $ranges2")
+    assert(TraceStore.read(spark, path).filter(col("Machine") === "m3").count() == 0)
+  }
+
   test("re-compacting a regrown month keeps every row (no name collisions)") {
     val path = tmpDir("store5")
     (1 to 6).foreach(_ => TraceStore.append(mkBatch(), path))

@@ -708,6 +708,77 @@ class CdcStreamSpec extends SparkSpec {
     assert(e3.getMessage.contains("maxFilesPerTrigger"))
   }
 
+  test("multi-store stream: one checkpoint, per-store pins, round-robin advance, isolation") {
+    val a = tmpDir("cdcmulti-a"); val b = tmpDir("cdcmulti-b")
+    val ck = tmpDir("cdcmulti-ck")
+    def drain(paths: String): Seq[(Long, Seq[(String, Int, String)])] = {
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Seq[(String, Int, String)])]()
+      val fn: (DataFrame, Long) => Unit = (df, id) => {
+        buf += ((id, df.select("_change", "Severity", "_store").collect()
+          .map((r: Row) => (r.getString(0), r.getInt(1), r.getString(2))).toSeq.sorted))
+        ()
+      }
+      val q = spark.readStream.format("graft-cdc")
+        .option("paths", paths).option("initialLoad", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).foreachBatch(fn).start()
+      q.awaitTermination()
+      buf.toSeq
+    }
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "ok", "2019-06-01 10:00:00")), a, splitsPerMonth = 1)
+    TraceStore.append(mk((30, "m3", "ok", "2019-05-13 10:00:00")), b)
+    val boot = drain(s"$a,$b")
+    // at most one store per batch (the budget bounds the BATCH, not
+    // batch × N); an empty batch is a legitimate chunk slice (e.g. a
+    // rewrite's emptied-file side arriving alone under maxFiles=1)
+    boot.foreach { case (id, rows) =>
+      assert(rows.map(_._3).distinct.size <= 1, s"batch $id mixes stores: $rows")
+    }
+    def bySev(rows: Seq[(Long, Seq[(String, Int, String)])]) =
+      rows.flatMap(_._2).map(r => (r._2, r._3)).toSet
+    assert(bySev(boot) == Set((10, a), (20, a), (30, b)))
+    // offset evolution: only B moves; A's pin stays put and contributes nothing
+    TraceStore.append(mk((40, "m4", "ok", "2019-07-01 10:00:00")), b)
+    assert(bySev(drain(s"$a,$b")) == Set((40, b)))
+    // maintenance in A must not leak into B's feed (and vice versa)
+    TraceStore.deleteWhere(spark, a, col("Severity") === 20, splitsPerMonth = 1)
+    TraceStore.append(mk((50, "m5", "ok", "2019-07-02 10:00:00")), b)
+    val mixed = drain(s"$a,$b")
+    mixed.foreach { case (id, rows) =>
+      assert(rows.map(_._3).distinct.size <= 1, s"batch $id mixes stores: $rows")
+    }
+    assert(mixed.flatMap(_._2).map(r => (r._1, r._2, r._3)).toSet ==
+      Set(("delete", 20, a), ("insert", 50, b)))
+    // the path list is part of the checkpoint contract: a reshaped fleet
+    // under the same checkpoint fails loudly, never misattributes pins
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-cdc")
+        .option("paths", a).option("initialLoad", "true").load()
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((_: DataFrame, _: Long) => ()).start()
+      TraceStore.append(mk((60, "m6", "ok", "2019-07-03 10:00:00")), a)
+      q.awaitTermination()
+    }
+    assert(ex.getMessage.contains("fixed per checkpoint") ||
+      Option(ex.getCause).exists(_.getMessage.contains("fixed per checkpoint")))
+  }
+
+  test("multi offset json round-trips") {
+    val o = graft.sources.CdcMultiOffset(1, IndexedSeq(
+      CdcOffset("s000003"),
+      CdcOffset("s000007", Some(12), Some("s000004")),
+      CdcOffset.Start))
+    assert(graft.sources.CdcMultiOffset.parse(o.json) == o)
+    intercept[IllegalArgumentException] {
+      graft.sources.CdcMultiOffset.parse("""{"snapshot":"s000001"}""")
+    }
+  }
+
   test("offset json round-trips and rejects foreign offsets") {
     val o = CdcOffset("s000042")
     assert(CdcOffset.parse(o.json) == o)
