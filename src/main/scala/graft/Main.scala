@@ -52,6 +52,10 @@ object Main {
                                 checkpointDir: String,
                                 maxFiles: Option[Int] = None,
                                 maxBytes: Option[Long] = None) extends Action
+  final case class FollowIndex(tablePath: String, indexPath: String,
+                               checkpointDir: String,
+                               maxFiles: Option[Int] = None,
+                               maxBytes: Option[Long] = None) extends Action
   final case class Replicate(tablePath: String,
                              http: graft.sources.HttpBulkSink.Config,
                              checkpointDir: String,
@@ -84,6 +88,10 @@ object Main {
       |                          the store via the CDC stream (one
       |                          AvailableNow pass; resumes from its
       |                          checkpoint, survives store maintenance)
+      |  --follow-index PATH     catch the near-dup band-bucket index at
+      |                          PATH up with the store via the CDC stream
+      |                          (same pass/checkpoint/maintenance contract
+      |                          as --follow-rollup)
       |  --replicate             ship the store's changes to the ClickHouse
       |                          HTTP endpoint as JSONEachRow with a
       |                          CollapsingMergeTree _sign column (one
@@ -139,7 +147,7 @@ object Main {
       "--checkpoint", "--max-files", "--max-bytes", "--splits", "--completion-file",
       "--drop-before", "--compact-over", "--compact-every", "--retain-months",
       "--thin-keep-months", "--thin-factor", "--drop-snapshot", "--evolve-schema",
-      "--changes-since", "--follow-rollup", "--addr")
+      "--changes-since", "--follow-rollup", "--follow-index", "--addr")
     val bare = Set("--print-schema", "--create-schema", "--watch", "--maintain",
       "--delete-logs", "--snapshot", "--list-snapshots", "--replicate")
     var i = 0
@@ -184,7 +192,8 @@ object Main {
       (if (flags.contains("--drop-snapshot")) Set("--drop-snapshot") else Set.empty) ++
       (if (flags.contains("--changes-since")) Set("--changes-since") else Set.empty) ++
       (if (flags.contains("--evolve-schema")) Set("--evolve-schema") else Set.empty) ++
-      (if (flags.contains("--follow-rollup")) Set("--follow-rollup") else Set.empty)
+      (if (flags.contains("--follow-rollup")) Set("--follow-rollup") else Set.empty) ++
+      (if (flags.contains("--follow-index")) Set("--follow-index") else Set.empty)
     if (modes.size > 1)
       return Left(s"ERROR: pick one mode, got ${modes.toSeq.sorted.mkString(", ")}")
 
@@ -284,6 +293,16 @@ object Main {
       } yield FollowRollup(tablePath, rollup,
         opt("--checkpoint", "GRAFT_CHECKPOINT")
           .getOrElse(s"$rollup/_checkpoint"), maxFiles, maxBytes)
+    else if (flags.contains("--follow-index"))
+      for {
+        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        index <- flags.get("--follow-index").filter(_.nonEmpty)
+          .toRight("ERROR: --follow-index needs an index path")
+        maxFiles <- posIntFlag("--max-files")
+        maxBytes <- posLongFlag("--max-bytes")
+      } yield FollowIndex(tablePath, index,
+        opt("--checkpoint", "GRAFT_CHECKPOINT")
+          .getOrElse(s"$index/_checkpoint"), maxFiles, maxBytes)
     else if (switches("--replicate"))
       // the reference's own endpoint contract (trace-converter.py:13-16,
       // 102): CLICKHOUSE_ADDR required, basic auth only when BOTH
@@ -441,6 +460,11 @@ object Main {
         maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
       q.awaitTermination()
       out(s"rollup at $rollupPath caught up with $tablePath")
+    case FollowIndex(tablePath, indexPath, ck, maxFiles, maxBytes) =>
+      val q = TraceStream.followIndex(session(), tablePath, indexPath, ck,
+        maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
+      q.awaitTermination()
+      out(s"index at $indexPath caught up with $tablePath")
     case Replicate(tablePath, http, ck, maxFiles, maxBytes) =>
       val q = TraceStream.replicateChanges(session(), tablePath, http, ck,
         maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)

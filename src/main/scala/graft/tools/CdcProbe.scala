@@ -92,21 +92,6 @@ object CdcProbe {
     else if (args.headOption.contains("clustered")) clustered(args.drop(1))
     else single(args)
 
-  /** Bytes actually read from local files so far (row-group skipping
-    * shows up here; the scheduled-file size does not shrink when the
-    * reader skips inside a file). Hadoop's global per-scheme statistics
-    * are exact and synchronous — no listener-bus race. */
-  private def fileBytesRead(): Long = {
-    val it = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.iterator()
-    var total = 0L
-    while (it.hasNext) {
-      val s = it.next()
-      if (s.getScheme == "file")
-        total += Option(s.getLong("bytesRead")).map(_.longValue).getOrElse(0L)
-    }
-    total
-  }
-
   /** The q230 batch read against a CLUSTERED layout — DRIFT_r11 §10's
     * probe re-run where the filter key matches the physical order: the
     * same half-store DELETE WHERE, on (a) the default Time layout and
@@ -114,13 +99,17 @@ object CdcProbe {
     * preserves the clustering. On (a) `Machine` values saturate every
     * row group, so the pushed filter cannot skip and the ~25% win is
     * decode-only; on (b) each file/row group holds a narrow Machine
-    * range, so min/max stats + blooms skip most of the diff's candidate
-    * bytes — bytes-read is the honest metric (scheduled-file size never
-    * shrinks from row-group skipping).
+    * range, so min/max stats + blooms skip most candidate row groups.
+    * The skipping observable is the scan's own `numOutputRows` — rows
+    * the parquet reader actually DECODED under the pushed filter — on a
+    * direct store scan ([[Shim.countWithScanRows]]; task bytes-read
+    * metrics mis-attribute under the relation's nested plan), alongside
+    * the relation reads' end-to-end wall.
     *
     *   runMain graft.tools.CdcProbe clustered [K[,K2,…]]   (default 10)
     */
   private def clustered(args: Array[String]): Unit = {
+    import org.apache.spark.sql.graftshim.Shim
     val ks = args.headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(10))
     val spark = session()
     val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.1")
@@ -134,17 +123,25 @@ object CdcProbe {
           pmod(col("Severity"), lit(2)) === 0,
           splitsPerMonth = 16 * k, layoutBy = layout)
         val p2 = TraceStore.snapshot(store)
-        def read(f: DataFrame => DataFrame): (Double, Long, Long) = {
-          val b0 = fileBytesRead(); val t0 = System.nanoTime()
+        def read(f: DataFrame => DataFrame): (Double, Long) = {
+          val t0 = System.nanoTime()
           val n = f(spark.read.format("graft-cdc").option("path", store)
             .option("startingSnapshot", p1).option("endingSnapshot", p2)
             .load()).count()
-          ((System.nanoTime() - t0) / 1e9, n, fileBytesRead() - b0)
+          ((System.nanoTime() - t0) / 1e9, n)
         }
-        val (fs, fn, fb) = read(identity)
-        val (ms, mn, mb) = read(_.filter(col("Machine") === "m3"))
-        f""""${tag}_full_s":$fs%.2f,"${tag}_full_rows":$fn,"${tag}_full_mb":${fb / 1e6}%.1f,""" +
-          f""""${tag}_filt_s":$ms%.2f,"${tag}_filt_rows":$mn,"${tag}_filt_mb":${mb / 1e6}%.1f"""
+        val (fs, fn) = read(identity)
+        val (ms, mn) = read(_.filter(col("Machine") === "m3"))
+        // row-group skipping, observed directly: a filtered scan of the
+        // post-rewrite store — decoded rows ≈ total on the scattered
+        // layout (nothing skips), ≈ the machine's share on the clustered
+        val t0 = System.nanoTime()
+        val (dn, decoded) = Shim.countWithScanRows(
+          TraceStore.read(spark, store).filter(col("Machine") === "m3"))
+        val ds = (System.nanoTime() - t0) / 1e9
+        f""""${tag}_full_s":$fs%.2f,"${tag}_full_rows":$fn,""" +
+          f""""${tag}_filt_s":$ms%.2f,"${tag}_filt_rows":$mn,""" +
+          f""""${tag}_scan_s":$ds%.2f,"${tag}_scan_rows":$dn,"${tag}_scan_decoded":$decoded"""
       }
       val line = s""""x$k":{${arm("time", Seq("Time"))},${arm("mach", Seq("Machine", "Time"))}}"""
       System.err.println(s"[cdcprobe-clustered] $line")
@@ -238,19 +235,43 @@ object CdcProbe {
       }
       val (fullS, fullN) = timeRead(identity)
       val (filtS, filtN) = timeRead(_.filter(col("Machine") === "m3"))
-
-      // partition-level worklist pruning: a ONE-MONTH consumer of the
-      // same table-scale rewrite. files-opened must be ∝ the selected
-      // month's changes (worklist pruned at metadata level, before any
-      // I/O), not the rewrite's full worklist
-      val worklist = TraceStore.changedKeysBetween(store, preDel, postDel)
-      def monthOf(k: String) = k.takeWhile(_ != '/').stripPrefix("ym=")
-      val m0 = worklist.map(w => monthOf(w._1)).min
-      val monthFiles = worklist.count(w => monthOf(w._1) == m0)
-      val (monthS, monthN) = timeRead(_.filter(col("ym") === m0))
       TraceStore.dropSnapshot(store, preDel)
       TraceStore.dropSnapshot(store, postDel)
       TraceStore.vacuumSnapshots(store)
+
+      // partition-level worklist pruning: a ONE-MONTH consumer of a
+      // table-scale rewrite. The base events calendar is a single month,
+      // so this store SPREADS the replicas across k months (replica c →
+      // month +c, the retention-shaped calendar a real trace store has);
+      // files-opened must be ∝ the selected month's changes (worklist
+      // pruned at metadata level, before any I/O), not the rewrite's
+      // full worklist
+      val spread = graft.util.TmpDirs.scratch(s"cdcprobe-spread-x$k")
+      (0 until k).foreach { c =>
+        TraceStore.append(asTrace(ev
+          .withColumn("ts", col("ts") + expr(s"INTERVAL $c MONTH"))
+          .withColumn("event_id", col("event_id") + lit(c.toLong * 1000000000L))
+          .withColumn("user_id", col("user_id") + lit(c.toLong * 1000000000L))),
+          spread, splitsPerMonth = 16)
+      }
+      val sp1 = TraceStore.snapshot(spread)
+      TraceStore.deleteWhere(spark, spread,
+        pmod(col("Severity"), lit(2)) === 0, splitsPerMonth = 16)
+      val sp2 = TraceStore.snapshot(spread)
+      val worklist = TraceStore.changedKeysBetween(spread, sp1, sp2)
+      def monthOf(key: String) = key.takeWhile(_ != '/').stripPrefix("ym=")
+      val m0 = worklist.map(w => monthOf(w._1)).min
+      val monthFiles = worklist.count(w => monthOf(w._1) == m0)
+      def timeSpread(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+          : (Double, Long) = {
+        val b0 = System.nanoTime()
+        val n = f(spark.read.format("graft-cdc").option("path", spread)
+          .option("startingSnapshot", sp1).option("endingSnapshot", sp2)
+          .load()).count()
+        ((System.nanoTime() - b0) / 1e9, n)
+      }
+      val (allS, allN) = timeSpread(identity)
+      val (monthS, monthN) = timeSpread(_.filter(col("ym") === m0))
 
       // idle-poll latency on the real source poll path: first poll pins,
       // second certifies idle + arms the fingerprint; the steady-state
@@ -282,8 +303,9 @@ object CdcProbe {
         f""""del_max_chunk_rows":$delMaxChunk,"del_rows":$delRows,""" +
         f""""batch_full_s":$fullS%.2f,"batch_full_rows":$fullN,""" +
         f""""batch_filt_s":$filtS%.2f,"batch_filt_rows":$filtN,""" +
-        f""""worklist_files":${worklist.size},"month_files":$monthFiles,""" +
-        f""""batch_month_s":$monthS%.2f,"batch_month_rows":$monthN,""" +
+        f""""spread_worklist_files":${worklist.size},"spread_month_files":$monthFiles,""" +
+        f""""spread_full_s":$allS%.2f,"spread_full_rows":$allN,""" +
+        f""""spread_month_s":$monthS%.2f,"spread_month_rows":$monthN,""" +
         f""""idle_poll_ms":${med(polls)}%.2f,"idle_full_ms":${med(fulls)}%.2f}"""
       System.err.println(s"[cdcprobe] $line")
       line

@@ -147,6 +147,15 @@ class MainParseSpec extends AnyFunSuite {
     assert(Main.parse(Seq("--follow-rollup", "/r"), noEnv).isLeft) // needs path
     assert(Main.parse(Seq("--follow-rollup", "/r", "--snapshot",
       "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
+    // index family: same contract as the rollup family
+    assert(Main.parse(Seq("--follow-index", "/i", "--table-path", "/t"), noEnv) ==
+      Right(Main.FollowIndex("/t", "/i", "/i/_checkpoint")))
+    assert(Main.parse(Seq("--follow-index", "/i", "--table-path", "/t",
+      "--max-files", "8"), noEnv) ==
+      Right(Main.FollowIndex("/t", "/i", "/i/_checkpoint", Some(8))))
+    assert(Main.parse(Seq("--follow-index", "/i"), noEnv).isLeft) // needs path
+    assert(Main.parse(Seq("--follow-index", "/i", "--follow-rollup", "/r",
+      "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
   }
 
   test("--replicate resolves the reference's endpoint contract from flags and env") {
@@ -352,6 +361,33 @@ class MainRunSpec extends SparkSpec {
     Main.run(Main.Maintain(table, None, 1, 1), _ => (), () => spark)
     Main.run(Main.FollowRollup(table, roll, ck), out.append(_), () => spark)
     assert(rollTotal() == 5)
+  }
+
+  test("--follow-index catches the band-bucket index up with the store across maintenance") {
+    val in = tmpDir("cli-fi-in"); val table = tmpDir("cli-fi-table")
+    val idx = tmpDir("cli-fi-idx"); val ck = tmpDir("cli-fi-ck")
+    writeTrace(in, "a.json", 1557761852L, 3)   // 201905
+    Main.run(Main.Convert(Seq(s"$in/a.json"), table, 1), _ => (), () => spark)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Main.run(Main.FollowIndex(table, idx, ck), out.append(_), () => spark)
+    assert(out.last == s"index at $idx caught up with $table")
+    def rebuilt(): Set[(Int, Long, Long)] =
+      graft.store.ChangeFeedQuery.bucketRows(TraceStore.read(spark, table))
+        .groupBy(org.apache.spark.sql.functions.col("band"),
+          org.apache.spark.sql.functions.col("bkey"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def current(): Set[(Int, Long, Long)] =
+      graft.streaming.TraceStream.readIndex(spark, idx)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(current() == rebuilt())
+    // more data + a compaction, then a second catch-up (same checkpoint)
+    writeTrace(in, "b.json", 1557761900L, 2)
+    Main.run(Main.Convert(Seq(s"$in/b.json"), table, 1), _ => (), () => spark)
+    Main.run(Main.Maintain(table, None, 1, 1), _ => (), () => spark)
+    Main.run(Main.FollowIndex(table, idx, ck), _ => (), () => spark)
+    assert(current() == rebuilt())
   }
 
   test("--follow-rollup resuming a MID-BOOTSTRAP checkpoint catches up in ONE pass") {
