@@ -553,6 +553,32 @@ final class CdcMultiSource(
 
   require(paths.nonEmpty, "graft-cdc multi-store read needs at least one path")
 
+  // Pin the PATH LIST durably under the stream's metadata: offset parts
+  // are positional, so a checkpoint resumed with the stores REORDERED
+  // (same count) would silently re-bind each store to another store's
+  // pin — not a crash, a misattributed feed. First run writes the list;
+  // every restart must present the identical sequence.
+  locally {
+    val fs0 = new org.apache.hadoop.fs.Path(metadataPath)
+      .getFileSystem(sqlContext.sparkSession.sparkContext.hadoopConfiguration)
+    val pathsFile = new org.apache.hadoop.fs.Path(metadataPath, "paths")
+    if (fs0.exists(pathsFile)) {
+      val in = fs0.open(pathsFile)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      require(prev == paths.toList,
+        s"this checkpoint follows the store list [${prev.mkString(", ")}] but " +
+          s"'paths' names [${paths.mkString(", ")}] — the list (including its " +
+          "ORDER) is fixed per checkpoint because offset pins are positional; " +
+          "start a new checkpoint for a changed fleet")
+    } else {
+      fs0.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+      val out = fs0.create(pathsFile, true)
+      try out.write(paths.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   private val children: IndexedSeq[CdcSource] = paths.toIndexedSeq.zipWithIndex
     .map { case (p, i) =>
       new CdcSource(sqlContext, p, s"$metadataPath/store-$i", None, initialLoad,

@@ -766,6 +766,19 @@ class CdcStreamSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("fixed per checkpoint") ||
       Option(ex.getCause).exists(_.getMessage.contains("fixed per checkpoint")))
+    // same COUNT but reordered is the insidious variant: positional pins
+    // would silently re-bind each store to the other's offset — the
+    // durable path-list pin must reject it before any batch is planned
+    val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-cdc")
+        .option("paths", s"$b,$a").option("initialLoad", "true").load()
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((_: DataFrame, _: Long) => ()).start()
+      q.awaitTermination()
+    }
+    assert(ex2.getMessage.contains("fixed per checkpoint") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("fixed per checkpoint")))
   }
 
   test("multi offset json round-trips") {
