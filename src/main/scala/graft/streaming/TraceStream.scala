@@ -441,27 +441,43 @@ object TraceStream {
     * dedup family's band-bucket LSH index (the table q26-style candidate
     * joins run on) current per micro-batch. Each batch's rows pass the
     * map-only MinHash signature kernel
-    * ([[graft.store.ChangeFeedQuery.bucketRows]]) with a ±1 sign, and the
-    * signed per-(band, bkey) counts fold into a versioned, crash-safe
+    * ([[graft.store.ChangeFeedQuery.bucketRows]]) with a ±1 sign; the
+    * signed per-(band, bkey) counts land in a SEGMENTED, crash-safe
     * parquet index under `indexPath`: inserts add their bucket rows,
     * DELETE WHERE / retention retract them, a compaction's cancelling
     * pairs net out (possibly across chunked batches — transient
-    * insert+delete of the same row sums to zero here by construction),
-    * and an emptied bucket leaves the index. The first batch is the full
-    * table as inserts (`initialLoad`), so the index bootstraps itself.
+    * insert+delete of the same row sums to zero by construction), and an
+    * emptied bucket leaves the index at read/compaction time. The first
+    * batch is the full table as inserts (`initialLoad`), so the index
+    * bootstraps itself.
     *
-    * Same crash/replay story as [[followRollup]]: versions are
-    * `v<batchId>` dirs merged from the highest complete predecessor, so
-    * an at-least-once replay rebuilds its own version instead of
-    * double-counting, and a crash mid-write leaves an invisible
-    * no-_SUCCESS dir. Cost per batch ∝ changed rows (one signature pass
-    * over the feed) + index cardinality (the merge) — never the corpus:
-    * the rebuild that would re-shingle 100 TB never runs. */
+    * WHY segments, not the rollup family's merged versions: a rollup's
+    * cardinality is bounded by its group space, so rewriting it per
+    * batch is cheap forever — but this index's cardinality grows with
+    * the CORPUS, and a merge-per-batch would make every trickle batch
+    * cost O(index) (a full rewrite of a 100 TB corpus's bucket table,
+    * per batch). Instead each batch appends its delta as an immutable
+    * SEGMENT (`seg-<batchId>`, cost O(changed rows)) and every
+    * `compactOver`-th state change folds base+segments into a new
+    * `base-<batchId>` — the SummingMergeTree parts-and-background-merge
+    * model, amortized O(delta + index/compactOver) per batch. Readers
+    * merge on read ([[readIndex]]): newest base ⊎ later segments,
+    * signed-summed — segment count is bounded by `compactOver`, so the
+    * read never degrades unboundedly.
+    *
+    * Same crash/replay story as [[followRollup]]: segments and bases are
+    * `_SUCCESS`-gated dirs named by batch id, so an at-least-once replay
+    * rebuilds ITS OWN segment/base from the same inputs instead of
+    * double-counting (a compaction replay re-reads the prior base +
+    * segments, which pruning keeps until the next batch commits), a
+    * crash mid-write leaves an invisible dir, and batch ids are
+    * lineage-pinned against wiped checkpoints. */
   def followIndex(spark: SparkSession, storePath: String, indexPath: String,
                   checkpointDir: String,
                   trigger: Trigger = Trigger.AvailableNow(),
                   maxFilesPerTrigger: Option[Int] = None,
-                  maxBytesPerTrigger: Option[Long] = None): StreamingQuery = {
+                  maxBytesPerTrigger: Option[Long] = None,
+                  compactOver: Int = 8): StreamingQuery = {
     var inc: String = null   // resolved on first batch — metadata exists by then
     val reader = spark.readStream.format("graft-cdc")
       .option("path", storePath)
@@ -481,17 +497,122 @@ object TraceStream {
           .bucketRows(batch.withColumn("_s", sign), carry = Seq("_s"))
           .groupBy(col("band"), col("bkey"))
           .agg(sum(col("_s")).as("n"))
-        upsertDelta(batch.sparkSession, delta, batchId, indexPath, inc,
-          keys = Seq("band", "bkey"), measures = Seq("n"))
+        upsertSegment(batch.sparkSession, delta, batchId, indexPath, inc,
+          keys = Seq("band", "bkey"), measure = "n", compactOver = compactOver)
       }
       .start()
   }
 
-  /** Read the current maintained band-bucket index (highest complete
-    * version) — the same versioned layout as [[readRollup]], read the
-    * same way. */
-  def readIndex(spark: SparkSession, indexPath: String): DataFrame =
-    readRollup(spark, indexPath)
+  /** Complete (`_SUCCESS`-present) parts with the given name prefix
+    * under a segmented-index root, ascending by batch id. */
+  private def partsOf(fs: org.apache.hadoop.fs.FileSystem,
+                      root: org.apache.hadoop.fs.Path,
+                      prefix: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix)) n.drop(prefix.length).toLongOption.map(_ -> st.getPath)
+        else None
+      }
+      .sortBy(_._1)
+
+  /** One maintenance step of the SEGMENTED signed index (see
+    * [[followIndex]]): append the batch's signed delta as segment
+    * `seg-<batchId>` (O(delta)), or — when the live segment count would
+    * exceed `compactOver` — fold base + segments + delta into
+    * `base-<batchId>` (the background merge). Lineage-pinned,
+    * future-id-guarded, and replay-idempotent exactly like
+    * [[upsertDelta]]; pruning keeps the previous base and its segment
+    * tail until a LATER state change commits, so the one batch that can
+    * replay always finds its merge inputs. */
+  private[streaming] def upsertSegment(spark: SparkSession, delta: DataFrame,
+                                       batchId: Long, indexPath: String,
+                                       incarnation: String, keys: Seq[String],
+                                       measure: String, compactOver: Int): Unit = {
+    val (fs, root) = fsOf(spark, indexPath)
+    val incFile = new org.apache.hadoop.fs.Path(root, "_incarnation")
+    if (fs.exists(incFile)) {
+      val in = fs.open(incFile)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+      require(prev == incarnation,
+        s"index at $indexPath belongs to checkpoint lineage '$prev' but this " +
+        s"query runs under '$incarnation' — batch ids are incomparable across " +
+        "lineages; clear the index path or restore the original checkpoint")
+    } else {
+      fs.mkdirs(root)
+      val out = fs.create(incFile, true)
+      try out.write(incarnation.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val bases = partsOf(fs, root, "base-")
+    val segs = partsOf(fs, root, "seg-")
+    require((bases ++ segs).forall(_._1 <= batchId),
+      s"index at $indexPath has a part ahead of batch $batchId — the checkpoint " +
+      "was wiped in place and batch ids restarted; clear the index path or " +
+      "restore the original checkpoint")
+    // replay of an already-committed batch: rebuild nothing (identical by
+    // construction), and never rewrite a dir a reader may hold
+    if ((bases ++ segs).exists(_._1 == batchId)) return
+    val curBase = bases.lastOption
+    val live = segs.filter { case (id, _) => curBase.forall(_._1 < id) }
+    def readParts(ps: Seq[org.apache.hadoop.fs.Path]): Option[DataFrame] =
+      if (ps.isEmpty) None else Some(spark.read.parquet(ps.map(_.toString): _*))
+    if (live.size + 1 > compactOver) {
+      // background merge: base ⊎ segments ⊎ delta → new base; emptied
+      // buckets leave the index here
+      val all = readParts(curBase.map(_._2).toSeq ++ live.map(_._2))
+        .map(_.unionByName(delta)).getOrElse(delta)
+      all.groupBy(keys.map(col): _*)
+        .agg(sum(col(measure)).as(measure))
+        .filter(col(measure) =!= 0L)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(root, s"base-$batchId").toString)
+    } else {
+      // plain segment append: cost ∝ the batch's changed rows, never the
+      // index — zero-net rows drop, negative (retraction) rows KEEP
+      delta.filter(col(measure) =!= 0L)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(root, s"seg-$batchId").toString)
+    }
+    // prune: keep the newest TWO bases and every segment newer than the
+    // OLDER kept base — the replayable batch (only the latest) can be a
+    // compaction, whose rebuild re-reads the previous base + its tail.
+    // _SUCCESS goes first so a crash mid-delete leaves the dir invisible.
+    val keptBases = partsOf(fs, root, "base-").takeRight(2)
+    val floor = keptBases.headOption.map(_._1).getOrElse(-1L)
+    def drop(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
+      fs.delete(p, true)
+      ()
+    }
+    partsOf(fs, root, "base-").dropRight(2).foreach(b => drop(b._2))
+    partsOf(fs, root, "seg-").filter(_._1 <= floor).foreach(s => drop(s._2))
+  }
+
+  /** Read the current maintained band-bucket index: newest complete base
+    * ⊎ later segments, signed-summed (merge-on-read — segment count is
+    * bounded by the maintainer's `compactOver`). The result is the same
+    * table a from-scratch rebuild produces; execute it within one
+    * maintenance cycle of resolution (pruning keeps a one-base grace
+    * window, same discipline as [[readRollup]]). */
+  def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val (fs, root) = fsOf(spark, indexPath)
+    val bases = partsOf(fs, root, "base-")
+    val curBase = bases.lastOption
+    val segs = partsOf(fs, root, "seg-")
+      .filter { case (id, _) => curBase.forall(_._1 < id) }
+    val parts = curBase.map(_._2).toSeq ++ segs.map(_._2)
+    require(parts.nonEmpty, s"no complete index part under $indexPath")
+    val df = spark.read.parquet(parts.map(_.toString): _*)
+    val keys = df.columns.dropRight(1).toSeq // measure is the last column
+    val measure = df.columns.last
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col(measure)).as(measure))
+      .filter(col(measure) =!= 0L)
+  }
 
   /** Continuous replication of a trace STORE over the reference's HTTP
     * bulk-insert transport — the CDC completion of its pipeline: where

@@ -90,7 +90,55 @@ object CdcProbe {
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("multi")) multi(args.drop(1))
     else if (args.headOption.contains("clustered")) clustered(args.drop(1))
+    else if (args.headOption.contains("index")) index(args.drop(1))
     else single(args)
+
+  /** followIndex maintenance cost vs store scale: bootstrap the
+    * band-bucket index at k×, then deliver a FIXED-size append and a
+    * small DELETE WHERE and time each catch-up pass. The signed delta
+    * is O(changed rows) at every scale; the versioned upsert's merge
+    * rewrites the full index version, which grows with the corpus — so
+    * catch-up = O(changes) + O(index cardinality), measured here
+    * honestly rather than asserted flat (SCALE.md documents the
+    * at-larger-scale answer: shard the stored index by bucket range so
+    * a merge rewrites only touched shards).
+    *
+    *   runMain graft.tools.CdcProbe index [K[,K2,…]]   (default 1,10)
+    */
+  private def index(args: Array[String]): Unit = {
+    val ks = args.headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 10))
+    val spark = session()
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.1")
+    val incr = asTrace(ev.filter(pmod(col("event_id"), lit(64L)) === 0)
+      .withColumn("event_id", col("event_id") + lit(900L * 1000000000L)))
+    val lines = ks.map { k =>
+      val store = buildStore(spark, ev, k, "cdcidx-store")
+      val idx = graft.util.TmpDirs.scratch(s"cdcidx-index-x$k")
+      val ck = graft.util.TmpDirs.scratch(s"cdcidx-ck-x$k")
+      def catchUp(): Double = {
+        val t0 = System.nanoTime()
+        val q = graft.streaming.TraceStream.followIndex(spark, store, idx, ck,
+          maxFilesPerTrigger = Some(64))
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val bootS = catchUp()
+      val idxRows = graft.streaming.TraceStream.readIndex(spark, idx).count()
+      TraceStore.append(incr, store, splitsPerMonth = 4)
+      val incS = catchUp()
+      TraceStore.deleteWhere(spark, store,
+        col("Severity") === 0, splitsPerMonth = 16)
+      val delS = catchUp()
+      val idleS = catchUp()
+      val line = f""""x$k":{"index_rows":$idxRows,"bootstrap_s":$bootS%.2f,""" +
+        f""""incr_catchup_s":$incS%.2f,"del_catchup_s":$delS%.2f,""" +
+        f""""idle_catchup_s":$idleS%.2f}"""
+      System.err.println(s"[cdcprobe-index] $line")
+      line
+    }
+    println(lines.mkString("""{"metric":"cdc_index","incr_rows_fixed":true,""", ",", "}"))
+    spark.stop()
+  }
 
   /** The q230 batch read against a CLUSTERED layout — DRIFT_r11 §10's
     * probe re-run where the filter key matches the physical order: the

@@ -658,6 +658,57 @@ class CdcStreamSpec extends SparkSpec {
     assert(current() == before)
   }
 
+  test("segmented index: O(delta) appends, cadenced compaction, retraction, replay") {
+    import spark.implicits._
+    val idx = tmpDir("segidx")
+    def put(id: Long, rows: (Int, Long, Long)*): Unit =
+      TraceStream.upsertSegment(spark, rows.toSeq.toDF("band", "bkey", "n"),
+        id, idx, "lineage-a", Seq("band", "bkey"), "n", compactOver = 3)
+    def parts(prefix: String): Seq[Long] =
+      new java.io.File(idx).listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+          new java.io.File(f, "_SUCCESS").exists)
+        .map(_.getName.drop(prefix.length).toLong).sorted
+    def state(): Map[(Int, Long), Long] =
+      TraceStream.readIndex(spark, idx).collect()
+        .map((r: Row) => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    put(0, (0, 10L, 2L)); put(1, (0, 11L, 1L)); put(2, (1, 10L, 3L))
+    // three batches = three O(delta) segments, no base rewritten
+    assert(parts("seg-") == Seq(0L, 1L, 2L) && parts("base-").isEmpty)
+    assert(state() == Map((0, 10L) -> 2L, (0, 11L) -> 1L, (1, 10L) -> 3L))
+    // a retraction rides a segment as a NEGATIVE row (merge-on-read nets it)
+    put(3, (0, 10L, -2L), (0, 11L, 1L))
+    assert(parts("base-") == Seq(3L), "4th state change must compact (compactOver=3)")
+    // ...but batch 3 crossed the threshold, so it compacted instead:
+    // emptied bucket (0,10) left the index AT the compaction
+    assert(state() == Map((0, 11L) -> 2L, (1, 10L) -> 3L))
+    // post-compaction appends are segments again
+    put(4, (2, 7L, 1L))
+    assert(parts("seg-").contains(4L) && parts("base-") == Seq(3L))
+    assert(state() == Map((0, 11L) -> 2L, (1, 10L) -> 3L, (2, 7L) -> 1L))
+    // replay of a committed batch is a no-op (never rewrites a live dir)
+    put(4, (2, 7L, 999L))
+    assert(state()((2, 7L)) == 1L, "replayed batch must not double-count")
+    // a wiped-checkpoint lineage fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      TraceStream.upsertSegment(spark, Seq((0, 1L, 1L)).toDF("band", "bkey", "n"),
+        99, idx, "lineage-B", Seq("band", "bkey"), "n", 3)
+    }
+    assert(ex.getMessage.contains("lineage"))
+    // and so does a part AHEAD of the batch id (restarted ids)
+    val ex2 = intercept[IllegalArgumentException] {
+      TraceStream.upsertSegment(spark, Seq((0, 1L, 1L)).toDF("band", "bkey", "n"),
+        1, idx, "lineage-a", Seq("band", "bkey"), "n", 3)
+    }
+    assert(ex2.getMessage.contains("wiped"))
+    // second compaction prunes the superseded tail but keeps the replay
+    // window (previous base + its segment tail survive one cycle)
+    put(5, (2, 8L, 1L)); put(6, (2, 9L, 1L)); put(7, (2, 9L, 1L))
+    assert(parts("base-") == Seq(3L, 7L))
+    assert(parts("seg-").forall(_ > 3L), s"segments at/under the old base must prune: ${parts("seg-")}")
+    assert(state()((2, 9L)) == 2L)
+  }
+
   test("idle certification expires: an mtime-absorbed mutation is delivered within the recheck bound") {
     // coarse-timestamp hazard (ADVICE r11): a mutation landing in the
     // same filesystem tick as the idle certification leaves the month-dir
