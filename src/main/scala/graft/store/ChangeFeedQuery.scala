@@ -678,6 +678,68 @@ object ChangeFeedQuery {
       |)
       |GROUP BY 1, 2, 3 ORDER BY store, change, Machine""".stripMargin
 
+  private val fleetRolled = new graft.util.SessionDirCache[String]
+
+  /** q237 — the FLEET rollup: `followRollup` over TWO stores through
+    * one checkpoint (`followFleetRollup`, composing the multi-store
+    * source with the versioned rollup upsert). The fixture bootstraps
+    * both stores, erases `error` rows from store A only, compacts
+    * store B (must contribute nothing), then appends to B — draining
+    * between every mutation, each drain a restart. The graded read is
+    * the maintained (ym, Type) rollup itself; the oracle recomputes it
+    * from the raw events under the same membership algebra, so a signed
+    * error in either store's feed, cross-store leakage of A's
+    * maintenance, or a double-counted replay fails the hash gate.
+    * Scale: the union rollup of N stores costs N single feeds' changes
+    * + one bounded-cardinality merge per batch — never a cross-store
+    * shuffle of table data. */
+  def q237FleetRollup(s: SparkSession, dir: String): DataFrame = {
+    val roll = fleetRolled(s, dir) { (sess, d) =>
+      val a = graft.util.TmpDirs.scratch("graft-cdc-fleetroll-a")
+      val b = graft.util.TmpDirs.scratch("graft-cdc-fleetroll-b")
+      val rp = graft.util.TmpDirs.scratch("graft-cdc-fleetroll-roll")
+      val ck = graft.util.TmpDirs.scratch("graft-cdc-fleetroll-ck")
+      val ev = graft.tables.Tables.events(sess, d)
+      val half = pmod(col("event_id"), lit(2L))
+      def drain(): Unit = {
+        val q = graft.streaming.TraceStream.followFleetRollup(
+          sess, Seq(a, b), rp, ck, maxFilesPerTrigger = Some(4))
+        q.awaitTermination()
+      }
+      TraceStore.append(asTrace(ev.filter(half === 0)), a, splitsPerMonth = 2)
+      TraceStore.append(asTrace(ev.filter(half === 1)), b, splitsPerMonth = 2)
+      drain() // both bootstraps, chunked, one store per batch
+      TraceStore.deleteWhere(sess, a, col("Type") === "error", splitsPerMonth = 2)
+      drain() // A's negative increments; B untouched
+      TraceStore.compact(sess, b, maxFilesPerMonth = 1, splitsPerMonth = 2)
+      drain() // B's rewrite nets to zero
+      TraceStore.append(asTrace(ev.filter(half === 1)
+        .withColumn("event_id", col("event_id") + lit(2000000000L))), b,
+        splitsPerMonth = 2)
+      drain() // post-maintenance growth on the OTHER store
+      rp
+    }
+    graft.streaming.TraceStream.readRollup(s, roll)
+      .orderBy(col("ym"), col("Type"))
+  }
+
+  // membership: A = even ids minus errors; B = odd ids (twice: the raw
+  // odd batch + the id-shifted re-append; Severity/ym/Type are
+  // id-shift-invariant mod 1e9 because the shift is 2e9)
+  val q237Sql: String =
+    """SELECT strftime(ts, '%Y%m') AS ym, event_type AS Type,
+      |  count(*) AS n,
+      |  (sum(((event_id % 1000000000) + 1000000000) % 1000000000))::BIGINT AS sev_sum
+      |FROM (
+      |  SELECT ts, event_type, event_id FROM events
+      |  WHERE event_id % 2 = 0 AND event_type <> 'error'
+      |  UNION ALL
+      |  SELECT ts, event_type, event_id FROM events WHERE event_id % 2 = 1
+      |  UNION ALL
+      |  SELECT ts, event_type, event_id FROM events WHERE event_id % 2 = 1
+      |)
+      |GROUP BY 1, 2 ORDER BY ym, Type""".stripMargin
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
@@ -689,5 +751,6 @@ object ChangeFeedQuery {
     ("q233_follow_index", q233FollowIndex _, Some(q233Sql)),
     ("q234_pruned_changes", q234PrunedChanges _, Some(q234Sql)),
     ("q235_multi_store", q235MultiStore _, Some(q235Sql)),
+    ("q237_fleet_rollup", q237FleetRollup _, Some(q237Sql)),
   )
 }

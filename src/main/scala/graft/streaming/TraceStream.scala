@@ -411,10 +411,51 @@ object TraceStream {
                    checkpointDir: String,
                    trigger: Trigger = Trigger.AvailableNow(),
                    maxFilesPerTrigger: Option[Int] = None,
-                   maxBytesPerTrigger: Option[Long] = None): StreamingQuery = {
+                   maxBytesPerTrigger: Option[Long] = None): StreamingQuery =
+    followRollupFrom(spark,
+      _.option("path", storePath), rollupPath, checkpointDir, trigger,
+      maxFilesPerTrigger, maxBytesPerTrigger)
+
+  /** FLEET-wide rollup maintenance: [[followRollup]] over N stores
+    * through ONE checkpoint (the multi-store `paths` source,
+    * [[graft.sources.CdcMultiSource]]) — the reference's
+    * one-table-per-cluster shape rolled up ACROSS the fleet. Each
+    * micro-batch carries one store's signed changes; the (ym, Type)
+    * delta ignores the `_store` tag, so the maintained rollup is the
+    * union rollup, and one store's DELETE WHERE arrives as negative
+    * increments without touching the others' contributions (signed
+    * summation is associative across stores — the same algebra that
+    * makes chunk slices composable makes store interleavings
+    * composable). Per-store pins, admission control, and crash/replay
+    * semantics all delegate to the fleet source. */
+  def followRollup(spark: SparkSession, storePaths: Seq[String], rollupPath: String,
+                   checkpointDir: String,
+                   trigger: Trigger,
+                   maxFilesPerTrigger: Option[Int],
+                   maxBytesPerTrigger: Option[Long]): StreamingQuery =
+    followRollupFrom(spark,
+      _.option("paths", storePaths.mkString(",")), rollupPath, checkpointDir,
+      trigger, maxFilesPerTrigger, maxBytesPerTrigger)
+
+  /** [[followRollup]] fleet overload with the usual defaults (Scala
+    * cannot default-arg two overloads of one name). */
+  def followFleetRollup(spark: SparkSession, storePaths: Seq[String],
+                        rollupPath: String, checkpointDir: String,
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        maxFilesPerTrigger: Option[Int] = None,
+                        maxBytesPerTrigger: Option[Long] = None): StreamingQuery =
+    followRollup(spark, storePaths, rollupPath, checkpointDir, trigger,
+      maxFilesPerTrigger, maxBytesPerTrigger)
+
+  private def followRollupFrom(spark: SparkSession,
+                               source: org.apache.spark.sql.streaming.DataStreamReader =>
+                                 org.apache.spark.sql.streaming.DataStreamReader,
+                               rollupPath: String, checkpointDir: String,
+                               trigger: Trigger,
+                               maxFilesPerTrigger: Option[Int],
+                               maxBytesPerTrigger: Option[Long]): StreamingQuery = {
     var inc: String = null   // resolved on first batch — metadata exists by then
-    val reader = spark.readStream.format("graft-cdc")
-      .option("path", storePath)
+    val reader = source(spark.readStream.format("graft-cdc"))
       .option("initialLoad", "true")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
@@ -477,11 +518,20 @@ object TraceStream {
                   trigger: Trigger = Trigger.AvailableNow(),
                   maxFilesPerTrigger: Option[Int] = None,
                   maxBytesPerTrigger: Option[Long] = None,
-                  compactOver: Int = 8): StreamingQuery = {
+                  compactOver: Int = 8,
+                  startingSnapshot: Option[String] = None): StreamingQuery = {
+    // Corpus-scale bootstrap: streaming the initial load through the
+    // chunked path re-folds the GROWING index every compactOver-th batch
+    // (Σ over compactions of the index-so-far — super-linear in the
+    // corpus). The production shape is [[seedIndex]]: build the base in
+    // ONE batch job over a pinned snapshot, then follow from that pin —
+    // `startingSnapshot` switches the source to changes-after-pin and
+    // the seed serves as the pre-batch-0 base.
     var inc: String = null   // resolved on first batch — metadata exists by then
     val reader = spark.readStream.format("graft-cdc")
       .option("path", storePath)
-      .option("initialLoad", "true")
+      .option("initialLoad", startingSnapshot.isEmpty.toString)
+    startingSnapshot.foreach(p => reader.option("startingSnapshot", p))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
     reader
@@ -501,6 +551,39 @@ object TraceStream {
           keys = Seq("band", "bkey"), measure = "n", compactOver = compactOver)
       }
       .start()
+  }
+
+  /** Build the index BASE in one batch job over a pinned snapshot — the
+    * corpus-scale bootstrap (see [[followIndex]]): one map-only
+    * signature pass + one aggregation over the snapshot, written as the
+    * `seed-0` part that every later segment and compaction merges from
+    * (it resolves as a base older than batch 0). Pin the snapshot
+    * FIRST, seed, then start `followIndex(…, startingSnapshot =
+    * Some(pin))` — the pin is the caller's to drop once the stream's
+    * offset passes its first complete form. Refuses a non-empty index
+    * (seeding under live parts would double-count). */
+  def seedIndex(spark: SparkSession, storePath: String, snapshotId: String,
+                indexPath: String): Unit = {
+    val (fs, root) = fsOf(spark, indexPath)
+    require(partsOf(fs, root, "seg-").isEmpty && partsOf(fs, root, "base-").isEmpty &&
+      !fs.exists(new org.apache.hadoop.fs.Path(root, "seed-0")),
+      s"index at $indexPath already has parts — seedIndex is for an empty index")
+    graft.store.ChangeFeedQuery
+      .bucketRows(TraceStore.readSnapshot(spark, storePath, snapshotId))
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root, "seed-0").toString)
+  }
+
+  /** The seed (as a base older than every batch id) plus the complete
+    * `base-` parts, ascending. */
+  private def basesOf(fs: org.apache.hadoop.fs.FileSystem,
+                      root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val seed = new org.apache.hadoop.fs.Path(root, "seed-0")
+    val s = if (fs.exists(new org.apache.hadoop.fs.Path(seed, "_SUCCESS")))
+      Seq((-1L, seed)) else Seq.empty
+    s ++ partsOf(fs, root, "base-")
   }
 
   /** Complete (`_SUCCESS`-present) parts with the given name prefix
@@ -547,7 +630,7 @@ object TraceStream {
       try out.write(incarnation.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    val bases = partsOf(fs, root, "base-")
+    val bases = basesOf(fs, root)
     val segs = partsOf(fs, root, "seg-")
     require((bases ++ segs).forall(_._1 <= batchId),
       s"index at $indexPath has a part ahead of batch $batchId — the checkpoint " +
@@ -577,18 +660,19 @@ object TraceStream {
         .coalesce(1)
         .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(root, s"seg-$batchId").toString)
     }
-    // prune: keep the newest TWO bases and every segment newer than the
-    // OLDER kept base — the replayable batch (only the latest) can be a
-    // compaction, whose rebuild re-reads the previous base + its tail.
-    // _SUCCESS goes first so a crash mid-delete leaves the dir invisible.
-    val keptBases = partsOf(fs, root, "base-").takeRight(2)
+    // prune: keep the newest TWO bases (the seed counts as one) and
+    // every segment newer than the OLDER kept base — the replayable
+    // batch (only the latest) can be a compaction, whose rebuild
+    // re-reads the previous base + its tail. _SUCCESS goes first so a
+    // crash mid-delete leaves the dir invisible.
+    val keptBases = basesOf(fs, root).takeRight(2)
     val floor = keptBases.headOption.map(_._1).getOrElse(-1L)
     def drop(p: org.apache.hadoop.fs.Path): Unit = {
       fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
       fs.delete(p, true)
       ()
     }
-    partsOf(fs, root, "base-").dropRight(2).foreach(b => drop(b._2))
+    basesOf(fs, root).dropRight(2).foreach(b => drop(b._2))
     partsOf(fs, root, "seg-").filter(_._1 <= floor).foreach(s => drop(s._2))
   }
 
@@ -600,7 +684,7 @@ object TraceStream {
     * window, same discipline as [[readRollup]]). */
   def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
     val (fs, root) = fsOf(spark, indexPath)
-    val bases = partsOf(fs, root, "base-")
+    val bases = basesOf(fs, root)
     val curBase = bases.lastOption
     val segs = partsOf(fs, root, "seg-")
       .filter { case (id, _) => curBase.forall(_._1 < id) }

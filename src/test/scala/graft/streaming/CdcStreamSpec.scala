@@ -658,6 +658,46 @@ class CdcStreamSpec extends SparkSpec {
     assert(current() == before)
   }
 
+  test("seeded index: batch census + stream-from-pin equals rebuild, no streaming bootstrap") {
+    import graft.store.ChangeFeedQuery
+    val store = tmpDir("seedidx-store"); val idx = tmpDir("seedidx-idx")
+    val ck = tmpDir("seedidx-ck")
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "bad", "2019-06-01 10:00:00"),
+      (30, "m3", "ok", "2019-07-01 10:00:00")), store, splitsPerMonth = 1)
+    // corpus-scale shape: pin, build the base in ONE batch job…
+    val pin = TraceStore.snapshot(store)
+    TraceStream.seedIndex(spark, store, pin, idx)
+    def rebuilt(): Set[(Int, Long, Long)] =
+      ChangeFeedQuery.bucketRows(TraceStore.read(spark, store))
+        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+        .collect().map((r: Row) => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def current(): Set[(Int, Long, Long)] =
+      TraceStream.readIndex(spark, idx)
+        .collect().map((r: Row) => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(current() == rebuilt(), "the seed alone must equal the pinned state's census")
+    // …then follow CHANGES from the pin — no streaming bootstrap runs
+    def catchUp(): Unit = {
+      val q = TraceStream.followIndex(spark, store, idx, ck,
+        maxFilesPerTrigger = Some(1), startingSnapshot = Some(pin))
+      q.awaitTermination()
+    }
+    TraceStore.append(mk((40, "m4", "ok", "2019-08-01 10:00:00")), store)
+    TraceStore.deleteWhere(spark, store, col("Type") === "bad", splitsPerMonth = 1)
+    catchUp()
+    assert(current() == rebuilt(), "seed + streamed increments must equal rebuild")
+    // restarts keep following (the starting pin is only the FIRST diff's base)
+    TraceStore.append(mk((50, "m5", "ok", "2019-08-02 10:00:00")), store)
+    catchUp()
+    assert(current() == rebuilt())
+    // seeding refuses a live index — it would double-count
+    val ex = intercept[IllegalArgumentException] {
+      TraceStream.seedIndex(spark, store, pin, idx)
+    }
+    assert(ex.getMessage.contains("already has parts"))
+  }
+
   test("segmented index: O(delta) appends, cadenced compaction, retraction, replay") {
     import spark.implicits._
     val idx = tmpDir("segidx")
