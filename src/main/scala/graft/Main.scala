@@ -87,7 +87,10 @@ object Main {
       |  --follow-rollup PATH    catch the (ym, Type) rollup at PATH up with
       |                          the store via the CDC stream (one
       |                          AvailableNow pass; resumes from its
-      |                          checkpoint, survives store maintenance)
+      |                          checkpoint, survives store maintenance;
+      |                          a comma-separated --table-path maintains
+      |                          the union rollup of a store FLEET under
+      |                          this one checkpoint)
       |  --follow-index PATH     catch the near-dup band-bucket index at
       |                          PATH up with the store via the CDC stream
       |                          (same pass/checkpoint/maintenance contract
@@ -455,9 +458,16 @@ object Main {
         out(s"${r.getString(0)} ${r.getString(1)} ${r.getLong(2)}"))
     case FollowRollup(tablePath, rollupPath, ck, maxFiles, maxBytes) =>
       // one catch-up pass on the operational cadence: between (never
-      // concurrent with) store maintenance, per the CDC reader contract
-      val q = TraceStream.followRollup(session(), tablePath, rollupPath, ck,
-        maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
+      // concurrent with) store maintenance, per the CDC reader contract.
+      // A comma-separated --table-path is the FLEET form: one checkpoint
+      // maintains the union rollup of every listed store.
+      val stores = tablePath.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val q =
+        if (stores.size > 1)
+          TraceStream.followFleetRollup(session(), stores, rollupPath, ck,
+            maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
+        else TraceStream.followRollup(session(), tablePath, rollupPath, ck,
+          maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
       q.awaitTermination()
       out(s"rollup at $rollupPath caught up with $tablePath")
     case FollowIndex(tablePath, indexPath, ck, maxFiles, maxBytes) =>

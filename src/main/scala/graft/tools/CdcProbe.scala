@@ -130,9 +130,29 @@ object CdcProbe {
         col("Severity") === 0, splitsPerMonth = 16)
       val delS = catchUp()
       val idleS = catchUp()
+
+      // the corpus-scale bootstrap alternative: ONE batch census over a
+      // pinned snapshot (seedIndex), then stream only the changes after
+      // the pin — vs the chunked streaming bootstrap above, which
+      // re-folds the growing index every compactOver-th batch
+      val store2 = buildStore(spark, ev, k, "cdcidx-seedstore")
+      val idx2 = graft.util.TmpDirs.scratch(s"cdcidx-seedindex-x$k")
+      val ck2 = graft.util.TmpDirs.scratch(s"cdcidx-seedck-x$k")
+      val pin = TraceStore.snapshot(store2)
+      val s0 = System.nanoTime()
+      graft.streaming.TraceStream.seedIndex(spark, store2, pin, idx2)
+      val seedS = (System.nanoTime() - s0) / 1e9
+      TraceStore.append(incr, store2, splitsPerMonth = 4)
+      val s1 = System.nanoTime()
+      val q2 = graft.streaming.TraceStream.followIndex(spark, store2, idx2, ck2,
+        maxFilesPerTrigger = Some(64), startingSnapshot = Some(pin))
+      q2.awaitTermination()
+      val seedIncS = (System.nanoTime() - s1) / 1e9
+
       val line = f""""x$k":{"index_rows":$idxRows,"bootstrap_s":$bootS%.2f,""" +
         f""""incr_catchup_s":$incS%.2f,"del_catchup_s":$delS%.2f,""" +
-        f""""idle_catchup_s":$idleS%.2f}"""
+        f""""idle_catchup_s":$idleS%.2f,""" +
+        f""""seed_s":$seedS%.2f,"seed_incr_catchup_s":$seedIncS%.2f}"""
       System.err.println(s"[cdcprobe-index] $line")
       line
     }

@@ -363,6 +363,28 @@ class MainRunSpec extends SparkSpec {
     assert(rollTotal() == 5)
   }
 
+  test("--follow-rollup with a comma-separated --table-path maintains the FLEET rollup") {
+    val in = tmpDir("cli-ffr-in")
+    val a = tmpDir("cli-ffr-a"); val b = tmpDir("cli-ffr-b")
+    val roll = tmpDir("cli-ffr-roll"); val ck = tmpDir("cli-ffr-ck")
+    writeTrace(in, "a.json", 1557761852L, 3)   // 201905 → store A
+    writeTrace(in, "b.json", 1568000000L, 2)   // 201909 → store B
+    Main.run(Main.Convert(Seq(s"$in/a.json"), a, 1), _ => (), () => spark)
+    Main.run(Main.Convert(Seq(s"$in/b.json"), b, 1), _ => (), () => spark)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Main.run(Main.FollowRollup(s"$a,$b", roll, ck), out.append(_), () => spark)
+    assert(out.last == s"rollup at $roll caught up with $a,$b")
+    def byYm(): Map[String, Long] =
+      graft.streaming.TraceStream.readRollup(spark, roll)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byYm() == Map("201905" -> 3L, "201909" -> 2L))
+    // one store's growth + the other untouched, second catch-up pass
+    writeTrace(in, "b2.json", 1568000100L, 4)
+    Main.run(Main.Convert(Seq(s"$in/b2.json"), b, 1), _ => (), () => spark)
+    Main.run(Main.FollowRollup(s"$a,$b", roll, ck), _ => (), () => spark)
+    assert(byYm() == Map("201905" -> 3L, "201909" -> 6L))
+  }
+
   test("--follow-index catches the band-bucket index up with the store across maintenance") {
     val in = tmpDir("cli-fi-in"); val table = tmpDir("cli-fi-table")
     val idx = tmpDir("cli-fi-idx"); val ck = tmpDir("cli-fi-ck")
