@@ -108,4 +108,86 @@ class CdcStreamModelSpec extends SparkSpec {
         s"missing=${(expected.toSet -- acc.toMap.toSet).take(5)}")
     assert(acc.nonEmpty, "degenerate run: the lifecycle left an empty table")
   }
+
+  test("FLEET model check: randomized per-store lifecycles through ONE checkpoint reconstruct every store") {
+    // the multi-store source under the same adversarial regime: random
+    // mutations land on a RANDOM store, each drain runs under a fresh
+    // random admission budget against one shared checkpoint, and the
+    // `_store`-keyed signed accumulation must reconstruct EACH store's
+    // final content exactly — cross-store pin misattribution, a leaked
+    // maintenance diff, or a round-robin cursor bug all diverge here.
+    val seed = sys.env.get("GRAFT_CDC_MODEL_SEED").map(_.toLong).getOrElse(20260816L)
+    info(s"fleet model seed = $seed")
+    val rnd = new scala.util.Random(seed + 1)
+    val stores = IndexedSeq(tmpDir("cdcmodel-fa"), tmpDir("cdcmodel-fb"))
+    val ck = tmpDir("cdcmodel-fck")
+
+    val acc = scala.collection.mutable.Map[(String, Int, String, String), Long]()
+      .withDefaultValue(0L)
+    val sink: (DataFrame, Long) => Unit = (df, _) => {
+      df.select("_store", "Severity", "Machine", "Type", "_change").collect().foreach {
+        (r: Row) =>
+          val k = (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))
+          val d = if (r.getString(4) == "insert") 1L else -1L
+          if (acc(k) + d == 0L) acc.remove(k) else acc(k) += d
+      }
+      ()
+    }
+    def drain(): Unit = {
+      val reader = spark.readStream.format("graft-cdc")
+        .option("paths", stores.mkString(",")).option("initialLoad", "true")
+      rnd.nextInt(3) match {
+        case 0 =>
+        case 1 => reader.option("maxFilesPerTrigger", (1 + rnd.nextInt(3)).toString)
+        case 2 => reader.option("maxBytesPerTrigger",
+          if (rnd.nextBoolean()) "1" else (64L * 1024).toString)
+      }
+      val q = reader.load()
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).foreachBatch(sink).start()
+      q.awaitTermination()
+    }
+
+    var sev = 0
+    def randRows(n: Int): Seq[(Int, String, String, String)] =
+      (1 to n).map { _ =>
+        sev += 1
+        (sev, s"m${rnd.nextInt(4)}",
+          if (rnd.nextBoolean()) "ok" else "bad",
+          f"2019-0${5 + rnd.nextInt(3)}%d-1${rnd.nextInt(9)}%d 10:00:00")
+      }
+
+    stores.foreach(s => TraceStore.append(mk(randRows(4)), s, splitsPerMonth = 2))
+    drain() // both bootstraps through one checkpoint
+
+    (1 to 14).foreach { _ =>
+      val s = stores(rnd.nextInt(2))   // mutations land on a random store
+      rnd.nextInt(6) match {
+        case 0 | 1 | 2 =>
+          TraceStore.append(mk(randRows(1 + rnd.nextInt(4))), s,
+            splitsPerMonth = 1 + rnd.nextInt(2))
+        case 3 =>
+          TraceStore.deleteWhere(spark, s,
+            pmod(col("Severity"), lit(5)) === rnd.nextInt(5),
+            splitsPerMonth = 1 + rnd.nextInt(2))
+        case 4 =>
+          TraceStore.compact(spark, s, maxFilesPerMonth = 1, splitsPerMonth = 1)
+        case 5 =>
+          TraceStore.retainLastMonths(s, 2)
+      }
+      drain()
+    }
+
+    val expected = stores.flatMap { s =>
+      TraceStore.read(spark, s)
+        .groupBy(col("Severity"), col("Machine"), col("Type"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map((r: Row) => (s, r.getInt(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+    }.toMap
+    assert(acc.toMap == expected,
+      s"fleet feed diverged: extra=${(acc.toMap.toSet -- expected.toSet).take(5)} " +
+        s"missing=${(expected.toSet -- acc.toMap.toSet).take(5)}")
+    assert(acc.keySet.map(_._1) == stores.toSet,
+      "degenerate run: some store never contributed rows")
+  }
 }
