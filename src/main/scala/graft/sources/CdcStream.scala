@@ -92,10 +92,27 @@ final class CdcSource(
     initialLoad: Boolean,
     cleanupCommitted: Boolean,
     maxFilesPerTrigger: Option[Int],
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    months: Option[String] = None)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val spark: SparkSession = sqlContext.sparkSession
+
+  // month-scoped stream (option `months`): the partition-level worklist
+  // pruning the BATCH relation compiles from `ym` filters (q234), carried
+  // to the streaming surface — every worklist (bootstrap manifest slices,
+  // diff slices, whole diffs) drops non-matching months BEFORE any file
+  // is scheduled or opened, so a month-scoped derived table's maintainer
+  // pays O(that month's changes) even when the store rewrites at table
+  // scale. Sound for the same reason as the batch prune: files never mix
+  // months. Changes wholly outside the window still move the offset —
+  // they surface as EMPTY batches (the pin advances; nothing is read).
+  private val monthOk: Option[String => Boolean] =
+    months.map(CdcStreamProvider.monthsPredicate)
+  private def monthValueOf(key: String): String =
+    key.takeWhile(_ != '/').stripPrefix(s"${graft.schema.TraceSchema.PartitionCol}=")
+  private def monthScoped(keys: IndexedSeq[String]): IndexedSeq[String] =
+    monthOk.fold(keys)(p => keys.filter(k => p(monthValueOf(k))))
 
   override val schema: StructType = CdcStreamProvider.feedSchema(path)
 
@@ -117,6 +134,31 @@ final class CdcSource(
   startingSnapshot.filter(_ => !fs.exists(pinsDir)).foreach { id =>
     require(TraceStore.listSnapshots(path).contains(id),
       s"startingSnapshot '$id' is not a pinned snapshot of $path")
+  }
+
+  // the months spec is part of the OFFSET CONTRACT: chunk offsets index
+  // into the FILTERED worklist, so resuming a checkpoint under a
+  // different spec would silently re-slice an in-flight diff (rows
+  // skipped or double-read). Pin it durably like the fleet source pins
+  // its path list: first run writes the spec, every restart must match.
+  locally {
+    val f = new org.apache.hadoop.fs.Path(metadataPath, "months")
+    val cur = months.getOrElse("(all)")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(prev == cur,
+        s"this checkpoint was created with months='$prev' but the stream now " +
+          s"declares months='$cur' — the spec is fixed per checkpoint because " +
+          "chunk offsets index the filtered worklist; start a new checkpoint " +
+          "for a different month scope")
+    } else {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+      val out = fs.create(f, true)
+      try out.write(cur.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   private def markCreated(id: String): Unit = {
@@ -149,26 +191,31 @@ final class CdcSource(
   }
 
   // manifest cache: one metadata read per snapshot id for the whole
-  // bootstrap (manifests are immutable), instead of one per chunk
+  // bootstrap (manifests are immutable), instead of one per chunk.
+  // Month-scoped streams cache the FILTERED list — chunk offsets index
+  // into it, and the filter is a pure function of the immutable manifest
+  // plus the checkpoint-pinned spec, so replays slice identically.
   @volatile private var keysCache: (String, IndexedSeq[String]) = null
   private def keysOf(id: String): IndexedSeq[String] = {
     val c = keysCache
     if (c != null && c._1 == id) c._2
     else {
-      val ks = TraceStore.snapshotKeys(path, id)
+      val ks = monthScoped(TraceStore.snapshotKeys(path, id))
       keysCache = (id, ks)
       ks
     }
   }
 
   // changed-file worklist cache: one pair of manifest reads per
-  // (from, to) transition for all its chunks (both manifests immutable)
+  // (from, to) transition for all its chunks (both manifests immutable);
+  // month-filtered like the bootstrap list above
   @volatile private var diffCache: ((String, String), IndexedSeq[(String, Boolean)]) = null
   private def diffKeys(fromId: String, toId: String): IndexedSeq[(String, Boolean)] = {
     val c = diffCache
     if (c != null && c._1 == ((fromId, toId))) c._2
     else {
-      val ks = TraceStore.changedKeysBetween(path, fromId, toId)
+      val ks0 = TraceStore.changedKeysBetween(path, fromId, toId)
+      val ks = monthOk.fold(ks0)(p => ks0.filter(e => p(monthValueOf(e._1))))
       diffCache = ((fromId, toId), ks)
       ks
     }
@@ -235,6 +282,60 @@ final class CdcSource(
         } else stop = true
       }
       k
+    }
+  }
+
+  /** Files (and bytes, when a bytes budget is in force) the offset step
+    * `prev → next` admitted — the fleet source's shared-budget
+    * accounting ([[CdcMultiSource]] with `maxStoresPerTrigger` > 1
+    * advances several children under ONE budget and needs each child's
+    * spend to shrink the next child's limit). Pure worklist-cache
+    * arithmetic; never touches data, and the byte sums are only
+    * computed under a bytes budget (no stat pass otherwise). */
+  private[sources] def admittedCost(prev: CdcOffset, next: CdcOffset,
+                                    needBytes: Boolean): (Int, Long) = {
+    def bytes(sizes: => IndexedSeq[Long], j: Int, k: Int): Long =
+      if (!needBytes) 0L else sizes.slice(j, k).sum
+    val fresh = num(prev.snapshotId) == 0
+    (next.upTo, next.fromSnapshot) match {
+      case (Some(k), None) => // bootstrap chunk
+        val j = if (!fresh && prev.snapshotId == next.snapshotId)
+          prev.upTo.getOrElse(0) else 0
+        (k - j, bytes(bootSizes(next.snapshotId), j, k))
+      case (Some(k), Some(f)) => // diff-worklist slice
+        val j = if (!fresh && prev.snapshotId == next.snapshotId &&
+          prev.fromSnapshot.contains(f)) prev.upTo.getOrElse(0) else 0
+        (k - j, bytes(diffSizes(f, next.snapshotId), j, k))
+      case (None, None) if fresh =>
+        // complete in one step: whole bootstrap, whole first diff from a
+        // user pin, or the empty first batch of a latest-start stream
+        if (initialLoad) {
+          val m = keysOf(next.snapshotId).size
+          (m, bytes(bootSizes(next.snapshotId), 0, m))
+        } else startingSnapshot match {
+          case Some(f0) =>
+            val m = diffKeys(f0, next.snapshotId).size
+            (m, bytes(diffSizes(f0, next.snapshotId), 0, m))
+          case None => (0, 0L)
+        }
+      case (None, None) if prev.snapshotId == next.snapshotId =>
+        // closing slice of a chunked diff/bootstrap (the complete offset)
+        (prev.upTo, prev.fromSnapshot) match {
+          case (Some(j), Some(f)) =>
+            val m = diffKeys(f, next.snapshotId).size
+            (m - j, bytes(diffSizes(f, next.snapshotId), j, m))
+          case (Some(j), None) =>
+            val m = keysOf(next.snapshotId).size
+            (m - j, bytes(bootSizes(next.snapshotId), j, m))
+          case _ => (0, 0L)
+        }
+      case (None, None) =>
+        // whole unchunked diff prev → next
+        val m = diffKeys(prev.snapshotId, next.snapshotId).size
+        (m, bytes(diffSizes(prev.snapshotId, next.snapshotId), 0, m))
+      case (None, Some(_)) => throw new IllegalStateException(
+        s"graft-cdc: offset ${next.json} (diff base without a chunk index) " +
+          "is never constructed")
     }
   }
 
@@ -418,15 +519,26 @@ final class CdcSource(
         if (s.fromSnapshot.isDefined) throw new IllegalStateException(
           s"graft-cdc: complete offset $endId cannot follow a mid-diff " +
             s"offset of another snapshot (${s.json})")
-        TraceStore.readChangesBetween(spark, path, s.snapshotId, endId)
+        TraceStore.readChangesBetween(spark, path, s.snapshotId, endId, None, monthOk)
       case (None, None, None) if initialLoad =>
         // CDC bootstrap in one piece (no maxFilesPerTrigger): the
         // consumer materializes state from one full load, then follows
-        // increments — the first batch is the pinned table AS inserts
-        TraceStore.readSnapshot(spark, path, endId)
-          .withColumn("_change", lit("insert"))
+        // increments — the first batch is the pinned table AS inserts.
+        // Month-scoped: read the filtered manifest keys instead (the
+        // prune is metadata-level here too; an all-filtered pin is an
+        // empty batch, not a zero-path scan)
+        monthOk match {
+          case Some(_) =>
+            val ks = keysOf(endId)
+            if (ks.isEmpty) null
+            else TraceStore.readKeys(spark, path, ks, s"snapshot $endId")
+              .withColumn("_change", lit("insert"))
+          case None =>
+            TraceStore.readSnapshot(spark, path, endId)
+              .withColumn("_change", lit("insert"))
+        }
       case (None, None, None) => startingSnapshot match {
-        case Some(s) => TraceStore.readChangesBetween(spark, path, s, endId)
+        case Some(s) => TraceStore.readChangesBetween(spark, path, s, endId, None, monthOk)
         case None => null
       }
       // a diff-marked end without a chunk index is never constructed
@@ -548,10 +660,14 @@ final class CdcMultiSource(
     initialLoad: Boolean,
     cleanupCommitted: Boolean,
     maxFilesPerTrigger: Option[Int],
-    maxBytesPerTrigger: Option[Long])
+    maxBytesPerTrigger: Option[Long],
+    maxStoresPerTrigger: Int = 1,
+    months: Option[String] = None)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   require(paths.nonEmpty, "graft-cdc multi-store read needs at least one path")
+  require(maxStoresPerTrigger >= 1,
+    s"maxStoresPerTrigger must be positive, got $maxStoresPerTrigger")
 
   // Pin the PATH LIST durably under the stream's metadata: offset parts
   // are positional, so a checkpoint resumed with the stores REORDERED
@@ -582,7 +698,7 @@ final class CdcMultiSource(
   private val children: IndexedSeq[CdcSource] = paths.toIndexedSeq.zipWithIndex
     .map { case (p, i) =>
       new CdcSource(sqlContext, p, s"$metadataPath/store-$i", None, initialLoad,
-        cleanupCommitted, maxFilesPerTrigger, maxBytesPerTrigger)
+        cleanupCommitted, maxFilesPerTrigger, maxBytesPerTrigger, months)
     }
 
   override val schema: StructType = {
@@ -604,12 +720,19 @@ final class CdcMultiSource(
   override def initialOffset(): OffsetV2 =
     CdcMultiOffset(0, IndexedSeq.fill(children.size)(CdcOffset.Start))
 
-  /** One admission-bounded step of ONE child per trigger, scanning
-    * round-robin from the offset's `next` cursor; children before the
-    * advanced one echo their part. A child whose part is the Start
-    * sentinel has never run — it is handed `null`, the engine's
-    * before-first-batch convention. Idle fleet ⇒ every child echoes ⇒
-    * the composite echoes `start` verbatim (no batch, no pins). */
+  /** One admission-bounded step of up to `maxStoresPerTrigger` children
+    * per trigger, scanning round-robin from the offset's `next` cursor
+    * under ONE shared files/bytes budget — the batch stays bounded by
+    * the configured budgets no matter how many children move, while a
+    * large-N fleet of trickle changes drains in N/k triggers instead of
+    * N. Each advanced child's admitted cost ([[CdcSource.admittedCost]])
+    * shrinks the budget handed to the next candidate; the scan stops at
+    * k advances, an exhausted budget, or one full lap. A child whose
+    * part is the Start sentinel has never run — it is handed `null`,
+    * the engine's before-first-batch convention. Idle fleet ⇒ every
+    * child echoes ⇒ the composite echoes `start` verbatim (no batch, no
+    * pins). The cursor lands after the LAST advanced child, so fairness
+    * is preserved across triggers at any k. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val s = Option(start).map(CdcMultiOffset.of)
       .getOrElse(CdcMultiOffset(0, IndexedSeq.fill(children.size)(CdcOffset.Start)))
@@ -618,16 +741,33 @@ final class CdcMultiSource(
         "paths are configured — the path list is fixed per checkpoint; start a " +
         "new checkpoint for a changed fleet")
     val order = (s.next until children.size) ++ (0 until s.next)
-    var advancedAt = -1
     val parts = Array(s.parts: _*)
-    order.iterator.takeWhile(_ => advancedAt < 0).foreach { i =>
-      val prev = parts(i)
-      val engineStart: OffsetV2 = if (prev == CdcOffset.Start) null else prev
-      val next = CdcOffset.of(children(i).latestOffset(engineStart, limit))
-      if (next != prev) { parts(i) = next; advancedAt = i }
-    }
-    if (advancedAt < 0) if (start != null) start else initialOffset()
-    else CdcMultiOffset((advancedAt + 1) % children.size, parts.toIndexedSeq)
+    var (remFiles, remBytes) = CdcMultiSource.budgetsOf(limit)
+    val tracking = remFiles.isDefined || remBytes.isDefined
+    var advanced = 0
+    var lastAdvanced = -1
+    var exhausted = false
+    order.iterator
+      .takeWhile(_ => advanced < maxStoresPerTrigger && !exhausted)
+      .foreach { i =>
+        val childLimit = CdcMultiSource.limitOf(remFiles, remBytes)
+        val prev = parts(i)
+        val engineStart: OffsetV2 = if (prev == CdcOffset.Start) null else prev
+        val next = CdcOffset.of(children(i).latestOffset(engineStart, childLimit))
+        if (next != prev) {
+          parts(i) = next; advanced += 1; lastAdvanced = i
+          if (tracking) {
+            val (cf, cb) = children(i).admittedCost(prev, next, remBytes.isDefined)
+            remFiles = remFiles.map(_ - cf)
+            remBytes = remBytes.map(_ - cb)
+            // a lone oversized admission may overdraw — both floors stop
+            // the scan (the next child would get a zero or negative budget)
+            exhausted = remFiles.exists(_ <= 0) || remBytes.exists(_ <= 0L)
+          }
+        }
+      }
+    if (advanced == 0) if (start != null) start else initialOffset()
+    else CdcMultiOffset((lastAdvanced + 1) % children.size, parts.toIndexedSeq)
   }
 
   override def getOffset: Option[OffsetV1] =
@@ -659,6 +799,34 @@ final class CdcMultiSource(
   override def stop(): Unit = children.foreach(_.stop())
 
   override def toString: String = s"CdcMultiSource[${paths.mkString(",")}]"
+}
+
+object CdcMultiSource {
+  /** The files/bytes budgets a ReadLimit carries (tightest of each kind
+    * under a composite); (None, None) = unbounded. */
+  private[sources] def budgetsOf(limit: ReadLimit): (Option[Int], Option[Long]) =
+    limit match {
+      case f: ReadMaxFiles => (Some(f.maxFiles()), None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(budgetsOf)
+          .foldLeft((Option.empty[Int], Option.empty[Long])) {
+            case ((f1, b1), (f2, b2)) =>
+              (Seq(f1, f2).flatten.reduceOption(_ min _),
+                Seq(b1, b2).flatten.reduceOption(_ min _))
+          }
+      case _ => (None, None)
+    }
+
+  /** Remaining budgets → the ReadLimit handed to the next child. */
+  private[sources] def limitOf(files: Option[Int], bytes: Option[Long]): ReadLimit =
+    (files, bytes) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
 }
 
 /** Composite offset: a per-store [[CdcOffset]] (positional, option
@@ -738,6 +906,19 @@ object CdcMultiOffset {
   *    fat files); an oversized single file still arrives alone, so the
   *    floor is the store's own file-size policy (FileStreamSource's
   *    maxBytesPerTrigger contract).
+  *  - `months` (default all): month-scope the STREAM — e.g.
+  *    `months=>=202401` or `months=202401,202402`. Non-matching months
+  *    are dropped from every worklist (bootstrap, chunked diffs, whole
+  *    diffs) before any file is scheduled or opened, so a month-scoped
+  *    derived table's maintainer pays O(that month's changes) under a
+  *    table-scale rewrite — the streaming form of the batch relation's
+  *    `ym`-filter pruning. The spec is fixed per checkpoint (chunk
+  *    offsets index the filtered worklist); changes wholly outside the
+  *    scope advance the offset as EMPTY batches.
+  *  - `maxStoresPerTrigger` (fleet form only; default 1): advance up to
+  *    k stores per trigger under ONE shared files/bytes budget — the
+  *    batch stays budget-bounded, but a large-N fleet of trickle
+  *    changes drains in N/k triggers instead of N.
   */
 final class CdcStreamProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
@@ -796,6 +977,10 @@ final class CdcStreamProvider extends StreamSourceProvider
       }
     val maxFiles = numeric("maxFilesPerTrigger", _.toIntOption)(_ > 0)
     val maxBytes = numeric("maxBytesPerTrigger", _.toLongOption)(_ > 0)
+    // validate the months spec eagerly — a malformed scope must fail at
+    // load(), not inside the first micro-batch's worklist assembly
+    val months = parameters.get("months")
+    months.foreach(CdcStreamProvider.monthsPredicate)
     multiPaths(parameters) match {
       case Some(ps) =>
         require(!parameters.contains("startingSnapshot"),
@@ -805,13 +990,18 @@ final class CdcStreamProvider extends StreamSourceProvider
         new CdcMultiSource(sqlContext, ps, metadataPath,
           parameters.get("initialLoad").exists(_.toBoolean),
           parameters.get("cleanupCommitted").forall(_.toBoolean),
-          maxFiles, maxBytes)
+          maxFiles, maxBytes,
+          numeric("maxStoresPerTrigger", _.toIntOption)(_ > 0).getOrElse(1),
+          months)
       case None =>
+        require(!parameters.contains("maxStoresPerTrigger"),
+          "graft-cdc option 'maxStoresPerTrigger' applies to the fleet form " +
+            "('paths') only")
         new CdcSource(sqlContext, pathOf(parameters), metadataPath,
           parameters.get("startingSnapshot").filterNot(_ == "latest"),
           parameters.get("initialLoad").exists(_.toBoolean),
           parameters.get("cleanupCommitted").forall(_.toBoolean),
-          maxFiles, maxBytes)
+          maxFiles, maxBytes, months)
     }
   }
 }
@@ -984,6 +1174,35 @@ object CdcStreamProvider {
         s"graft-cdc option 'paths' repeats a store: $raw")
       ps
     }
+
+  /** Parse the streaming `months` option: comma-separated conjuncts over
+    * the `ym` partition VALUE — `>=202401`, `<=202403`, `>`/`<` forms,
+    * and `202402` / `=202402` (several equality tokens form an IN-set,
+    * OR'd together, AND'd with the range conjuncts). `yyyyMM` is
+    * fixed-width, so string order is chronological order and ranges
+    * evaluate directly — the same evaluation discipline as the batch
+    * relation's [[CdcBatchRelation.monthPredicate]]. */
+  private[graft] def monthsPredicate(spec: String): String => Boolean = {
+    val Tok = """(>=|<=|>|<|=)?(\d{6})""".r
+    val toks = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(toks.nonEmpty, s"graft-cdc option 'months' names no month: '$spec'")
+    val parsed = toks.map {
+      case Tok(op, m) => (Option(op).getOrElse("="), m)
+      case other => throw new IllegalArgumentException(
+        s"graft-cdc option 'months' token '$other' is not of the form " +
+          "[>=|<=|>|<|=]YYYYMM (e.g. '>=202401' or '202401,202402')")
+    }
+    val eqs = parsed.collect { case ("=", m) => m }.toSet
+    val ranges = parsed.filterNot(_._1 == "=")
+    (m: String) =>
+      (eqs.isEmpty || eqs.contains(m)) && ranges.forall {
+        case (">=", b) => m >= b
+        case ("<=", b) => m <= b
+        case (">", b)  => m > b
+        case ("<", b)  => m < b
+        case _ => true
+      }
+  }
 
   /** Commit metadata appended to every feed row (the Delta-CDF
     * `_commit_version`/`_commit_timestamp` analogue): the pin that

@@ -411,10 +411,11 @@ object TraceStream {
                    checkpointDir: String,
                    trigger: Trigger = Trigger.AvailableNow(),
                    maxFilesPerTrigger: Option[Int] = None,
-                   maxBytesPerTrigger: Option[Long] = None): StreamingQuery =
+                   maxBytesPerTrigger: Option[Long] = None,
+                   months: Option[String] = None): StreamingQuery =
     followRollupFrom(spark,
       _.option("path", storePath), rollupPath, checkpointDir, trigger,
-      maxFilesPerTrigger, maxBytesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger, months)
 
   /** FLEET-wide rollup maintenance: [[followRollup]] over N stores
     * through ONE checkpoint (the multi-store `paths` source,
@@ -432,10 +433,11 @@ object TraceStream {
                    checkpointDir: String,
                    trigger: Trigger,
                    maxFilesPerTrigger: Option[Int],
-                   maxBytesPerTrigger: Option[Long]): StreamingQuery =
+                   maxBytesPerTrigger: Option[Long],
+                   months: Option[String]): StreamingQuery =
     followRollupFrom(spark,
       _.option("paths", storePaths.mkString(",")), rollupPath, checkpointDir,
-      trigger, maxFilesPerTrigger, maxBytesPerTrigger)
+      trigger, maxFilesPerTrigger, maxBytesPerTrigger, months)
 
   /** [[followRollup]] fleet overload with the usual defaults (Scala
     * cannot default-arg two overloads of one name). */
@@ -443,9 +445,10 @@ object TraceStream {
                         rollupPath: String, checkpointDir: String,
                         trigger: Trigger = Trigger.AvailableNow(),
                         maxFilesPerTrigger: Option[Int] = None,
-                        maxBytesPerTrigger: Option[Long] = None): StreamingQuery =
+                        maxBytesPerTrigger: Option[Long] = None,
+                        months: Option[String] = None): StreamingQuery =
     followRollup(spark, storePaths, rollupPath, checkpointDir, trigger,
-      maxFilesPerTrigger, maxBytesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger, months)
 
   private def followRollupFrom(spark: SparkSession,
                                source: org.apache.spark.sql.streaming.DataStreamReader =>
@@ -453,10 +456,12 @@ object TraceStream {
                                rollupPath: String, checkpointDir: String,
                                trigger: Trigger,
                                maxFilesPerTrigger: Option[Int],
-                               maxBytesPerTrigger: Option[Long]): StreamingQuery = {
+                               maxBytesPerTrigger: Option[Long],
+                               months: Option[String] = None): StreamingQuery = {
     var inc: String = null   // resolved on first batch — metadata exists by then
     val reader = source(spark.readStream.format("graft-cdc"))
       .option("initialLoad", "true")
+    months.foreach(m => reader.option("months", m))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
     reader
@@ -519,7 +524,9 @@ object TraceStream {
                   maxFilesPerTrigger: Option[Int] = None,
                   maxBytesPerTrigger: Option[Long] = None,
                   compactOver: Int = 8,
-                  startingSnapshot: Option[String] = None): StreamingQuery = {
+                  startingSnapshot: Option[String] = None,
+                  baseFileBytes: Long = DefaultBaseFileBytes,
+                  months: Option[String] = None): StreamingQuery = {
     // Corpus-scale bootstrap: streaming the initial load through the
     // chunked path re-folds the GROWING index every compactOver-th batch
     // (Σ over compactions of the index-so-far — super-linear in the
@@ -532,6 +539,7 @@ object TraceStream {
       .option("path", storePath)
       .option("initialLoad", startingSnapshot.isEmpty.toString)
     startingSnapshot.foreach(p => reader.option("startingSnapshot", p))
+    months.foreach(m => reader.option("months", m))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
     reader
@@ -548,7 +556,56 @@ object TraceStream {
           .groupBy(col("band"), col("bkey"))
           .agg(sum(col("_s")).as("n"))
         upsertSegment(batch.sparkSession, delta, batchId, indexPath, inc,
-          keys = Seq("band", "bkey"), measure = "n", compactOver = compactOver)
+          keys = Seq("band", "bkey"), measure = "n", compactOver = compactOver,
+          baseFileBytes = baseFileBytes)
+      }
+      .start()
+  }
+
+  /** FLEET-wide near-dup-index maintenance: [[followIndex]] over N
+    * stores through ONE checkpoint ([[graft.sources.CdcMultiSource]]) —
+    * the index-family twin of [[followFleetRollup]], completing the
+    * reference's one-table-per-cluster story
+    * (/root/reference/README.md:55-62) for the dedup surface. The index
+    * keys are `(_store, band, bkey)`: per-store ATTRIBUTION rides the
+    * shared index, so one store's DELETE WHERE retracts exactly its own
+    * bucket rows (signed summation is per-key, and the origin store is
+    * part of the key) while a fleet-wide candidate query just aggregates
+    * the `_store` dimension away. Admission control, per-store pins,
+    * crash/replay, and the segment algebra all delegate to the fleet
+    * source and [[upsertSegment]] unchanged — each micro-batch carries
+    * one store's signed changes, which land as one O(delta) segment. */
+  def followFleetIndex(spark: SparkSession, storePaths: Seq[String],
+                       indexPath: String, checkpointDir: String,
+                       trigger: Trigger = Trigger.AvailableNow(),
+                       maxFilesPerTrigger: Option[Int] = None,
+                       maxBytesPerTrigger: Option[Long] = None,
+                       compactOver: Int = 8,
+                       baseFileBytes: Long = DefaultBaseFileBytes,
+                       months: Option[String] = None): StreamingQuery = {
+    var inc: String = null   // resolved on first batch — metadata exists by then
+    val reader = spark.readStream.format("graft-cdc")
+      .option("paths", storePaths.mkString(","))
+      .option("initialLoad", "true")
+    months.foreach(m => reader.option("months", m))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
+    reader
+      .load()
+      .writeStream
+      .queryName(s"trace-cdc-fleet-index-${incarnationOf(indexPath)}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (inc == null) inc = lineageOf(batch.sparkSession, checkpointDir)
+        val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+        val delta = graft.store.ChangeFeedQuery
+          .bucketRows(batch.withColumn("_s", sign), carry = Seq("_s", "_store"))
+          .groupBy(col("_store"), col("band"), col("bkey"))
+          .agg(sum(col("_s")).as("n"))
+        upsertSegment(batch.sparkSession, delta, batchId, indexPath, inc,
+          keys = Seq("_store", "band", "bkey"), measure = "n",
+          compactOver = compactOver, baseFileBytes = baseFileBytes)
       }
       .start()
   }
@@ -565,8 +622,11 @@ object TraceStream {
   def seedIndex(spark: SparkSession, storePath: String, snapshotId: String,
                 indexPath: String): Unit = {
     val (fs, root) = fsOf(spark, indexPath)
+    // completeness is _SUCCESS-gated like every other part: a seed job
+    // that crashed mid-write leaves an incomplete dir no reader sees,
+    // and a RE-RUN overwrites it instead of wedging on "already has parts"
     require(partsOf(fs, root, "seg-").isEmpty && partsOf(fs, root, "base-").isEmpty &&
-      !fs.exists(new org.apache.hadoop.fs.Path(root, "seed-0")),
+      !fs.exists(new org.apache.hadoop.fs.Path(root, "seed-0/_SUCCESS")),
       s"index at $indexPath already has parts — seedIndex is for an empty index")
     graft.store.ChangeFeedQuery
       .bucketRows(TraceStore.readSnapshot(spark, storePath, snapshotId))
@@ -611,10 +671,15 @@ object TraceStream {
     * [[upsertDelta]]; pruning keeps the previous base and its segment
     * tail until a LATER state change commits, so the one batch that can
     * replay always finds its merge inputs. */
-  private[streaming] def upsertSegment(spark: SparkSession, delta: DataFrame,
+  /** Target bytes of merged INPUT per base-part file — sizes the fold's
+    * write parallelism (see the compaction branch of [[upsertSegment]]). */
+  val DefaultBaseFileBytes: Long = 64L << 20
+
+  private[graft] def upsertSegment(spark: SparkSession, delta: DataFrame,
                                        batchId: Long, indexPath: String,
                                        incarnation: String, keys: Seq[String],
-                                       measure: String, compactOver: Int): Unit = {
+                                       measure: String, compactOver: Int,
+                                       baseFileBytes: Long = DefaultBaseFileBytes): Unit = {
     val (fs, root) = fsOf(spark, indexPath)
     val incFile = new org.apache.hadoop.fs.Path(root, "_incarnation")
     if (fs.exists(incFile)) {
@@ -643,16 +708,53 @@ object TraceStream {
     val live = segs.filter { case (id, _) => curBase.forall(_._1 < id) }
     def readParts(ps: Seq[org.apache.hadoop.fs.Path]): Option[DataFrame] =
       if (ps.isEmpty) None else Some(spark.read.parquet(ps.map(_.toString): _*))
+    def drop(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
+      fs.delete(p, true)
+      ()
+    }
     if (live.size + 1 > compactOver) {
       // background merge: base ⊎ segments ⊎ delta → new base; emptied
-      // buckets leave the index here
-      val all = readParts(curBase.map(_._2).toSeq ++ live.map(_._2))
+      // buckets leave the index here. The fold is the index-proportional
+      // step — a single-task write would serialize a corpus-sized bucket
+      // table through one core at 100 TB — so size the write by the
+      // merged INPUT bytes (an upper bound on the folded index): ~one
+      // baseFileBytes-sized file per task, multi-file base parts.
+      // Readers already treat every part as a directory (readIndex,
+      // basesOf) and the seed writes in parallel the same way.
+      val inputs = curBase.map(_._2).toSeq ++ live.map(_._2)
+      val inputBytes = inputs.map(p => fs.getContentSummary(p).getLength).sum
+      val targetParts = math.max(1L,
+        math.ceil(inputBytes.toDouble / baseFileBytes).toLong).min(Int.MaxValue).toInt
+      val folded = readParts(inputs)
         .map(_.unionByName(delta)).getOrElse(delta)
-      all.groupBy(keys.map(col): _*)
+        .groupBy(keys.map(col): _*)
         .agg(sum(col(measure)).as(measure))
         .filter(col(measure) =!= 0L)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(root, s"base-$batchId").toString)
+      // under the aggregation's own shuffle width, coalesce — the fold
+      // stays one shuffle and its reduce side IS the write; a base wider
+      // than the shuffle width re-partitions by key so every task still
+      // writes ~baseFileBytes
+      val shuffleWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val sized =
+        if (targetParts <= shuffleWidth) folded.coalesce(targetParts)
+        else folded.repartition(targetParts, keys.map(col): _*)
+      sized.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(root, s"base-$batchId").toString)
+      // sweep crash orphans: an incomplete (_SUCCESS-less) part below
+      // this batch is a dead mid-write remnant — replays overwrite their
+      // OWN id, so nothing running can still claim it. Compaction-time
+      // only (the single maintenance writer is here, not mid-write).
+      fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .foreach { st =>
+          val n = st.getPath.getName
+          val id = Seq("seg-", "base-").collectFirst {
+            case p if n.startsWith(p) => n.drop(p.length).toLongOption
+          }.flatten
+          if (id.exists(_ < batchId)) { fs.delete(st.getPath, true); () }
+        }
     } else {
       // plain segment append: cost ∝ the batch's changed rows, never the
       // index — zero-net rows drop, negative (retraction) rows KEEP
@@ -664,14 +766,13 @@ object TraceStream {
     // every segment newer than the OLDER kept base — the replayable
     // batch (only the latest) can be a compaction, whose rebuild
     // re-reads the previous base + its tail. _SUCCESS goes first so a
-    // crash mid-delete leaves the dir invisible.
+    // crash mid-delete leaves the dir invisible. With a SINGLE base (the
+    // first compaction of an unseeded index) the just-merged tail gets
+    // the same one-cycle grace concurrent readers rely on elsewhere:
+    // floor -1 keeps it until a second base exists (bounded — the next
+    // compaction prunes it).
     val keptBases = basesOf(fs, root).takeRight(2)
-    val floor = keptBases.headOption.map(_._1).getOrElse(-1L)
-    def drop(p: org.apache.hadoop.fs.Path): Unit = {
-      fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
-      fs.delete(p, true)
-      ()
-    }
+    val floor = if (keptBases.size >= 2) keptBases.head._1 else -1L
     basesOf(fs, root).dropRight(2).foreach(b => drop(b._2))
     partsOf(fs, root, "seg-").filter(_._1 <= floor).foreach(s => drop(s._2))
   }
@@ -682,7 +783,9 @@ object TraceStream {
     * table a from-scratch rebuild produces; execute it within one
     * maintenance cycle of resolution (pruning keeps a one-base grace
     * window, same discipline as [[readRollup]]). */
-  def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
+  def readIndex(spark: SparkSession, indexPath: String,
+                keys: Seq[String] = Seq("band", "bkey"),
+                measure: String = "n"): DataFrame = {
     val (fs, root) = fsOf(spark, indexPath)
     val bases = basesOf(fs, root)
     val curBase = bases.lastOption
@@ -691,8 +794,13 @@ object TraceStream {
     val parts = curBase.map(_._2).toSeq ++ segs.map(_._2)
     require(parts.nonEmpty, s"no complete index part under $indexPath")
     val df = spark.read.parquet(parts.map(_.toString): _*)
-    val keys = df.columns.dropRight(1).toSeq // measure is the last column
-    val measure = df.columns.last
+    // keys/measure are declared, not inferred from column position: a
+    // part written with a different shape must fail here, not mis-group
+    require(df.columns.toSet == (keys :+ measure).toSet &&
+      df.columns.length == keys.size + 1,
+      s"index at $indexPath has columns [${df.columns.mkString(", ")}] but the " +
+        s"read declares keys=[${keys.mkString(", ")}] measure=$measure — pass " +
+        "the keys/measure the maintainer writes (fleet indexes carry _store)")
     df.groupBy(keys.map(col): _*)
       .agg(sum(col(measure)).as(measure))
       .filter(col(measure) =!= 0L)

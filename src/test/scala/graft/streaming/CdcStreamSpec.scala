@@ -872,6 +872,284 @@ class CdcStreamSpec extends SparkSpec {
       Option(ex2.getCause).exists(_.getMessage.contains("fixed per checkpoint")))
   }
 
+  test("base compaction writes size-targeted MULTI-FILE parts that read and fold identically") {
+    import spark.implicits._
+    val idx = tmpDir("segidx-multifile")
+    // baseFileBytes=1: every fold targets one file per input byte —
+    // i.e. maximal splitting (capped by the shuffle width), so the base
+    // part is guaranteed multi-file if the parallel path works at all
+    def put(id: Long, rows: (Int, Long, Long)*): Unit =
+      TraceStream.upsertSegment(spark, rows.toSeq.toDF("band", "bkey", "n"),
+        id, idx, "lineage-a", Seq("band", "bkey"), "n", compactOver = 2,
+        baseFileBytes = 1L)
+    put(0, (0, 10L, 2L), (0, 11L, 1L)); put(1, (1, 10L, 3L))
+    put(2, (0, 10L, 1L), (1, 12L, 5L)) // 3rd state change → compaction
+    val base = new java.io.File(idx).listFiles.toSeq
+      .find(f => f.getName.startsWith("base-") && new java.io.File(f, "_SUCCESS").exists)
+    assert(base.isDefined, "3rd state change must have compacted")
+    val parquets = base.get.listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquets > 1, s"1-byte target must write a multi-file base, got $parquets file(s)")
+    // the multi-file base reads and folds exactly like the single-file one
+    val state = TraceStream.readIndex(spark, idx).collect()
+      .map((r: Row) => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(state == Map((0, 10L) -> 3L, (0, 11L) -> 1L, (1, 10L) -> 3L, (1, 12L) -> 5L))
+    // and later segments keep merging over it
+    put(3, (0, 10L, -3L))
+    val after = TraceStream.readIndex(spark, idx).collect()
+      .map((r: Row) => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(after == Map((0, 11L) -> 1L, (1, 10L) -> 3L, (1, 12L) -> 5L))
+  }
+
+  test("compaction sweeps crash-orphaned incomplete parts; readers never stumble on them") {
+    import spark.implicits._
+    val idx = tmpDir("segidx-orphan")
+    def put(id: Long, rows: (Int, Long, Long)*): Unit =
+      TraceStream.upsertSegment(spark, rows.toSeq.toDF("band", "bkey", "n"),
+        id, idx, "lineage-a", Seq("band", "bkey"), "n", compactOver = 3)
+    put(0, (0, 10L, 2L))
+    // plant what a crash mid-segment-write leaves: a part dir with data
+    // but no _SUCCESS (invisible to readers, never reclaimed before)
+    val orphan = java.nio.file.Paths.get(idx, "seg-1")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    // readers skip it
+    val s0 = TraceStream.readIndex(spark, idx).collect()
+      .map((r: Row) => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s0 == Map((0, 10L) -> 2L))
+    // appends leave it alone (sweep is compaction-time only)...
+    put(2, (0, 11L, 1L)); put(3, (0, 12L, 1L))
+    assert(java.nio.file.Files.exists(orphan))
+    // ...and the next fold reclaims it while complete parts are untouched
+    put(4, (0, 13L, 1L)) // 4th state change → compaction (compactOver=3)
+    assert(!java.nio.file.Files.exists(orphan), "orphan must be swept at compaction")
+    val s1 = TraceStream.readIndex(spark, idx).collect()
+      .map((r: Row) => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s1 == Map((0, 10L) -> 2L, (0, 11L) -> 1L, (0, 12L) -> 1L, (0, 13L) -> 1L))
+  }
+
+  test("the FIRST compaction keeps the just-merged segment tail for one grace cycle") {
+    import spark.implicits._
+    val idx = tmpDir("segidx-grace")
+    def put(id: Long, rows: (Int, Long, Long)*): Unit =
+      TraceStream.upsertSegment(spark, rows.toSeq.toDF("band", "bkey", "n"),
+        id, idx, "lineage-a", Seq("band", "bkey"), "n", compactOver = 3)
+    def segs(): Seq[Long] = new java.io.File(idx).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-") &&
+        new java.io.File(f, "_SUCCESS").exists)
+      .map(_.getName.drop(4).toLong).sorted
+    put(0, (0, 10L, 1L)); put(1, (0, 11L, 1L)); put(2, (0, 12L, 1L))
+    put(3, (0, 13L, 1L)) // first compaction → base-3, NO older base exists
+    // ADVICE r12: a reader that resolved seg paths just before base-3
+    // committed must still find them — the tail survives this transition
+    assert(segs() == Seq(0L, 1L, 2L),
+      s"first compaction must keep the merged tail one cycle, got ${segs()}")
+    // the second compaction provides the grace via the older base and
+    // prunes the now-twice-superseded tail
+    put(4, (0, 14L, 1L)); put(5, (0, 15L, 1L)); put(6, (0, 16L, 1L))
+    put(7, (0, 17L, 1L)) // second compaction → base-7; floor = base-3
+    assert(segs().forall(_ > 3L), s"tail under the old base must prune: ${segs()}")
+    val state = TraceStream.readIndex(spark, idx).collect()
+      .map((r: Row) => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(state == (10L to 17L).map(k => (0, k) -> 1L).toMap)
+  }
+
+  test("readIndex validates the declared keys/measure against the stored shape") {
+    import spark.implicits._
+    val idx = tmpDir("segidx-shape")
+    TraceStream.upsertSegment(spark,
+      Seq(("s1", 0, 10L, 2L)).toDF("_store", "band", "bkey", "n"),
+      0, idx, "lineage-a", Seq("_store", "band", "bkey"), "n", compactOver = 8)
+    // the default (band, bkey, n) read must REFUSE a fleet-shaped index
+    // instead of silently mis-grouping by column position
+    val ex = intercept[IllegalArgumentException] {
+      TraceStream.readIndex(spark, idx).collect()
+    }
+    assert(ex.getMessage.contains("_store"))
+    val rows = TraceStream.readIndex(spark, idx,
+      keys = Seq("_store", "band", "bkey"), measure = "n").collect()
+      .map((r: Row) => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq(("s1", 0, 10L, 2L)))
+  }
+
+  test("months scopes the stream: non-matching months are never opened (poisoned-month pin)") {
+    val store = tmpDir("cdcmonths"); val ck = tmpDir("cdcmonths-ck")
+    val ctl = tmpDir("cdcmonths-ctl")
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "ok", "2019-06-13 10:00:00"),
+      (30, "m3", "ok", "2019-07-13 10:00:00")), store, splitsPerMonth = 1)
+    val scoped = Map("initialLoad" -> "true", "months" -> ">=201906")
+    // month-scoped bootstrap: May's file is dropped from the manifest
+    // worklist (metadata-level), June+July arrive
+    val r1 = drain(store, ck, scoped)
+    assert(r1.flatMap(_._2.map(_._2)).sorted == Seq(20, 30))
+    // an unscoped control stream pins the same state — its worklist will
+    // include the file the poison removes below
+    assert(drain(store, ctl, Map("initialLoad" -> "true"))
+      .flatMap(_._2.map(_._2)).sorted == Seq(10, 20, 30))
+    // a cross-month rewrite: May and June both rewritten, old files retire
+    TraceStore.deleteWhere(spark, store, col("Severity") < 25, splitsPerMonth = 1)
+    // poison May's RETIRED file — both streams' diff worklists reference
+    // it as the delete side; only the unscoped one may ever open it
+    val retiredMay = java.nio.file.Paths.get(store, "_retired", "ym=201905")
+    val mayFiles = java.nio.file.Files.list(retiredMay).iterator()
+    scala.jdk.CollectionConverters.IteratorHasAsScala(mayFiles).asScala
+      .foreach(java.nio.file.Files.delete)
+    // the scoped diff never schedules May: it sees June's delete only
+    val r2 = drain(store, ck, scoped)
+    assert(r2.flatMap(_._2) == Seq(("delete", 20, "m2")))
+    // the poison is real: the unscoped stream's diff DOES need the file
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(store, ctl, Map("initialLoad" -> "true"))
+    }
+    // a change wholly OUTSIDE the scope advances the offset as an empty
+    // batch (the pin moves; nothing is read)
+    TraceStore.append(mk((40, "m4", "ok", "2019-05-20 10:00:00")), store)
+    val r3 = drain(store, ck, scoped)
+    assert(r3.map(_._2) == Seq(Seq.empty), s"out-of-scope change must be an empty batch: $r3")
+    // and the idle follow-up delivers nothing at all
+    assert(drain(store, ck, scoped).isEmpty)
+  }
+
+  test("the months spec is fixed per checkpoint") {
+    val store = tmpDir("cdcmonthspin"); val ck = tmpDir("cdcmonthspin-ck")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 10:00:00")), store)
+    drain(store, ck, Map("initialLoad" -> "true", "months" -> ">=201905"))
+    TraceStore.append(mk((20, "m2", "ok", "2019-05-14 10:00:00")), store)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(store, ck, Map("initialLoad" -> "true", "months" -> ">=201906"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("fixed per checkpoint")), messages(ex))
+    // dropping the scope entirely is the same contract violation
+    val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(store, ck, Map("initialLoad" -> "true"))
+    }
+    assert(messages(ex2).exists(_.contains("fixed per checkpoint")), messages(ex2))
+  }
+
+  test("monthsPredicate parses ranges and IN-sets and rejects malformed tokens") {
+    import graft.sources.CdcStreamProvider.monthsPredicate
+    val ge = monthsPredicate(">=201906")
+    assert(ge("201906") && ge("202001") && !ge("201905"))
+    val band = monthsPredicate(">=201906,<=201908")
+    assert(band("201907") && !band("201909") && !band("201905"))
+    val inset = monthsPredicate("201905,201907")
+    assert(inset("201905") && inset("201907") && !inset("201906"))
+    val mixed = monthsPredicate("201906,201907,>=201907")
+    assert(mixed("201907") && !mixed("201906") && !mixed("201908"))
+    intercept[IllegalArgumentException] { monthsPredicate("2019") }
+    intercept[IllegalArgumentException] { monthsPredicate("=>201906") }
+    intercept[IllegalArgumentException] { monthsPredicate("") }
+    // and the stream surface validates at load(), with the option named
+    val store = tmpDir("cdcmonthsbad")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 10:00:00")), store)
+    val exl = intercept[IllegalArgumentException] {
+      new graft.sources.CdcStreamProvider().createSource(spark.sqlContext,
+        tmpDir("cdcmonthsbad-meta"), None, "graft-cdc",
+        Map("path" -> store, "months" -> "May"))
+    }
+    assert(exl.getMessage.contains("months"))
+  }
+
+  test("maxStoresPerTrigger advances several stores per trigger under ONE shared budget") {
+    val a = tmpDir("cdck-a"); val b = tmpDir("cdck-b"); val c = tmpDir("cdck-c")
+    def drainMulti(ck: String, opts: Map[String, String]): Seq[(Long, Seq[(Int, String)])] = {
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Seq[(Int, String)])]()
+      val fn: (DataFrame, Long) => Unit = (df, id) => {
+        buf += ((id, df.select("Severity", "_store").collect()
+          .map((r: Row) => (r.getInt(0), r.getString(1))).toSeq.sorted))
+        ()
+      }
+      val q = spark.readStream.format("graft-cdc")
+        .option("paths", s"$a,$b,$c").options(opts)
+        .load()
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).foreachBatch(fn).start()
+      q.awaitTermination()
+      buf.toSeq
+    }
+    Seq(a, b, c).zipWithIndex.foreach { case (p, i) =>
+      TraceStore.append(mk((10 * (i + 1), s"m$i", "ok", "2019-05-13 10:00:00")), p)
+    }
+    // k=3, generous file budget: all three 1-file bootstraps fit ONE
+    // trigger — the composite batch carries all three stores
+    val ck1 = tmpDir("cdck-ck1")
+    val boot = drainMulti(ck1,
+      Map("initialLoad" -> "true", "maxFilesPerTrigger" -> "8",
+        "maxStoresPerTrigger" -> "3"))
+    assert(boot.size == 1, s"3 trickle bootstraps under k=3 must be one trigger: $boot")
+    assert(boot.head._2.map(_._2).distinct.size == 3)
+    assert(boot.head._2.map(_._1).sorted == Seq(10, 20, 30))
+    // same fleet, k=2: two stores per trigger → 2 triggers (2 + 1)
+    val ck2 = tmpDir("cdck-ck2")
+    val boot2 = drainMulti(ck2,
+      Map("initialLoad" -> "true", "maxFilesPerTrigger" -> "8",
+        "maxStoresPerTrigger" -> "2"))
+    assert(boot2.size == 2, s"3 stores at k=2 should drain in 2 triggers: $boot2")
+    assert(boot2.flatMap(_._2.map(_._1)).sorted == Seq(10, 20, 30))
+    // the budget is SHARED, not per-store: k=3 with a 1-file budget still
+    // admits one store per trigger (budget exhausts before the next child)
+    val ck3 = tmpDir("cdck-ck3")
+    val boot3 = drainMulti(ck3,
+      Map("initialLoad" -> "true", "maxFilesPerTrigger" -> "1",
+        "maxStoresPerTrigger" -> "3"))
+    assert(boot3.size == 3, s"shared 1-file budget must split the drain: $boot3")
+    boot3.foreach { case (id, rows) =>
+      assert(rows.map(_._2).distinct.size == 1, s"batch $id mixes stores under a 1-file budget")
+    }
+    // the option is fleet-only
+    val exs = intercept[IllegalArgumentException] {
+      new graft.sources.CdcStreamProvider().createSource(spark.sqlContext,
+        tmpDir("cdck-meta"), None, "graft-cdc",
+        Map("path" -> a, "maxStoresPerTrigger" -> "2"))
+    }
+    assert(exs.getMessage.contains("maxStoresPerTrigger"))
+  }
+
+  test("followFleetIndex: per-store attribution in one shared index, restart-safe") {
+    import graft.store.ChangeFeedQuery
+    val a = tmpDir("fleetidx-a"); val b = tmpDir("fleetidx-b")
+    val idx = tmpDir("fleetidx-idx"); val ck = tmpDir("fleetidx-ck")
+    def catchUp(): Unit = {
+      val q = TraceStream.followFleetIndex(spark, Seq(a, b), idx, ck,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+    }
+    def rebuilt(): Set[(String, Int, Long, Long)] =
+      ChangeFeedQuery.bucketRows(
+        TraceStore.read(spark, a).withColumn("_store", lit(a))
+          .unionByName(TraceStore.read(spark, b).withColumn("_store", lit(b))),
+        carry = Seq("_store"))
+        .groupBy(col("_store"), col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+        .collect()
+        .map((r: Row) => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    def current(): Set[(String, Int, Long, Long)] =
+      TraceStream.readIndex(spark, idx, keys = Seq("_store", "band", "bkey"))
+        .collect()
+        .map((r: Row) => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "bad", "2019-06-01 10:00:00")), a, splitsPerMonth = 1)
+    TraceStore.append(mk(
+      (30, "m3", "ok", "2019-05-13 10:00:00"),
+      (40, "m4", "bad", "2019-06-01 10:00:00")), b, splitsPerMonth = 1)
+    catchUp() // both chunked bootstraps through one checkpoint
+    assert(current() == rebuilt())
+    // store A's DELETE WHERE retracts ONLY A's bucket rows — B's rows
+    // with the same content keep their (_store=b) entries
+    TraceStore.deleteWhere(spark, a, col("Type") === "bad", splitsPerMonth = 1)
+    catchUp() // a restart through the composite offset
+    assert(current() == rebuilt())
+    assert(current().exists(_._1 == b), "B's contributions must survive A's maintenance")
+    // B compacts (invisible), then grows — the follower keeps following
+    TraceStore.compact(spark, b, maxFilesPerMonth = 1, splitsPerMonth = 1)
+    TraceStore.append(mk((50, "m5", "ok", "2019-07-01 10:00:00")), b)
+    catchUp()
+    assert(current() == rebuilt())
+  }
+
   test("multi offset json round-trips") {
     val o = graft.sources.CdcMultiOffset(1, IndexedSeq(
       CdcOffset("s000003"),
