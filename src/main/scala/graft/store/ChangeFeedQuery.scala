@@ -740,6 +740,177 @@ object ChangeFeedQuery {
       |)
       |GROUP BY 1, 2 ORDER BY ym, Type""".stripMargin
 
+  private val monthScopedRoll = new graft.util.SessionDirCache[String]
+
+  /** q238 — a MONTH-SCOPED rollup maintained as a stream: `followRollup`
+    * with the `months` option, which carries q234's partition-level
+    * worklist pruning from the batch relation into the `graft-cdc`
+    * STREAM itself ([[graft.sources.CdcSource]] month-filters every
+    * worklist — bootstrap slices, diff slices, whole diffs — before any
+    * file is scheduled or opened). The fixture spreads the single-month
+    * events calendar across three months (batch b's rows shift +b
+    * months, the retention-shaped calendar a real store has), scopes the
+    * maintainer to the LAST TWO, then runs a DELETE WHERE that rewrites
+    * every month — the out-of-scope month's rewrite must cross the
+    * stream as pruned worklist entries (and its physical files as
+    * never-opened; `CdcStreamSpec` pins that half with the poisoned-
+    * month trick). The graded read is the maintained rollup; the oracle
+    * recomputes the scoped months from raw events, so a pruned-away
+    * in-scope change, a leaked out-of-scope group, or a signed error
+    * fails the hash gate.
+    *
+    * Scale: a month-scoped consumer of a 100 TB store's table-scale
+    * rewrite pays O(that month's changes) in metadata AND I/O — the
+    * reference's `PARTITION BY toYYYYMM` promise
+    * (/root/reference/trace-converter.py:23) reaching the streaming
+    * surface. */
+  def q238MonthScopedRollup(s: SparkSession, dir: String): DataFrame = {
+    val roll = monthScopedRoll(s, dir) { (sess, d) =>
+      val store = graft.util.TmpDirs.scratch("graft-cdc-mroll-store")
+      val rp = graft.util.TmpDirs.scratch("graft-cdc-mroll-roll")
+      val ck = graft.util.TmpDirs.scratch("graft-cdc-mroll-ck")
+      val ev = graft.tables.Tables.events(sess, d)
+      val batch = pmod(col("event_id"), lit(3L))
+      // spread the calendar: batch b's rows live b months later (the
+      // driver's events table is single-month at every SF)
+      def traceAt(b: Int): DataFrame =
+        asTrace(ev.filter(batch === b))
+          .withColumn("Time", col("Time") + expr(s"INTERVAL $b MONTH"))
+      val ym1 = ev.agg(date_format(
+        add_months(min(col("ts").cast("timestamp")), 1), "yyyyMM").as("m"))
+        .collect()(0).getString(0)
+      def drain(): Unit = {
+        val q = graft.streaming.TraceStream.followRollup(sess, store, rp, ck,
+          maxFilesPerTrigger = Some(4), months = Some(s">=$ym1"))
+        q.awaitTermination()
+      }
+      TraceStore.append(traceAt(0), store, splitsPerMonth = 2)
+      TraceStore.append(traceAt(1), store, splitsPerMonth = 2)
+      TraceStore.append(traceAt(2), store, splitsPerMonth = 2)
+      drain() // scoped bootstrap: month 0's files pruned from the manifest
+      // a table-scale rewrite touching EVERY month — the scoped stream
+      // pays only the in-scope months' changes
+      TraceStore.deleteWhere(sess, store, col("Type") === "error", splitsPerMonth = 2)
+      drain()
+      TraceStore.compact(sess, store, maxFilesPerMonth = 1, splitsPerMonth = 2)
+      drain() // in-scope compaction cancels; out-of-scope never scheduled
+      rp
+    }
+    graft.streaming.TraceStream.readRollup(s, roll)
+      .orderBy(col("ym"), col("Type"))
+  }
+
+  // the scoped months' final state: batches 1,2 (shifted +1/+2 months)
+  // minus their erased rows; batch 0 (month 0) is out of scope entirely.
+  // DuckDB and Spark both clamp month arithmetic to month end, so the
+  // shifted ym values agree engine-to-engine.
+  val q238Sql: String =
+    """SELECT ym, Type, count(*) AS n,
+      |  (sum(((event_id % 1000000000) + 1000000000) % 1000000000))::BIGINT AS sev_sum
+      |FROM (
+      |  SELECT strftime(ts + INTERVAL 1 MONTH, '%Y%m') AS ym,
+      |    event_type AS Type, event_id
+      |  FROM events WHERE event_id % 3 = 1 AND event_type <> 'error'
+      |  UNION ALL
+      |  SELECT strftime(ts + INTERVAL 2 MONTH, '%Y%m'), event_type, event_id
+      |  FROM events WHERE event_id % 3 = 2 AND event_type <> 'error'
+      |)
+      |GROUP BY 1, 2 ORDER BY ym, Type""".stripMargin
+
+  private val fleetIndexed = new graft.util.SessionDirCache[(String, String, String)]
+
+  /** q239 — the FLEET near-dup index: `followFleetIndex` over two stores
+    * through one checkpoint, keys = (_store, band, bkey) so per-store
+    * ATTRIBUTION rides the shared index. The fixture bootstraps both
+    * stores (chunked, interleaved batches), erases `error` rows from
+    * store A only, compacts store B (must contribute nothing), then
+    * appends id-shifted rows to B — draining between every mutation,
+    * each drain a restart through the composite offset. The graded read
+    * is the maintained index; the oracle rebuilds BOTH stores' censuses
+    * from raw events with the cross-engine hash algebra, so A's DELETE
+    * WHERE retracting anything of B's, a double-counted composite-offset
+    * replay, or any bucket divergence fails the hash gate.
+    *
+    * Scale: N stores' indexes in one maintained table at the cost of N
+    * single feeds' changes; the segment algebra is per-key, so store
+    * interleavings compose exactly like chunk slices. */
+  def q239FleetIndex(s: SparkSession, dir: String): DataFrame = {
+    val (idx, pa, pb) = fleetIndexed(s, dir) { (sess, d) =>
+      val a = graft.util.TmpDirs.scratch("graft-cdc-fleetidx-a")
+      val b = graft.util.TmpDirs.scratch("graft-cdc-fleetidx-b")
+      val ix = graft.util.TmpDirs.scratch("graft-cdc-fleetidx-idx")
+      val ck = graft.util.TmpDirs.scratch("graft-cdc-fleetidx-ck")
+      val ev = graft.tables.Tables.events(sess, d)
+      val half = pmod(col("event_id"), lit(2L))
+      def drain(): Unit = {
+        val q = graft.streaming.TraceStream.followFleetIndex(
+          sess, Seq(a, b), ix, ck, maxFilesPerTrigger = Some(4))
+        q.awaitTermination()
+      }
+      TraceStore.append(asTrace(ev.filter(half === 0)), a, splitsPerMonth = 2)
+      TraceStore.append(asTrace(ev.filter(half === 1)), b, splitsPerMonth = 2)
+      drain() // both chunked bootstraps, one store per batch
+      TraceStore.deleteWhere(sess, a, col("Type") === "error", splitsPerMonth = 2)
+      drain() // A's retractions — B's identical-content buckets untouched
+      TraceStore.compact(sess, b, maxFilesPerMonth = 1, splitsPerMonth = 2)
+      drain() // B's rewrite nets to zero
+      TraceStore.append(asTrace(ev.filter(half === 1)
+        .withColumn("event_id", col("event_id") + lit(2000000000L))), b,
+        splitsPerMonth = 2)
+      drain() // post-maintenance growth on the other store
+      (ix, a, b)
+    }
+    graft.streaming.TraceStream
+      .readIndex(s, idx, keys = Seq("_store", "band", "bkey"))
+      .withColumn("store", when(col("_store") === pa, lit("a")).otherwise(lit("b")))
+      .select(col("store"), col("band"), col("bkey"), col("n"))
+      .orderBy(col("store"), col("band"), col("bkey"))
+  }
+
+  /** Per-store rebuild: A = even ids minus errors; B = odd ids plus the
+    * id-shifted re-append (the shift changes the ID string, so the
+    * shifted rows hash to their own buckets — the oracle recomputes
+    * them with the shifted id in the key). */
+  val q239Sql: String = {
+    import graft.functions.TextHash.{tokvalSql, minhashTermSql}
+    s"""WITH rows_ AS (
+       |  SELECT 'a' AS store, event_id AS eid,
+       |    'm' || (user_id % 8) || '/' || event_type || '/' || event_id AS key
+       |  FROM events WHERE event_id % 2 = 0 AND event_type <> 'error'
+       |  UNION ALL
+       |  SELECT 'b', event_id,
+       |    'm' || (user_id % 8) || '/' || event_type || '/' || event_id
+       |  FROM events WHERE event_id % 2 = 1
+       |  UNION ALL
+       |  SELECT 'b', event_id + 2000000000,
+       |    'm' || (user_id % 8) || '/' || event_type || '/' || (event_id + 2000000000)
+       |  FROM events WHERE event_id % 2 = 1
+       |), tri AS (
+       |  SELECT DISTINCT store, eid,
+       |    unnest(list_transform(range(1, length(key) - 1),
+       |                          i -> substr(key, i::INT, 3))) AS g
+       |  FROM rows_ WHERE length(key) >= 3
+       |), tv AS (
+       |  SELECT store, eid, ${tokvalSql("g")} AS tv FROM tri
+       |), sig AS (
+       |  SELECT store, eid, h, min(${minhashTermSql("tv", "h")}) AS mh
+       |  FROM tv CROSS JOIN (SELECT h FROM range(4) t(h)) GROUP BY 1, 2, 3
+       |), packed AS (
+       |  SELECT store, eid,
+       |    (min(CASE WHEN h = 0 THEN mh END) * 2147483647
+       |       + min(CASE WHEN h = 1 THEN mh END)) AS b0,
+       |    (min(CASE WHEN h = 2 THEN mh END) * 2147483647
+       |       + min(CASE WHEN h = 3 THEN mh END)) AS b1
+       |  FROM sig GROUP BY 1, 2
+       |), buckets AS (
+       |  SELECT store, 0 AS band, b0 AS bkey FROM packed
+       |  UNION ALL
+       |  SELECT store, 1, b1 FROM packed
+       |)
+       |SELECT store, band, bkey, count(*)::BIGINT AS n
+       |FROM buckets GROUP BY 1, 2, 3 ORDER BY store, band, bkey""".stripMargin
+  }
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
@@ -752,5 +923,7 @@ object ChangeFeedQuery {
     ("q234_pruned_changes", q234PrunedChanges _, Some(q234Sql)),
     ("q235_multi_store", q235MultiStore _, Some(q235Sql)),
     ("q237_fleet_rollup", q237FleetRollup _, Some(q237Sql)),
+    ("q238_month_scoped_rollup", q238MonthScopedRollup _, Some(q238Sql)),
+    ("q239_fleet_index", q239FleetIndex _, Some(q239Sql)),
   )
 }
