@@ -48,14 +48,18 @@ object Main {
   final case class ListSnapshots(tablePath: String) extends Action
   final case class DropSnapshot(tablePath: String, id: String) extends Action
   final case class ChangesSince(tablePath: String, id: String) extends Action
-  final case class FollowRollup(tablePath: String, rollupPath: String,
+  final case class FollowRollup(tablePaths: Seq[String], rollupPath: String,
                                 checkpointDir: String,
                                 maxFiles: Option[Int] = None,
-                                maxBytes: Option[Long] = None) extends Action
-  final case class FollowIndex(tablePath: String, indexPath: String,
+                                maxBytes: Option[Long] = None,
+                                months: Option[String] = None) extends Action
+  final case class FollowIndex(tablePaths: Seq[String], indexPath: String,
                                checkpointDir: String,
                                maxFiles: Option[Int] = None,
-                               maxBytes: Option[Long] = None) extends Action
+                               maxBytes: Option[Long] = None,
+                               startingSnapshot: Option[String] = None,
+                               months: Option[String] = None) extends Action
+  final case class SeedIndex(tablePath: String, indexPath: String) extends Action
   final case class Replicate(tablePath: String,
                              http: graft.sources.HttpBulkSink.Config,
                              checkpointDir: String,
@@ -88,13 +92,20 @@ object Main {
       |                          the store via the CDC stream (one
       |                          AvailableNow pass; resumes from its
       |                          checkpoint, survives store maintenance;
-      |                          a comma-separated --table-path maintains
-      |                          the union rollup of a store FLEET under
-      |                          this one checkpoint)
+      |                          with --table-paths A,B,… maintains the
+      |                          union rollup of a store FLEET under this
+      |                          one checkpoint)
       |  --follow-index PATH     catch the near-dup band-bucket index at
       |                          PATH up with the store via the CDC stream
       |                          (same pass/checkpoint/maintenance contract
-      |                          as --follow-rollup)
+      |                          as --follow-rollup; with --table-paths the
+      |                          fleet index keyed (_store, band, bkey);
+      |                          --starting-snapshot ID follows changes
+      |                          from a seed's pin instead of bootstrapping)
+      |  --seed-index PATH       corpus-scale index bootstrap: pin the
+      |                          store, build the index base in ONE batch
+      |                          job over the pin, print the
+      |                          --follow-index --starting-snapshot handoff
       |  --replicate             ship the store's changes to the ClickHouse
       |                          HTTP endpoint as JSONEachRow with a
       |                          CollapsingMergeTree _sign column (one
@@ -115,6 +126,16 @@ object Main {
       |  --db NAME               catalog database    (GRAFT_DB | CLICKHOUSE_DB)
       |  --table NAME            catalog table       (GRAFT_TABLE | CLICKHOUSE_TABLE)
       |  --table-path PATH       store location      (GRAFT_TABLE_PATH)
+      |  --table-paths A,B,…     store FLEET (comma-separated list) for
+      |                          --follow-rollup / --follow-index: one
+      |                          checkpoint over N stores; exclusive with
+      |                          --table-path (which is always ONE literal
+      |                          path — never split)
+      |  --months SPEC           month-scope a --follow-rollup/--follow-index
+      |                          stream (e.g. '>=202401' or '202401,202402');
+      |                          fixed per checkpoint
+      |  --starting-snapshot ID  with --follow-index: follow changes from
+      |                          this pin (the --seed-index handoff)
       |  --log-dir DIR           watched directory   (LOG_DIR, default /logs)
       |  --checkpoint DIR        stream checkpoint   (GRAFT_CHECKPOINT,
       |                          default <table-path>/_checkpoint)
@@ -146,11 +167,13 @@ object Main {
     val flags = scala.collection.mutable.Map[String, String]()
     val switches = scala.collection.mutable.Set[String]()
     val files = scala.collection.mutable.ArrayBuffer[String]()
-    val takesValue = Set("--db", "--table", "--table-path", "--log-dir",
+    val takesValue = Set("--db", "--table", "--table-path", "--table-paths",
+      "--log-dir",
       "--checkpoint", "--max-files", "--max-bytes", "--splits", "--completion-file",
       "--drop-before", "--compact-over", "--compact-every", "--retain-months",
       "--thin-keep-months", "--thin-factor", "--drop-snapshot", "--evolve-schema",
-      "--changes-since", "--follow-rollup", "--follow-index", "--addr")
+      "--changes-since", "--follow-rollup", "--follow-index", "--seed-index",
+      "--starting-snapshot", "--months", "--addr")
     val bare = Set("--print-schema", "--create-schema", "--watch", "--maintain",
       "--delete-logs", "--snapshot", "--list-snapshots", "--replicate")
     var i = 0
@@ -196,9 +219,35 @@ object Main {
       (if (flags.contains("--changes-since")) Set("--changes-since") else Set.empty) ++
       (if (flags.contains("--evolve-schema")) Set("--evolve-schema") else Set.empty) ++
       (if (flags.contains("--follow-rollup")) Set("--follow-rollup") else Set.empty) ++
-      (if (flags.contains("--follow-index")) Set("--follow-index") else Set.empty)
+      (if (flags.contains("--follow-index")) Set("--follow-index") else Set.empty) ++
+      (if (flags.contains("--seed-index")) Set("--seed-index") else Set.empty)
     if (modes.size > 1)
       return Left(s"ERROR: pick one mode, got ${modes.toSeq.sorted.mkString(", ")}")
+
+    // the store list for the CDC follow modes: ONE literal --table-path
+    // (never split — a path may legitimately contain a comma), or a
+    // comma-separated --table-paths fleet; exclusive
+    def followStores: Either[String, Seq[String]] =
+      (flags.get("--table-paths"), opt("--table-path", "GRAFT_TABLE_PATH")) match {
+        case (Some(_), Some(_)) =>
+          Left("ERROR: --table-path and --table-paths are exclusive (one " +
+            "literal store vs a comma-separated fleet)")
+        case (Some(list), None) =>
+          val ps = list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          if (ps.isEmpty) Left("ERROR: --table-paths names no store")
+          else Right(ps)
+        case (None, Some(p)) => Right(Seq(p))
+        case (None, None) =>
+          Left("ERROR: --table-path (or $GRAFT_TABLE_PATH / --table-paths) must be set!")
+      }
+    def monthsOpt: Either[String, Option[String]] = flags.get("--months") match {
+      case None => Right(None)
+      case Some(m) =>
+        scala.util.Try(graft.sources.CdcStreamProvider.monthsPredicate(m)) match {
+          case scala.util.Success(_) => Right(Some(m))
+          case scala.util.Failure(e) => Left(s"ERROR: ${e.getMessage}")
+        }
+    }
 
     if (switches("--print-schema"))
       need("--table", "GRAFT_TABLE", "CLICKHOUSE_TABLE").map(PrintSchema)
@@ -288,24 +337,41 @@ object Main {
       } yield EvolveSchema(tablePath, op)
     else if (flags.contains("--follow-rollup"))
       for {
-        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        stores <- followStores
         rollup <- flags.get("--follow-rollup").filter(_.nonEmpty)
           .toRight("ERROR: --follow-rollup needs a rollup path")
         maxFiles <- posIntFlag("--max-files")
         maxBytes <- posLongFlag("--max-bytes")
-      } yield FollowRollup(tablePath, rollup,
+        months <- monthsOpt
+      } yield FollowRollup(stores, rollup,
         opt("--checkpoint", "GRAFT_CHECKPOINT")
-          .getOrElse(s"$rollup/_checkpoint"), maxFiles, maxBytes)
+          .getOrElse(s"$rollup/_checkpoint"), maxFiles, maxBytes, months)
     else if (flags.contains("--follow-index"))
       for {
-        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        stores <- followStores
         index <- flags.get("--follow-index").filter(_.nonEmpty)
           .toRight("ERROR: --follow-index needs an index path")
         maxFiles <- posIntFlag("--max-files")
         maxBytes <- posLongFlag("--max-bytes")
-      } yield FollowIndex(tablePath, index,
+        months <- monthsOpt
+        startPin <- flags.get("--starting-snapshot") match {
+          case None => Right(None)
+          case Some(id) if !id.matches("s\\d{6,}") =>
+            Left(s"ERROR: --starting-snapshot needs an id like s000001, got '$id'")
+          case Some(id) if stores.size > 1 =>
+            Left("ERROR: --starting-snapshot names ONE pin; a fleet " +
+              "(--table-paths) manages one pin per store and bootstraps itself")
+          case Some(id) => Right(Some(id))
+        }
+      } yield FollowIndex(stores, index,
         opt("--checkpoint", "GRAFT_CHECKPOINT")
-          .getOrElse(s"$index/_checkpoint"), maxFiles, maxBytes)
+          .getOrElse(s"$index/_checkpoint"), maxFiles, maxBytes, startPin, months)
+    else if (flags.contains("--seed-index"))
+      for {
+        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        index <- flags.get("--seed-index").filter(_.nonEmpty)
+          .toRight("ERROR: --seed-index needs an index path")
+      } yield SeedIndex(tablePath, index)
     else if (switches("--replicate"))
       // the reference's own endpoint contract (trace-converter.py:13-16,
       // 102): CLICKHOUSE_ADDR required, basic auth only when BOTH
@@ -432,10 +498,17 @@ object Main {
           // a concurrent stream's commit-GC (or another operator's
           // --drop-snapshot) may drop the manifest between the listing
           // and this stat — skip the vanished id instead of crashing
-          // the whole listing mid-print
-          scala.util.Try(store.TraceStore.snapshotTimestamp(tablePath, id)
-            .toInstant.toString).toOption.foreach { ts =>
+          // the whole listing mid-print. ONLY the vanished-manifest
+          // race is skipped: any other failure (I/O, permissions)
+          // surfaces on the id's line instead of silently hiding it
+          try {
+            val ts = store.TraceStore.snapshotTimestamp(tablePath, id)
+              .toInstant.toString
             out(owners.get(id).fold(s"$id\t$ts")(note => s"$id\t$ts\t[$note]"))
+          } catch {
+            case _: IllegalArgumentException => // require: unknown snapshot
+            case _: java.nio.file.NoSuchFileException => // raced stat
+            case e: java.io.IOException => out(s"$id\tERROR: ${e.getMessage}")
           }
         }
       }
@@ -456,25 +529,42 @@ object Main {
       if (per.isEmpty) out(s"no changes since $id")
       else per.foreach(r =>
         out(s"${r.getString(0)} ${r.getString(1)} ${r.getLong(2)}"))
-    case FollowRollup(tablePath, rollupPath, ck, maxFiles, maxBytes) =>
+    case FollowRollup(stores, rollupPath, ck, maxFiles, maxBytes, months) =>
       // one catch-up pass on the operational cadence: between (never
       // concurrent with) store maintenance, per the CDC reader contract.
-      // A comma-separated --table-path is the FLEET form: one checkpoint
-      // maintains the union rollup of every listed store.
-      val stores = tablePath.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      // --table-paths is the FLEET form: one checkpoint maintains the
+      // union rollup of every listed store.
       val q =
         if (stores.size > 1)
           TraceStream.followFleetRollup(session(), stores, rollupPath, ck,
-            maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
-        else TraceStream.followRollup(session(), tablePath, rollupPath, ck,
-          maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
+            maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes,
+            months = months)
+        else TraceStream.followRollup(session(), stores.head, rollupPath, ck,
+          maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes,
+          months = months)
       q.awaitTermination()
-      out(s"rollup at $rollupPath caught up with $tablePath")
-    case FollowIndex(tablePath, indexPath, ck, maxFiles, maxBytes) =>
-      val q = TraceStream.followIndex(session(), tablePath, indexPath, ck,
-        maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
+      out(s"rollup at $rollupPath caught up with ${stores.mkString(", ")}")
+    case FollowIndex(stores, indexPath, ck, maxFiles, maxBytes, startPin, months) =>
+      val q =
+        if (stores.size > 1)
+          TraceStream.followFleetIndex(session(), stores, indexPath, ck,
+            maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes,
+            months = months)
+        else TraceStream.followIndex(session(), stores.head, indexPath, ck,
+          maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes,
+          startingSnapshot = startPin, months = months)
       q.awaitTermination()
-      out(s"index at $indexPath caught up with $tablePath")
+      out(s"index at $indexPath caught up with ${stores.mkString(", ")}")
+    case SeedIndex(tablePath, indexPath) =>
+      // corpus-scale bootstrap: pin FIRST (so the follow stream's first
+      // diff has an immutable base), then one parallel batch census
+      val pin = store.TraceStore.snapshot(tablePath)
+      TraceStream.seedIndex(session(), tablePath, pin, indexPath)
+      out(s"pinned $pin")
+      out(s"seeded index at $indexPath from $tablePath@$pin")
+      out(s"next: --follow-index $indexPath --table-path $tablePath " +
+        s"--starting-snapshot $pin (drop the pin with --drop-snapshot only " +
+        "after the stream's offset reaches a complete {\"snapshot\":...} form)")
     case Replicate(tablePath, http, ck, maxFiles, maxBytes) =>
       val q = TraceStream.replicateChanges(session(), tablePath, http, ck,
         maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)

@@ -133,14 +133,14 @@ class MainParseSpec extends AnyFunSuite {
       "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
     // CDC-driven rollup catch-up: path + checkpoint default, exclusivity
     assert(Main.parse(Seq("--follow-rollup", "/r", "--table-path", "/t"), noEnv) ==
-      Right(Main.FollowRollup("/t", "/r", "/r/_checkpoint")))
+      Right(Main.FollowRollup(Seq("/t"), "/r", "/r/_checkpoint")))
     assert(Main.parse(Seq("--follow-rollup", "/r", "--table-path", "/t",
       "--checkpoint", "/ck"), noEnv) ==
-      Right(Main.FollowRollup("/t", "/r", "/ck")))
+      Right(Main.FollowRollup(Seq("/t"), "/r", "/ck")))
     // admission knobs ride through; both budgets compose at the source
     assert(Main.parse(Seq("--follow-rollup", "/r", "--table-path", "/t",
       "--max-files", "8", "--max-bytes", "4194304"), noEnv) ==
-      Right(Main.FollowRollup("/t", "/r", "/r/_checkpoint",
+      Right(Main.FollowRollup(Seq("/t"), "/r", "/r/_checkpoint",
         Some(8), Some(4194304L))))
     assert(Main.parse(Seq("--follow-rollup", "/r", "--table-path", "/t",
       "--max-bytes", "no"), noEnv).swap.exists(_.contains("--max-bytes")))
@@ -149,10 +149,10 @@ class MainParseSpec extends AnyFunSuite {
       "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
     // index family: same contract as the rollup family
     assert(Main.parse(Seq("--follow-index", "/i", "--table-path", "/t"), noEnv) ==
-      Right(Main.FollowIndex("/t", "/i", "/i/_checkpoint")))
+      Right(Main.FollowIndex(Seq("/t"), "/i", "/i/_checkpoint")))
     assert(Main.parse(Seq("--follow-index", "/i", "--table-path", "/t",
       "--max-files", "8"), noEnv) ==
-      Right(Main.FollowIndex("/t", "/i", "/i/_checkpoint", Some(8))))
+      Right(Main.FollowIndex(Seq("/t"), "/i", "/i/_checkpoint", Some(8))))
     assert(Main.parse(Seq("--follow-index", "/i"), noEnv).isLeft) // needs path
     assert(Main.parse(Seq("--follow-index", "/i", "--follow-rollup", "/r",
       "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
@@ -348,7 +348,7 @@ class MainRunSpec extends SparkSpec {
     writeTrace(in, "a.json", 1557761852L, 3)   // 201905
     Main.run(Main.Convert(Seq(s"$in/a.json"), table, 1), _ => (), () => spark)
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    Main.run(Main.FollowRollup(table, roll, ck), out.append(_), () => spark)
+    Main.run(Main.FollowRollup(Seq(table), roll, ck), out.append(_), () => spark)
     assert(out.last == s"rollup at $roll caught up with $table")
     def rollTotal(): Long =
       graft.streaming.TraceStream.readRollup(spark, roll)
@@ -359,11 +359,11 @@ class MainRunSpec extends SparkSpec {
     writeTrace(in, "b.json", 1557761900L, 2)   // 201905 too
     Main.run(Main.Convert(Seq(s"$in/b.json"), table, 1), _ => (), () => spark)
     Main.run(Main.Maintain(table, None, 1, 1), _ => (), () => spark)
-    Main.run(Main.FollowRollup(table, roll, ck), out.append(_), () => spark)
+    Main.run(Main.FollowRollup(Seq(table), roll, ck), out.append(_), () => spark)
     assert(rollTotal() == 5)
   }
 
-  test("--follow-rollup with a comma-separated --table-path maintains the FLEET rollup") {
+  test("--follow-rollup with --table-paths maintains the FLEET rollup") {
     val in = tmpDir("cli-ffr-in")
     val a = tmpDir("cli-ffr-a"); val b = tmpDir("cli-ffr-b")
     val roll = tmpDir("cli-ffr-roll"); val ck = tmpDir("cli-ffr-ck")
@@ -372,8 +372,8 @@ class MainRunSpec extends SparkSpec {
     Main.run(Main.Convert(Seq(s"$in/a.json"), a, 1), _ => (), () => spark)
     Main.run(Main.Convert(Seq(s"$in/b.json"), b, 1), _ => (), () => spark)
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    Main.run(Main.FollowRollup(s"$a,$b", roll, ck), out.append(_), () => spark)
-    assert(out.last == s"rollup at $roll caught up with $a,$b")
+    Main.run(Main.FollowRollup(Seq(a, b), roll, ck), out.append(_), () => spark)
+    assert(out.last == s"rollup at $roll caught up with $a, $b")
     def byYm(): Map[String, Long] =
       graft.streaming.TraceStream.readRollup(spark, roll)
         .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
@@ -381,7 +381,7 @@ class MainRunSpec extends SparkSpec {
     // one store's growth + the other untouched, second catch-up pass
     writeTrace(in, "b2.json", 1568000100L, 4)
     Main.run(Main.Convert(Seq(s"$in/b2.json"), b, 1), _ => (), () => spark)
-    Main.run(Main.FollowRollup(s"$a,$b", roll, ck), _ => (), () => spark)
+    Main.run(Main.FollowRollup(Seq(a, b), roll, ck), _ => (), () => spark)
     assert(byYm() == Map("201905" -> 3L, "201909" -> 6L))
   }
 
@@ -391,7 +391,7 @@ class MainRunSpec extends SparkSpec {
     writeTrace(in, "a.json", 1557761852L, 3)   // 201905
     Main.run(Main.Convert(Seq(s"$in/a.json"), table, 1), _ => (), () => spark)
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    Main.run(Main.FollowIndex(table, idx, ck), out.append(_), () => spark)
+    Main.run(Main.FollowIndex(Seq(table), idx, ck), out.append(_), () => spark)
     assert(out.last == s"index at $idx caught up with $table")
     def rebuilt(): Set[(Int, Long, Long)] =
       graft.store.ChangeFeedQuery.bucketRows(TraceStore.read(spark, table))
@@ -408,8 +408,84 @@ class MainRunSpec extends SparkSpec {
     writeTrace(in, "b.json", 1557761900L, 2)
     Main.run(Main.Convert(Seq(s"$in/b.json"), table, 1), _ => (), () => spark)
     Main.run(Main.Maintain(table, None, 1, 1), _ => (), () => spark)
-    Main.run(Main.FollowIndex(table, idx, ck), _ => (), () => spark)
+    Main.run(Main.FollowIndex(Seq(table), idx, ck), _ => (), () => spark)
     assert(current() == rebuilt())
+  }
+
+  test("--table-paths is the fleet flag; --table-path stays one literal path") {
+    val noEnv = Map.empty[String, String]
+    // fleet parse
+    assert(Main.parse(Seq("--follow-rollup", "/r", "--table-paths", "/a,/b"), noEnv) ==
+      Right(Main.FollowRollup(Seq("/a", "/b"), "/r", "/r/_checkpoint")))
+    // a comma INSIDE --table-path is part of the path, never a fleet
+    // split (ADVICE r12: the flag's semantics must not be mode-dependent)
+    assert(Main.parse(Seq("--follow-rollup", "/r", "--table-path", "/odd,name"), noEnv) ==
+      Right(Main.FollowRollup(Seq("/odd,name"), "/r", "/r/_checkpoint")))
+    // exclusive, and an empty fleet is named
+    assert(Main.parse(Seq("--follow-rollup", "/r", "--table-path", "/t",
+      "--table-paths", "/a,/b"), noEnv).swap.exists(_.contains("exclusive")))
+    assert(Main.parse(Seq("--follow-rollup", "/r", "--table-paths", ","), noEnv)
+      .swap.exists(_.contains("names no store")))
+    // months rides through and validates at parse time
+    assert(Main.parse(Seq("--follow-rollup", "/r", "--table-path", "/t",
+      "--months", ">=201906"), noEnv) ==
+      Right(Main.FollowRollup(Seq("/t"), "/r", "/r/_checkpoint",
+        None, None, Some(">=201906"))))
+    assert(Main.parse(Seq("--follow-rollup", "/r", "--table-path", "/t",
+      "--months", "May"), noEnv).swap.exists(_.contains("months")))
+    // fleet index + starting-snapshot contracts
+    assert(Main.parse(Seq("--follow-index", "/i", "--table-paths", "/a,/b"), noEnv) ==
+      Right(Main.FollowIndex(Seq("/a", "/b"), "/i", "/i/_checkpoint")))
+    assert(Main.parse(Seq("--follow-index", "/i", "--table-path", "/t",
+      "--starting-snapshot", "s000004"), noEnv) ==
+      Right(Main.FollowIndex(Seq("/t"), "/i", "/i/_checkpoint",
+        None, None, Some("s000004"))))
+    assert(Main.parse(Seq("--follow-index", "/i", "--table-path", "/t",
+      "--starting-snapshot", "nope"), noEnv).swap.exists(_.contains("s000001")))
+    assert(Main.parse(Seq("--follow-index", "/i", "--table-paths", "/a,/b",
+      "--starting-snapshot", "s000004"), noEnv).swap.exists(_.contains("per store")))
+    // seed-index parse + exclusivity
+    assert(Main.parse(Seq("--seed-index", "/i", "--table-path", "/t"), noEnv) ==
+      Right(Main.SeedIndex("/t", "/i")))
+    assert(Main.parse(Seq("--seed-index", "/i"), noEnv).isLeft)
+    assert(Main.parse(Seq("--seed-index", "/i", "--follow-index", "/i",
+      "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
+  }
+
+  test("--seed-index: CLI pin + seed + follow-from-pin equals rebuild") {
+    val in = tmpDir("cli-seed-in"); val table = tmpDir("cli-seed-table")
+    val idx = tmpDir("cli-seed-idx"); val ck = tmpDir("cli-seed-ck")
+    writeTrace(in, "a.json", 1557761852L, 3)
+    Main.run(Main.Convert(Seq(s"$in/a.json"), table, 1), _ => (), () => spark)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Main.run(Main.SeedIndex(table, idx), out.append(_), () => spark)
+    val pin = out.find(_.startsWith("pinned ")).map(_.split(" ")(1))
+      .getOrElse(fail(s"no pin line in $out"))
+    assert(out.exists(_.contains(s"--starting-snapshot $pin")),
+      s"the handoff line must name the pin: $out")
+    def rebuilt(): Set[(Int, Long, Long)] =
+      graft.store.ChangeFeedQuery.bucketRows(TraceStore.read(spark, table))
+        .groupBy(org.apache.spark.sql.functions.col("band"),
+          org.apache.spark.sql.functions.col("bkey"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def current(): Set[(Int, Long, Long)] =
+      graft.streaming.TraceStream.readIndex(spark, idx)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(current() == rebuilt(), "the seed alone equals the pinned census")
+    // the store moves on; the printed handoff catches the index up from
+    // the pin — no streaming bootstrap ever runs
+    writeTrace(in, "b.json", 1557761900L, 2)
+    Main.run(Main.Convert(Seq(s"$in/b.json"), table, 1), _ => (), () => spark)
+    Main.run(Main.FollowIndex(Seq(table), idx, ck, startingSnapshot = Some(pin)),
+      _ => (), () => spark)
+    assert(current() == rebuilt(), "CLI seed + follow must equal rebuild")
+    // re-seeding a live index refuses (it would double-count)
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(Main.SeedIndex(table, idx), _ => (), () => spark)
+    }
+    assert(ex.getMessage.contains("already has parts"))
   }
 
   test("--follow-rollup resuming a MID-BOOTSTRAP checkpoint catches up in ONE pass") {
@@ -435,14 +511,14 @@ class MainRunSpec extends SparkSpec {
     writeTrace(in, "c.json", 1577000000L, 4)   // 201912
     Main.run(Main.Convert(Seq(s"$in/c.json"), table, 1), _ => (), () => spark)
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    Main.run(Main.FollowRollup(table, roll, ck, maxFiles = Some(1)),
+    Main.run(Main.FollowRollup(Seq(table), roll, ck, maxFiles = Some(1)),
       out.append(_), () => spark)
     assert(out.last == s"rollup at $roll caught up with $table")
     val total = graft.streaming.TraceStream.readRollup(spark, roll)
       .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
     assert(total == 9, s"second pass must deliver bootstrap remainder + live diff, got $total")
     // and it really is caught up: a third pass adds nothing
-    Main.run(Main.FollowRollup(table, roll, ck, maxFiles = Some(1)),
+    Main.run(Main.FollowRollup(Seq(table), roll, ck, maxFiles = Some(1)),
       _ => (), () => spark)
     assert(graft.streaming.TraceStream.readRollup(spark, roll)
       .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) == 9)
