@@ -91,7 +91,177 @@ object CdcProbe {
     if (args.headOption.contains("multi")) multi(args.drop(1))
     else if (args.headOption.contains("clustered")) clustered(args.drop(1))
     else if (args.headOption.contains("index")) index(args.drop(1))
+    else if (args.headOption.contains("fold")) fold(args.drop(1))
+    else if (args.headOption.contains("months")) months(args.drop(1))
+    else if (args.headOption.contains("fleet")) fleet(args.drop(1))
     else single(args)
+
+  /** The base fold at inflated bucket cardinality: serial (the r12
+    * `coalesce(1)` shape, forced with a huge `baseFileBytes`) vs
+    * size-targeted parallel (the default). The index is a synthetic
+    * M-bucket census planted as the seed part (parallel write, exactly
+    * what `seedIndex` produces), plus enough trickle segments to trigger
+    * a compaction; the measured wall is the `upsertSegment` compaction
+    * call. At corpus-scale cardinality the fold must scale with cores,
+    * not serialize through one write task.
+    *
+    *   runMain graft.tools.CdcProbe fold [M]   (default 20000000 buckets)
+    */
+  private def fold(args: Array[String]): Unit = {
+    val m = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val spark = session()
+    import spark.implicits._
+    def arm(tag: String, baseBytes: Long): String = {
+      val idx = graft.util.TmpDirs.scratch(s"cdcfold-$tag")
+      // plant the seed census: M buckets, hash-spread keys (random keys
+      // don't compress — the honest byte footprint of a real bucket table)
+      spark.range(m).select(
+        (col("id") % 2).cast("int").as("band"),
+        xxhash64(col("id")).as("bkey"),
+        lit(1L).as("n"))
+        .write.parquet(s"$idx/seed-0")
+      val bytes = {
+        val p = new org.apache.hadoop.fs.Path(s"$idx/seed-0")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      }
+      def put(id: Long, rows: (Int, Long, Long)*): Unit =
+        graft.streaming.TraceStream.upsertSegment(spark,
+          rows.toSeq.toDF("band", "bkey", "n"), id, idx, "probe",
+          Seq("band", "bkey"), "n", compactOver = 2, baseFileBytes = baseBytes)
+      put(0, (0, 1L, 1L)); put(1, (0, 2L, 1L))
+      val t0 = System.nanoTime()
+      put(2, (0, 3L, 1L)) // 3rd state change → the compaction under test
+      val foldS = (System.nanoTime() - t0) / 1e9
+      val baseDir = new java.io.File(idx).listFiles
+        .find(f => f.getName.startsWith("base-")).get
+      val parts = baseDir.listFiles.count(_.getName.endsWith(".parquet"))
+      f""""$tag":{"input_bytes":$bytes,"fold_s":$foldS%.2f,"base_files":$parts}"""
+    }
+    val serial = arm("serial", Long.MaxValue)
+    val parallel = arm("parallel", graft.streaming.TraceStream.DefaultBaseFileBytes)
+    val line = s"""{"metric":"cdc_fold","buckets":$m,$serial,$parallel}"""
+    System.err.println(s"[cdcprobe-fold] $line")
+    println(line)
+    spark.stop()
+  }
+
+  /** Month-scoped STREAMING catch-up under a table-scale rewrite: the
+    * spread store (replica c → month +c), a half-store DELETE WHERE, and
+    * then a month-scoped stream (`months=<first month>`) vs an unscoped
+    * control — both pinned BEFORE the rewrite, both draining the same
+    * diff. The scoped catch-up's wall must stay flat as k grows (its
+    * worklist is the one month's changes); the unscoped control grows
+    * with the rewrite.
+    *
+    *   runMain graft.tools.CdcProbe months [K[,K2,…]]   (default 10,100)
+    */
+  private def months(args: Array[String]): Unit = {
+    val ks = args.headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(10, 100))
+    val spark = session()
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.1")
+    val lines = ks.map { k =>
+      val spread = graft.util.TmpDirs.scratch(s"cdcmonths-spread-x$k")
+      (0 until k).foreach { c =>
+        TraceStore.append(asTrace(ev
+          .withColumn("ts", col("ts") + expr(s"INTERVAL $c MONTH"))
+          .withColumn("event_id", col("event_id") + lit(c.toLong * 1000000000L))
+          .withColumn("user_id", col("user_id") + lit(c.toLong * 1000000000L))),
+          spread, splitsPerMonth = 16)
+      }
+      val m0 = TraceStore.read(spark, spread)
+        .agg(min(col("ym"))).collect()(0).getString(0)
+      var rows = 0L
+      val sink: (DataFrame, Long) => Unit = (df, _) => { rows += df.count(); () }
+      def drain(ck: String, opts: Map[String, String]): Double = {
+        val r = spark.readStream.format("graft-cdc")
+          .option("path", spread).options(opts)
+          .option("maxFilesPerTrigger", "64")
+          .load()
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch(sink).start()
+        val t0 = System.nanoTime()
+        r.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val scopedCk = graft.util.TmpDirs.scratch(s"cdcmonths-sck-x$k")
+      val ctlCk = graft.util.TmpDirs.scratch(s"cdcmonths-cck-x$k")
+      val scopedOpts = Map("initialLoad" -> "true", "months" -> s"=$m0")
+      val ctlOpts = Map("initialLoad" -> "true")
+      drain(scopedCk, scopedOpts) // scoped bootstrap pins pre-rewrite
+      drain(ctlCk, ctlOpts)       // control pins the same state
+      TraceStore.deleteWhere(spark, spread,
+        pmod(col("Severity"), lit(2)) === 0, splitsPerMonth = 16)
+      rows = 0L
+      val scopedS = drain(scopedCk, scopedOpts)
+      val scopedRows = rows
+      rows = 0L
+      val ctlS = drain(ctlCk, ctlOpts)
+      val ctlRows = rows
+      val line = f""""x$k":{"month":"$m0","scoped_catchup_s":$scopedS%.2f,""" +
+        f""""scoped_rows":$scopedRows,"full_catchup_s":$ctlS%.2f,"full_rows":$ctlRows}"""
+      System.err.println(s"[cdcprobe-months] $line")
+      line
+    }
+    println(lines.mkString("""{"metric":"cdc_months",""", ",", "}"))
+    spark.stop()
+  }
+
+  /** Fleet drain latency vs `maxStoresPerTrigger`: N stores each with
+    * ONE small change; a k=1 drain takes ~N triggers (the r12 shape), a
+    * k-advance drain takes ~N/k — same budgets, same batches' bound,
+    * fewer trigger round-trips.
+    *
+    *   runMain graft.tools.CdcProbe fleet [N] [Ks]   (default 16, 1,4)
+    */
+  private def fleet(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(16)
+    val ks = args.drop(1).headOption.map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(1, 4))
+    val spark = session()
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.01")
+    val small = asTrace(ev.filter(pmod(col("event_id"), lit(256L)) === 0))
+    val incr = asTrace(ev.filter(pmod(col("event_id"), lit(256L)) === 1)
+      .withColumn("event_id", col("event_id") + lit(900L * 1000000000L)))
+    val lines = ks.map { k =>
+      val stores = (0 until n).map { i =>
+        val s = graft.util.TmpDirs.scratch(s"cdcfleet-k$k-s$i")
+        TraceStore.append(small, s, splitsPerMonth = 1)
+        s
+      }
+      val ck = graft.util.TmpDirs.scratch(s"cdcfleet-ck-k$k")
+      var batches = 0
+      val sink: (DataFrame, Long) => Unit = (df, _) => { df.count(); batches += 1; () }
+      def drain(): Double = {
+        val q = spark.readStream.format("graft-cdc")
+          .option("paths", stores.mkString(","))
+          .option("initialLoad", "true")
+          .option("maxFilesPerTrigger", "64")
+          .option("maxStoresPerTrigger", k.toString)
+          .load()
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch(sink).start()
+        val t0 = System.nanoTime()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val bootS = drain()
+      val bootBatches = batches
+      // one trickle change per store — the catch-up the cursor fairness
+      // and k-advance exist for
+      stores.foreach(s => TraceStore.append(incr, s, splitsPerMonth = 1))
+      batches = 0
+      val catchS = drain()
+      val line = f""""k$k":{"boot_s":$bootS%.2f,"boot_batches":$bootBatches,""" +
+        f""""catchup_s":$catchS%.2f,"catchup_batches":$batches}"""
+      System.err.println(s"[cdcprobe-fleet] $line")
+      line
+    }
+    println(lines.mkString(s"""{"metric":"cdc_fleet","stores":$n,""", ",", "}"))
+    spark.stop()
+  }
 
   /** followIndex maintenance cost vs store scale: bootstrap the
     * band-bucket index at k×, then deliver a FIXED-size append and a
