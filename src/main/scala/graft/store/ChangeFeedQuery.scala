@@ -911,6 +911,59 @@ object ChangeFeedQuery {
        |FROM buckets GROUP BY 1, 2, 3 ORDER BY store, band, bkey""".stripMargin
   }
 
+  private val slotRolled = new graft.util.SessionDirCache[String]
+
+  /** q240 — SUB-SECOND windows maintained through the CDC feed: the
+    * reference's sub-second TODO (README.md:219-225) closed end to end.
+    * q236 gates the micros ingest + `DateTime64(6)` DDL; here a store
+    * whose `Time` carries genuine microsecond precision (the events
+    * table's native ts precision — the micros-mode store shape) drives
+    * [[graft.streaming.TraceStream.followSlotRollup]]: a 250 ms
+    * tumbling-slot aggregate kept current by signed increments across
+    * append → append → DELETE WHERE → compact, every drain a restart.
+    * The slot key is `unix_micros(Time) div 250000` — integer division
+    * on microsecond epochs, exact in both engines, so a §1.4-style
+    * truncation anywhere in the store/CDC path (which would collapse
+    * sub-second slots) fails the hash gate, as does any signed error.
+    *
+    * Scale: identical machinery to q227/q238 — cost per batch ∝ changes
+    * + rollup cardinality (bounded by active slots, ∝ data time span /
+    * 250 ms). */
+  def q240SlotRollup(s: SparkSession, dir: String): DataFrame = {
+    val roll = slotRolled(s, dir) { (sess, d) =>
+      val store = graft.util.TmpDirs.scratch("graft-cdc-slot-store")
+      val rp = graft.util.TmpDirs.scratch("graft-cdc-slot-roll")
+      val ck = graft.util.TmpDirs.scratch("graft-cdc-slot-ck")
+      val ev = graft.tables.Tables.events(sess, d)
+      val batch = pmod(col("event_id"), lit(3L))
+      def drain(): Unit = {
+        val q = graft.streaming.TraceStream.followSlotRollup(sess, store, rp, ck,
+          slotMicros = 250000L, maxFilesPerTrigger = Some(4))
+        q.awaitTermination()
+      }
+      TraceStore.append(asTrace(ev.filter(batch === 0)), store, splitsPerMonth = 2)
+      drain() // bootstrap at sub-second resolution
+      TraceStore.append(asTrace(ev.filter(batch === 1)), store, splitsPerMonth = 2)
+      drain()
+      TraceStore.deleteWhere(sess, store, col("Type") === "error", splitsPerMonth = 2)
+      drain() // negative increments retract their slots exactly
+      TraceStore.compact(sess, store, maxFilesPerMonth = 1, splitsPerMonth = 2)
+      drain() // rewrite nets to zero at micros resolution too
+      rp
+    }
+    graft.streaming.TraceStream.readRollup(s, roll)
+      .select(col("slot"), col("Type"), col("n"), col("sev_sum"))
+      .orderBy(col("slot"), col("Type"))
+  }
+
+  val q240Sql: String =
+    """SELECT epoch_us(ts) // 250000 AS slot, event_type AS Type,
+      |  count(*) AS n,
+      |  (sum(((event_id % 1000000000) + 1000000000) % 1000000000))::BIGINT AS sev_sum
+      |FROM events
+      |WHERE event_id % 3 IN (0, 1) AND event_type <> 'error'
+      |GROUP BY 1, 2 ORDER BY slot, Type""".stripMargin
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
@@ -925,5 +978,6 @@ object ChangeFeedQuery {
     ("q237_fleet_rollup", q237FleetRollup _, Some(q237Sql)),
     ("q238_month_scoped_rollup", q238MonthScopedRollup _, Some(q238Sql)),
     ("q239_fleet_index", q239FleetIndex _, Some(q239Sql)),
+    ("q240_slot_rollup", q240SlotRollup _, Some(q240Sql)),
   )
 }

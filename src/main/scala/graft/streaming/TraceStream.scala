@@ -481,6 +481,59 @@ object TraceStream {
       .start()
   }
 
+  /** SUB-SECOND (micros-mode) rollup maintenance from the change feed —
+    * the reference's considered-and-dropped sub-second TODO
+    * (/root/reference/README.md:219-225) closed END TO END: q236 gates
+    * micros ingest + `DateTime64(6)` DDL; this maintains a sub-second
+    * tumbling-window aggregate of a micros-time store THROUGH the signed
+    * feed, so the sub-second resolution survives store maintenance the
+    * same way the (ym, Type) rollup does. The window key is the slot
+    * index `unix_micros(Time) div slotMicros` — integer division on
+    * microsecond epochs, exact in any engine (a timestamp-typed window
+    * start would re-open the cross-engine micros-rendering can of
+    * worms for zero semantic gain; slot × slotMicros IS the window
+    * start in micros).
+    *
+    * Everything else — versioned merge, lineage pinning, replay
+    * idempotence, signed retraction, emptied-group drop — is
+    * [[followRollup]]'s machinery with a different key. Cost per batch
+    * ∝ changes + rollup cardinality; sub-second slots make the
+    * cardinality ∝ the store's distinct active slots, which is why this
+    * stays a ROLLUP (bounded by data time span / slot width), not an
+    * index. */
+  def followSlotRollup(spark: SparkSession, storePath: String, rollupPath: String,
+                       checkpointDir: String,
+                       slotMicros: Long = 250000L,
+                       trigger: Trigger = Trigger.AvailableNow(),
+                       maxFilesPerTrigger: Option[Int] = None,
+                       maxBytesPerTrigger: Option[Long] = None,
+                       months: Option[String] = None): StreamingQuery = {
+    require(slotMicros > 0, s"slotMicros must be positive, got $slotMicros")
+    var inc: String = null   // resolved on first batch — metadata exists by then
+    val reader = spark.readStream.format("graft-cdc")
+      .option("path", storePath)
+      .option("initialLoad", "true")
+    months.foreach(m => reader.option("months", m))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
+    reader
+      .load()
+      .writeStream
+      .queryName(s"trace-cdc-slot-rollup-${incarnationOf(rollupPath)}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (inc == null) inc = lineageOf(batch.sparkSession, checkpointDir)
+        val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+        val delta = batch
+          .groupBy(expr(s"unix_micros(Time) div $slotMicros").as("slot"), col("Type"))
+          .agg(sum(sign).as("n"), sum(sign * col("Severity").cast("long")).as("sev_sum"))
+        upsertDelta(batch.sparkSession, delta, batchId, rollupPath, inc,
+          keys = Seq("slot", "Type"), measures = Seq("n", "sev_sum"))
+      }
+      .start()
+  }
+
   /** CDC-DRIVEN near-dup-index maintenance as a running stream — q231's
     * signed bucket algebra made operational, the index-family twin of
     * [[followRollup]]: follow a trace store's change feed and keep the
