@@ -58,8 +58,9 @@ object Main {
                                maxFiles: Option[Int] = None,
                                maxBytes: Option[Long] = None,
                                startingSnapshot: Option[String] = None,
-                               months: Option[String] = None) extends Action
-  final case class SeedIndex(tablePath: String, indexPath: String) extends Action
+                               months: Option[String] = None,
+                               startingSnapshots: Option[Seq[String]] = None) extends Action
+  final case class SeedIndex(tablePaths: Seq[String], indexPath: String) extends Action
   final case class Replicate(tablePath: String,
                              http: graft.sources.HttpBulkSink.Config,
                              checkpointDir: String,
@@ -106,6 +107,8 @@ object Main {
       |                          store, build the index base in ONE batch
       |                          job over the pin, print the
       |                          --follow-index --starting-snapshot handoff
+      |                          (with --table-paths: pin EVERY store and
+      |                          seed the fleet index in one job)
       |  --replicate             ship the store's changes to the ClickHouse
       |                          HTTP endpoint as JSONEachRow with a
       |                          CollapsingMergeTree _sign column (one
@@ -136,6 +139,8 @@ object Main {
       |                          fixed per checkpoint
       |  --starting-snapshot ID  with --follow-index: follow changes from
       |                          this pin (the --seed-index handoff)
+      |  --starting-snapshots A,B,…  the fleet form: one pin per
+      |                          --table-paths entry, positional
       |  --log-dir DIR           watched directory   (LOG_DIR, default /logs)
       |  --checkpoint DIR        stream checkpoint   (GRAFT_CHECKPOINT,
       |                          default <table-path>/_checkpoint)
@@ -173,7 +178,7 @@ object Main {
       "--drop-before", "--compact-over", "--compact-every", "--retain-months",
       "--thin-keep-months", "--thin-factor", "--drop-snapshot", "--evolve-schema",
       "--changes-since", "--follow-rollup", "--follow-index", "--seed-index",
-      "--starting-snapshot", "--months", "--addr")
+      "--starting-snapshot", "--starting-snapshots", "--months", "--addr")
     val bare = Set("--print-schema", "--create-schema", "--watch", "--maintain",
       "--delete-logs", "--snapshot", "--list-snapshots", "--replicate")
     var i = 0
@@ -360,18 +365,35 @@ object Main {
             Left(s"ERROR: --starting-snapshot needs an id like s000001, got '$id'")
           case Some(id) if stores.size > 1 =>
             Left("ERROR: --starting-snapshot names ONE pin; a fleet " +
-              "(--table-paths) manages one pin per store and bootstraps itself")
+              "(--table-paths) takes --starting-snapshots, one pin per store")
           case Some(id) => Right(Some(id))
+        }
+        startPins <- flags.get("--starting-snapshots") match {
+          case None => Right(None)
+          case Some(_) if stores.size == 1 =>
+            Left("ERROR: --starting-snapshots is the fleet form; a single " +
+              "store takes --starting-snapshot")
+          case Some(raw) =>
+            val pins = raw.split(",").map(_.trim).toSeq
+            if (pins.size != stores.size)
+              Left(s"ERROR: --starting-snapshots names ${pins.size} pins for " +
+                s"${stores.size} stores (positional, one per --table-paths entry)")
+            else pins.find(!_.matches("s\\d{6,}")) match {
+              case Some(bad) =>
+                Left(s"ERROR: --starting-snapshots needs ids like s000001, got '$bad'")
+              case None => Right(Some(pins))
+            }
         }
       } yield FollowIndex(stores, index,
         opt("--checkpoint", "GRAFT_CHECKPOINT")
-          .getOrElse(s"$index/_checkpoint"), maxFiles, maxBytes, startPin, months)
+          .getOrElse(s"$index/_checkpoint"), maxFiles, maxBytes, startPin, months,
+        startPins)
     else if (flags.contains("--seed-index"))
       for {
-        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        stores <- followStores
         index <- flags.get("--seed-index").filter(_.nonEmpty)
           .toRight("ERROR: --seed-index needs an index path")
-      } yield SeedIndex(tablePath, index)
+      } yield SeedIndex(stores, index)
     else if (switches("--replicate"))
       // the reference's own endpoint contract (trace-converter.py:13-16,
       // 102): CLICKHOUSE_ADDR required, basic auth only when BOTH
@@ -544,27 +566,38 @@ object Main {
           months = months)
       q.awaitTermination()
       out(s"rollup at $rollupPath caught up with ${stores.mkString(", ")}")
-    case FollowIndex(stores, indexPath, ck, maxFiles, maxBytes, startPin, months) =>
+    case FollowIndex(stores, indexPath, ck, maxFiles, maxBytes, startPin, months,
+                     startPins) =>
       val q =
         if (stores.size > 1)
           TraceStream.followFleetIndex(session(), stores, indexPath, ck,
             maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes,
-            months = months)
+            months = months, startingSnapshots = startPins)
         else TraceStream.followIndex(session(), stores.head, indexPath, ck,
           maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes,
           startingSnapshot = startPin, months = months)
       q.awaitTermination()
       out(s"index at $indexPath caught up with ${stores.mkString(", ")}")
-    case SeedIndex(tablePath, indexPath) =>
+    case SeedIndex(stores, indexPath) =>
       // corpus-scale bootstrap: pin FIRST (so the follow stream's first
-      // diff has an immutable base), then one parallel batch census
-      val pin = store.TraceStore.snapshot(tablePath)
-      TraceStream.seedIndex(session(), tablePath, pin, indexPath)
-      out(s"pinned $pin")
-      out(s"seeded index at $indexPath from $tablePath@$pin")
-      out(s"next: --follow-index $indexPath --table-path $tablePath " +
-        s"--starting-snapshot $pin (drop the pin with --drop-snapshot only " +
-        "after the stream's offset reaches a complete {\"snapshot\":...} form)")
+      // diff has an immutable base), then one parallel batch census;
+      // --table-paths seeds the FLEET index ((_store, band, bkey) keys)
+      if (stores.size > 1) {
+        val pins = TraceStream.seedFleetIndex(session(), stores, indexPath)
+        pins.foreach { case (p, pin) => out(s"pinned $pin ($p)") }
+        out(s"seeded fleet index at $indexPath from ${stores.size} stores")
+        out(s"next: --follow-index $indexPath --table-paths ${stores.mkString(",")} " +
+          s"--starting-snapshots ${pins.map(_._2).mkString(",")} (drop each pin " +
+          "only after its store's offset part reaches a complete form)")
+      } else {
+        val pin = store.TraceStore.snapshot(stores.head)
+        TraceStream.seedIndex(session(), stores.head, pin, indexPath)
+        out(s"pinned $pin")
+        out(s"seeded index at $indexPath from ${stores.head}@$pin")
+        out(s"next: --follow-index $indexPath --table-path ${stores.head} " +
+          s"--starting-snapshot $pin (drop the pin with --drop-snapshot only " +
+          "after the stream's offset reaches a complete {\"snapshot\":...} form)")
+      }
     case Replicate(tablePath, http, ck, maxFiles, maxBytes) =>
       val q = TraceStream.replicateChanges(session(), tablePath, http, ck,
         maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)

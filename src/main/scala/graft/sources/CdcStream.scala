@@ -662,12 +662,24 @@ final class CdcMultiSource(
     maxFilesPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
     maxStoresPerTrigger: Int = 1,
-    months: Option[String] = None)
+    months: Option[String] = None,
+    startingSnapshots: Option[Seq[String]] = None)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   require(paths.nonEmpty, "graft-cdc multi-store read needs at least one path")
   require(maxStoresPerTrigger >= 1,
     s"maxStoresPerTrigger must be positive, got $maxStoresPerTrigger")
+  // the fleet seed handoff: one pin PER STORE, positional like the path
+  // list — each child follows changes from its own pin instead of
+  // bootstrapping (the fleet twin of the single-store startingSnapshot)
+  startingSnapshots.foreach { pins =>
+    require(pins.size == paths.size,
+      s"startingSnapshots names ${pins.size} pins for ${paths.size} stores — " +
+        "the list is positional, one pin per configured path")
+    require(!initialLoad,
+      "startingSnapshots and initialLoad are exclusive: follow from the pins " +
+        "OR bootstrap, not both")
+  }
 
   // Pin the PATH LIST durably under the stream's metadata: offset parts
   // are positional, so a checkpoint resumed with the stores REORDERED
@@ -697,7 +709,8 @@ final class CdcMultiSource(
 
   private val children: IndexedSeq[CdcSource] = paths.toIndexedSeq.zipWithIndex
     .map { case (p, i) =>
-      new CdcSource(sqlContext, p, s"$metadataPath/store-$i", None, initialLoad,
+      new CdcSource(sqlContext, p, s"$metadataPath/store-$i",
+        startingSnapshots.map(_(i)), initialLoad,
         cleanupCommitted, maxFilesPerTrigger, maxBytesPerTrigger, months)
     }
 
@@ -986,13 +999,19 @@ final class CdcStreamProvider extends StreamSourceProvider
         require(!parameters.contains("startingSnapshot"),
           "graft-cdc multi-store read manages one pin PER STORE; " +
             "startingSnapshot names a single pin and cannot apply — use " +
-            "initialLoad, or per-store single-path streams")
+            "startingSnapshots (one pin per path) or initialLoad")
+        val startPins = parameters.get("startingSnapshots").map { raw =>
+          val pins = raw.split(",").map(_.trim).toSeq
+          pins.foreach(p => require(p.matches("s\\d{6,}"),
+            s"startingSnapshots entries must be snapshot ids like s000001, got '$p'"))
+          pins
+        }
         new CdcMultiSource(sqlContext, ps, metadataPath,
           parameters.get("initialLoad").exists(_.toBoolean),
           parameters.get("cleanupCommitted").forall(_.toBoolean),
           maxFiles, maxBytes,
           numeric("maxStoresPerTrigger", _.toIntOption)(_ > 0).getOrElse(1),
-          months)
+          months, startPins)
       case None =>
         require(!parameters.contains("maxStoresPerTrigger"),
           "graft-cdc option 'maxStoresPerTrigger' applies to the fleet form " +

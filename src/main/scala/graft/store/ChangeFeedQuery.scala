@@ -494,8 +494,11 @@ object ChangeFeedQuery {
     * CHANGES plus a merge against index cardinality — the rebuild that
     * would re-shingle the corpus never runs (q231 proves the algebra in
     * batch; this proves the operational, checkpointed form). */
-  def q233FollowIndex(s: SparkSession, dir: String): DataFrame = {
-    val idx = followed(s, dir) { (sess, d) =>
+  /** The maintained-index fixture shared by q233 (full-index gate) and
+    * q241 (calibration read): one store lifecycle, one followIndex
+    * checkpoint, built once per (session, dir). */
+  private def followedIndex(s: SparkSession, dir: String): String =
+    followed(s, dir) { (sess, d) =>
       val store = graft.util.TmpDirs.scratch("graft-cdc-fidx-store")
       val index = graft.util.TmpDirs.scratch("graft-cdc-fidx-index")
       val ck = graft.util.TmpDirs.scratch("graft-cdc-fidx-ck")
@@ -518,9 +521,17 @@ object ChangeFeedQuery {
       drain() // post-compact append: the follower keeps following
       index
     }
-    graft.streaming.TraceStream.readIndex(s, idx)
+
+  /** q233 — the incremental LSH index maintained AS A RUNNING STREAM
+    * ([[graft.streaming.TraceStream.followIndex]], the index-family twin
+    * of `followRollup`): the [[followedIndex]] lifecycle's maintained
+    * index read whole, which must equal the oracle's rebuild-from-
+    * scratch exactly — a sign error, a replayed-version double-count, a
+    * missed retraction, a chunk-split compaction pair that fails to net
+    * out, or any bucket-key divergence fails the hash gate. */
+  def q233FollowIndex(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.TraceStream.readIndex(s, followedIndex(s, dir))
       .orderBy(col("band"), col("bkey"))
-  }
 
   /** Rebuild-from-scratch over the final state: batches 0,1 minus their
     * erased rows (the DELETE WHERE ran before batch 2 landed), plus all
@@ -964,6 +975,38 @@ object ChangeFeedQuery {
       |WHERE event_id % 3 IN (0, 1) AND event_type <> 'error'
       |GROUP BY 1, 2 ORDER BY slot, Type""".stripMargin
 
+  /** q241 — the maintained index read the way a dedup PLANNER reads it:
+    * per band, how many buckets exist, how many are hot (n ≥ 2 — the
+    * only ones a q26-style candidate join touches), and the exact
+    * candidate-pair budget Σ n·(n−1)/2 the join would generate. This is
+    * the operational point of keeping the census as a STREAMED artifact
+    * ([[graft.streaming.TraceStream.followIndex]]): the planner answers
+    * "can I afford the candidate join / do the bands need re-
+    * calibrating?" from the maintained table — cost O(index) — instead
+    * of re-shingling the corpus (q200 computes the same calibration
+    * from scratch; here it must come out of the stream-maintained
+    * index). Integer arithmetic throughout, so the oracle (DuckDB's
+    * rebuild census, aggregated the same way) hash-gates every count:
+    * a stale index, a leaked retraction, or a replay double-count
+    * shifts a bucket size and fails. */
+  def q241IndexCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.TraceStream.readIndex(s, followedIndex(s, dir))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("hot_buckets"),
+        sum(expr("n * (n - 1) div 2")).as("cand_pairs"))
+      .orderBy(col("band"))
+
+  /** The rebuild census (q233's oracle), aggregated per band. */
+  val q241Sql: String =
+    s"""SELECT band, count(*) AS buckets,
+       |  sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS hot_buckets,
+       |  sum(n * (n - 1) // 2)::BIGINT AS cand_pairs
+       |FROM (
+       |$q233Sql
+       |)
+       |GROUP BY 1 ORDER BY band""".stripMargin
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
@@ -979,5 +1022,6 @@ object ChangeFeedQuery {
     ("q238_month_scoped_rollup", q238MonthScopedRollup _, Some(q238Sql)),
     ("q239_fleet_index", q239FleetIndex _, Some(q239Sql)),
     ("q240_slot_rollup", q240SlotRollup _, Some(q240Sql)),
+    ("q241_index_calibration", q241IndexCalibration _, Some(q241Sql)),
   )
 }

@@ -635,11 +635,17 @@ object TraceStream {
                        maxBytesPerTrigger: Option[Long] = None,
                        compactOver: Int = 8,
                        baseFileBytes: Long = DefaultBaseFileBytes,
-                       months: Option[String] = None): StreamingQuery = {
+                       months: Option[String] = None,
+                       startingSnapshots: Option[Seq[String]] = None): StreamingQuery = {
+    // corpus-scale fleet bootstrap: [[seedFleetIndex]] pins every store
+    // and builds the shared census in ONE batch job; `startingSnapshots`
+    // (positional, one pin per store) switches every child source to
+    // changes-after-its-pin, so no streaming bootstrap runs
     var inc: String = null   // resolved on first batch — metadata exists by then
     val reader = spark.readStream.format("graft-cdc")
       .option("paths", storePaths.mkString(","))
-      .option("initialLoad", "true")
+      .option("initialLoad", startingSnapshots.isEmpty.toString)
+    startingSnapshots.foreach(ps => reader.option("startingSnapshots", ps.mkString(",")))
     months.foreach(m => reader.option("months", m))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
@@ -687,6 +693,36 @@ object TraceStream {
       .agg(count(lit(1)).as("n"))
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(root, "seed-0").toString)
+  }
+
+  /** The fleet form of [[seedIndex]]: pin EVERY store, build the shared
+    * `(_store, band, bkey)` census over all the pins in one parallel
+    * batch job, and return the (storePath → pin) handoff for
+    * `followFleetIndex(…, startingSnapshots = Some(pins))`. Same
+    * contract as the single-store seed: the pins are the caller's to
+    * drop once each child's offset passes its first complete form, and
+    * a non-empty index refuses (completeness is `_SUCCESS`-gated, so a
+    * crashed seed job just re-runs). */
+  def seedFleetIndex(spark: SparkSession, storePaths: Seq[String],
+                     indexPath: String): Seq[(String, String)] = {
+    require(storePaths.nonEmpty, "seedFleetIndex needs at least one store")
+    val (fs, root) = fsOf(spark, indexPath)
+    require(partsOf(fs, root, "seg-").isEmpty && partsOf(fs, root, "base-").isEmpty &&
+      !fs.exists(new org.apache.hadoop.fs.Path(root, "seed-0/_SUCCESS")),
+      s"index at $indexPath already has parts — seedFleetIndex is for an empty index")
+    // pin FIRST (all stores), then census: each child's first diff has
+    // an immutable base even if a store mutates mid-census
+    val pins = storePaths.map(p => p -> TraceStore.snapshot(p))
+    val census = pins.map { case (p, pin) =>
+      graft.store.ChangeFeedQuery.bucketRows(
+        TraceStore.readSnapshot(spark, p, pin).withColumn("_store", lit(p)),
+        carry = Seq("_store"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("_store"), col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+    census.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root, "seed-0").toString)
+    pins
   }
 
   /** The seed (as a base older than every batch id) plus the complete

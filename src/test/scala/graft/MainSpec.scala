@@ -446,10 +446,63 @@ class MainRunSpec extends SparkSpec {
       "--starting-snapshot", "s000004"), noEnv).swap.exists(_.contains("per store")))
     // seed-index parse + exclusivity
     assert(Main.parse(Seq("--seed-index", "/i", "--table-path", "/t"), noEnv) ==
-      Right(Main.SeedIndex("/t", "/i")))
+      Right(Main.SeedIndex(Seq("/t"), "/i")))
     assert(Main.parse(Seq("--seed-index", "/i"), noEnv).isLeft)
     assert(Main.parse(Seq("--seed-index", "/i", "--follow-index", "/i",
       "--table-path", "/t"), noEnv).swap.exists(_.contains("pick one mode")))
+    // fleet seed + fleet handoff pins
+    assert(Main.parse(Seq("--seed-index", "/i", "--table-paths", "/a,/b"), noEnv) ==
+      Right(Main.SeedIndex(Seq("/a", "/b"), "/i")))
+    assert(Main.parse(Seq("--follow-index", "/i", "--table-paths", "/a,/b",
+      "--starting-snapshots", "s000001,s000002"), noEnv) ==
+      Right(Main.FollowIndex(Seq("/a", "/b"), "/i", "/i/_checkpoint",
+        None, None, None, None, Some(Seq("s000001", "s000002")))))
+    assert(Main.parse(Seq("--follow-index", "/i", "--table-paths", "/a,/b",
+      "--starting-snapshots", "s000001"), noEnv).swap.exists(_.contains("positional")))
+    assert(Main.parse(Seq("--follow-index", "/i", "--table-path", "/t",
+      "--starting-snapshots", "s000001"), noEnv).swap.exists(_.contains("fleet form")))
+    assert(Main.parse(Seq("--follow-index", "/i", "--table-paths", "/a,/b",
+      "--starting-snapshots", "s1,nope"), noEnv).swap.exists(_.contains("s000001")))
+  }
+
+  test("--seed-index with --table-paths: fleet pin + census + follow handoff equals rebuild") {
+    val in = tmpDir("cli-fseed-in")
+    val a = tmpDir("cli-fseed-a"); val b = tmpDir("cli-fseed-b")
+    val idx = tmpDir("cli-fseed-idx"); val ck = tmpDir("cli-fseed-ck")
+    writeTrace(in, "a.json", 1557761852L, 3)
+    writeTrace(in, "b.json", 1568000000L, 2)
+    Main.run(Main.Convert(Seq(s"$in/a.json"), a, 1), _ => (), () => spark)
+    Main.run(Main.Convert(Seq(s"$in/b.json"), b, 1), _ => (), () => spark)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Main.run(Main.SeedIndex(Seq(a, b), idx), out.append(_), () => spark)
+    val pins = out.filter(_.startsWith("pinned ")).map(_.split(" ")(1)).toSeq
+    assert(pins.size == 2, s"one pin per store expected: $out")
+    assert(out.exists(_.contains(s"--starting-snapshots ${pins.mkString(",")}")),
+      s"the handoff line must name both pins positionally: $out")
+    def rebuilt(): Set[(String, Int, Long, Long)] =
+      graft.store.ChangeFeedQuery.bucketRows(
+        TraceStore.read(spark, a).withColumn("_store",
+          org.apache.spark.sql.functions.lit(a))
+          .unionByName(TraceStore.read(spark, b).withColumn("_store",
+            org.apache.spark.sql.functions.lit(b))),
+        carry = Seq("_store"))
+        .groupBy(org.apache.spark.sql.functions.col("_store"),
+          org.apache.spark.sql.functions.col("band"),
+          org.apache.spark.sql.functions.col("bkey"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    def current(): Set[(String, Int, Long, Long)] =
+      graft.streaming.TraceStream.readIndex(spark, idx,
+        keys = Seq("_store", "band", "bkey"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(current() == rebuilt(), "the fleet seed alone equals both censuses")
+    // both stores move; the printed handoff follows from the pins
+    writeTrace(in, "a2.json", 1557761900L, 2)
+    Main.run(Main.Convert(Seq(s"$in/a2.json"), a, 1), _ => (), () => spark)
+    Main.run(Main.FollowIndex(Seq(a, b), idx, ck,
+      startingSnapshots = Some(pins)), _ => (), () => spark)
+    assert(current() == rebuilt(), "CLI fleet seed + follow must equal rebuild")
   }
 
   test("--seed-index: CLI pin + seed + follow-from-pin equals rebuild") {
@@ -458,7 +511,7 @@ class MainRunSpec extends SparkSpec {
     writeTrace(in, "a.json", 1557761852L, 3)
     Main.run(Main.Convert(Seq(s"$in/a.json"), table, 1), _ => (), () => spark)
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    Main.run(Main.SeedIndex(table, idx), out.append(_), () => spark)
+    Main.run(Main.SeedIndex(Seq(table), idx), out.append(_), () => spark)
     val pin = out.find(_.startsWith("pinned ")).map(_.split(" ")(1))
       .getOrElse(fail(s"no pin line in $out"))
     assert(out.exists(_.contains(s"--starting-snapshot $pin")),
@@ -483,7 +536,7 @@ class MainRunSpec extends SparkSpec {
     assert(current() == rebuilt(), "CLI seed + follow must equal rebuild")
     // re-seeding a live index refuses (it would double-count)
     val ex = intercept[IllegalArgumentException] {
-      Main.run(Main.SeedIndex(table, idx), _ => (), () => spark)
+      Main.run(Main.SeedIndex(Seq(table), idx), _ => (), () => spark)
     }
     assert(ex.getMessage.contains("already has parts"))
   }

@@ -1150,6 +1150,59 @@ class CdcStreamSpec extends SparkSpec {
     assert(current() == rebuilt())
   }
 
+  test("fleet seed: one batch census over all pins + follow-from-pins equals rebuild") {
+    import graft.store.ChangeFeedQuery
+    val a = tmpDir("fseed-a"); val b = tmpDir("fseed-b")
+    val idx = tmpDir("fseed-idx"); val ck = tmpDir("fseed-ck")
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "bad", "2019-06-01 10:00:00")), a, splitsPerMonth = 1)
+    TraceStore.append(mk((30, "m3", "ok", "2019-05-13 10:00:00")), b)
+    // corpus-scale fleet bootstrap: pin every store, ONE parallel census
+    val pins = TraceStream.seedFleetIndex(spark, Seq(a, b), idx)
+    assert(pins.map(_._1) == Seq(a, b))
+    def rebuilt(): Set[(String, Int, Long, Long)] =
+      ChangeFeedQuery.bucketRows(
+        TraceStore.read(spark, a).withColumn("_store", lit(a))
+          .unionByName(TraceStore.read(spark, b).withColumn("_store", lit(b))),
+        carry = Seq("_store"))
+        .groupBy(col("_store"), col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+        .collect()
+        .map((r: Row) => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    def current(): Set[(String, Int, Long, Long)] =
+      TraceStream.readIndex(spark, idx, keys = Seq("_store", "band", "bkey"))
+        .collect()
+        .map((r: Row) => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(current() == rebuilt(), "the fleet seed alone must equal both pinned censuses")
+    // the fleet moves on; follow CHANGES from the pins — no streaming
+    // bootstrap, per-store diffs from each store's own pin
+    TraceStore.append(mk((40, "m4", "ok", "2019-07-01 10:00:00")), a)
+    TraceStore.deleteWhere(spark, a, col("Type") === "bad", splitsPerMonth = 1)
+    def catchUp(): Unit = {
+      val q = TraceStream.followFleetIndex(spark, Seq(a, b), idx, ck,
+        maxFilesPerTrigger = Some(1), startingSnapshots = Some(pins.map(_._2)))
+      q.awaitTermination()
+    }
+    catchUp()
+    assert(current() == rebuilt(), "fleet seed + streamed increments must equal rebuild")
+    // restarts keep following (the pins only base the FIRST diffs)
+    TraceStore.append(mk((50, "m5", "ok", "2019-07-02 10:00:00")), b)
+    catchUp()
+    assert(current() == rebuilt())
+    // re-seeding a live index refuses
+    val ex = intercept[IllegalArgumentException] {
+      TraceStream.seedFleetIndex(spark, Seq(a, b), idx)
+    }
+    assert(ex.getMessage.contains("already has parts"))
+    // the pin list is positional — a count mismatch fails at construction
+    val ex2 = intercept[IllegalArgumentException] {
+      new graft.sources.CdcStreamProvider().createSource(spark.sqlContext,
+        tmpDir("fseed-meta"), None, "graft-cdc",
+        Map("paths" -> s"$a,$b", "startingSnapshots" -> pins.head._2))
+    }
+    assert(ex2.getMessage.contains("positional"))
+  }
+
   test("multi offset json round-trips") {
     val o = graft.sources.CdcMultiOffset(1, IndexedSeq(
       CdcOffset("s000003"),
