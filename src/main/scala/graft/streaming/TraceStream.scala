@@ -354,6 +354,21 @@ object TraceStream {
       fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
       fs.delete(p, true)
     }
+    // sweep crash orphans (the index family's compaction-time discipline,
+    // here on every committed version): an incomplete (_SUCCESS-less)
+    // version dir BELOW this batch is a dead mid-write remnant — the only
+    // replayable batch is this one, which just committed, so nothing
+    // running can still claim an older incomplete dir
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.drop(1).toLongOption.exists(_ < batchId)) {
+          fs.delete(st.getPath, true)
+          ()
+        }
+      }
   }
 
   /** Streaming materialized-view maintenance (B6 incremental form —

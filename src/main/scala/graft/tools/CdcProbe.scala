@@ -266,12 +266,11 @@ object CdcProbe {
   /** followIndex maintenance cost vs store scale: bootstrap the
     * band-bucket index at k×, then deliver a FIXED-size append and a
     * small DELETE WHERE and time each catch-up pass. The signed delta
-    * is O(changed rows) at every scale; the versioned upsert's merge
-    * rewrites the full index version, which grows with the corpus — so
-    * catch-up = O(changes) + O(index cardinality), measured here
-    * honestly rather than asserted flat (SCALE.md documents the
-    * at-larger-scale answer: shard the stored index by bucket range so
-    * a merge rewrites only touched shards).
+    * is O(changed rows) at every scale; since round 12 the store is
+    * SEGMENTED (O(delta) appends, a fold every compactOver-th change),
+    * so steady-state catch-up is amortized O(delta + index/compactOver)
+    * — and since round 13 the fold itself writes size-targeted
+    * multi-file bases (`CdcProbe fold` measures that arm directly).
     *
     *   runMain graft.tools.CdcProbe index [K[,K2,…]]   (default 1,10)
     */

@@ -1150,6 +1150,26 @@ class CdcStreamSpec extends SparkSpec {
     assert(current() == rebuilt())
   }
 
+  test("a crash-orphaned incomplete rollup version is swept by the next committed version") {
+    val roll = tmpDir("rollorphan")
+    val rows = mk((10, "m1", "ok", "2019-05-13 10:00:00"))
+    TraceStream.upsertRollup(rows, 0, roll, "lineage-a")
+    // what a crash mid-version-write leaves: a version dir with data but
+    // no _SUCCESS — invisible to readers and merges, never reclaimed
+    // before (the complete-version prune only sees complete versions)
+    val orphan = java.nio.file.Paths.get(roll, "v1")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-00000.parquet"), Array[Byte](7))
+    // readers skip it; the next committed version sweeps it
+    assert(TraceStream.readRollup(spark, roll).count() == 1)
+    TraceStream.upsertRollup(mk((20, "m2", "ok", "2019-05-14 10:00:00")),
+      2, roll, "lineage-a")
+    assert(!java.nio.file.Files.exists(orphan),
+      "incomplete version below the committed batch must be swept")
+    assert(TraceStream.readRollup(spark, roll)
+      .agg(sum(col("n"))).collect()(0).getLong(0) == 2L)
+  }
+
   test("fleet seed: one batch census over all pins + follow-from-pins equals rebuild") {
     import graft.store.ChangeFeedQuery
     val a = tmpDir("fseed-a"); val b = tmpDir("fseed-b")
