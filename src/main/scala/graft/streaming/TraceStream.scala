@@ -295,10 +295,11 @@ object TraceStream {
     * change-feed deltas). `delta` must already be aggregated to
     * `keys ++ measures`; groups whose FIRST measure reaches zero after
     * the merge (a signed feed deleted every row) leave the table. */
-  private def upsertDelta(spark: SparkSession, delta: DataFrame, batchId: Long,
-                          rollupPath: String, incarnation: String,
-                          keys: Seq[String] = Seq("ym", "Type"),
-                          measures: Seq[String] = Seq("n", "sev_sum")): Unit = {
+  private[graft] def upsertDelta(spark: SparkSession, delta: DataFrame, batchId: Long,
+                                 rollupPath: String, incarnation: String,
+                                 keys: Seq[String] = Seq("ym", "Type"),
+                                 measures: Seq[String] = Seq("n", "sev_sum"),
+                                 versionFileBytes: Long = DefaultBaseFileBytes): Unit = {
     val (fs, root) = fsOf(spark, rollupPath)
     // Batch ids are only meaningful within ONE checkpoint lineage: a
     // fresh/wiped checkpoint restarts ids at 0, and treating the old
@@ -343,8 +344,22 @@ object TraceStream {
         spark.read.parquet(p.toString), delta, keys, measures)
       case None => delta
     }
-    merged.filter(col(measures.head) =!= 0L)
-      .coalesce(1).write.mode("overwrite").parquet(own.toString)
+    // the version write's parallelism is sized by the PRIOR version's
+    // bytes (an upper-bound proxy for the merged output): a (ym, Type)
+    // rollup stays one file forever, but a fine-grained key space — a
+    // sub-second slot rollup ([[followSlotRollup]]) over a long span —
+    // must not funnel its whole version through one task per batch.
+    // readRollup reads versions as directories, so multi-file versions
+    // are plumbing, exactly like the index family's multi-file bases.
+    val baseBytes = base.map(b => fs.getContentSummary(b._2).getLength).getOrElse(0L)
+    val targetParts = math.max(1L,
+      math.ceil(baseBytes.toDouble / versionFileBytes).toLong).min(Int.MaxValue).toInt
+    val shuffleWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val out = merged.filter(col(measures.head) =!= 0L)
+    val sized =
+      if (targetParts <= shuffleWidth) out.coalesce(targetParts)
+      else out.repartition(targetParts, keys.map(col): _*)
+    sized.write.mode("overwrite").parquet(own.toString)
     // prune: keep the current version, the replay merge source for the
     // NEXT batch, and one more as a grace window for readers holding a
     // lazy DataFrame over a recently-current version (readRollup).

@@ -1150,6 +1150,31 @@ class CdcStreamSpec extends SparkSpec {
     assert(current() == rebuilt())
   }
 
+  test("a rollup version written as MULTIPLE files reads and merges identically") {
+    import spark.implicits._
+    val roll = tmpDir("rollmulti")
+    def put(id: Long, rows: (String, String, Long, Long)*): Unit =
+      TraceStream.upsertDelta(spark,
+        rows.toSeq.toDF("ym", "Type", "n", "sev_sum"), id, roll, "lineage-a",
+        versionFileBytes = 1L) // 1-byte target: every merge splits maximally
+    put(0, ("201905", "ok", 2L, 20L), ("201906", "bad", 1L, 5L))
+    put(1, ("201905", "ok", 1L, 10L), ("201906", "bad", -1L, -5L))
+    val v1 = new java.io.File(roll, "v1")
+    assert(v1.listFiles.count(_.getName.endsWith(".parquet")) > 1,
+      "a 1-byte target over a non-empty base must write a multi-file version")
+    val state = TraceStream.readRollup(spark, roll)
+      .collect().map((r: Row) => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the emptied (201906, bad) group left; the merged group summed
+    assert(state == Set(("201905", "ok", 3L, 30L)))
+    // and the next merge reads the multi-file base correctly
+    put(2, ("201907", "ok", 4L, 40L))
+    val state2 = TraceStream.readRollup(spark, roll)
+      .collect().map((r: Row) => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(state2 == Set(("201905", "ok", 3L, 30L), ("201907", "ok", 4L, 40L)))
+  }
+
   test("a crash-orphaned incomplete rollup version is swept by the next committed version") {
     val roll = tmpDir("rollorphan")
     val rows = mk((10, "m1", "ok", "2019-05-13 10:00:00"))
