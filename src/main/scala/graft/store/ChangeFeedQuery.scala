@@ -1007,6 +1007,66 @@ object ChangeFeedQuery {
        |)
        |GROUP BY 1 ORDER BY band""".stripMargin
 
+  private val fleetMonthRolled = new graft.util.SessionDirCache[String]
+
+  /** q242 — the MONTHS × FLEET composition gated end to end: a fleet
+    * rollup (`followFleetRollup`, one checkpoint over two stores)
+    * scoped to the last two months of a spread calendar, while store
+    * A's DELETE WHERE rewrites every month (in- and out-of-scope) and
+    * store B compacts. Each child source month-prunes its own
+    * worklists; the composite offset carries both scoped positions; the
+    * months spec is pinned once for the shared checkpoint. The oracle
+    * recomputes the scoped union membership (B keeps its `error` rows —
+    * only A was erased), so cross-store leakage, an over-/under-pruned
+    * month, or a signed error in either child fails the hash gate.
+    * Per-row month spread (`event_id % 3` months) puts all three
+    * months in EVERY append, so each store's rewrite genuinely crosses
+    * the scope boundary. */
+  def q242FleetMonthRollup(s: SparkSession, dir: String): DataFrame = {
+    val roll = fleetMonthRolled(s, dir) { (sess, d) =>
+      val a = graft.util.TmpDirs.scratch("graft-cdc-fmr-a")
+      val b = graft.util.TmpDirs.scratch("graft-cdc-fmr-b")
+      val rp = graft.util.TmpDirs.scratch("graft-cdc-fmr-roll")
+      val ck = graft.util.TmpDirs.scratch("graft-cdc-fmr-ck")
+      val ev = graft.tables.Tables.events(sess, d)
+        .withColumn("ts", expr("timestampadd(MONTH, CAST(event_id % 3 AS INT), ts)"))
+      val ym1 = graft.tables.Tables.events(sess, d)
+        .agg(date_format(add_months(min(col("ts").cast("timestamp")), 1), "yyyyMM"))
+        .collect()(0).getString(0)
+      val half = pmod(col("event_id"), lit(2L))
+      def drain(): Unit = {
+        val q = graft.streaming.TraceStream.followFleetRollup(sess, Seq(a, b),
+          rp, ck, maxFilesPerTrigger = Some(4), months = Some(s">=$ym1"))
+        q.awaitTermination()
+      }
+      TraceStore.append(asTrace(ev.filter(half === 0)), a, splitsPerMonth = 2)
+      TraceStore.append(asTrace(ev.filter(half === 1)), b, splitsPerMonth = 2)
+      drain() // both bootstraps, each month-pruned at the child
+      TraceStore.deleteWhere(sess, a, col("Type") === "error", splitsPerMonth = 2)
+      drain() // A's scoped retractions; its out-of-scope rewrite pruned
+      TraceStore.compact(sess, b, maxFilesPerMonth = 1, splitsPerMonth = 2)
+      drain() // B's rewrite nets to zero within the scope
+      rp
+    }
+    graft.streaming.TraceStream.readRollup(s, roll)
+      .orderBy(col("ym"), col("Type"))
+  }
+
+  /** Scoped union membership: even ids (store A) minus A's erased
+    * `error` rows, plus ALL odd ids (store B untouched by the erase),
+    * restricted to the last two spread months. */
+  val q242Sql: String =
+    """WITH m AS (
+      |  SELECT strftime(min(ts) + INTERVAL 1 MONTH, '%Y%m') AS ym1 FROM events
+      |)
+      |SELECT strftime(ts + (event_id % 3) * INTERVAL 1 MONTH, '%Y%m') AS ym,
+      |  event_type AS Type, count(*) AS n,
+      |  (sum(((event_id % 1000000000) + 1000000000) % 1000000000))::BIGINT AS sev_sum
+      |FROM events, m
+      |WHERE (event_id % 2 = 1 OR event_type <> 'error')
+      |  AND strftime(ts + (event_id % 3) * INTERVAL 1 MONTH, '%Y%m') >= m.ym1
+      |GROUP BY 1, 2 ORDER BY ym, Type""".stripMargin
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
@@ -1023,5 +1083,6 @@ object ChangeFeedQuery {
     ("q239_fleet_index", q239FleetIndex _, Some(q239Sql)),
     ("q240_slot_rollup", q240SlotRollup _, Some(q240Sql)),
     ("q241_index_calibration", q241IndexCalibration _, Some(q241Sql)),
+    ("q242_fleet_month_rollup", q242FleetMonthRollup _, Some(q242Sql)),
   )
 }
