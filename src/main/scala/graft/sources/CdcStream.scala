@@ -144,20 +144,28 @@ final class CdcSource(
   locally {
     val f = new org.apache.hadoop.fs.Path(metadataPath, "months")
     val cur = months.getOrElse("(all)")
-    if (fs.exists(f)) {
-      val in = fs.open(f)
-      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      require(prev == cur,
-        s"this checkpoint was created with months='$prev' but the stream now " +
-          s"declares months='$cur' — the spec is fixed per checkpoint because " +
-          "chunk offsets index the filtered worklist; start a new checkpoint " +
-          "for a different month scope")
-    } else {
-      fs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
-      val out = fs.create(f, true)
-      try out.write(cur.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+    CdcStreamProvider.readPinFile(fs, f) match {
+      case Some(prev) =>
+        require(prev == cur,
+          s"this checkpoint was created with months='$prev' but the stream now " +
+            s"declares months='$cur' — the spec is fixed per checkpoint because " +
+            "chunk offsets index the filtered worklist; start a new checkpoint " +
+            "for a different month scope")
+      case None =>
+        // no pin but the stream HAS history (offset pins exist): a
+        // checkpoint created before month scoping, whose committed chunk
+        // offsets index the UNFILTERED worklist. Adopting a scope now
+        // would silently re-slice an in-flight diff (rows skipped or
+        // double-read; a mid-bootstrap upTo can even exceed the filtered
+        // list and read as complete). Unscoped resume is the old
+        // behavior — pin it; a scoped resume must refuse.
+        require(cur == "(all)" || !fs.exists(pinsDir),
+          s"this checkpoint has committed offsets but no recorded month scope " +
+            s"(created before month scoping) — resuming it with months='$cur' " +
+            "would re-slice in-flight chunk offsets against a differently " +
+            "filtered worklist; start a new checkpoint for a month-scoped stream")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+        CdcStreamProvider.writePinFile(fs, f, cur)
     }
   }
 
@@ -640,17 +648,25 @@ object CdcOffset {
   *
   * Semantics = each child [[CdcSource]]'s, unchanged: per-store pins
   * under per-store metadata subdirs, admission control, chunked
-  * bootstraps/diffs, commit-GC, AvailableNow — all delegate. ONE child
-  * advances per trigger (so `maxFilesPerTrigger`/`maxBytesPerTrigger`
-  * bound the BATCH, not the batch times N), chosen round-robin from the
-  * offset's own `next` cursor — deterministic, restart-safe, and fair
-  * when several stores mutate continuously.
+  * bootstraps/diffs, commit-GC, AvailableNow — all delegate. Up to
+  * `maxStoresPerTrigger` children (default 1) advance per trigger under
+  * ONE shared files/bytes budget (so `maxFilesPerTrigger`/
+  * `maxBytesPerTrigger` bound the BATCH, not the batch times N; see
+  * [[latestOffset]]), scanned round-robin from the offset's own `next`
+  * cursor — deterministic, restart-safe, and fair when several stores
+  * mutate continuously.
   *
-  * The path LIST is part of the checkpoint contract: parts are
-  * positional, so adding/removing/reordering stores under an existing
-  * checkpoint fails loudly (part-count mismatch) — start a new
-  * checkpoint for a new fleet shape, exactly like any source-config
-  * change in Structured Streaming. All stores must share the core
+  * The path LIST is part of the checkpoint contract, with ONE supported
+  * evolution: APPEND-ONLY growth (the reference's clusters come and go,
+  * README.md:55-62). Offset parts are positional, so existing entries
+  * can neither move nor leave — removal/reorder fails loudly against
+  * the durable paths pin — but new stores appended at the END extend
+  * the pin in place: an older logged offset (fewer parts) grows with
+  * Start sentinels for the newcomers, which bootstrap through the feed
+  * (or follow from a seeded pin via positional `startingSnapshots`)
+  * while every existing store's pin is untouched. To retire a store,
+  * DELETE WHERE its rows (the feed retracts them fleet-wide), then
+  * start a new checkpoint without it. All stores must share the core
   * schema (the fleet IS one logical table there; an evolved straggler
   * fails at construction with both schemas named). */
 final class CdcMultiSource(
@@ -690,20 +706,30 @@ final class CdcMultiSource(
     val fs0 = new org.apache.hadoop.fs.Path(metadataPath)
       .getFileSystem(sqlContext.sparkSession.sparkContext.hadoopConfiguration)
     val pathsFile = new org.apache.hadoop.fs.Path(metadataPath, "paths")
-    if (fs0.exists(pathsFile)) {
-      val in = fs0.open(pathsFile)
-      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      require(prev == paths.toList,
-        s"this checkpoint follows the store list [${prev.mkString(", ")}] but " +
-          s"'paths' names [${paths.mkString(", ")}] — the list (including its " +
-          "ORDER) is fixed per checkpoint because offset pins are positional; " +
-          "start a new checkpoint for a changed fleet")
-    } else {
-      fs0.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
-      val out = fs0.create(pathsFile, true)
-      try out.write(paths.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+    CdcStreamProvider.readPinFile(fs0, pathsFile) match {
+      case Some(prev0) =>
+        val prev = prev0.linesIterator.toList
+        if (prev != paths.toList) {
+          // membership EVOLUTION: appending stores at the END is the one
+          // supported reshape — existing positions (and so their offset
+          // pins) are untouched, newcomers get fresh positions and start
+          // at the Start sentinel (bootstrap or follow-from-now per the
+          // fleet's configuration; a seeded newcomer rides positional
+          // startingSnapshots). Removal and reorder still fail loudly:
+          // dropping a position would re-bind every later store to
+          // another store's pin (misattributed feeds, not a crash).
+          require(paths.toList.startsWith(prev),
+            s"this checkpoint follows the store list [${prev.mkString(", ")}] but " +
+              s"'paths' names [${paths.mkString(", ")}] — offset pins are " +
+              "positional, so existing entries can neither move nor leave; a " +
+              "fleet may only GROW by appending new stores at the end (to " +
+              "retire a store, DELETE WHERE its rows so the feed retracts " +
+              "them, then start a new checkpoint without it)")
+          CdcStreamProvider.writePinFile(fs0, pathsFile, paths.mkString("\n"))
+        }
+      case None =>
+        fs0.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+        CdcStreamProvider.writePinFile(fs0, pathsFile, paths.mkString("\n"))
     }
   }
 
@@ -746,13 +772,26 @@ final class CdcMultiSource(
     * child echoes ⇒ the composite echoes `start` verbatim (no batch, no
     * pins). The cursor lands after the LAST advanced child, so fairness
     * is preserved across triggers at any k. */
+  /** A logged composite offset grown to the CURRENT fleet width: a
+    * checkpoint written before stores were appended carries fewer parts,
+    * and the missing tail is exactly the newcomers — which start at the
+    * Start sentinel. An offset WIDER than the fleet is a removal,
+    * refused here as well as at the paths pin (defense in depth: the
+    * pin file could have been hand-edited). */
+  private def grown(o: CdcMultiOffset): CdcMultiOffset = {
+    require(o.parts.size <= children.size,
+      s"checkpoint offset carries ${o.parts.size} store pins but only " +
+        s"${children.size} paths are configured — stores can only be APPENDED " +
+        "to a checkpointed fleet, never removed; start a new checkpoint for a " +
+        "shrunken fleet")
+    if (o.parts.size == children.size) o
+    else o.copy(parts = o.parts ++
+      IndexedSeq.fill(children.size - o.parts.size)(CdcOffset.Start))
+  }
+
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val s = Option(start).map(CdcMultiOffset.of)
+    val s = Option(start).map(o => grown(CdcMultiOffset.of(o)))
       .getOrElse(CdcMultiOffset(0, IndexedSeq.fill(children.size)(CdcOffset.Start)))
-    require(s.parts.size == children.size,
-      s"checkpoint offset carries ${s.parts.size} store pins but ${children.size} " +
-        "paths are configured — the path list is fixed per checkpoint; start a " +
-        "new checkpoint for a changed fleet")
     val order = (s.next until children.size) ++ (0 until s.next)
     val parts = Array(s.parts: _*)
     var (remFiles, remBytes) = CdcMultiSource.budgetsOf(limit)
@@ -789,8 +828,8 @@ final class CdcMultiSource(
         "latestOffset(start, limit) instead of getOffset")
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val e = CdcMultiOffset.of(end)
-    val s = start.map(CdcMultiOffset.of)
+    val e = grown(CdcMultiOffset.of(end))
+    val s = start.map(o => grown(CdcMultiOffset.of(o)))
     val frames = children.indices.flatMap { i =>
       val ePart = e.parts(i)
       val sPart = s.map(_.parts(i)).filterNot(_ == CdcOffset.Start)
@@ -803,7 +842,7 @@ final class CdcMultiSource(
   }
 
   override def commit(end: OffsetV1): Unit = {
-    val e = CdcMultiOffset.of(end)
+    val e = grown(CdcMultiOffset.of(end))
     children.indices.foreach { i =>
       if (e.parts(i) != CdcOffset.Start) children(i).commit(e.parts(i))
     }
@@ -886,9 +925,10 @@ object CdcMultiOffset {
   * Streaming options:
   *  - `path` (required): the trace-store root. OR `paths`: a
   *    comma-separated LIST of store roots — one checkpoint over a fleet
-  *    ([[CdcMultiSource]]): per-store pins in one composite offset, one
-  *    store advances per trigger (round-robin), rows tagged `_store`;
-  *    the list is positional and fixed per checkpoint.
+  *    ([[CdcMultiSource]]): per-store pins in one composite offset, up
+  *    to `maxStoresPerTrigger` stores advance per trigger (round-robin,
+  *    one shared budget), rows tagged `_store`; the list is positional —
+  *    append-only growth is the one supported reshape.
   *  - `initialLoad` (default false): bootstrap — the full table at the
   *    stream's first pinned snapshot, as inserts. Overrides
   *    `startingSnapshot`.
@@ -1192,6 +1232,38 @@ object CdcStreamProvider {
       require(ps.distinct.size == ps.size,
         s"graft-cdc option 'paths' repeats a store: $raw")
       ps
+    }
+
+  /** Durable one-shot pin files (the months spec, the fleet path list)
+    * written ATOMICALLY: content lands under a temp name and renames
+    * into place, so a crash mid-write leaves either no pin or the whole
+    * pin — never a partial/empty file that a restart would misread as
+    * "created with months=''" and wedge on. An existing empty file (a
+    * pre-atomic crash remnant) is deleted first so the rename can land. */
+  private[sources] def writePinFile(fs: org.apache.hadoop.fs.FileSystem,
+                                    file: org.apache.hadoop.fs.Path,
+                                    content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      file.getParent, s".${file.getName}.tmp")
+    fs.delete(tmp, false)
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(file, false) // an empty crash remnant must not block the rename
+    require(fs.rename(tmp, file), s"could not install pin file $file")
+  }
+
+  /** Read a pin file written by [[writePinFile]]; an EMPTY file is a
+    * crashed pre-atomic write, reported as not-yet-written so the
+    * restart can re-pin cleanly instead of failing a spec match. */
+  private[sources] def readPinFile(fs: org.apache.hadoop.fs.FileSystem,
+                                   file: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(file)) None
+    else {
+      val in = fs.open(file)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (s.isEmpty) None else Some(s)
     }
 
   /** Parse the streaming `months` option: comma-separated conjuncts over

@@ -937,9 +937,11 @@ object ChangeFeedQuery {
     * truncation anywhere in the store/CDC path (which would collapse
     * sub-second slots) fails the hash gate, as does any signed error.
     *
-    * Scale: identical machinery to q227/q238 — cost per batch ∝ changes
-    * + rollup cardinality (bounded by active slots, ∝ data time span /
-    * 250 ms). */
+    * Scale: the slot key space is time-span-proportional (active slots
+    * ∝ data time span / 250 ms), so unlike q227/q238 the maintainer
+    * stores SEGMENTS, not merged versions — O(delta) appends plus
+    * cadenced base folds (`compactOver = 3` here so the lifecycle
+    * exercises the fold path), read back merge-on-read. */
   def q240SlotRollup(s: SparkSession, dir: String): DataFrame = {
     val roll = slotRolled(s, dir) { (sess, d) =>
       val store = graft.util.TmpDirs.scratch("graft-cdc-slot-store")
@@ -949,7 +951,7 @@ object ChangeFeedQuery {
       val batch = pmod(col("event_id"), lit(3L))
       def drain(): Unit = {
         val q = graft.streaming.TraceStream.followSlotRollup(sess, store, rp, ck,
-          slotMicros = 250000L, maxFilesPerTrigger = Some(4))
+          slotMicros = 250000L, maxFilesPerTrigger = Some(4), compactOver = 3)
         q.awaitTermination()
       }
       TraceStore.append(asTrace(ev.filter(batch === 0)), store, splitsPerMonth = 2)
@@ -962,7 +964,7 @@ object ChangeFeedQuery {
       drain() // rewrite nets to zero at micros resolution too
       rp
     }
-    graft.streaming.TraceStream.readRollup(s, roll)
+    graft.streaming.TraceStream.readSlotRollup(s, roll)
       .select(col("slot"), col("Type"), col("n"), col("sev_sum"))
       .orderBy(col("slot"), col("Type"))
   }
@@ -1067,6 +1069,63 @@ object ChangeFeedQuery {
       |  AND strftime(ts + (event_id % 3) * INTERVAL 1 MONTH, '%Y%m') >= m.ym1
       |GROUP BY 1, 2 ORDER BY ym, Type""".stripMargin
 
+  private val fleetGrown = new graft.util.SessionDirCache[String]
+
+  /** q243 — fleet MEMBERSHIP EVOLUTION gated end to end: a two-store
+    * fleet rollup bootstraps under one checkpoint, then the fleet GROWS
+    * (store C appended at the end of the pinned path list —
+    * [[graft.sources.CdcMultiSource]]'s one supported reshape) while
+    * store A simultaneously retracts its `error` rows. The newcomer
+    * bootstraps through the feed under the same admission budget, the
+    * existing stores' positional pins are untouched (they deliver ONLY
+    * their new changes — a disturbed pin would re-deliver or skip and
+    * fail the hash), and a later round proves the grown checkpoint
+    * keeps running: C's own DELETE WHERE retracts through its new pin
+    * while B compacts to a no-op. The oracle recomputes the final
+    * three-store union membership, so any misattributed pin,
+    * double-bootstrap, or lost retraction shifts a count. */
+  def q243FleetGrowth(s: SparkSession, dir: String): DataFrame = {
+    val roll = fleetGrown(s, dir) { (sess, d) =>
+      val a = graft.util.TmpDirs.scratch("graft-cdc-fg-a")
+      val b = graft.util.TmpDirs.scratch("graft-cdc-fg-b")
+      val c = graft.util.TmpDirs.scratch("graft-cdc-fg-c")
+      val rp = graft.util.TmpDirs.scratch("graft-cdc-fg-roll")
+      val ck = graft.util.TmpDirs.scratch("graft-cdc-fg-ck")
+      val ev = graft.tables.Tables.events(sess, d)
+      val third = pmod(col("event_id"), lit(3L))
+      def drain(paths: Seq[String]): Unit = {
+        val q = graft.streaming.TraceStream.followFleetRollup(
+          sess, paths, rp, ck, maxFilesPerTrigger = Some(4))
+        q.awaitTermination()
+      }
+      TraceStore.append(asTrace(ev.filter(third === 0)), a, splitsPerMonth = 2)
+      TraceStore.append(asTrace(ev.filter(third === 1)), b, splitsPerMonth = 2)
+      drain(Seq(a, b)) // the original two-store fleet bootstraps
+      TraceStore.append(asTrace(ev.filter(third === 2)), c, splitsPerMonth = 2)
+      TraceStore.deleteWhere(sess, a, col("Type") === "error", splitsPerMonth = 2)
+      drain(Seq(a, b, c)) // GROWN: C bootstraps while A retracts via its old pin
+      TraceStore.deleteWhere(sess, c, col("Type") === "click", splitsPerMonth = 2)
+      TraceStore.compact(sess, b, maxFilesPerMonth = 1, splitsPerMonth = 2)
+      drain(Seq(a, b, c)) // the newcomer's own maintenance rides its pin
+      rp
+    }
+    graft.streaming.TraceStream.readRollup(s, roll)
+      .orderBy(col("ym"), col("Type"))
+  }
+
+  /** Final membership: A = ids≡0 (mod 3) minus its erased `error` rows,
+    * B = ids≡1 untouched (its compaction nets to zero), C = ids≡2 minus
+    * its erased `click` rows. */
+  val q243Sql: String =
+    """SELECT strftime(ts, '%Y%m') AS ym, event_type AS Type,
+      |  count(*) AS n,
+      |  (sum(((event_id % 1000000000) + 1000000000) % 1000000000))::BIGINT AS sev_sum
+      |FROM events
+      |WHERE (event_id % 3 = 0 AND event_type <> 'error')
+      |   OR event_id % 3 = 1
+      |   OR (event_id % 3 = 2 AND event_type <> 'click')
+      |GROUP BY 1, 2 ORDER BY ym, Type""".stripMargin
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
@@ -1084,5 +1143,6 @@ object ChangeFeedQuery {
     ("q240_slot_rollup", q240SlotRollup _, Some(q240Sql)),
     ("q241_index_calibration", q241IndexCalibration _, Some(q241Sql)),
     ("q242_fleet_month_rollup", q242FleetMonthRollup _, Some(q242Sql)),
+    ("q243_fleet_growth", q243FleetGrowth _, Some(q243Sql)),
   )
 }

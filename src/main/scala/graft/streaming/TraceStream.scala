@@ -346,9 +346,11 @@ object TraceStream {
     }
     // the version write's parallelism is sized by the PRIOR version's
     // bytes (an upper-bound proxy for the merged output): a (ym, Type)
-    // rollup stays one file forever, but a fine-grained key space — a
-    // sub-second slot rollup ([[followSlotRollup]]) over a long span —
-    // must not funnel its whole version through one task per batch.
+    // rollup stays one file forever, but a wider bounded key space must
+    // not funnel its whole version through one task per batch. (A
+    // time-span-PROPORTIONAL key space — the sub-second slot table —
+    // does not belong in this family at all: [[followSlotRollup]] routes
+    // through [[upsertSegment]] so trickle batches stay O(delta).)
     // readRollup reads versions as directories, so multi-file versions
     // are plumbing, exactly like the index family's multi-file bases.
     val baseBytes = base.map(b => fs.getContentSummary(b._2).getLength).getOrElse(0L)
@@ -524,20 +526,30 @@ object TraceStream {
     * worms for zero semantic gain; slot × slotMicros IS the window
     * start in micros).
     *
-    * Everything else — versioned merge, lineage pinning, replay
-    * idempotence, signed retraction, emptied-group drop — is
-    * [[followRollup]]'s machinery with a different key. Cost per batch
-    * ∝ changes + rollup cardinality; sub-second slots make the
-    * cardinality ∝ the store's distinct active slots, which is why this
-    * stays a ROLLUP (bounded by data time span / slot width), not an
-    * index. */
+    * Lineage pinning, replay idempotence, signed retraction, and
+    * emptied-group drop are [[followRollup]]'s semantics with a
+    * different key — but the STORAGE is the index family's SEGMENT
+    * store ([[upsertSegment]]), not the rollup family's merged
+    * versions, because the key space is time-span-proportional:
+    * distinct active slots ∝ data time span / slot width (a multi-year
+    * micros store at 250 ms slots is ~10⁹ groups), and a merged-version
+    * rewrite per trickle batch would cost O(that cardinality) every
+    * batch. Through the segment store each batch appends its signed
+    * slot delta as an O(delta) segment and every `compactOver`-th state
+    * change folds base+segments into a size-targeted multi-file base —
+    * amortized O(delta + slots/compactOver), the exact cost argument
+    * [[followIndex]]'s scaladoc makes for the corpus-proportional
+    * bucket census. Read it back with [[readSlotRollup]] (merge-on-
+    * read, bounded segment count). */
   def followSlotRollup(spark: SparkSession, storePath: String, rollupPath: String,
                        checkpointDir: String,
                        slotMicros: Long = 250000L,
                        trigger: Trigger = Trigger.AvailableNow(),
                        maxFilesPerTrigger: Option[Int] = None,
                        maxBytesPerTrigger: Option[Long] = None,
-                       months: Option[String] = None): StreamingQuery = {
+                       months: Option[String] = None,
+                       compactOver: Int = 8,
+                       baseFileBytes: Long = DefaultBaseFileBytes): StreamingQuery = {
     require(slotMicros > 0, s"slotMicros must be positive, got $slotMicros")
     var inc: String = null   // resolved on first batch — metadata exists by then
     val reader = spark.readStream.format("graft-cdc")
@@ -558,11 +570,19 @@ object TraceStream {
         val delta = batch
           .groupBy(expr(s"unix_micros(Time) div $slotMicros").as("slot"), col("Type"))
           .agg(sum(sign).as("n"), sum(sign * col("Severity").cast("long")).as("sev_sum"))
-        upsertDelta(batch.sparkSession, delta, batchId, rollupPath, inc,
-          keys = Seq("slot", "Type"), measures = Seq("n", "sev_sum"))
+        upsertSegment(batch.sparkSession, delta, batchId, rollupPath, inc,
+          keys = Seq("slot", "Type"), measures = Seq("n", "sev_sum"),
+          compactOver = compactOver, baseFileBytes = baseFileBytes)
       }
       .start()
   }
+
+  /** Read the current [[followSlotRollup]] table (merge-on-read over
+    * the slot store's segments — see [[readIndex]], which this wraps
+    * with the slot family's declared shape). */
+  def readSlotRollup(spark: SparkSession, rollupPath: String): DataFrame =
+    readIndex(spark, rollupPath,
+      keys = Seq("slot", "Type"), measures = Seq("n", "sev_sum"))
 
   /** CDC-DRIVEN near-dup-index maintenance as a running stream — q231's
     * signed bucket algebra made operational, the index-family twin of
@@ -639,10 +659,100 @@ object TraceStream {
           .groupBy(col("band"), col("bkey"))
           .agg(sum(col("_s")).as("n"))
         upsertSegment(batch.sparkSession, delta, batchId, indexPath, inc,
-          keys = Seq("band", "bkey"), measure = "n", compactOver = compactOver,
+          keys = Seq("band", "bkey"), measures = Seq("n"), compactOver = compactOver,
           baseFileBytes = baseFileBytes)
       }
       .start()
+  }
+
+  /** CDC-driven maintenance of the index's MEMBERSHIP table — the
+    * band-bucket rows THEMSELVES (`(band, bkey, doc)`, doc = the
+    * `Machine/Type/ID` key the signatures are computed over), kept
+    * current per micro-batch through the same signed segment algebra as
+    * [[followIndex]]'s count census. The census answers the planner
+    * (how hot is each bucket — q241); the membership closes the loop it
+    * opens: q26-style candidate PAIRS generate directly from the
+    * maintained table ([[indexCandidatePairs]]) — a bucket-confined
+    * self-join plus an exact verify over the pair's own key strings —
+    * so the corpus is never re-shingled: maintenance costs O(changes)
+    * per batch and pair generation costs O(index + candidates).
+    *
+    * Same segment-store scale story as [[followIndex]] (the membership
+    * is corpus-proportional — strictly bigger than the census — so
+    * merged versions are out): O(delta) appends, cadenced size-targeted
+    * base folds, merge-on-read, lineage pinning, replay idempotence.
+    * An insert adds its `(band, bkey, doc)` rows with +1, a DELETE
+    * WHERE retracts them with −1, and a doc whose count empties leaves
+    * the membership — per-key signed summation IS membership GC. */
+  def followMemberIndex(spark: SparkSession, storePath: String, indexPath: String,
+                        checkpointDir: String,
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        maxFilesPerTrigger: Option[Int] = None,
+                        maxBytesPerTrigger: Option[Long] = None,
+                        compactOver: Int = 8,
+                        startingSnapshot: Option[String] = None,
+                        baseFileBytes: Long = DefaultBaseFileBytes,
+                        months: Option[String] = None): StreamingQuery = {
+    var inc: String = null   // resolved on first batch — metadata exists by then
+    val reader = spark.readStream.format("graft-cdc")
+      .option("path", storePath)
+      .option("initialLoad", startingSnapshot.isEmpty.toString)
+    startingSnapshot.foreach(p => reader.option("startingSnapshot", p))
+    months.foreach(m => reader.option("months", m))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
+    reader
+      .load()
+      .writeStream
+      .queryName(s"trace-cdc-members-${incarnationOf(indexPath)}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (inc == null) inc = lineageOf(batch.sparkSession, checkpointDir)
+        val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+        val keyed = batch
+          .withColumn("_s", sign)
+          .withColumn("doc",
+            concat(col("Machine"), lit("/"), col("Type"), lit("/"), col("ID")))
+        val delta = graft.store.ChangeFeedQuery
+          .bucketRows(keyed, carry = Seq("_s", "doc"))
+          .groupBy(col("band"), col("bkey"), col("doc"))
+          .agg(sum(col("_s")).as("n"))
+        upsertSegment(batch.sparkSession, delta, batchId, indexPath, inc,
+          keys = Seq("band", "bkey", "doc"), measures = Seq("n"),
+          compactOver = compactOver, baseFileBytes = baseFileBytes)
+      }
+      .start()
+  }
+
+  /** q26-style candidate pairs generated FROM the maintained membership
+    * index ([[followMemberIndex]]) — the operational payoff of keeping
+    * the index streamed: the corpus-wide signature pass a from-scratch
+    * candidate generation would run (re-shingling 100 TB) never runs.
+    * Hot buckets (≥ 2 members — exactly the set the q241 planner
+    * counts) gate a bucket-confined self-join; the same doc pair found
+    * by several bands dedups to one row. Cost O(index) for the hot
+    * filter + O(Σ hot-bucket n²) for the join — the planner's
+    * `cand_pairs` budget, known BEFORE running this. Verification
+    * (exact similarity over the pair's own key strings) is the
+    * caller's next map-only step, O(candidates). */
+  def indexCandidatePairs(spark: SparkSession, indexPath: String): DataFrame = {
+    val m = readIndex(spark, indexPath,
+      keys = Seq("band", "bkey", "doc"), measures = Seq("n"))
+      .select(col("band"), col("bkey"), col("doc"))
+    val hot = m.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("sz")).filter(col("sz") >= 2)
+      .select(col("band"), col("bkey"))
+    // the semi-join prunes singleton buckets (the overwhelming majority)
+    // BEFORE the self-join's shuffle; the join itself touches only hot
+    // buckets' members
+    val hotMembers = m.join(hot, Seq("band", "bkey"), "left_semi")
+    hotMembers.as("a")
+      .join(hotMembers.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
   }
 
   /** FLEET-wide near-dup-index maintenance: [[followIndex]] over N
@@ -693,7 +803,7 @@ object TraceStream {
           .groupBy(col("_store"), col("band"), col("bkey"))
           .agg(sum(col("_s")).as("n"))
         upsertSegment(batch.sparkSession, delta, batchId, indexPath, inc,
-          keys = Seq("_store", "band", "bkey"), measure = "n",
+          keys = Seq("_store", "band", "bkey"), measures = Seq("n"),
           compactOver = compactOver, baseFileBytes = baseFileBytes)
       }
       .start()
@@ -707,9 +817,15 @@ object TraceStream {
     * FIRST, seed, then start `followIndex(…, startingSnapshot =
     * Some(pin))` — the pin is the caller's to drop once the stream's
     * offset passes its first complete form. Refuses a non-empty index
-    * (seeding under live parts would double-count). */
+    * (seeding under live parts would double-count).
+    *
+    * `months` MUST equal the follow's scope: the follow's increments are
+    * month-pruned at the source, so an unscoped seed under a scoped
+    * follow (or vice versa) is equal to NEITHER rebuild — the seed
+    * census filters its snapshot to the same `ym` scope, file-pruned at
+    * the manifest like the stream's worklists. */
   def seedIndex(spark: SparkSession, storePath: String, snapshotId: String,
-                indexPath: String): Unit = {
+                indexPath: String, months: Option[String] = None): Unit = {
     val (fs, root) = fsOf(spark, indexPath)
     // completeness is _SUCCESS-gated like every other part: a seed job
     // that crashed mid-write leaves an incomplete dir no reader sees,
@@ -718,24 +834,54 @@ object TraceStream {
       !fs.exists(new org.apache.hadoop.fs.Path(root, "seed-0/_SUCCESS")),
       s"index at $indexPath already has parts — seedIndex is for an empty index")
     graft.store.ChangeFeedQuery
-      .bucketRows(TraceStore.readSnapshot(spark, storePath, snapshotId))
+      .bucketRows(snapshotRows(spark, storePath, snapshotId, months))
       .groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(root, "seed-0").toString)
   }
 
+  /** A pinned snapshot's rows, optionally month-scoped: the scope prunes
+    * at the MANIFEST (files never mix months — the same soundness
+    * argument as the CDC source's worklist filter), so a month-scoped
+    * seed never opens an out-of-scope file. */
+  private def snapshotRows(spark: SparkSession, storePath: String,
+                           snapshotId: String, months: Option[String]): DataFrame =
+    months match {
+      case None => TraceStore.readSnapshot(spark, storePath, snapshotId)
+      case Some(spec) =>
+        val ok = graft.sources.CdcStreamProvider.monthsPredicate(spec)
+        val pfx = s"${graft.schema.TraceSchema.PartitionCol}="
+        val keys = TraceStore.snapshotKeys(storePath, snapshotId)
+          .filter(k => ok(k.takeWhile(_ != '/').stripPrefix(pfx)))
+        TraceStore.readKeys(spark, storePath, keys,
+          s"snapshot $snapshotId (months=$spec)")
+    }
+
   /** The fleet form of [[seedIndex]]: pin EVERY store, build the shared
     * `(_store, band, bkey)` census over all the pins in one parallel
     * batch job, and return the (storePath → pin) handoff for
     * `followFleetIndex(…, startingSnapshots = Some(pins))`. Same
     * contract as the single-store seed: the pins are the caller's to
-    * drop once each child's offset passes its first complete form, and
-    * a non-empty index refuses (completeness is `_SUCCESS`-gated, so a
-    * crashed seed job just re-runs). */
+    * drop once each child's offset passes its first complete form, a
+    * non-empty index refuses (completeness is `_SUCCESS`-gated, so a
+    * crashed seed job just re-runs), and `months` must equal the
+    * follow's scope (see [[seedIndex]]).
+    *
+    * The census is built in CHUNKS of `censusChunk` stores: a single
+    * N-way union would grow one Spark plan linearly in fleet size (fine
+    * at N≈10², an analyzer wall at 10³+), so each chunk's partial
+    * census materializes under `_seed-census/` and one bounded final
+    * plan merges the ⌈N/chunk⌉ partials into `seed-0`. `_store` is part
+    * of the census key and each store lands in exactly one chunk, so
+    * the partials are disjoint and the merge is a plain re-aggregation.
+    * Crash-safe: only `seed-0/_SUCCESS` makes the seed visible; a
+    * re-run clears the scratch dir and overwrites. */
   def seedFleetIndex(spark: SparkSession, storePaths: Seq[String],
-                     indexPath: String): Seq[(String, String)] = {
+                     indexPath: String, months: Option[String] = None,
+                     censusChunk: Int = 16): Seq[(String, String)] = {
     require(storePaths.nonEmpty, "seedFleetIndex needs at least one store")
+    require(censusChunk >= 1, s"censusChunk must be positive, got $censusChunk")
     val (fs, root) = fsOf(spark, indexPath)
     require(partsOf(fs, root, "seg-").isEmpty && partsOf(fs, root, "base-").isEmpty &&
       !fs.exists(new org.apache.hadoop.fs.Path(root, "seed-0/_SUCCESS")),
@@ -743,15 +889,32 @@ object TraceStream {
     // pin FIRST (all stores), then census: each child's first diff has
     // an immutable base even if a store mutates mid-census
     val pins = storePaths.map(p => p -> TraceStore.snapshot(p))
-    val census = pins.map { case (p, pin) =>
-      graft.store.ChangeFeedQuery.bucketRows(
-        TraceStore.readSnapshot(spark, p, pin).withColumn("_store", lit(p)),
-        carry = Seq("_store"))
-    }.reduce(_ unionByName _)
-      .groupBy(col("_store"), col("band"), col("bkey"))
-      .agg(count(lit(1)).as("n"))
-    census.write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(root, "seed-0").toString)
+    def censusOf(group: Seq[(String, String)]): DataFrame =
+      group.map { case (p, pin) =>
+        graft.store.ChangeFeedQuery.bucketRows(
+          snapshotRows(spark, p, pin, months).withColumn("_store", lit(p)),
+          carry = Seq("_store"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("_store"), col("band"), col("bkey"))
+        .agg(count(lit(1)).as("n"))
+    val seedDir = new org.apache.hadoop.fs.Path(root, "seed-0").toString
+    val groups = pins.grouped(censusChunk).toSeq
+    if (groups.size == 1) censusOf(groups.head).write.mode("overwrite").parquet(seedDir)
+    else {
+      val scratch = new org.apache.hadoop.fs.Path(root, "_seed-census")
+      fs.delete(scratch, true)
+      val chunkDirs = groups.zipWithIndex.map { case (g, i) =>
+        val d = new org.apache.hadoop.fs.Path(scratch, s"chunk-$i").toString
+        censusOf(g).write.mode("overwrite").parquet(d)
+        d
+      }
+      spark.read.parquet(chunkDirs: _*)
+        .groupBy(col("_store"), col("band"), col("bkey"))
+        .agg(sum(col("n")).as("n"))
+        .write.mode("overwrite").parquet(seedDir)
+      fs.delete(scratch, true)
+      ()
+    }
     pins
   }
 
@@ -797,7 +960,7 @@ object TraceStream {
   private[graft] def upsertSegment(spark: SparkSession, delta: DataFrame,
                                        batchId: Long, indexPath: String,
                                        incarnation: String, keys: Seq[String],
-                                       measure: String, compactOver: Int,
+                                       measures: Seq[String], compactOver: Int,
                                        baseFileBytes: Long = DefaultBaseFileBytes): Unit = {
     val (fs, root) = fsOf(spark, indexPath)
     val incFile = new org.apache.hadoop.fs.Path(root, "_incarnation")
@@ -845,11 +1008,15 @@ object TraceStream {
       val inputBytes = inputs.map(p => fs.getContentSummary(p).getLength).sum
       val targetParts = math.max(1L,
         math.ceil(inputBytes.toDouble / baseFileBytes).toLong).min(Int.MaxValue).toInt
+      val aggs = measures.map(m => sum(col(m)).as(m))
       val folded = readParts(inputs)
         .map(_.unionByName(delta)).getOrElse(delta)
         .groupBy(keys.map(col): _*)
-        .agg(sum(col(measure)).as(measure))
-        .filter(col(measure) =!= 0L)
+        .agg(aggs.head, aggs.tail: _*)
+        // the FIRST measure is the group's signed row count ([[upsertDelta]]'s
+        // convention): zero ⇒ every contributing row was retracted ⇒ the
+        // group leaves, and its other measures are zero by the same algebra
+        .filter(col(measures.head) =!= 0L)
       // under the aggregation's own shuffle width, coalesce — the fold
       // stays one shuffle and its reduce side IS the write; a base wider
       // than the shuffle width re-partitions by key so every task still
@@ -876,8 +1043,11 @@ object TraceStream {
         }
     } else {
       // plain segment append: cost ∝ the batch's changed rows, never the
-      // index — zero-net rows drop, negative (retraction) rows KEEP
-      delta.filter(col(measure) =!= 0L)
+      // index — zero-net rows drop, negative (retraction) rows KEEP. A
+      // row is zero-net only when EVERY measure nets to zero: a same-key
+      // replace can leave n = 0 with a nonzero secondary measure, and
+      // dropping it would lose the secondary's change
+      delta.filter(measures.map(m => col(m) =!= 0L).reduce(_ || _))
         .coalesce(1)
         .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(root, s"seg-$batchId").toString)
     }
@@ -904,7 +1074,7 @@ object TraceStream {
     * window, same discipline as [[readRollup]]). */
   def readIndex(spark: SparkSession, indexPath: String,
                 keys: Seq[String] = Seq("band", "bkey"),
-                measure: String = "n"): DataFrame = {
+                measures: Seq[String] = Seq("n")): DataFrame = {
     val (fs, root) = fsOf(spark, indexPath)
     val bases = basesOf(fs, root)
     val curBase = bases.lastOption
@@ -913,16 +1083,17 @@ object TraceStream {
     val parts = curBase.map(_._2).toSeq ++ segs.map(_._2)
     require(parts.nonEmpty, s"no complete index part under $indexPath")
     val df = spark.read.parquet(parts.map(_.toString): _*)
-    // keys/measure are declared, not inferred from column position: a
+    // keys/measures are declared, not inferred from column position: a
     // part written with a different shape must fail here, not mis-group
-    require(df.columns.toSet == (keys :+ measure).toSet &&
-      df.columns.length == keys.size + 1,
+    require(df.columns.toSet == (keys ++ measures).toSet &&
+      df.columns.length == keys.size + measures.size,
       s"index at $indexPath has columns [${df.columns.mkString(", ")}] but the " +
-        s"read declares keys=[${keys.mkString(", ")}] measure=$measure — pass " +
-        "the keys/measure the maintainer writes (fleet indexes carry _store)")
+        s"read declares keys=[${keys.mkString(", ")}] measures=[${measures.mkString(", ")}] — " +
+        "pass the keys/measures the maintainer writes (fleet indexes carry _store)")
+    val aggs = measures.map(m => sum(col(m)).as(m))
     df.groupBy(keys.map(col): _*)
-      .agg(sum(col(measure)).as(measure))
-      .filter(col(measure) =!= 0L)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col(measures.head) =!= 0L)
   }
 
   /** Continuous replication of a trace STORE over the reference's HTTP

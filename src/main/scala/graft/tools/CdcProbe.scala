@@ -128,7 +128,7 @@ object CdcProbe {
       def put(id: Long, rows: (Int, Long, Long)*): Unit =
         graft.streaming.TraceStream.upsertSegment(spark,
           rows.toSeq.toDF("band", "bkey", "n"), id, idx, "probe",
-          Seq("band", "bkey"), "n", compactOver = 2, baseFileBytes = baseBytes)
+          Seq("band", "bkey"), Seq("n"), compactOver = 2, baseFileBytes = baseBytes)
       put(0, (0, 1L, 1L)); put(1, (0, 2L, 1L))
       val t0 = System.nanoTime()
       put(2, (0, 3L, 1L)) // 3rd state change → the compaction under test

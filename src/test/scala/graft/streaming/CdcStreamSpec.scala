@@ -703,7 +703,7 @@ class CdcStreamSpec extends SparkSpec {
     val idx = tmpDir("segidx")
     def put(id: Long, rows: (Int, Long, Long)*): Unit =
       TraceStream.upsertSegment(spark, rows.toSeq.toDF("band", "bkey", "n"),
-        id, idx, "lineage-a", Seq("band", "bkey"), "n", compactOver = 3)
+        id, idx, "lineage-a", Seq("band", "bkey"), Seq("n"), compactOver = 3)
     def parts(prefix: String): Seq[Long] =
       new java.io.File(idx).listFiles.toSeq
         .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
@@ -732,13 +732,13 @@ class CdcStreamSpec extends SparkSpec {
     // a wiped-checkpoint lineage fails loudly
     val ex = intercept[IllegalArgumentException] {
       TraceStream.upsertSegment(spark, Seq((0, 1L, 1L)).toDF("band", "bkey", "n"),
-        99, idx, "lineage-B", Seq("band", "bkey"), "n", 3)
+        99, idx, "lineage-B", Seq("band", "bkey"), Seq("n"), 3)
     }
     assert(ex.getMessage.contains("lineage"))
     // and so does a part AHEAD of the batch id (restarted ids)
     val ex2 = intercept[IllegalArgumentException] {
       TraceStream.upsertSegment(spark, Seq((0, 1L, 1L)).toDF("band", "bkey", "n"),
-        1, idx, "lineage-a", Seq("band", "bkey"), "n", 3)
+        1, idx, "lineage-a", Seq("band", "bkey"), Seq("n"), 3)
     }
     assert(ex2.getMessage.contains("wiped"))
     // second compaction prunes the superseded tail but keeps the replay
@@ -747,6 +747,78 @@ class CdcStreamSpec extends SparkSpec {
     assert(parts("base-") == Seq(3L, 7L))
     assert(parts("seg-").forall(_ > 3L), s"segments at/under the old base must prune: ${parts("seg-")}")
     assert(state()((2, 9L)) == 2L)
+  }
+
+  test("multi-measure segments: a zero-count, nonzero-secondary delta survives the append") {
+    import spark.implicits._
+    val idx = tmpDir("segmm")
+    def put(id: Long, rows: (Long, String, Long, Long)*): Unit =
+      TraceStream.upsertSegment(spark, rows.toSeq.toDF("slot", "Type", "n", "sev_sum"),
+        id, idx, "lineage-a", Seq("slot", "Type"), Seq("n", "sev_sum"), compactOver = 3)
+    def state(): Map[(Long, String), (Long, Long)] =
+      TraceStream.readSlotRollup(spark, idx).collect()
+        .map((r: Row) => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    put(0, (10L, "ok", 2L, 7L))
+    // same-key replace: the COUNT nets to zero but the secondary moved —
+    // the segment row must keep (an all-measures-zero row may drop)
+    put(1, (10L, "ok", 0L, 5L))
+    assert(state() == Map((10L, "ok") -> ((2L, 12L))))
+    // a full retraction empties the group (head measure reaches zero):
+    // merge-on-read hides it now, the next fold drops it from storage
+    put(2, (10L, "ok", -2L, -12L), (11L, "err", 1L, 3L))
+    assert(state() == Map((11L, "err") -> ((1L, 3L))))
+    put(3, (12L, "ok", 1L, 1L)) // 4th state change folds (compactOver=3)
+    val bases = new java.io.File(idx).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("base-") &&
+        new java.io.File(f, "_SUCCESS").exists)
+    assert(bases.nonEmpty, "the 4th state change must fold a base")
+    assert(state() == Map((11L, "err") -> ((1L, 3L)), (12L, "ok") -> ((1L, 1L))))
+  }
+
+  test("followSlotRollup: sub-second slots ride the segment store across maintenance and replay") {
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val store = tmpDir("slotstore")
+    val roll = tmpDir("slotroll")
+    val ck = tmpDir("slotck")
+    def follow(): Unit = {
+      val q = TraceStream.followSlotRollup(spark, store, roll, ck,
+        slotMicros = 250000L, maxFilesPerTrigger = Some(1), compactOver = 2)
+      q.awaitTermination()
+    }
+    def fromIndex(): Map[(Long, String), (Long, Long)] =
+      TraceStream.readSlotRollup(spark, roll).collect()
+        .map((r: Row) => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    def recomputed(): Map[(Long, String), (Long, Long)] =
+      TraceStore.read(spark, store)
+        .groupBy(sexpr("unix_micros(Time) div 250000").as("slot"), col("Type"))
+        .agg(count(lit(1)).as("n"), sum(col("Severity").cast("long")).as("sev_sum"))
+        .collect()
+        .map((r: Row) => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // two rows 200 ms apart land in DIFFERENT 250 ms slots — the
+    // sub-second resolution the segment path must preserve end to end
+    TraceStore.append(mk(
+      (1, "m1", "ok", "2019-08-02 10:00:00.1"),
+      (2, "m1", "ok", "2019-08-02 10:00:00.3"),
+      (3, "m2", "error", "2019-08-02 10:00:00.3")), store)
+    follow()
+    assert(fromIndex() == recomputed())
+    assert(fromIndex().size == 3, "each 250 ms slot × Type must stay distinct")
+    TraceStore.append(mk((4, "m1", "ok", "2019-08-02 10:00:00.35")), store)
+    follow() // same slot as the .3 row: counts add within the slot
+    assert(fromIndex() == recomputed())
+    TraceStore.deleteWhere(spark, store, col("Type") === "error")
+    follow() // negative increments retract exactly the erased slots
+    assert(fromIndex() == recomputed())
+    TraceStore.compact(spark, store, maxFilesPerMonth = 1)
+    follow() // a rewrite nets to zero at micros resolution
+    follow() // an idle restart replays nothing
+    assert(fromIndex() == recomputed())
+    // the maintainer is the SEGMENT family: with compactOver=2 and this
+    // many chunked batches a base fold must have run (O(delta) appends +
+    // cadenced folds — never a per-batch version rewrite)
+    val parts = new java.io.File(roll).listFiles.toSeq.map(_.getName)
+    assert(parts.exists(_.startsWith("base-")), s"expected a folded base among $parts")
+    assert(!parts.exists(_.startsWith("v")), s"slot table must not store merged versions: $parts")
   }
 
   test("idle certification expires: an mtime-absorbed mutation is delivered within the recheck bound") {
@@ -855,8 +927,8 @@ class CdcStreamSpec extends SparkSpec {
       TraceStore.append(mk((60, "m6", "ok", "2019-07-03 10:00:00")), a)
       q.awaitTermination()
     }
-    assert(ex.getMessage.contains("fixed per checkpoint") ||
-      Option(ex.getCause).exists(_.getMessage.contains("fixed per checkpoint")))
+    assert(ex.getMessage.contains("only GROW") ||
+      Option(ex.getCause).exists(_.getMessage.contains("only GROW")))
     // same COUNT but reordered is the insidious variant: positional pins
     // would silently re-bind each store to the other's offset — the
     // durable path-list pin must reject it before any batch is planned
@@ -868,8 +940,36 @@ class CdcStreamSpec extends SparkSpec {
         .foreachBatch((_: DataFrame, _: Long) => ()).start()
       q.awaitTermination()
     }
-    assert(ex2.getMessage.contains("fixed per checkpoint") ||
-      Option(ex2.getCause).exists(_.getMessage.contains("fixed per checkpoint")))
+    assert(ex2.getMessage.contains("only GROW") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("only GROW")))
+    // APPEND-ONLY growth is the one supported reshape: resuming with a
+    // store added at the END keeps every existing pin (the failed
+    // reshapes above never touched them), bootstraps only the newcomer,
+    // and delivers existing stores' NEW changes only (row 60 has been
+    // pending in A since the failed single-path attempt)
+    val c = tmpDir("cdcmulti-c")
+    TraceStore.append(mk((70, "m7", "ok", "2019-05-20 10:00:00")), c)
+    TraceStore.append(mk((80, "m8", "ok", "2019-07-04 10:00:00")), a)
+    val grown = drain(s"$a,$b,$c")
+    grown.foreach { case (id, rows) =>
+      assert(rows.map(_._3).distinct.size <= 1, s"batch $id mixes stores: $rows")
+    }
+    assert(bySev(grown) == Set((60, a), (70, c), (80, a)),
+      s"newcomer bootstraps, existing stores deliver only their changes: $grown")
+    // and the grown fleet keeps draining incrementally from its pins
+    TraceStore.append(mk((90, "m9", "ok", "2019-07-05 10:00:00")), c)
+    assert(bySev(drain(s"$a,$b,$c")) == Set((90, c)))
+    // removal keeps failing loudly AFTER growth too (shrinking back)
+    val ex3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-cdc")
+        .option("paths", s"$a,$b").option("initialLoad", "true").load()
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((_: DataFrame, _: Long) => ()).start()
+      q.awaitTermination()
+    }
+    assert(ex3.getMessage.contains("only GROW") ||
+      Option(ex3.getCause).exists(_.getMessage.contains("only GROW")))
   }
 
   test("base compaction writes size-targeted MULTI-FILE parts that read and fold identically") {
@@ -880,7 +980,7 @@ class CdcStreamSpec extends SparkSpec {
     // part is guaranteed multi-file if the parallel path works at all
     def put(id: Long, rows: (Int, Long, Long)*): Unit =
       TraceStream.upsertSegment(spark, rows.toSeq.toDF("band", "bkey", "n"),
-        id, idx, "lineage-a", Seq("band", "bkey"), "n", compactOver = 2,
+        id, idx, "lineage-a", Seq("band", "bkey"), Seq("n"), compactOver = 2,
         baseFileBytes = 1L)
     put(0, (0, 10L, 2L), (0, 11L, 1L)); put(1, (1, 10L, 3L))
     put(2, (0, 10L, 1L), (1, 12L, 5L)) // 3rd state change → compaction
@@ -905,7 +1005,7 @@ class CdcStreamSpec extends SparkSpec {
     val idx = tmpDir("segidx-orphan")
     def put(id: Long, rows: (Int, Long, Long)*): Unit =
       TraceStream.upsertSegment(spark, rows.toSeq.toDF("band", "bkey", "n"),
-        id, idx, "lineage-a", Seq("band", "bkey"), "n", compactOver = 3)
+        id, idx, "lineage-a", Seq("band", "bkey"), Seq("n"), compactOver = 3)
     put(0, (0, 10L, 2L))
     // plant what a crash mid-segment-write leaves: a part dir with data
     // but no _SUCCESS (invisible to readers, never reclaimed before)
@@ -932,7 +1032,7 @@ class CdcStreamSpec extends SparkSpec {
     val idx = tmpDir("segidx-grace")
     def put(id: Long, rows: (Int, Long, Long)*): Unit =
       TraceStream.upsertSegment(spark, rows.toSeq.toDF("band", "bkey", "n"),
-        id, idx, "lineage-a", Seq("band", "bkey"), "n", compactOver = 3)
+        id, idx, "lineage-a", Seq("band", "bkey"), Seq("n"), compactOver = 3)
     def segs(): Seq[Long] = new java.io.File(idx).listFiles.toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("seg-") &&
         new java.io.File(f, "_SUCCESS").exists)
@@ -958,7 +1058,7 @@ class CdcStreamSpec extends SparkSpec {
     val idx = tmpDir("segidx-shape")
     TraceStream.upsertSegment(spark,
       Seq(("s1", 0, 10L, 2L)).toDF("_store", "band", "bkey", "n"),
-      0, idx, "lineage-a", Seq("_store", "band", "bkey"), "n", compactOver = 8)
+      0, idx, "lineage-a", Seq("_store", "band", "bkey"), Seq("n"), compactOver = 8)
     // the default (band, bkey, n) read must REFUSE a fleet-shaped index
     // instead of silently mis-grouping by column position
     val ex = intercept[IllegalArgumentException] {
@@ -966,7 +1066,7 @@ class CdcStreamSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("_store"))
     val rows = TraceStream.readIndex(spark, idx,
-      keys = Seq("_store", "band", "bkey"), measure = "n").collect()
+      keys = Seq("_store", "band", "bkey"), measures = Seq("n")).collect()
       .map((r: Row) => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
     assert(rows == Seq(("s1", 0, 10L, 2L)))
   }

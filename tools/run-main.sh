@@ -8,7 +8,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 CLASSES=target/scala-2.13/classes
-SNAP=/tmp/graft-classes-snap
+SNAP="${SNAP_DIR:-/tmp/graft-classes-snap}"
 if [ "${SNAPSHOT:-}" != "reuse" ] || [ ! -d "$SNAP" ]; then
   rm -rf "$SNAP"
   cp -r "$CLASSES" "$SNAP"
