@@ -494,32 +494,41 @@ object ChangeFeedQuery {
     * CHANGES plus a merge against index cardinality — the rebuild that
     * would re-shingle the corpus never runs (q231 proves the algebra in
     * batch; this proves the operational, checkpointed form). */
+  /** The shared index-maintenance lifecycle (append → append → DELETE
+    * WHERE → compact → append, a chunked catch-up restart between every
+    * mutation): runs `follow(session, store, index, checkpoint)` as the
+    * catch-up and returns the maintained index path. */
+  private def indexLifecycle(sess: SparkSession, d: String, tag: String)
+      (follow: (SparkSession, String, String, String) => Unit): String = {
+    val store = graft.util.TmpDirs.scratch(s"graft-cdc-$tag-store")
+    val index = graft.util.TmpDirs.scratch(s"graft-cdc-$tag-index")
+    val ck = graft.util.TmpDirs.scratch(s"graft-cdc-$tag-ck")
+    val ev = graft.tables.Tables.events(sess, d)
+    val batch = pmod(col("event_id"), lit(3L))
+    def drain(): Unit = follow(sess, store, index, ck)
+    TraceStore.append(asTrace(ev.filter(batch === 0)), store, splitsPerMonth = 2)
+    drain() // chunked bootstrap: A as inserts
+    TraceStore.append(asTrace(ev.filter(batch === 1)), store, splitsPerMonth = 2)
+    drain() // B's bucket rows add
+    TraceStore.deleteWhere(sess, store, col("Type") === "error", splitsPerMonth = 2)
+    drain() // erased rows retract their buckets
+    TraceStore.compact(sess, store, maxFilesPerMonth = 1, splitsPerMonth = 2)
+    drain() // rewrite: cancelling pairs net out (possibly across chunks)
+    TraceStore.append(asTrace(ev.filter(batch === 2)), store, splitsPerMonth = 2)
+    drain() // post-compact append: the follower keeps following
+    index
+  }
+
   /** The maintained-index fixture shared by q233 (full-index gate) and
     * q241 (calibration read): one store lifecycle, one followIndex
     * checkpoint, built once per (session, dir). */
   private def followedIndex(s: SparkSession, dir: String): String =
     followed(s, dir) { (sess, d) =>
-      val store = graft.util.TmpDirs.scratch("graft-cdc-fidx-store")
-      val index = graft.util.TmpDirs.scratch("graft-cdc-fidx-index")
-      val ck = graft.util.TmpDirs.scratch("graft-cdc-fidx-ck")
-      val ev = graft.tables.Tables.events(sess, d)
-      val batch = pmod(col("event_id"), lit(3L))
-      def drain(): Unit = {
-        val q = graft.streaming.TraceStream.followIndex(sess, store, index, ck,
+      indexLifecycle(sess, d, "fidx") { (se, store, index, ck) =>
+        val q = graft.streaming.TraceStream.followIndex(se, store, index, ck,
           maxFilesPerTrigger = Some(2))
         q.awaitTermination()
       }
-      TraceStore.append(asTrace(ev.filter(batch === 0)), store, splitsPerMonth = 2)
-      drain() // chunked bootstrap: A as inserts
-      TraceStore.append(asTrace(ev.filter(batch === 1)), store, splitsPerMonth = 2)
-      drain() // B's bucket rows add
-      TraceStore.deleteWhere(sess, store, col("Type") === "error", splitsPerMonth = 2)
-      drain() // erased rows retract their buckets
-      TraceStore.compact(sess, store, maxFilesPerMonth = 1, splitsPerMonth = 2)
-      drain() // rewrite: cancelling pairs net out (possibly across chunks)
-      TraceStore.append(asTrace(ev.filter(batch === 2)), store, splitsPerMonth = 2)
-      drain() // post-compact append: the follower keeps following
-      index
     }
 
   /** q233 — the incremental LSH index maintained AS A RUNNING STREAM
@@ -1126,6 +1135,120 @@ object ChangeFeedQuery {
       |   OR (event_id % 3 = 2 AND event_type <> 'click')
       |GROUP BY 1, 2 ORDER BY ym, Type""".stripMargin
 
+  private val memberFollowed = new graft.util.SessionDirCache[String]
+
+  /** The maintained MEMBERSHIP index ([[graft.streaming.TraceStream
+    * .followMemberIndex]]) over the same store lifecycle as
+    * [[followedIndex]], built once per (session, dir). */
+  private def memberIndexed(s: SparkSession, dir: String): String =
+    memberFollowed(s, dir) { (sess, d) =>
+      indexLifecycle(sess, d, "midx") { (se, store, index, ck) =>
+        val q = graft.streaming.TraceStream.followMemberIndex(se, store, index, ck,
+          maxFilesPerTrigger = Some(2))
+        q.awaitTermination()
+      }
+    }
+
+  /** The trigram set of a key string — the exact-verify side of the
+    * LSH recipe, computable from the pair's OWN strings (no corpus
+    * access; the same shingles [[bucketRows]] signs). */
+  private def triSet(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = array_distinct(
+    transform(sequence(lit(1), length(c) - 2),
+      i => substring(c, i, lit(3))))
+
+  /** q244 — the candidate-pair loop CLOSED from the maintained index:
+    * q231/q233 keep the census current, q241 reads it as a planner
+    * (how many pairs would the join cost?); here the pairs themselves
+    * generate FROM the stream-maintained membership table
+    * ([[graft.streaming.TraceStream.indexCandidatePairs]]): hot buckets
+    * (n ≥ 2 — the exact set q241 counts) gate a bucket-confined
+    * self-join, then the exact verify (trigram-set intersection /
+    * union, integer-exact) runs over the candidate pairs' own key
+    * strings. The corpus is NEVER re-shingled: the store lifecycle's
+    * changes were signed into the membership as they happened, and pair
+    * generation costs O(index + candidates) — the planner's q241
+    * `cand_pairs` number, known in advance. Degenerate buckets (> 32
+    * members — signatures that stopped discriminating, whose pairs
+    * dominate cost and verify to non-dups) are skipped by the
+    * generator's admission bound, and the oracle applies the IDENTICAL
+    * bound, so the gate also pins that the cap sees the maintained
+    * bucket sizes exactly.
+    *
+    * The oracle rebuilds the same pairs from scratch in DuckDB (the
+    * cross-engine minhash algebra of q233's oracle extended to
+    * membership, self-join, and list-ops verify), so a stale index
+    * entry, a leaked retraction, a missed bucket, or any verify
+    * divergence changes the pair set and fails the hash gate. */
+  def q244IndexCandidates(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.streaming.TraceStream
+      .indexCandidatePairs(s, memberIndexed(s, dir))
+    pairs
+      .withColumn("ta", triSet(col("doc_a")))
+      .withColumn("tb", triSet(col("doc_b")))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("ta"), col("tb"))).cast("long"))
+      .filter(col("inter") * 2 >= col("uni")) // exact Jaccard ≥ 0.5, integer form
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** From-scratch candidate pairs + exact verify over the final state —
+    * q233's oracle algebra extended to membership and pairs. */
+  val q244Sql: String = {
+    import graft.functions.TextHash.{tokvalSql, minhashTermSql}
+    s"""WITH rows_ AS (
+       |  SELECT event_id,
+       |    'm' || (user_id % 8) || '/' || event_type || '/' || event_id AS key
+       |  FROM events
+       |  WHERE (event_id % 3 IN (0, 1) AND event_type <> 'error')
+       |     OR event_id % 3 = 2
+       |), tri AS (
+       |  SELECT DISTINCT event_id,
+       |    unnest(list_transform(range(1, length(key) - 1),
+       |                          i -> substr(key, i::INT, 3))) AS g
+       |  FROM rows_ WHERE length(key) >= 3
+       |), tv AS (
+       |  SELECT event_id, ${tokvalSql("g")} AS tv FROM tri
+       |), sig AS (
+       |  SELECT event_id, h, min(${minhashTermSql("tv", "h")}) AS mh
+       |  FROM tv CROSS JOIN (SELECT h FROM range(4) t(h)) GROUP BY 1, 2
+       |), packed AS (
+       |  SELECT event_id,
+       |    (min(CASE WHEN h = 0 THEN mh END) * 2147483647
+       |       + min(CASE WHEN h = 1 THEN mh END)) AS b0,
+       |    (min(CASE WHEN h = 2 THEN mh END) * 2147483647
+       |       + min(CASE WHEN h = 3 THEN mh END)) AS b1
+       |  FROM sig GROUP BY 1
+       |), members AS (
+       |  SELECT r.key, 0 AS band, p.b0 AS bkey
+       |  FROM packed p JOIN rows_ r USING (event_id)
+       |  UNION ALL
+       |  SELECT r.key, 1, p.b1 FROM packed p JOIN rows_ r USING (event_id)
+       |), admitted AS (
+       |  SELECT band, bkey FROM members
+       |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 32
+       |), pairs AS (
+       |  SELECT DISTINCT a.key AS doc_a, b.key AS doc_b
+       |  FROM members a
+       |  JOIN admitted s ON a.band = s.band AND a.bkey = s.bkey
+       |  JOIN members b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.key < b.key
+       |), tris AS (
+       |  SELECT key, list_distinct(list_transform(range(1, length(key) - 1),
+       |                            i -> substr(key, i::INT, 3))) AS ts
+       |  FROM (SELECT DISTINCT key FROM rows_)
+       |)
+       |SELECT p.doc_a, p.doc_b,
+       |  len(list_intersect(ta.ts, tb.ts))::BIGINT AS inter,
+       |  len(list_distinct(list_concat(ta.ts, tb.ts)))::BIGINT AS uni
+       |FROM pairs p
+       |JOIN tris ta ON ta.key = p.doc_a
+       |JOIN tris tb ON tb.key = p.doc_b
+       |WHERE 2 * len(list_intersect(ta.ts, tb.ts)) >=
+       |      len(list_distinct(list_concat(ta.ts, tb.ts)))
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
@@ -1144,5 +1267,6 @@ object ChangeFeedQuery {
     ("q241_index_calibration", q241IndexCalibration _, Some(q241Sql)),
     ("q242_fleet_month_rollup", q242FleetMonthRollup _, Some(q242Sql)),
     ("q243_fleet_growth", q243FleetGrowth _, Some(q243Sql)),
+    ("q244_index_candidates", q244IndexCandidates _, Some(q244Sql)),
   )
 }

@@ -732,16 +732,28 @@ object TraceStream {
     * Hot buckets (≥ 2 members — exactly the set the q241 planner
     * counts) gate a bucket-confined self-join; the same doc pair found
     * by several bands dedups to one row. Cost O(index) for the hot
-    * filter + O(Σ hot-bucket n²) for the join — the planner's
+    * filter + O(Σ admitted-bucket n²) for the join — the planner's
     * `cand_pairs` budget, known BEFORE running this. Verification
     * (exact similarity over the pair's own key strings) is the
-    * caller's next map-only step, O(candidates). */
-  def indexCandidatePairs(spark: SparkSession, indexPath: String): DataFrame = {
+    * caller's next map-only step, O(candidates).
+    *
+    * `maxBucket` is the ADMISSION bound: a bucket whose membership
+    * exceeds it is degenerate — its signature stopped discriminating
+    * (the classic LSH mega-bucket), its n·(n−1)/2 pairs dominate the
+    * whole join's cost while verifying almost entirely to non-dups, and
+    * it is exactly what the q241 calibration read flags as "re-band
+    * before you join". Skipping it bounds the candidate volume by
+    * buckets × maxBucket²/2 — scale-stable where an uncapped join grows
+    * quadratically with the hottest key. */
+  def indexCandidatePairs(spark: SparkSession, indexPath: String,
+                          maxBucket: Int = 32): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be at least 2, got $maxBucket")
     val m = readIndex(spark, indexPath,
       keys = Seq("band", "bkey", "doc"), measures = Seq("n"))
       .select(col("band"), col("bkey"), col("doc"))
     val hot = m.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("sz")).filter(col("sz") >= 2)
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2 && col("sz") <= maxBucket)
       .select(col("band"), col("bkey"))
     // the semi-join prunes singleton buckets (the overwhelming majority)
     // BEFORE the self-join's shuffle; the join itself touches only hot
