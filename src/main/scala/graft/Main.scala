@@ -52,7 +52,10 @@ object Main {
                                 checkpointDir: String,
                                 maxFiles: Option[Int] = None,
                                 maxBytes: Option[Long] = None,
-                                months: Option[String] = None) extends Action
+                                months: Option[String] = None,
+                                startingSnapshot: Option[String] = None) extends Action
+  final case class MigrateMonths(tablePath: String, fromRollup: String,
+                                 toRollup: String, months: String) extends Action
   final case class FollowIndex(tablePaths: Seq[String], indexPath: String,
                                checkpointDir: String,
                                maxFiles: Option[Int] = None,
@@ -60,8 +63,10 @@ object Main {
                                startingSnapshot: Option[String] = None,
                                months: Option[String] = None,
                                startingSnapshots: Option[Seq[String]] = None) extends Action
-  final case class SeedIndex(tablePaths: Seq[String], indexPath: String) extends Action
-  final case class Replicate(tablePath: String,
+  final case class SeedIndex(tablePaths: Seq[String], indexPath: String,
+                             months: Option[String] = None) extends Action
+  final case class Replicate(tablePaths: Seq[String],
+                             tables: Seq[String],
                              http: graft.sources.HttpBulkSink.Config,
                              checkpointDir: String,
                              maxFiles: Option[Int],
@@ -108,14 +113,30 @@ object Main {
       |                          job over the pin, print the
       |                          --follow-index --starting-snapshot handoff
       |                          (with --table-paths: pin EVERY store and
-      |                          seed the fleet index in one job)
+      |                          seed the fleet index in one job; with
+      |                          --months: scope the seed census to match
+      |                          a scoped follow)
+      |  --migrate-months SPEC   rolling month-scope migration: with
+      |                          --from-rollup OLD --to-rollup NEW, pin
+      |                          the store, seed NEW with the scoped
+      |                          filter of the maintained OLD rollup
+      |                          (pure subtraction — ym is part of the
+      |                          key; the store is never recomputed),
+      |                          and print the scoped --follow-rollup
+      |                          --starting-snapshot handoff. Quiesce
+      |                          the old maintainer first.
       |  --replicate             ship the store's changes to the ClickHouse
       |                          HTTP endpoint as JSONEachRow with a
       |                          CollapsingMergeTree _sign column (one
       |                          AvailableNow pass; endpoint from --addr /
       |                          $CLICKHOUSE_ADDR, creds from
       |                          $CLICKHOUSE_USER + $CLICKHOUSE_PASS,
-      |                          --max-files bounds the bootstrap batches)
+      |                          --max-files bounds the bootstrap batches;
+      |                          with --table-paths A,B,… + --tables TA,TB,…
+      |                          the FLEET form: one checkpoint, each
+      |                          store's signed feed routed to its own
+      |                          table — the reference's per-cluster
+      |                          deployment; needs an explicit --checkpoint)
       |  --evolve-schema OP      evolve the store schema — metadata-only,
       |                          no file rewritten. OP is one of:
       |                            [add:]N:T        add nullable column N of
@@ -137,8 +158,9 @@ object Main {
       |  --months SPEC           month-scope a --follow-rollup/--follow-index
       |                          stream (e.g. '>=202401' or '202401,202402');
       |                          fixed per checkpoint
-      |  --starting-snapshot ID  with --follow-index: follow changes from
-      |                          this pin (the --seed-index handoff)
+      |  --starting-snapshot ID  with --follow-index / --follow-rollup:
+      |                          follow changes from this pin (the
+      |                          --seed-index / --migrate-months handoff)
       |  --starting-snapshots A,B,…  the fleet form: one pin per
       |                          --table-paths entry, positional
       |  --log-dir DIR           watched directory   (LOG_DIR, default /logs)
@@ -178,7 +200,8 @@ object Main {
       "--drop-before", "--compact-over", "--compact-every", "--retain-months",
       "--thin-keep-months", "--thin-factor", "--drop-snapshot", "--evolve-schema",
       "--changes-since", "--follow-rollup", "--follow-index", "--seed-index",
-      "--starting-snapshot", "--starting-snapshots", "--months", "--addr")
+      "--starting-snapshot", "--starting-snapshots", "--months", "--addr",
+      "--migrate-months", "--from-rollup", "--to-rollup", "--tables")
     val bare = Set("--print-schema", "--create-schema", "--watch", "--maintain",
       "--delete-logs", "--snapshot", "--list-snapshots", "--replicate")
     var i = 0
@@ -225,7 +248,8 @@ object Main {
       (if (flags.contains("--evolve-schema")) Set("--evolve-schema") else Set.empty) ++
       (if (flags.contains("--follow-rollup")) Set("--follow-rollup") else Set.empty) ++
       (if (flags.contains("--follow-index")) Set("--follow-index") else Set.empty) ++
-      (if (flags.contains("--seed-index")) Set("--seed-index") else Set.empty)
+      (if (flags.contains("--seed-index")) Set("--seed-index") else Set.empty) ++
+      (if (flags.contains("--migrate-months")) Set("--migrate-months") else Set.empty)
     if (modes.size > 1)
       return Left(s"ERROR: pick one mode, got ${modes.toSeq.sorted.mkString(", ")}")
 
@@ -348,9 +372,18 @@ object Main {
         maxFiles <- posIntFlag("--max-files")
         maxBytes <- posLongFlag("--max-bytes")
         months <- monthsOpt
+        startPin <- flags.get("--starting-snapshot") match {
+          case None => Right(None)
+          case Some(_) if stores.size > 1 =>
+            Left("ERROR: --starting-snapshot is the single-store migration " +
+              "handoff; it does not apply to a --table-paths fleet rollup")
+          case Some(id) if id.matches("s\\d{6,}") => Right(Some(id))
+          case Some(bad) =>
+            Left(s"ERROR: --starting-snapshot needs an id like s000001, got '$bad'")
+        }
       } yield FollowRollup(stores, rollup,
         opt("--checkpoint", "GRAFT_CHECKPOINT")
-          .getOrElse(s"$rollup/_checkpoint"), maxFiles, maxBytes, months)
+          .getOrElse(s"$rollup/_checkpoint"), maxFiles, maxBytes, months, startPin)
     else if (flags.contains("--follow-index"))
       for {
         stores <- followStores
@@ -393,16 +426,52 @@ object Main {
         stores <- followStores
         index <- flags.get("--seed-index").filter(_.nonEmpty)
           .toRight("ERROR: --seed-index needs an index path")
-      } yield SeedIndex(stores, index)
+        months <- monthsOpt // MUST equal the follow's scope (seedIndex doc)
+      } yield SeedIndex(stores, index, months)
+    else if (flags.contains("--migrate-months"))
+      for {
+        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        spec <- flags.get("--migrate-months").filter(_.nonEmpty)
+          .toRight("ERROR: --migrate-months needs a months spec")
+        _ <- scala.util.Try(graft.sources.CdcStreamProvider.monthsPredicate(spec))
+          .toEither.left.map(e => s"ERROR: ${e.getMessage}")
+        from <- flags.get("--from-rollup").filter(_.nonEmpty)
+          .toRight("ERROR: --migrate-months needs --from-rollup (the maintained rollup)")
+        to <- flags.get("--to-rollup").filter(_.nonEmpty)
+          .toRight("ERROR: --migrate-months needs --to-rollup (the new scoped rollup)")
+      } yield MigrateMonths(tablePath, from, to, spec)
     else if (switches("--replicate"))
       // the reference's own endpoint contract (trace-converter.py:13-16,
       // 102): CLICKHOUSE_ADDR required, basic auth only when BOTH
       // CLICKHOUSE_USER and CLICKHOUSE_PASS are set
       for {
-        tablePath <- need("--table-path", "GRAFT_TABLE_PATH")
+        stores <- followStores
         addr <- need("--addr", "GRAFT_ADDR", "CLICKHOUSE_ADDR")
         db <- need("--db", "GRAFT_DB", "CLICKHOUSE_DB")
-        table <- need("--table", "GRAFT_TABLE", "CLICKHOUSE_TABLE")
+        // one receiving table per store — the reference's per-cluster
+        // CLICKHOUSE_TABLE deployment; --tables is positional (fleet),
+        // --table the single-store form
+        tables <-
+          if (stores.size == 1)
+            need("--table", "GRAFT_TABLE", "CLICKHOUSE_TABLE").map(Seq(_))
+          else flags.get("--tables").filter(_.nonEmpty) match {
+            case None =>
+              Left("ERROR: --replicate with --table-paths needs --tables " +
+                "A,B,… (one receiving table per store, positional)")
+            case Some(list) =>
+              val ts = list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+              if (ts.size != stores.size)
+                Left(s"ERROR: --tables names ${ts.size} tables for " +
+                  s"${stores.size} stores (positional, one per --table-paths entry)")
+              else Right(ts)
+          }
+        ck <-
+          if (stores.size == 1)
+            Right(opt("--checkpoint", "GRAFT_CHECKPOINT")
+              .getOrElse(s"${stores.head}/_replicate-checkpoint"))
+          else opt("--checkpoint", "GRAFT_CHECKPOINT").toRight(
+            "ERROR: --replicate with --table-paths needs an explicit " +
+              "--checkpoint (a fleet checkpoint belongs to no single store)")
         maxFiles <- posIntFlag("--max-files")
         maxBytes <- posLongFlag("--max-bytes")
       } yield {
@@ -412,11 +481,9 @@ object Main {
             case (Some(u), Some(p)) => (Some(u), Some(p))
             case _ => (None, None)
           }
-        Replicate(tablePath,
-          graft.sources.HttpBulkSink.Config(addr, db, table, user, pass),
-          opt("--checkpoint", "GRAFT_CHECKPOINT")
-            .getOrElse(s"$tablePath/_replicate-checkpoint"),
-          maxFiles, maxBytes)
+        Replicate(stores, tables,
+          graft.sources.HttpBulkSink.Config(addr, db, tables.head, user, pass),
+          ck, maxFiles, maxBytes)
       }
     else if (files.nonEmpty)
       for {
@@ -551,7 +618,7 @@ object Main {
       if (per.isEmpty) out(s"no changes since $id")
       else per.foreach(r =>
         out(s"${r.getString(0)} ${r.getString(1)} ${r.getLong(2)}"))
-    case FollowRollup(stores, rollupPath, ck, maxFiles, maxBytes, months) =>
+    case FollowRollup(stores, rollupPath, ck, maxFiles, maxBytes, months, startPin) =>
       // one catch-up pass on the operational cadence: between (never
       // concurrent with) store maintenance, per the CDC reader contract.
       // --table-paths is the FLEET form: one checkpoint maintains the
@@ -563,7 +630,7 @@ object Main {
             months = months)
         else TraceStream.followRollup(session(), stores.head, rollupPath, ck,
           maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes,
-          months = months)
+          months = months, startingSnapshot = startPin)
       q.awaitTermination()
       out(s"rollup at $rollupPath caught up with ${stores.mkString(", ")}")
     case FollowIndex(stores, indexPath, ck, maxFiles, maxBytes, startPin, months,
@@ -578,12 +645,13 @@ object Main {
           startingSnapshot = startPin, months = months)
       q.awaitTermination()
       out(s"index at $indexPath caught up with ${stores.mkString(", ")}")
-    case SeedIndex(stores, indexPath) =>
+    case SeedIndex(stores, indexPath, months) =>
       // corpus-scale bootstrap: pin FIRST (so the follow stream's first
       // diff has an immutable base), then one parallel batch census;
       // --table-paths seeds the FLEET index ((_store, band, bkey) keys)
       if (stores.size > 1) {
-        val pins = TraceStream.seedFleetIndex(session(), stores, indexPath)
+        val pins = TraceStream.seedFleetIndex(session(), stores, indexPath,
+          months = months)
         pins.foreach { case (p, pin) => out(s"pinned $pin ($p)") }
         out(s"seeded fleet index at $indexPath from ${stores.size} stores")
         out(s"next: --follow-index $indexPath --table-paths ${stores.mkString(",")} " +
@@ -591,18 +659,36 @@ object Main {
           "only after its store's offset part reaches a complete form)")
       } else {
         val pin = store.TraceStore.snapshot(stores.head)
-        TraceStream.seedIndex(session(), stores.head, pin, indexPath)
+        TraceStream.seedIndex(session(), stores.head, pin, indexPath,
+          months = months)
         out(s"pinned $pin")
         out(s"seeded index at $indexPath from ${stores.head}@$pin")
         out(s"next: --follow-index $indexPath --table-path ${stores.head} " +
           s"--starting-snapshot $pin (drop the pin with --drop-snapshot only " +
           "after the stream's offset reaches a complete {\"snapshot\":...} form)")
       }
-    case Replicate(tablePath, http, ck, maxFiles, maxBytes) =>
-      val q = TraceStream.replicateChanges(session(), tablePath, http, ck,
-        maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
+    case MigrateMonths(tablePath, from, to, spec) =>
+      // rolling month scope: quiesce the old maintainer FIRST (drain it
+      // to current and stop it) — the seed is only the scoped truth if
+      // the old rollup was current at the pin
+      val pin = TraceStream.migrateRollupMonths(session(), tablePath, from, to, spec)
+      out(s"pinned $pin")
+      out(s"seeded scoped rollup at $to from $from (months $spec)")
+      out(s"next: --follow-rollup $to --table-path $tablePath --months '$spec' " +
+        s"--starting-snapshot $pin --checkpoint <NEW DIR> (a migrated scope " +
+        "is a NEW checkpoint; verify against the scoped recompute, then " +
+        "retire the old rollup/checkpoint and drop the pin with " +
+        "--drop-snapshot once the stream's offset passes its first " +
+        "complete form)")
+    case Replicate(tablePaths, tables, http, ck, maxFiles, maxBytes) =>
+      val q =
+        if (tablePaths.size > 1)
+          TraceStream.replicateFleetChanges(session(), tablePaths, tables,
+            http, ck, maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
+        else TraceStream.replicateChanges(session(), tablePaths.head, http, ck,
+          maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
       q.awaitTermination()
-      out(s"replicated changes of $tablePath to ${http.addr}")
+      out(s"replicated changes of ${tablePaths.mkString(", ")} to ${http.addr}")
     case EvolveSchema(tablePath, op) =>
       val msg = op match {
         case AddCol(name, dtype) =>

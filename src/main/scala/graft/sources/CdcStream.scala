@@ -1240,7 +1240,7 @@ object CdcStreamProvider {
     * pin — never a partial/empty file that a restart would misread as
     * "created with months=''" and wedge on. An existing empty file (a
     * pre-atomic crash remnant) is deleted first so the rename can land. */
-  private[sources] def writePinFile(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def writePinFile(fs: org.apache.hadoop.fs.FileSystem,
                                     file: org.apache.hadoop.fs.Path,
                                     content: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(
@@ -1256,7 +1256,7 @@ object CdcStreamProvider {
   /** Read a pin file written by [[writePinFile]]; an EMPTY file is a
     * crashed pre-atomic write, reported as not-yet-written so the
     * restart can re-pin cleanly instead of failing a spec match. */
-  private[sources] def readPinFile(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readPinFile(fs: org.apache.hadoop.fs.FileSystem,
                                    file: org.apache.hadoop.fs.Path): Option[String] =
     if (!fs.exists(file)) None
     else {
@@ -1273,7 +1273,9 @@ object CdcStreamProvider {
     * fixed-width, so string order is chronological order and ranges
     * evaluate directly — the same evaluation discipline as the batch
     * relation's [[CdcBatchRelation.monthPredicate]]. */
-  private[graft] def monthsPredicate(spec: String): String => Boolean = {
+  /** The parsed months grammar: the IN-set of equality tokens plus the
+    * range conjuncts, shared by the closure and Column compilations. */
+  private def parseMonths(spec: String): (Set[String], Seq[(String, String)]) = {
     val Tok = """(>=|<=|>|<|=)?(\d{6})""".r
     val toks = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     require(toks.nonEmpty, s"graft-cdc option 'months' names no month: '$spec'")
@@ -1283,8 +1285,11 @@ object CdcStreamProvider {
         s"graft-cdc option 'months' token '$other' is not of the form " +
           "[>=|<=|>|<|=]YYYYMM (e.g. '>=202401' or '202401,202402')")
     }
-    val eqs = parsed.collect { case ("=", m) => m }.toSet
-    val ranges = parsed.filterNot(_._1 == "=")
+    (parsed.collect { case ("=", m) => m }.toSet, parsed.filterNot(_._1 == "="))
+  }
+
+  private[graft] def monthsPredicate(spec: String): String => Boolean = {
+    val (eqs, ranges) = parseMonths(spec)
     (m: String) =>
       (eqs.isEmpty || eqs.contains(m)) && ranges.forall {
         case (">=", b) => m >= b
@@ -1293,6 +1298,25 @@ object CdcStreamProvider {
         case ("<", b)  => m < b
         case _ => true
       }
+  }
+
+  /** The same months grammar compiled to a Column predicate over a `ym`
+    * value — for batch-side scoping (a migration seed's filter) that
+    * must match the stream's worklist pruning EXACTLY. `yyyyMM` is
+    * fixed-width, so SQL string comparison is chronological too. */
+  private[graft] def monthsColumn(spec: String,
+                                  ym: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    val (eqs, ranges) = parseMonths(spec)
+    val eqCond =
+      if (eqs.isEmpty) lit(true) else ym.isin(eqs.toSeq.sorted: _*)
+    ranges.foldLeft(eqCond) {
+      case (acc, (">=", b)) => acc && ym >= lit(b)
+      case (acc, ("<=", b)) => acc && ym <= lit(b)
+      case (acc, (">", b))  => acc && ym > lit(b)
+      case (acc, ("<", b))  => acc && ym < lit(b)
+      case (acc, _)         => acc
+    }
   }
 
   /** Commit metadata appended to every feed row (the Delta-CDF

@@ -309,8 +309,12 @@ object ChangeFeedQuery {
     * as the q25/q26 document pipeline ([[graft.functions.TextHash]]), so
     * the DuckDB oracle reproduces every bucket key exactly. Map-only:
     * higher-order functions, no explode/shuffle per row. */
-  private[graft] def bucketRows(rows: DataFrame, carry: Seq[String] = Seq.empty): DataFrame = {
+  private[graft] def bucketRows(rows: DataFrame, carry: Seq[String] = Seq.empty,
+                                bands: Int = 2): DataFrame = {
     import graft.functions.TextHash
+    require(bands == 2 || bands == 4,
+      s"bands must be 2 (2 rows/band — the default precision point) or 4 " +
+        s"(1 row/band — the recall recalibration), got $bands")
     val key = concat(col("Machine"), lit("/"), col("Type"), lit("/"), col("ID"))
     val tris = array_distinct(
       transform(sequence(lit(1), length(key) - 2), i => substring(key, i, lit(3))))
@@ -319,10 +323,18 @@ object ChangeFeedQuery {
       aggregate(tvs, lit(TextHash.MinHashP),
         (acc, tv) => least(acc, TextHash.minhashTerm(tv, lit(h))))
     val p = lit(TextHash.MinHashP)
-    rows.filter(length(key) >= 3)
-      .select(carry.map(col) :+ explode(array(
+    // the 4 minhash functions band as 2×2 (pairs packed base-P — two
+    // rows per band, higher precision) or 4×1 (each signature its own
+    // band — higher recall, the re-band a q241-flagged miscalibration
+    // moves to); packing 4 rows into one band would overflow Long
+    val structs =
+      if (bands == 2) Seq(
         struct(lit(0).as("band"), (sigH(0) * p + sigH(1)).as("bkey")),
-        struct(lit(1).as("band"), (sigH(2) * p + sigH(3)).as("bkey")))).as("b"): _*)
+        struct(lit(1).as("band"), (sigH(2) * p + sigH(3)).as("bkey")))
+      else (0 until 4).map(i =>
+        struct(lit(i).as("band"), sigH(i).cast("long").as("bkey")))
+    rows.filter(length(key) >= 3)
+      .select(carry.map(col) :+ explode(array(structs: _*)).as("b"): _*)
       .select(carry.map(col) :+ col("b.band").as("band") :+ col("b.bkey").as("bkey"): _*)
   }
 
@@ -1249,6 +1261,70 @@ object ChangeFeedQuery {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private val recalibrated = new graft.util.SessionDirCache[String]
+
+  /** q245 — the calibration loop CLOSED: q241 reads the maintained
+    * census as a planner ("the bands are mis-calibrated — too many
+    * mega-buckets"); here the system ACTS on that signal. The store
+    * lives through its first two appends under the default 2×2 banding,
+    * then recalibrates: pin the store, seed a NEW index at the 4×1
+    * banding (higher recall — each minhash its own band) in one batch
+    * job, and keep FOLLOWING at the new parameters while the store
+    * keeps changing (DELETE WHERE + a post-recalibration append ride
+    * the new index through `startingSnapshot`). The band configuration
+    * is pinned per index (`_bands`), so the old and new keys can never
+    * silently mix. The oracle rebuilds the 4-band census from scratch
+    * over the final state — a mixed-banding key, a seed/follow scope
+    * mismatch, or any signed error fails the hash gate. */
+  def q245Recalibration(s: SparkSession, dir: String): DataFrame = {
+    val idx = recalibrated(s, dir) { (sess, d) =>
+      val store = graft.util.TmpDirs.scratch("graft-cdc-recal-store")
+      val newIdx = graft.util.TmpDirs.scratch("graft-cdc-recal-idx")
+      val newCk = graft.util.TmpDirs.scratch("graft-cdc-recal-ck")
+      val ev = graft.tables.Tables.events(sess, d)
+      val batch = pmod(col("event_id"), lit(3L))
+      TraceStore.append(asTrace(ev.filter(batch === 0)), store, splitsPerMonth = 2)
+      TraceStore.append(asTrace(ev.filter(batch === 1)), store, splitsPerMonth = 2)
+      // recalibration decision point (q241's read): pin + seed at 4 bands
+      val pin = TraceStore.snapshot(store)
+      graft.streaming.TraceStream.seedIndex(sess, store, pin, newIdx, bands = 4)
+      // the store keeps changing AFTER the recalibration pin
+      TraceStore.deleteWhere(sess, store, col("Type") === "error", splitsPerMonth = 2)
+      TraceStore.append(asTrace(ev.filter(batch === 2)), store, splitsPerMonth = 2)
+      val q = graft.streaming.TraceStream.followIndex(sess, store, newIdx, newCk,
+        maxFilesPerTrigger = Some(2), startingSnapshot = Some(pin), bands = 4)
+      q.awaitTermination()
+      newIdx
+    }
+    graft.streaming.TraceStream.readIndex(s, idx)
+      .orderBy(col("band"), col("bkey"))
+  }
+
+  /** The 4×1-band census rebuilt from scratch over the final state —
+    * q233's oracle algebra with each minhash its own band. */
+  val q245Sql: String = {
+    import graft.functions.TextHash.{tokvalSql, minhashTermSql}
+    s"""WITH rows_ AS (
+       |  SELECT event_id,
+       |    'm' || (user_id % 8) || '/' || event_type || '/' || event_id AS key
+       |  FROM events
+       |  WHERE (event_id % 3 IN (0, 1) AND event_type <> 'error')
+       |     OR event_id % 3 = 2
+       |), tri AS (
+       |  SELECT DISTINCT event_id,
+       |    unnest(list_transform(range(1, length(key) - 1),
+       |                          i -> substr(key, i::INT, 3))) AS g
+       |  FROM rows_ WHERE length(key) >= 3
+       |), tv AS (
+       |  SELECT event_id, ${tokvalSql("g")} AS tv FROM tri
+       |), sig AS (
+       |  SELECT event_id, h, min(${minhashTermSql("tv", "h")}) AS mh
+       |  FROM tv CROSS JOIN (SELECT h FROM range(4) t(h)) GROUP BY 1, 2
+       |)
+       |SELECT h::INT AS band, mh::BIGINT AS bkey, count(*)::BIGINT AS n
+       |FROM sig GROUP BY 1, 2 ORDER BY band, bkey""".stripMargin
+  }
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
@@ -1268,5 +1344,6 @@ object ChangeFeedQuery {
     ("q242_fleet_month_rollup", q242FleetMonthRollup _, Some(q242Sql)),
     ("q243_fleet_growth", q243FleetGrowth _, Some(q243Sql)),
     ("q244_index_candidates", q244IndexCandidates _, Some(q244Sql)),
+    ("q245_band_recalibration", q245Recalibration _, Some(q245Sql)),
   )
 }

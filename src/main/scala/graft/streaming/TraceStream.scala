@@ -388,6 +388,51 @@ object TraceStream {
       }
   }
 
+  /** ROLLING month-scope migration for a maintained rollup — the
+    * production "last N months" that ADVANCES. The months spec is part
+    * of the offset contract and therefore pinned per checkpoint
+    * ([[graft.sources.CdcSource]]), so a scope change is a documented
+    * MIGRATION, not a mutable option:
+    *
+    *  1. quiesce the old maintainer (drain it to current, stop it);
+    *  2. call this — it pins the store's state and writes the NEW
+    *     scope's seed under `newRollupPath` as pre-batch-0 version
+    *     `v-1`: because `ym` is part of the rollup key, the new scope's
+    *     content is PURE SUBTRACTION of the aged-out months from the
+    *     old rollup — a filter of the maintained table; the store is
+    *     never recomputed;
+    *  3. start a NEW checkpoint: `followRollup(…, months =
+    *     Some(newMonths), startingSnapshot = Some(returnedPin))` — the
+    *     seed serves as the merge base for the first batch and the
+    *     stream follows month-pruned changes after the pin;
+    *  4. verify ([[readRollup]] equals the scoped recompute), then
+    *     retire the old rollup + checkpoint and drop the pin once the
+    *     new stream's offset passes its first complete form.
+    *
+    * Cost: O(old rollup) — bounded group space, no store scan. Refuses
+    * a non-empty target (migrating onto live versions would make batch
+    * ids incomparable). The seed only equals the scoped truth if the
+    * old maintainer was CURRENT at the pin — hence quiesce-first. */
+  def migrateRollupMonths(spark: SparkSession, storePath: String,
+                          oldRollupPath: String, newRollupPath: String,
+                          newMonths: String): String = {
+    val (fs, root) = fsOf(spark, newRollupPath)
+    // a lone completed seed may be overwritten (a re-run before the new
+    // follow ever started); once the follow has committed versions,
+    // re-seeding would make batch ids incomparable — refuse
+    require(rollupVersions(fs, root).forall(_._1 == -1L),
+      s"rollup at $newRollupPath already has maintained versions — migrate " +
+        "into an empty path (or one holding only an unconsumed seed)")
+    // pin FIRST: the new follow's first diff runs against this immutable
+    // base, so every change after it (and none before) reaches the seed
+    val pin = TraceStore.snapshot(storePath)
+    val scoped = readRollup(spark, oldRollupPath)
+      .filter(graft.sources.CdcStreamProvider.monthsColumn(newMonths, col("ym")))
+    scoped.coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root, "v-1").toString)
+    pin
+  }
+
   /** Streaming materialized-view maintenance (B6 incremental form —
     * the SummingMergeTree analogue running live): keep the persistent
     * (ym, Type) rollup current per micro-batch. One maintainer per
@@ -444,10 +489,11 @@ object TraceStream {
                    trigger: Trigger = Trigger.AvailableNow(),
                    maxFilesPerTrigger: Option[Int] = None,
                    maxBytesPerTrigger: Option[Long] = None,
-                   months: Option[String] = None): StreamingQuery =
+                   months: Option[String] = None,
+                   startingSnapshot: Option[String] = None): StreamingQuery =
     followRollupFrom(spark,
       _.option("path", storePath), rollupPath, checkpointDir, trigger,
-      maxFilesPerTrigger, maxBytesPerTrigger, months)
+      maxFilesPerTrigger, maxBytesPerTrigger, months, startingSnapshot)
 
   /** FLEET-wide rollup maintenance: [[followRollup]] over N stores
     * through ONE checkpoint (the multi-store `paths` source,
@@ -489,10 +535,15 @@ object TraceStream {
                                trigger: Trigger,
                                maxFilesPerTrigger: Option[Int],
                                maxBytesPerTrigger: Option[Long],
-                               months: Option[String] = None): StreamingQuery = {
+                               months: Option[String] = None,
+                               startingSnapshot: Option[String] = None): StreamingQuery = {
     var inc: String = null   // resolved on first batch — metadata exists by then
+    // a starting pin means the rollup was SEEDED (a migrated scope's
+    // filtered copy, [[migrateRollupMonths]]) — follow changes after the
+    // pin instead of bootstrapping the table the seed already contains
     val reader = source(spark.readStream.format("graft-cdc"))
-      .option("initialLoad", "true")
+      .option("initialLoad", startingSnapshot.isEmpty.toString)
+    startingSnapshot.foreach(p => reader.option("startingSnapshot", p))
     months.foreach(m => reader.option("months", m))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
@@ -629,7 +680,8 @@ object TraceStream {
                   compactOver: Int = 8,
                   startingSnapshot: Option[String] = None,
                   baseFileBytes: Long = DefaultBaseFileBytes,
-                  months: Option[String] = None): StreamingQuery = {
+                  months: Option[String] = None,
+                  bands: Int = 2): StreamingQuery = {
     // Corpus-scale bootstrap: streaming the initial load through the
     // chunked path re-folds the GROWING index every compactOver-th batch
     // (Σ over compactions of the index-so-far — super-linear in the
@@ -652,10 +704,13 @@ object TraceStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (inc == null) inc = lineageOf(batch.sparkSession, checkpointDir)
+        if (inc == null) {
+          inc = lineageOf(batch.sparkSession, checkpointDir)
+          pinBands(batch.sparkSession, indexPath, bands)
+        }
         val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
         val delta = graft.store.ChangeFeedQuery
-          .bucketRows(batch.withColumn("_s", sign), carry = Seq("_s"))
+          .bucketRows(batch.withColumn("_s", sign), carry = Seq("_s"), bands = bands)
           .groupBy(col("band"), col("bkey"))
           .agg(sum(col("_s")).as("n"))
         upsertSegment(batch.sparkSession, delta, batchId, indexPath, inc,
@@ -837,7 +892,8 @@ object TraceStream {
     * census filters its snapshot to the same `ym` scope, file-pruned at
     * the manifest like the stream's worklists. */
   def seedIndex(spark: SparkSession, storePath: String, snapshotId: String,
-                indexPath: String, months: Option[String] = None): Unit = {
+                indexPath: String, months: Option[String] = None,
+                bands: Int = 2): Unit = {
     val (fs, root) = fsOf(spark, indexPath)
     // completeness is _SUCCESS-gated like every other part: a seed job
     // that crashed mid-write leaves an incomplete dir no reader sees,
@@ -845,12 +901,34 @@ object TraceStream {
     require(partsOf(fs, root, "seg-").isEmpty && partsOf(fs, root, "base-").isEmpty &&
       !fs.exists(new org.apache.hadoop.fs.Path(root, "seed-0/_SUCCESS")),
       s"index at $indexPath already has parts — seedIndex is for an empty index")
+    pinBands(spark, indexPath, bands)
     graft.store.ChangeFeedQuery
-      .bucketRows(snapshotRows(spark, storePath, snapshotId, months))
+      .bucketRows(snapshotRows(spark, storePath, snapshotId, months), bands = bands)
       .groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(root, "seed-0").toString)
+  }
+
+  /** Pin the LSH band configuration durably under the index root: the
+    * band count changes every bucket key's meaning, so a seed at one
+    * banding followed at another would silently mix incomparable keys —
+    * first writer pins, every later seed/follow must match (the same
+    * contract as the months spec pin). */
+  private def pinBands(spark: SparkSession, indexPath: String, bands: Int): Unit = {
+    val (fs, root) = fsOf(spark, indexPath)
+    val f = new org.apache.hadoop.fs.Path(root, "_bands")
+    graft.sources.CdcStreamProvider.readPinFile(fs, f) match {
+      case Some(prev) =>
+        require(prev == bands.toString,
+          s"index at $indexPath was built with bands=$prev but this job " +
+            s"declares bands=$bands — band keys are incomparable across " +
+            "configurations; recalibrate into a NEW index path (seedIndex at " +
+            "the new bands + followIndex from the pin)")
+      case None =>
+        fs.mkdirs(root)
+        graft.sources.CdcStreamProvider.writePinFile(fs, f, bands.toString)
+    }
   }
 
   /** A pinned snapshot's rows, optionally month-scoped: the scope prunes
@@ -1152,6 +1230,64 @@ object TraceStream {
         // partition buffers), so maintenance noise never reaches the wire
         graft.sources.HttpBulkSink.append(signed, http,
           batchId = Some(s"cdc-$batchId"))
+      }
+      .start()
+  }
+
+  /** FLEET replication — the reference's actual multi-cluster
+    * deployment: one receiving table per cluster (`CLICKHOUSE_TABLE`
+    * per converter instance, /root/reference/README.md:55-62), here one
+    * table per STORE with a single checkpoint
+    * ([[graft.sources.CdcMultiSource]]) instead of N loose consumers.
+    * `tables` is positional, one per store (the same contract as the
+    * fleet source's pins — appended stores extend it at the end); each
+    * row routes to its origin store's table via the `_store` tag, and
+    * idempotency ids are scoped `cdc-<batchId>-<storeIdx>` so a
+    * restarted checkpoint replays the identical rows under the
+    * identical keys — receiver-side insert dedup yields exactly-once
+    * PER TABLE. Admission control bounds the batch (default: one store
+    * advances per trigger), maintenance noise diffs to nothing, and a
+    * store's DELETE WHERE lands as −1 signs only on its own table. */
+  def replicateFleetChanges(spark: SparkSession, storePaths: Seq[String],
+                            tables: Seq[String],
+                            http: graft.sources.HttpBulkSink.Config,
+                            checkpointDir: String,
+                            initialLoad: Boolean = true,
+                            trigger: Trigger = Trigger.AvailableNow(),
+                            maxFilesPerTrigger: Option[Int] = None,
+                            maxBytesPerTrigger: Option[Long] = None): StreamingQuery = {
+    require(storePaths.nonEmpty, "replicateFleetChanges needs at least one store")
+    require(tables.size == storePaths.size,
+      s"tables names ${tables.size} receiving tables for ${storePaths.size} " +
+        "stores — the list is positional, one table per store")
+    val tableOf = storePaths.zip(tables).toMap
+    val reader = spark.readStream.format("graft-cdc")
+      .option("paths", storePaths.mkString(","))
+      .option("initialLoad", initialLoad.toString)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
+    reader
+      .load()
+      .writeStream
+      .queryName(s"trace-cdc-fleet-replicate-${incarnationOf(checkpointDir)}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // route by origin store: under the default admission (one store
+        // per trigger) this is ONE slice; the distinct is a driver-side
+        // peek at ≤ N store tags, never data-sized
+        val present = batch.select("_store").distinct()
+          .collect().map(_.getString(0)).sorted
+        present.foreach { p =>
+          val i = storePaths.indexOf(p)
+          val signed = batch.filter(col("_store") === p)
+            .withColumn("_sign",
+              when(col("_change") === "insert", lit(1)).otherwise(lit(-1)))
+            .drop("_change", "_commit_snapshot", "_commit_ts", "_store")
+          graft.sources.HttpBulkSink.append(signed,
+            http.copy(table = tableOf(p)),
+            batchId = Some(s"cdc-$batchId-$i"))
+        }
       }
       .start()
   }

@@ -92,9 +92,73 @@ object CdcProbe {
     else if (args.headOption.contains("clustered")) clustered(args.drop(1))
     else if (args.headOption.contains("index")) index(args.drop(1))
     else if (args.headOption.contains("fold")) fold(args.drop(1))
+    else if (args.headOption.contains("slots")) slots(args.drop(1))
     else if (args.headOption.contains("months")) months(args.drop(1))
     else if (args.headOption.contains("fleet")) fleet(args.drop(1))
     else single(args)
+
+  /** The slot-rollup storage cost model at inflated slot cardinality —
+    * the r13 `weak` made a number: a sub-second slot table's key space
+    * is time-span-proportional (a multi-year micros store at 250 ms
+    * slots is ~10⁹ groups), so `followSlotRollup` stores SEGMENTS
+    * (O(delta) appends + amortized folds) where the rollup family would
+    * rewrite the merged table per batch. Both arms maintain the SAME
+    * planted M-slot table through the same trickle deltas:
+    *
+    *  - `seg`: `upsertSegment` (the shipped path) — per-batch wall must
+    *    stay FLAT as M grows (the delta never touches the table; the
+    *    one fold is timed separately and amortizes over `compactOver`);
+    *  - `merged`: `upsertDelta` (the r13 shape) — per-batch wall grows
+    *    with M (read + merge + rewrite of every slot, every batch).
+    *
+    *   runMain graft.tools.CdcProbe slots [M[,M2,…]]
+    *     (default 1000000,10000000)
+    */
+  private def slots(args: Array[String]): Unit = {
+    val ms = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(1000000L, 10000000L))
+    val spark = session()
+    import spark.implicits._
+    def planted(dir: String, part: String, m: Long): Unit =
+      spark.range(m).select(col("id").as("slot"), lit("t").as("Type"),
+          lit(1L).as("n"), col("id").as("sev_sum"))
+        .write.parquet(s"$dir/$part")
+    val lines = ms.map { m =>
+      val seg = graft.util.TmpDirs.scratch(s"cdcslots-seg-$m")
+      planted(seg, "seed-0", m)
+      def putSeg(id: Long, co: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.streaming.TraceStream.upsertSegment(spark,
+          Seq((m + id, "t", 1L, 1L)).toDF("slot", "Type", "n", "sev_sum"),
+          id, seg, "probe", Seq("slot", "Type"), Seq("n", "sev_sum"),
+          compactOver = co)
+        (System.nanoTime() - t0) / 1e9
+      }
+      // appends only (the steady-state batch): compactOver high enough
+      // that no fold runs inside the measured window
+      val appends = (0L until 4L).map(putSeg(_, co = 100))
+      // then ONE fold, timed apart — the amortized O(table) step
+      val foldS = putSeg(4L, co = 4)
+      val mer = graft.util.TmpDirs.scratch(s"cdcslots-mer-$m")
+      planted(mer, "v0", m)
+      def putMer(id: Long): Double = {
+        val t0 = System.nanoTime()
+        graft.streaming.TraceStream.upsertDelta(spark,
+          Seq((m + id, "t", 1L, 1L)).toDF("slot", "Type", "n", "sev_sum"),
+          id, mer, "probe", keys = Seq("slot", "Type"),
+          measures = Seq("n", "sev_sum"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val merged = (1L to 3L).map(putMer)
+      val segMed = appends.sorted.apply(appends.size / 2)
+      val merMed = merged.sorted.apply(merged.size / 2)
+      val line = f"""{"probe":"slots","slots":$m,"seg_append_med_s":$segMed%.3f,""" +
+        f""""seg_fold_s":$foldS%.3f,"merged_batch_med_s":$merMed%.3f}"""
+      println(line); line
+    }
+    println(lines.mkString("\n"))
+    spark.stop()
+  }
 
   /** The base fold at inflated bucket cardinality: serial (the r12
     * `coalesce(1)` shape, forced with a huge `baseFileBytes`) vs

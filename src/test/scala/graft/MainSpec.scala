@@ -163,7 +163,7 @@ class MainParseSpec extends AnyFunSuite {
     // flag form, no creds
     assert(Main.parse(Seq("--replicate", "--table-path", "/t", "--addr",
       "http://ch:8123", "--db", "fdb", "--table", "trace"), noEnv) ==
-      Right(Main.Replicate("/t",
+      Right(Main.Replicate(Seq("/t"), Seq("trace"),
         HttpBulkSink.Config("http://ch:8123", "fdb", "trace", None, None),
         "/t/_replicate-checkpoint", None)))
     // the reference's env names carry everything; creds only as a PAIR
@@ -173,18 +173,34 @@ class MainParseSpec extends AnyFunSuite {
       "CLICKHOUSE_PASS" -> "p", "GRAFT_TABLE_PATH" -> "/t")
     assert(Main.parse(Seq("--replicate", "--max-files", "8", "--max-bytes",
       "1048576"), env) ==
-      Right(Main.Replicate("/t",
+      Right(Main.Replicate(Seq("/t"), Seq("trace"),
         HttpBulkSink.Config("http://ch:8123", "fdb", "trace", Some("u"), Some("p")),
         "/t/_replicate-checkpoint", Some(8), Some(1048576L))))
     assert(Main.parse(Seq("--replicate"), env - "CLICKHOUSE_ADDR").isLeft)
     // a lone user (no pass) posts unauthenticated, like the reference
     Main.parse(Seq("--replicate"), env - "CLICKHOUSE_PASS") match {
-      case Right(Main.Replicate(_, cfg, _, _, _)) =>
+      case Right(Main.Replicate(_, _, cfg, _, _, _)) =>
         assert(cfg.user.isEmpty && cfg.pass.isEmpty)
       case other => fail(other.toString)
     }
     assert(Main.parse(Seq("--replicate", "--snapshot"), env)
       .swap.exists(_.contains("pick one mode")))
+    // the FLEET form: positional --tables, explicit checkpoint required
+    assert(Main.parse(Seq("--replicate", "--table-paths", "/a,/b",
+      "--tables", "ta,tb", "--checkpoint", "/ck", "--addr", "http://ch:8123",
+      "--db", "fdb"), noEnv) ==
+      Right(Main.Replicate(Seq("/a", "/b"), Seq("ta", "tb"),
+        HttpBulkSink.Config("http://ch:8123", "fdb", "ta", None, None),
+        "/ck", None)))
+    assert(Main.parse(Seq("--replicate", "--table-paths", "/a,/b",
+      "--tables", "ta", "--checkpoint", "/ck", "--addr", "http://ch:8123",
+      "--db", "fdb"), noEnv).swap.exists(_.contains("positional")))
+    assert(Main.parse(Seq("--replicate", "--table-paths", "/a,/b",
+      "--checkpoint", "/ck", "--addr", "http://ch:8123", "--db", "fdb"),
+      noEnv).swap.exists(_.contains("--tables")))
+    assert(Main.parse(Seq("--replicate", "--table-paths", "/a,/b",
+      "--tables", "ta,tb", "--addr", "http://ch:8123", "--db", "fdb"),
+      noEnv).swap.exists(_.contains("--checkpoint")))
   }
 
   test("--evolve-schema parses NAME:TYPE, validates, and runs metadata-only") {
@@ -256,6 +272,34 @@ class MainParseSpec extends AnyFunSuite {
     assert(out.toString == graft.schema.Ddl.clickhouse("cluster01"))
     assert(out.toString.startsWith("CREATE TABLE IF NOT EXISTS `cluster01`"))
     assert(out.toString.contains("ENGINE = MergeTree()"))
+  }
+
+  test("--migrate-months parses with --from-rollup/--to-rollup and validates the spec") {
+    assert(Main.parse(Seq("--migrate-months", ">=201906", "--table-path", "/t",
+      "--from-rollup", "/r1", "--to-rollup", "/r2"), noEnv) ==
+      Right(Main.MigrateMonths("/t", "/r1", "/r2", ">=201906")))
+    assert(Main.parse(Seq("--migrate-months", ">=201906", "--table-path", "/t",
+      "--to-rollup", "/r2"), noEnv).swap.exists(_.contains("--from-rollup")))
+    assert(Main.parse(Seq("--migrate-months", ">=201906", "--table-path", "/t",
+      "--from-rollup", "/r1"), noEnv).swap.exists(_.contains("--to-rollup")))
+    assert(Main.parse(Seq("--migrate-months", "banana", "--table-path", "/t",
+      "--from-rollup", "/r1", "--to-rollup", "/r2"), noEnv)
+      .swap.exists(_.contains("months")))
+    assert(Main.parse(Seq("--migrate-months", ">=201906", "--follow-rollup", "/r",
+      "--table-path", "/t", "--from-rollup", "/r1", "--to-rollup", "/r2"), noEnv)
+      .swap.exists(_.contains("pick one mode")))
+    // the migration handoff: --follow-rollup accepts --starting-snapshot
+    // (single store only)
+    assert(Main.parse(Seq("--follow-rollup", "/r2", "--table-path", "/t",
+      "--months", ">=201906", "--starting-snapshot", "s000004"), noEnv) ==
+      Right(Main.FollowRollup(Seq("/t"), "/r2", "/r2/_checkpoint",
+        None, None, Some(">=201906"), Some("s000004"))))
+    assert(Main.parse(Seq("--follow-rollup", "/r2", "--table-paths", "/a,/b",
+      "--starting-snapshot", "s000004"), noEnv).swap.exists(_.contains("single-store")))
+    // seed-index forwards the scope so a seeded base can match a scoped follow
+    assert(Main.parse(Seq("--seed-index", "/i", "--table-path", "/t",
+      "--months", ">=201906"), noEnv) ==
+      Right(Main.SeedIndex(Seq("/t"), "/i", Some(">=201906"))))
   }
 }
 
@@ -539,6 +583,41 @@ class MainRunSpec extends SparkSpec {
       Main.run(Main.SeedIndex(Seq(table), idx), _ => (), () => spark)
     }
     assert(ex.getMessage.contains("already has parts"))
+  }
+
+  test("--migrate-months: scoped seed + scoped follow equals the scoped recompute") {
+    val in = tmpDir("cli-mig-in"); val table = tmpDir("cli-mig-table")
+    val r1 = tmpDir("cli-mig-r1"); val ck1 = tmpDir("cli-mig-ck1")
+    val r2 = tmpDir("cli-mig-r2"); val ck2 = tmpDir("cli-mig-ck2")
+    writeTrace(in, "may.json", 1557761852L, 3)   // 2019-05: ages out
+    writeTrace(in, "sep.json", 1568000000L, 2)   // 2019-09: stays
+    Main.run(Main.Convert(Seq(s"$in/may.json", s"$in/sep.json"), table, 1),
+      _ => (), () => spark)
+    // the unscoped maintainer, quiesced at current
+    Main.run(Main.FollowRollup(Seq(table), r1, ck1), _ => (), () => spark)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Main.run(Main.MigrateMonths(table, r1, r2, ">=201906"), out.append(_), () => spark)
+    val pin = out.find(_.startsWith("pinned ")).map(_.split(" ")(1))
+      .getOrElse(fail(s"no pin line in $out"))
+    assert(out.exists(o => o.contains(s"--follow-rollup $r2") &&
+      o.contains(s"--starting-snapshot $pin") && o.contains("--months")),
+      s"the handoff must name the new rollup, scope, and pin: $out")
+    // the store keeps moving under the new scope: one in-scope append
+    writeTrace(in, "oct.json", 1570000000L, 2)   // 2019-10: in scope
+    Main.run(Main.Convert(Seq(s"$in/oct.json"), table, 1), _ => (), () => spark)
+    Main.run(Main.FollowRollup(Seq(table), r2, ck2,
+      months = Some(">=201906"), startingSnapshot = Some(pin)), _ => (), () => spark)
+    // migrate == recompute: a from-scratch scoped maintainer over the
+    // same store must land on the identical table
+    val r3 = tmpDir("cli-mig-r3"); val ck3 = tmpDir("cli-mig-ck3")
+    Main.run(Main.FollowRollup(Seq(table), r3, ck3,
+      months = Some(">=201906")), _ => (), () => spark)
+    def state(roll: String): Set[org.apache.spark.sql.Row] =
+      graft.streaming.TraceStream.readRollup(spark, roll).collect().toSet
+    assert(state(r2) == state(r3),
+      s"migrated=${state(r2)} rebuilt=${state(r3)}")
+    assert(state(r2).nonEmpty && !state(r2).exists(_.getString(0) == "201905"),
+      "the aged-out month must be gone from the migrated rollup")
   }
 
   test("--follow-rollup resuming a MID-BOOTSTRAP checkpoint catches up in ONE pass") {

@@ -278,6 +278,61 @@ class HttpSinkSpec extends SparkSpec {
     } finally stop()
   }
 
+  test("replicateFleetChanges routes each store's signed feed to its own table") {
+    import java.sql.Timestamp
+    import graft.store.TraceStore
+    val (url, got, stop) = server(200)
+    try {
+      val cfg = HttpBulkSink.Config(url, "fdb", "IGNORED", None, None)
+      val a = tmpDir("cdcfr-a"); val b = tmpDir("cdcfr-b")
+      val ck = tmpDir("cdcfr-ck")
+      def rows(xs: (Int, String, String)*) = {
+        import spark.implicits._
+        xs.toSeq.map { case (sev, ty, t) =>
+          (sev, "m1", "default", Timestamp.valueOf(t), ty, s"id$sev")
+        }.toDF("Severity", "Machine", "LogGroup", "Time", "Type", "ID")
+      }
+      def drain(): Unit = {
+        val q = graft.streaming.TraceStream.replicateFleetChanges(spark,
+          Seq(a, b), Seq("trace_a", "trace_b"), cfg, ck)
+        q.awaitTermination()
+      }
+      // (table, Severity, _sign) across all bodies — per-table routing
+      def posted(): Seq[(String, Int, Int)] =
+        got.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[Captured])
+          .flatMap { c =>
+            val table = """INSERT INTO (\w+) """.r
+              .findFirstMatchIn(c.query).get.group(1)
+            c.body.split("\n").filter(_.nonEmpty).map { line =>
+              val sev = """"Severity":(-?\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
+              val sign = """"_sign":(-?\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
+              (table, sev, sign)
+            }
+          }.toSeq.sorted
+
+      TraceStore.append(rows((10, "ok", "2019-05-13 15:37:32")), a)
+      TraceStore.append(rows((20, "bad", "2019-05-14 10:00:00")), b)
+      drain() // both bootstraps, each to its OWN table
+      assert(posted() == Seq(("trace_a", 10, 1), ("trace_b", 20, 1)))
+
+      // one store's erase lands as -1 ONLY on its table; the other's
+      // compaction diffs to nothing
+      TraceStore.deleteWhere(spark, b, org.apache.spark.sql.functions.col("Type") === "bad")
+      TraceStore.compact(spark, a, maxFilesPerMonth = 1, splitsPerMonth = 1)
+      drain()
+      assert(posted() == Seq(("trace_a", 10, 1), ("trace_b", 20, -1), ("trace_b", 20, 1)))
+
+      // idle restart replays nothing; idempotency ids are scoped by
+      // batch id AND store index (replays re-send under identical keys)
+      val before = got.size
+      drain()
+      assert(got.size == before, "an idle fleet must post nothing")
+      val scopes = got.toArray(Array.empty[AnyRef])
+        .map(_.asInstanceOf[Captured].insertId.split("/").head).toSet
+      assert(scopes.forall(_.matches("cdc-\\d+-[01]")), scopes.toString)
+    } finally stop()
+  }
+
   test("streaming foreachBatch: one micro-batch = one logical insert") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

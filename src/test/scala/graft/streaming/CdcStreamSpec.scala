@@ -1129,6 +1129,52 @@ class CdcStreamSpec extends SparkSpec {
     assert(messages(ex2).exists(_.contains("fixed per checkpoint")), messages(ex2))
   }
 
+  test("month-scope migration: seed-from-old-rollup + scoped follow equals the scoped recompute") {
+    val store = tmpDir("mig-store")
+    val r1 = tmpDir("mig-r1"); val ck1 = tmpDir("mig-ck1")
+    val r2 = tmpDir("mig-r2"); val ck2 = tmpDir("mig-ck2")
+    def follow(roll: String, ck: String, months: Option[String],
+               pin: Option[String] = None): Unit = {
+      val q = TraceStream.followRollup(spark, store, roll, ck,
+        months = months, startingSnapshot = pin)
+      q.awaitTermination()
+    }
+    def state(roll: String): Map[(String, String), (Long, Long)] =
+      TraceStream.readRollup(spark, roll).collect()
+        .map((r: Row) => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "ok", "2019-06-01 10:00:00"),
+      (30, "m3", "error", "2019-07-01 10:00:00")), store)
+    follow(r1, ck1, None) // the unscoped maintainer, quiesced at current
+    // MIGRATE to a rolling scope that drops May: the seed is a pure
+    // filter of the old rollup (ym is part of the key), the store is
+    // never recomputed, and the returned pin bases the new follow
+    val pin = TraceStream.migrateRollupMonths(spark, store, r1, r2, ">=201906")
+    follow(r2, ck2, Some(">=201906"), Some(pin)) // no changes yet: seed only
+    assert(state(r2) == Map(("201906", "ok") -> ((1L, 20L)),
+      ("201907", "error") -> ((1L, 30L))))
+    // post-migration life: an in-scope append, an out-of-scope append
+    // (pruned to an empty batch), and a DELETE WHERE rewriting every month
+    TraceStore.append(mk(
+      (40, "m4", "ok", "2019-07-02 10:00:00"),
+      (50, "m5", "ok", "2019-05-20 10:00:00")), store)
+    TraceStore.deleteWhere(spark, store, col("Type") === "error")
+    follow(r2, ck2, Some(">=201906"), Some(pin))
+    // migrate == recompute: a from-scratch scoped maintainer over the
+    // same store state must land on the identical table
+    val r3 = tmpDir("mig-r3"); val ck3 = tmpDir("mig-ck3")
+    follow(r3, ck3, Some(">=201906"))
+    assert(state(r2) == state(r3), s"migrated=${state(r2)} rebuilt=${state(r3)}")
+    // re-seeding over a consumed migration must refuse (batch ids would
+    // be incomparable under the live checkpoint)
+    val ex = intercept[IllegalArgumentException] {
+      TraceStream.migrateRollupMonths(spark, store, r1, r2, ">=201907")
+    }
+    assert(ex.getMessage.contains("maintained versions"))
+  }
+
   test("monthsPredicate parses ranges and IN-sets and rejects malformed tokens") {
     import graft.sources.CdcStreamProvider.monthsPredicate
     val ge = monthsPredicate(">=201906")
