@@ -1341,6 +1341,64 @@ class CdcStreamSpec extends SparkSpec {
       .agg(sum(col("n"))).collect()(0).getLong(0) == 2L)
   }
 
+  test("chunked fleet census equals the one-shot census at N=21") {
+    import graft.store.ChangeFeedQuery
+    // 21 stores, bounded chunks of 4: every Spark plan in the seed sees
+    // at most 4 stores (the N-way-union analyzer wall never builds),
+    // and the merged seed must be row-identical to the one-shot census
+    val stores = (0 until 21).map { i =>
+      val p = tmpDir(s"chseed-$i")
+      TraceStore.append(mk((10 + i, s"m$i", "ok", "2019-05-13 10:00:00")), p)
+      p
+    }
+    val chunked = tmpDir("chseed-idx-chunked")
+    val oneShot = tmpDir("chseed-idx-oneshot")
+    TraceStream.seedFleetIndex(spark, stores, chunked, censusChunk = 4)
+    TraceStream.seedFleetIndex(spark, stores, oneShot, censusChunk = 1000)
+    def stateOf(idx: String): Set[(String, Int, Long, Long)] =
+      TraceStream.readIndex(spark, idx, keys = Seq("_store", "band", "bkey"))
+        .collect()
+        .map((r: Row) => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stateOf(chunked) == stateOf(oneShot),
+      "chunked and one-shot censuses must be identical")
+    assert(stateOf(chunked).map(_._1) == stores.toSet,
+      "every store must appear in the chunked census")
+    // the chunk scratch dir is swept after the merge
+    assert(!new java.io.File(chunked, "_seed-census").exists())
+  }
+
+  test("month-scoped seed + scoped follow equals the scoped rebuild") {
+    import graft.store.ChangeFeedQuery
+    val store = tmpDir("mseed-store")
+    val idx = tmpDir("mseed-idx"); val ck = tmpDir("mseed-ck")
+    TraceStore.append(mk(
+      (10, "m1", "ok", "2019-05-13 10:00:00"),
+      (20, "m2", "ok", "2019-06-01 10:00:00")), store, splitsPerMonth = 1)
+    // the seed census carries the SAME scope as the follow — an
+    // unscoped seed under a scoped follow would equal neither rebuild
+    val pin = TraceStore.snapshot(store)
+    TraceStream.seedIndex(spark, store, pin, idx, months = Some(">=201906"))
+    def scopedRebuild(): Set[(Int, Long, Long)] =
+      ChangeFeedQuery.bucketRows(
+        TraceStore.read(spark, store).filter(col("ym") >= "201906"))
+        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+        .collect().map((r: Row) => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def current(): Set[(Int, Long, Long)] =
+      TraceStream.readIndex(spark, idx)
+        .collect().map((r: Row) => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(current() == scopedRebuild(), "the scoped seed must equal the scoped census")
+    // changes in BOTH months: only the in-scope one reaches the index
+    TraceStore.append(mk(
+      (30, "m3", "ok", "2019-05-20 10:00:00"),
+      (40, "m4", "ok", "2019-06-20 10:00:00")), store, splitsPerMonth = 1)
+    val q = TraceStream.followIndex(spark, store, idx, ck,
+      maxFilesPerTrigger = Some(1), startingSnapshot = Some(pin),
+      months = Some(">=201906"))
+    q.awaitTermination()
+    assert(current() == scopedRebuild(),
+      "scoped seed + scoped increments must equal the scoped rebuild")
+  }
+
   test("fleet seed: one batch census over all pins + follow-from-pins equals rebuild") {
     import graft.store.ChangeFeedQuery
     val a = tmpDir("fseed-a"); val b = tmpDir("fseed-b")
