@@ -1180,10 +1180,16 @@ object TraceStream {
       s"index at $indexPath has columns [${df.columns.mkString(", ")}] but the " +
         s"read declares keys=[${keys.mkString(", ")}] measures=[${measures.mkString(", ")}] — " +
         "pass the keys/measures the maintainer writes (fleet indexes carry _store)")
-    val aggs = measures.map(m => sum(col(m)).as(m))
-    df.groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .filter(col(measures.head) =!= 0L)
+    // a freshly folded (or seeded) index with no later segments IS the
+    // merged state — the fold already signed-summed and zero-filtered —
+    // so the common just-compacted read skips the aggregation shuffle
+    if (segs.isEmpty) df.select((keys ++ measures).map(col): _*)
+    else {
+      val aggs = measures.map(m => sum(col(m)).as(m))
+      df.groupBy(keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(col(measures.head) =!= 0L)
+    }
   }
 
   /** Continuous replication of a trace STORE over the reference's HTTP
