@@ -1325,6 +1325,58 @@ object ChangeFeedQuery {
        |FROM sig GROUP BY 1, 2 ORDER BY band, bkey""".stripMargin
   }
 
+  private val fleetSlotRolled = new graft.util.SessionDirCache[String]
+
+  /** q246 — the FLEET × SUB-SECOND composition, across a MEMBERSHIP
+    * change: two micros-time stores bootstrap a shared 250 ms slot
+    * rollup under one checkpoint
+    * ([[graft.streaming.TraceStream.followFleetSlotRollup]] — the slot
+    * twin of the fleet rollup, storage in the segment family so every
+    * trickle batch stays O(delta) at fleet scale too), then the fleet
+    * GROWS (store C appended) while store A retracts its `error` rows
+    * and store B's compaction rewrites at micros resolution (a slot
+    * collapse anywhere — §1.4 truncation, a disturbed pin, a signed
+    * error in any child — shifts a 250 ms slot and fails the hash).
+    * The oracle recomputes the final three-store union slot aggregate. */
+  def q246FleetSlotRollup(s: SparkSession, dir: String): DataFrame = {
+    val roll = fleetSlotRolled(s, dir) { (sess, d) =>
+      val a = graft.util.TmpDirs.scratch("graft-cdc-fsr-a")
+      val b = graft.util.TmpDirs.scratch("graft-cdc-fsr-b")
+      val c = graft.util.TmpDirs.scratch("graft-cdc-fsr-c")
+      val rp = graft.util.TmpDirs.scratch("graft-cdc-fsr-roll")
+      val ck = graft.util.TmpDirs.scratch("graft-cdc-fsr-ck")
+      val ev = graft.tables.Tables.events(sess, d)
+      val third = pmod(col("event_id"), lit(3L))
+      def drain(paths: Seq[String]): Unit = {
+        val q = graft.streaming.TraceStream.followFleetSlotRollup(sess, paths,
+          rp, ck, slotMicros = 250000L, maxFilesPerTrigger = Some(4),
+          compactOver = 3)
+        q.awaitTermination()
+      }
+      TraceStore.append(asTrace(ev.filter(third === 0)), a, splitsPerMonth = 2)
+      TraceStore.append(asTrace(ev.filter(third === 1)), b, splitsPerMonth = 2)
+      drain(Seq(a, b)) // the two-store fleet bootstraps at micros resolution
+      TraceStore.append(asTrace(ev.filter(third === 2)), c, splitsPerMonth = 2)
+      TraceStore.deleteWhere(sess, a, col("Type") === "error", splitsPerMonth = 2)
+      TraceStore.compact(sess, b, maxFilesPerMonth = 1, splitsPerMonth = 2)
+      drain(Seq(a, b, c)) // GROWN: C bootstraps, A retracts, B nets to zero
+      rp
+    }
+    graft.streaming.TraceStream.readSlotRollup(s, roll)
+      .orderBy(col("slot"), col("Type"))
+  }
+
+  /** Final union slot aggregate: A = ids≡0 (mod 3) minus its erased
+    * `error` rows; B and the appended C untouched. */
+  val q246Sql: String =
+    """SELECT epoch_us(ts) // 250000 AS slot, event_type AS Type,
+      |  count(*) AS n,
+      |  (sum(((event_id % 1000000000) + 1000000000) % 1000000000))::BIGINT AS sev_sum
+      |FROM events
+      |WHERE (event_id % 3 = 0 AND event_type <> 'error')
+      |   OR event_id % 3 IN (1, 2)
+      |GROUP BY 1, 2 ORDER BY slot, Type""".stripMargin
+
   def entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q226_change_feed", q226ChangeFeed _, Some(q226Sql)),
     ("q227_cdc_rollup",  q227CdcRollup _, Some(q227Sql)),
@@ -1345,5 +1397,6 @@ object ChangeFeedQuery {
     ("q243_fleet_growth", q243FleetGrowth _, Some(q243Sql)),
     ("q244_index_candidates", q244IndexCandidates _, Some(q244Sql)),
     ("q245_band_recalibration", q245Recalibration _, Some(q245Sql)),
+    ("q246_fleet_slot_rollup", q246FleetSlotRollup _, Some(q246Sql)),
   )
 }

@@ -635,6 +635,51 @@ object TraceStream {
     readIndex(spark, rollupPath,
       keys = Seq("slot", "Type"), measures = Seq("n", "sev_sum"))
 
+  /** FLEET-wide sub-second rollup: [[followSlotRollup]] over N stores
+    * through ONE checkpoint — the slot twin of [[followFleetRollup]].
+    * The (slot, Type) delta ignores the `_store` tag, so the maintained
+    * table is the UNION slot aggregate (signed summation is associative
+    * across stores exactly as across chunk slices), each micro-batch
+    * carries one store's changes under the shared admission budget, and
+    * the segment store keeps every trickle batch O(delta) no matter how
+    * many stores feed it. Membership growth (appended stores) applies
+    * unchanged — newcomers bootstrap their slots through the feed. */
+  def followFleetSlotRollup(spark: SparkSession, storePaths: Seq[String],
+                            rollupPath: String, checkpointDir: String,
+                            slotMicros: Long = 250000L,
+                            trigger: Trigger = Trigger.AvailableNow(),
+                            maxFilesPerTrigger: Option[Int] = None,
+                            maxBytesPerTrigger: Option[Long] = None,
+                            months: Option[String] = None,
+                            compactOver: Int = 8,
+                            baseFileBytes: Long = DefaultBaseFileBytes): StreamingQuery = {
+    require(slotMicros > 0, s"slotMicros must be positive, got $slotMicros")
+    var inc: String = null   // resolved on first batch — metadata exists by then
+    val reader = spark.readStream.format("graft-cdc")
+      .option("paths", storePaths.mkString(","))
+      .option("initialLoad", "true")
+    months.foreach(m => reader.option("months", m))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n.toString))
+    reader
+      .load()
+      .writeStream
+      .queryName(s"trace-cdc-fleet-slot-rollup-${incarnationOf(rollupPath)}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (inc == null) inc = lineageOf(batch.sparkSession, checkpointDir)
+        val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+        val delta = batch
+          .groupBy(expr(s"unix_micros(Time) div $slotMicros").as("slot"), col("Type"))
+          .agg(sum(sign).as("n"), sum(sign * col("Severity").cast("long")).as("sev_sum"))
+        upsertSegment(batch.sparkSession, delta, batchId, rollupPath, inc,
+          keys = Seq("slot", "Type"), measures = Seq("n", "sev_sum"),
+          compactOver = compactOver, baseFileBytes = baseFileBytes)
+      }
+      .start()
+  }
+
   /** CDC-DRIVEN near-dup-index maintenance as a running stream — q231's
     * signed bucket algebra made operational, the index-family twin of
     * [[followRollup]]: follow a trace store's change feed and keep the

@@ -1341,6 +1341,42 @@ class CdcStreamSpec extends SparkSpec {
       .agg(sum(col("n"))).collect()(0).getLong(0) == 2L)
   }
 
+  test("fleet index keeps per-store attribution across membership growth") {
+    import graft.store.ChangeFeedQuery
+    val a = tmpDir("figrow-a"); val b = tmpDir("figrow-b"); val c = tmpDir("figrow-c")
+    val idx = tmpDir("figrow-idx"); val ck = tmpDir("figrow-ck")
+    TraceStore.append(mk((10, "m1", "ok", "2019-05-13 10:00:00")), a)
+    TraceStore.append(mk((20, "m2", "ok", "2019-05-13 10:00:00")), b)
+    def catchUp(paths: Seq[String]): Unit = {
+      val q = TraceStream.followFleetIndex(spark, paths, idx, ck,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+    }
+    def rebuilt(paths: Seq[String]): Set[(String, Int, Long, Long)] =
+      ChangeFeedQuery.bucketRows(
+        paths.map(p => TraceStore.read(spark, p).withColumn("_store", lit(p)))
+          .reduce(_ unionByName _), carry = Seq("_store"))
+        .groupBy(col("_store"), col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+        .collect()
+        .map((r: Row) => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    def current(): Set[(String, Int, Long, Long)] =
+      TraceStream.readIndex(spark, idx, keys = Seq("_store", "band", "bkey"))
+        .collect()
+        .map((r: Row) => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    catchUp(Seq(a, b))
+    assert(current() == rebuilt(Seq(a, b)))
+    // the fleet GROWS while an existing store retracts: C's census joins
+    // under its fresh position, A's DELETE WHERE retracts exactly A's
+    // attributed rows, B is untouched
+    TraceStore.append(mk((30, "m3", "ok", "2019-05-13 10:00:00")), c)
+    TraceStore.deleteWhere(spark, a, col("Severity") === 10)
+    catchUp(Seq(a, b, c))
+    assert(current() == rebuilt(Seq(a, b, c)),
+      s"grown fleet index must equal the three-store rebuild: ${current()}")
+    assert(!current().exists(_._1 == a), "A emptied — its attributed rows must be gone")
+    assert(current().exists(_._1 == c), "the newcomer's census must be present")
+  }
+
   test("chunked fleet census equals the one-shot census at N=21") {
     import graft.store.ChangeFeedQuery
     // 21 stores, bounded chunks of 4: every Spark plan in the seed sees
