@@ -108,6 +108,44 @@ object ExprKernels {
     new GenericArrayData(mins)
   }
 
+  /** Fused char-trigram MinHash band keys — the per-row signature kernel
+    * of the CDC index family ([[graft.store.ChangeFeedQuery.bucketRows]]).
+    * One pass over the key string computes every trigram's tokval ONCE and
+    * folds it into all four permutation minima; the higher-order-function
+    * formulation this replaces inlined the `transform(tris, tokval)` array
+    * into each of four separate `aggregate` lambdas, re-running the
+    * per-character polynomial hash 4× per trigram, interpreted. Exact
+    * trigram tokval: polysum of a 3-char token is c₁·W(0)+c₂·W(1)+c₃·W(2)
+    * (phases 0,1,2 — no wraparound at length 3), and min over the trigram
+    * MULTISET equals min over the distinct set, so `array_distinct` is
+    * dropped without changing any minimum. Returns, for `bands == 2`, the
+    * two packed base-P band keys `[sig0·P+sig1, sig2·P+sig3]`; for
+    * `bands == 4`, the four raw signatures — exactly the bkey values the
+    * HOF form produced (same A/B constants, same P init). Strings shorter
+    * than 3 chars return an empty array (callers filter them anyway). */
+  def trigramBandKeys(s: UTF8String, bands: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val m0 = P; var min0 = m0; var min1 = m0; var min2 = m0; var min3 = m0
+    val a0 = A(0); val a1 = A(1); val a2 = A(2); val a3 = A(3)
+    val b0 = B(0); val b1 = B(1); val b2 = B(2); val b3 = B(3)
+    var i = 0
+    val last = n - 3
+    while (i <= last) {
+      val poly = str.charAt(i).toLong +
+        str.charAt(i + 1).toLong * 31L + str.charAt(i + 2).toLong * 961L
+      val tv = ((poly % P) * 2654435761L) % P
+      val v0 = (a0 * tv + b0) % P; if (v0 < min0) min0 = v0
+      val v1 = (a1 * tv + b1) % P; if (v1 < min1) min1 = v1
+      val v2 = (a2 * tv + b2) % P; if (v2 < min2) min2 = v2
+      val v3 = (a3 * tv + b3) % P; if (v3 < min3) min3 = v3
+      i += 1
+    }
+    if (bands == 2) new GenericArrayData(Array(min0 * P + min1, min2 * P + min3))
+    else new GenericArrayData(Array(min0, min1, min2, min3))
+  }
+
   /** Exact distinct-3-gram Jaccard between two token arrays (the LSH
     * verification kernel): builds the shingle string sets exactly as the
     * relational formulation does. */
@@ -415,6 +453,19 @@ case class MinHashShingleSigExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.minhashShingleSig($c)")
   override protected def withNewChildInternal(c: Expression): MinHashShingleSigExpr = copy(child = c)
   override def prettyName: String = "minhash_shingle_sig"
+}
+
+/** Char-trigram MinHash band keys of a key string, the whole signature
+  * (trigram loop × 4 permutations × band packing) fused into one compiled
+  * pass — see [[ExprKernels.trigramBandKeys]]. */
+case class TrigramBandKeysExpr(child: Expression, bands: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.trigramBandKeys(v.asInstanceOf[UTF8String], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.trigramBandKeys($c, $bands)")
+  override protected def withNewChildInternal(c: Expression): TrigramBandKeysExpr = copy(child = c)
+  override def prettyName: String = "trigram_band_keys"
 }
 
 /** Exact distinct-3-gram Jaccard between two token arrays. */

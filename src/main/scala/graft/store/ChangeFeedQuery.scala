@@ -311,31 +311,24 @@ object ChangeFeedQuery {
     * higher-order functions, no explode/shuffle per row. */
   private[graft] def bucketRows(rows: DataFrame, carry: Seq[String] = Seq.empty,
                                 bands: Int = 2): DataFrame = {
-    import graft.functions.TextHash
     require(bands == 2 || bands == 4,
       s"bands must be 2 (2 rows/band — the default precision point) or 4 " +
         s"(1 row/band — the recall recalibration), got $bands")
     val key = concat(col("Machine"), lit("/"), col("Type"), lit("/"), col("ID"))
-    val tris = array_distinct(
-      transform(sequence(lit(1), length(key) - 2), i => substring(key, i, lit(3))))
-    val tvs = transform(tris, g => TextHash.tokval(g))
-    def sigH(h: Int) =
-      aggregate(tvs, lit(TextHash.MinHashP),
-        (acc, tv) => least(acc, TextHash.minhashTerm(tv, lit(h))))
-    val p = lit(TextHash.MinHashP)
     // the 4 minhash functions band as 2×2 (pairs packed base-P — two
     // rows per band, higher precision) or 4×1 (each signature its own
     // band — higher recall, the re-band a q241-flagged miscalibration
-    // moves to); packing 4 rows into one band would overflow Long
-    val structs =
-      if (bands == 2) Seq(
-        struct(lit(0).as("band"), (sigH(0) * p + sigH(1)).as("bkey")),
-        struct(lit(1).as("band"), (sigH(2) * p + sigH(3)).as("bkey")))
-      else (0 until 4).map(i =>
-        struct(lit(i).as("band"), sigH(i).cast("long").as("bkey")))
+    // moves to); packing 4 rows into one band would overflow Long.
+    // The whole signature is ONE compiled pass over the key string
+    // ([[graft.functions.TrigramBandKeysExpr]]) — bit-identical band keys
+    // to the four-aggregate HOF formulation it replaces (kernel-vs-HOF
+    // equality is spec-pinned), at one tokval per trigram instead of four
+    // interpreted re-hashes.
+    import org.apache.spark.sql.graftshim.Shim
+    val bkeys = Shim.column(graft.functions.TrigramBandKeysExpr(
+      Shim.expression(key), bands))
     rows.filter(length(key) >= 3)
-      .select(carry.map(col) :+ explode(array(structs: _*)).as("b"): _*)
-      .select(carry.map(col) :+ col("b.band").as("band") :+ col("b.bkey").as("bkey"): _*)
+      .select(carry.map(col) :+ posexplode(bkeys).as(Seq("band", "bkey")): _*)
   }
 
   /** The MATERIALIZED index-at-snapshot — in production this is the
