@@ -250,7 +250,10 @@ object DistRank {
         val w = if (wIdx < 0) 1L else r.getLong(wIdx)
         n += w
         val gn =
-          if (gIdx.isEmpty) 0L
+          // no group columns: the one global group's local counter IS the
+          // partition-local counter (a hardcoded 0 here silently zeroed
+          // every group rank / prefix sum for ungrouped callers)
+          if (gIdx.isEmpty) n
           else {
             val k = gIdx.map(i => r.get(i, fieldTypes(i)))
             val v = perGroup.getOrElse(k, 0L) + w

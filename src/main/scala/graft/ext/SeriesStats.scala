@@ -747,15 +747,22 @@ object SeriesStats {
     * single-threaded ntile row-for-row. DuckDB's oracle IS the naive
     * ntile — the gate proves the distributed construction equals it. */
   def q193EquiHeight(s: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      .withColumn("minr",
-        sum(col("cnt")).over(Window.orderBy(col("v"))) - col("cnt"))
-    val n = hist.agg(sum(col("cnt")).as("n"))
+    // the value-grain running rank via the range-distributed prefix sum
+    // (DistRank, the q123/q209 machinery — no groups, so the per-group
+    // total IS the grand total n): the previous shape funneled the whole
+    // price histogram (594k cells at sf0.1, unbounded at scale) through
+    // ONE task via an unpartitioned `Window.orderBy(v)`, then paid a
+    // separate total aggregate + broadcast cross join for n. Same
+    // integers, zero WindowExec, n rides for free.
+    val hist = graft.ext.DistRank.withGroupPrefixSum(
+        Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("cnt")),
+        Seq.empty, "cnt", Seq(col("v")), "cum", "n")
+      .withColumn("minr", col("cum") - col("cnt"))
     def bucketOf(rank: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(rank < (q + 1) * r, (rank / (q + 1)).cast("long"))
         .otherwise(r + ((rank - (q + 1) * r) / q).cast("long"))
-    val spans = hist.join(broadcast(n))
+    val spans = hist
       .withColumn("q", expr("n DIV 10")).withColumn("r", expr("n % 10"))
       .withColumn("bLo", bucketOf(col("minr"), col("q"), col("r")))
       .withColumn("bHi", bucketOf(col("minr") + col("cnt") - 1, col("q"), col("r")))

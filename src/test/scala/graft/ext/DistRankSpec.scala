@@ -76,6 +76,28 @@ class DistRankSpec extends SparkSpec {
     }
   }
 
+  test("withGroupPrefixSum with NO groups equals the global cumsum window") {
+    // the ungrouped path (q193's value-grain running rank): one global
+    // group, cum = the global inclusive prefix, tot = the grand total.
+    // Regression-pins the round-14 fix — the partition-local group
+    // counter was hardcoded 0 when groupCols was empty, zeroing every
+    // ungrouped prefix sum.
+    val df = fixture.withColumn("w",
+      when(col("id") % 7 === 0, lit(0L)).otherwise((col("id") % 3 + 1).cast("long")))
+    val naive = df
+      .withColumn("cum", sum(col("w")).over(
+        Window.orderBy(col("score"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy()))
+    val got = DistRank.withGroupPrefixSum(df, Seq.empty, "w",
+      Seq(col("score"), col("id")), "cum", "tot")
+    val cols = Seq("id", "cum", "tot")
+    assert(got.select(cols.head, cols.tail: _*)
+      .except(naive.select(cols.head, cols.tail: _*)).isEmpty)
+    assert(naive.select(cols.head, cols.tail: _*)
+      .except(got.select(cols.head, cols.tail: _*)).isEmpty)
+  }
+
   test("withNtile equals ANSI ntile for k dividing and not dividing n") {
     val df = fixture
     for (k <- Seq(4, 10, 97, 200)) {
