@@ -848,9 +848,17 @@ object TraceStream {
   def indexCandidatePairs(spark: SparkSession, indexPath: String,
                           maxBucket: Int = 32): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be at least 2, got $maxBucket")
+    // the merged membership feeds TWO consumers (the hot-bucket census
+    // and the pair join's probe side), and a broadcast boundary sits
+    // between them — without a materialization the merge-on-read
+    // aggregation runs twice (measured: the two identical signed-sum
+    // subtrees never reuse their exchange across the broadcast build).
+    // Lazy localCheckpoint: index-sized (bounded by the maintainer's
+    // fold cadence), materialized once inside the first consuming job.
     val m = readIndex(spark, indexPath,
       keys = Seq("band", "bkey", "doc"), measures = Seq("n"))
       .select(col("band"), col("bkey"), col("doc"))
+      .localCheckpoint(false)
     val hot = m.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") >= 2 && col("sz") <= maxBucket)
